@@ -1,0 +1,50 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+    from youcruit_tap_rawpostgresql_spark.querybank import REGISTRY
+    from youcruit_tap_rawpostgresql_spark.session import get_session
+
+    spark = get_session(app_name="spark-graft-bench", cpus=cpus)
+
+    headline = {n: c for n, c in REGISTRY.items() if c.headline}
+    # warm up the JVM + parquet footers once (not timed per-query)
+    next(iter(headline.values())).fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, case in headline.items():
+        t0 = time.perf_counter()
+        df = case.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

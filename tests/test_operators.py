@@ -1,0 +1,151 @@
+"""Operator e2e tests on a local session (conformance, incremental, maps,
+flatten) — tier 2 of the reference's test strategy (SURVEY.md §5)."""
+
+import datetime
+
+import pytest
+
+from youcruit_tap_rawpostgresql_spark.operators.conform import conform
+from youcruit_tap_rawpostgresql_spark.operators.flatten import flatten_struct_columns
+from youcruit_tap_rawpostgresql_spark.operators.incremental import (
+    advance_bookmark,
+    apply_replication_filter,
+    resolve_starting_bookmark,
+)
+from youcruit_tap_rawpostgresql_spark.operators.maps import apply_stream_map
+from youcruit_tap_rawpostgresql_spark.spec import ColumnSpec, SpecError, StreamSpec
+from youcruit_tap_rawpostgresql_spark.state import StateStore
+
+
+def test_conform_casts_prunes_and_nullfills(spark):
+    df = spark.sql("SELECT 'Ichi' AS one, '2' AS two, 3 AS undeclared")
+    spec = StreamSpec(
+        name="t",
+        sql="x",
+        columns=[
+            ColumnSpec("one", "text"),
+            ColumnSpec("two", "int"),
+            ColumnSpec("missing", "text"),
+        ],
+    )
+    out = conform(df, spec)
+    assert out.columns == ["one", "two", "missing"]
+    row = out.first()
+    assert row["one"] == "Ichi"
+    assert row["two"] == 2  # '2' cast to long
+    assert row["missing"] is None
+
+
+def test_conform_strict_raises_on_missing(spark):
+    df = spark.sql("SELECT 1 AS a")
+    spec = StreamSpec(name="t", sql="x", columns=[ColumnSpec("b", "int")])
+    with pytest.raises(SpecError):
+        conform(df, spec, strict=True)
+
+
+def test_incremental_bookmark_resolution_order():
+    spec = StreamSpec(
+        name="t",
+        sql="x",
+        columns=[ColumnSpec("ts", "datetime")],
+        replication_key="ts",
+        replication_key_value_start="2020-01-01",
+    )
+    state = StateStore()
+    # no state bookmark → config start (reference client.py:274-283)
+    assert resolve_starting_bookmark(spec, state) == "2020-01-01"
+    # state bookmark wins (reference client.py:272)
+    state.set_bookmark(spec.fully_qualified_name, "ts", "2024-06-01")
+    assert resolve_starting_bookmark(spec, state) == "2024-06-01"
+
+
+def test_incremental_no_start_raises():
+    spec = StreamSpec(
+        name="t",
+        sql="x",
+        columns=[ColumnSpec("ts", "datetime")],
+        replication_key="ts",
+    )
+    with pytest.raises(SpecError):
+        resolve_starting_bookmark(spec, StateStore())
+
+
+def test_full_table_with_key_requires_start():
+    # reference client.py:285-298
+    spec = StreamSpec(
+        name="t",
+        sql="x",
+        columns=[ColumnSpec("ts", "datetime")],
+        replication_key="ts",
+        forced_replication_method="FULL_TABLE",
+    )
+    with pytest.raises(SpecError):
+        resolve_starting_bookmark(spec, None)
+
+
+def test_replication_filter_and_advance(spark):
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1)), (2, datetime.datetime(2024, 3, 1))],
+        "id long, ts timestamp",
+    )
+    spec = StreamSpec(
+        name="t",
+        sql="x",
+        columns=[ColumnSpec("id", "int"), ColumnSpec("ts", "datetime")],
+        replication_key="ts",
+        replication_key_value_start="2024-02-01 00:00:00",
+    )
+    filtered = apply_replication_filter(df, spec, "2024-02-01 00:00:00")
+    assert [r["id"] for r in filtered.collect()] == [2]
+    state = StateStore()
+    new_bm = advance_bookmark(filtered, spec, state)
+    assert str(new_bm).startswith("2024-03-01")
+    assert state.get_bookmark(spec.fully_qualified_name).startswith("2024-03-01")
+
+
+def test_stream_map_full_pipeline(spark):
+    df = spark.createDataFrame(
+        [(1, "alice@x.com", 10.0), (2, "bob@y.com", 99.0)],
+        "id long, email string, amount double",
+    )
+    out = apply_stream_map(
+        df,
+        {
+            "derive": {"amount_cents": "CAST(amount * 100 AS BIGINT)"},
+            "filter": "amount > 50",
+            "mask": ["email"],
+            "rename": {"id": "user_id"},
+            "drop": ["amount"],
+        },
+    )
+    rows = out.collect()
+    assert out.columns == ["user_id", "email", "amount_cents"]
+    assert len(rows) == 1
+    assert rows[0]["amount_cents"] == 9900
+    assert len(rows[0]["email"]) == 64  # sha256 hex
+
+
+def test_flatten_nested_struct(spark):
+    df = spark.sql(
+        "SELECT 1 AS id, named_struct('b', named_struct('c', 2), 'd', 3) AS a"
+    )
+    out = flatten_struct_columns(df)
+    assert set(out.columns) == {"id", "a__b__c", "a__d"}
+    assert out.first()["a__b__c"] == 2
+
+
+def test_flatten_max_depth(spark):
+    df = spark.sql(
+        "SELECT 1 AS id, named_struct('b', named_struct('c', 2), 'd', 3) AS a"
+    )
+    out = flatten_struct_columns(df, max_depth=1)
+    assert set(out.columns) == {"id", "a__b", "a__d"}  # a__b stays a struct
+
+
+def test_state_store_roundtrip(tmp_path):
+    path = str(tmp_path / "state.json")
+    s = StateStore(path)
+    s.set_bookmark("db-public-t", "ts", datetime.datetime(2024, 5, 1, 12, 0))
+    s.flush()
+    s2 = StateStore(path)
+    assert s2.get_bookmark("db-public-t") == "2024-05-01 12:00:00"

@@ -1,0 +1,72 @@
+"""Query-bank smoke + oracle spot checks at sf0.001 (the full oracle sweep
+is tools/check_oracle.py; here a fast representative subset guards CI)."""
+
+import math
+
+import duckdb
+import pytest
+
+from youcruit_tap_rawpostgresql_spark.querybank import REGISTRY
+
+SPOT = [
+    "q1_pricing_summary",
+    "join_left_outer",
+    "win_running_agg",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "tap_incremental_bookmark",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_dir):
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _normalize(df):
+    cols = sorted(df.columns)
+    recs = []
+    for row in df[cols].itertuples(index=False):
+        rec = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                rec.append("<null>")
+            else:
+                rec.append(repr(v) if isinstance(v, float) else str(v))
+        recs.append(tuple(rec))
+    return cols, sorted(recs)
+
+
+def test_registry_is_populated():
+    assert len(REGISTRY) >= 55
+    with_oracle = [c for c in REGISTRY.values() if c.oracle]
+    assert len(with_oracle) >= 50
+
+
+@pytest.mark.parametrize("name", SPOT)
+def test_spot_oracle_match(spark, sf_dir, oracle_con, name):
+    case = REGISTRY[name]
+    sdf = case.fn(spark, sf_dir).toPandas()
+    odf = oracle_con.execute(case.oracle).fetchdf()
+    scols, srecs = _normalize(sdf)
+    ocols, orecs = _normalize(odf)
+    assert scols == ocols
+    assert len(srecs) == len(orecs)
+    assert srecs == orecs
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "sum_qty" in df.columns
+
+
+def test_headline_queries_exist():
+    assert sum(1 for c in REGISTRY.values() if c.headline) >= 5

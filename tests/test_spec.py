@@ -1,0 +1,102 @@
+"""Spec/catalog unit tests (no Spark session) — mirror of the reference's
+catalog assertions (``tests/test_sqlite.py:67-78``, ``tests/test_postgres.py:58-66``):
+schema/nullability/naming derive purely from config, no source connection.
+"""
+
+import pytest
+
+from youcruit_tap_rawpostgresql_spark.spec import (
+    ColumnSpec,
+    SpecError,
+    StreamSpec,
+    TapConfig,
+)
+
+
+def _spec(**kw):
+    defaults = dict(
+        name="test",
+        sql="SELECT 'Ichi' as one, 2 as two, '3' as three, '4' as four",
+        columns=[
+            ColumnSpec("one", "text"),
+            ColumnSpec("two", "int"),
+            ColumnSpec("three", "text", nullable=True),
+            ColumnSpec("four", "text", nullable=False),
+        ],
+        key_properties=["one"],
+        database="postgres",
+        db_schema="public",
+    )
+    defaults.update(kw)
+    return StreamSpec(**defaults)
+
+
+def test_fully_qualified_name():
+    # reference tap.py:160-165 / tests/test_postgres.py:69
+    assert _spec().fully_qualified_name == "postgres-public-test"
+
+
+def test_empty_sql_raises():
+    # reference client.py:255-258
+    with pytest.raises(SpecError):
+        _spec(sql="   ")
+
+
+def test_replication_method_from_key():
+    # reference tap.py:167-169
+    assert _spec().replication_method == "FULL_TABLE"
+    assert (
+        _spec(replication_key="two", replication_key_value_start=0).replication_method
+        == "INCREMENTAL"
+    )
+
+
+def test_required_resolution():
+    # required = not nullable OR key OR replication key (tap.py:180-183)
+    s = _spec(replication_key="two", replication_key_value_start=0)
+    assert s.is_required("one")  # key property
+    assert s.is_required("two")  # replication key
+    assert not s.is_required("three")  # nullable
+    assert s.is_required("four")  # declared non-nullable
+
+
+def test_jsonschema_types():
+    # pinned mapping: text→["string"], int→["integer"], nullable adds "null"
+    # (tests/test_postgres.py:63-66, tests/test_sqlite.py:71-75)
+    s = _spec(replication_key="two", replication_key_value_start=0)
+    props = s.jsonschema()["properties"]
+    assert props["one"]["type"] == ["string"]
+    assert props["two"]["type"] == ["integer"]
+    assert props["three"]["type"] == ["string", "null"]
+    assert props["four"]["type"] == ["string"]
+
+
+def test_undeclared_key_property_raises():
+    with pytest.raises(SpecError):
+        _spec(key_properties=["nope"])
+
+
+def test_tap_config_from_dict():
+    cfg = TapConfig.from_dict(
+        {
+            "database": "postgres",
+            "streams": [
+                {
+                    "name": "test",
+                    "schema": "public",
+                    "sql": "SELECT 1 as one",
+                    "columns": [{"name": "one", "type": "string"}],
+                    "key_properties": ["one"],
+                }
+            ],
+            "batch_size": 5,
+            "batch_config": {
+                "encoding": {"format": "jsonl", "compression": "gzip"},
+                "storage": {"root": "file:///tmp", "prefix": "test-batch"},
+            },
+        }
+    )
+    assert cfg.streams[0].fully_qualified_name == "postgres-public-test"
+    assert cfg.batch is not None
+    assert cfg.batch.batch_size == 5
+    assert cfg.batch.prefix == "test-batch"

@@ -1,0 +1,48 @@
+"""Columnar text-analysis primitives (tokenize, shingles, quality metrics).
+
+All built-in Spark SQL functions — tokenization and shingling are per-row
+array expressions with zero shuffle; only downstream aggregations shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A tiny English stopword list for the heuristic language scorer. Matches the
+# hardcoded list in the oracle SQL — keep in sync.
+EN_STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "for"]
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """k-word shingles as strings; empty array when fewer than k tokens.
+
+    1-indexed ``element_at`` so the same expression ports to DuckDB lists.
+    """
+    n = F.size(toks)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_hits(toks: Column) -> Column:
+    """Count of tokens that are English stopwords (duplicates counted)."""
+    stop = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+
+
+def avg_token_len(toks: Column) -> Column:
+    """Mean token length (exact integer sums, one IEEE division)."""
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    return total / F.size(toks)

@@ -1,0 +1,142 @@
+"""PostgreSQL-dialect → Spark SQL translation + named-parameter binding.
+
+The reference ships user SQL verbatim to PostgreSQL (``client.py:300-304``)
+and binds the bookmark as the named parameter ``:rep_key_val`` via
+``sqlalchemy.text`` (``client.py:264-298``). Accepting that same config SQL
+on Spark needs a thin dialect layer (SURVEY.md §4 deltas):
+
+- ``expr::type`` postfix casts → ``CAST(expr AS type)`` with PG→Spark type
+  renames (observed in reference SQL: ``tests/test_postgres.py:155``)
+- typed literals ``timestamptz '...'`` → ``TIMESTAMP '...'``
+  (``tests/test_postgres.py:156``)
+- ``now()`` → ``current_timestamp()``
+- named parameters ``:name`` → safely quoted literals
+
+This is deliberately NOT a full PG parser: queries authored for this engine
+are written in Spark SQL directly; translation only covers the constructs the
+reference's config surface demonstrably uses plus the common PG-isms.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+from typing import Any, Mapping
+
+# PG type name → Spark SQL type name (for :: casts and typed literals)
+_PG_TYPE_RENAMES = {
+    "uuid": "string",
+    "text": "string",
+    "varchar": "string",
+    "int2": "smallint",
+    "int4": "int",
+    "int8": "bigint",
+    "float4": "float",
+    "float8": "double",
+    "timestamptz": "timestamp",
+    "timestamp with time zone": "timestamp",
+    "timestamp without time zone": "timestamp",
+    "bool": "boolean",
+    "jsonb": "string",
+    "json": "string",
+    "bytea": "binary",
+    "double precision": "double",
+}
+
+# single-word type names, plus the known multiword PG types (an open-ended
+# "words with spaces" pattern would swallow trailing `AS alias` clauses)
+_TYPE_NAME = (
+    r"(?:double\s+precision|timestamp\s+with(?:out)?\s+time\s+zone|"
+    r"[a-zA-Z_]\w*)(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"
+)
+
+# operand for `operand::type`: quoted literal, number, function call,
+# parenthesized expr, or dotted identifier
+_CAST_OPERAND = (
+    r"('(?:[^']|'')*'"  # string literal
+    r"|\d+(?:\.\d+)?"  # number
+    r"|[a-zA-Z_][\w.]*\([^()]*\)"  # simple function call
+    r"|\([^()]*\)"  # parenthesized expr (one level)
+    r"|[a-zA-Z_][\w.]*)"  # identifier
+)
+_CAST_RE = re.compile(_CAST_OPERAND + r"\s*::\s*(" + _TYPE_NAME + r")")
+
+_TYPED_LITERAL_RE = re.compile(
+    r"\b(timestamptz|timestamp|date|time|uuid|interval)\s+('(?:[^']|'')*')",
+    re.IGNORECASE,
+)
+
+_PARAM_RE = re.compile(r"(?<![:\w]):([a-zA-Z_]\w*)")
+
+
+def _rename_type(pg_type: str) -> str:
+    key = pg_type.strip().lower()
+    return _PG_TYPE_RENAMES.get(key, pg_type.strip())
+
+
+def _translate_casts(sql: str) -> str:
+    # repeat to handle chained casts like x::text::int
+    prev = None
+    while prev != sql:
+        prev = sql
+        sql = _CAST_RE.sub(
+            lambda m: f"CAST({m.group(1)} AS {_rename_type(m.group(2))})", sql
+        )
+    return sql
+
+
+def _translate_typed_literals(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        kind = m.group(1).lower()
+        lit = m.group(2)
+        if kind == "timestamptz":
+            return f"TIMESTAMP {lit}"
+        if kind == "uuid":
+            return lit  # UUID is a plain string in this engine
+        return f"{m.group(1).upper()} {lit}"
+
+    return _TYPED_LITERAL_RE.sub(repl, sql)
+
+
+def quote_literal(value: Any) -> str:
+    """Render a Python value as a safe Spark SQL literal."""
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return repr(value)
+    if isinstance(value, _dt.datetime):
+        return f"TIMESTAMP '{value.isoformat(sep=' ')}'"
+    if isinstance(value, _dt.date):
+        return f"DATE '{value.isoformat()}'"
+    s = str(value).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{s}'"
+
+
+def bind_params(sql: str, params: Mapping[str, Any] | None) -> str:
+    """Substitute ``:name`` parameters as quoted literals.
+
+    Mirrors the reference's bind of ``{"rep_key_val": v}``
+    (``client.py:264,283,298``). Raises KeyError on unbound parameters.
+    """
+    if params is None:
+        params = {}
+
+    def repl(m: re.Match) -> str:
+        name = m.group(1)
+        if name not in params:
+            raise KeyError(f"unbound SQL parameter :{name}")
+        return quote_literal(params[name])
+
+    return _PARAM_RE.sub(repl, sql)
+
+
+def translate_pg_sql(sql: str, params: Mapping[str, Any] | None = None) -> str:
+    """Full translation pipeline: typed literals → casts → now() → params."""
+    out = _translate_typed_literals(sql)
+    out = _translate_casts(out)
+    out = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", out, flags=re.IGNORECASE)
+    if params is not None or _PARAM_RE.search(out):
+        out = bind_params(out, params)
+    return out

@@ -1,0 +1,68 @@
+"""Shared expression helpers for oracle-exact query construction."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 12,2 (not 18,2): keeps chained decimal products within both engines'
+# 38-digit cap so no precision-loss rounding ever kicks in:
+# (12,2)*(12,2)->(25,4), *(12,2) again -> (38,6) exact.
+DEC = "decimal(12,2)"
+
+
+def d(col) -> Column:
+    """Cast a (2dp-exact) double column/expr to exact decimal."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+def dsum(col, alias: str) -> Column:
+    """Exact decimal sum of a 2dp double, emitted as double (bit-identical
+    across engines because the decimal sum is exact)."""
+    return F.sum(d(col)).cast("double").alias(alias)
+
+
+def davg(col, alias: str) -> Column:
+    """Exact-sum / count average: one IEEE division, identical across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(d(c)).cast("double") / F.count(c)).alias(alias)
+
+
+def iso_ts(col, alias: str | None = None) -> Column:
+    """Format a timestamp to 'yyyy-MM-dd HH:mm:ss' string (TZ-safe output)."""
+    c = F.date_format(F.col(col) if isinstance(col, str) else col, "yyyy-MM-dd HH:mm:ss")
+    return c.alias(alias) if alias else c
+
+
+def iso_date(col, alias: str | None = None) -> Column:
+    """Format a timestamp/date to 'yyyy-MM-dd' string."""
+    c = F.date_format(F.col(col) if isinstance(col, str) else col, "yyyy-MM-dd")
+    return c.alias(alias) if alias else c
+
+
+# DuckDB-side equivalents (oracle SQL fragments)
+def o_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(12,2))) AS DOUBLE) AS {alias}"
+
+
+def o_davg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(12,2))) AS DOUBLE) / COUNT({expr}) AS {alias}"
+    )
+
+
+def o_iso_ts(expr: str, alias: str) -> str:
+    return f"strftime({expr}, '%Y-%m-%d %H:%M:%S') AS {alias}"
+
+
+def o_iso_date(expr: str, alias: str) -> str:
+    return f"strftime({expr}, '%Y-%m-%d') AS {alias}"
+
+
+# revenue = extendedprice * (1 - discount), exact decimal product then sum
+def rev_col() -> Column:
+    return d("l_extendedprice") * (F.lit(1).cast(DEC) - d("l_discount"))
+
+
+O_REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"

@@ -1,0 +1,516 @@
+"""LLM-data-pipeline query cases (SURVEY.md §2.12 + driver north star):
+exact/fuzzy deduplication (MinHash-LSH, SimHash, n-gram Jaccard), embedding
+similarity search, text analysis (tokenization, quality, language-ID,
+fingerprinting).
+
+Every sketch uses the portable md5-based ``hash64`` so the DuckDB oracle can
+recompute identical signatures (see functions/hashing.py). Scale notes
+per-case: the LSH variants are the 100 TB path (candidate generation by
+band-bucket join, never O(n²)); the brute-force variants exist as the
+correctness baseline and stay bounded by query-side sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from youcruit_tap_rawpostgresql_spark.functions.hashing import (
+    MERSENNE_P,
+    hash64,
+    minhash_params,
+    simhash_bits,
+)
+from youcruit_tap_rawpostgresql_spark.functions.text_funcs import (
+    EN_STOPWORDS,
+    avg_token_len,
+    stopword_hits,
+    tokens,
+    word_shingles,
+)
+from youcruit_tap_rawpostgresql_spark.functions.vectors import cosine_similarity
+from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
+
+# ---------------------------------------------------------------------------
+# shared oracle SQL fragments (DuckDB list dialect)
+# ---------------------------------------------------------------------------
+
+O_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+O_HASH = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+O_SHINGLES = (
+    "CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t) - 2), "
+    "i -> concat_ws(' ', t[i], t[i+1], t[i+2])) ELSE [] END"
+)
+
+_N_MINHASH = 12
+_N_BANDS = 4
+_ROWS_PER_BAND = 3
+_MH_PARAMS = minhash_params(_N_MINHASH)
+
+
+def _o_minhash_list() -> str:
+    exprs = [
+        f"list_min(list_transform(h, x -> ({a} * (x % {MERSENNE_P}) + {b}) % {MERSENNE_P}))"
+        for a, b in _MH_PARAMS
+    ]
+    return "[" + ", ".join(exprs) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    headline=True,
+    oracle="""
+SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-aggregate on the full text, keep the lowest id.
+
+    Scale: one shuffle keyed by text hash; at 100 TB you'd group by
+    ``xxhash64(text)`` instead of the raw text to shrink shuffle width (the
+    oracle needs the portable form)."""
+    d = tables(spark, sf_dir)["documents"]
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("keeper_id", "n_copies")
+
+
+@register(
+    "dedup_exact_stats",
+    oracle="""
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique,
+  COUNT(*) - COUNT(DISTINCT text) AS n_dupes
+FROM documents GROUP BY source
+""",
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables(spark, sf_dir)["documents"]
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_dupes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    headline=True,
+    oracle=f"""
+SELECT doc_id, source,
+  len(t) AS n_tokens,
+  len(list_distinct(t)) AS n_unique_tokens,
+  ROUND(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t), 6) AS avg_token_len
+FROM (SELECT doc_id, source, {O_TOKS} AS t FROM documents)
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokenization, per-doc counts.
+    Scale: per-row array expressions, no shuffle at all."""
+    d = tables(spark, sf_dir)["documents"]
+    t = tokens("text")
+    return d.select(
+        "doc_id",
+        "source",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+        F.round(avg_token_len(t), 6).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+SELECT doc_id,
+  length(text) AS n_chars_actual,
+  ROUND(CAST(len(list_filter(t, x -> list_contains({EN_STOPWORDS!r}, x))) AS DOUBLE) / len(t), 6) AS stopword_ratio,
+  ROUND(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
+  ROUND(LEAST(1.0, len(t) / 100.0) * (1.0 - CAST(len(list_filter(t, x -> list_contains({EN_STOPWORDS!r}, x))) AS DOUBLE) / len(t)), 6) AS quality_score
+FROM (SELECT doc_id, text, {O_TOKS} AS t FROM documents)
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, stopword ratio, alphabetic ratio, and a
+    composite score — all exact integer ratios so the oracle matches."""
+    d = tables(spark, sf_dir)["documents"]
+    t = tokens("text")
+    stop_ratio = stopword_hits(t).cast("double") / F.size(t)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double")
+            / F.length("text"),
+            6,
+        ).alias("alpha_ratio"),
+        F.round(
+            F.least(F.lit(1.0), F.size(t) / F.lit(100.0)) * (F.lit(1.0) - stop_ratio), 6
+        ).alias("quality_score"),
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+SELECT doc_id, lang AS declared_lang,
+  ROUND(CAST(len(list_filter(t, x -> list_contains({EN_STOPWORDS!r}, x))) AS DOUBLE) / len(t), 6) AS stop_ratio,
+  CASE WHEN CAST(len(list_filter(t, x -> list_contains({EN_STOPWORDS!r}, x))) AS DOUBLE) / len(t) >= 0.02
+       THEN 'en' ELSE 'unknown' END AS lang_guess
+FROM (SELECT doc_id, lang, {O_TOKS} AS t FROM documents)
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit ratio thresholding (the n-gram
+    heuristic degenerate case for a synthetic corpus)."""
+    d = tables(spark, sf_dir)["documents"]
+    t = tokens("text")
+    ratio = stopword_hits(t).cast("double") / F.size(t)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        F.round(ratio, 6).alias("stop_ratio"),
+        F.when(ratio >= 0.02, "en").otherwise("unknown").alias("lang_guess"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
+FROM (SELECT doc_id, {O_TOKS} AS t FROM documents)
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of the sorted distinct token bag (detects
+    shuffled/reordered copies that exact dedup misses)."""
+    d = tables(spark, sf_dir)["documents"]
+    t = tokens("text")
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t)))).alias(
+            "fingerprint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy dedup: n-gram Jaccard, MinHash-LSH, SimHash
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({O_SHINGLES}) AS s
+  FROM (SELECT doc_id, {O_TOKS} AS t FROM documents)
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id % 20 = 0 AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.s, b.s))) > 0.3
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for a sampled probe set (correctness baseline
+    for the MinHash estimate). Scale: the sampled side is broadcast; real
+    deployments use minhash_lsh_candidates to prune pairs first."""
+    d = tables(spark, sf_dir)["documents"]
+    sh = d.select(
+        "doc_id", F.array_distinct(word_shingles(tokens("text"))).alias("s")
+    )
+    a = sh.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("a_id"), F.col("s").alias("sa")
+    )
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
+    j = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    return (
+        F.broadcast(a)
+        .join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", j.alias("jaccard"))
+        .filter(F.col("jaccard") > 0.3)
+        .withColumn("jaccard", F.round("jaccard", 6))
+    )
+
+
+def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + 12-element MinHash signature over distinct 3-word shingles.
+
+    Formulated for scale: repartition the docs (a single parquet file would
+    otherwise serialize everything into one task), explode shingles, hash
+    each shingle ONCE (an array-expression formulation re-evaluates md5 per
+    hash function after projection collapse — 12× the work), then a
+    map-side-partial min groupBy. The shuffle carries 12 longs per doc.
+    Cached because the LSH query self-joins the signatures."""
+    d = tables(spark, sf_dir)["documents"]
+    n_part = spark.sparkContext.defaultParallelism
+    exploded = d.repartition(n_part, "doc_id").select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(tokens("text")))).alias("shingle"),
+    )
+    h = exploded.select("doc_id", hash64("shingle").alias("h"))
+    aggs = [
+        F.min((F.lit(a) * (F.col("h") % MERSENNE_P) + F.lit(b)) % MERSENNE_P).alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    ]
+    sig = (
+        h.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"mh{i}") for i in range(_N_MINHASH)]).alias("mh"),
+        )
+    )
+    return sig.cache()
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+SELECT doc_id, mh[1] AS mh1, mh[4] AS mh4, mh[8] AS mh8, mh[12] AS mh12
+FROM (
+  SELECT doc_id, {_o_minhash_list()} AS mh
+  FROM (
+    SELECT doc_id, list_transform(list_distinct({O_SHINGLES}), s -> {O_HASH.format(x='s')}) AS h
+    FROM (SELECT doc_id, {O_TOKS} AS t FROM documents)
+  )
+  WHERE len(h) > 0
+)
+""",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature parity check: spot-check 4 of the 12 hash slots
+    against an oracle that recomputes the identical universal-hash family."""
+    sig = _minhash_sig_df(spark, sf_dir)
+    return sig.select(
+        "doc_id",
+        F.element_at("mh", 1).alias("mh1"),
+        F.element_at("mh", 4).alias("mh4"),
+        F.element_at("mh", 8).alias("mh8"),
+        F.element_at("mh", 12).alias("mh12"),
+    )
+
+
+def _o_lsh_bands() -> str:
+    """Oracle CTE: one row per (doc, band) with a concatenated band key."""
+    selects = []
+    for band in range(_N_BANDS):
+        lo = band * _ROWS_PER_BAND + 1
+        cols = ", ".join(f"mh[{i}]" for i in range(lo, lo + _ROWS_PER_BAND))
+        selects.append(
+            f"SELECT doc_id, {band} AS band_idx, concat_ws(',', {cols}) AS band_key, mh FROM sig"
+        )
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "dedup_minhash_lsh",
+    headline=True,
+    oracle=f"""
+WITH hs AS (
+  SELECT doc_id, list_transform(list_distinct({O_SHINGLES}), s -> {O_HASH.format(x='s')}) AS h
+  FROM (SELECT doc_id, {O_TOKS} AS t FROM documents)
+), sig AS (
+  SELECT doc_id, {_o_minhash_list()} AS mh FROM hs WHERE len(h) > 0
+), bands AS (
+  {_o_lsh_bands()}
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+  CAST(len(list_filter(generate_series(1, {_N_MINHASH}), i -> a.mh[i] = b.mh[i])) AS DOUBLE) / {_N_MINHASH} AS est_jaccard
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidate generation (the 100 TB dedup path):
+    shingle → 12 minhashes → 4 bands × 3 rows → band-bucket equi-join →
+    distinct candidate pairs with estimated Jaccard.
+
+    Scale: candidates come from an equi-join on (band_idx, band_key) — the
+    shuffle carries one 2-int row per (doc, band), and only colliding docs
+    ever meet. No O(n²) anywhere. Skewed buckets (boilerplate docs) are the
+    known hazard → AQE skew-join handles the join; a bucket-size cap would
+    be added for adversarial corpora."""
+    sig = _minhash_sig_df(spark, sf_dir)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at("mh", band * _ROWS_PER_BAND + i + 1).cast("string")
+                    for i in range(_ROWS_PER_BAND)
+                ],
+            )
+            for band in range(_N_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "mh", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("mh").alias("mh_a"),
+        "band_idx",
+        "band_key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("mh").alias("mh_b"),
+        "band_idx",
+        "band_key",
+    )
+    est = (
+        F.size(F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v))
+        .cast("double")
+        / _N_MINHASH
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", est.alias("est_jaccard"))
+        .distinct()
+    )
+
+
+def _o_simhash() -> str:
+    terms = []
+    for j in range(16):
+        terms.append(
+            f"CASE WHEN CAST(list_sum(list_transform(h, x -> ((x >> {j}) % 2) * 2 - 1)) AS BIGINT) > 0 THEN {1 << j} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+SELECT doc_id, {_o_simhash()} AS simhash
+FROM (
+  SELECT doc_id, list_transform(list_distinct(t), x -> {O_HASH.format(x='x')}) AS h
+  FROM (SELECT doc_id, {O_TOKS} AS t FROM documents)
+)
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over distinct token hashes (per-row columnar fold —
+    no shuffle; near-dup = small Hamming distance on the fingerprint)."""
+    d = tables(spark, sf_dir)["documents"]
+    hashes = F.transform(
+        F.array_distinct(tokens("text")),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+    )
+    return d.select("doc_id", simhash_bits(hashes, 16).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+_O_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+_O_NORM = (
+    "sqrt(list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))"
+)
+
+
+def _o_cos(a: str, b: str) -> str:
+    return (
+        f"({_O_DOT.format(a=a, b=b)} / ({_O_NORM.format(a=a)} * {_O_NORM.format(a=b)}))"
+    )
+
+
+@register(
+    "sim_cosine_topk",
+    headline=True,
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+c AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+    {_o_cos('q.embedding', 'e.embedding')} AS cos
+  FROM q JOIN embeddings e ON q.vec_id <> e.vec_id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM c
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
+FROM r WHERE rank <= 3
+""",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the correctness baseline for ANN.
+
+    Scale: query side is broadcast (small); corpus side streams — cost is
+    O(|Q| · n) with no shuffle of the corpus. Ranking is bit-exact across
+    engines because the fold order of the dot product is pinned
+    (sequential), so ties never flip. For large |Q| see sim_ann_lsh."""
+    e = tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = (
+        F.broadcast(q)
+        .join(
+            e.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            F.col("query_id") != F.col("neighbor_id"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("q_emb", "embedding").alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        c.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
+    )
+
+
+@register(
+    "sim_cosine_threshold",
+    oracle=f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+  ROUND({_o_cos('a.embedding', 'b.embedding')}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_o_cos('a.embedding', 'b.embedding')} >= 0.3
+""",
+)
+def sim_cosine_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold (the
+    embedding-space analogue of fuzzy dedup). Correctness-scale brute force;
+    the production path buckets by LSH hyperplane signs first."""
+    e = tables(spark, sf_dir)["embeddings"]
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    cos = cosine_similarity("ea", "eb")
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+        .select("a_id", "b_id", F.round("cos", 6).alias("cosine"))
+    )

@@ -1,0 +1,221 @@
+"""Scalar-function query cases (SURVEY.md §2.8): string, date/time, math,
+conditional, array, JSON families. All JVM-side built-ins — zero Python UDFs
+(whole-stage codegen keeps these in one pass over the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
+
+
+@register(
+    "scalar_string",
+    oracle="""
+SELECT p_partkey,
+  upper(p_name) AS name_upper,
+  lower(p_brand) AS brand_lower,
+  substring(p_name, 1, 5) AS name_prefix,
+  length(p_name) AS name_len,
+  concat(p_brand, ':', p_type) AS brand_type,
+  trim('  pad  ') AS trimmed,
+  replace(p_type, ' ', '_') AS type_snake,
+  CASE WHEN p_name LIKE '%el%' THEN 1 ELSE 0 END AS has_el,
+  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+  array_to_string(string_split(p_type, ' '), '|') AS type_parts
+FROM part
+""",
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family: case, substring, length, concat, trim,
+    replace, LIKE, regexp_extract, split."""
+    p = tables(spark, sf_dir)["part"]
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.when(F.col("p_name").like("%el%"), 1).otherwise(0).alias("has_el"),
+        F.regexp_extract("p_name", r"([a-z]+)", 1).alias("first_word"),
+        F.array_join(F.split("p_type", " "), "|").alias("type_parts"),
+    )
+
+
+@register(
+    "scalar_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+  abs(l_extendedprice - 1000.0) AS abs_diff,
+  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(0.25 AS DECIMAL(4,2)) AS DOUBLE) AS quarter,
+  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil7,
+  CAST(floor(l_quantity / 7.0) AS BIGINT) AS floor7,
+  CAST(l_quantity AS BIGINT) % 5 AS mod5,
+  round(sqrt(l_extendedprice), 6) AS sqrt_price,
+  round(ln(l_extendedprice + 1.0), 6) AS ln_price,
+  round(power(l_discount + 1.0, 2), 6) AS pow_disc,
+  greatest(l_discount, l_tax) AS max_rate,
+  least(l_discount, l_tax) AS min_rate,
+  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_disc
+FROM lineitem WHERE l_orderkey % 100 = 0
+""",
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. Transcendentals rounded to 6dp (libm vs JDK Math may
+    differ in the last ulp)."""
+    l = tables(spark, sf_dir)["lineitem"]
+    return l.filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 1000.0).alias("abs_diff"),
+        # exact decimal product, not round(x*0.25, 2): Spark rounds doubles
+        # via their shortest string repr, DuckDB via exact binary value —
+        # they disagree on .525-style boundaries
+        (F.col("l_extendedprice").cast("decimal(12,2)") * F.lit(0.25).cast("decimal(4,2)"))
+        .cast("double")
+        .alias("quarter"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("ceil7"),
+        F.floor(F.col("l_quantity") / 7.0).alias("floor7"),
+        (F.col("l_quantity").cast("bigint") % 5).alias("mod5"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("ln_price"),
+        F.round(F.pow(F.col("l_discount") + 1.0, 2), 6).alias("pow_disc"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.signum(F.col("l_discount") - 0.05).alias("sign_disc"),
+    )
+
+
+@register(
+    "scalar_datetime",
+    oracle="""
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS INT) AS yr,
+  CAST(month(o_orderdate) AS INT) AS mo,
+  CAST(day(o_orderdate) AS INT) AS dom,
+  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow_sun1,
+  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+  date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95,
+  CAST(quarter(o_orderdate) AS INT) AS qtr
+FROM orders WHERE o_orderkey % 50 = 0
+""",
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extract parts, truncate, add interval, diff.
+
+    DOW convention pinned to Sunday=1 (DuckDB dayofweek is Sunday=0, Spark
+    is Sunday=1 — oracle side adjusts; here both emit Sunday=1 by +1 on the
+    DuckDB side... actually: Spark dayofweek(Sunday)=1; DuckDB
+    dayofweek(Sunday)=0, so oracle casts Spark's convention)."""
+    o = tables(spark, sf_dir)["orders"]
+    return o.filter(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow_sun1"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"), "yyyy-MM-dd"
+        ).alias("plus30"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).cast("bigint").alias("days_since_95"),
+        F.quarter("o_orderdate").alias("qtr"),
+    )
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+SELECT c_custkey,
+  CASE WHEN c_acctbal < 0 THEN 'debt'
+       WHEN c_acctbal < 5000 THEN 'low'
+       ELSE 'high' END AS bal_bucket,
+  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_masked,
+  CASE WHEN c_nationkey % 2 = 0 THEN NULL ELSE c_nationkey END AS odd_nation,
+  greatest(c_acctbal, 0.0) AS bal_floor0,
+  (c_acctbal > 0 AND c_nationkey < 10) AS flag
+FROM customer
+""",
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: CASE WHEN, coalesce, nullif, greatest, boolean expr."""
+    c = tables(spark, sf_dir)["customer"]
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_bucket"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_masked"
+        ),
+        F.when(F.col("c_nationkey") % 2 != 0, F.col("c_nationkey")).alias("odd_nation"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        ((F.col("c_acctbal") > 0) & (F.col("c_nationkey") < 10)).alias("flag"),
+    )
+
+
+@register(
+    "scalar_array",
+    oracle="""
+SELECT vec_id, label,
+  len(embedding) AS dim,
+  round(CAST(embedding[1] AS DOUBLE), 6) AS first_component,
+  round(CAST(list_aggregate(embedding, 'sum') AS DOUBLE), 5) AS comp_sum,
+  round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS comp_max,
+  len(list_filter(embedding, x -> x > 0)) AS n_positive
+FROM embeddings WHERE vec_id % 10 = 0
+""",
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over the embedding column: size, index, aggregate
+    (higher-order functions), filter. comp_sum rounded to 5dp — float
+    accumulation order differs across engines."""
+    e = tables(spark, sf_dir)["embeddings"]
+    return e.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("first_component"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            5,
+        ).alias("comp_sum"),
+        F.round(
+            F.array_max(F.transform("embedding", lambda x: x.cast("double"))), 6
+        ).alias("comp_max"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@register(
+    "scalar_json",
+    oracle="""
+SELECT event_id, event_type,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+  json_extract_string(props, '$.missing') AS missing_key
+FROM events WHERE event_id % 20 = 0
+""",
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: extract typed values from a JSON string column
+    (maps PG ``->``/``->>`` to get_json_object)."""
+    e = tables(spark, sf_dir)["events"]
+    return e.filter(F.col("event_id") % 20 == 0).select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+        F.get_json_object("props", "$.missing").alias("missing_key"),
+    )

@@ -1,0 +1,239 @@
+"""Tap-level dataflow query cases: declared-schema conformance, incremental
+replication, stream maps, flattening, catalog (SURVEY.md §2.1-2.3, §2.9).
+
+These exercise the engine's own operators (the part of the reference that is
+NOT delegated to PostgreSQL) end-to-end through the driver's oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youcruit_tap_rawpostgresql_spark.operators.conform import conform
+from youcruit_tap_rawpostgresql_spark.operators.flatten import flatten_struct_columns
+from youcruit_tap_rawpostgresql_spark.operators.incremental import (
+    apply_replication_filter,
+    resolve_starting_bookmark,
+)
+from youcruit_tap_rawpostgresql_spark.operators.maps import apply_stream_map
+from youcruit_tap_rawpostgresql_spark.querybank.helpers import iso_ts
+from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
+from youcruit_tap_rawpostgresql_spark.spec import ColumnSpec, StreamSpec
+from youcruit_tap_rawpostgresql_spark.state import StateStore
+
+
+@register(
+    "tap_conform_schema",
+    oracle="""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+  event_type,
+  CAST(value AS DOUBLE) AS value,
+  CAST(NULL AS VARCHAR) AS missing_col
+FROM events
+""",
+)
+def tap_conform_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-schema conformance: cast to declared types, drop undeclared
+    columns (props), NULL-fill declared-but-missing columns
+    (reference ``client.py:144-161``)."""
+    tables(spark, sf_dir)
+    spec = StreamSpec(
+        name="events_conformed",
+        sql="SELECT * FROM events",
+        columns=[
+            ColumnSpec("event_id", "int", nullable=False),
+            ColumnSpec("ts", "datetime"),
+            ColumnSpec("event_type", "text", nullable=False),
+            ColumnSpec("value", "double"),
+            ColumnSpec("missing_col", "text"),
+        ],
+        key_properties=["event_id"],
+    )
+    raw = spark.sql(spec.sql)
+    out = conform(raw, spec)
+    return out.select(
+        "event_id", iso_ts("ts", "ts"), "event_type", "value", "missing_col"
+    )
+
+
+@register(
+    "tap_incremental_bookmark",
+    oracle="""
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, user_id, value
+FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+""",
+)
+def tap_incremental_bookmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL replication: bookmark resolved from Singer-style state,
+    bound as ``:rep_key_val`` into the stream SQL (reference
+    ``client.py:260-283``). The filter pushes into the parquet scan."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_stream_sql
+
+    tables(spark, sf_dir)
+    spec = StreamSpec(
+        name="events_inc",
+        sql=(
+            "SELECT event_id, ts, user_id, value FROM events "
+            "WHERE ts > :rep_key_val"
+        ),
+        columns=[
+            ColumnSpec("event_id", "int", nullable=False),
+            ColumnSpec("ts", "datetime"),
+            ColumnSpec("user_id", "int"),
+            ColumnSpec("value", "double"),
+        ],
+        key_properties=["event_id"],
+        replication_key="ts",
+        replication_key_value_start="2024-01-01 00:00:00",
+    )
+    state = StateStore()
+    state.set_bookmark(spec.fully_qualified_name, "ts", "2024-01-20 00:00:00")
+    bookmark = resolve_starting_bookmark(spec, state)  # state wins over config
+    import datetime as _dt
+
+    df = run_stream_sql(
+        spark, spec, params={"rep_key_val": _dt.datetime.fromisoformat(bookmark)}
+    )
+    return df.select("event_id", iso_ts("ts", "ts"), "user_id", "value")
+
+
+@register(
+    "tap_full_table_start",
+    oracle="""
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type
+FROM events WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
+""",
+)
+def tap_full_table_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL_TABLE with a declared replication key: the config start value is
+    required and applied (reference ``client.py:285-298``), here as a
+    DataFrame-level pushed-down filter."""
+    t = tables(spark, sf_dir)
+    spec = StreamSpec(
+        name="events_ft",
+        sql="SELECT event_id, ts, event_type FROM events",
+        columns=[
+            ColumnSpec("event_id", "int", nullable=False),
+            ColumnSpec("ts", "datetime"),
+            ColumnSpec("event_type", "text"),
+        ],
+        key_properties=["event_id"],
+        replication_key="ts",
+        replication_key_value_start="2024-01-25 00:00:00",
+        forced_replication_method="FULL_TABLE",
+    )
+    bookmark = resolve_starting_bookmark(spec, state=None)
+    df = spark.sql(spec.sql)
+    df = apply_replication_filter(df, spec, bookmark)
+    return df.select("event_id", iso_ts("ts", "ts"), "event_type")
+
+
+@register(
+    "tap_stream_map",
+    oracle="""
+SELECT event_id AS id,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+  sha256(event_type) AS event_type,
+  value,
+  round(value * 2, 6) AS value_x2
+FROM events WHERE value > 50
+""",
+)
+def tap_stream_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream maps (reference R1): derive, filter, mask (sha256), rename,
+    drop — all config-driven, all codegen'd columnar expressions."""
+    t = tables(spark, sf_dir)
+    mapped = apply_stream_map(
+        t["events"],
+        {
+            "derive": {"value_x2": "round(value * 2, 6)"},
+            "filter": "value > 50",
+            "mask": ["event_type"],
+            "rename": {"event_id": "id"},
+            "drop": ["props", "user_id"],
+        },
+    )
+    return mapped.select("id", iso_ts("ts", "ts"), "event_type", "value", "value_x2")
+
+
+@register(
+    "tap_flatten",
+    oracle="""
+SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS meta__k,
+  user_id AS who__user_id,
+  event_type AS who__event_type
+FROM events
+""",
+)
+def tap_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema flattening (reference R2): nested structs → ``a__b`` columns.
+    Builds nested structs (JSON parse + struct()) then flattens them."""
+    t = tables(spark, sf_dir)
+    nested = t["events"].select(
+        "event_id",
+        F.from_json("props", "k bigint").alias("meta"),
+        F.struct("user_id", "event_type").alias("who"),
+    )
+    return flatten_struct_columns(nested)
+
+
+@register(
+    "tap_catalog",
+    oracle="""
+SELECT * FROM (VALUES
+  ('spark-public-events_inc', 'event_id', 'integer', FALSE, TRUE),
+  ('spark-public-events_inc', 'ts', 'string', FALSE, FALSE),
+  ('spark-public-events_inc', 'note', 'string', TRUE, FALSE),
+  ('spark-public-t2', 'one', 'string', FALSE, TRUE),
+  ('spark-public-t2', 'two', 'integer', TRUE, FALSE)
+) AS t(stream_id, column_name, json_type, nullable, is_key)
+""",
+)
+def tap_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog discovery (Q2): catalog entries derive purely from config —
+    no source connection (reference ``tap.py:159-209``; verified by tests
+    with an unreachable DB, ``tests/test_postgres.py:58-66``). Emitted here
+    as one row per (stream, column) with the JSON-Schema type and the
+    required/nullable resolution of ``tap.py:180-183``."""
+    specs = [
+        StreamSpec(
+            name="events_inc",
+            sql="SELECT 1",
+            columns=[
+                ColumnSpec("event_id", "int", nullable=False),
+                ColumnSpec("ts", "datetime", nullable=True),
+                ColumnSpec("note", "text", nullable=True),
+            ],
+            key_properties=["event_id"],
+            replication_key="ts",  # replication key ⇒ required even if nullable
+        ),
+        StreamSpec(
+            name="t2",
+            sql="SELECT 1",
+            columns=[
+                ColumnSpec("one", "text"),  # key ⇒ required
+                ColumnSpec("two", "int", nullable=True),
+            ],
+            key_properties=["one"],
+        ),
+    ]
+    rows = []
+    for s in specs:
+        js = s.jsonschema()
+        for c in s.columns:
+            type_names = js["properties"][c.name]["type"]
+            rows.append(
+                (
+                    s.fully_qualified_name,
+                    c.name,
+                    [n for n in type_names if n != "null"][0],
+                    "null" in type_names,
+                    c.name in s.key_properties,
+                )
+            )
+    return spark.createDataFrame(
+        rows, "stream_id string, column_name string, json_type string, nullable boolean, is_key boolean"
+    )

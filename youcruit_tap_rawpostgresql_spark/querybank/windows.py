@@ -1,0 +1,207 @@
+"""Window-function query cases (SURVEY.md §2.6): ranking, analytic
+(lag/lead/first/last/nth), aggregates over windows, ROWS/RANGE frames.
+
+Delegated surface in the reference (PostgreSQL evaluates them); here each is
+a Spark Window plan. Scale: a window = one shuffle on partitionBy keys + a
+per-partition sort; frames evaluate incrementally. Skewed partition keys are
+the main hazard — AQE cannot split a single window partition, so partition
+keys are chosen with bounded cardinality per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from youcruit_tap_rawpostgresql_spark.querybank.helpers import d
+from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
+
+
+@register(
+    "win_ranking",
+    oracle="""
+SELECT c_mktsegment, c_custkey, c_acctbal,
+  ROW_NUMBER() OVER w AS rn,
+  RANK() OVER w AS rnk,
+  DENSE_RANK() OVER w AS drnk,
+  NTILE(4) OVER w AS quartile,
+  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family over a deterministic ordering (tie-break on key)."""
+    c = tables(spark, sf_dir)["customer"]
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+SELECT user_id, event_id, value,
+  LAG(value) OVER w AS prev_value,
+  LEAD(value) OVER w AS next_value,
+  LAG(value, 2, -1.0) OVER w AS prev2_value,
+  FIRST_VALUE(value) OVER w AS first_val
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with offsets and defaults, first_value, per-user timeline."""
+    e = tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_value"),
+        F.first("value").over(w).alias("first_val"),
+    )
+
+
+@register(
+    "win_last_nth",
+    oracle="""
+SELECT user_id, event_id,
+  LAST_VALUE(event_type) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS final_type,
+  NTH_VALUE(event_type, 2) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_type
+FROM events
+""",
+)
+def win_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last_value / nth_value with an explicit full frame (the default frame
+    stops at CURRENT ROW, which makes last_value useless — same rule in
+    PostgreSQL, Spark, and DuckDB)."""
+    e = tables(spark, sf_dir)["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.last("event_type").over(w).alias("final_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
+
+
+@register(
+    "win_running_agg",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+  COUNT(*) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+FROM orders
+""",
+)
+def win_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate with an explicit ROWS frame (exact decimal sum)."""
+    o = tables(spark, sf_dir)["orders"]
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(d("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+    )
+
+
+@register(
+    "win_sliding_rows",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS window3_spend
+FROM orders
+""",
+)
+def win_sliding_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 3-row frame (moving sum)."""
+    o = tables(spark, sf_dir)["orders"]
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(d("o_totalprice")).over(w).cast("double").alias("window3_spend"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+SELECT event_type, event_id, value,
+  COUNT(*) OVER (
+    PARTITION BY event_type ORDER BY value
+    RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS n_within_10
+FROM events
+""",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering (count of events with value in
+    [v-10, v] per type)."""
+    e = tables(spark, sf_dir)["events"]
+    w = W.partitionBy("event_type").orderBy("value").rangeBetween(-10, W.currentRow)
+    return e.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_within_10"),
+    )
+
+
+@register(
+    "win_agg_over_whole_partition",
+    oracle="""
+SELECT c_mktsegment, c_custkey, c_acctbal,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS segment_total,
+  ROUND(c_acctbal / CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) OVER (PARTITION BY c_mktsegment) AS DOUBLE), 9) AS share
+FROM customer
+""",
+)
+def win_agg_over_whole_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered window aggregate (whole-partition total + per-row share)."""
+    c = tables(spark, sf_dir)["customer"]
+    w = W.partitionBy("c_mktsegment")
+    total = F.sum(d("c_acctbal")).over(w).cast("double")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        total.alias("segment_total"),
+        F.round(F.col("c_acctbal") / total, 9).alias("share"),
+    )

@@ -1,0 +1,89 @@
+"""Parquet source registry: load testdata tables and register temp views.
+
+In the reference, the "source" is a live PostgreSQL server and the whole SQL
+string is shipped to it (``client.py:300-304``). Here the source is a set of
+parquet tables registered as temp views; Spark SQL over those views replaces
+the PostgreSQL planner/executor. Catalyst pushes filters/column pruning into
+the parquet scan, which is the columnar analogue of whole-query pushdown.
+
+Scale notes: parquet scans parallelize per file split
+(``spark.sql.files.maxPartitionBytes``, default 128 MB); at 100 TB the same
+``spark.read.parquet`` call fans out to thousands of tasks with no code
+change. Views are plain metadata — registration cost is O(1) per table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Tables the driver generates (TESTDATA.md); identical schema across SFs.
+TESTDATA_TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark can't map them
+    natively; we read them as longs and convert."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata parquet table as a DataFrame.
+
+    Nanosecond-timestamp columns (pandas/arrow default) are read as raw
+    nano longs (``nanosAsLong``) and truncated to microsecond timestamps —
+    the same floor-to-micros DuckDB applies, so oracles agree. The
+    conversion is a per-row expression inside codegen; predicate pushdown
+    on the converted column is lost, which is acceptable for the synthetic
+    fixtures (production tables should write micros)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        for c in ns_cols:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_testdata(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TESTDATA_TABLES,
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view named after the table.
+
+    Returns the name → DataFrame mapping for direct DataFrame use.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

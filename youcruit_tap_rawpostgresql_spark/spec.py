@@ -1,0 +1,188 @@
+"""Stream / column / tap config dataclasses + validation.
+
+Models the reference's config surface (``tap.py:30-145``): a tap config is a
+list of named streams, each a raw SQL string plus declared columns, optional
+key properties and replication key. Validation semantics preserved:
+
+- empty SQL raises (reference ``client.py:255-258``)
+- ``required = not nullable or key or replication_key`` (``tap.py:180-183``)
+- FULL_TABLE with a ``replication_key`` set REQUIRES
+  ``replication_key_value_start`` (``client.py:285-298``)
+- fully-qualified stream id is ``{database}-{schema}-{name}``
+  (``tap.py:160-165``)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import types as T
+
+from youcruit_tap_rawpostgresql_spark.types import to_jsonschema_type, to_spark_type
+
+
+class SpecError(ValueError):
+    """Invalid stream/tap specification."""
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    """One declared output column (reference ``tap.py:86-109``)."""
+
+    name: str
+    type: str
+    nullable: bool = True
+
+    @property
+    def spark_type(self) -> T.DataType:
+        return to_spark_type(self.type)
+
+    def jsonschema(self, required: bool) -> dict:
+        return to_jsonschema_type(self.type, nullable=not required)
+
+
+@dataclass(frozen=True)
+class BatchSinkConfig:
+    """Batch-file sink config (reference ``tap.py:114-141``).
+
+    ``root`` is any Hadoop-FS URI (file://, s3a://, ...); ``prefix`` prepends
+    output file names; ``batch_size`` rotates files every N records.
+    """
+
+    root: str
+    prefix: str = ""
+    batch_size: int = 100_000  # reference default, tap.py:114-120
+    encoding_format: str = "jsonl"
+    encoding_compression: str = "gzip"
+
+
+@dataclass
+class StreamSpec:
+    """One named stream: raw SQL + declared schema (reference ``tap.py:62-113``)."""
+
+    name: str
+    sql: str
+    columns: list[ColumnSpec]
+    key_properties: list[str] = field(default_factory=list)
+    replication_key: str | None = None
+    replication_key_value_start: Any | None = None
+    database: str = "spark"
+    db_schema: str = "public"
+    # catalog metadata may force FULL_TABLE even with a replication key
+    # (reference client.py:285-298 handles exactly that combination)
+    forced_replication_method: str | None = None
+
+    def __post_init__(self) -> None:
+        if not self.sql or not self.sql.strip():
+            # reference client.py:255-258
+            raise SpecError(f"stream {self.name!r}: sql must not be empty")
+        if not self.columns:
+            raise SpecError(f"stream {self.name!r}: at least one column required")
+        names = [c.name for c in self.columns]
+        if len(set(names)) != len(names):
+            raise SpecError(f"stream {self.name!r}: duplicate column names")
+        declared = set(names)
+        for k in self.key_properties:
+            if k not in declared:
+                raise SpecError(f"stream {self.name!r}: key property {k!r} not declared")
+        if self.replication_key is not None and self.replication_key not in declared:
+            raise SpecError(
+                f"stream {self.name!r}: replication key {self.replication_key!r} not declared"
+            )
+
+    @property
+    def fully_qualified_name(self) -> str:
+        """``db-schema-name`` (reference ``tap.py:160-165``, delimiter '-')."""
+        return f"{self.database}-{self.db_schema}-{self.name}"
+
+    @property
+    def replication_method(self) -> str:
+        """INCREMENTAL iff a replication key is declared (``tap.py:167-169``),
+        unless catalog metadata forces a method."""
+        if self.forced_replication_method:
+            return self.forced_replication_method
+        return "INCREMENTAL" if self.replication_key else "FULL_TABLE"
+
+    def is_required(self, col: str) -> bool:
+        """required = non-nullable OR key property OR replication key
+        (reference ``tap.py:180-183``)."""
+        spec = next(c for c in self.columns if c.name == col)
+        return (
+            not spec.nullable
+            or col in self.key_properties
+            or col == self.replication_key
+        )
+
+    @property
+    def spark_schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(c.name, c.spark_type, not self.is_required(c.name))
+                for c in self.columns
+            ]
+        )
+
+    def jsonschema(self) -> dict:
+        return {
+            "properties": {
+                c.name: c.jsonschema(self.is_required(c.name)) for c in self.columns
+            },
+            "type": "object",
+            "required": [c.name for c in self.columns if self.is_required(c.name)],
+        }
+
+
+@dataclass
+class TapConfig:
+    """Top-level config (reference ``tap.py:30-145``)."""
+
+    streams: list[StreamSpec]
+    batch: BatchSinkConfig | None = None
+    stream_maps: dict[str, dict] = field(default_factory=dict)
+    flattening_enabled: bool = False
+    flattening_max_depth: int | None = None
+
+    @classmethod
+    def from_dict(cls, raw: dict) -> "TapConfig":
+        """Parse the reference's JSON config shape into specs."""
+        streams = []
+        for s in raw.get("streams", []):
+            streams.append(
+                StreamSpec(
+                    name=s["name"],
+                    sql=s.get("sql", ""),
+                    columns=[
+                        ColumnSpec(
+                            name=c["name"],
+                            type=c["type"],
+                            nullable=c.get("nullable", True),
+                        )
+                        for c in s.get("columns", [])
+                    ],
+                    key_properties=s.get("key_properties", []),
+                    replication_key=s.get("replication_key"),
+                    replication_key_value_start=s.get("replication_key_value_start"),
+                    database=raw.get("database", "spark"),
+                    db_schema=s.get("schema", "public"),
+                )
+            )
+        batch = None
+        if "batch_config" in raw:
+            b = raw["batch_config"]
+            storage = b.get("storage", {})
+            enc = b.get("encoding", {})
+            batch = BatchSinkConfig(
+                root=storage.get("root", "file:///tmp"),
+                prefix=storage.get("prefix", ""),
+                batch_size=raw.get("batch_size", 100_000),
+                encoding_format=enc.get("format", "jsonl"),
+                encoding_compression=enc.get("compression", "gzip"),
+            )
+        return cls(
+            streams=streams,
+            batch=batch,
+            stream_maps=raw.get("stream_maps", {}),
+            flattening_enabled=raw.get("flattening_enabled", False),
+            flattening_max_depth=raw.get("flattening_max_depth"),
+        )
