@@ -1,0 +1,167 @@
+"""Batch-sink + Singer-message + tap orchestration e2e — tier 3 of the
+reference's test strategy: mirrors the exact-record batch assertions of
+``tests/test_postgres.py:144-203``."""
+
+import gzip
+import io
+import json
+
+from youcruit_tap_rawpostgresql_spark.sink import write_batch_files
+from youcruit_tap_rawpostgresql_spark.spec import (
+    BatchSinkConfig,
+    ColumnSpec,
+    StreamSpec,
+    TapConfig,
+)
+from youcruit_tap_rawpostgresql_spark.state import StateStore
+from youcruit_tap_rawpostgresql_spark.tap import SparkTap
+
+
+def _batch_spec():
+    # mirror of reference tests/test_postgres.py:144-172 (A2 fixture)
+    return StreamSpec(
+        name="test",
+        sql=(
+            "SELECT '1441c21d-9921-4a1d-b239-9c6ea18af234'::uuid AS id, "
+            "timestamptz '2021-11-22T11:45:11.062824+00:00' AS last_updated"
+        ),
+        columns=[
+            ColumnSpec("id", "string", nullable=False),
+            ColumnSpec("last_updated", "datetime"),
+        ],
+        key_properties=["id"],
+        database="postgres",
+    )
+
+
+def test_batch_sink_exact_record(spark, tmp_path):
+    """One record at batch_size=5 → exactly 1 manifest with 1 file whose
+    JSONL content matches the reference's conformed record
+    (``tests/test_postgres.py:184-203``)."""
+    from youcruit_tap_rawpostgresql_spark.operators.conform import conform
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_stream_sql
+
+    spec = _batch_spec()
+    df = conform(run_stream_sql(spark, spec), spec)
+    batch = BatchSinkConfig(
+        root=f"file://{tmp_path}", prefix="test-batch", batch_size=5
+    )
+    manifests = write_batch_files(df, spec, batch, exact_rotation=True)
+
+    assert len(manifests) == 1
+    m = manifests[0]
+    assert m.format == "jsonl"
+    assert m.compression == "gzip"
+    assert len(m.files) == 1
+    url = m.files[0]
+    assert url.startswith("file://")
+    assert "test-batch" in url and url.endswith(".json.gz")
+
+    with gzip.open(url[len("file://") :], "rt") as f:
+        lines = [json.loads(line) for line in f]
+    assert lines == [
+        {
+            "id": "1441c21d-9921-4a1d-b239-9c6ea18af234",
+            "last_updated": "2021-11-22T11:45:11.062824+00:00",
+        }
+    ]
+
+
+def test_batch_rotation_multiple_files(spark, tmp_path):
+    spec = StreamSpec(
+        name="nums",
+        sql="SELECT id FROM range(12)",
+        columns=[ColumnSpec("id", "int", nullable=False)],
+        key_properties=["id"],
+    )
+    from youcruit_tap_rawpostgresql_spark.operators.conform import conform
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_stream_sql
+
+    df = conform(run_stream_sql(spark, spec), spec)
+    batch = BatchSinkConfig(root=f"file://{tmp_path}", batch_size=5)
+    manifests = write_batch_files(df, spec, batch, exact_rotation=True)
+    files = manifests[0].files
+    assert len(files) == 3  # 5 + 5 + 2
+    total = 0
+    for url in files:
+        with gzip.open(url[len("file://") :], "rt") as f:
+            total += sum(1 for _ in f)
+    assert total == 12
+
+
+def test_tap_sync_messages(spark):
+    """Full sync: SCHEMA → RECORD* → STATE message sequence with conformed
+    values (reference Q1 path)."""
+    config = TapConfig(streams=[_batch_spec()])
+    out = io.StringIO()
+    tap = SparkTap(config, spark, write=out.write)
+    results = tap.sync_all()
+
+    assert results[0].record_count == 1
+    msgs = [json.loads(line) for line in out.getvalue().splitlines()]
+    types = [m["type"] for m in msgs]
+    assert types == ["SCHEMA", "RECORD", "STATE"]
+    assert msgs[0]["stream"] == "postgres-public-test"
+    assert msgs[0]["key_properties"] == ["id"]
+    assert msgs[0]["schema"]["properties"]["id"]["type"] == ["string"]
+    assert msgs[1]["record"]["id"] == "1441c21d-9921-4a1d-b239-9c6ea18af234"
+    assert msgs[1]["record"]["last_updated"].startswith("2021-11-22T11:45:11.062824")
+
+
+def test_tap_incremental_sync_advances_state(spark, sf_dir):
+    """INCREMENTAL sync over the events view: bookmark filters rows, state
+    advances to max(ts) (reference F2 + R4)."""
+    from youcruit_tap_rawpostgresql_spark.sources.registry import register_testdata
+
+    register_testdata(spark, sf_dir)
+    spec = StreamSpec(
+        name="events_inc",
+        sql="SELECT event_id, ts FROM events WHERE ts > :rep_key_val",
+        columns=[
+            ColumnSpec("event_id", "int", nullable=False),
+            ColumnSpec("ts", "datetime"),
+        ],
+        key_properties=["event_id"],
+        replication_key="ts",
+        replication_key_value_start="2024-01-25 00:00:00",
+    )
+    config = TapConfig(streams=[spec])
+    out = io.StringIO()
+    state = StateStore()
+    tap = SparkTap(config, spark, state=state, write=out.write)
+    res = tap.sync_all()[0]
+    assert res.record_count > 0
+    bm = state.get_bookmark("spark-public-events_inc")
+    assert bm is not None and str(bm) > "2024-01-25"
+    # second sync from the advanced bookmark returns no rows
+    out2 = io.StringIO()
+    tap2 = SparkTap(config, spark, state=state, write=out2.write)
+    assert tap2.sync_all()[0].record_count == 0
+
+
+def test_cli_discover_and_about(tmp_path, capsys):
+    """--discover emits the catalog from config alone (Q2: no session)."""
+    from youcruit_tap_rawpostgresql_spark.cli import main
+
+    cfg = {
+        "database": "postgres",
+        "streams": [
+            {
+                "name": "test",
+                "sql": "SELECT 1 AS one",
+                "columns": [{"name": "one", "type": "int", "nullable": False}],
+                "key_properties": ["one"],
+            }
+        ],
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    assert main(["--config", str(cfg_path), "--discover"]) == 0
+    catalog = json.loads(capsys.readouterr().out)
+    assert catalog["streams"][0]["tap_stream_id"] == "postgres-public-test"
+    assert catalog["streams"][0]["schema"]["properties"]["one"]["type"] == ["integer"]
+
+    assert main(["--about"]) == 0
+    about = json.loads(capsys.readouterr().out)
+    assert "batch" in about["capabilities"]

@@ -1,0 +1,75 @@
+"""CLI entry point: ``python -m youcruit_tap_rawpostgresql_spark``.
+
+Mirrors the reference's Singer CLI surface (``tap.py:262-263``):
+``--config`` + optional ``--discover`` / ``--about`` / ``--state`` /
+``--batch``. Discovery and about need no Spark session (reference Q2 makes
+no DB connection); sync builds one via the engine defaults unless the
+caller embeds the engine and injects their own SparkSession via SparkTap.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="tap-rawpostgresql-spark")
+    p.add_argument("--config", help="path to tap config JSON")
+    p.add_argument("--state", help="path to state JSON")
+    p.add_argument("--discover", action="store_true")
+    p.add_argument("--about", action="store_true")
+    p.add_argument("--batch", action="store_true", help="emit BATCH files/messages")
+    p.add_argument(
+        "--sf-dir",
+        default=None,
+        help="register testdata parquet tables from this dir as source views",
+    )
+    args = p.parse_args(argv)
+
+    from youcruit_tap_rawpostgresql_spark.catalog import about, discover_catalog
+    from youcruit_tap_rawpostgresql_spark.spec import TapConfig
+
+    if args.about:
+        print(json.dumps(about(), indent=2))
+        return 0
+
+    if not args.config:
+        p.error("--config is required unless --about")
+    with open(args.config) as f:
+        config = TapConfig.from_dict(json.load(f))
+
+    if args.discover:
+        print(json.dumps(discover_catalog(config), indent=2))
+        return 0
+
+    from youcruit_tap_rawpostgresql_spark.session import get_session
+    from youcruit_tap_rawpostgresql_spark.sources.registry import register_testdata
+    from youcruit_tap_rawpostgresql_spark.state import StateStore
+    from youcruit_tap_rawpostgresql_spark.tap import SparkTap
+
+    spark = get_session(app_name="tap-rawpostgresql-spark")
+    if args.sf_dir:
+        register_testdata(spark, args.sf_dir)
+    tap = SparkTap(config, spark, state=StateStore(args.state))
+    try:
+        results = tap.sync_all(batch_mode=args.batch)
+    except BrokenPipeError:
+        # downstream Singer target closed the pipe — exit quietly like any
+        # well-behaved pipeline stage
+        import os as _os
+
+        _os.dup2(_os.open(_os.devnull, _os.O_WRONLY), sys.stdout.fileno())
+        return 141  # 128 + SIGPIPE
+    for r in results:
+        print(
+            f"-- synced {r.stream}: {r.record_count} records"
+            + (f", bookmark={r.new_bookmark}" if r.new_bookmark else ""),
+            file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -262,9 +262,15 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cached because the LSH query self-joins the signatures."""
     d = tables(spark, sf_dir)["documents"]
     n_part = spark.sparkContext.defaultParallelism
-    exploded = d.repartition(n_part, "doc_id").select(
+    # materialize tokens in their own projection: word_shingles references
+    # the token array 4× and CollapseProject keeps multi-referenced
+    # non-trivial aliases materialized — inlining would re-split per use
+    toks = d.repartition(n_part, "doc_id").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    exploded = toks.select(
         "doc_id",
-        F.explode(F.array_distinct(word_shingles(tokens("text")))).alias("shingle"),
+        F.explode(F.array_distinct(word_shingles(F.col("toks")))).alias("shingle"),
     )
     h = exploded.select("doc_id", hash64("shingle").alias("h"))
     aggs = [
@@ -467,20 +473,31 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(|Q| · n) with no shuffle of the corpus. Ranking is bit-exact across
     engines because the fold order of the dot product is pinned
     (sequential), so ties never flip. For large |Q| see sim_ann_lsh."""
+    from youcruit_tap_rawpostgresql_spark.functions.vectors import dot, norm
+
     e = tables(spark, sf_dir)["embeddings"]
+    # precompute norms once per vector (not per pair): same IEEE ops in the
+    # same order as computing them inside the pair loop, so still bit-exact
+    # vs the oracle, but the per-pair work drops to a single dot product
     q = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm("embedding").alias("q_norm"),
+    )
+    n = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        norm("embedding").alias("n_norm"),
     )
     c = (
         F.broadcast(q)
-        .join(
-            e.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
-            F.col("query_id") != F.col("neighbor_id"),
-        )
+        .join(n, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity("q_emb", "embedding").alias("cos"),
+            (dot("q_emb", "embedding") / (F.col("q_norm") * F.col("n_norm"))).alias(
+                "cos"
+            ),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))

@@ -1,0 +1,183 @@
+"""Sinks: gzip-JSONL batch files + manifests (reference S5-S7) and the
+Singer message protocol (S8).
+
+Reference behavior (``client.py:185-245``): records stream into gzip JSONL
+files rotated every ``batch_size`` rows, named
+``{prefix}{tap}--{stream}-{uuid}-{i}.json.gz`` under ``storage.root``; each
+batch yields a manifest ``(encoding, [file_url])``; timestamps serialize as
+ISO-8601 with offset (``tests/test_postgres.py:200-203``).
+
+Spark mapping: ``df.write.option("compression","gzip")
+.option("maxRecordsPerFile", batch_size).json(...)`` — rotation happens
+per-task (each task rolls a new file every batch_size rows), which is the
+scale-out generalization of the reference's single-writer loop. Part files
+are renamed to the reference convention for ``file://`` roots; remote
+object stores keep Spark's part names inside the manifest (rename = copy on
+S3 — not worth it).
+
+Scale: the write parallelizes across partitions; there is no driver-side
+row loop. ``coalesce`` is applied only when the caller asks for
+reference-exact global rotation (small exports).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid as _uuid
+from dataclasses import dataclass
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame
+
+from youcruit_tap_rawpostgresql_spark.spec import BatchSinkConfig, StreamSpec
+
+# ISO-8601 with microseconds and numeric offset: 2021-11-22T11:45:11.062824+00:00
+ISO_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"
+
+
+@dataclass(frozen=True)
+class BatchManifest:
+    """One emitted batch: encoding descriptor + file URLs (reference
+    ``get_batches`` yield shape, ``client.py:243-245``)."""
+
+    format: str
+    compression: str
+    files: list[str]
+
+    def to_message(self, stream_name: str) -> dict:
+        """Singer BATCH message payload."""
+        return {
+            "type": "BATCH",
+            "stream": stream_name,
+            "encoding": {"format": self.format, "compression": self.compression},
+            "manifest": self.files,
+        }
+
+
+def write_batch_files(
+    df: DataFrame,
+    spec: StreamSpec,
+    batch: BatchSinkConfig,
+    tap_name: str = "tap-rawpostgresql-spark",
+    exact_rotation: bool = False,
+) -> list[BatchManifest]:
+    """Write ``df`` as gzip JSONL batch files; return manifests.
+
+    ``exact_rotation=True`` coalesces to one partition so file rotation is
+    globally exact every ``batch_size`` rows (reference-equivalent; use for
+    small exports only). Default keeps task parallelism: each task rotates
+    at ``batch_size``, so files are ≤ batch_size rows (acceptable drift
+    documented in SURVEY.md §3 Q3).
+    """
+    parsed = urlparse(batch.root if "://" in batch.root else f"file://{batch.root}")
+    sync_id = f"{tap_name}--{spec.name}-{_uuid.uuid4()}"
+    out_dir = os.path.join(batch.root, sync_id)
+
+    writer = df.coalesce(1) if exact_rotation else df
+    (
+        writer.write.mode("overwrite")
+        .option("compression", "gzip")
+        .option("maxRecordsPerFile", batch.batch_size)
+        .option("timestampFormat", ISO_TS_FORMAT)
+        .json(out_dir)
+    )
+
+    if parsed.scheme == "file":
+        local_dir = urlparse(out_dir).path
+        parts = sorted(glob.glob(os.path.join(local_dir, "part-*.json.gz")))
+        files = []
+        for i, part in enumerate(parts):
+            new_name = os.path.join(
+                local_dir, f"{batch.prefix}{sync_id}-{i}.json.gz"
+            )
+            os.rename(part, new_name)
+            files.append(f"file://{new_name}")
+    else:  # remote FS: list via Spark's own catalog of written files
+        files = [
+            f"{out_dir.rstrip('/')}/{os.path.basename(p)}"
+            for p in sorted(
+                f.path if hasattr(f, "path") else f
+                for f in _list_remote(df, out_dir)
+            )
+        ]
+    return [
+        BatchManifest(
+            format=batch.encoding_format,
+            compression=batch.encoding_compression,
+            files=files,
+        )
+    ]
+
+
+def _list_remote(df: DataFrame, out_dir: str) -> list[str]:
+    """List part files on a Hadoop FS (jvm gateway; local-free path)."""
+    sc = df.sparkSession.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = path.getFileSystem(conf)
+    return [
+        str(s.getPath().toString())
+        for s in fs.listStatus(path)
+        if "part-" in str(s.getPath().getName())
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Singer message emission (S8)
+# ---------------------------------------------------------------------------
+
+
+def emit_schema_message(spec: StreamSpec, write) -> None:
+    write(
+        json.dumps(
+            {
+                "type": "SCHEMA",
+                "stream": spec.fully_qualified_name,
+                "schema": spec.jsonschema(),
+                "key_properties": spec.key_properties,
+                **(
+                    {"bookmark_properties": [spec.replication_key]}
+                    if spec.replication_key
+                    else {}
+                ),
+            }
+        )
+        + "\n"
+    )
+
+
+def emit_record_messages(df: DataFrame, spec: StreamSpec, write) -> int:
+    """Emit one RECORD message per row.
+
+    NOTE: this is the protocol-compat path — rows cross the driver via
+    ``toLocalIterator`` (one partition in memory at a time). The scale path
+    is ``write_batch_files`` + BATCH messages, exactly why the Singer spec
+    grew the BATCH capability in the first place.
+    """
+    import datetime as _dt
+
+    n = 0
+    for row in df.toLocalIterator():
+        rec = {}
+        for k, v in row.asDict(recursive=True).items():
+            if isinstance(v, _dt.datetime):
+                rec[k] = v.isoformat() + ("+00:00" if v.tzinfo is None else "")
+            elif isinstance(v, _dt.date):
+                rec[k] = v.isoformat()
+            else:
+                rec[k] = v
+        write(
+            json.dumps(
+                {"type": "RECORD", "stream": spec.fully_qualified_name, "record": rec}
+            )
+            + "\n"
+        )
+        n += 1
+    return n
+
+
+def emit_state_message(state_dict: dict, write) -> None:
+    write(json.dumps({"type": "STATE", "value": state_dict}) + "\n")

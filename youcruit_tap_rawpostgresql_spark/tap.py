@@ -1,0 +1,110 @@
+"""Tap orchestration: config → specs → per-stream sync (reference Q1/Q3).
+
+The reference's sync pipeline (``tap.py:217-242`` + SDK ``Tap.sync_all``):
+per selected stream, resolve bookmark → execute SQL with bound params →
+conform records → stream maps → flattening → emit messages or batch files →
+advance state. Here the same stages compose as DataFrame transforms, and
+"execute" is ``spark.sql`` over registered views (or a JDBC source when the
+stream config names one).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from youcruit_tap_rawpostgresql_spark.operators.conform import conform
+from youcruit_tap_rawpostgresql_spark.operators.flatten import flatten_struct_columns
+from youcruit_tap_rawpostgresql_spark.operators.incremental import (
+    advance_bookmark,
+    resolve_starting_bookmark,
+)
+from youcruit_tap_rawpostgresql_spark.operators.maps import apply_stream_map
+from youcruit_tap_rawpostgresql_spark.plans.executor import run_stream_sql
+from youcruit_tap_rawpostgresql_spark.sink import (
+    BatchManifest,
+    emit_record_messages,
+    emit_schema_message,
+    emit_state_message,
+    write_batch_files,
+)
+from youcruit_tap_rawpostgresql_spark.spec import StreamSpec, TapConfig
+from youcruit_tap_rawpostgresql_spark.state import StateStore
+
+
+@dataclass
+class SyncResult:
+    stream: str
+    record_count: int
+    new_bookmark: Any | None
+    manifests: list[BatchManifest] = field(default_factory=list)
+
+
+class SparkTap:
+    """The engine's ``TapRawPostgreSQL`` equivalent.
+
+    Like the reference's injected-connection mode (``tap.py:147-157``), the
+    SparkSession is supplied by the caller — nothing here constructs one.
+    """
+
+    def __init__(
+        self,
+        config: TapConfig,
+        spark: SparkSession,
+        state: StateStore | None = None,
+        write: Callable[[str], None] | None = None,
+    ):
+        self.config = config
+        self.spark = spark
+        self.state = state or StateStore()
+        self.write = write or sys.stdout.write
+
+    def _prepare(self, spec: StreamSpec) -> tuple[DataFrame, Any]:
+        bookmark = (
+            resolve_starting_bookmark(spec, self.state)
+            if spec.replication_key
+            else None
+        )
+        params = {"rep_key_val": bookmark} if ":rep_key_val" in spec.sql else None
+        df = run_stream_sql(self.spark, spec, params=params)
+        df = conform(df, spec)
+        map_cfg = self.config.stream_maps.get(spec.name)
+        if map_cfg:
+            df = apply_stream_map(df, map_cfg)
+        if self.config.flattening_enabled:
+            df = flatten_struct_columns(df, self.config.flattening_max_depth)
+        return df, bookmark
+
+    def sync_stream(self, spec: StreamSpec, batch_mode: bool = False) -> SyncResult:
+        df, _ = self._prepare(spec)
+        emit_schema_message(spec, self.write)
+        manifests: list[BatchManifest] = []
+        if batch_mode and self.config.batch:
+            manifests = write_batch_files(df, spec, self.config.batch)
+            import json as _json
+
+            for m in manifests:
+                self.write(_json.dumps(m.to_message(spec.fully_qualified_name)) + "\n")
+            n = df.count()
+        else:
+            n = emit_record_messages(df, spec, self.write)
+        new_bm = (
+            advance_bookmark(df, spec, self.state) if spec.replication_key else None
+        )
+        emit_state_message(self.state.to_dict(), self.write)
+        return SyncResult(
+            stream=spec.fully_qualified_name,
+            record_count=n,
+            new_bookmark=new_bm,
+            manifests=manifests,
+        )
+
+    def sync_all(self, batch_mode: bool = False) -> list[SyncResult]:
+        results = [
+            self.sync_stream(s, batch_mode=batch_mode) for s in self.config.streams
+        ]
+        self.state.flush()
+        return results
