@@ -1,0 +1,64 @@
+"""JDBC option construction, binary-file source, multimodal plumbing."""
+
+from youcruit_tap_rawpostgresql_spark.sources.jdbc import jdbc_options, jdbc_url
+
+
+def test_jdbc_url_from_reference_config():
+    # reference client.py:33-49 URL construction
+    cfg = {"host": "db.example", "port": 5433, "database": "prod"}
+    assert jdbc_url(cfg) == "jdbc:postgresql://db.example:5433/prod"
+
+
+def test_jdbc_whole_query_pushdown_options():
+    cfg = {"host": "h", "database": "d", "user": "u", "password": "p"}
+    opts = jdbc_options(cfg, "SELECT * FROM t WHERE x > 1")
+    assert opts["query"] == "SELECT * FROM t WHERE x > 1"
+    assert "dbtable" not in opts
+    assert opts["driver"] == "org.postgresql.Driver"
+
+
+def test_jdbc_partitioned_read_options():
+    cfg = {"host": "h", "database": "d"}
+    opts = jdbc_options(
+        cfg,
+        "SELECT * FROM big",
+        partition_column="id",
+        num_partitions=16,
+        lower_bound=0,
+        upper_bound=1_000_000,
+    )
+    assert opts["dbtable"] == "(SELECT * FROM big) AS src"
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "16"
+    assert "query" not in opts
+
+
+def test_binary_file_source(spark, tmp_path):
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01payload")
+    (tmp_path / "b.txt").write_bytes(b"skip me")
+    from youcruit_tap_rawpostgresql_spark.sources.binary import read_binary_files
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["content"]) == b"\x00\x01payload"
+    assert rows[0]["length"] == 9
+
+
+def test_multimodal_stub_batch_shape(spark, sf_dir):
+    from youcruit_tap_rawpostgresql_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_payloads,
+    )
+    from youcruit_tap_rawpostgresql_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    binary = attach_binary_payload(docs)
+    assert dict(binary.dtypes)["payload"] == "binary"
+    out = decode_payloads(binary)
+    rows = out.collect()
+    assert len(rows) == 10
+    r = rows[0]
+    assert r["n_bytes"] > 0
+    assert r["fake_width"] == r["n_bytes"] % 640
+    assert len(r["checksum"]) == 32

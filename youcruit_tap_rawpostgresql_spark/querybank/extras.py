@@ -1,0 +1,394 @@
+"""Extended operator coverage: as-of join, pivot/unpivot, subqueries, CTEs,
+percentile aggregates, sessionization, multimodal decode (mapInPandas),
+Pandas UDFs, and Structured-Streaming windowed aggregation.
+
+These fill out the delegated-surface corners of SURVEY.md §2.4-2.8 plus the
+§2.10-2.12 extensions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from youcruit_tap_rawpostgresql_spark.querybank.helpers import d, iso_ts
+from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
+
+# ---------------------------------------------------------------------------
+# As-of join (SURVEY.md §2.4 extension row)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id, c.user_id,
+  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+  v.value AS last_view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each click, the latest view of the same user at or
+    before it. Spark lacks a native ASOF; the idiomatic composition is a
+    union + last_value(ignorenulls) running window — one shuffle on
+    (user_id), same as the sort-merge an engine-native ASOF would do.
+
+    Scale: cost = window sort per user partition; no row explosion. The
+    pandas ``merge_asof``-per-group alternative only wins when one side is
+    tiny; this form stays fully JVM-side."""
+    e = tables(spark, sf_dir)["events"]
+    tagged = e.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        # views sort before clicks at identical ts so `<=` semantics hold
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("kind"),
+        F.when(F.col("event_type") == "view", F.col("value")).alias("view_value"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "last_view_value", F.last("view_value", ignorenulls=True).over(w)
+        )
+        .filter(F.col("kind") == 1)
+        .select("event_id", "user_id", iso_ts("ts", "ts"), "last_view_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot (§2.7-adjacent reshaping)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_sum",
+    oracle="""
+SELECT l_returnflag,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS F,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS O
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def pivot_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: linestatus values become columns (explicit value list keeps
+    the plan single-pass — no distinct-scan to discover columns)."""
+    l = tables(spark, sf_dir)["lineitem"]
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(d("l_quantity")).cast("double"))
+    )
+
+
+@register(
+    "unpivot_stack",
+    oracle="""
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+""",
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT via stack(): wide → long without a join or shuffle."""
+    p = tables(spark, sf_dir)["part"]
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'p_size', CAST(p_size AS DOUBLE), "
+            "'p_retailprice', p_retailprice) AS (metric, value)"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries / CTEs (§2.5, §2.8 delegated surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subquery_scalar",
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+  ROUND(o_totalprice / (
+    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders
+  ), 9) AS vs_avg
+FROM orders WHERE o_totalprice > 1.8 * (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders
+)
+""",
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (global average) in both projection and predicate.
+    Catalyst plans it as a broadcast of the 1-row aggregate — no per-row
+    re-evaluation."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+          ROUND(o_totalprice / (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders
+          ), 9) AS vs_avg
+        FROM orders WHERE o_totalprice > 1.8 * (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders
+        )
+        """
+    )
+
+
+@register(
+    "subquery_in",
+    oracle="""
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+  AND o_orderstatus = 'F'
+""",
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (decorrelates to a left-semi join)."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+          AND o_orderstatus = 'F'
+        """
+    )
+
+
+@register(
+    "subquery_exists_correlated",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+) AND NOT EXISTS (
+  SELECT 1 FROM orders o2
+  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+)
+""",
+)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS (decorrelates to semi + anti join)."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        ) AND NOT EXISTS (
+          SELECT 1 FROM orders o2
+          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+        )
+        """
+    )
+
+
+@register(
+    "cte_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+def cte_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: CTE referenced twice (base + scalar-subquery max).
+    Spark plans the CTE once per reference; at scale you'd cache it —
+    here the quarter-filtered aggregate is small either way."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentile / ordered-set aggregates (§2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+  ROUND(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 6) AS p50_qty,
+  ROUND(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 6) AS p90_price,
+  ROUND(CAST(median(l_discount) AS DOUBLE), 6) AS med_disc
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (PG percentile_cont equivalent).
+    Scale note: exact percentile buffers per group — at 100 TB switch to
+    ``percentile_approx`` (mergeable sketch, bounded memory); kept exact
+    here because the oracle needs determinism."""
+    l = tables(spark, sf_dir)["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        F.round(F.expr("percentile(l_discount, 0.5)"), 6).alias("med_disc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (window-function composition)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize",
+    headline=True,
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE OR
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, event_id,
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_seq
+""",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap → new session (lag + running
+    sum over one per-user window sort; the batch analogue of streaming
+    ``session_window``)."""
+    e = tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60), 1
+    ).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(new_session).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("session_seq"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal decode + Pandas UDF (§2.11-2.12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+SELECT doc_id,
+  strlen(text) AS n_bytes,
+  strlen(text) % 640 AS fake_width,
+  strlen(text) % 480 AS fake_height,
+  md5(text) AS checksum
+FROM documents
+""",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload pipeline: attach binary + metadata columns, then run
+    the (stub) decoder through Arrow-batched mapInPandas. The decode values
+    are deterministic, so even the Python-worker path is oracle-checked."""
+    from youcruit_tap_rawpostgresql_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_payloads,
+    )
+
+    docs = tables(spark, sf_dir)["documents"]
+    return decode_payloads(attach_binary_payload(docs))
+
+
+@register(
+    "udf_pandas_tokens",
+    oracle=r"""
+SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens_udf
+FROM documents
+""",
+)
+def udf_pandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar Pandas UDF (the sanctioned slow path —
+    §2.11). Row-at-a-time Python UDFs are banned in this engine; this
+    demonstrates the 10-100× better alternative when Python is truly
+    needed."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def token_count(s: pd.Series) -> pd.Series:
+        return s.str.split().map(len)
+
+    docs = tables(spark, sf_dir)["documents"]
+    return docs.select("doc_id", token_count("text").alias("n_tokens_udf"))
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (§2.10 extension)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_windowed_agg",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation through a REAL Structured Streaming query
+    (readStream → watermark → window → memory sink, Trigger.AvailableNow) —
+    proving the micro-batch path computes exactly what the batch SQL oracle
+    computes."""
+    import os
+
+    from youcruit_tap_rawpostgresql_spark.streaming.incremental_stream import (
+        run_windowed_stream,
+    )
+
+    return run_windowed_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), window_duration="6 hours"
+    )

@@ -1,0 +1,90 @@
+"""Structured-Streaming extension of incremental replication (SURVEY.md
+§2.10: optional — the reference has no streaming operators; its INCREMENTAL
+mode is micro-batch change capture, which is exactly what Structured
+Streaming's ``Trigger.AvailableNow`` + checkpoint generalizes).
+
+``run_windowed_stream`` drives a tumbling-window aggregation over the events
+fixture through a real ``readStream → withWatermark → window → writeStream``
+pipeline synchronously (memory sink + availableNow), returning the result as
+a batch DataFrame.
+
+Scale: in production the source becomes Kafka/files-on-arrival, the sink a
+Delta/parquet table, and the checkpoint directory IS the bookmark store —
+watermarks bound state so late events older than the threshold are dropped
+deterministically.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def run_windowed_stream(
+    spark: SparkSession,
+    events_path: str,
+    window_duration: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window count/sum over the events table via a real streaming
+    query, executed to completion with Trigger.AvailableNow."""
+    import pyarrow.parquet as pq
+
+    arrow_schema = pq.read_schema(events_path)
+    ns_cols = {
+        f.name
+        for f in arrow_schema
+        if str(arrow_schema.field(f.name).type).startswith("timestamp[ns")
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # streaming sources need an explicit schema — reuse the batch reader's
+    base = spark.read.parquet(events_path)
+    # FileStreamSource requires a DIRECTORY (its basePath). The fixture is a
+    # single parquet file, so expose it through a per-path temp dir symlink —
+    # zero copy, and the pattern matches production where streams watch an
+    # arrival directory rather than one file.
+    import hashlib
+    import tempfile
+
+    link_dir = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream",
+        hashlib.md5(events_path.encode()).hexdigest()[:12],
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, os.path.basename(events_path))
+    if not os.path.exists(link):
+        os.symlink(events_path, link)
+    stream = spark.readStream.schema(base.schema).format("parquet").load(link_dir)
+    if "ts" in ns_cols:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+
+    sink_name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
