@@ -1,0 +1,156 @@
+"""Approximate nearest neighbor via random-hyperplane LSH — the 100 TB
+similarity-search path (SURVEY.md §2.12).
+
+Brute-force top-k (sim_cosine_topk) is O(|Q|·n); this buckets vectors by the
+sign pattern of d dot products with fixed random hyperplanes, then searches
+only within the query's bucket. Candidate generation becomes an equi-join on
+the bucket id — shuffle width is one (sig, vec) row per vector, never a
+cross product. Recall is tunable with more tables/multi-probe; this single
+table keeps the oracle tractable.
+
+The hyperplanes are deterministic LCG-generated constants embedded
+identically in the Spark plan and the DuckDB oracle, and every dot product
+uses the same sequential fold — so bucket assignment and ranking are
+bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from youcruit_tap_rawpostgresql_spark.functions.vectors import dot, norm
+from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
+
+_N_PLANES = 6
+_DIM = 64
+
+
+def lsh_hyperplanes(n_planes: int = _N_PLANES, dim: int = _DIM, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1): LCG state/2^30-1
+    (exact powers-of-two arithmetic → the decimal repr round-trips in any
+    engine's literal parser)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            row.append(state / (1 << 30) - 1.0)
+        planes.append(row)
+    return planes
+
+
+_PLANES = lsh_hyperplanes()
+
+
+def _o_dot_plane(vec: str, plane: list[float]) -> str:
+    lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {_DIM}), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * ({lit})[i]), (x, y) -> x + y)"
+    )
+
+
+def _o_sig(vec: str) -> str:
+    terms = [
+        f"CASE WHEN {_o_dot_plane(vec, p)} > 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(_PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_O_DOT_PAIR = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+_O_NORM = (
+    "sqrt(list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))"
+)
+
+
+def _spark_sig() -> F.Column:
+    sig = F.lit(0)
+    for i, p in enumerate(_PLANES):
+        plane = F.array(*[F.lit(x) for x in p])
+        sig = sig + F.when(dot(F.col("embedding"), plane) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return sig
+
+
+@register(
+    "sim_ann_lsh",
+    headline=True,
+    oracle=f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_o_sig('embedding')} AS sig,
+    {_O_NORM.format(a='embedding')} AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, sig, nrm AS q_nrm
+  FROM sigs WHERE vec_id % 25 = 0
+), cand AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+    {_O_DOT_PAIR.format(a='q.q_emb', b='s.embedding')} / (q.q_nrm * s.nrm) AS cos
+  FROM q JOIN sigs s ON q.sig = s.sig AND q.query_id <> s.vec_id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
+FROM r WHERE rank <= 3
+""",
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-3 per query.
+
+    Scale: signatures are per-row expressions (no shuffle); the candidate
+    join is an equi-join on (sig) — with b bits and n vectors the expected
+    bucket size is n/2^b, so candidate pairs are n·|Q|/2^b instead of n·|Q|.
+    AQE's skew-join splitting covers pathological buckets."""
+    e = tables(spark, sf_dir)["embeddings"]
+    n_part = spark.sparkContext.defaultParallelism
+    sigs = (
+        e.repartition(n_part, "vec_id")
+        .select(
+            "vec_id",
+            "embedding",
+            _spark_sig().alias("sig"),
+            norm("embedding").alias("nrm"),
+        )
+        .cache()
+    )
+    q = sigs.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "sig",
+        F.col("nrm").alias("q_nrm"),
+    )
+    cand = (
+        F.broadcast(q)
+        .join(
+            sigs.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("n_emb"),
+                F.col("sig").alias("n_sig"),
+                F.col("nrm").alias("n_nrm"),
+            ),
+            (F.col("sig") == F.col("n_sig"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot("q_emb", "n_emb") / (F.col("q_nrm") * F.col("n_nrm"))).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
+    )
