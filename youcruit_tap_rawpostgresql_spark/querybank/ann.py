@@ -74,6 +74,8 @@ _O_NORM = (
 def _spark_sig() -> F.Column:
     sig = F.lit(0)
     for i, p in enumerate(_PLANES):
+        # fold form (plane as array literal): tiny expression tree — the
+        # unrolled form quadruples plan-compile time for a once-per-row calc
         plane = F.array(*[F.lit(x) for x in p])
         sig = sig + F.when(dot(F.col("embedding"), plane) > 0, F.lit(1 << i)).otherwise(
             F.lit(0)
@@ -130,6 +132,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sig",
         F.col("nrm").alias("q_nrm"),
     )
+    # JVM fold cosine, not cosine_pairs: LSH prunes candidates to a tiny
+    # set by construction, so the Arrow round-trip would cost more than it
+    # saves (norms are precomputed once per vector, same IEEE op order)
     cand = (
         F.broadcast(q)
         .join(

@@ -60,6 +60,11 @@ def o_iso_date(expr: str, alias: str) -> str:
     return f"strftime({expr}, '%Y-%m-%d') AS {alias}"
 
 
+# width of the embeddings fixture vectors (TESTDATA.md) — lets vector math
+# use the unrolled codegen form instead of the per-element fold
+EMB_DIM = 64
+
+
 # revenue = extendedprice * (1 - discount), exact decimal product then sum
 def rev_col() -> Column:
     return d("l_extendedprice") * (F.lit(1).cast(DEC) - d("l_discount"))

@@ -29,7 +29,7 @@ from youcruit_tap_rawpostgresql_spark.functions.text_funcs import (
     tokens,
     word_shingles,
 )
-from youcruit_tap_rawpostgresql_spark.functions.vectors import cosine_similarity
+from youcruit_tap_rawpostgresql_spark.functions.vectors import cosine_pairs
 from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
 
 # ---------------------------------------------------------------------------
@@ -473,31 +473,19 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(|Q| · n) with no shuffle of the corpus. Ranking is bit-exact across
     engines because the fold order of the dot product is pinned
     (sequential), so ties never flip. For large |Q| see sim_ann_lsh."""
-    from youcruit_tap_rawpostgresql_spark.functions.vectors import dot, norm
-
     e = tables(spark, sf_dir)["embeddings"]
-    # precompute norms once per vector (not per pair): same IEEE ops in the
-    # same order as computing them inside the pair loop, so still bit-exact
-    # vs the oracle, but the per-pair work drops to a single dot product
     q = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        norm("embedding").alias("q_norm"),
     )
-    n = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        "embedding",
-        norm("embedding").alias("n_norm"),
-    )
+    n = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
     c = (
         F.broadcast(q)
         .join(n, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (dot("q_emb", "embedding") / (F.col("q_norm") * F.col("n_norm"))).alias(
-                "cos"
-            ),
+            cosine_pairs("q_emb", "embedding").alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -524,7 +512,7 @@ def sim_cosine_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tables(spark, sf_dir)["embeddings"]
     a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
-    cos = cosine_similarity("ea", "eb")
+    cos = cosine_pairs("ea", "eb")
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", cos.alias("cos"))
