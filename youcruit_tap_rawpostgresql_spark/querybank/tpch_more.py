@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from youcruit_tap_rawpostgresql_spark.querybank.helpers import (
+    DEC,
     O_REV,
     d,
     iso_date,
@@ -277,4 +278,291 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .join(q, F.col("o_orderkey") == F.col("l_orderkey"))
         .select("o_orderkey", "o_custkey", "total_qty")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-aggregate. Scale: every predicate reaches the
+    parquet scan (PushedFilters), no shuffle at all — the canonical
+    pushdown check."""
+    l = tables(spark, sf_dir)["lineitem"]
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(d("l_extendedprice") * d("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+  ROUND(
+    CAST(SUM(CASE WHEN n.n_name = 'NATION_5' THEN {O_REV} ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+      / CAST(SUM({O_REV}) AS DOUBLE), 9) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n ON s_nationkey = n.n_nationkey
+WHERE p_type = 'ECONOMY'
+GROUP BY year(o_orderdate)
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of yearly volume (conditional
+    aggregate over a star join; all dims broadcast)."""
+    t = tables(spark, sf_dir)
+    nation_rev = F.when(
+        F.col("n_name") == "NATION_5", rev_col()
+    ).otherwise(F.lit(0).cast(DEC))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nation_rev).cast("double") / F.sum(rev_col()).cast("double"), 9
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) cc
+GROUP BY c_count
+""",
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution (left outer join with
+    an extra join predicate, then a second aggregation over the first).
+    Scale: both groupBys are partial-aggregated map-side; the second input
+    is one row per customer."""
+    t = tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_size
+""",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts with a NOT IN exclusion
+    (null-aware anti join). Scale: the exclusion list is a broadcast anti
+    join; COUNT(DISTINCT) expands to a two-phase aggregate."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_size
+        """
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+SELECT CAST(SUM({O_REV}) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions across both join sides.
+    Scale: Catalyst extracts the common join key (equi hash join, part
+    broadcast) and evaluates the residual disjunction post-join; the
+    per-side IN/BETWEEN sub-predicates are inferred and pushed to scans."""
+    t = tables(spark, sf_dir)
+    j = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey")
+    )
+    c1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(c1 | c2 | c3).agg(
+        F.sum(rev_col()).cast("double").alias("revenue")
+    )
+
+
+@register(
+    "q20_qualified_suppliers",
+    oracle="""
+SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#5')
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+)
+""",
+)
+def q20_qualified_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries with a HAVING threshold —
+    plans as two stacked left-semi joins, no row multiplication."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#5')
+          GROUP BY l_suppkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+        )
+        """
+    )
+
+
+@register(
+    "q21_sole_late_supplier",
+    oracle="""
+SELECT s.s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s.s_name
+""",
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS correlated self-joins on the
+    fact table (last shipper among multi-supplier orders). Scale: both
+    rewrite to semi/anti joins co-partitioned on l_orderkey — one shuffle
+    key reused across all three scans."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > l1.l_shipdate
+          )
+        GROUP BY s.s_name
+        """
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    oracle="""
+SELECT c_nationkey AS cc, COUNT(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_nationkey
+""",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average balance + never-ordered (uncorrelated
+    scalar subquery + anti join). Scale: the scalar average is a one-row
+    broadcast; the anti join ships only o_custkey."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_nationkey AS cc, COUNT(*) AS numcust,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+            FROM customer WHERE c_acctbal > 0
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+          )
+        GROUP BY c_nationkey
+        """
     )
