@@ -392,3 +392,70 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_windowed_stream(
         spark, os.path.join(sf_dir, "events.parquet"), window_duration="6 hours"
     )
+
+
+@register(
+    "stream_stateful_sessionize",
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE OR
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id,
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_seq
+""",
+)
+def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    GroupState carries (last_ts, session_seq, open_count) across
+    micro-batches; final output equals the batch sessionization oracle."""
+    import os
+
+    from youcruit_tap_rawpostgresql_spark.streaming.stateful import (
+        run_stateful_sessionize,
+    )
+
+    return run_stateful_sessionize(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              >= INTERVAL 30 MINUTE OR
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM g
+)
+SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_seq
+""",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session_window streaming aggregation (declarative gap-merge;
+    the engine owns the session state). Oracle uses the >= gap cut to match
+    the engine's [start, last+gap) window semantics."""
+    import os
+
+    from youcruit_tap_rawpostgresql_spark.streaming.stateful import (
+        run_session_window_stream,
+    )
+
+    return run_session_window_stream(spark, os.path.join(sf_dir, "events.parquet"))

@@ -23,14 +23,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def run_windowed_stream(
-    spark: SparkSession,
-    events_path: str,
-    window_duration: str = "6 hours",
-    watermark: str = "1 hour",
-) -> DataFrame:
-    """Tumbling-window count/sum over the events table via a real streaming
-    query, executed to completion with Trigger.AvailableNow."""
+def open_file_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """readStream over a single parquet fixture file.
+
+    FileStreamSource requires a DIRECTORY (its basePath). The fixture is a
+    single parquet file, so expose it through a per-path temp dir symlink —
+    zero copy, and the pattern matches production where streams watch an
+    arrival directory rather than one file. Nanosecond timestamp columns are
+    read as long and converted (same handling as the batch reader).
+    """
+    import hashlib
+    import tempfile
+
     import pyarrow.parquet as pq
 
     arrow_schema = pq.read_schema(events_path)
@@ -42,13 +46,6 @@ def run_windowed_stream(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # streaming sources need an explicit schema — reuse the batch reader's
     base = spark.read.parquet(events_path)
-    # FileStreamSource requires a DIRECTORY (its basePath). The fixture is a
-    # single parquet file, so expose it through a per-path temp dir symlink —
-    # zero copy, and the pattern matches production where streams watch an
-    # arrival directory rather than one file.
-    import hashlib
-    import tempfile
-
     link_dir = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_stream",
@@ -61,6 +58,18 @@ def run_windowed_stream(
     stream = spark.readStream.schema(base.schema).format("parquet").load(link_dir)
     if "ts" in ns_cols:
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_windowed_stream(
+    spark: SparkSession,
+    events_path: str,
+    window_duration: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window count/sum over the events table via a real streaming
+    query, executed to completion with Trigger.AvailableNow."""
+    stream = open_file_stream(spark, events_path)
 
     agg = (
         stream.withWatermark("ts", watermark)
