@@ -1,0 +1,99 @@
+"""Physical-plan audits: assert the Catalyst plans have the shape we
+designed for 100 TB — filters pushed to the parquet scan, columns pruned,
+small dimensions broadcast, no accidental cartesian products, top-k planned
+as TakeOrderedAndProject. These are regression guards: a refactor that
+silently turns a broadcast join into a 100 TB shuffle fails here, not in
+production."""
+
+import contextlib
+import io
+
+import pytest
+
+from youcruit_tap_rawpostgresql_spark.querybank import REGISTRY
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    def get(name: str, mode: str = "formatted") -> str:
+        return plan_of(REGISTRY[name].fn(spark, sf_dir), mode)
+
+    return get
+
+
+def test_q6_filters_reach_parquet_scan(plans):
+    p = plans("q6_forecast_revenue")
+    assert "PushedFilters: [" in p
+    # at least one of the range predicates must be pushed, not just IsNotNull
+    assert "GreaterThan" in p or "LessThan" in p or "GreaterThanOrEqual" in p
+
+
+def test_q6_column_pruning(plans):
+    p = plans("q6_forecast_revenue")
+    # ReadSchema must NOT include untouched wide columns
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read_schema, p
+    line = read_schema[0]
+    assert "l_partkey" not in line and "l_returnflag" not in line
+
+
+def test_q1_partial_aggregation(plans):
+    # partial (map-side) + final HashAggregate pair — no raw-row shuffle
+    p = plans("q1_pricing_summary")
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q10_broadcasts_dimensions(plans):
+    p = plans("q10_returned_items")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q10_topk_is_take_ordered(plans):
+    p = plans("q10_returned_items", "simple")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_minhash_lsh_no_cartesian(plans):
+    p = plans("dedup_minhash_lsh")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ann_lsh_candidate_join_is_hash_equi(plans):
+    # the whole point of LSH: candidates come from an equi join on sig,
+    # never an all-pairs product
+    p = plans("sim_ann_lsh")
+    assert "CartesianProduct" not in p
+
+
+def test_topk_brute_force_broadcasts_queries(plans):
+    # brute force intentionally broadcast-nested-loops the SMALL query side
+    p = plans("sim_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_sessionize_single_shuffle(plans):
+    # lag + running sum + groupBy all share one hash partitioning on
+    # user_id: exactly one Exchange in the plan
+    p = plans("sessionize", "simple")
+    assert p.count("Exchange") == 1, p
+
+
+def test_incremental_filter_pushed(plans):
+    p = plans("tap_incremental_bookmark")
+    assert "PushedFilters: [" in p
+
+
+def test_q19_join_stays_equi_hash(plans):
+    # OR-of-conjunctions must not defeat the equi join extraction
+    p = plans("q19_disjunctive_predicates")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p

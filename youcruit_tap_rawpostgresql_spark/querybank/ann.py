@@ -159,3 +159,106 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
     )
+
+
+_O_CELL_COS = (
+    "(" + _O_DOT_PAIR.format(a="v.embedding", b="c.cemb") + ")"
+    " / ((" + _O_NORM.format(a="v.embedding") + ") * (" + _O_NORM.format(a="c.cemb") + "))"
+)
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings WHERE vec_id % 40 = 1
+), scored AS (
+  SELECT v.vec_id, c.cent_id, {_O_CELL_COS} AS ccos
+  FROM embeddings v CROSS JOIN cent c
+), ranked AS (
+  SELECT vec_id, cent_id,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
+  FROM scored
+), assign AS (
+  SELECT vec_id, cent_id AS cell FROM ranked WHERE crank = 1
+), probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM ranked
+  WHERE crank <= 2 AND vec_id % 25 = 0
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    ({_O_DOT_PAIR.format(a='q.embedding', b='n.embedding')})
+      / (({_O_NORM.format(a='q.embedding')}) * ({_O_NORM.format(a='n.embedding')})) AS cos
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings n ON n.vec_id = a.vec_id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
+FROM r WHERE rank <= 3
+""",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN top-3: partition vectors into cells around
+    deterministic centroids (every 40th vector), assign each vector to its
+    max-cosine centroid, probe the query's 2 nearest cells.
+
+    Scale: the canonical 100 TB layout — centroids broadcast (K rows),
+    assignment is a map-only n×K scoring pass, the corpus is then
+    *physically partitionable by cell* (write-time `partitionBy(cell)` →
+    probe = partition pruning reads only nprobe/K of the data). Candidate
+    scoring touches |Q| · nprobe · n/K pairs instead of |Q| · n. Recall is
+    tuned by nprobe; the oracle recomputes the identical IVF algorithm, so
+    this checks the real scale path, not brute force."""
+    e = tables(spark, sf_dir)["embeddings"]
+    cent = (
+        e.filter(F.col("vec_id") % 40 == 1)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cemb"))
+    )
+    v = e.select("vec_id", "embedding", norm("embedding").alias("nrm"))
+    scored = (
+        v.join(F.broadcast(cent), how="cross")
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "cent_id",
+            (dot("embedding", "cemb") / (F.col("nrm") * norm("cemb"))).alias("ccos"),
+        )
+    )
+    cw = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    ranked = scored.withColumn("crank", F.row_number().over(cw)).cache()
+    assign = ranked.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+        F.col("cent_id").alias("cell"),
+    )
+    probes = (
+        ranked.filter((F.col("crank") <= 2) & (F.col("vec_id") % 25 == 0))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot("q_emb", "n_emb") / (F.col("q_nrm") * F.col("n_nrm"))).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
+    )
