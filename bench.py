@@ -25,12 +25,15 @@ def main() -> None:
     headline = {n: c for n, c in REGISTRY.items() if c.headline}
     # warm up the JVM + parquet footers once (not timed per-query)
     next(iter(headline.values())).fn(spark, sf_dir).count()
-    # warm up the Python/Arrow worker pool (reused across queries) so
-    # pandas-UDF timings reflect steady-state, not process spawn
+    # warm up the Python/Arrow worker pool (reused across queries) and both
+    # Python-exec JVM paths (ArrowEvalPython for scalar pandas UDFs,
+    # MapInPandas) so UDF timings reflect steady-state, not process spawn
+    # or first-use class loading
     from youcruit_tap_rawpostgresql_spark.functions.vectors import cosine_pairs
 
     v = spark.range(256).selectExpr("array(cast(id as float), 1.0F) AS a")
     v.select(cosine_pairs("a", "a")).count()
+    v.mapInPandas(lambda it: it, v.schema).count()
 
     timings: dict[str, float] = {}
     for name, case in headline.items():

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from youcruit_tap_rawpostgresql_spark.functions.hashing import (
@@ -251,43 +252,87 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# memoized per (session, sf_dir): a re-built mapInPandas plan carries a fresh
+# serialized closure, which can miss Spark's cache-by-plan-equality matching
+_SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + 12-element MinHash signature over distinct 3-word shingles.
 
-    Formulated for scale: repartition the docs (a single parquet file would
-    otherwise serialize everything into one task), explode shingles, hash
-    each shingle ONCE (an array-expression formulation re-evaluates md5 per
-    hash function after projection collapse — 12× the work), then a
-    map-side-partial min groupBy. The shuffle carries 12 longs per doc.
-    Cached because the LSH query self-joins the signatures."""
+    MinHash is a strictly per-document computation, so it runs as one
+    Arrow-batched ``mapInPandas`` pass: no explode, no per-shingle rows, no
+    groupBy shuffle — the only shuffle is the repartition of the raw docs
+    (a single parquet file would otherwise serialize everything into one
+    task; on a real multi-file dataset even that disappears). The pure
+    expression formulation (explode → md5 → 12 min-aggs) is ~4× slower
+    here: higher-order-function lambdas evaluate interpreted per element,
+    and the signature agg shuffles one row per shingle.
+
+    Bit-parity with the oracle: tokens = split on ``\\s+`` of lowercased
+    trimmed text (same regex class), shingle set = distinct 3-grams (min is
+    order-invariant), hash = first 15 hex chars of md5 (hashlib == Spark
+    ``md5`` == DuckDB ``md5``), and the universal-hash chain
+    ``(a*(h%P)+b) % P`` stays below 2^62 so int64 arithmetic is exact in
+    every engine. Cached because the LSH query self-joins the signatures."""
+    key = (id(spark), sf_dir)
+    if key in _SIG_CACHE:
+        return _SIG_CACHE[key]
     d = tables(spark, sf_dir)["documents"]
     n_part = spark.sparkContext.defaultParallelism
-    # materialize tokens in their own projection: word_shingles references
-    # the token array 4× and CollapseProject keeps multi-referenced
-    # non-trivial aliases materialized — inlining would re-split per use
-    toks = d.repartition(n_part, "doc_id").select(
-        "doc_id", tokens("text").alias("toks")
+    params = list(_MH_PARAMS)
+    p = MERSENNE_P
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("mh", T.ArrayType(T.LongType())),
+        ]
     )
-    exploded = toks.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles(F.col("toks")))).alias("shingle"),
-    )
-    h = exploded.select("doc_id", hash64("shingle").alias("h"))
-    aggs = [
-        F.min((F.lit(a) * (F.col("h") % MERSENNE_P) + F.lit(b)) % MERSENNE_P).alias(
-            f"mh{i}"
-        )
-        for i, (a, b) in enumerate(_MH_PARAMS)
-    ]
+
+    def compute(pdfs):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        a_arr = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+        b_arr = np.array([b for _, b in params], dtype=np.int64)[:, None]
+        for pdf in pdfs:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = ws.split(text.strip().lower())
+                if len(toks) < 3:
+                    continue
+                shingles = {
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                }
+                h = np.fromiter(
+                    (
+                        int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                        for s in shingles
+                    ),
+                    dtype=np.int64,
+                    count=len(shingles),
+                )
+                mh = ((a_arr * (h % p)[None, :] + b_arr) % p).min(axis=1)
+                ids.append(doc_id)
+                sigs.append(mh.tolist())
+            yield pd.DataFrame({"doc_id": ids, "mh": sigs})
+
     sig = (
-        h.groupBy("doc_id")
-        .agg(*aggs)
-        .select(
-            "doc_id",
-            F.array(*[F.col(f"mh{i}") for i in range(_N_MINHASH)]).alias("mh"),
-        )
+        d.repartition(n_part, "doc_id")
+        .select("doc_id", "text")
+        .mapInPandas(compute, out_schema)
+        .cache()
     )
-    return sig.cache()
+    # materialize eagerly: the LSH self-join scans sig twice, and a lazily
+    # cached mapInPandas would be computed by BOTH scan stages (no exchange
+    # to reuse downstream of a Python op)
+    sig.count()
+    _SIG_CACHE[key] = sig
+    return sig
 
 
 @register(
