@@ -564,3 +564,78 @@ def sim_cosine_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= 0.3)
         .select("a_id", "b_id", F.round("cos", 6).alias("cosine"))
     )
+
+
+def _o_components() -> str:
+    return f"""
+WITH RECURSIVE hs AS (
+  SELECT doc_id, list_transform(list_distinct({O_SHINGLES}), s -> {O_HASH.format(x='s')}) AS h
+  FROM (SELECT doc_id, {O_TOKS} AS t FROM documents)
+), sig AS (
+  SELECT doc_id, {_o_minhash_list()} AS mh FROM hs WHERE len(h) > 0
+), bands AS (
+  {_o_lsh_bands()}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION
+  SELECT b_id AS s, a_id AS d FROM pairs
+), reach AS (
+  SELECT s AS node, s AS root FROM edges
+  UNION
+  SELECT e.d AS node, r.root
+  FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT node AS doc_id, MIN(root) AS component_id
+FROM reach GROUP BY node
+"""
+
+
+@register("dedup_components", oracle=_o_components())
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH
+    candidate-pair graph (iterative min-label propagation; the oracle walks
+    the same graph with a recursive CTE). component_id = min doc_id in the
+    cluster — the canonical keeper."""
+    from youcruit_tap_rawpostgresql_spark.operators.dedup_graph import (
+        connected_components,
+    )
+    from youcruit_tap_rawpostgresql_spark.querybank.registry import REGISTRY
+
+    pairs = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).select("a_id", "b_id")
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+    )
+
+
+@register(
+    "sample_hash_split",
+    oracle=f"""
+SELECT doc_id,
+  {O_HASH.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+  CASE WHEN {O_HASH.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+       WHEN {O_HASH.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'valid'
+       ELSE 'test' END AS split
+FROM documents
+""",
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split by salted content hash — the
+    standard leakage-free split for training corpora: stable under
+    re-partitioning, re-runs, and data growth (unlike ``df.randomSplit``).
+    Scale: pure per-row projection, no shuffle."""
+    d = tables(spark, sf_dir)["documents"]
+    bucket = (
+        hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    ).alias("bucket")
+    return d.select(
+        "doc_id",
+        bucket,
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    ).select("doc_id", "bucket", "split")
