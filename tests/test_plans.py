@@ -97,3 +97,39 @@ def test_q19_join_stays_equi_hash(plans):
     p = plans("q19_disjunctive_predicates")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key at write time co-locates the
+    data so the join plans with NO Exchange — the warehouse layout for
+    repeatedly joined 100 TB fact tables."""
+    from youcruit_tap_rawpostgresql_spark.querybank.registry import tables
+
+    t = tables(spark, sf_dir)
+    for name, df, key in (
+        ("b_orders", t["orders"].limit(2000), "o_orderkey"),
+        ("b_lineitem", t["lineitem"].limit(2000), "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", str(tmp_path / name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            spark.table("b_orders")["o_orderkey"]
+            == spark.table("b_lineitem")["l_orderkey"],
+        )
+        p = plan_of(j, "simple")
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -639,3 +639,96 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     ).select("doc_id", "bucket", "split")
+
+
+@register(
+    "text_ngram_topk",
+    oracle=f"""
+WITH bi AS (
+  SELECT unnest(CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t) - 1),
+    i -> concat_ws(' ', t[i], t[i+1])) ELSE [] END) AS ngram
+  FROM (SELECT {O_TOKS} AS t FROM documents)
+)
+SELECT ngram, COUNT(*) AS cnt
+FROM bi GROUP BY ngram
+ORDER BY cnt DESC, ngram LIMIT 20
+""",
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams (boilerplate detector). Scale: explode →
+    two-phase count (map-side partials) → TakeOrderedAndProject; at 100 TB
+    add a frequency-threshold pre-filter per partition before the global
+    top-k."""
+    d = tables(spark, sf_dir)["documents"]
+    t = tokens("text")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i.cast("int")), F.element_at(t, (i + 1).cast("int"))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram"))
+        .limit(20)
+    )
+
+
+@register(
+    "embed_centroid_per_source",
+    oracle="""
+SELECT d.source, p.pos,
+  ROUND(
+    list_reduce(list(CAST(e.embedding[p.pos] AS DOUBLE) ORDER BY d.doc_id), (x, y) -> x + y)
+      / COUNT(*), 6) AS centroid_val
+FROM documents d
+JOIN embeddings e ON e.vec_id = d.doc_id
+CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS pos) p
+GROUP BY d.source, p.pos
+""",
+)
+def embed_centroid_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding centroid (first 4 dims shown): the grouping
+    primitive behind cluster profiling / domain drift detection.
+
+    Determinism engineering: double addition is NOT associative, so a plain
+    AVG would hash-differently per engine/partitioning. Both sides fold the
+    values in doc_id order (collect → sort → sequential fold), making the
+    float result bit-identical. Scale: the collect is per (source, dim)
+    group — for unbounded groups switch to a tree-sum with fixed block
+    order."""
+    t = tables(spark, sf_dir)
+    j = t["documents"].select("doc_id", "source").join(
+        t["embeddings"], F.col("vec_id") == F.col("doc_id")
+    )
+    rows = j.select(
+        "source",
+        "doc_id",
+        F.posexplode(F.slice("embedding", 1, 4)).alias("pos0", "v"),
+    ).select("source", "doc_id", (F.col("pos0") + 1).alias("pos"), "v")
+    folded = (
+        rows.groupBy("source", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_sort(F.collect_list(F.struct("doc_id", "v"))).alias("ordered"),
+        )
+        .select(
+            "source",
+            "pos",
+            F.round(
+                F.aggregate(
+                    F.col("ordered"),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["v"].cast("double"),
+                )
+                / F.col("n"),
+                6,
+            ).alias("centroid_val"),
+        )
+    )
+    return folded
