@@ -732,3 +732,32 @@ def embed_centroid_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return folded
+
+
+@register(
+    "udtf_long_tokens",
+    oracle=f"""
+SELECT doc_id, unnest(list_sort(list_filter(list_distinct(t), x -> length(x) > 9))) AS token
+FROM (SELECT doc_id, {O_TOKS} AS t FROM documents)
+""",
+)
+def udtf_long_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface: one input row → N output rows
+    through a LATERAL join (PG set-returning-function analogue).
+
+    This is an API-surface demo, not a hot path — UDTFs evaluate
+    row-at-a-time in Python; for bulk token expansion the engine uses the
+    columnar explode(...) form (see text_ngram_topk)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string")
+    class LongTokens:
+        def eval(self, text: str):
+            for tok in sorted({t for t in text.strip().lower().split() if len(t) > 9}):
+                yield (tok,)
+
+    spark.udtf.register("long_tokens", LongTokens)
+    tables(spark, sf_dir)
+    return spark.sql(
+        "SELECT d.doc_id, t.token FROM documents d, LATERAL long_tokens(d.text) t"
+    )

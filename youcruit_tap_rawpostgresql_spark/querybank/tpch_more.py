@@ -566,3 +566,50 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_nationkey
         """
     )
+
+
+@register(
+    "join_lateral",
+    oracle="""
+SELECT n.n_name, top_c.c_name, CAST(top_c.c_acctbal AS DOUBLE) AS c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal
+  FROM customer c WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) top_c
+""",
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG-style LATERAL correlated subquery (top-2 customers per nation).
+    Spark supports LATERAL natively since 3.4; Catalyst decorrelates it to
+    a ranked window join — no per-row re-execution."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, top_c.c_name, CAST(top_c.c_acctbal AS DOUBLE) AS c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_name, c_acctbal
+          FROM customer c WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) top_c
+        """
+    )
+
+
+@register(
+    "tablefunc_sequence",
+    oracle="""
+SELECT r_regionkey, unnest(generate_series(1, CAST(r_regionkey AS INT) + 1)) AS n
+FROM region
+""",
+)
+def tablefunc_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-returning function surface (PG generate_series / unnest):
+    per-row sequence expansion via explode(sequence(...))."""
+    r = tables(spark, sf_dir)["region"]
+    return r.select(
+        "r_regionkey",
+        F.explode(
+            F.sequence(F.lit(1), (F.col("r_regionkey") + 1).cast("int"))
+        ).alias("n"),
+    )
