@@ -133,3 +133,26 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitionBy layout + a partition-key filter must prune at
+    planning time (PartitionFilters), not scan-and-filter — the difference
+    between reading one day and reading 100 TB."""
+    from pyspark.sql import functions as F
+
+    from youcruit_tap_rawpostgresql_spark.querybank.registry import tables
+
+    e = tables(spark, sf_dir)["events"].withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "events_by_day")
+    e.limit(5000).write.mode("overwrite").partitionBy("day").parquet(path)
+    back = spark.read.parquet(path)
+    one_day = back.filter(
+        F.col("day") == back.select(F.min("day")).first()[0]
+    )
+    p = plan_of(one_day)
+    assert "PartitionFilters" in p
+    part_line = [l for l in p.splitlines() if "PartitionFilters" in l][0]
+    assert "isnotnull(day" in part_line or "day" in part_line.split("PartitionFilters")[1]

@@ -459,3 +459,41 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_session_window_stream(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register(
+    "grouped_map_topk",
+    oracle="""
+SELECT user_id, event_id, rnk FROM (
+  SELECT user_id, event_id,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+  FROM events
+) WHERE rnk <= 2
+""",
+)
+def grouped_map_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (§2.11): per-user top-2 events by value,
+    computed imperatively per group in pandas. Exists to cover the
+    grouped-map API — the declarative window form (topk_per_group) is what
+    the engine uses when the logic is expressible; both plans shuffle once
+    on the group key."""
+    from pyspark.sql import types as T
+
+    e = tables(spark, sf_dir)["events"]
+    out = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("rnk", T.LongType()),
+        ]
+    )
+
+    def top2(pdf):
+        pdf = pdf.sort_values(["value", "event_id"], ascending=[False, True]).head(2)
+        pdf = pdf.reset_index(drop=True)
+        pdf["rnk"] = pdf.index + 1
+        return pdf[["user_id", "event_id", "rnk"]]
+
+    return e.select("user_id", "event_id", "value").groupBy("user_id").applyInPandas(
+        top2, out
+    )
