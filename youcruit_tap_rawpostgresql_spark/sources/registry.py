@@ -81,6 +81,10 @@ def register_testdata(
 
     Returns the name → DataFrame mapping for direct DataFrame use.
     """
+    # every query funnels through here: pin the session timezone so
+    # timestamp formatting/comparison matches the (TZ-naive) oracle even on
+    # a caller-supplied session on a non-UTC machine
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out: dict[str, DataFrame] = {}
     for name in tables:
         df = load_table(spark, sf_dir, name)
