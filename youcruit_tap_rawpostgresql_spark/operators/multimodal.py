@@ -75,3 +75,48 @@ def decode_payloads(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "payload").mapInPandas(
         _decode_batches, schema=DECODED_SCHEMA
     )
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, byte_offset bigint, frame_md5 string"
+
+_FRAME_BYTES = 64
+_FRAME_STRIDE = 4  # sample every 4th frame
+_MAX_FRAMES = 5
+
+
+def _sample_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB FRAME SAMPLER — the video-pipeline pattern (decode → stride
+    sample → per-frame feature) with a deterministic fake decoder: a
+    "frame" is a fixed 64-byte window of the payload; sampling takes every
+    4th frame, capped at 5. One input row → N output rows, exactly how a
+    real ffmpeg-backed sampler fans out."""
+    import hashlib
+
+    for pdf in batches:
+        ids, idxs, offs, sums = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            n_frames = len(raw) // _FRAME_BYTES
+            for k, frame_idx in enumerate(range(0, n_frames, _FRAME_STRIDE)):
+                if k >= _MAX_FRAMES:
+                    break
+                off = frame_idx * _FRAME_BYTES
+                ids.append(doc_id)
+                idxs.append(frame_idx)
+                offs.append(off)
+                sums.append(hashlib.md5(raw[off : off + _FRAME_BYTES]).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "frame_idx": idxs,
+                "byte_offset": offs,
+                "frame_md5": sums,
+            }
+        )
+
+
+def sample_frames(binary_df: DataFrame) -> DataFrame:
+    """Stride-sample fixed-size frames from binary payloads (stub decode)."""
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _sample_frame_batches, schema=FRAME_SCHEMA
+    )

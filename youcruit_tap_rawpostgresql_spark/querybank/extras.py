@@ -497,3 +497,33 @@ def grouped_map_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("user_id", "event_id", "value").groupBy("user_id").applyInPandas(
         top2, out
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+WITH f AS (
+  -- fixture text is pure ASCII (verified), so char ops == byte ops
+  SELECT doc_id, text AS raw,
+    unnest(generate_series(0, LEAST(4, CAST(ceil(CAST(strlen(text) // 64 AS DOUBLE) / 4) AS INT) - 1))) AS k
+  FROM documents
+  WHERE strlen(text) // 64 >= 1
+)
+SELECT doc_id, k * 4 AS frame_idx, k * 4 * 64 AS byte_offset,
+  md5(substring(raw, k * 4 * 64 + 1, 64)) AS frame_md5
+FROM f
+WHERE k * 4 < strlen(raw) // 64
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over opaque binary payloads: decode →
+    every-4th-frame stride sample (cap 5) → per-frame checksum, fanned out
+    one-row-per-frame through mapInPandas (the real pipeline shape with a
+    deterministic stub decoder)."""
+    from youcruit_tap_rawpostgresql_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    docs = tables(spark, sf_dir)["documents"]
+    return sample_frames(attach_binary_payload(docs))
