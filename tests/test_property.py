@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis): invariants of the dialect translator,
+parameter binding, and stream maps that must hold for ARBITRARY inputs, not
+just the literal examples the reference pins."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from youcruit_tap_rawpostgresql_spark.plans.dialect import (
+    bind_params,
+    quote_literal,
+    translate_pg_sql,
+)
+
+# identifiers / simple SQL fragments
+_ident = st.from_regex(r"[a-z_][a-z0-9_]{0,10}", fullmatch=True)
+_pg_type = st.sampled_from(
+    ["uuid", "text", "int4", "int8", "float8", "bool", "timestamptz", "jsonb"]
+)
+
+
+@given(_ident, _pg_type)
+def test_cast_translation_never_leaves_coloncolon(col, typ):
+    out = translate_pg_sql(f"SELECT {col}::{typ} AS x")
+    assert "::" not in out
+    assert out.startswith("SELECT CAST(")
+
+
+@given(st.text(max_size=40))
+def test_quote_literal_roundtrips_any_string(s):
+    lit = quote_literal(s)
+    # escaped form must contain no raw closing quote that would break out:
+    # strip the outer quotes, then every remaining ' must be escaped as \'
+    inner = lit[1:-1]
+    assert lit.startswith("'") and lit.endswith("'")
+    assert not re.search(r"(?<!\\)'", inner.replace("\\\\", ""))
+
+
+@given(st.integers(), st.booleans(), st.floats(allow_nan=False, allow_infinity=False))
+def test_quote_literal_scalars(i, b, f):
+    assert quote_literal(i) == repr(i)
+    assert quote_literal(b) in ("TRUE", "FALSE")
+    assert quote_literal(None) == "NULL"
+    assert quote_literal(f) == repr(f)
+
+
+@given(_ident, st.integers() | st.text(max_size=20))
+def test_bind_params_substitutes_every_occurrence(name, value):
+    sql = f"SELECT * FROM t WHERE a > :{name} AND b < :{name}"
+    out = bind_params(sql, {name: value})
+    assert f":{name}" not in out
+
+
+@given(_ident)
+def test_bind_params_raises_on_unbound(name):
+    try:
+        bind_params(f"SELECT :{name}", {})
+        assert False, "expected KeyError"
+    except KeyError:
+        pass
+
+
+@settings(deadline=None, max_examples=20)
+@given(
+    st.lists(
+        st.tuples(_ident, st.sampled_from(["bigint", "string", "double"])),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_stream_map_mask_produces_sha256_hex(spark, cols):
+    """Masked columns are always 64-char hex regardless of input type."""
+    from youcruit_tap_rawpostgresql_spark.operators.maps import apply_stream_map
+
+    df = spark.range(3).selectExpr(*[f"CAST(id AS {typ}) AS {name}" for name, typ in cols])
+    masked = apply_stream_map(df, {"mask": [cols[0][0]]})
+    val = masked.select(cols[0][0]).first()[0]
+    assert re.fullmatch(r"[0-9a-f]{64}", val)
