@@ -169,6 +169,7 @@ _O_CELL_COS = (
 
 @register(
     "sim_ann_ivf",
+    headline=True,
     oracle=f"""
 WITH cent AS (
   SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings WHERE vec_id % 40 = 1
@@ -213,28 +214,27 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring touches |Q| · nprobe · n/K pairs instead of |Q| · n. Recall is
     tuned by nprobe; the oracle recomputes the identical IVF algorithm, so
     this checks the real scale path, not brute force."""
+    from youcruit_tap_rawpostgresql_spark.functions.vectors import cosine_pairs
+
     e = tables(spark, sf_dir)["embeddings"]
     cent = (
         e.filter(F.col("vec_id") % 40 == 1)
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cemb"))
     )
-    v = e.select("vec_id", "embedding", norm("embedding").alias("nrm"))
-    scored = (
-        v.join(F.broadcast(cent), how="cross")
-        .select(
-            "vec_id",
-            "embedding",
-            "nrm",
-            "cent_id",
-            (dot("embedding", "cemb") / (F.col("nrm") * norm("cemb"))).alias("ccos"),
-        )
+    v = e.select("vec_id", "embedding")
+    # n×K centroid scoring and the candidate scoring both run through the
+    # Arrow-vectorized cosine (bit-exact with the oracle's sequential fold)
+    scored = v.join(F.broadcast(cent), how="cross").select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        cosine_pairs("embedding", "cemb").alias("ccos"),
     )
     cw = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
     ranked = scored.withColumn("crank", F.row_number().over(cw)).cache()
     assign = ranked.filter(F.col("crank") == 1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
-        F.col("nrm").alias("n_nrm"),
         F.col("cent_id").alias("cell"),
     )
     probes = (
@@ -242,7 +242,6 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            F.col("nrm").alias("q_nrm"),
             F.col("cent_id").alias("cell"),
         )
     )
@@ -253,7 +252,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (dot("q_emb", "n_emb") / (F.col("q_nrm") * F.col("n_nrm"))).alias("cos"),
+            cosine_pairs("q_emb", "n_emb").alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))

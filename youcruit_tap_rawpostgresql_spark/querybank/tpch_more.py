@@ -487,6 +487,7 @@ def q20_qualified_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q21_sole_late_supplier",
+    headline=True,
     oracle="""
 SELECT s.s_name, COUNT(*) AS numwait
 FROM lineitem l1
