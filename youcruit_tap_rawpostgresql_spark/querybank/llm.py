@@ -761,3 +761,35 @@ def udtf_long_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, t.token FROM documents d, LATERAL long_tokens(d.text) t"
     )
+
+
+@register(
+    "text_doc_frequency",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(t)) AS token
+  FROM (SELECT doc_id, {O_TOKS} AS t FROM documents)
+)
+SELECT token, COUNT(*) AS df,
+  ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM documents), 6) AS df_ratio
+FROM tok GROUP BY token HAVING COUNT(*) >= 25
+""",
+)
+def text_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document-frequency table (the IDF input / data-driven
+    stopword list). df_ratio is a single exact-int division so the float
+    hash matches. Scale: distinct-tokens-per-doc explode → two-phase
+    count; the HAVING threshold keeps the long tail out of the result."""
+    d = tables(spark, sf_dir)["documents"]
+    n_docs = d.count()
+    tok = d.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 25)
+        .select(
+            "token",
+            "df",
+            F.round(F.col("df").cast("double") / F.lit(n_docs), 6).alias("df_ratio"),
+        )
+    )
