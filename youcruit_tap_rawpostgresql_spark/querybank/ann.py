@@ -223,22 +223,33 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = e.select("vec_id", "embedding")
     # n×K centroid scoring and the candidate scoring both run through the
-    # Arrow-vectorized cosine (bit-exact with the oracle's sequential fold)
+    # Arrow-vectorized cosine (bit-exact with the oracle's sequential fold).
+    # Rank WITHOUT the embedding payload — carrying a 64-float array through
+    # the window would shuffle and cache every vector K times; the ≤2 rows
+    # per vector that survive get their embeddings joined back instead.
     scored = v.join(F.broadcast(cent), how="cross").select(
         "vec_id",
-        "embedding",
         "cent_id",
         cosine_pairs("embedding", "cemb").alias("ccos"),
     )
     cw = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
-    ranked = scored.withColumn("crank", F.row_number().over(cw)).cache()
-    assign = ranked.filter(F.col("crank") == 1).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("n_emb"),
-        F.col("cent_id").alias("cell"),
+    ranked = (
+        scored.withColumn("crank", F.row_number().over(cw))
+        .filter(F.col("crank") <= 2)
+        .cache()
+    )
+    assign = (
+        ranked.filter(F.col("crank") == 1)
+        .join(e, "vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("n_emb"),
+            F.col("cent_id").alias("cell"),
+        )
     )
     probes = (
         ranked.filter((F.col("crank") <= 2) & (F.col("vec_id") % 25 == 0))
+        .join(e, "vec_id")
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
