@@ -165,3 +165,39 @@ def test_cli_discover_and_about(tmp_path, capsys):
     assert main(["--about"]) == 0
     about = json.loads(capsys.readouterr().out)
     assert "batch" in about["capabilities"]
+
+
+def test_batch_sink_roundtrip(spark, sf_dir, tmp_path):
+    """Close the ELT loop: sync a real table to gzip-JSONL batch files,
+    re-ingest the manifest files with spark.read.json + the declared
+    schema, and get the identical rows back."""
+    from pyspark.sql import functions as F
+
+    from youcruit_tap_rawpostgresql_spark.querybank.registry import tables
+
+    src = (
+        tables(spark, sf_dir)["events"]
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+        .limit(500)
+    )
+    spec = StreamSpec(
+        name="events_rt",
+        sql="SELECT * FROM events",
+        columns=[
+            ColumnSpec("event_id", "bigint", nullable=False),
+            ColumnSpec("user_id", "bigint"),
+            ColumnSpec("event_type", "string"),
+        ],
+        key_properties=["event_id"],
+    )
+    batch = BatchSinkConfig(root=f"file://{tmp_path}", batch_size=200)
+    manifests = write_batch_files(src, spec, batch)
+    paths = [u[len("file://") :] for m in manifests for u in m.files]
+    assert paths
+
+    back = spark.read.schema(src.schema).json(paths)
+    assert back.count() == 500
+    assert back.schema == src.schema
+    diff = src.exceptAll(back).count() + back.exceptAll(src).count()
+    assert diff == 0

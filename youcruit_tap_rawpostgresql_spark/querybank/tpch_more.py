@@ -614,3 +614,26 @@ def tablefunc_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), (F.col("r_regionkey") + 1).cast("int"))
         ).alias("n"),
     )
+
+
+@register(
+    "distinct_on_latest",
+    oracle="""
+SELECT DISTINCT ON (user_id) user_id, event_id, event_type
+FROM events
+ORDER BY user_id, ts DESC, event_id
+""",
+)
+def distinct_on_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ``DISTINCT ON``: latest event per user. Spark has no DISTINCT ON;
+    the engine's rewrite is the standard row_number-over-window → rank=1
+    filter (one shuffle on the distinct key, same as PG's sort)."""
+    from pyspark.sql.window import Window as W
+
+    e = tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
