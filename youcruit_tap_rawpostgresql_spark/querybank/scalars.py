@@ -219,3 +219,28 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
         F.get_json_object("props", "$.missing").alias("missing_key"),
     )
+
+
+@register(
+    "json_struct_agg",
+    oracle="""
+SELECT event_type,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+  COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS k_high
+FROM events GROUP BY event_type
+""",
+)
+def json_struct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured JSON parse (from_json → typed struct) feeding an
+    aggregation — the schema-on-read path for semi-structured columns
+    (vs get_json_object string extraction in scalar_json). Scale: parse
+    happens once per row pre-shuffle; only the extracted long shuffles."""
+    e = tables(spark, sf_dir)["events"]
+    parsed = e.select(
+        "event_type",
+        F.from_json("props", "struct<k:bigint>").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum("p.k").alias("k_total"),
+        F.count(F.when(F.col("p.k") > 50, 1)).alias("k_high"),
+    )
