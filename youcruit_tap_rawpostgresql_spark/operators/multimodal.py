@@ -120,3 +120,33 @@ def sample_frames(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "payload").mapInPandas(
         _sample_frame_batches, schema=FRAME_SCHEMA
     )
+
+
+RESIZED_SCHEMA = "doc_id bigint, n_bytes_out bigint, out_width bigint, out_height bigint, resized_md5 string"
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB RESIZER — deterministic 2× downsample (every other byte) in
+    place of a real interpolating image resize; same one-in-one-out batch
+    shape and payload-size reduction profile a PIL/opencv resize has."""
+    import hashlib
+
+    for pdf in batches:
+        out = [bytes(p)[::2] for p in pdf["payload"]]
+        n = pd.Series([len(o) for o in out])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].reset_index(drop=True),
+                "n_bytes_out": n,
+                "out_width": n % 320,
+                "out_height": n % 240,
+                "resized_md5": [hashlib.md5(o).hexdigest() for o in out],
+            }
+        )
+
+
+def resize_payloads(binary_df: DataFrame) -> DataFrame:
+    """Run the (stub) 2× downsample over Arrow batches."""
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _resize_batches, schema=RESIZED_SCHEMA
+    )

@@ -527,3 +527,35 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables(spark, sf_dir)["documents"]
     return sample_frames(attach_binary_payload(docs))
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+WITH r AS (
+  -- fixture text is pure ASCII, so the byte-stride downsample equals a
+  -- char-stride downsample
+  SELECT doc_id, array_to_string(
+    list_transform(
+      list_filter(generate_series(1, strlen(text)), i -> i % 2 = 1),
+      i -> substr(text, CAST(i AS INT), 1)), '') AS resized
+  FROM documents
+)
+SELECT doc_id, strlen(resized) AS n_bytes_out,
+  strlen(resized) % 320 AS out_width,
+  strlen(resized) % 240 AS out_height,
+  md5(resized) AS resized_md5
+FROM r
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: binary payload → deterministic 2× downsample stub →
+    new size/dims/checksum via mapInPandas (the schema, batching, and
+    shrink profile of a real image resize)."""
+    from youcruit_tap_rawpostgresql_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_payloads,
+    )
+
+    docs = tables(spark, sf_dir)["documents"]
+    return resize_payloads(attach_binary_payload(docs))
