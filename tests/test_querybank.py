@@ -10,6 +10,7 @@ from youcruit_tap_rawpostgresql_spark.querybank import REGISTRY
 
 SPOT = [
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "join_left_outer",
     "win_running_agg",
     "dedup_minhash_lsh",

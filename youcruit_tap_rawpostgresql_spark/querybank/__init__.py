@@ -18,5 +18,6 @@ from youcruit_tap_rawpostgresql_spark.querybank import taplevel  # noqa: F401,E4
 from youcruit_tap_rawpostgresql_spark.querybank import llm  # noqa: F401,E402
 from youcruit_tap_rawpostgresql_spark.querybank import extras  # noqa: F401,E402
 from youcruit_tap_rawpostgresql_spark.querybank import tpch_more  # noqa: F401,E402
+from youcruit_tap_rawpostgresql_spark.querybank import tpch_rest  # noqa: F401,E402
 from youcruit_tap_rawpostgresql_spark.querybank import ann  # noqa: F401,E402
 from youcruit_tap_rawpostgresql_spark.querybank import scale  # noqa: F401,E402
