@@ -20,4 +20,5 @@ from youcruit_tap_rawpostgresql_spark.querybank import extras  # noqa: F401,E402
 from youcruit_tap_rawpostgresql_spark.querybank import tpch_more  # noqa: F401,E402
 from youcruit_tap_rawpostgresql_spark.querybank import tpch_rest  # noqa: F401,E402
 from youcruit_tap_rawpostgresql_spark.querybank import ann  # noqa: F401,E402
+from youcruit_tap_rawpostgresql_spark.querybank import pipeline_ops  # noqa: F401,E402
 from youcruit_tap_rawpostgresql_spark.querybank import scale  # noqa: F401,E402

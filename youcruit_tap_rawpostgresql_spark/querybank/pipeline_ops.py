@@ -1,0 +1,189 @@
+"""Training-data pipeline operators over the documents table (driver north
+star, beyond reference parity): token-window chunking, repetition/diversity
+quality signals, benchmark-contamination detection, deterministic stratified
+sampling.
+
+All are oracle-exact: integer token counts aggregate exactly in both engines
+and every ratio is a single IEEE division of the same two integers, so value
+hashes match DuckDB bit-for-bit. Shared tokenization/shingle fragments come
+from querybank/llm.py so every text operator agrees on token identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youcruit_tap_rawpostgresql_spark.functions.hashing import hash64
+from youcruit_tap_rawpostgresql_spark.functions.text_funcs import (
+    tokens,
+    word_shingles,
+)
+from youcruit_tap_rawpostgresql_spark.querybank.llm import O_SHINGLES, O_TOKS
+from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
+
+# token-window chunking parameters: window of 16 tokens, stride 12 (4-token
+# overlap between consecutive chunks — the usual LLM-context packing shape)
+_CHUNK_W = 16
+_CHUNK_S = 12
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {O_TOKS} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+    unnest(generate_series(1, len(toks), {_CHUNK_S})) AS start
+  FROM t
+)
+SELECT doc_id,
+  CAST((start - 1) // {_CHUNK_S} AS BIGINT) AS chunk_id,
+  CAST(len(list_slice(toks, start, least(start + {_CHUNK_W} - 1, len(toks)))) AS INT) AS n_tokens,
+  array_to_string(list_slice(toks, start, least(start + {_CHUNK_W} - 1, len(toks))), ' ') AS chunk_text
+FROM s
+""",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (context packing for LLM training).
+    Columnar: sequence + explode + slice, zero Python, zero shuffle — chunks
+    are emitted in place, so at 100 TB this stays an embarrassingly parallel
+    map stage whose output partitioning follows the input."""
+    t = tables(spark, sf_dir)
+    chunk = F.slice(F.col("toks"), F.col("start"), F.lit(_CHUNK_W))
+    return (
+        t["documents"]
+        .select("doc_id", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks"), F.lit(_CHUNK_S))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"CAST((start - 1) DIV {_CHUNK_S} AS BIGINT)").alias("chunk_id"),
+            F.size(chunk).alias("n_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({O_TOKS}) AS tok FROM documents
+),
+cnt AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+)
+SELECT doc_id,
+  CAST(SUM(c) AS BIGINT) AS n_tokens,
+  COUNT(*) AS n_distinct,
+  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_token_ratio,
+  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS distinct_ratio,
+  10 * MAX(c) > CAST(SUM(c) AS BIGINT) AS is_repetitive
+FROM cnt GROUP BY doc_id
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/diversity signals: most-frequent-token ratio,
+    distinct-token ratio, and a >10% repetition flag (integer-exact compare).
+    Scale: explode + two-level groupBy keyed by doc_id — partial aggregation
+    absorbs the token fan-out map-side, the shuffle carries one row per
+    (doc, distinct token)."""
+    t = tables(spark, sf_dir)
+    cnt = (
+        t["documents"]
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        (F.max("c") / F.sum("c")).alias("top_token_ratio"),
+        (F.count("*") / F.sum("c")).alias("distinct_ratio"),
+        (F.lit(10) * F.max("c") > F.sum("c")).alias("is_repetitive"),
+    )
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source, {O_TOKS} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, source, unnest(list_distinct({O_SHINGLES})) AS shingle FROM base
+),
+eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+train AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id),
+hit AS (
+  SELECT tr.doc_id, COUNT(*) AS n_shared
+  FROM train tr JOIN eval_sh e USING (shingle)
+  GROUP BY tr.doc_id
+)
+SELECT h.doc_id, t.n_shingles, h.n_shared,
+  CAST(h.n_shared AS DOUBLE) / t.n_shingles AS contamination
+FROM hit h JOIN tot t ON h.doc_id = t.doc_id
+""",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: per training doc, how many of its
+    distinct 3-gram shingles also appear in the held-out set (source src0).
+    Scale: the eval shingle set is small by construction → broadcast join
+    (no shuffle of the training fan-out); at 100 TB swap the broadcast for
+    a bloom filter built from the same distinct-shingle set."""
+    t = tables(spark, sf_dir)
+    sh = (
+        t["documents"]
+        .select("doc_id", "source", tokens("text").alias("t"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(word_shingles(F.col("t")))).alias("shingle"),
+        )
+    )
+    eval_sh = sh.filter(F.col("source") == "src0").select("shingle").distinct()
+    train = sh.filter(F.col("source") != "src0").select("doc_id", "shingle")
+    tot = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hit = (
+        train.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return hit.join(tot, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        (F.col("n_shared") / F.col("n_shingles")).alias("contamination"),
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+SELECT doc_id, lang, source FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+  < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates (50% en,
+    20% otherwise) decided by a portable md5-derived hash of the key — the
+    same rows are kept on any engine, any cluster size, any run (unlike
+    seed-based df.sample, whose draw depends on partitioning). Pure map
+    stage; the filter is a per-row expression with no shuffle."""
+    t = tables(spark, sf_dir)
+    rate = F.when(F.col("lang") == "en", F.lit(50)).otherwise(F.lit(20))
+    return (
+        t["documents"]
+        .filter(hash64(F.col("doc_id").cast("string")) % 100 < rate)
+        .select("doc_id", "lang", "source")
+    )
