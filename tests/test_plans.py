@@ -99,6 +99,44 @@ def test_q19_join_stays_equi_hash(plans):
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
 
 
+def test_q2_correlated_min_decorrelates(plans):
+    # the correlated MIN subquery must become an aggregate + equi join,
+    # never a per-row nested-loop re-execution
+    p = plans("q2_min_cost_supplier")
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_q9_star_join_broadcasts_dims(plans):
+    p = plans("q9_product_profit")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # the p_name LIKE '%red%' filter must reach the part scan
+    assert "StringContains" in p
+
+
+def test_q15_scalar_max_no_cartesian(plans):
+    p = plans("q15_top_supplier")
+    assert "CartesianProduct" not in p
+    # shipdate range predicate pushed into both CTE evaluations
+    assert "PushedFilters: [" in p
+
+
+def test_chunk_windows_is_map_only(plans):
+    # chunking must stay an embarrassingly parallel map stage: the explode
+    # (Generate) runs in place with no shuffle anywhere in the plan
+    p = plans("text_chunk_windows")
+    assert "Generate" in p
+    assert "Exchange" not in p
+
+
+def test_contamination_broadcasts_eval_set(plans):
+    p = plans("contamination_ngram_overlap")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
 def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
     """Bucketing both sides on the join key at write time co-locates the
     data so the join plans with NO Exchange — the warehouse layout for
