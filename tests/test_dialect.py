@@ -55,3 +55,20 @@ def test_unbound_param_raises():
 def test_cast_not_confused_by_alias():
     out = translate_pg_sql("SELECT 'v'::uuid AS id, 2 AS two")
     assert out == "SELECT CAST('v' AS string) AS id, 2 AS two"
+
+
+def test_string_agg_translation():
+    out = translate_pg_sql("SELECT string_agg(name, ',') AS s FROM t GROUP BY k")
+    assert out == "SELECT listagg(name, ',') AS s FROM t GROUP BY k"
+
+
+def test_string_agg_with_order_by():
+    out = translate_pg_sql("SELECT string_agg(name, ', ' ORDER BY name) AS s FROM t")
+    assert (
+        out == "SELECT listagg(name, ', ') WITHIN GROUP (ORDER BY name) AS s FROM t"
+    )
+
+
+def test_unnest_translation():
+    out = translate_pg_sql("SELECT unnest(tags) AS tag FROM t")
+    assert out == "SELECT explode(tags) AS tag FROM t"

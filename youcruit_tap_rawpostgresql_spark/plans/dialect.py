@@ -10,7 +10,16 @@ on Spark needs a thin dialect layer (SURVEY.md §4 deltas):
 - typed literals ``timestamptz '...'`` → ``TIMESTAMP '...'``
   (``tests/test_postgres.py:156``)
 - ``now()`` → ``current_timestamp()``
+- ``string_agg(x, sep [ORDER BY k])`` → ``listagg(x, sep) [WITHIN GROUP
+  (ORDER BY k)]`` (Spark 4 has native listagg)
+- ``unnest(arr)`` → ``explode(arr)``
 - named parameters ``:name`` → safely quoted literals
+
+``ilike`` needs no translation (native since Spark 3.3). Two PG deltas are
+intentionally NOT auto-rewritten because they need type/context analysis a
+regex cannot do safely: integer ``/`` (PG truncates, Spark is fractional —
+write ``div`` explicitly) and default NULL sort order (PG: NULLS LAST on
+ASC; Spark: NULLS FIRST — write explicit ``NULLS FIRST/LAST``).
 
 This is deliberately NOT a full PG parser: queries authored for this engine
 are written in Spark SQL directly; translation only covers the constructs the
@@ -132,11 +141,32 @@ def bind_params(sql: str, params: Mapping[str, Any] | None) -> str:
     return _PARAM_RE.sub(repl, sql)
 
 
+# string_agg with inline ORDER BY: PG puts the sort inside the call;
+# Spark's listagg takes it as a WITHIN GROUP clause
+_STRING_AGG_ORDERED_RE = re.compile(
+    r"\bstring_agg\s*\(([^()]+?),\s*('(?:[^']|'')*')\s+ORDER\s+BY\s+([^()]+?)\)",
+    re.IGNORECASE,
+)
+
+
+def _translate_set_functions(sql: str) -> str:
+    sql = _STRING_AGG_ORDERED_RE.sub(
+        lambda m: f"listagg({m.group(1).strip()}, {m.group(2)}) "
+        f"WITHIN GROUP (ORDER BY {m.group(3).strip()})",
+        sql,
+    )
+    sql = re.sub(r"\bstring_agg\s*\(", "listagg(", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\bunnest\s*\(", "explode(", sql, flags=re.IGNORECASE)
+    return sql
+
+
 def translate_pg_sql(sql: str, params: Mapping[str, Any] | None = None) -> str:
-    """Full translation pipeline: typed literals → casts → now() → params."""
+    """Full translation pipeline: typed literals → casts → now() →
+    set functions → params."""
     out = _translate_typed_literals(sql)
     out = _translate_casts(out)
     out = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", out, flags=re.IGNORECASE)
+    out = _translate_set_functions(out)
     if params is not None or _PARAM_RE.search(out):
         out = bind_params(out, params)
     return out
