@@ -201,3 +201,25 @@ def test_batch_sink_roundtrip(spark, sf_dir, tmp_path):
     assert back.schema == src.schema
     diff = src.exceptAll(back).count() + back.exceptAll(src).count()
     assert diff == 0
+
+
+def test_compact_output_merges_small_files(spark, sf_dir, tmp_path):
+    from youcruit_tap_rawpostgresql_spark.sink import compact_output
+    from youcruit_tap_rawpostgresql_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    frag_dir = str(tmp_path / "fragmented")
+    docs.repartition(16).write.parquet(frag_dir)
+    import glob as _glob
+
+    n_in = len(_glob.glob(f"{frag_dir}/part-*"))
+    assert n_in == 16
+
+    out_dir = str(tmp_path / "compacted")
+    n_out = compact_output(spark, frag_dir, out_dir, target_file_bytes=64 * 1024 * 1024)
+    assert n_out < n_in
+    assert len(_glob.glob(f"{out_dir}/part-*")) == n_out
+
+    before = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    after = sorted(r.doc_id for r in spark.read.parquet(out_dir).select("doc_id").collect())
+    assert before == after

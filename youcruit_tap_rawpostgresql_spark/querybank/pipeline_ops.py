@@ -167,6 +167,61 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_ingest",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source,
+    md5(array_to_string(list_sort(list_distinct({O_TOKS})), ' ')) AS fingerprint,
+    CAST(substr(source, 4) AS INT) AS src_num
+  FROM documents
+),
+corpus AS (SELECT DISTINCT fingerprint FROM base WHERE src_num < 10),
+fresh AS (
+  SELECT doc_id, source, fingerprint FROM base
+  WHERE src_num >= 10
+    AND fingerprint NOT IN (SELECT fingerprint FROM corpus)
+)
+SELECT doc_id, source, fingerprint FROM fresh
+QUALIFY ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+""",
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingest: from a new batch (sources src10+), keep
+    only documents whose bag-of-words fingerprint is absent from the
+    existing corpus (src0-src9), then first-occurrence-dedupe within the
+    batch. The everyday shape of continuous training-data collection:
+    never re-ingest what the corpus already has.
+
+    Scale: both sides shuffle on fingerprint for the anti join (the corpus
+    fingerprint set is corpus-sized — NOT broadcastable at 100 TB); the
+    within-batch dedup reuses the same fingerprint partitioning, and a
+    bloom filter on corpus fingerprints would pre-filter the batch map-side
+    before the shuffle."""
+    from pyspark.sql.window import Window as W
+
+    t = tables(spark, sf_dir)
+    base = t["documents"].select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokens("text"))))
+        ).alias("fingerprint"),
+        F.substring("source", 4, 10).cast("int").alias("src_num"),
+    )
+    corpus = base.filter(F.col("src_num") < 10).select("fingerprint").distinct()
+    fresh = (
+        base.filter(F.col("src_num") >= 10)
+        .join(corpus, "fingerprint", "left_anti")
+    )
+    w = W.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "fingerprint")
+    )
+
+
+@register(
     "sample_stratified",
     oracle="""
 SELECT doc_id, lang, source FROM documents

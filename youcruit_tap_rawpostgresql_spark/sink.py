@@ -181,3 +181,52 @@ def emit_record_messages(df: DataFrame, spec: StreamSpec, write) -> int:
 
 def emit_state_message(state_dict: dict, write) -> None:
     write(json.dumps({"type": "STATE", "value": state_dict}) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction
+# ---------------------------------------------------------------------------
+
+
+def compact_output(
+    spark,
+    in_path: str,
+    out_path: str,
+    fmt: str = "parquet",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    **read_options,
+) -> int:
+    """Rewrite a directory of small files into ~``target_file_bytes`` files;
+    returns the output file count.
+
+    The long-running incremental tap (reference F2 semantics) appends one
+    batch of files per sync — after thousands of syncs the table is millions
+    of tiny files and every scan pays per-file open/footer cost. Compaction
+    sizes the output from the *measured* input bytes (Hadoop FS content
+    summary, so file://, s3a:// etc. all work) and lets a round-robin
+    ``repartition`` write evenly sized files. Row order is not preserved
+    (irrelevant for unordered table storage).
+
+    Scale: one full read + shuffle + write of the compacted partition —
+    run it per time-partition (e.g. per day), not over the whole table.
+    """
+    import math
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = jpath.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+
+    df = spark.read.options(**read_options).format(fmt).load(in_path)
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(out_path)
+
+    out_jpath = jvm.org.apache.hadoop.fs.Path(out_path)
+    out_fs = out_jpath.getFileSystem(conf)
+    return sum(
+        1
+        for s in out_fs.listStatus(out_jpath)
+        if str(s.getPath().getName()).startswith("part-")
+    )
