@@ -559,3 +559,27 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables(spark, sf_dir)["documents"]
     return resize_payloads(attach_binary_payload(docs))
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+SELECT user_id, event_type,
+  strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute, event_id
+FROM events
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY user_id, event_type, date_trunc('minute', ts)
+  ORDER BY event_id) = 1
+""",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with watermark-bounded state
+    (dropDuplicatesWithinWatermark through a real micro-batch query);
+    equals the batch first-per-key oracle."""
+    import os
+
+    from youcruit_tap_rawpostgresql_spark.streaming.incremental_stream import (
+        run_stream_dedup,
+    )
+
+    return run_stream_dedup(spark, os.path.join(sf_dir, "events.parquet"))

@@ -97,3 +97,45 @@ def run_windowed_stream(
         "n",
         "sum_value",
     )
+
+
+def run_stream_dedup(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps the first event per
+    (user_id, event_type, minute bucket) and the watermark lets the state
+    store evict keys older than the lateness bound — without it, streaming
+    dedup state grows forever.
+
+    Scale: state is one entry per distinct in-flight key within the
+    watermark horizon, hash-partitioned across executors; eviction is the
+    state store's, not ours. The single-source micro-batch preserves file
+    order, so "first seen" is deterministic here (= min event_id) and the
+    batch oracle can recompute it.
+    """
+    import uuid as _uuid
+
+    stream = open_file_stream(spark, events_path)
+    deduped = (
+        stream.withColumn("minute", F.date_trunc("minute", F.col("ts")))
+        .withWatermark("minute", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute"])
+    )
+    sink_name = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name).select(
+        "user_id",
+        "event_type",
+        F.date_format("minute", "yyyy-MM-dd HH:mm:ss").alias("minute"),
+        "event_id",
+    )
