@@ -242,3 +242,90 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hash64(F.col("doc_id").cast("string")) % 100 < rate)
         .select("doc_id", "lang", "source")
     )
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+SELECT n.n_name, string_agg(s.s_name, ',' ORDER BY s.s_name) AS suppliers
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation via Spark 4's native listagg WITHIN GROUP
+    (the dialect layer rewrites PG string_agg to exactly this form). The
+    explicit ORDER BY inside the aggregate is what makes the concatenation
+    deterministic under any partitioning — bare collect_list is not."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+          listagg(s.s_name, ',') WITHIN GROUP (ORDER BY s.s_name) AS suppliers
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+
+
+@register(
+    "ts_ohlc_daily",
+    oracle="""
+WITH r AS (
+  SELECT user_id, date_trunc('day', ts) AS day, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      ORDER BY ts, event_id) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+  MAX(value) AS high, MIN(value) AS low, COUNT(*) AS n_events
+FROM r GROUP BY user_id, day
+""",
+)
+def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling: per (user, day) open/high/low/close —
+    the standard telemetry/finance rollup. Open/close are picked by
+    deterministic (ts, event_id) ordering, not arrival order.
+
+    Scale: one shuffle on (user_id, day) shared by both window passes and
+    the final aggregate; at 100 TB, partition the table by day so the
+    shuffle is within-partition and time-range queries prune."""
+    from pyspark.sql.window import Window as W
+
+    t = tables(spark, sf_dir)
+    e = t["events"].select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_asc = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    w_desc = W.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn_a", F.row_number().over(w_asc))
+        .withColumn("rn_d", F.row_number().over(w_desc))
+        .groupBy("user_id", "day")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "open",
+            "close",
+            "high",
+            "low",
+            "n_events",
+        )
+    )
