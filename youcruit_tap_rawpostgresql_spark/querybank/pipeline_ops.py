@@ -329,3 +329,47 @@ def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "profile_numeric_columns",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+  COUNT(*) - COUNT({c}) AS n_null, MIN({c}) AS min_v, MAX({c}) AS max_v,
+  CAST(SUM(CAST({c} AS DECIMAL(12,2))) AS DOUBLE) / COUNT({c}) AS avg_v
+FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_numeric_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality audit an ELT tap runs after every
+    sync): per-column row/null counts, min/max, exact-sum mean — computed
+    for ALL columns in ONE scan, then unpivoted to long form. The oracle is
+    a per-column UNION ALL; at 100 TB that form scans the table once per
+    column while this stays a single pass.
+    """
+    t = tables(spark, sf_dir)
+    li = t["lineitem"]
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            (F.sum(F.col(c).cast("decimal(12,2)")).cast("double") / F.count(c)).alias(
+                f"{c}__avg"
+            ),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__min, {c}__max, {c}__avg"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+        "AS (col_name, n_rows, n_null, min_v, max_v, avg_v)"
+    )
