@@ -137,6 +137,19 @@ def test_contamination_broadcasts_eval_set(plans):
     assert "CartesianProduct" not in p
 
 
+def test_ohlc_single_shuffle(plans):
+    # both window passes and the final aggregate share (user_id, day) —
+    # exactly one exchange in the whole plan
+    p = plans("ts_ohlc_daily", "simple")
+    assert p.count("Exchange") == 1
+
+
+def test_profile_single_scan(plans):
+    # all-column profiling must read the table once, not once per column
+    p = plans("profile_numeric_columns", "simple")
+    assert p.count("FileScan") == 1 or p.count("Scan parquet") == 1
+
+
 def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
     """Bucketing both sides on the join key at write time co-locates the
     data so the join plans with NO Exchange — the warehouse layout for
