@@ -62,3 +62,54 @@ def test_multimodal_stub_batch_shape(spark, sf_dir):
     assert r["n_bytes"] > 0
     assert r["fake_width"] == r["n_bytes"] % 640
     assert len(r["checksum"]) == 32
+
+
+def test_range_predicates_disjoint_and_complete():
+    from youcruit_tap_rawpostgresql_spark.sources.jdbc import range_predicates
+
+    preds = range_predicates("id", 0, 1000, 4)
+    assert len(preds) == 4
+    # every value in a wide range (and far outside the bounds) matches
+    # exactly one predicate
+    import re
+
+    def matches(v, p):
+        if v is None:
+            return "IS NULL" in p
+        p_num = p.replace("id", str(v)).replace(f" OR {v} IS NULL", "")
+        terms = [t.strip() for t in re.split(r"AND", p_num)]
+        def ev(t):
+            m = re.match(r"(-?\d+)\s*(<|>=)\s*(-?\d+)", t)
+            a, op, b = int(m.group(1)), m.group(2), int(m.group(3))
+            return a < b if op == "<" else a >= b
+        return all(ev(t) for t in terms)
+
+    for v in [-50, 0, 1, 249, 250, 499, 500, 750, 999, 1000, 99999]:
+        hits = [p for p in preds if matches(v, p)]
+        assert len(hits) == 1, (v, hits)
+    assert sum(1 for p in preds if matches(None, p)) == 1
+
+
+def test_hash_predicates_cover_all_buckets():
+    from youcruit_tap_rawpostgresql_spark.sources.jdbc import hash_predicates
+
+    preds = hash_predicates("id", 8)
+    assert len(preds) == 8
+    assert all(f"= {i}" in preds[i] for i in range(8))
+    assert "IS NULL" in preds[0]
+
+
+def test_predicates_validate_args():
+    import pytest
+
+    from youcruit_tap_rawpostgresql_spark.sources.jdbc import (
+        hash_predicates,
+        range_predicates,
+    )
+
+    with pytest.raises(ValueError):
+        range_predicates("id", 0, 0, 4)
+    with pytest.raises(ValueError):
+        range_predicates("id", 0, 10, 0)
+    with pytest.raises(ValueError):
+        hash_predicates("id", 0)

@@ -73,3 +73,57 @@ def read_jdbc_stream(
         .options(**jdbc_options(config, sql, **partitioning))
         .load()
     )
+
+
+def range_predicates(
+    column: str,
+    lower: int,
+    upper: int,
+    num_partitions: int,
+) -> list[str]:
+    """Disjoint, complete WHERE predicates over an integer key range —
+    the explicit-predicate form of Spark's partitioned JDBC read
+    (``spark.read.jdbc(..., predicates=...)``).
+
+    Unlike lowerBound/upperBound stride partitioning, explicit predicates
+    let the caller handle open ends: the first predicate catches values
+    below ``lower`` and the last catches values at/above ``upper``, so no
+    source row is ever silently dropped (stride partitioning clamps — rows
+    outside the bounds land in the edge partitions there too, but the
+    explicit form makes the contract visible and testable).
+    """
+    if num_partitions < 1:
+        raise ValueError("num_partitions must be >= 1")
+    if upper <= lower:
+        raise ValueError("upper must be > lower")
+    if num_partitions == 1:
+        return [f"{column} IS NOT NULL OR {column} IS NULL"]  # whole table
+    span = upper - lower
+    bounds = [lower + (span * i) // num_partitions for i in range(1, num_partitions)]
+    preds = [f"{column} < {bounds[0]} OR {column} IS NULL"]
+    preds += [
+        f"{column} >= {bounds[i]} AND {column} < {bounds[i + 1]}"
+        for i in range(len(bounds) - 1)
+    ]
+    preds.append(f"{column} >= {bounds[-1]}")
+    return preds
+
+
+def hash_predicates(column: str, num_partitions: int) -> list[str]:
+    """Hash-mod WHERE predicates for keys with no usable range (UUIDs,
+    skewed ids): PostgreSQL-side ``hashtext``/``mod`` splits rows evenly
+    regardless of key distribution. NULLs ride with bucket 0.
+
+    Scale note: each of the N concurrent queries still scans the table
+    server-side unless the column is indexed by an expression index on the
+    same hash — prefer ``range_predicates`` on an indexed key when one
+    exists; hash split is the fallback that always balances.
+    """
+    if num_partitions < 1:
+        raise ValueError("num_partitions must be >= 1")
+    preds = [
+        f"mod(abs(hashtext({column}::text)), {num_partitions}) = {i}"
+        for i in range(num_partitions)
+    ]
+    preds[0] = f"({preds[0]}) OR {column} IS NULL"
+    return preds
