@@ -22,3 +22,4 @@ from youcruit_tap_rawpostgresql_spark.querybank import tpch_rest  # noqa: F401,E
 from youcruit_tap_rawpostgresql_spark.querybank import ann  # noqa: F401,E402
 from youcruit_tap_rawpostgresql_spark.querybank import pipeline_ops  # noqa: F401,E402
 from youcruit_tap_rawpostgresql_spark.querybank import scale  # noqa: F401,E402
+from youcruit_tap_rawpostgresql_spark.querybank import sql_surface  # noqa: F401,E402

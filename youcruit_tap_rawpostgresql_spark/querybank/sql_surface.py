@@ -1,0 +1,91 @@
+"""Modern SQL-surface cases on the delegated-SQL contract (the reference
+accepts ANY SQL its server dialect supports — tap_rawpostgresql/tap.py:81-85,
+executed at client.py:300-304 — so the rebuild's SQL surface should carry the
+conveniences users actually write): GROUP BY ALL, GROUPING() markers under
+ROLLUP, and named WINDOW clauses shared by several window functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from youcruit_tap_rawpostgresql_spark.querybank.helpers import O_REV
+from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
+
+
+@register(
+    "agg_group_by_all",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  CAST(SUM({O_REV}) AS DOUBLE) AS revenue
+FROM lineitem GROUP BY ALL
+""",
+)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL: grouping keys inferred from the non-aggregate select
+    list (identical semantics in Spark 4 and DuckDB)."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+            AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY ALL
+        """
+    )
+
+
+@register(
+    "agg_grouping_marker",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+  COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_grouping_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers distinguish 'NULL because subtotal row' from
+    'NULL data' under ROLLUP — required for unambiguous report consumption.
+    Spark's grouping() returns tinyint; cast to int to match DuckDB."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+          CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+          CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+          COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """
+    )
+
+
+@register(
+    "win_named_window",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_qty,
+  RANK() OVER w AS rnk
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber)
+""",
+)
+def win_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause: one window spec shared by several functions —
+    Spark compiles all of them into a single Window physical node (one
+    shuffle + sort), same as writing the spec inline twice, but the named
+    form is the maintainable one users write."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER w AS DOUBLE)
+            AS running_qty,
+          RANK() OVER w AS rnk
+        FROM lineitem
+        WHERE l_orderkey % 100 = 0
+        WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber)
+        """
+    )
