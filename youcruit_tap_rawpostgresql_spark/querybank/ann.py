@@ -134,9 +134,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # JVM fold cosine, not cosine_pairs: LSH prunes candidates to a tiny
     # set by construction, so the Arrow round-trip would cost more than it
-    # saves (norms are precomputed once per vector, same IEEE op order)
+    # saves (norms are precomputed once per vector, same IEEE op order).
+    # No broadcast hint: the query side is a fixed FRACTION of the corpus
+    # (1 in 25), so it grows with the data — a shuffle join on sig stays
+    # bounded per-bucket while a broadcast would not survive a scale-up.
     cand = (
-        F.broadcast(q)
+        q
         .join(
             sigs.select(
                 F.col("vec_id").alias("neighbor_id"),

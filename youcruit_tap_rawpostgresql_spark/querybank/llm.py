@@ -737,7 +737,7 @@ def embed_centroid_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udtf_long_tokens",
     oracle=f"""
-SELECT doc_id, unnest(list_sort(list_filter(list_distinct(t), x -> length(x) > 9))) AS token
+SELECT doc_id, unnest(list_sort(list_filter(list_distinct(t), x -> length(x) > 5))) AS token
 FROM (SELECT doc_id, {O_TOKS} AS t FROM documents)
 """,
 )
@@ -753,7 +753,7 @@ def udtf_long_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="token: string")
     class LongTokens:
         def eval(self, text: str):
-            for tok in sorted({t for t in text.strip().lower().split() if len(t) > 9}):
+            for tok in sorted({t for t in text.strip().lower().split() if len(t) > 5}):
                 yield (tok,)
 
     spark.udtf.register("long_tokens", LongTokens)
