@@ -1,0 +1,113 @@
+"""Semantic + plan tests for the ETL/CDC operators (querybank/etl.py) and
+corpus-statistics operators (querybank/text_stats.py). Oracle equality is
+the driver's job; these assert the invariants the oracles can't see —
+internal consistency of the results and the physical plan shapes the 100 TB
+design depends on."""
+
+import pytest
+
+from tests.test_plans import plan_of
+from youcruit_tap_rawpostgresql_spark.querybank import REGISTRY
+
+
+@pytest.fixture(scope="module")
+def run(spark, sf_dir):
+    def get(name: str):
+        return REGISTRY[name].fn(spark, sf_dir)
+
+    return get
+
+
+def test_cdc_diff_classifies_consistently(run):
+    rows = run("cdc_snapshot_diff").collect()
+    assert rows
+    for r in rows:
+        if r["op"] == "insert":
+            assert r["old_orderkey"] is None and r["old_status"] is None
+        else:
+            assert r["op"] == "update"
+            assert (r["old_orderkey"], r["old_status"]) != (
+                r["new_orderkey"],
+                r["new_status"],
+            )
+    # one state row per customer
+    keys = [r["o_custkey"] for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_cdc_diff_single_scan_single_shuffle(run):
+    p = plan_of(run("cdc_snapshot_diff"), "simple")
+    assert p.count("Scan parquet") == 1, p
+    assert p.count("Exchange") == 1, p
+
+
+def test_scd2_runs_partition_history(run, spark, sf_dir):
+    out = run("scd2_status_history").collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert sum(r["n_orders"] for r in out) == orders.count()
+    by_cust = {}
+    for r in out:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    for runs in by_cust.values():
+        runs.sort(key=lambda r: r["valid_from"])
+        for a, b in zip(runs, runs[1:]):
+            # intervals ordered; consecutive runs always switch status
+            # (equal-status runs would have been collapsed)
+            assert a["valid_to"] <= b["valid_from"]
+            assert a["o_orderstatus"] != b["o_orderstatus"] or (
+                a["valid_to"] == b["valid_from"]
+            )
+
+
+def test_scd2_single_shuffle(run):
+    # windows + groupBy all cluster on o_custkey → one Exchange total
+    p = plan_of(run("scd2_status_history"), "simple")
+    assert p.count("Exchange") == 1, p
+
+
+def test_funnel_steps_strictly_ordered(run):
+    rows = run("funnel_ordered_steps").collect()
+    assert rows
+    for r in rows:
+        assert r["view_ts"] < r["click_ts"] < r["purchase_ts"]
+
+
+def test_funnel_single_shuffle(run):
+    p = plan_of(run("funnel_ordered_steps"), "simple")
+    assert p.count("Scan parquet") == 1, p
+    assert p.count("Exchange") == 1, p
+
+
+def test_tfidf_topk_ranked_within_doc(run):
+    rows = run("text_tfidf_topk").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in by_doc.values():
+        assert len(doc_rows) <= 3
+        doc_rows.sort(key=lambda r: r["rnk"])
+        scores = [r["tfidf"] for r in doc_rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_tfidf_df_joined_via_broadcast(run):
+    p = plan_of(run("text_tfidf_topk"))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_bm25_rare_term_dominates(run):
+    rows = {r["doc_id"]: r["bm25"] for r in run("text_bm25_keyword").collect()}
+    assert rows and all(v > 0 for v in rows.values())
+
+
+def test_bm25_stats_broadcast_no_cartesian_blowup(run):
+    p = plan_of(run("text_bm25_keyword"))
+    # the only nested-loop join allowed is the scalar stats broadcast
+    assert "CartesianProduct" not in p, p
+
+
+def test_zipf_buckets_cover_vocabulary(run, spark, sf_dir):
+    rows = run("text_zipf_buckets").collect()
+    for r in rows:
+        lo, hi = 1 << (r["bucket"] - 1), (1 << r["bucket"]) - 1
+        assert lo <= r["min_count"] <= r["max_count"] <= hi

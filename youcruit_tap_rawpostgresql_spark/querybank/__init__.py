@@ -23,3 +23,5 @@ from youcruit_tap_rawpostgresql_spark.querybank import ann  # noqa: F401,E402
 from youcruit_tap_rawpostgresql_spark.querybank import pipeline_ops  # noqa: F401,E402
 from youcruit_tap_rawpostgresql_spark.querybank import scale  # noqa: F401,E402
 from youcruit_tap_rawpostgresql_spark.querybank import sql_surface  # noqa: F401,E402
+from youcruit_tap_rawpostgresql_spark.querybank import etl  # noqa: F401,E402
+from youcruit_tap_rawpostgresql_spark.querybank import text_stats  # noqa: F401,E402

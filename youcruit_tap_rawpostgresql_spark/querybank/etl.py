@@ -1,0 +1,238 @@
+"""ETL/CDC-flavored operators (the reference's home turf: replication and
+state tracking, reference `client.py:260-283` bookmark semantics generalized).
+
+Three classic warehouse-maintenance shapes the raw-SQL tap surface is used
+for in practice, each built as a single-shuffle Spark plan:
+
+- ``cdc_snapshot_diff``: classify per-key state changes between two
+  bookmark cutoffs in ONE scan + ONE shuffle (conditional ``max_by`` with a
+  FILTER clause instead of two snapshot subqueries + full outer join).
+- ``scd2_status_history``: gaps-and-islands run-collapse (SCD2 validity
+  intervals) — two window passes that share one hash partitioning plus a
+  partial-agg groupBy on the same key prefix.
+- ``funnel_ordered_steps``: strict ordered-step funnel via a per-user fold
+  (state machine over the time-sorted event array) — one shuffle total,
+  versus the textbook 3-join formulation the oracle uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from youcruit_tap_rawpostgresql_spark.querybank.helpers import iso_date, iso_ts
+from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
+
+_D1 = "1998-01-01"
+_D2 = "2000-01-01"
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=f"""
+WITH g AS (
+  -- DuckDB arg_max lacks composite ordering keys; this fixed-width string
+  -- encoding of (o_orderdate, o_orderkey) is order-isomorphic to the
+  -- struct key the Spark plan uses
+  SELECT o_custkey,
+    arg_max((o_orderkey, o_orderstatus),
+      strftime(o_orderdate, '%Y%m%d%H%M%S')
+        || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS b,
+    arg_max((o_orderkey, o_orderstatus),
+      strftime(o_orderdate, '%Y%m%d%H%M%S')
+        || lpad(CAST(o_orderkey AS VARCHAR), 12, '0'))
+      FILTER (WHERE o_orderdate < TIMESTAMP '{_D1}') AS a
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '{_D2}'
+  GROUP BY o_custkey
+)
+SELECT o_custkey,
+  a[1] AS old_orderkey, a[2] AS old_status,
+  b[1] AS new_orderkey, b[2] AS new_status,
+  CASE WHEN a IS NULL THEN 'insert' ELSE 'update' END AS op
+FROM g
+WHERE a IS NULL OR a <> b
+""",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff of "latest order per customer" state between
+    bookmark cutoffs {_D1} and {_D2} (reference's incremental bookmark
+    semantics, `client.py:260-283`, applied to state diffing).
+
+    Scale: ONE scan of the fact table (predicate `< D2` pushed to parquet)
+    and ONE shuffle on the key — the older snapshot is a FILTER-clause
+    conditional aggregate, not a second scan, and there is no join at all.
+    `max_by` with a (date, key) struct ordering key is deterministic under
+    date ties. Append-only source ⇒ no 'delete' branch can fire; the CASE
+    covers insert/update."""
+    o = tables(spark, sf_dir)["orders"]
+    pick = "named_struct('k', o_orderkey, 's', o_orderstatus)"
+    order_key = "named_struct('d', o_orderdate, 'k', o_orderkey)"
+    g = (
+        o.filter(F.col("o_orderdate") < F.lit(_D2).cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(f"max_by({pick}, {order_key})").alias("b"),
+            F.expr(
+                f"max_by({pick}, {order_key}) "
+                f"FILTER (WHERE o_orderdate < TIMESTAMP '{_D1}')"
+            ).alias("a"),
+        )
+    )
+    return (
+        g.filter(F.col("a").isNull() | (F.col("a") != F.col("b")))
+        .select(
+            "o_custkey",
+            F.col("a.k").alias("old_orderkey"),
+            F.col("a.s").alias("old_status"),
+            F.col("b.k").alias("new_orderkey"),
+            F.col("b.s").alias("new_status"),
+            F.when(F.col("a").isNull(), F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("op"),
+        )
+    )
+
+
+@register(
+    "scd2_status_history",
+    oracle="""
+WITH flagged AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+    CASE WHEN o_orderstatus IS DISTINCT FROM
+      lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey)
+    THEN 1 ELSE 0 END AS chg
+  FROM orders
+), runs AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate,
+    SUM(chg) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
+)
+SELECT o_custkey, o_orderstatus,
+  strftime(MIN(o_orderdate), '%Y-%m-%d') AS valid_from,
+  strftime(MAX(o_orderdate), '%Y-%m-%d') AS valid_to,
+  COUNT(*) AS n_orders
+FROM runs
+GROUP BY o_custkey, o_orderstatus, grp
+""",
+)
+def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style validity intervals: collapse each customer's consecutive
+    runs of equal order status into (valid_from, valid_to, n_orders) rows —
+    the gaps-and-islands pattern (lag → change flag → running-sum group id).
+
+    Scale: both window passes AND the final groupBy share the o_custkey hash
+    partitioning, so the whole history rebuild is one shuffle; runs collapse
+    map-side in the partial aggregate."""
+    o = tables(spark, sf_dir)["orders"]
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = o.withColumn(
+        "chg",
+        F.when(
+            ~F.col("o_orderstatus").eqNullSafe(F.lag("o_orderstatus").over(wo)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    runs = flagged.withColumn(
+        "grp", F.sum("chg").over(wo.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        runs.groupBy("o_custkey", "o_orderstatus", "grp")
+        .agg(
+            iso_date(F.min("o_orderdate"), "valid_from"),
+            iso_date(F.max("o_orderdate"), "valid_to"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .drop("grp")
+    )
+
+
+@register(
+    "funnel_ordered_steps",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(v.t1) AS t1, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(c.t1) AS t1, min(c.t2) AS t2, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT user_id,
+  strftime(t1, '%Y-%m-%d %H:%M:%S') AS view_ts,
+  strftime(t2, '%Y-%m-%d %H:%M:%S') AS click_ts,
+  strftime(t3, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM p
+""",
+)
+def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel (first view → first later click → first later
+    purchase) per user.
+
+    Scale: the oracle's textbook formulation is three self-joins (three
+    shuffles of the fact table); this plan is ONE shuffle — group each
+    user's events, time-sort the array, and fold a 3-slot state machine over
+    it with `F.aggregate` (JVM lambda, no Python). Per-user arrays are
+    bounded by the watermark/session horizon in production; for unbounded
+    histories the same fold runs as applyInPandasWithState. Timestamp ties
+    are broken by event_id in the sort; the fixture has none (verified), so
+    the min-based oracle agrees."""
+    ev = (
+        tables(spark, sf_dir)["events"]
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    init = F.struct(
+        F.lit(None).cast("timestamp").alias("t1"),
+        F.lit(None).cast("timestamp").alias("t2"),
+        F.lit(None).cast("timestamp").alias("t3"),
+    )
+    folded = seq.select(
+        "user_id",
+        F.aggregate(
+            "seq",
+            init,
+            lambda acc, e: F.when(
+                (e["event_type"] == "view") & acc["t1"].isNull(),
+                F.struct(
+                    e["ts"].alias("t1"), acc["t2"].alias("t2"), acc["t3"].alias("t3")
+                ),
+            )
+            .when(
+                (e["event_type"] == "click")
+                & acc["t1"].isNotNull()
+                & acc["t2"].isNull(),
+                F.struct(
+                    acc["t1"].alias("t1"), e["ts"].alias("t2"), acc["t3"].alias("t3")
+                ),
+            )
+            .when(
+                (e["event_type"] == "purchase")
+                & acc["t2"].isNotNull()
+                & acc["t3"].isNull(),
+                F.struct(
+                    acc["t1"].alias("t1"), acc["t2"].alias("t2"), e["ts"].alias("t3")
+                ),
+            )
+            .otherwise(acc),
+        ).alias("s"),
+    )
+    return folded.filter(F.col("s.t3").isNotNull()).select(
+        "user_id",
+        iso_ts(F.col("s.t1"), "view_ts"),
+        iso_ts(F.col("s.t2"), "click_ts"),
+        iso_ts(F.col("s.t3"), "purchase_ts"),
+    )

@@ -583,3 +583,27 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_dedup(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts
+FROM events c JOIN events e
+  ON c.user_id = e.user_id AND c.event_type = 'click' AND e.event_type = 'error'
+ AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (clicks ↔ same-user errors
+    within 30 minutes) through a real micro-batch query; over the bounded
+    replay it equals the batch self-join oracle."""
+    import os
+
+    from youcruit_tap_rawpostgresql_spark.streaming.incremental_stream import (
+        run_stream_stream_join,
+    )
+
+    return run_stream_stream_join(spark, os.path.join(sf_dir, "events.parquet"))

@@ -1,0 +1,190 @@
+"""Corpus statistics / ranking operators for the LLM-data pipeline
+(SURVEY.md §2.12 extension family): TF-IDF term ranking, BM25 keyword
+retrieval scoring, and Zipf-bucket vocabulary profiling.
+
+Float-exactness: products/divisions are IEEE-correctly-rounded, so writing
+the SAME expression tree on both engines is bit-stable; `ln` is the one
+libm-dependent call, mitigated by ranking on the ROUNDED score (6dp) with a
+token tiebreak so a last-ulp drift cannot flip result ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from youcruit_tap_rawpostgresql_spark.functions.text_funcs import tokens
+from youcruit_tap_rawpostgresql_spark.querybank.llm import O_TOKS
+from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(t) AS token
+  FROM (SELECT doc_id, {O_TOKS} AS t FROM documents)
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+    ROUND(tf.tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df.df), 6)
+      AS tfidf
+  FROM tf JOIN df ON tf.token = df.token
+), ranked AS (
+  SELECT doc_id, token, tf, df, tfidf,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+  FROM scored
+)
+SELECT doc_id, token, tf, df, tfidf, rnk FROM ranked WHERE rnk <= 3
+""",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (tfidf = tf · ln(N/df)).
+
+    Scale: tf is one explode + one (doc, token) shuffle; df derives from tf
+    (NOT a second corpus pass) and is vocabulary-sized, so it broadcasts
+    back onto tf — the corpus is shuffled exactly once. Ranking orders by
+    the 6dp-ROUNDED score (token tiebreak) so cross-engine ln drift in the
+    last ulp cannot reorder the top-k."""
+    d = tables(spark, sf_dir)["documents"]
+    n_docs = d.count()
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rnk")
+    )
+
+
+_BM25_TERMS = ("customer", "dup")
+_K1 = "1.2"
+_B = "0.75"
+
+
+@register(
+    "text_bm25_keyword",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, {O_TOKS} AS t FROM documents
+), dl AS (
+  SELECT doc_id, len(t) AS dl FROM docs
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+    (CAST(SUM(dl) AS DOUBLE) / COUNT(*)) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS token FROM docs)
+  WHERE token IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}')
+  GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+)
+SELECT tf.doc_id,
+  ROUND(SUM(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+    * ((tf.tf * ({_K1} + 1.0))
+       / (tf.tf + {_K1} * ((1.0 - {_B}) + (({_B} * dl.dl) / stats.avgdl))))
+  ), 6) AS bm25
+FROM tf
+JOIN df ON tf.token = df.token
+JOIN dl ON tf.doc_id = dl.doc_id
+CROSS JOIN stats
+GROUP BY tf.doc_id
+""",
+)
+def text_bm25_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval score of every matching document for the fixed
+    two-term query {_BM25_TERMS} (k1=1.2, b=0.75, Robertson idf with +1).
+
+    Scale: term postings (tf) come from one explode restricted to the query
+    terms — the IN filter prunes before the (doc, token) shuffle; df and the
+    corpus stats are scalar-sized and broadcast. Unordered output keeps the
+    float score out of any ranking decision. The expression tree is
+    parenthesized identically on both engines; every op except ln is IEEE
+    correctly-rounded, and ln feeds only the 6dp-rounded output."""
+    d = tables(spark, sf_dir)["documents"]
+    docs = d.select("doc_id", tokens("text").alias("t"))
+    dl = docs.select("doc_id", F.size("t").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode("t").alias("token"))
+        .filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = F.lit(1.2), F.lit(0.75)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    term_score = idf * (
+        (F.col("tf") * (k1 + F.lit(1.0)))
+        / (
+            F.col("tf")
+            + k1 * ((F.lit(1.0) - b) + ((b * F.col("dl")) / F.col("avgdl")))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+    )
+
+
+@register(
+    "text_zipf_buckets",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(t) AS token
+  FROM (SELECT {O_TOKS} AS t FROM documents)
+), cnt AS (
+  SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+)
+SELECT length(bin(c)) AS bucket, COUNT(*) AS n_tokens,
+  MIN(c) AS min_count, MAX(c) AS max_count
+FROM cnt GROUP BY bucket
+""",
+)
+def text_zipf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency profile in power-of-two buckets (Zipf curve
+    summary): bucket = bit-length of the token's corpus count — integer-only
+    (length of the binary string), no float log anywhere.
+
+    Scale: token counts are a partial-aggregated explode; the bucket rollup
+    input is vocabulary-sized. This is the profile that drives data-driven
+    stopword and boilerplate thresholds upstream of dedup."""
+    d = tables(spark, sf_dir)["documents"]
+    cnt = (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cnt.groupBy(F.length(F.bin("c")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.min("c").alias("min_count"),
+        F.max("c").alias("max_count"),
+    )

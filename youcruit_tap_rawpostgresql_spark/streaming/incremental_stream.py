@@ -139,3 +139,67 @@ def run_stream_dedup(
         F.date_format("minute", "yyyy-MM-dd HH:mm:ss").alias("minute"),
         "event_id",
     )
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    events_path: str,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each click joined to the same user's error
+    events within ``horizon`` after the click, both sides watermarked.
+
+    Scale: watermarks bound BOTH join-state buffers — each side retains only
+    rows younger than (watermark + horizon), evicted by the state store, so
+    state is O(arrival rate × horizon) regardless of total stream length.
+    The time-interval condition lets Spark prune matches to the horizon
+    band instead of buffering either side unboundedly. Over a bounded
+    replay (availableNow) the result equals the batch self-join, which is
+    what the oracle computes.
+    """
+    import uuid as _uuid
+
+    clicks = (
+        open_file_stream(spark, events_path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    errors = (
+        open_file_stream(spark, events_path)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", watermark)
+    )
+    joined = clicks.join(
+        errors,
+        F.expr(
+            "c_user = e_user AND error_ts >= click_ts "
+            f"AND error_ts <= click_ts + interval {horizon}"
+        ),
+    )
+    sink_name = f"stream_join_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "error_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("error_ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+    )
