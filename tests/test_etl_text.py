@@ -111,3 +111,37 @@ def test_zipf_buckets_cover_vocabulary(run, spark, sf_dir):
     for r in rows:
         lo, hi = 1 << (r["bucket"] - 1), (1 << r["bucket"]) - 1
         assert lo <= r["min_count"] <= r["max_count"] <= hi
+
+
+def test_cap_per_source_binds(run, spark, sf_dir):
+    rows = run("sample_cap_per_source").collect()
+    per_source = {}
+    for r in rows:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+    assert per_source and all(n <= 10 for n in per_source.values())
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) < n_docs  # the cap actually dropped documents
+
+
+def test_shuffle_shards_is_permutation(run, spark, sf_dir):
+    rows = run("shuffle_shards").collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_pii_mask_is_map_only(run):
+    p = plan_of(run("pii_mask_hash"), "simple")
+    assert "Exchange" not in p, p
+
+
+def test_pii_mask_irreversible_handle(run):
+    rows = run("pii_mask_hash").collect()
+    for r in rows[:50]:
+        assert len(r["name_hash"]) == 64
+        assert not any(ch.isdigit() for ch in r["name_redacted"])

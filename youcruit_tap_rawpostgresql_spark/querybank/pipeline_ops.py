@@ -373,3 +373,109 @@ def profile_numeric_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) "
         "AS (col_name, n_rows, n_null, min_v, max_v, avg_v)"
     )
+
+
+@register(
+    "sample_cap_per_source",
+    oracle="""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+               doc_id) AS pick
+  FROM documents
+) WHERE pick <= 10
+""",
+)
+def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain sampling cap (data governance: no source may contribute
+    more than 10 documents; the fixture has 25 per source, so the cap binds). The pick order is the portable hash of doc_id —
+    a deterministic pseudo-random sample, stable across runs and engines,
+    unlike rand()-based sampling.
+
+    Scale: one window partitioned by source; skewed mega-sources are the
+    known hazard — AQE skew handling plus (for pathological domains) a
+    pre-pass that TABLESAMPLEs sources already over the cap keeps any one
+    partition bounded."""
+    d = tables(spark, sf_dir)["documents"]
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("source").orderBy(
+        hash64(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= 10)
+        .select("doc_id", "source")
+    )
+
+
+_N_SHARDS = 16
+
+
+@register(
+    "shuffle_shards",
+    oracle=f"""
+SELECT doc_id,
+  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+    % {_N_SHARDS} AS shard,
+  ROW_NUMBER() OVER (
+    PARTITION BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      % {_N_SHARDS}
+    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+             doc_id) AS pos_in_shard
+FROM documents
+""",
+)
+def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: each document is
+    assigned a shard by portable hash and a position within its shard by
+    hash order — together a reproducible pseudo-random permutation of the
+    corpus, the standard pre-training data layout step.
+
+    Scale: this is the scalable form of "ORDER BY random()" — a single
+    global sort is one total-order range shuffle with no parallelism at the
+    rank step, while per-shard windows rank all shards in parallel and each
+    shard writes its own file."""
+    d = tables(spark, sf_dir)["documents"]
+    from pyspark.sql.window import Window as W
+
+    h = hash64(F.col("doc_id").cast("string"))
+    shard = (h % _N_SHARDS).alias("shard")
+    w = W.partitionBy(h % _N_SHARDS).orderBy(h, "doc_id")
+    return d.select(
+        "doc_id", shard, F.row_number().over(w).alias("pos_in_shard")
+    )
+
+
+@register(
+    "pii_mask_hash",
+    oracle="""
+SELECT c_custkey,
+  sha256(c_name) AS name_hash,
+  regexp_replace(c_name, '[0-9]', 'X', 'g') AS name_redacted,
+  CASE WHEN c_acctbal < 0 THEN 'negative'
+       WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS acctbal_band
+FROM customer
+""",
+)
+def pii_mask_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII governance transforms (the reference's inherited stream-map
+    masking surface, `README.md:35-36`, as first-class operators):
+    irreversible keyed join handle (sha-256), regex redaction of digit
+    sequences, and value banding that replaces a precise balance with a
+    coarse category.
+
+    Scale: all three are per-row projections — map-only, no shuffle,
+    whole-stage codegen; sha-256 and regex both run JVM-side."""
+    c = tables(spark, sf_dir)["customer"]
+    return c.select(
+        "c_custkey",
+        F.sha2(F.col("c_name"), 256).alias("name_hash"),
+        F.regexp_replace("c_name", "[0-9]", "X").alias("name_redacted"),
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("acctbal_band"),
+    )
