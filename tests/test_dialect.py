@@ -72,3 +72,63 @@ def test_string_agg_with_order_by():
 def test_unnest_translation():
     out = translate_pg_sql("SELECT unnest(tags) AS tag FROM t")
     assert out == "SELECT explode(tags) AS tag FROM t"
+
+
+def test_json_extract_operators():
+    assert (
+        translate_pg_sql("SELECT props->>'k' AS k FROM events")
+        == "SELECT get_json_object(props, '$.k') AS k FROM events"
+    )
+    assert (
+        translate_pg_sql("SELECT props->'k' AS k FROM events")
+        == "SELECT get_json_object(props, '$.k') AS k FROM events"
+    )
+
+
+def test_regex_match_operators():
+    assert (
+        translate_pg_sql("SELECT * FROM t WHERE name ~ '^ab'")
+        == "SELECT * FROM t WHERE name RLIKE '^ab'"
+    )
+    assert (
+        translate_pg_sql("SELECT * FROM t WHERE name ~* '^ab'")
+        == "SELECT * FROM t WHERE name RLIKE '(?i)^ab'"
+    )
+    assert (
+        translate_pg_sql("SELECT * FROM t WHERE name !~ 'x'")
+        == "SELECT * FROM t WHERE NOT (name RLIKE 'x')"
+    )
+
+
+def test_spark_lambda_not_mangled_by_json_rule():
+    # `->` only translates when followed by a quoted key
+    sql = "SELECT transform(xs, x -> x + 1) FROM t"
+    assert translate_pg_sql(sql) == sql
+
+
+def test_array_length_epoch_random_strpos():
+    assert (
+        translate_pg_sql("SELECT array_length(xs, 1) AS n")
+        == "SELECT size(xs) AS n"
+    )
+    assert (
+        translate_pg_sql("SELECT EXTRACT(EPOCH FROM ts) AS e")
+        == "SELECT unix_timestamp(ts) AS e"
+    )
+    assert translate_pg_sql("SELECT random() AS r") == "SELECT rand() AS r"
+    assert (
+        translate_pg_sql("SELECT strpos(name, 'x') AS p")
+        == "SELECT instr(name, 'x') AS p"
+    )
+
+
+def test_escape_string_literal_prefix_drops():
+    assert translate_pg_sql(r"SELECT E'a\nb' AS s") == r"SELECT 'a\nb' AS s"
+    assert translate_pg_sql(r"SELECT e'x' AS s") == r"SELECT 'x' AS s"
+
+
+def test_parameterized_numeric_rename():
+    assert (
+        translate_pg_sql("SELECT amount::numeric(12,2) AS a")
+        == "SELECT CAST(amount AS decimal(12,2)) AS a"
+    )

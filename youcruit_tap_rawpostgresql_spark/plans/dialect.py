@@ -50,6 +50,9 @@ _PG_TYPE_RENAMES = {
     "json": "string",
     "bytea": "binary",
     "double precision": "double",
+    "numeric": "decimal",
+    "serial": "int",
+    "bigserial": "bigint",
 }
 
 # single-word type names, plus the known multiword PG types (an open-ended
@@ -80,7 +83,14 @@ _PARAM_RE = re.compile(r"(?<![:\w]):([a-zA-Z_]\w*)")
 
 def _rename_type(pg_type: str) -> str:
     key = pg_type.strip().lower()
-    return _PG_TYPE_RENAMES.get(key, pg_type.strip())
+    if key in _PG_TYPE_RENAMES:
+        return _PG_TYPE_RENAMES[key]
+    # parameterized types: rename the base name, keep the parameters
+    m = re.match(r"([a-zA-Z_][\w ]*?)\s*(\(\s*\d+\s*(?:,\s*\d+\s*)?\))\s*$", key)
+    if m:
+        base = _PG_TYPE_RENAMES.get(m.group(1).strip(), m.group(1).strip())
+        return f"{base}{m.group(2).replace(' ', '')}"
+    return pg_type.strip()
 
 
 def _translate_casts(sql: str) -> str:
@@ -160,13 +170,63 @@ def _translate_set_functions(sql: str) -> str:
     return sql
 
 
+# ---------------------------------------------------------------------------
+# operators: PG regex matching, JSON extraction, and function renames
+# ---------------------------------------------------------------------------
+
+_STR_LIT = r"'(?:[^']|'')*'"
+_JSON_OPERAND = r"([a-zA-Z_][\w.]*|\([^()]*\))"
+
+# col ->> 'key' / col -> 'key'  → get_json_object(col, '$.key')
+# (both map to the extracted-text form: this engine models json as string)
+_JSON_EXTRACT_RE = re.compile(_JSON_OPERAND + r"\s*->>?\s*'((?:[^']|'')*)'")
+
+# expr ~ 'pat' (case-sensitive match), ~* (insensitive), !~, !~*
+_REGEX_OP_RE = re.compile(
+    _JSON_OPERAND + r"\s*(!?~\*?)\s*(" + _STR_LIT + r")"
+)
+
+# array_length(arr, 1) → size(arr)  (PG's dim argument; Spark arrays are 1-D)
+_ARRAY_LENGTH_RE = re.compile(
+    r"\barray_length\s*\(([^(),]+),\s*1\s*\)", re.IGNORECASE
+)
+
+# EXTRACT(EPOCH FROM expr) → unix_timestamp(expr); other EXTRACT fields are
+# native in Spark
+_EPOCH_RE = re.compile(r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\s+([^()]+)\)", re.IGNORECASE)
+
+
+def _translate_operators(sql: str) -> str:
+    sql = _JSON_EXTRACT_RE.sub(
+        lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')", sql
+    )
+
+    def regex_repl(m: re.Match) -> str:
+        operand, op, pat = m.group(1), m.group(2), m.group(3)
+        if "*" in op:  # case-insensitive: prepend the (?i) flag to the pattern
+            pat = "'(?i)" + pat[1:]
+        rlike = f"{operand} RLIKE {pat}"
+        return f"NOT ({rlike})" if op.startswith("!") else rlike
+
+    sql = _REGEX_OP_RE.sub(regex_repl, sql)
+    sql = _ARRAY_LENGTH_RE.sub(lambda m: f"size({m.group(1).strip()})", sql)
+    sql = _EPOCH_RE.sub(lambda m: f"unix_timestamp({m.group(1).strip()})", sql)
+    sql = re.sub(r"\brandom\s*\(\s*\)", "rand()", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\bstrpos\s*\(", "instr(", sql, flags=re.IGNORECASE)
+    # E'...' escape-string literals: Spark processes backslash escapes in
+    # plain literals already, so the prefix just drops
+    sql = re.sub(r"(?<![\w'])[eE](" + _STR_LIT + r")", r"\1", sql)
+    return sql
+
+
 def translate_pg_sql(sql: str, params: Mapping[str, Any] | None = None) -> str:
     """Full translation pipeline: typed literals → casts → now() →
-    set functions → params."""
+    set functions → operators → params."""
     out = _translate_typed_literals(sql)
     out = _translate_casts(out)
     out = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", out, flags=re.IGNORECASE)
     out = _translate_set_functions(out)
+    out = _translate_operators(out)
     if params is not None or _PARAM_RE.search(out):
         out = bind_params(out, params)
     return out

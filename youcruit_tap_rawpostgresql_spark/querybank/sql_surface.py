@@ -89,3 +89,34 @@ def win_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber)
         """
     )
+
+
+@register(
+    "pg_dialect_operators",
+    oracle="""
+SELECT event_id,
+  json_extract_string(props, '$.k') AS k,
+  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+  (event_type SIMILAR TO '(click|view)') AS is_browse
+FROM events
+WHERE regexp_matches(event_type, '^(c|v)') AND event_id % 10 = 0
+""",
+)
+def pg_dialect_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG-dialect operator surface end-to-end: `->>'key'` JSON extraction,
+    `~` regex match, and EXTRACT(EPOCH FROM ts) — the raw config SQL a
+    reference user would ship — translated and executed on Spark.
+
+    The regex-filter predicate stays a Catalyst filter (columnar RLIKE);
+    `->>` lowers to get_json_object, a per-row JVM projection."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    tables(spark, sf_dir)
+    return run_sql(
+        spark,
+        "SELECT event_id, props->>'k' AS k, "
+        "EXTRACT(EPOCH FROM ts)::int8 AS epoch_s, "
+        "event_type ~ '^(click|view)$' AS is_browse "
+        "FROM events WHERE event_type ~ '^(c|v)' AND event_id % 10 = 0",
+        pg_dialect=True,
+    )
