@@ -607,3 +607,38 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_stream_join(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register(
+    "stream_upsert_latest",
+    oracle="""
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_id, event_type, value
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+""",
+)
+def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-apply: stream the events fixture through foreachBatch keyed
+    upserts into a hash-bucketed parquet target (only buckets containing
+    changed keys are rewritten — Delta-MERGE-style pruning with plain
+    parquet), then read the final "latest event per user" state; equals the
+    batch latest-per-key oracle."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from youcruit_tap_rawpostgresql_spark.streaming.upsert_sink import (
+        run_streaming_upsert,
+    )
+
+    target = os.path.join(
+        tempfile.gettempdir(), "spark_graft_upsert", _uuid.uuid4().hex[:12]
+    )
+    out = run_streaming_upsert(spark, os.path.join(sf_dir, "events.parquet"), target)
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_id",
+        "event_type",
+        "value",
+    )
