@@ -275,3 +275,49 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
     )
+
+
+@register(
+    "embed_quantize_int8",
+    oracle="""
+WITH mx AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+  FROM embeddings
+)
+SELECT vec_id,
+  CAST(max_abs AS DOUBLE) AS scale_max_abs,
+  list_transform(embedding,
+    x -> CAST(floor((CAST(x AS DOUBLE) / max_abs) * 127.0) AS INTEGER)) AS q
+FROM mx
+WHERE vec_id % 50 = 0
+""",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (the storage/bandwidth step
+    before ANN serving): scale by 127/max|x|, floor to integer. floor (not
+    round) keeps the map cross-engine exact — both engines floor the same
+    IEEE product identically, with no half-way tie convention involved.
+
+    Scale: map-only per-row array transform, no shuffle; quantized vectors
+    are 4× smaller than float32 (32× vs float64), which is what makes the
+    IVF candidate scan memory-bandwidth-feasible at 100 TB. The `% 50`
+    query-side sample only bounds the ORACLE's output; the transform
+    itself is unbounded."""
+    e = tables(spark, sf_dir)["embeddings"]
+    max_abs = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    return (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            "vec_id",
+            max_abs.cast("double").alias("scale_max_abs"),
+            F.transform(
+                "embedding",
+                lambda x: F.floor((x.cast("double") / max_abs) * F.lit(127.0)).cast(
+                    "int"
+                ),
+            ).alias("q"),
+        )
+    )

@@ -793,3 +793,43 @@ def text_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("df").cast("double") / F.lit(n_docs), 6).alias("df_ratio"),
         )
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+    md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp,
+    len(t) AS n_tokens
+  FROM (SELECT doc_id, {O_TOKS} AS t FROM documents)
+)
+SELECT fp, doc_id AS kept_doc_id, n_tokens
+FROM scored
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY fp ORDER BY n_tokens DESC, doc_id) = 1
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: among documents with the same token-bag
+    fingerprint (reordered/near copies — 54 collide in the sf0.01 fixture),
+    keep the HIGHEST-quality copy (here: most tokens; ties → lowest doc_id)
+    rather than an arbitrary first — the policy real corpus pipelines use
+    when duplicates differ in truncation.
+
+    Scale: one shuffle on the fingerprint; the argmax is a window
+    row_number with map-side partial sort. Equivalent max_by formulation
+    aggregates without materializing per-group arrays."""
+    d = tables(spark, sf_dir)["documents"]
+    t = tokens("text")
+    scored = d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t)))).alias("fp"),
+        F.size(t).alias("n_tokens"),
+    )
+    w = W.partitionBy("fp").orderBy(F.col("n_tokens").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("fp", F.col("doc_id").alias("kept_doc_id"), "n_tokens")
+    )
