@@ -207,3 +207,40 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in p
     part_line = [l for l in p.splitlines() if "PartitionFilters" in l][0]
     assert "isnotnull(day" in part_line or "day" in part_line.split("PartitionFilters")[1]
+
+
+def test_ivf_partitioned_layout_prunes_cells(spark, sf_dir, tmp_path):
+    """The IVF scale claim made in sim_ann_ivf's docstring, executed:
+    write the corpus partitioned by its IVF cell, probe two cells, and the
+    scan must prune to exactly those cell partitions (nprobe/K of the
+    data), not filter post-scan."""
+    from pyspark.sql import functions as F
+
+    from youcruit_tap_rawpostgresql_spark.querybank.ann import ivf_rank_cells
+    from youcruit_tap_rawpostgresql_spark.querybank.registry import tables
+
+    e = tables(spark, sf_dir)["embeddings"]
+    assign = (
+        ivf_rank_cells(spark, sf_dir)
+        .filter("crank = 1")
+        .withColumnRenamed("cent_id", "cell")
+        .join(e, "vec_id")
+        .select("vec_id", "embedding", "cell")
+    )
+    layout = str(tmp_path / "ivf_layout")
+    assign.write.partitionBy("cell").parquet(layout)
+
+    cells = sorted(
+        r["cell"] for r in spark.read.parquet(layout).select("cell").distinct().collect()
+    )
+    assert len(cells) >= 3
+    probe = spark.read.parquet(layout).filter(
+        (F.col("cell") == cells[0]) | (F.col("cell") == cells[1])
+    )
+    p = plan_of(probe)
+    # pruning happened at planning time: partition filters on cell, and no
+    # post-scan Filter on the cell column
+    assert "PartitionFilters" in p and "cell" in p.split("PartitionFilters")[1].split("]")[0], p
+    n_all = spark.read.parquet(layout).count()
+    n_probe = probe.count()
+    assert 0 < n_probe < n_all

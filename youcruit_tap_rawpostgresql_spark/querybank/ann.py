@@ -164,6 +164,71 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_rank_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared IVF cell ranking: score every vector against the centroid set
+    (deterministic centroids = every 40th vector) and keep the top-2 cells
+    per vector → (vec_id, cent_id, crank).
+
+    One ``mapInPandas`` pass with the K×dim centroid matrix shipped in the
+    task closure: the n×K score matrix lives only inside the kernel, so
+    neither the n×K row blowup nor its Arrow transfer nor the top-2 window
+    shuffle ever materializes — each batch emits just 2 rows per vector.
+    (The earlier broadcast-cross-join + window form moved ~n×K×2×dim
+    doubles through Arrow and was 3-5× slower at sf0.1.)
+
+    Bit-exactness with the DuckDB oracle: the score matrix accumulates
+    with a sequential loop over dimensions (one vectorized fused add per
+    dim), so every (vector, centroid) cosine performs the identical
+    IEEE-754 op sequence as the oracle's list_reduce fold; ranking sorts
+    on (-cos, cent_id), both exact.
+
+    Scale: centroid sets stay driver-collectable (K ≈ √n even at 100 TB is
+    ~MBs); scoring is embarrassingly parallel map work with no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    e = tables(spark, sf_dir)["embeddings"]
+    cent_rows = sorted(
+        e.filter(F.col("vec_id") % 40 == 1).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    C = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)  # K×dim
+    nc = C[:, 0] * C[:, 0]
+    for i in range(1, C.shape[1]):
+        nc = nc + C[:, i] * C[:, i]
+    cnorm = np.sqrt(nc)
+
+    def rank_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            D = np.outer(V[:, 0], C[:, 0])
+            nv = V[:, 0] * V[:, 0]
+            for i in range(1, V.shape[1]):
+                D = D + np.outer(V[:, i], C[:, i])
+                nv = nv + V[:, i] * V[:, i]
+            cos = D / (np.sqrt(nv)[:, None] * cnorm[None, :])
+            # top-2 per row by (cos desc, cent_id asc) — lexsort's last key
+            # is primary; float negation is exact
+            order = np.lexsort(
+                (np.broadcast_to(cent_ids, cos.shape), -cos), axis=1
+            )[:, :2]
+            m = len(V)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), 2),
+                    "cent_id": cent_ids[order].reshape(-1),
+                    "crank": np.tile(np.array([1, 2], dtype=np.int32), m),
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        rank_batches, "vec_id long, cent_id long, crank int"
+    )
+
+
 _O_CELL_COS = (
     "(" + _O_DOT_PAIR.format(a="v.embedding", b="c.cemb") + ")"
     " / ((" + _O_NORM.format(a="v.embedding") + ") * (" + _O_NORM.format(a="c.cemb") + "))"
@@ -220,27 +285,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youcruit_tap_rawpostgresql_spark.functions.vectors import cosine_pairs
 
     e = tables(spark, sf_dir)["embeddings"]
-    cent = (
-        e.filter(F.col("vec_id") % 40 == 1)
-        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cemb"))
-    )
-    v = e.select("vec_id", "embedding")
-    # n×K centroid scoring and the candidate scoring both run through the
-    # Arrow-vectorized cosine (bit-exact with the oracle's sequential fold).
-    # Rank WITHOUT the embedding payload — carrying a 64-float array through
-    # the window would shuffle and cache every vector K times; the ≤2 rows
-    # per vector that survive get their embeddings joined back instead.
-    scored = v.join(F.broadcast(cent), how="cross").select(
-        "vec_id",
-        "cent_id",
-        cosine_pairs("embedding", "cemb").alias("ccos"),
-    )
-    cw = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
-    ranked = (
-        scored.withColumn("crank", F.row_number().over(cw))
-        .filter(F.col("crank") <= 2)
-        .cache()
-    )
+    ranked = ivf_rank_cells(spark, sf_dir).cache()
     assign = (
         ranked.filter(F.col("crank") == 1)
         .join(e, "vec_id")

@@ -42,3 +42,49 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         F.sum("pv").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+  CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-replicated skew join, proven result-identical to the plain
+    join: the (conceptually skewed) fact side gets a random-free
+    deterministic salt in [0, N); the dimension side is replicated N ways
+    via explode, and the join key becomes (key, salt) — one hot key's rows
+    spread over N reducers instead of one.
+
+    Scale: the manual fallback when AQE's skew splitting can't help (e.g.
+    a single key larger than any split threshold, or a non-AQE engine
+    path). Replication multiplies the SMALL side by N only. The salt is
+    l_linenumber % N — deterministic, so the oracle (plain join) must
+    agree exactly; correctness does not depend on salt distribution, only
+    balance does."""
+    t = tables(spark, sf_dir)
+    n_salt = _N_SALT
+    l = t["lineitem"].select(
+        "l_orderkey",
+        "l_quantity",
+        (F.col("l_linenumber") % n_salt).alias("salt"),
+    )
+    o_rep = t["orders"].select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt"),
+    )
+    joined = l.join(
+        o_rep,
+        (l.l_orderkey == o_rep.o_orderkey) & (l.salt == o_rep.salt),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_qty"),
+    )
