@@ -122,3 +122,34 @@ def test_range_predicates_partition_the_integers(lower, span, n, value):
     # every possible value (including NULL and far outside the bounds)
     # lands in exactly one partition — no row lost, no row duplicated
     assert len(hits) == 1, (value, hits)
+
+
+@given(_ident, st.from_regex(r"[a-z0-9_]{1,10}", fullmatch=True))
+def test_json_arrow_always_becomes_get_json_object(col, key):
+    out = translate_pg_sql(f"SELECT {col}->>'{key}' AS v")
+    assert out == f"SELECT get_json_object({col}, '$.{key}') AS v"
+    out2 = translate_pg_sql(f"SELECT {col}->'{key}' AS v")
+    assert out2 == out
+
+
+@given(_ident, st.from_regex(r"[a-z0-9^$.*+]{1,8}", fullmatch=True))
+def test_regex_ops_translate_to_rlike(col, pat):
+    assert (
+        translate_pg_sql(f"SELECT {col} ~ '{pat}' AS m")
+        == f"SELECT {col} RLIKE '{pat}' AS m"
+    )
+    assert (
+        translate_pg_sql(f"SELECT {col} !~* '{pat}' AS m")
+        == f"SELECT NOT ({col} RLIKE '(?i){pat}') AS m"
+    )
+
+
+@given(st.from_regex(r"[a-z ,0-9=<>()*]{0,40}", fullmatch=True))
+def test_plain_spark_sql_is_fixed_point(sql):
+    """SQL containing no PG-isms must pass through translation unchanged —
+    the translator never mangles ordinary queries."""
+    s = f"SELECT {sql} FROM t"
+    # exclude accidental PG constructs generated by the regex
+    if re.search(r"::|->|~|\bE'|random|strpos|array_length|unnest|string_agg", s, re.I):
+        return
+    assert translate_pg_sql(s) == s

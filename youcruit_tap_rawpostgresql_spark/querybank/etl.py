@@ -30,6 +30,7 @@ _D2 = "2000-01-01"
 
 @register(
     "cdc_snapshot_diff",
+    headline=True,
     oracle=f"""
 WITH g AS (
   -- DuckDB arg_max lacks composite ordering keys; this fixed-width string
@@ -97,6 +98,7 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scd2_status_history",
+    headline=True,
     oracle="""
 WITH flagged AS (
   SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
@@ -153,6 +155,7 @@ def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "funnel_ordered_steps",
+    headline=True,
     oracle="""
 WITH v AS (
   SELECT user_id, min(ts) AS t1 FROM events

@@ -21,6 +21,7 @@ from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
 
 @register(
     "text_tfidf_topk",
+    headline=True,
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, unnest(t) AS token
