@@ -244,3 +244,62 @@ def test_ivf_partitioned_layout_prunes_cells(spark, sf_dir, tmp_path):
     n_all = spark.read.parquet(layout).count()
     n_probe = probe.count()
     assert 0 < n_probe < n_all
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Write lineitem clustered by Z-order(l_partkey, l_suppkey) vs sorted
+    by l_partkey alone, then check parquet footer statistics: for a query
+    on the SECONDARY dimension (l_suppkey range), the linear layout leaves
+    every file a candidate while the Z-ordered layout's per-file min/max
+    boxes let most files be skipped. This is the layout the scan relies on
+    for multi-dim pruning at scale."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from youcruit_tap_rawpostgresql_spark.operators.layout import write_zordered
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    n_files = 16
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "linear")
+    write_zordered(li, zdir, "l_partkey", "l_suppkey", n_files)
+    (
+        li.repartitionByRange(n_files, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    def overlapping_files(d, lo, hi):
+        hits, total = 0, 0
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            fmin, fmax = None, None
+            for rg in range(md.num_row_groups):
+                for c in range(md.num_columns):
+                    col = md.row_group(rg).column(c)
+                    if col.path_in_schema == "l_suppkey" and col.statistics:
+                        s = col.statistics
+                        fmin = s.min if fmin is None else min(fmin, s.min)
+                        fmax = s.max if fmax is None else max(fmax, s.max)
+            if fmin is not None and not (fmax < lo or fmin > hi):
+                hits += 1
+        return hits, total
+
+    smin, smax = li.agg(F.min("l_suppkey"), F.max("l_suppkey")).first()
+    span = smax - smin
+    lo, hi = smin + span // 5, smin + (2 * span) // 5
+    z_hits, z_total = overlapping_files(zdir, lo, hi)
+    l_hits, l_total = overlapping_files(ldir, lo, hi)
+    assert z_total >= 8 and l_total >= 8
+    # linear-by-partkey layout cannot prune on suppkey at all
+    assert l_hits == l_total
+    # Z-order: most files' suppkey boxes miss the band
+    assert z_hits <= z_total // 2, (z_hits, z_total)

@@ -479,3 +479,56 @@ def pii_mask_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("high")
         .alias("acctbal_band"),
     )
+
+
+@register(
+    "ts_resample_gapfill",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events WHERE user_id < 20 GROUP BY user_id, date_trunc('hour', ts)
+), bounds AS (
+  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+)
+SELECT g.user_id, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+  COALESCE(hourly.n, 0) AS n_events
+FROM grid g LEFT JOIN hourly
+  ON hourly.user_id = g.user_id AND hourly.h = g.h
+""",
+)
+def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap filling: hourly event counts per user
+    with EVERY hour between the user's first and last event present —
+    missing buckets emitted as 0 (the densify step before any rolling
+    window / interpolation; absent rows would silently corrupt moving
+    averages).
+
+    Scale: the hourly pre-aggregate shrinks the fact table before anything
+    else; the grid is sequence+explode over per-key bounds (rows ∝ output,
+    never a calendar cross join) and the left join back is co-partitioned
+    on the same (user, hour) key — two shuffles total, both on
+    already-aggregated data."""
+    e = tables(spark, sf_dir)["events"].filter(F.col("user_id") < 20)
+    hourly = (
+        e.select("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .groupBy("user_id", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    return grid.join(hourly, ["user_id", "h"], "left").select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+    )

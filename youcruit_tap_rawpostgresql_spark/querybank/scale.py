@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from youcruit_tap_rawpostgresql_spark.operators.layout import o_zorder_key, zorder_key
 from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
 
 _N_SALT = 8
@@ -87,4 +88,25 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("decimal(12,2)"))
         .cast("double")
         .alias("total_qty"),
+    )
+
+
+@register(
+    "scalar_zorder_key",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber, {o_zorder_key('l_partkey', 'l_suppkey')} AS zkey
+FROM lineitem WHERE l_orderkey % 100 = 0
+""",
+)
+def scalar_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key computation — the clustering expression behind
+    multi-dimensional layout (operators/layout.py). Pure integer
+    shift/mask arithmetic, bit-identical in any engine; the layout test
+    (tests/test_plans.py) proves the pruning effect of writing in this
+    order."""
+    li = tables(spark, sf_dir)["lineitem"]
+    return li.filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key("l_partkey", "l_suppkey").alias("zkey"),
     )
