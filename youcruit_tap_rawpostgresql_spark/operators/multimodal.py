@@ -150,3 +150,41 @@ def resize_payloads(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "payload").mapInPandas(
         _resize_batches, schema=RESIZED_SCHEMA
     )
+
+
+ENERGY_SCHEMA = "doc_id bigint, frame_idx bigint, energy bigint"
+_ENERGY_FRAME = 32
+
+
+def _energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB AUDIO FEATURE — windowed energy over the raw payload bytes
+    (stride = frame size, tail partial frame dropped), the exact batch
+    shape a real PCM frame-energy / VAD feature extractor would use.
+    Integer byte sums → deterministic in any engine."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, frames, energies = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+            n_frames = len(buf) // _ENERGY_FRAME
+            if n_frames == 0:
+                continue
+            e = (
+                buf[: n_frames * _ENERGY_FRAME]
+                .reshape(-1, _ENERGY_FRAME)
+                .sum(axis=1, dtype=np.int64)
+            )
+            ids.extend([doc_id] * n_frames)
+            frames.extend(range(n_frames))
+            energies.extend(e.tolist())
+        yield pd.DataFrame(
+            {"doc_id": ids, "frame_idx": frames, "energy": energies}
+        )
+
+
+def frame_energy(binary_df: DataFrame) -> DataFrame:
+    """Windowed byte-energy per fixed-size frame via mapInPandas."""
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _energy_batches, schema=ENERGY_SCHEMA
+    )

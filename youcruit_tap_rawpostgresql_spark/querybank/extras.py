@@ -642,3 +642,37 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+), f AS (
+  SELECT doc_id, text,
+    unnest(generate_series(0, CAST(n // 32 AS INTEGER) - 1)) AS frame_idx
+  FROM d WHERE n >= 32
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST(list_sum(list_transform(generate_series(1, 32),
+    i -> ascii(substr(text, frame_idx * 32 + i, 1)))) AS BIGINT) AS energy
+FROM f
+""",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style feature extraction plumbing: windowed energy (sum of
+    byte values per 32-byte frame, stride 32, partial tail dropped) over
+    the opaque binary payload via mapInPandas — the batch shape of a PCM
+    frame-energy/VAD extractor, with integer sums both engines reproduce.
+
+    Scale: payload bytes stream through Arrow batches worker-side (never
+    the driver); features detach from the blob immediately, so downstream
+    shuffles move 16-byte rows, not media."""
+    from youcruit_tap_rawpostgresql_spark.operators.multimodal import (
+        attach_binary_payload,
+        frame_energy,
+    )
+
+    docs = tables(spark, sf_dir)["documents"]
+    return frame_energy(attach_binary_payload(docs))
