@@ -303,3 +303,34 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
     assert l_hits == l_total
     # Z-order: most files' suppkey boxes miss the band
     assert z_hits <= z_total // 2, (z_hits, z_total)
+
+
+def test_registry_global_plan_hygiene(spark):
+    """Global scale guard over EVERY registered query: no accidental
+    cartesian products anywhere, and no row-at-a-time Python evaluation
+    (BatchEvalPython) outside the one deliberate UDTF API demo — Arrow
+    paths (ArrowEvalPython / MapInPandas) are the only sanctioned Python
+    boundaries. Catches a regression in any future query the moment it
+    plans, without executing anything."""
+    sf = "/root/testdata/sf0.001"
+    # streaming cases execute eagerly in fn(); plan hygiene for them is
+    # covered by their own tests
+    skip = {
+        "stream_windowed_agg",
+        "stream_session_window",
+        "stream_stateful_sessionize",
+        "stream_dedup_watermark",
+        "stream_stream_join",
+        "stream_upsert_latest",
+    }
+    row_python_allowed = {"udtf_long_tokens"}  # documented API-surface demo
+    offenders = []
+    for name, case in REGISTRY.items():
+        if name in skip:
+            continue
+        p = plan_of(case.fn(spark, sf), "simple")
+        if "CartesianProduct" in p:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in p and name not in row_python_allowed:
+            offenders.append((name, "BatchEvalPython"))
+    assert not offenders, offenders
