@@ -7,6 +7,8 @@ NOT delegated to PostgreSQL) end-to-end through the driver's oracle gate.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -236,4 +238,60 @@ def tap_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     return spark.createDataFrame(
         rows, "stream_id string, column_name string, json_type string, nullable boolean, is_key boolean"
+    )
+
+
+@register(
+    "tap_batch_export_roundtrip",
+    headline=True,
+    oracle="""
+SELECT COUNT(*) AS n_records,
+  COUNT(DISTINCT l_orderkey) AS n_orders,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+""",
+)
+def tap_batch_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core job, measured end-to-end: export lineitem as
+    rotated gzip-JSONL batch files (reference S5/S6, `client.py:185-245`),
+    then RE-READ the produced files and aggregate — the oracle computes
+    the same aggregate from the parquet source, so a record lost, duplicated,
+    or corrupted anywhere in the write→manifest→read cycle fails the hash.
+
+    Scale: the export is a straight parallel write (each task rotates at
+    batch_size); no coalesce, no driver involvement — throughput is the
+    gzip+JSON encode rate times task parallelism."""
+    import tempfile
+    import uuid as _uuid
+
+    from youcruit_tap_rawpostgresql_spark.sink import write_batch_files
+    from youcruit_tap_rawpostgresql_spark.spec import (
+        BatchSinkConfig,
+        ColumnSpec,
+        StreamSpec,
+    )
+
+    li = tables(spark, sf_dir)["lineitem"]
+    out_root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_export", _uuid.uuid4().hex[:12]
+    )
+    os.makedirs(out_root, exist_ok=True)
+    spec = StreamSpec(
+        name="lineitem_export",
+        sql="SELECT * FROM lineitem",
+        columns=[ColumnSpec("l_orderkey", "int8"), ColumnSpec("l_quantity", "float8")],
+    )
+    manifests = write_batch_files(
+        li.select("l_orderkey", "l_quantity"),
+        spec,
+        BatchSinkConfig(root=out_root, batch_size=100_000),
+    )
+    paths = [f.replace("file://", "") for m in manifests for f in m.files]
+    back = spark.read.json(paths)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_qty"),
     )
