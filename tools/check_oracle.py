@@ -3,7 +3,11 @@ registry at a given SF via Spark AND its DuckDB oracle, compare row count,
 column names, and values (order-insensitive; exact where our determinism
 engineering applies, with a float report otherwise).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` mirrors the driver exactly: a stock SparkSession with no
+engine tuning (default shuffle partitions, broadcast threshold, no UTC
+pin) — catches any correctness dependence on our session configs.
 """
 
 from __future__ import annotations
@@ -18,29 +22,44 @@ import duckdb
 def normalize(df):  # pandas DataFrame → sorted-by-all-columns records
     cols = sorted(df.columns)
     df = df[cols]
+    def norm_val(v):
+        # sequence columns: numpy arrays (DuckDB / Arrow) and Python lists
+        # (non-Arrow toPandas) must normalize identically, element-wise
+        if hasattr(v, "tolist") and not hasattr(v, "split"):
+            v = v.tolist()
+        if isinstance(v, (list, tuple)):
+            return ("a", tuple(norm_val(x) for x in v))
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return ("<null>",)
+        if isinstance(v, float):
+            return ("f", repr(v))
+        return ("v", str(v))
+
     recs = []
     for row in df.itertuples(index=False):
-        rec = []
-        for v in row:
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                rec.append(("<null>",))
-            elif isinstance(v, float):
-                rec.append(("f", repr(v)))
-            else:
-                rec.append(("v", str(v)))
-        recs.append(tuple(rec))
+        recs.append(tuple(norm_val(v) for v in row))
     recs.sort()
     return cols, recs
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from youcruit_tap_rawpostgresql_spark.querybank import REGISTRY
-    from youcruit_tap_rawpostgresql_spark.session import get_session
 
-    spark = get_session(app_name="oracle-check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from youcruit_tap_rawpostgresql_spark.session import get_session
+
+        spark = get_session(app_name="oracle-check")
 
     con = duckdb.connect()
     for t in (

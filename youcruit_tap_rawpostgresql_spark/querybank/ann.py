@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from youcruit_tap_rawpostgresql_spark.functions.vectors import dot, norm
+from youcruit_tap_rawpostgresql_spark.functions.vectors import cosine_pairs, dot
 from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
 
 _N_PLANES = 6
@@ -122,7 +122,6 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "embedding",
             _spark_sig().alias("sig"),
-            norm("embedding").alias("nrm"),
         )
         .cache()
     )
@@ -130,11 +129,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         "sig",
-        F.col("nrm").alias("q_nrm"),
     )
-    # JVM fold cosine, not cosine_pairs: LSH prunes candidates to a tiny
-    # set by construction, so the Arrow round-trip would cost more than it
-    # saves (norms are precomputed once per vector, same IEEE op order).
+    # cosine_pairs (Arrow/numpy) for candidate scoring: buckets average
+    # n/2^b vectors, so candidate pairs are |Q|·n/2^b — a per-PAIR hot loop
+    # where the interpreted higher-order-function fold costs ~4× the whole
+    # Arrow round-trip (measured at sf0.1: 17s fold vs 4s vectorized). The
+    # numpy kernel runs the identical IEEE op sequence as the oracle fold.
     # No broadcast hint: the query side is a fixed FRACTION of the corpus
     # (1 in 25), so it grows with the data — a shuffle join on sig stays
     # bounded per-bucket while a broadcast would not survive a scale-up.
@@ -145,7 +145,6 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("embedding").alias("n_emb"),
                 F.col("sig").alias("n_sig"),
-                F.col("nrm").alias("n_nrm"),
             ),
             (F.col("sig") == F.col("n_sig"))
             & (F.col("query_id") != F.col("neighbor_id")),
@@ -153,7 +152,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (dot("q_emb", "n_emb") / (F.col("q_nrm") * F.col("n_nrm"))).alias("cos"),
+            cosine_pairs("q_emb", "n_emb").alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -332,8 +331,11 @@ WITH mx AS (
 )
 SELECT vec_id,
   CAST(max_abs AS DOUBLE) AS scale_max_abs,
-  list_transform(embedding,
-    x -> CAST(floor((CAST(x AS DOUBLE) / max_abs) * 127.0) AS INTEGER)) AS q
+  -- canonical CSV form: numeric-array columns stringify differently across
+  -- client libraries (numpy vs list repr), so the comparable value is a
+  -- string both engines render identically
+  array_to_string(list_transform(embedding,
+    x -> CAST(floor((CAST(x AS DOUBLE) / max_abs) * 127.0) AS INTEGER)), ',') AS q_csv
 FROM mx
 WHERE vec_id % 50 = 0
 """,
@@ -358,11 +360,14 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             max_abs.cast("double").alias("scale_max_abs"),
-            F.transform(
-                "embedding",
-                lambda x: F.floor((x.cast("double") / max_abs) * F.lit(127.0)).cast(
-                    "int"
+            F.array_join(
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor((x.cast("double") / max_abs) * F.lit(127.0))
+                    .cast("int")
+                    .cast("string"),
                 ),
-            ).alias("q"),
+                ",",
+            ).alias("q_csv"),
         )
     )

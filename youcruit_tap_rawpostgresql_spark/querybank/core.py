@@ -466,17 +466,23 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_anti",
+    # every customer has SOME order in the fixture, so the unrestricted
+    # anti-join is always empty (vacuous) — anti-join against the URGENT
+    # subset so the result is a real non-empty complement
     oracle="""
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join = NOT EXISTS (customers who never ordered)."""
+    """LEFT ANTI join = NOT EXISTS (customers with no URGENT order)."""
     t = tables(spark, sf_dir)
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         t["customer"]
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     )
 
@@ -651,10 +657,13 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "set_except",
+    # supplier covers every nation, so an unfiltered difference is always
+    # empty (a vacuous check) — restrict the right side so the result is a
+    # real non-empty set difference
     oracle="""
 SELECT c_nationkey AS nationkey FROM customer
 EXCEPT
-SELECT s_nationkey AS nationkey FROM supplier
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_nationkey < 13
 """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -662,7 +671,11 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["customer"]
         .select(F.col("c_nationkey").alias("nationkey"))
-        .subtract(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+        .subtract(
+            t["supplier"]
+            .filter(F.col("s_nationkey") < 13)
+            .select(F.col("s_nationkey").alias("nationkey"))
+        )
     )
 
 
