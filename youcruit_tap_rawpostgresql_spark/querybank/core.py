@@ -679,6 +679,43 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "set_intersect_all",
+    # multiplicity-preserving intersection: quantity value q appears
+    # min(#R, #A) times — ~19k rows on the fixture, so bag semantics (not
+    # set semantics) are genuinely exercised
+    oracle="""
+SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'R'
+INTERSECT ALL
+SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'A'
+""",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag intersection, SURVEY §2.7): Spark plans this as a
+    single hash aggregate per side + count-min join — no row explosion."""
+    t = tables(spark, sf_dir)["lineitem"]
+    r = t.filter(F.col("l_returnflag") == "R").select(F.col("l_quantity").alias("qty"))
+    a = t.filter(F.col("l_returnflag") == "A").select(F.col("l_quantity").alias("qty"))
+    return r.intersectAll(a)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'R'
+EXCEPT ALL
+SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'A'
+""",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference, SURVEY §2.7): multiplicity #R − #A per
+    value, positive part — 618 surviving rows on the fixture."""
+    t = tables(spark, sf_dir)["lineitem"]
+    r = t.filter(F.col("l_returnflag") == "R").select(F.col("l_quantity").alias("qty"))
+    a = t.filter(F.col("l_returnflag") == "A").select(F.col("l_quantity").alias("qty"))
+    return r.exceptAll(a)
+
+
 # ---------------------------------------------------------------------------
 # Projections / filters (reference's own observable surface)
 # ---------------------------------------------------------------------------

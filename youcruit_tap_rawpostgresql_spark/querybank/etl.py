@@ -239,3 +239,46 @@ def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         iso_ts(F.col("s.t2"), "click_ts"),
         iso_ts(F.col("s.t3"), "purchase_ts"),
     )
+
+
+@register(
+    "cohort_retention",
+    # week arithmetic stays integral: both engines truncate to Monday and
+    # the day-diff between two week-truncs is an exact multiple of 7
+    oracle="""
+WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id)
+SELECT strftime(date_trunc('week', f.first_ts), '%Y-%m-%d') AS cohort_week,
+  CAST(date_diff('day', date_trunc('week', f.first_ts),
+                 date_trunc('week', e.ts)) // 7 AS BIGINT) AS week_offset,
+  COUNT(DISTINCT e.user_id) AS active_users
+FROM events e JOIN f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week, then
+    distinct active users per (cohort, weeks-since-cohort) cell — the
+    standard product-analytics rollup over the reference's event stream.
+
+    Scale: the first-activity agg and the events join both hash on
+    user_id, so they share one partitioning (no extra shuffle between
+    them); the final (cohort, offset) agg has ~weeks² groups — tiny. The
+    distinct-count shuffles (user_id, cell) pairs, already deduped
+    map-side by the partial aggregate."""
+    e = tables(spark, sf_dir)["events"]
+    first = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    return (
+        e.join(first, "user_id")
+        .select(
+            F.date_format(F.date_trunc("week", F.col("first_ts")), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            F.expr(
+                "cast(datediff(date_trunc('week', ts),"
+                " date_trunc('week', first_ts)) div 7 as bigint)"
+            ).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

@@ -532,3 +532,114 @@ def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         F.coalesce("n", F.lit(0)).alias("n_events"),
     )
+
+
+@register(
+    "hist_width_bucket",
+    # all arithmetic integral: exact cents via DECIMAL(12,2)*100, then
+    # integer division by the 500.00-wide bucket (1 bucket = 50000 cents).
+    # Equivalent to width_bucket(c_acctbal, -1000, 10000, 22) - 1 for
+    # in-range values, with no float division anywhere
+    oracle="""
+SELECT
+  (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000) // 50000
+    AS bucket,
+  COUNT(*) AS n,
+  MIN(c_acctbal) AS min_bal,
+  MAX(c_acctbal) AS max_bal
+FROM customer
+GROUP BY 1
+""",
+)
+def hist_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of customer balances (22 buckets of 500.00 over
+    [-1000, 10000)) — the profiling primitive behind range-partition sizing
+    and skew detection.
+
+    Scale: one scan reading a single column, partial-aggregated map-side
+    to ≤22 groups — the shuffle is 22 rows regardless of input size."""
+    c = tables(spark, sf_dir)["customer"]
+    bucket = F.expr(
+        "(cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint) + 100000)"
+        " div 50000"
+    ).alias("bucket")
+    return (
+        c.select(bucket, "c_acctbal")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
+@register(
+    "pack_greedy_capacity",
+    # the oracle replays the same greedy state machine as a per-source
+    # recursive CTE stepping rank->rank+1; all state (fill, seq_id) is
+    # integral, so the two engines cannot drift
+    oracle="""
+WITH RECURSIVE ranked AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+  FROM documents
+), r AS (
+  SELECT doc_id, source, n_tokens, rnk,
+    n_tokens AS fill, CAST(0 AS BIGINT) AS seq_id
+  FROM ranked WHERE rnk = 1
+  UNION ALL
+  SELECT x.doc_id, x.source, x.n_tokens, x.rnk,
+    CASE WHEN r.fill + x.n_tokens > 128 THEN x.n_tokens
+         ELSE r.fill + x.n_tokens END,
+    CASE WHEN r.fill + x.n_tokens > 128 THEN r.seq_id + 1 ELSE r.seq_id END
+  FROM r JOIN ranked x ON x.source = r.source AND x.rnk = r.rnk + 1
+)
+SELECT doc_id, source, n_tokens, seq_id FROM r
+""",
+)
+def pack_greedy_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context-window packing (training-sequence assembly): within
+    each source, documents in doc_id order fill a 128-token sequence; a doc
+    that would overflow starts the next sequence. Unlike chunking
+    (text_chunk_windows) documents are never split, so the assignment is an
+    inherently sequential per-group fold — applyInPandas territory, not a
+    window expression (the bin id depends on every prior decision).
+
+    Scale: one shuffle on the group key; each group is a single in-memory
+    pandas pass. Groups (sources/shards) parallelize across executors —
+    state never crosses a group boundary, so 100 TB packs as wide as the
+    source count. The oracle's recursive CTE is the sequential-semantics
+    proof, not the scale path."""
+    from pyspark.sql import types as T
+
+    docs = tables(spark, sf_dir)["documents"]
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    out = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("seq_id", T.LongType()),
+        ]
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq, fill, cur = [], 0, 0
+        for tok in pdf["n_tokens"]:
+            if fill > 0 and fill + tok > 128:
+                cur += 1
+                fill = tok
+            else:
+                fill += tok
+            seq.append(cur)
+        pdf["seq_id"] = seq
+        return pdf[["doc_id", "source", "n_tokens", "seq_id"]]
+
+    return base.groupBy("source").applyInPandas(pack, out)

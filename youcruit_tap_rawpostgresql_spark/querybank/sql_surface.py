@@ -120,3 +120,43 @@ def pg_dialect_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM events WHERE event_type ~ '^(c|v)' AND event_id % 10 = 0",
         pg_dialect=True,
     )
+
+
+@register(
+    "recursive_cte_chain",
+    # same SQL modulo the integer-division spelling (DuckDB `//`,
+    # Spark `div`) — both recurse until the halving chain reaches 1
+    oracle="""
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS start_key, c_custkey AS cur, CAST(0 AS BIGINT) AS depth
+  FROM customer WHERE c_custkey <= 200
+  UNION ALL
+  SELECT start_key, cur // 2, depth + 1 FROM chain WHERE cur > 1
+)
+SELECT start_key, MAX(depth) AS halving_depth, COUNT(*) AS chain_len
+FROM chain GROUP BY start_key
+""",
+)
+def recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (PG-delegated surface the reference accepts verbatim,
+    tap.py:81-85): per-key halving chain until 1 — a data-dependent
+    iteration count no static UNION can express. Spark 4 plans this as a
+    UnionLoop with per-step reuse.
+
+    Scale: each step is a map-only projection of the previous step's
+    (shrinking) frontier; the single shuffle is the final groupBy. Recursion
+    depth is log2(max key) regardless of row count, so the loop count stays
+    ~40 even at 100 TB key ranges."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS start_key, c_custkey AS cur, CAST(0 AS BIGINT) AS depth
+          FROM customer WHERE c_custkey <= 200
+          UNION ALL
+          SELECT start_key, cur div 2, depth + 1 FROM chain WHERE cur > 1
+        )
+        SELECT start_key, MAX(depth) AS halving_depth, COUNT(*) AS chain_len
+        FROM chain GROUP BY start_key
+        """
+    )
