@@ -25,3 +25,4 @@ from youcruit_tap_rawpostgresql_spark.querybank import scale  # noqa: F401,E402
 from youcruit_tap_rawpostgresql_spark.querybank import sql_surface  # noqa: F401,E402
 from youcruit_tap_rawpostgresql_spark.querybank import etl  # noqa: F401,E402
 from youcruit_tap_rawpostgresql_spark.querybank import text_stats  # noqa: F401,E402
+from youcruit_tap_rawpostgresql_spark.querybank import graph  # noqa: F401,E402

@@ -189,3 +189,66 @@ def text_zipf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c").alias("min_count"),
         F.max("c").alias("max_count"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    # the per-doc sum folds log-probs in POSITION order on both engines
+    # (array fold vs list(… ORDER BY pos) + list_reduce), so the only
+    # cross-engine difference is the last ulp of ln itself — absorbed by
+    # the 6dp output rounding, never amplified by reordering
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, {O_TOKS} AS t FROM documents
+), tokp AS (
+  SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t FROM docs
+), tok AS (
+  SELECT doc_id, pos, t[pos] AS token FROM tokp
+), vocab AS (
+  SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+), tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok
+), lp AS (
+  SELECT token, ln((SELECT total FROM tot) / c) AS lp FROM vocab
+), per AS (
+  SELECT t.doc_id, list(l.lp ORDER BY t.pos) AS lps
+  FROM tok t JOIN lp l ON t.token = l.token
+  GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_tokens,
+  ROUND(list_reduce(lps, (x, y) -> x + y) / len(lps), 6) AS avg_neg_logp
+FROM per
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-model quality score: average per-token negative log-probability
+    under the corpus's own unigram LM (the cheap stand-in for the
+    perplexity-filter stage of a training-data pipeline — low avg ⇒
+    stereotyped text, high avg ⇒ rare-token soup).
+
+    Scale: the unigram model derives from ONE (token) aggregate of the
+    exploded corpus and is vocabulary-sized, so it broadcasts back onto the
+    token stream; the per-doc re-collect shuffles (doc_id, pos, lp) once.
+    The fold itself is a per-row array aggregate — no driver involvement."""
+    d = tables(spark, sf_dir)["documents"]
+    tok = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = float(tok.count())
+    lp = vocab.select(
+        "token", F.log(F.lit(total) / F.col("c")).alias("lp")
+    )
+    per = (
+        tok.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "lp"))).alias("arr"))
+    )
+    folded = F.aggregate(
+        F.transform("arr", lambda x: x["lp"]), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return per.select(
+        "doc_id",
+        F.size("arr").cast("bigint").alias("n_tokens"),
+        F.round(folded / F.size("arr"), 6).alias("avg_neg_logp"),
+    )
