@@ -145,3 +145,77 @@ def test_pii_mask_irreversible_handle(run):
     for r in rows[:50]:
         assert len(r["name_hash"]) == 64
         assert not any(ch.isdigit() for ch in r["name_redacted"])
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: packing, cohort, histogram, PageRank, recursion
+# ---------------------------------------------------------------------------
+
+
+def test_pack_greedy_respects_capacity(run):
+    """No sequence exceeds 128 tokens unless it is a single oversized doc,
+    and seq ids are dense from 0 within each source."""
+    rows = run("pack_greedy_capacity").collect()
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault((r.source, r.seq_id), []).append(r.n_tokens)
+    for (src, seq), toks in by_seq.items():
+        assert sum(toks) <= 128 or len(toks) == 1, (src, seq, toks)
+    for src in {r.source for r in rows}:
+        seqs = sorted({r.seq_id for r in rows if r.source == src})
+        assert seqs == list(range(len(seqs))), (src, seqs)
+
+
+def test_pack_greedy_single_shuffle(run):
+    p = plan_of(run("pack_greedy_capacity"), "simple")
+    assert p.count("Exchange") == 1, p
+
+
+def test_pagerank_bounds_and_conservation(run):
+    """Every rank is >= the teleport base; sources with no in-edges sit at
+    exactly the base; ranks vary (the graph is not symmetric)."""
+    rows = {r.nationkey: r.rank_ppm for r in run("graph_pagerank_trade").collect()}
+    assert len(rows) == 25
+    assert all(r >= 150_000 for r in rows.values())
+    assert len(set(rows.values())) > 5  # non-degenerate spread
+
+
+def test_pagerank_deterministic_rerun(run):
+    a = sorted(map(tuple, run("graph_pagerank_trade").collect()))
+    b = sorted(map(tuple, run("graph_pagerank_trade").collect()))
+    assert a == b
+
+
+def test_cohort_retention_offsets_start_at_zero(run):
+    """Every cohort has a week-0 cell (the cohort's own first week) and no
+    negative offsets; week-0 actives >= any later week (monotone shrink is
+    not guaranteed, but offset-0 contains every cohort member)."""
+    rows = run("cohort_retention").collect()
+    by_cohort = {}
+    for r in rows:
+        assert r.week_offset >= 0
+        by_cohort.setdefault(r.cohort_week, {})[r.week_offset] = r.active_users
+    for cohort, cells in by_cohort.items():
+        assert 0 in cells, cohort
+        assert cells[0] == max(cells.values()), (cohort, cells)
+
+
+def test_histogram_covers_all_rows(run, spark, sf_dir):
+    rows = run("hist_width_bucket").collect()
+    total = sum(r.n for r in rows)
+    n_customers = REGISTRY["hist_width_bucket"].fn(spark, sf_dir).sparkSession.table(
+        "customer"
+    ).count()
+    assert total == n_customers
+    for r in rows:
+        assert 0 <= r.bucket <= 21
+        assert r.min_bal >= -1000.0 + 500.0 * r.bucket - 1e-9
+        assert r.max_bal < -1000.0 + 500.0 * (r.bucket + 1) + 1e-9
+
+
+def test_recursive_cte_depth_is_floor_log2(run):
+    """halving_depth(k) == floor(log2(k)) for k >= 1 (0 for k == 0/1)."""
+    rows = {r.start_key: r.halving_depth for r in run("recursive_cte_chain").collect()}
+    for k, depth in rows.items():
+        expect = 0 if k <= 1 else k.bit_length() - 1
+        assert depth == expect, (k, depth, expect)

@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 
 from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
 
-_MIN_W = 120  # edge weight floor: keeps out-degrees varied (1..12 at sf0.01)
+# edge weight floor = |lineitem| / _W_FRAC: scale-relative so the graph has
+# the same selectivity (varied out-degrees, 1..12 at sf0.01) at every SF —
+# a fixed absolute floor degenerates to the empty graph at smaller scales
+_W_FRAC = 500
 _ITERS = 3
 _ONE = 1_000_000  # rank unit: parts-per-million
 _DAMP = 850_000  # 0.85 damping in ppm
@@ -54,7 +57,7 @@ WITH e AS (
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   WHERE c.c_nationkey <> s.s_nationkey
   GROUP BY 1, 2
-  HAVING COUNT(*) >= {_MIN_W}
+  HAVING COUNT(*) >= (SELECT COUNT(*) FROM lineitem) // {_W_FRAC}
 ), deg AS (
   SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
 ), i0 AS (
@@ -66,7 +69,8 @@ SELECT node AS nationkey, r AS rank_ppm FROM i{_ITERS}
 def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 iterations, damping 0.85) over the nation-level trade
     graph: an edge cust_nation → supp_nation exists where that lane carries
-    ≥ {_MIN_W} lineitems. Ranks are BIGINT parts-per-million; every step is
+    ≥ |lineitem|/500 lineitems. Ranks are BIGINT parts-per-million; every
+    step is
     integer arithmetic, so the DataFrame loop and the oracle's unrolled
     CTE chain agree bit-for-bit at every iteration.
 
@@ -80,6 +84,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     li, o = t["lineitem"], t["orders"]
     c, s, n = t["customer"], t["supplier"], t["nation"]
+    min_w = li.count() // _W_FRAC
     e = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
@@ -89,7 +94,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
         .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= _MIN_W)
+        .filter(F.col("w") >= F.lit(min_w))
         .select("src", "dst")
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
