@@ -132,3 +132,36 @@ def test_parameterized_numeric_rename():
         translate_pg_sql("SELECT amount::numeric(12,2) AS a")
         == "SELECT CAST(amount AS decimal(12,2)) AS a"
     )
+
+
+def test_json_path_operators():
+    assert (
+        translate_pg_sql("SELECT props #>> '{a,b}' FROM e")
+        == "SELECT get_json_object(props, '$.a.b') FROM e"
+    )
+    assert (
+        translate_pg_sql("SELECT props #> '{k}' FROM e")
+        == "SELECT get_json_object(props, '$.k') FROM e"
+    )
+
+
+def test_to_char_token_mapping():
+    assert (
+        translate_pg_sql("SELECT to_char(ts, 'YYYY-MM-DD HH24:MI:SS') FROM e")
+        == "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss') FROM e"
+    )
+    # unknown tokens pass through; HH12 maps independently of HH24
+    assert (
+        translate_pg_sql("SELECT to_char(ts, 'DD/HH12') FROM e")
+        == "SELECT date_format(ts, 'dd/hh') FROM e"
+    )
+
+
+def test_substring_regex_form():
+    assert (
+        translate_pg_sql("SELECT substring(name FROM '[0-9]+') FROM t")
+        == "SELECT regexp_extract(name, '[0-9]+', 0) FROM t"
+    )
+    # numeric FROM/FOR is native Spark syntax — must pass through untouched
+    sql = "SELECT substring(name FROM 2 FOR 3) FROM t"
+    assert translate_pg_sql(sql) == sql

@@ -15,7 +15,15 @@ on Spark needs a thin dialect layer (SURVEY.md §4 deltas):
 - ``unnest(arr)`` → ``explode(arr)``
 - named parameters ``:name`` → safely quoted literals
 
-``ilike`` needs no translation (native since Spark 3.3). Two PG deltas are
+Also translated: ``->``/``->>`` and the path forms ``#>``/``#>>`` (→
+``get_json_object``), ``~``/``~*``/``!~``/``!~*`` (→ RLIKE),
+``EXTRACT(EPOCH)``, ``array_length(a, 1)``, ``strpos``, ``random()``,
+``E'...'`` literals, ``to_char(ts, 'YYYY…')`` (PG format tokens → JDK
+patterns), and ``substring(x FROM 'regex')`` (→ ``regexp_extract``).
+
+No translation needed (native Spark syntax): ``ilike`` (3.3+),
+``position(x IN y)``, ``substring(x FROM n FOR l)``, ``split_part``,
+``left``/``right``, ``date_part``. Two PG deltas are
 intentionally NOT auto-rewritten because they need type/context analysis a
 regex cannot do safely: integer ``/`` (PG truncates, Spark is fractional —
 write ``div`` explicitly) and default NULL sort order (PG: NULLS LAST on
@@ -195,10 +203,60 @@ _ARRAY_LENGTH_RE = re.compile(
 # native in Spark
 _EPOCH_RE = re.compile(r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\s+([^()]+)\)", re.IGNORECASE)
 
+# col #>> '{a,b}' / col #> '{a,b}' → get_json_object(col, '$.a.b')
+# (path-array form of -> / ->>; this engine models json as string, so both
+# collapse to text extraction like ->/->> do)
+_JSON_PATH_RE = re.compile(_JSON_OPERAND + r"\s*#>>?\s*'\{([^{}']*)\}'")
+
+# to_char(expr, 'fmt'): PG format tokens → Spark/JDK date_format patterns.
+# Longest-first so HH24 wins over HH; unknown tokens pass through verbatim.
+_TO_CHAR_RE = re.compile(
+    r"\bto_char\s*\(([^(),]+),\s*'((?:[^']|'')*)'\s*\)", re.IGNORECASE
+)
+_TO_CHAR_TOKENS = [
+    ("YYYY", "yyyy"),
+    ("HH24", "HH"),
+    ("HH12", "hh"),
+    ("MS", "SSS"),
+    ("YY", "yy"),
+    ("DD", "dd"),
+    ("MI", "mm"),
+    ("SS", "ss"),
+    ("MM", "MM"),
+]
+_TO_CHAR_TOKEN_RE = re.compile(
+    "|".join(tok for tok, _ in sorted(_TO_CHAR_TOKENS, key=lambda t: -len(t[0])))
+)
+
+# substring(x FROM 'pattern'): PG's regex form (returns the first match).
+# The numeric FROM n [FOR l] form is native Spark syntax and passes through.
+_SUBSTRING_REGEX_RE = re.compile(
+    r"\bsubstring\s*\(\s*([^()]+?)\s+FROM\s+(" + _STR_LIT + r")\s*\)",
+    re.IGNORECASE,
+)
+
 
 def _translate_operators(sql: str) -> str:
+    # path-array form first: its quoted operand would otherwise half-match
+    # the single-key -> rule
+    def path_repl(m: re.Match) -> str:
+        keys = [k.strip() for k in m.group(2).split(",") if k.strip()]
+        return f"get_json_object({m.group(1)}, '$.{'.'.join(keys)}')"
+
+    sql = _JSON_PATH_RE.sub(path_repl, sql)
     sql = _JSON_EXTRACT_RE.sub(
         lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')", sql
+    )
+
+    def to_char_repl(m: re.Match) -> str:
+        fmt = _TO_CHAR_TOKEN_RE.sub(
+            lambda t: dict(_TO_CHAR_TOKENS)[t.group(0)], m.group(2)
+        )
+        return f"date_format({m.group(1).strip()}, '{fmt}')"
+
+    sql = _TO_CHAR_RE.sub(to_char_repl, sql)
+    sql = _SUBSTRING_REGEX_RE.sub(
+        lambda m: f"regexp_extract({m.group(1).strip()}, {m.group(2)}, 0)", sql
     )
 
     def regex_repl(m: re.Match) -> str:

@@ -160,3 +160,37 @@ def recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM chain GROUP BY start_key
         """
     )
+
+
+@register(
+    "pg_dialect_strings",
+    oracle="""
+SELECT event_id,
+  strftime(ts, '%Y-%m-%d %H:%M') AS ts_fmt,
+  json_extract_string(props, '$.k') AS k_text,
+  regexp_extract(event_type, '^[a-z]+', 0) AS word,
+  CAST(position('i' IN event_type) AS BIGINT) AS i_pos
+FROM events WHERE event_id % 20 = 0
+""",
+)
+def pg_dialect_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second PG-dialect end-to-end surface: to_char format-token mapping,
+    #>> json path extraction, regex-form substring, and SQL-standard
+    position(IN) (native Spark syntax) plus an ::int8 cast — the string-
+    formatting SQL a reference user's config would carry verbatim.
+
+    All translated expressions stay JVM-side columnar projections; the
+    modulo filter is pushed to the scan."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    tables(spark, sf_dir)
+    return run_sql(
+        spark,
+        "SELECT event_id, "
+        "to_char(ts, 'YYYY-MM-DD HH24:MI') AS ts_fmt, "
+        "props #>> '{k}' AS k_text, "
+        "substring(event_type FROM '^[a-z]+') AS word, "
+        "position('i' IN event_type)::int8 AS i_pos "
+        "FROM events WHERE event_id % 20 = 0",
+        pg_dialect=True,
+    )
