@@ -219,3 +219,13 @@ def test_recursive_cte_depth_is_floor_log2(run):
     for k, depth in rows.items():
         expect = 0 if k <= 1 else k.bit_length() - 1
         assert depth == expect, (k, depth, expect)
+
+
+def test_cohort_single_scan_single_user_shuffle(run):
+    """The window formulation reads events once and shuffles on user_id
+    once — no broadcast of a user-sized aggregate (which would not survive
+    a billion-user scale-up)."""
+    p = plan_of(run("cohort_retention"), "simple")
+    assert p.count("FileScan") == 1, p
+    assert "BroadcastExchange" not in p, p
+    assert p.count("Exchange") == 2, p  # user_id window + final cell agg

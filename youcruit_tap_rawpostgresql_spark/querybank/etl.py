@@ -260,15 +260,16 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct active users per (cohort, weeks-since-cohort) cell — the
     standard product-analytics rollup over the reference's event stream.
 
-    Scale: the first-activity agg and the events join both hash on
-    user_id, so they share one partitioning (no extra shuffle between
-    them); the final (cohort, offset) agg has ~weeks² groups — tiny. The
-    distinct-count shuffles (user_id, cell) pairs, already deduped
-    map-side by the partial aggregate."""
+    Scale: first_ts is a whole-partition window min — ONE scan of events
+    and ONE user_id shuffle, with no user-sized aggregate to broadcast (a
+    groupBy+join formulation either broadcasts one-row-per-user — which
+    dies at billions of users — or shuffles events twice). The final
+    (cohort, offset) cells are ~weeks² groups; the distinct-count is
+    deduped map-side by the partial aggregate."""
     e = tables(spark, sf_dir)["events"]
-    first = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    w = W.partitionBy("user_id")
     return (
-        e.join(first, "user_id")
+        e.select("user_id", "ts", F.min("ts").over(w).alias("first_ts"))
         .select(
             F.date_format(F.date_trunc("week", F.col("first_ts")), "yyyy-MM-dd").alias(
                 "cohort_week"
