@@ -334,3 +334,19 @@ def test_registry_global_plan_hygiene(spark):
         if "BatchEvalPython" in p and name not in row_python_allowed:
             offenders.append((name, "BatchEvalPython"))
     assert not offenders, offenders
+
+
+def test_shuffle_hash_hint_honored(spark):
+    """SHUFFLE_HASH hint: for a mid-size build side that outgrows the
+    broadcast threshold, hash join avoids the sort-merge sort of BOTH
+    sides — the knob used when a dimension is too big to broadcast but
+    small enough to hash per-partition at 100 TB."""
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    df = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    p = plan_of(df, "simple")
+    assert "ShuffledHashJoin" in p, p
+    df2 = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    p2 = plan_of(df2, "simple")
+    assert "SortMergeJoin" in p2, p2

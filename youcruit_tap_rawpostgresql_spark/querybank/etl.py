@@ -243,6 +243,7 @@ def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cohort_retention",
+    headline=True,
     # week arithmetic stays integral: both engines truncate to Monday and
     # the day-diff between two week-truncs is an exact multiple of 7
     oracle="""

@@ -48,6 +48,7 @@ def _o_iter(prev: str, idx: int) -> str:
 
 @register(
     "graph_pagerank_trade",
+    headline=True,
     oracle=f"""
 WITH e AS (
   SELECT c.c_nationkey AS src, s.s_nationkey AS dst

@@ -576,6 +576,7 @@ def hist_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pack_greedy_capacity",
+    headline=True,
     # the oracle replays the same greedy state machine as a per-source
     # recursive CTE stepping rank->rank+1; all state (fill, seq_id) is
     # integral, so the two engines cannot drift
@@ -643,3 +644,62 @@ def pack_greedy_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pdf[["doc_id", "source", "n_tokens", "seq_id"]]
 
     return base.groupBy("source").applyInPandas(pack, out)
+
+
+@register(
+    "sample_mixture_epochs",
+    # per-source epoch factor w ∈ {0.5, 1.0, 1.5, 2.0} from a portable hash
+    # of the source name; a doc appears ceil/floor(w) times: floor(w) full
+    # copies plus one extra copy for the hash-selected fraction — integer
+    # logic end-to-end, so both engines emit the identical multiset
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source,
+    (CAST('0x' || substr(md5(source), 1, 15) AS BIGINT) % 4) AS wq,
+    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':frac'), 1, 15)
+      AS BIGINT) % 2) AS pick
+  FROM documents
+), n AS (
+  SELECT doc_id, source,
+    ((wq + 1) // 2) + CASE WHEN wq % 2 = 0 AND pick = 0 THEN 1 ELSE 0 END
+      AS n_copies
+  FROM w
+)
+SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS BIGINT)
+  AS epoch
+FROM n WHERE n_copies > 0
+""",
+)
+def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling with fractional epoch factors (the data-
+    recipe step of LLM training pipelines: upweight rare/high-quality
+    domains, downweight boilerplate). Source weight w ∈ {0.5, 1.0, 1.5,
+    2.0}; each doc is emitted floor(w) times plus once more for a
+    deterministically hash-selected ⌊frac(w)·docs⌋ subset — so a w=1.5
+    source contributes ~1.5 epochs of itself, reproducibly, independent of
+    partitioning.
+
+    Scale: map-only — weights are an expression of the source column (no
+    lookup join), replication is sequence+explode (rows ∝ output size),
+    selection is a hash predicate. No shuffle anywhere."""
+    d = tables(spark, sf_dir)["documents"]
+    wq = hash64(F.col("source")) % 4  # quantized weight: (wq+1)/2 epochs
+    pick = hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":frac"))) % 2
+    n_copies = ((wq + 1) / F.lit(2)).cast("bigint") + F.when(
+        (wq % 2 == F.lit(0)) & (pick == F.lit(0)), 1
+    ).otherwise(0)
+    return (
+        d.select("doc_id", "source", n_copies.alias("n_copies"))
+        # guard BEFORE sequence(): Spark's sequence(1, 0) auto-infers a
+        # negative step and yields [1, 0] instead of an empty array
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("bigint"), F.col("n_copies"), F.lit(1).cast("bigint")
+                )
+            ).alias("epoch"),
+        )
+    )

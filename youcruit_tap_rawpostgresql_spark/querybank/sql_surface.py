@@ -194,3 +194,37 @@ def pg_dialect_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM events WHERE event_id % 20 = 0",
         pg_dialect=True,
     )
+
+
+@register(
+    "sql_values_lookup",
+    oracle="""
+SELECT t.tier, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders o
+JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+             ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+             ('5-LOW', 'cold')) AS t(prio, tier)
+  ON o.o_orderpriority = t.prio
+GROUP BY t.tier
+""",
+)
+def sql_values_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES table constructor as a join side (the literal lookup
+    tables reference users embed directly in stream SQL). Spark plans the
+    VALUES relation as a LocalRelation → broadcast — zero scan cost.
+
+    Note the inner join doubles as a filter: only listed priorities pass."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT t.tier, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders o
+        JOIN VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+                    ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+                    ('5-LOW', 'cold') AS t(prio, tier)
+          ON o.o_orderpriority = t.prio
+        GROUP BY t.tier
+        """
+    )

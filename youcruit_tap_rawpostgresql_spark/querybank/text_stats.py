@@ -193,6 +193,7 @@ def text_zipf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_unigram_logprob",
+    headline=True,
     # the per-doc sum folds log-probs in POSITION order on both engines
     # (array fold vs list(… ORDER BY pos) + list_reduce), so the only
     # cross-engine difference is the last ulp of ln itself — absorbed by
