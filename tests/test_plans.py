@@ -322,6 +322,7 @@ def test_registry_global_plan_hygiene(spark):
         "stream_dedup_watermark",
         "stream_stream_join",
         "stream_upsert_latest",
+        "stream_sliding_window",
     }
     row_python_allowed = {"udtf_long_tokens"}  # documented API-surface demo
     offenders = []

@@ -676,3 +676,33 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables(spark, sf_dir)["documents"]
     return frame_energy(attach_binary_payload(docs))
+
+
+@register(
+    "stream_sliding_window",
+    # every event falls in exactly window/slide = 2 overlapping windows:
+    # starts floor_3h(ts) and floor_3h(ts) - 3h — the oracle fans each row
+    # out with unnest([0,1]) and re-aggregates
+    oracle="""
+WITH w AS (
+  SELECT event_type, value,
+    time_bucket(INTERVAL '3 hours', ts) - k * INTERVAL '3 hours' AS wstart
+  FROM events, unnest([0, 1]) AS u(k)
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM w GROUP BY 1, 2
+""",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (6h window, 3h slide) through a REAL
+    Structured Streaming query — overlapping-window semantics proven
+    against the batch fan-out oracle."""
+    import os
+
+    from youcruit_tap_rawpostgresql_spark.streaming.incremental_stream import (
+        run_sliding_stream,
+    )
+
+    return run_sliding_stream(spark, os.path.join(sf_dir, "events.parquet"))

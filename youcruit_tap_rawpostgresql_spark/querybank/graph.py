@@ -123,3 +123,75 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select(F.col("node").alias("nationkey"), F.col("r").alias("rank_ppm"))
+
+
+@register(
+    "graph_triangle_count",
+    # triangle enumeration over the canonically-oriented (lo < hi) edge
+    # list: e1=(a,b), e2=(b,c), e3=(a,c) with a < b < c counts each
+    # triangle exactly once; per-node counts credit all three corners
+    oracle=f"""
+WITH e AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= (SELECT COUNT(*) FROM lineitem) // {_W_FRAC}
+), ue AS (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi FROM e
+), tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM ue e1
+  JOIN ue e2 ON e2.lo = e1.hi
+  JOIN ue e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+), corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node AS nationkey, COUNT(*) AS n_triangles
+FROM corners GROUP BY node
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the undirected trade graph — the
+    clustering-coefficient numerator (community density of each nation's
+    trade neighborhood). Canonical edge orientation (lo < hi) makes the
+    3-way self-join enumerate each triangle exactly once.
+
+    Scale: the classic trick is ordering by degree before orienting (each
+    edge's joins then fan out on the lower-degree endpoint); node-scale
+    joins here are equi-joins on edge endpoints — shuffle carries edge
+    pairs, never the fact table, and the edge list itself derives once via
+    broadcast star join."""
+    t = tables(spark, sf_dir)
+    li, o = t["lineitem"], t["orders"]
+    c, s = t["customer"], t["supplier"]
+    min_w = li.count() // _W_FRAC
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= F.lit(min_w))
+        .select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .distinct()
+    )
+    e1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("nationkey"))
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -703,3 +703,61 @@ def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("epoch"),
         )
     )
+
+
+@register(
+    "ts_ewma_final",
+    # the fold order is pinned on both sides (array fold in time order vs
+    # recursive CTE stepping rank+1), and every step is the same three IEEE
+    # ops (0.3*x, 0.7*s, +) — bit-identical chains, 6dp-rounded output
+    oracle="""
+WITH RECURSIVE ranked AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS v,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk
+  FROM events
+), r AS (
+  SELECT user_id, rnk, v AS s FROM ranked WHERE rnk = 1
+  UNION ALL
+  SELECT x.user_id, x.rnk, 0.3 * x.v + 0.7 * r.s
+  FROM r JOIN ranked x ON x.user_id = r.user_id AND x.rnk = r.rnk + 1
+), last AS (
+  SELECT user_id, MAX(rnk) AS n_events FROM r GROUP BY user_id
+)
+SELECT r.user_id, last.n_events, ROUND(r.s, 6) AS ewma
+FROM r JOIN last ON r.user_id = last.user_id AND r.rnk = last.n_events
+""",
+)
+def ts_ewma_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = 0.3) of each user's event
+    values — the classic sequential-dependency feature (monitoring
+    smoothing, feature-store rollups) that windows can't express because
+    every step depends on the previous result.
+
+    Scale: one shuffle groups each user's events; the fold itself is a
+    per-row JVM array aggregate in time order — no iteration jobs, no
+    Python. State is one double per key however long the history; for
+    unbounded streams the identical fold runs under
+    applyInPandasWithState. The oracle replays the recursion row-by-row —
+    the proof harness, not the scale path."""
+    e = tables(spark, sf_dir)["events"]
+    per_user = (
+        e.select("user_id", "ts", "event_id", F.col("value").cast("double").alias("v"))
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "v"))
+            ).alias("evs")
+        )
+    )
+    first_v = F.element_at("evs", 1)["v"]
+    rest = F.expr("slice(evs, 2, greatest(size(evs) - 1, 0))")
+    ewma = F.aggregate(
+        rest,
+        first_v,
+        lambda acc, x: F.lit(0.3) * x["v"] + F.lit(0.7) * acc,
+    )
+    return per_user.select(
+        "user_id",
+        F.size("evs").cast("bigint").alias("n_events"),
+        F.round(ewma, 6).alias("ewma"),
+    )

@@ -253,3 +253,41 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("arr").cast("bigint").alias("n_tokens"),
         F.round(folded / F.size("arr"), 6).alias("avg_neg_logp"),
     )
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({O_TOKS})) AS token FROM documents
+)
+SELECT token, COUNT(*) AS df,
+  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+FROM tok GROUP BY token
+""",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (token → sorted posting list + document
+    frequency) — the IR-side storage structure behind BM25 serving and
+    contamination lookups, emitted as canonical CSV strings.
+
+    Scale: one explode + one token-keyed shuffle with map-side partial
+    collect; posting lists are per-token (vocabulary-partitioned), so a
+    100 TB corpus builds as wide as the vocabulary. Hot stop-word postings
+    are the known skew — in production those rows are capped or
+    block-compressed, here they stay exact for the oracle."""
+    d = tables(spark, sf_dir)["documents"]
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )

@@ -203,3 +203,44 @@ def run_stream_stream_join(
         F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         F.date_format("error_ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
     )
+
+
+def run_sliding_stream(
+    spark: SparkSession,
+    events_path: str,
+    window_duration: str = "6 hours",
+    slide: str = "3 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window count/sum (window > slide ⇒ overlapping windows; each
+    event contributes to window/slide buckets) via a real streaming query.
+
+    Scale: state rows = windows × keys, bounded by the watermark — the
+    overlap factor multiplies state size, which is why production slides
+    are small multiples, not milliseconds."""
+    stream = open_file_stream(spark, events_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+    sink_name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
