@@ -7,6 +7,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window as W
+
+from youcruit_tap_rawpostgresql_spark.functions.hashing import hash64
 from youcruit_tap_rawpostgresql_spark.operators.layout import o_zorder_key, zorder_key
 from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
 
@@ -109,4 +112,55 @@ def scalar_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         zorder_key("l_partkey", "l_suppkey").alias("zkey"),
+    )
+
+
+@register(
+    "ids_dense_assign",
+    # the oracle is the single-sort definition; the engine computes the
+    # same numbering with per-shard ranks + driver-side prefix offsets
+    oracle="""
+SELECT doc_id,
+  ROW_NUMBER() OVER (
+    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+             doc_id) AS dense_id
+FROM documents
+""",
+)
+def ids_dense_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global id assignment (1..N, no gaps) in hash order — the
+    renumbering step before packing/sharding — WITHOUT a global sort.
+
+    Scale: the textbook ROW_NUMBER() OVER (ORDER BY …) collapses to ONE
+    partition. Here: shard by hash range (the hash is uniform, so shards
+    balance), rank within each shard, then add per-shard prefix offsets
+    (shard counts are a driver-sized list). Same numbering, but the heavy
+    rank runs per-shard in parallel — the standard two-phase global
+    enumeration on a cluster."""
+    d = tables(spark, sf_dir)["documents"]
+    n_shards = 8
+    h = hash64(F.col("doc_id").cast("string"))
+    # uniform hash → range-shard by top bits: shard = h * n >> 60 would
+    # need bit ops on 60-bit values; modulo of the high half is simpler
+    # and equally deterministic. Ranking key within and across shards is
+    # (h, doc_id), and shards are ordered by hash RANGE, so concatenating
+    # shard ranks in shard order reproduces the global (h, doc_id) order.
+    shard = F.floor(h / F.lit((1 << 60) // n_shards)).cast("int").alias("shard")
+    base = d.select("doc_id", h.alias("h"), shard)
+    wsh = W.partitionBy("shard").orderBy("h", "doc_id")
+    ranked = base.withColumn("shard_rank", F.row_number().over(wsh))
+    counts = {
+        r["shard"]: r["cnt"]
+        for r in base.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for s in sorted(counts):
+        offsets[s] = acc
+        acc += counts[s]
+    off = F.create_map(
+        *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+    )
+    return ranked.select(
+        "doc_id",
+        (F.col("shard_rank").cast("bigint") + off[F.col("shard")]).alias("dense_id"),
     )

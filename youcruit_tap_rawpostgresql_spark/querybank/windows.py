@@ -205,3 +205,37 @@ def win_agg_over_whole_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("segment_total"),
         F.round(F.col("c_acctbal") / total, 9).alias("share"),
     )
+
+
+@register(
+    "win_ignore_nulls_locf",
+    # last-observation-carried-forward: only purchases carry a price; every
+    # row reads the most recent one via last_value IGNORE NULLS over a
+    # running frame (identical frame semantics in Spark and DuckDB)
+    oracle="""
+SELECT user_id, event_id,
+  LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+FROM events
+""",
+)
+def win_ignore_nulls_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation (SURVEY §2.6): carry the most recent
+    purchase value forward across each user's event stream — the
+    last-observation-carried-forward fill behind sparse feature columns.
+
+    Scale: one user_id shuffle + ordered frame scan; state per row is one
+    value, so the frame never materializes."""
+    e = tables(spark, sf_dir)["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.last(sparse, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
