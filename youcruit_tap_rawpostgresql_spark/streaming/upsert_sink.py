@@ -19,6 +19,10 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from youcruit_tap_rawpostgresql_spark.streaming.incremental_stream import (
+    scoped_stream_partitions,
+)
 from pyspark.sql.window import Window as W
 
 _BUCKET_COL = "__bucket"
@@ -110,13 +114,14 @@ def run_streaming_upsert(
             batch_df.sparkSession, batch_df, target_dir, key, version_col
         )
 
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", os.path.join(target_dir + "_chk")
+    with scoped_stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", os.path.join(target_dir + "_chk")
+            )
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return read_upsert_table(spark, target_dir)
