@@ -833,3 +833,101 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("fp", F.col("doc_id").alias("kept_doc_id"), "n_tokens")
     )
+
+
+@register(
+    "dedup_minhash_eval",
+    # evaluation of the sketch against ground truth: LSH candidate pairs
+    # bucketed by matching-minhash count k (est jaccard = k/12, exact
+    # rational), with true-positive counts at the 0.3 threshold. All floats
+    # are single divisions of integers, all aggregates integer or min/max —
+    # no float accumulation anywhere
+    oracle=f"""
+WITH hs AS (
+  SELECT doc_id, list_distinct({O_SHINGLES}) AS s,
+    list_transform(list_distinct({O_SHINGLES}), x -> {O_HASH.format(x='x')}) AS h
+  FROM (SELECT doc_id, {O_TOKS} AS t FROM documents)
+), sig AS (
+  SELECT doc_id, {_o_minhash_list()} AS mh FROM hs WHERE len(h) > 0
+), bands AS (
+  {_o_lsh_bands()}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+    len(list_filter(generate_series(1, {_N_MINHASH}), i -> a.mh[i] = b.mh[i]))
+      AS k
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      AND a.doc_id < b.doc_id
+), j AS (
+  SELECT c.k,
+    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(x.s, y.s))) AS tj
+  FROM cand c
+  JOIN hs x ON x.doc_id = c.a_id
+  JOIN hs y ON y.doc_id = c.b_id
+)
+SELECT CAST(k AS BIGINT) AS k_matching, COUNT(*) AS n_pairs,
+  COUNT(*) FILTER (WHERE tj >= 0.3) AS n_true_dups,
+  ROUND(MIN(tj), 6) AS min_true_jaccard,
+  ROUND(MAX(tj), 6) AS max_true_jaccard
+FROM j GROUP BY k
+""",
+)
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation: every LSH candidate pair scored with its
+    TRUE 3-gram Jaccard, bucketed by matching-minhash count k — the
+    precision-per-estimate table that tells you where to set the band/row
+    parameters before a 100 TB dedup run.
+
+    Scale: candidates come from the same bounded band join as the dedup
+    path; the exact-Jaccard join touches only candidate pairs (never all
+    pairs), with the shingle sets joined by doc_id — at corpus scale that
+    join shuffles candidates + shingle sets once each."""
+    sig = _minhash_sig_df(spark, sf_dir)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at("mh", band * _ROWS_PER_BAND + i + 1).cast("string")
+                    for i in range(_ROWS_PER_BAND)
+                ],
+            )
+            for band in range(_N_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "mh", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("mh").alias("mh_a"), "band_idx", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("mh").alias("mh_b"), "band_idx", "band_key"
+    )
+    k = F.size(F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v))
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", k.cast("bigint").alias("k_matching"))
+        .distinct()
+    )
+    sh = tables(spark, sf_dir)["documents"].select(
+        "doc_id", F.array_distinct(word_shingles(tokens("text"))).alias("s")
+    )
+    tj = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    scored = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa")), "a_id"
+        )
+        .join(sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb")), "b_id")
+        .select("k_matching", tj.alias("tj"))
+    )
+    return scored.groupBy("k_matching").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(F.when(F.col("tj") >= 0.3, 1)).alias("n_true_dups"),
+        F.round(F.min("tj"), 6).alias("min_true_jaccard"),
+        F.round(F.max("tj"), 6).alias("max_true_jaccard"),
+    )
