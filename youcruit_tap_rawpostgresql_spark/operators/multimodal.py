@@ -188,3 +188,29 @@ def frame_energy(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "payload").mapInPandas(
         _energy_batches, schema=ENERGY_SCHEMA
     )
+
+
+def _histogram_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-doc 16-bin histogram of payload byte values (bin = byte >> 4) —
+    the channel-statistics shape of an image feature extractor, as integer
+    counts any engine reproduces. Empty bins are not emitted."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "bin": [], "n_bytes": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+            counts = np.bincount(arr >> 4, minlength=16)
+            for b in np.nonzero(counts)[0]:
+                out["doc_id"].append(doc_id)
+                out["bin"].append(int(b))
+                out["n_bytes"].append(int(counts[b]))
+        yield pd.DataFrame(out)
+
+
+def byte_histogram(binary_df: DataFrame) -> DataFrame:
+    """16-bin byte-value histogram per payload (stub feature extractor)."""
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _histogram_batches,
+        "doc_id long, bin long, n_bytes long",
+    )

@@ -706,3 +706,35 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_sliding_stream(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register(
+    "multimodal_byte_histogram",
+    # fixture text is pure ASCII (verified for the frame ops), so byte
+    # values == ascii codes and the oracle can recompute the bins with
+    # string functions; bin = byte >> 4 = ascii // 16
+    oracle="""
+WITH pos AS (
+  SELECT doc_id, text,
+    unnest(generate_series(1, length(text))) AS i
+  FROM documents
+)
+SELECT doc_id, CAST(ascii(substr(text, i, 1)) // 16 AS BIGINT) AS bin,
+  COUNT(*) AS n_bytes
+FROM pos GROUP BY 1, 2
+""",
+)
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-style channel statistics plumbing: per-payload 16-bin byte
+    histogram through the same Arrow-batched mapInPandas path as the
+    decode/frame ops — integer counts, vectorized numpy bincount per doc.
+
+    Scale: map-only feature extraction; histograms detach from the blob
+    inside the worker, so only 24-byte feature rows ever shuffle."""
+    from youcruit_tap_rawpostgresql_spark.operators.multimodal import (
+        attach_binary_payload,
+        byte_histogram,
+    )
+
+    docs = tables(spark, sf_dir)["documents"]
+    return byte_histogram(attach_binary_payload(docs))
