@@ -738,3 +738,40 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables(spark, sf_dir)["documents"]
     return byte_histogram(attach_binary_payload(docs))
+
+
+@register(
+    "agg_mode_per_group",
+    # mode with a PINNED tie order (count desc, then type asc) — PG's
+    # mode() WITHIN GROUP and DuckDB's mode() leave ties engine-defined,
+    # so both sides compute the deterministic window form instead
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type AS mode_type, cnt
+FROM (
+  SELECT user_id, event_type, cnt,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY cnt DESC, event_type) AS rn
+  FROM c
+) WHERE rn = 1
+""",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent event_type per user) — the ordered-set
+    aggregate family (PG `mode() WITHIN GROUP`), expressed with an explicit
+    deterministic tiebreak because the native aggregates leave ties
+    engine-defined.
+
+    Scale: count agg + rank share the user_id-prefixed shuffle; the rank
+    input is one row per (user, type), already collapsed map-side."""
+    e = tables(spark, sf_dir)["events"]
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("user_id").orderBy(F.col("cnt").desc(), "event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "cnt")
+    )
