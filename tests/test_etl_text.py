@@ -229,3 +229,54 @@ def test_cohort_single_scan_single_user_shuffle(run):
     assert p.count("FileScan") == 1, p
     assert "BroadcastExchange" not in p, p
     assert p.count("Exchange") == 2, p  # user_id window + final cell agg
+
+
+def test_dense_ids_are_a_permutation(run, spark, sf_dir):
+    rows = run("ids_dense_assign").collect()
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sorted(r.dense_id for r in rows) == list(range(1, n + 1))
+
+
+def test_ewma_within_value_bounds(run, spark, sf_dir):
+    """EWMA is a convex combination of observed values — it can never
+    leave [min(v), max(v)] for the user."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bounds = {
+        r["user_id"]: (r["lo"], r["hi"])
+        for r in ev.groupBy("user_id").agg(
+            __import__("pyspark.sql.functions", fromlist=["F"]).min("value").alias("lo"),
+            __import__("pyspark.sql.functions", fromlist=["F"]).max("value").alias("hi"),
+        ).collect()
+    }
+    for r in run("ts_ewma_final").collect():
+        lo, hi = bounds[r.user_id]
+        assert lo - 1e-9 <= r.ewma <= hi + 1e-9, (r.user_id, r.ewma, lo, hi)
+
+
+def test_inverted_index_consistency(run):
+    """df equals the posting-list length, postings are sorted unique."""
+    for r in run("text_inverted_index").collect():
+        ids = r.postings.split(",")
+        assert len(ids) == r.df
+        as_ints = list(map(int, ids))
+        assert as_ints == sorted(set(as_ints))
+
+
+def test_triangle_corners_divisible_by_three(run):
+    rows = run("graph_triangle_count").collect()
+    assert rows
+    assert sum(r.n_triangles for r in rows) % 3 == 0
+
+
+def test_mixture_epochs_multiset_shape(run, spark, sf_dir):
+    """Every emitted epoch index is dense 1..k per doc, and at least one
+    source is up-sampled (>1 epoch) while at least one is down-sampled."""
+    rows = run("sample_mixture_epochs").collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.epoch)
+    assert any(len(v) > 1 for v in per_doc.values())
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(per_doc) < n_docs  # some docs dropped (w < 1 and not picked)
+    for doc, epochs in per_doc.items():
+        assert sorted(epochs) == list(range(1, len(epochs) + 1)), (doc, epochs)

@@ -44,7 +44,7 @@ def _normalize(df):
 
 
 def test_registry_is_populated():
-    assert len(REGISTRY) >= 55
+    assert len(REGISTRY) >= 155
     with_oracle = [c for c in REGISTRY.values() if c.oracle]
     assert len(with_oracle) >= 50
 
