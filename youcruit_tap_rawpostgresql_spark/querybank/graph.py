@@ -99,7 +99,10 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = e.join(deg, "src")  # (src, dst, outdeg) — static across iterations
+    # (src, dst, outdeg) is static across iterations and edge-sized (tiny);
+    # without the cache every iteration's lineage re-runs the fact-table
+    # star join — 3× the scan cost for identical rows
+    ed = e.join(deg, "src").cache()
     ranks = n.select(
         F.col("n_nationkey").alias("node"), F.lit(_ONE).cast("bigint").alias("r")
     )

@@ -240,9 +240,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(tokens("text")).alias("pos", "token")
     )
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    total = float(tok.count())
-    lp = vocab.select(
-        "token", F.log(F.lit(total) / F.col("c")).alias("lp")
+    # total tokens = Σ vocab counts — a 1-row broadcast onto the vocabulary
+    # (a driver-side tok.count() would re-explode the whole corpus in a
+    # separate job just to produce this scalar)
+    tot = vocab.agg(F.sum("c").cast("double").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "token", F.log(F.col("total") / F.col("c")).alias("lp")
     )
     per = (
         tok.join(F.broadcast(lp), "token")
