@@ -188,6 +188,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
         )
         .distinct()
+        # three self-join branches below — cache the (tiny) edge list or
+        # the fact-table star join runs three times
+        .cache()
     )
     e1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
