@@ -775,3 +775,103 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_type"), "cnt")
     )
+
+
+@register(
+    "er_blocked_fuzzy_join",
+    # levenshtein is the standard DP edit distance — integer-identical in
+    # both engines; blocking on nation bounds the pair space
+    oracle="""
+SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+  AND a.c_custkey % 10 = 0
+  AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+""",
+)
+def er_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate generation: fuzzy name match (edit
+    distance ≤ 2) with nation blocking — the classic blocked similarity
+    join that turns an O(n²) match into per-block work.
+
+    Scale: the equi-join on the blocking key is an ordinary hash join;
+    levenshtein evaluates only within blocks. Block size is the knob — at
+    100 TB use finer blocks (sorted-neighborhood or LSH over name q-grams,
+    see dedup_minhash_lsh) so no block exceeds executor memory."""
+    c = tables(spark, sf_dir)["customer"]
+    a = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_name").alias("b_name"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .select(
+            "a_key",
+            "b_key",
+            F.levenshtein("a_name", "b_name").cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+
+
+@register(
+    "profile_outlier_iqr",
+    # fences are ROUNDED to 6dp in both engines before comparing (the
+    # interpolation op order inside percentile differs across engines in
+    # the last ulp; comparing on the rounded fence removes the boundary).
+    # Fence multiplier 0.4, NOT the textbook 1.5: the fixture's balances
+    # are uniform, where 1.5·IQR fences lie outside the data range and the
+    # check would pass vacuously on two empty sets
+    oracle="""
+WITH q AS (
+  SELECT c_nationkey,
+    ROUND(CAST(quantile_cont(c_acctbal, 0.25) AS DOUBLE), 6) AS q1,
+    ROUND(CAST(quantile_cont(c_acctbal, 0.75) AS DOUBLE), 6) AS q3
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c.c_nationkey AS nationkey,
+  COUNT(*) FILTER (WHERE c.c_acctbal < ROUND(q.q1 - 0.4 * (q.q3 - q.q1), 6)
+                      OR c.c_acctbal > ROUND(q.q3 + 0.4 * (q.q3 - q.q1), 6))
+    AS n_outliers,
+  COUNT(*) AS n_total,
+  ROUND(q.q1, 6) AS q1, ROUND(q.q3, 6) AS q3
+FROM customer c JOIN q ON c.c_nationkey = q.c_nationkey
+GROUP BY c.c_nationkey, q.q1, q.q3
+""",
+)
+def profile_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profiling per nation: count balances outside
+    [q1 − 0.4·IQR, q3 + 0.4·IQR] — the data-quality screen run after each
+    sync (exact quartiles, deterministic fences).
+
+    Scale: quartiles per group broadcast back onto the rows (group count ≪
+    rows); at 100 TB switch the exact percentile for the approx sketch and
+    the semantics degrade gracefully."""
+    c = tables(spark, sf_dir)["customer"]
+    q = c.groupBy("c_nationkey").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(c_acctbal, 0.75)"), 6).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.round(F.col("q1") - 0.4 * iqr, 6)
+    hi = F.round(F.col("q3") + 0.4 * iqr, 6)
+    return (
+        c.join(F.broadcast(q), "c_nationkey")
+        .groupBy(F.col("c_nationkey").alias("nationkey"), "q1", "q3")
+        .agg(
+            F.count(
+                F.when((F.col("c_acctbal") < lo) | (F.col("c_acctbal") > hi), 1)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select("nationkey", "n_outliers", "n_total", "q1", "q3")
+    )
