@@ -284,3 +284,70 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "ab_test_ttest",
+    # Welch t-statistic with every moment derived from EXACT decimal sums:
+    # value is 2dp so Σv (DECIMAL(12,2)) and Σv² (DECIMAL(25,4) products)
+    # aggregate exactly in any engine; the handful of float ops after that
+    # are written in the same order on both sides — no distributed-variance
+    # merge (stddev_samp) anywhere, so no accumulation-order drift
+    oracle="""
+WITH s AS (
+  SELECT
+    COUNT(*) FILTER (WHERE event_type = 'click') AS n1,
+    CAST(SUM(CAST(value AS DECIMAL(12,2)))
+      FILTER (WHERE event_type = 'click') AS DOUBLE) AS s1,
+    CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+      FILTER (WHERE event_type = 'click') AS DOUBLE) AS ss1,
+    COUNT(*) FILTER (WHERE event_type = 'view') AS n2,
+    CAST(SUM(CAST(value AS DECIMAL(12,2)))
+      FILTER (WHERE event_type = 'view') AS DOUBLE) AS s2,
+    CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+      FILTER (WHERE event_type = 'view') AS DOUBLE) AS ss2
+  FROM events
+)
+SELECT n1, n2,
+  ROUND(s1 / n1, 6) AS mean_click,
+  ROUND(s2 / n2, 6) AS mean_view,
+  ROUND((s1 / n1 - s2 / n2) /
+    sqrt(((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1
+       + ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2), 6) AS t_welch
+FROM s
+""",
+)
+def ab_test_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch t-statistic (click vs view event values) — the
+    experiment-analysis primitive, computed from exact decimal first/second
+    moments in ONE scan + ONE single-row reduce.
+
+    Scale: conditional FILTER aggregates give both arms from one pass;
+    the moments are mergeable partial aggregates (map-side combine), so
+    this is scan-bound at any data size — and exactly reproducible,
+    unlike a distributed stddev whose merge order varies."""
+    e = tables(spark, sf_dir)["events"]
+    dv = F.col("value").cast("decimal(12,2)")
+    click = F.col("event_type") == "click"
+    view = F.col("event_type") == "view"
+    s = e.agg(
+        F.count(F.when(click, 1)).alias("n1"),
+        F.sum(F.when(click, dv)).cast("double").alias("s1"),
+        F.sum(F.when(click, dv * dv)).cast("double").alias("ss1"),
+        F.count(F.when(view, 1)).alias("n2"),
+        F.sum(F.when(view, dv)).cast("double").alias("s2"),
+        F.sum(F.when(view, dv * dv)).cast("double").alias("ss2"),
+    )
+    n1, s1, ss1 = F.col("n1"), F.col("s1"), F.col("ss1")
+    n2, s2, ss2 = F.col("n2"), F.col("s2"), F.col("ss2")
+    v1 = (ss1 - s1 * s1 / n1) / (n1 - F.lit(1))
+    v2 = (ss2 - s2 * s2 / n2) / (n2 - F.lit(1))
+    return s.select(
+        "n1",
+        "n2",
+        F.round(s1 / n1, 6).alias("mean_click"),
+        F.round(s2 / n2, 6).alias("mean_view"),
+        F.round((s1 / n1 - s2 / n2) / F.sqrt(v1 / n1 + v2 / n2), 6).alias(
+            "t_welch"
+        ),
+    )
