@@ -351,3 +351,135 @@ def ab_test_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_welch"
         ),
     )
+
+
+@register(
+    "ols_regr_slope",
+    # PG's regr_slope/regr_intercept family, recomputed from exact decimal
+    # moments (quantity and price are 2dp ⇒ Σx, Σy, Σxy, Σx² aggregate
+    # exactly as decimals) so both engines run the identical few float ops
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+           * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+           * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+    AS intercept
+FROM m
+""",
+)
+def ols_regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit of extendedprice on quantity (PG `regr_slope` /
+    `regr_intercept` delegated surface) via exact-moment aggregation —
+    one scan, mergeable partials, bit-reproducible across engines.
+
+    Scale: the five moments are classic map-side-combinable aggregates;
+    the per-group math is constant work after the reduce."""
+    l = tables(spark, sf_dir)["lineitem"]
+    dx = F.col("l_quantity").cast("decimal(12,2)")
+    dy = F.col("l_extendedprice").cast("decimal(12,2)")
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+@register(
+    "markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix (first-order Markov counts over each user's
+    time-ordered stream) — the input to next-action models and anomaly
+    screens on the reference's event data.
+
+    Scale: one user_id window pass; the transition matrix is
+    |event_types|² rows however large the stream — all-integer."""
+    e = tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "dau_wau_rolling",
+    # WAU via contribution fan-out: each event marks its user active for
+    # the 7 day-buckets [day, day+6], so trailing-7-day distinct users is
+    # a plain per-day distinct count — no self-join, no window distinct
+    # (which neither engine supports)
+    oracle="""
+WITH dau AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+    COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1
+), fan AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) + CAST(k AS INTEGER) AS day, user_id
+  FROM events, unnest(generate_series(0, 6)) AS u(k)
+), wau AS (
+  SELECT day, COUNT(DISTINCT user_id) AS wau FROM fan GROUP BY day
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau
+FROM dau d JOIN wau w ON d.day = w.day
+""",
+)
+def dau_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + trailing-7-day distinct active users (DAU/WAU), restricted
+    to days with activity. Window COUNT(DISTINCT) doesn't exist in any
+    engine; the scalable form fans each event into the 7 day-buckets it
+    keeps a user active for, then runs ordinary distinct counts.
+
+    Scale: fan-out is a constant 7× on (day, user) pairs — already
+    deduplicated map-side by the partial aggregate — versus a 7-way
+    range self-join of the full stream."""
+    e = tables(spark, sf_dir)["events"]
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    dau = (
+        e.select(day.alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("dau"))
+    )
+    fan = e.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+        day.alias("d0"),
+        "user_id",
+    ).select(F.date_add(F.col("d0"), F.col("k")).alias("day"), "user_id")
+    wau = fan.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return dau.join(wau, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau"
+    )
