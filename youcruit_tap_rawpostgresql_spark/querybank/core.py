@@ -767,3 +767,61 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         & ((F.col("l_discount") < 0.03) | (F.col("l_tax") > 0.06))
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@register(
+    "agg_array_agg_distinct",
+    # PG array_agg(DISTINCT x ORDER BY x): Spark collect_set order is
+    # engine-internal, so both sides sort the distinct set and emit the
+    # canonical CSV form
+    oracle="""
+SELECT l_returnflag,
+  array_to_string(list_sort(list_distinct(list(l_linestatus))), ',')
+    AS statuses,
+  array_to_string(list_sort(list_distinct(list(CAST(l_quantity AS BIGINT)))), ',')
+    AS quantities
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_array_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_agg(DISTINCT … ORDER BY …) (PG delegated surface): distinct
+    collected sets, canonically sorted — collect_set + array_sort, emitted
+    as CSV so the unordered engine-internal set order never leaks."""
+    l = tables(spark, sf_dir)["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set(F.col("l_quantity").cast("bigint"))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("quantities"),
+    )
+
+
+@register(
+    "tablefunc_regexp_matches",
+    # PG regexp_matches(text, pat, 'g') is a set-returning function; the
+    # Spark form is regexp_extract_all + posexplode
+    oracle="""
+SELECT doc_id, CAST(k - 1 AS INT) AS match_idx, m[k] AS word
+FROM (
+  SELECT doc_id, regexp_extract_all(text, '[a-z]{6,}') AS m FROM documents
+), unnest(generate_series(1, len(m))) AS u(k)
+""",
+)
+def tablefunc_regexp_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-returning regex (PG `regexp_matches(..., 'g')`, SURVEY §2.8):
+    every ≥6-letter word per document with its match index, via
+    regexp_extract_all + posexplode — a per-row columnar fan-out with no
+    shuffle."""
+    d = tables(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id",
+        F.posexplode(F.expr(r"regexp_extract_all(text, '[a-z]{6,}', 0)")).alias(
+            "match_idx", "word"
+        ),
+    )
