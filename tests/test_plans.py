@@ -351,3 +351,25 @@ def test_shuffle_hash_hint_honored(spark):
     df2 = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
     p2 = plan_of(df2, "simple")
     assert "SortMergeJoin" in p2, p2
+
+
+def test_plan_shape_is_scale_invariant(spark):
+    """The physical plan's operator sequence for headline relational
+    queries must not depend on the data volume (modulo AQE runtime
+    re-planning): a plan that changes shape between sf0.001 and sf0.01
+    would not be trusted to survive a 100 TB scale-up either."""
+    import re
+
+    def shape(df):
+        p = plan_of(df, "simple")
+        ops = []
+        for line in p.splitlines():
+            m = re.match(r"^[\s+:*-]*\(?(\w+)", line)
+            if m and m.group(1) not in ("", "=="):
+                ops.append(m.group(1))
+        return ops
+
+    for name in ("q1_pricing_summary", "q5_nation_revenue", "q21_sole_late_supplier"):
+        a = shape(REGISTRY[name].fn(spark, "/root/testdata/sf0.001"))
+        b = shape(REGISTRY[name].fn(spark, "/root/testdata/sf0.01"))
+        assert a == b, (name, a, b)
