@@ -483,3 +483,83 @@ def dau_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dau.join(wau, "day").select(
         F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau"
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    # the PIT lookup: each order matched to the status interval that was
+    # valid at its order date. Interval bounds come from the same
+    # gaps-and-islands run-collapse as scd2_status_history, so every order
+    # date falls in exactly one [valid_from, valid_to] interval of its key
+    oracle="""
+WITH flagged AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+    CASE WHEN o_orderstatus IS DISTINCT FROM
+      lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey)
+    THEN 1 ELSE 0 END AS chg
+  FROM orders
+), runs AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate,
+    SUM(chg) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
+), dim AS (
+  SELECT o_custkey AS d_custkey, o_orderstatus AS status_at_time,
+    MIN(o_orderdate) AS valid_from, MAX(o_orderdate) AS valid_to
+  FROM runs GROUP BY o_custkey, o_orderstatus, grp
+)
+SELECT o.o_orderkey, o.o_custkey,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date, d.status_at_time
+FROM orders o JOIN dim d
+  ON o.o_custkey = d.d_custkey
+  AND o.o_orderdate >= d.valid_from AND o.o_orderdate <= d.valid_to
+WHERE o.o_orderkey % 10 = 0
+""",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal validity) join: each order looked up against
+    the SCD2 status interval in force at its order date — the feature-store
+    / audit query that motivates keeping SCD2 history at all.
+
+    Scale: the interval dimension derives from the fact's own key, so the
+    range join is an equi-join on the key plus an interval predicate —
+    Spark evaluates the band as a post-join filter on co-partitioned data,
+    never a cross product. For wide temporal dims, bucket both sides by
+    key + coarse time bucket (the as-of pattern in join_asof)."""
+    o = tables(spark, sf_dir)["orders"]
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = o.withColumn(
+        "chg",
+        F.when(
+            ~F.col("o_orderstatus").eqNullSafe(F.lag("o_orderstatus").over(wo)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    runs = flagged.withColumn(
+        "grp", F.sum("chg").over(wo.rowsBetween(W.unboundedPreceding, 0))
+    )
+    dim = runs.groupBy(
+        F.col("o_custkey").alias("d_custkey"),
+        F.col("o_orderstatus").alias("status_at_time"),
+        "grp",
+    ).agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.max("o_orderdate").alias("valid_to"),
+    )
+    probe = o.filter(F.col("o_orderkey") % 10 == 0)
+    return (
+        probe.join(
+            dim,
+            (probe["o_custkey"] == dim["d_custkey"])
+            & (probe["o_orderdate"] >= dim["valid_from"])
+            & (probe["o_orderdate"] <= dim["valid_to"]),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "status_at_time",
+        )
+    )
