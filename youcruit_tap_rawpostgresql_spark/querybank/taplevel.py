@@ -295,3 +295,99 @@ def tap_batch_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_qty"),
     )
+
+
+@register(
+    "tap_conform_quarantine",
+    # try_cast has identical semantics in Spark and DuckDB: NULL on
+    # failure, value on success — the dead-letter split is therefore
+    # bit-deterministic. The fixture's props.k is ALWAYS numeric (a pure
+    # try_cast would quarantine nothing — vacuous), so a deterministic 1/7
+    # of rows carries the legacy non-numeric value instead
+    oracle="""
+WITH raw AS (
+  SELECT event_id,
+    CASE WHEN event_id % 7 = 0 THEN event_type
+         ELSE json_extract_string(props, '$.k') END AS raw_k
+  FROM events
+)
+SELECT
+  COUNT(*) FILTER (WHERE TRY_CAST(raw_k AS INTEGER) IS NOT NULL) AS n_good,
+  COUNT(*) FILTER (WHERE TRY_CAST(raw_k AS INTEGER) IS NULL)
+    AS n_quarantined,
+  CAST(SUM(TRY_CAST(raw_k AS INTEGER)) AS BIGINT) AS sum_good_k
+FROM raw
+""",
+)
+def tap_conform_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter conformance: instead of failing the sync on a bad value
+    (the reference raises on unconformable records), `try_cast` routes
+    failures to a quarantine count while good rows flow on — the
+    production-ELT split the raw tap cannot express.
+
+    Scale: map-only conditional aggregation in one pass; the quarantine
+    branch in a real sink is the same predicate writing to a second path."""
+    e = tables(spark, sf_dir)["events"]
+    raw_k = F.when(
+        F.col("event_id") % 7 == 0, F.col("event_type")
+    ).otherwise(F.expr("get_json_object(props, '$.k')"))
+    k_int = F.expr("try_cast(raw_k AS int)")
+    return (
+        e.select("event_id", raw_k.alias("raw_k"))
+        .agg(
+            F.count(F.when(k_int.isNotNull(), 1)).alias("n_good"),
+            F.count(F.when(k_int.isNull(), 1)).alias("n_quarantined"),
+            F.sum(k_int).cast("bigint").alias("sum_good_k"),
+        )
+    )
+
+
+@register(
+    "tap_backfill_chunks",
+    # chunk boundaries from integer epoch arithmetic: chunk = (epoch(d) -
+    # epoch(min)) * N // (epoch(max) - epoch(min) + 1) — all BIGINT, so
+    # the pagination plan is identical in any engine
+    oracle="""
+WITH b AS (
+  SELECT CAST(floor(epoch(MIN(o_orderdate))) AS BIGINT) AS lo,
+         CAST(floor(epoch(MAX(o_orderdate))) AS BIGINT) AS hi
+  FROM orders
+)
+SELECT ((CAST(floor(epoch(o_orderdate)) AS BIGINT) - b.lo) * 8)
+         // (b.hi - b.lo + 1) AS chunk,
+  COUNT(*) AS n_rows,
+  strftime(MIN(o_orderdate), '%Y-%m-%d') AS from_date,
+  strftime(MAX(o_orderdate), '%Y-%m-%d') AS to_date
+FROM orders, b GROUP BY 1
+""",
+)
+def tap_backfill_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill pagination plan: split the full bookmark range into 8 even
+    time slices and report each chunk's row count + actual bounds — the
+    bounded-batch extraction plan a reference user runs when a full-table
+    sync is too big for one transaction (generalizes the JDBC range
+    partitioning in sources/jdbc.py to the time domain).
+
+    Scale: one scan + an 8-group aggregate; the min/max bounds are a
+    single-row broadcast. Chunk skew here is data skew — the follow-up is
+    range-partitioning on the observed quantiles (agg_percentiles)."""
+    o = tables(spark, sf_dir)["orders"]
+    b = o.agg(
+        F.min(F.unix_timestamp("o_orderdate")).alias("lo"),
+        F.max(F.unix_timestamp("o_orderdate")).alias("hi"),
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .select(
+            F.expr(
+                "((unix_timestamp(o_orderdate) - lo) * 8) div (hi - lo + 1)"
+            ).alias("chunk"),
+            "o_orderdate",
+        )
+        .groupBy("chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("from_date"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("to_date"),
+        )
+    )
