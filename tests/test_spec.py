@@ -100,3 +100,16 @@ def test_tap_config_from_dict():
     assert cfg.batch is not None
     assert cfg.batch.batch_size == 5
     assert cfg.batch.prefix == "test-batch"
+
+
+def test_discovered_catalog_types_roundtrip_as_config():
+    """Every JSON-Schema type name the catalog can EMIT must parse back via
+    to_spark_type — a user feeding --discover output into a config must not
+    hit 'unknown declared column type'."""
+    from youcruit_tap_rawpostgresql_spark.types import (
+        _JSONSCHEMA_NAMES,
+        to_spark_type,
+    )
+
+    for name in set(_JSONSCHEMA_NAMES.values()):
+        to_spark_type(name)  # must not raise

@@ -36,6 +36,9 @@ _SCALAR_TYPES: dict[str, T.DataType] = {
     "smallint": T.LongType(),
     "serial": T.LongType(),
     "bigserial": T.LongType(),
+    # JSON-Schema's name for floats — the catalog EMITS "number" for double
+    # columns, so the discovered catalog must parse back as a config
+    "number": T.DoubleType(),
     "float": T.DoubleType(),
     "float4": T.DoubleType(),
     "float8": T.DoubleType(),
