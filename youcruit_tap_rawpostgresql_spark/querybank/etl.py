@@ -563,3 +563,87 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status_at_time",
         )
     )
+
+
+@register(
+    "ts_week_over_week",
+    oracle="""
+WITH w AS (
+  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+  FROM events GROUP BY 1
+)
+SELECT week, revenue,
+  ROUND(revenue / lag(revenue) OVER (ORDER BY week) - 1, 6) AS wow_growth
+FROM w
+""",
+)
+def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth: exact-decimal weekly revenue, then a lag
+    ratio (one IEEE division + subtraction, 6dp-rounded) — the
+    period-over-period report every sync feeds.
+
+    Scale: weekly rollup shrinks to ~52 rows/year before the unpartitioned
+    lag window touches it — the global window is safe BECAUSE it runs on
+    the aggregate, never the raw stream."""
+    e = tables(spark, sf_dir)["events"]
+    w = (
+        e.groupBy(
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("revenue"))
+    )
+    win = W.orderBy("week")
+    return w.select(
+        "week",
+        "revenue",
+        F.round(F.col("revenue") / F.lag("revenue").over(win) - 1, 6).alias(
+            "wow_growth"
+        ),
+    )
+
+
+@register(
+    "cumulative_unique_users",
+    # cumulative distinct = cumulative sum of FIRST-seen flags — the
+    # classic rewrite that avoids a running COUNT(DISTINCT) window (which
+    # no engine supports)
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+), per_day AS (
+  SELECT first_day AS day, COUNT(*) AS new_users FROM firsts GROUP BY 1
+), days AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+  COALESCE(p.new_users, 0) AS new_users,
+  CAST(SUM(COALESCE(p.new_users, 0)) OVER (ORDER BY d.day
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+FROM days d LEFT JOIN per_day p ON d.day = p.day
+""",
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day, via first-seen-day flags + a
+    running sum — the growth-curve query, O(days) window input instead of
+    an (impossible) running COUNT(DISTINCT) over the raw stream.
+
+    Scale: one user-keyed agg (first day) + one day-keyed agg; the
+    unpartitioned window only ever sees one row per day."""
+    e = tables(spark, sf_dir)["events"]
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    days = e.select(day.alias("day")).distinct()
+    win = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    joined = days.join(per_day, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    return joined.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(win).cast("bigint").alias("cumulative_users"),
+    )
