@@ -149,3 +149,59 @@ def test_state_store_roundtrip(tmp_path):
     s.flush()
     s2 = StateStore(path)
     assert s2.get_bookmark("db-public-t") == "2024-05-01 12:00:00"
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data semantics, actually exercised: the admission filter uses
+    the watermark computed at the END of the PREVIOUS micro-batch, so a
+    row whose window closed a batch ago is dropped on arrival. The fixture
+    stream is a single ordered file, so this builds a three-file arrival
+    sequence where file order != event order."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    arrivals = [
+        # batch 0: on-time rows; watermark after = 10:00 - 1h = 09:00
+        [("2024-01-01 00:05:00", 1.0), ("2024-01-01 10:00:00", 2.0)],
+        # batch 1: late but within bound (window [09:00,10:00) still open)
+        [("2024-01-01 09:30:00", 8.0)],
+        # batch 2: 00:10 is a batch behind the watermark -> DROPPED;
+        # 11:00 advances the watermark so the 09:00 window finalizes
+        [("2024-01-01 00:10:00", 40.0), ("2024-01-01 11:00:00", 4.0)],
+    ]
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    for i, batch in enumerate(arrivals):
+        spark.createDataFrame(batch, "ts_s string, value double").select(
+            F.to_timestamp("ts_s").alias("ts"), "value"
+        ).coalesce(1).write.parquet(str(src / f"batch{i}"))
+        time.sleep(1.1)  # distinct mod times pin the arrival order
+
+    stream = (
+        spark.readStream.schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/batch*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.sum("value").alias("total"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r["w"]["start"].strftime("%H:%M"): r["total"]
+        for r in spark.table("late_test").collect()
+    }
+    # 00:00 window finalized at 1.0 — the 40.0 arrived after the window
+    # closed and must NOT appear anywhere
+    assert rows.get("00:00") == 1.0, rows
+    # 09:00 window includes the late-but-in-bound 8.0
+    assert rows.get("09:00") == 8.0, rows

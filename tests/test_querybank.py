@@ -71,3 +71,16 @@ def test_entry_smoke(spark):
 
 def test_headline_queries_exist():
     assert sum(1 for c in REGISTRY.values() if c.headline) >= 5
+
+
+def test_views_follow_session_scale_factor(spark):
+    """Regression: one session alternating SFs must re-point the temp views
+    — spark.sql()-based queries previously kept reading the other SF."""
+    small = REGISTRY["agg_group_by_all"].fn(spark, "/root/testdata/sf0.001").collect()
+    big = REGISTRY["agg_group_by_all"].fn(spark, "/root/testdata/sf0.01").collect()
+    small_again = (
+        REGISTRY["agg_group_by_all"].fn(spark, "/root/testdata/sf0.001").collect()
+    )
+    n = lambda rows: sum(r["n"] for r in rows)
+    assert n(small) == n(small_again)
+    assert n(big) > n(small)
