@@ -153,3 +153,28 @@ def test_plain_spark_sql_is_fixed_point(sql):
     if re.search(r"::|->|~|\bE'|random|strpos|array_length|unnest|string_agg", s, re.I):
         return
     assert translate_pg_sql(s) == s
+
+
+@given(st.lists(st.integers(min_value=1, max_value=200), max_size=60))
+@settings(max_examples=200)
+def test_greedy_pack_invariants(toks):
+    from youcruit_tap_rawpostgresql_spark.functions.text_funcs import greedy_pack
+
+    cap = 128
+    seq = greedy_pack(toks, cap)
+    assert len(seq) == len(toks)
+    if not toks:
+        return
+    # bin ids are dense, non-decreasing, starting at 0
+    assert seq[0] == 0
+    assert all(b - a in (0, 1) for a, b in zip(seq, seq[1:]))
+    # no bin exceeds capacity unless it is a single oversized item
+    fills = {}
+    for tok, b in zip(toks, seq):
+        fills.setdefault(b, []).append(tok)
+    for items in fills.values():
+        assert sum(items) <= cap or len(items) == 1
+    # greedy density: an item never opens a new bin it could have joined
+    for (tok, b), prev_b in zip(list(zip(toks, seq))[1:], seq):
+        if b != prev_b:
+            assert sum(fills[prev_b]) + tok > cap

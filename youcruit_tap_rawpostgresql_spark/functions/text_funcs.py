@@ -46,3 +46,19 @@ def avg_token_len(toks: Column) -> Column:
         toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
     )
     return total / F.size(toks)
+
+
+def greedy_pack(token_counts, capacity: int) -> list[int]:
+    """Sequential greedy packing: assign each item (in order) to the
+    current bin unless adding it would overflow ``capacity``; then open a
+    new bin. An item larger than the capacity occupies its own bin. Pure
+    kernel shared by the pack_greedy_capacity operator and its tests."""
+    seq, fill, cur = [], 0, 0
+    for tok in token_counts:
+        if fill > 0 and fill + tok > capacity:
+            cur += 1
+            fill = tok
+        else:
+            fill += tok
+        seq.append(cur)
+    return seq

@@ -630,17 +630,11 @@ def pack_greedy_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
+    from youcruit_tap_rawpostgresql_spark.functions.text_funcs import greedy_pack
+
     def pack(pdf):
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        seq, fill, cur = [], 0, 0
-        for tok in pdf["n_tokens"]:
-            if fill > 0 and fill + tok > 128:
-                cur += 1
-                fill = tok
-            else:
-                fill += tok
-            seq.append(cur)
-        pdf["seq_id"] = seq
+        pdf["seq_id"] = greedy_pack(pdf["n_tokens"], 128)
         return pdf[["doc_id", "source", "n_tokens", "seq_id"]]
 
     return base.groupBy("source").applyInPandas(pack, out)
