@@ -244,3 +244,58 @@ def json_struct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p.k").alias("k_total"),
         F.count(F.when(F.col("p.k") > 50, 1)).alias("k_high"),
     )
+
+
+@register(
+    "scalar_string_extras",
+    oracle="""
+SELECT c_custkey,
+  translate(c_name, '#0', '-x') AS translated,
+  repeat(c_mktsegment, 2) AS doubled,
+  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+  reverse(c_name) AS reversed,
+  replace(c_name, 'Customer', 'C') AS shortened
+FROM customer WHERE c_custkey % 50 = 0
+""",
+)
+def scalar_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function tranche (translate / repeat / lpad / reverse /
+    replace — all delegated-PG surface, identical semantics in Spark and
+    DuckDB). Map-only columnar projections."""
+    c = tables(spark, sf_dir)["customer"]
+    return c.filter(F.col("c_custkey") % 50 == 0).select(
+        "c_custkey",
+        F.translate("c_name", "#0", "-x").alias("translated"),
+        F.repeat("c_mktsegment", 2).alias("doubled"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.reverse("c_name").alias("reversed"),
+        F.regexp_replace("c_name", "Customer", "C").alias("shortened"),
+    )
+
+
+@register(
+    "scalar_datetime_extras",
+    # conventions pinned cross-engine: ISO weekday = Spark weekday()+1 ==
+    # DuckDB isodow; weekofyear is ISO in both; last_day/quarter identical
+    oracle="""
+SELECT o_orderkey,
+  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+  CAST(isodow(o_orderdate) AS BIGINT) AS iso_weekday,
+  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week
+FROM orders WHERE o_orderkey % 100 = 0
+""",
+)
+def scalar_datetime_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second datetime tranche: last_day / quarter / ISO weekday / ISO
+    week. Weekday numbering differs across engines (Spark dayofweek is
+    Sunday=1; DuckDB isodow is Monday=1), so the portable form is Spark's
+    ``weekday()+1`` — pinned here so the convention is load-bearing."""
+    o = tables(spark, sf_dir)["orders"]
+    return o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        (F.weekday("o_orderdate") + 1).cast("bigint").alias("iso_weekday"),
+        F.weekofyear("o_orderdate").cast("bigint").alias("iso_week"),
+    )
