@@ -298,3 +298,96 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("postings"),
         )
     )
+
+
+@register(
+    "bpe_first_merges",
+    # the first iteration of BPE vocabulary induction: count adjacent
+    # character pairs across the corpus and rank the merge candidates —
+    # all-integer counts with a lexical tiebreak
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({O_TOKS}) AS w FROM documents
+), pairs AS (
+  SELECT substr(w, i, 2) AS pair
+  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM tok)
+  WHERE len(w) >= 2
+), ranked AS (
+  SELECT pair, COUNT(*) AS n,
+    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS rnk
+  FROM pairs GROUP BY pair
+)
+SELECT pair, n, rnk FROM ranked WHERE rnk <= 10
+""",
+)
+def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction, first merge step: the 10 most frequent
+    adjacent character pairs across the tokenized corpus (deterministic
+    count-desc, pair-asc ranking) — the tokenizer-training primitive.
+
+    Scale: explode to (pair) rows, one vocabulary-sized shuffle with
+    map-side partial counts; successive BPE iterations re-run the same
+    shape over the re-segmented corpus."""
+    d = tables(spark, sf_dir)["documents"]
+    w = d.select(F.explode(tokens("text")).alias("w")).filter(F.length("w") >= 2)
+    pairs = w.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w"
+    ).select(F.substring(F.col("w"), F.col("i"), 2).alias("pair"))
+    # substring with a column start needs expr form in some versions; the
+    # above resolves on Spark 4. Count + deterministic rank:
+    ranked = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.orderBy(F.col("n").desc(), F.col("pair"))
+            ),
+        )
+    )
+    return ranked.filter(F.col("rnk") <= 10)
+
+
+@register(
+    "text_oov_rate",
+    # vocabulary = tokens appearing >= 20 times corpus-wide; OOV rate =
+    # out-of-vocabulary tokens / tokens, one IEEE division of two ints
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({O_TOKS}) AS w FROM documents
+), vocab AS (
+  SELECT w FROM tok GROUP BY w HAVING COUNT(*) >= 20
+)
+SELECT t.doc_id,
+  COUNT(*) AS n_tokens,
+  COUNT(*) FILTER (WHERE v.w IS NULL) AS n_oov,
+  ROUND(CAST(COUNT(*) FILTER (WHERE v.w IS NULL) AS DOUBLE) / COUNT(*), 6)
+    AS oov_rate,
+  CAST(COUNT(*) FILTER (WHERE v.w IS NULL) * 10 >= COUNT(*) AS BOOLEAN)
+    AS is_noisy
+FROM tok t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY t.doc_id
+""",
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    frequent-token vocabulary (≥20 occurrences) with a ≥10%-OOV noise
+    flag — the vocabulary-coverage filter of a training-data pipeline.
+
+    Scale: the vocabulary derives from the token aggregate and broadcasts
+    onto the token stream (vocab ≪ corpus); integer flag comparison, no
+    float threshold boundary."""
+    d = tables(spark, sf_dir)["documents"]
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    vocab = (
+        tok.groupBy("w").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 20)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    joined = tok.join(F.broadcast(vocab), "w", "left")
+    oov = F.count(F.when(F.col("in_vocab").isNull(), 1))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        oov.alias("n_oov"),
+        F.round(oov.cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
+        (oov * 10 >= F.count(F.lit(1))).alias("is_noisy"),
+    )
