@@ -931,3 +931,103 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("tj"), 6).alias("min_true_jaccard"),
         F.round(F.max("tj"), 6).alias("max_true_jaccard"),
     )
+
+
+@register(
+    "hybrid_rrf_fusion",
+    # reciprocal-rank fusion of the lexical (BM25) and dense (cosine)
+    # rankings: ranks are integers computed over 6dp-ROUNDED scores (the
+    # standing convention), and the RRF score 1/(60+r1) + 1/(60+r2) is two
+    # exact divisions + one add in fixed order — deterministic end-to-end
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, {O_TOKS} AS t FROM documents
+), dl AS (
+  SELECT doc_id, len(t) AS dl FROM docs
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+    (CAST(SUM(dl) AS DOUBLE) / COUNT(*)) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS token FROM docs)
+  WHERE token IN ('customer', 'dup') GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), bm25 AS (
+  SELECT tf.doc_id, ROUND(SUM(
+    ln(1.0 + (CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+    * ((tf.tf * (1.2 + 1.0))
+       / (tf.tf + 1.2 * ((1.0 - 0.75) + ((0.75 * dl.dl) / stats.avgdl))))
+  ), 6) AS s
+  FROM tf JOIN df ON tf.token = df.token JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats GROUP BY tf.doc_id
+), br AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM bm25 QUALIFY r <= 20
+), q AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+), cos AS (
+  SELECT e.vec_id AS doc_id,
+    ROUND({_O_DOT.format(a='q.qe', b='e.embedding')}
+      / ({_O_NORM.format(a='q.qe')} * {_O_NORM.format(a='e.embedding')}), 6)
+      AS s
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+), cr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM cos QUALIFY r <= 20
+)
+SELECT COALESCE(br.doc_id, cr.doc_id) AS doc_id,
+  br.r AS bm25_rank, cr.r AS cosine_rank,
+  ROUND(COALESCE(1.0 / (60 + br.r), 0.0)
+      + COALESCE(1.0 / (60 + cr.r), 0.0), 6) AS rrf
+FROM br FULL OUTER JOIN cr ON br.doc_id = cr.doc_id
+""",
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 keyword
+    ranking ('customer dup' query) and the dense cosine ranking against
+    doc 0's embedding — the standard lexical+vector fusion of a modern
+    retrieval stack, top-20 each side.
+
+    Scale: each ranking is its own bounded pipeline (BM25: pruned postings
+    + broadcast stats; cosine: one query row broadcast against the corpus);
+    the fusion join touches 20+20 rows. Both ranks order by ROUNDED scores
+    so cross-engine ln/float drift cannot flip them."""
+    from youcruit_tap_rawpostgresql_spark.functions.vectors import cosine_pairs
+
+    # deferred: text_stats imports llm's oracle fragments at module level
+    from youcruit_tap_rawpostgresql_spark.querybank.text_stats import (
+        text_bm25_keyword,
+    )
+
+    t = tables(spark, sf_dir)
+    bm25 = text_bm25_keyword(spark, sf_dir)
+    wb = W.orderBy(F.col("bm25").desc(), "doc_id")
+    br = (
+        bm25.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") <= 20)
+        .select("doc_id", F.col("r").alias("bm25_rank"))
+    )
+    e = t["embeddings"]
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cos = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_pairs("qe", "embedding"), 6).alias("s"),
+        )
+    )
+    wc = W.orderBy(F.col("s").desc(), "doc_id")
+    cr = (
+        cos.withColumn("r", F.row_number().over(wc))
+        .filter(F.col("r") <= 20)
+        .select("doc_id", F.col("r").alias("cosine_rank"))
+    )
+    fused = br.join(cr, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("cosine_rank")), F.lit(0.0)),
+        6,
+    )
+    return fused.select("doc_id", "bm25_rank", "cosine_rank", rrf.alias("rrf"))
