@@ -1031,3 +1031,91 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return fused.select("doc_id", "bm25_rank", "cosine_rank", rrf.alias("rrf"))
+
+
+@register(
+    "knn_label_vote",
+    # kNN classification: top-5 cosine neighbors vote on the query doc's
+    # language. Ranks order by ROUNDED cosine (6dp, neighbor tiebreak) and
+    # the vote is integer counts with a lexical tiebreak — deterministic
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id % 25 = 0
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    ROUND({_O_DOT.format(a='q.qe', b='e.embedding')}
+      / ({_O_NORM.format(a='q.qe')} * {_O_NORM.format(a='e.embedding')}), 6)
+      AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+), top5 AS (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS r
+  FROM scored QUALIFY r <= 5
+), votes AS (
+  SELECT t.query_id, d.lang, COUNT(*) AS n
+  FROM top5 t JOIN documents d ON d.doc_id = t.neighbor_id
+  GROUP BY t.query_id, d.lang
+), winner AS (
+  SELECT query_id, lang AS predicted_lang, n AS votes,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY n DESC, lang) AS vr
+  FROM votes QUALIFY vr = 1
+)
+SELECT w.query_id, w.predicted_lang, w.votes, d.lang AS actual_lang,
+  w.predicted_lang = d.lang AS correct
+FROM winner w JOIN documents d ON d.doc_id = w.query_id
+""",
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label propagation: each query document classified by majority
+    language among its top-5 embedding neighbors — retrieval-as-weak-
+    labeler, the standard trick for tagging unlabeled corpus slices.
+
+    Scale: query side broadcasts (fixed sample); the vote and winner picks
+    are integer aggregations over 5 rows per query. Swap the exact scorer
+    for the IVF/LSH candidate path at corpus scale."""
+    from youcruit_tap_rawpostgresql_spark.functions.vectors import cosine_pairs
+
+    t = tables(spark, sf_dir)
+    e, d = t["embeddings"], t["documents"]
+    q = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_pairs("qe", "embedding"), 6).alias("cos"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    top5 = scored.withColumn("r", F.row_number().over(wr)).filter(F.col("r") <= 5)
+    votes = (
+        top5.join(
+            F.broadcast(d.select(F.col("doc_id").alias("neighbor_id"), "lang")),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wv = W.partitionBy("query_id").orderBy(F.col("n").desc(), "lang")
+    winner = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id", F.col("lang").alias("predicted_lang"), F.col("n").alias("votes")
+        )
+    )
+    actual = d.select(
+        F.col("doc_id").alias("query_id"), F.col("lang").alias("actual_lang")
+    )
+    return winner.join(F.broadcast(actual), "query_id").select(
+        "query_id",
+        "predicted_lang",
+        "votes",
+        "actual_lang",
+        (F.col("predicted_lang") == F.col("actual_lang")).alias("correct"),
+    )
