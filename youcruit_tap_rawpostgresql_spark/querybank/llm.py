@@ -1119,3 +1119,52 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         "actual_lang",
         (F.col("predicted_lang") == F.col("actual_lang")).alias("correct"),
     )
+
+
+@register(
+    "sample_quality_top_half",
+    # selection by rank over the ROUNDED quality score (doc_id tiebreak)
+    # with the integer keep-condition 2*rank <= count — no percent_rank
+    # float boundary anywhere
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, source,
+    ROUND(LEAST(1.0, len(t) / 100.0)
+      * (1.0 - CAST(len(list_filter(t, x -> list_contains({EN_STOPWORDS!r}, x)))
+               AS DOUBLE) / len(t)), 6) AS quality_score
+  FROM (SELECT doc_id, source, {O_TOKS} AS t FROM documents)
+), ranked AS (
+  SELECT doc_id, source, quality_score,
+    ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY quality_score DESC, doc_id) AS r,
+    COUNT(*) OVER (PARTITION BY source) AS n
+  FROM q
+)
+SELECT doc_id, source, quality_score, CAST(r AS BIGINT) AS quality_rank
+FROM ranked WHERE 2 * r <= n
+""",
+)
+def sample_quality_top_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based selection: keep each source's top half by composite
+    quality score — the filter stage that consumes text_quality's scores
+    (score → rank → prune, the standard pipeline order).
+
+    Scale: one source-keyed window over precomputed scores; the keep
+    condition is integer (2·rank ≤ n), so no float percentile boundary can
+    disagree across engines."""
+    d = tables(spark, sf_dir)["documents"]
+    t = tokens("text")
+    stop_ratio = stopword_hits(t).cast("double") / F.size(t)
+    score = F.round(
+        F.least(F.lit(1.0), F.size(t) / F.lit(100.0)) * (F.lit(1.0) - stop_ratio), 6
+    )
+    q = d.select("doc_id", "source", score.alias("quality_score"))
+    w = W.partitionBy("source").orderBy(F.col("quality_score").desc(), "doc_id")
+    ranked = q.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.row_number().over(w).cast("bigint").alias("quality_rank"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n"),
+    )
+    return ranked.filter(2 * F.col("quality_rank") <= F.col("n")).drop("n")
