@@ -647,3 +647,70 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(win).cast("bigint").alias("cumulative_users"),
     )
+
+
+@register(
+    "funnel_latency_quantiles",
+    # latencies are integer seconds (epoch differences); exact percentile
+    # interpolation over integers, 6dp-rounded output
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(v.t1) AS t1, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(c.t1) AS t1, min(c.t2) AS t2, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), lat AS (
+  SELECT user_id,
+    CAST(floor(epoch(t2)) - floor(epoch(t1)) AS BIGINT) AS view_to_click_s,
+    CAST(floor(epoch(t3)) - floor(epoch(t2)) AS BIGINT) AS click_to_buy_s
+  FROM p
+)
+SELECT COUNT(*) AS n_converted,
+  ROUND(CAST(quantile_cont(view_to_click_s, 0.5) AS DOUBLE), 6)
+    AS p50_view_to_click_s,
+  ROUND(CAST(quantile_cont(click_to_buy_s, 0.5) AS DOUBLE), 6)
+    AS p50_click_to_buy_s,
+  ROUND(CAST(quantile_cont(click_to_buy_s, 0.9) AS DOUBLE), 6)
+    AS p90_click_to_buy_s
+FROM lat
+""",
+)
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-latency distribution for converted users (view→click and
+    click→purchase medians, p90) — the timing half of funnel analysis,
+    composed on the ordered-funnel result.
+
+    Scale: the funnel is the single-shuffle fold; the latency quantiles
+    reduce converted-user-sized data to one row (exact percentile here,
+    approx sketch at 100 TB per agg_percentiles' note)."""
+    from youcruit_tap_rawpostgresql_spark.querybank.etl import funnel_ordered_steps
+
+    f = funnel_ordered_steps(spark, sf_dir)
+    lat = f.select(
+        (
+            F.unix_timestamp(F.to_timestamp("click_ts"))
+            - F.unix_timestamp(F.to_timestamp("view_ts"))
+        ).alias("view_to_click_s"),
+        (
+            F.unix_timestamp(F.to_timestamp("purchase_ts"))
+            - F.unix_timestamp(F.to_timestamp("click_ts"))
+        ).alias("click_to_buy_s"),
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(view_to_click_s, 0.5)"), 6).alias(
+            "p50_view_to_click_s"
+        ),
+        F.round(F.expr("percentile(click_to_buy_s, 0.5)"), 6).alias(
+            "p50_click_to_buy_s"
+        ),
+        F.round(F.expr("percentile(click_to_buy_s, 0.9)"), 6).alias(
+            "p90_click_to_buy_s"
+        ),
+    )
