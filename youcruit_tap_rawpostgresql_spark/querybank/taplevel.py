@@ -12,6 +12,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from youcruit_tap_rawpostgresql_spark.functions.hashing import hash64
 from youcruit_tap_rawpostgresql_spark.operators.conform import conform
 from youcruit_tap_rawpostgresql_spark.operators.flatten import flatten_struct_columns
 from youcruit_tap_rawpostgresql_spark.operators.incremental import (
@@ -390,4 +391,45 @@ def tap_backfill_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("from_date"),
             F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("to_date"),
         )
+    )
+
+
+@register(
+    "tap_table_checksum",
+    # order-insensitive replica fingerprint: XOR of per-row portable
+    # hashes over a canonical row rendering (decimals as fixed-scale
+    # strings, timestamps as ISO) — commutative, overflow-free, identical
+    # in any engine and under any row order or partitioning
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+  bit_xor(CAST('0x' || substr(md5(
+    concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+      o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+      strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)
+  ), 1, 15) AS BIGINT)) AS checksum
+FROM orders
+""",
+)
+def tap_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica-validation checksum: XOR-fold of a portable per-row hash
+    over a canonical rendering of every column — the post-sync "does the
+    target match the source" check the reference's users run by hand.
+    Commutative fold ⇒ no ordering, no shuffle beyond the final 1-row
+    reduce; computable independently on source and target engines.
+
+    Scale: map-side partial XOR makes this scan-bound; per-partition
+    checksums also localize WHICH partition diverged."""
+    o = tables(spark, sf_dir)["orders"]
+    row_repr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        "o_orderpriority",
+    )
+    return o.select(hash64(row_repr).alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(h)").alias("checksum"),
     )
