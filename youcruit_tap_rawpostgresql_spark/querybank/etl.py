@@ -714,3 +714,50 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_click_to_buy_s"
         ),
     )
+
+
+@register(
+    "user_longest_streak",
+    # gaps-and-islands over active DAYS: island id = day − dense_rank-th
+    # day (both integers), longest streak = max island size
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+), grouped AS (
+  SELECT user_id, day,
+    day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS INTEGER) AS island
+  FROM days
+), streaks AS (
+  SELECT user_id, island, COUNT(*) AS len FROM grouped
+  GROUP BY user_id, island
+)
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+  CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM streaks GROUP BY user_id
+""",
+)
+def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-days streak per user (gaps-and-islands
+    on the day grid: day − row_number is constant within a run) — the
+    engagement metric next to DAU/retention.
+
+    Scale: distinct (user, day) collapses map-side; the window and both
+    groupBys share the user_id partitioning — one shuffle."""
+    e = tables(spark, sf_dir)["events"]
+    days = e.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    grouped = days.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("island"),
+    )
+    streaks = grouped.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+    )

@@ -26,7 +26,8 @@ SELECT c_mktsegment, c_custkey, c_acctbal,
   RANK() OVER w AS rnk,
   DENSE_RANK() OVER w AS drnk,
   NTILE(4) OVER w AS quartile,
-  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+  ROUND(CUME_DIST() OVER w, 6) AS cdist
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
 """,
@@ -46,6 +47,7 @@ def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
 
 
