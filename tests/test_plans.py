@@ -323,6 +323,7 @@ def test_registry_global_plan_hygiene(spark):
         "stream_stream_join",
         "stream_upsert_latest",
         "stream_sliding_window",
+        "stream_ewma_stateful",
     }
     row_python_allowed = {"udtf_long_tokens"}  # documented API-surface demo
     offenders = []

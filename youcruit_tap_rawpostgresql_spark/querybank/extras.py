@@ -875,3 +875,38 @@ def profile_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("nationkey", "n_outliers", "n_total", "q1", "q3")
     )
+
+
+@register(
+    "stream_ewma_stateful",
+    # the same recursive-CTE oracle as the batch fold (ts_ewma_final): the
+    # streaming state machine replays the identical IEEE recurrence
+    oracle="""
+WITH RECURSIVE ranked AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS v,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk
+  FROM events
+), r AS (
+  SELECT user_id, rnk, v AS s FROM ranked WHERE rnk = 1
+  UNION ALL
+  SELECT x.user_id, x.rnk, 0.3 * x.v + 0.7 * r.s
+  FROM r JOIN ranked x ON x.user_id = r.user_id AND x.rnk = r.rnk + 1
+), last AS (
+  SELECT user_id, MAX(rnk) AS n_events FROM r GROUP BY user_id
+)
+SELECT r.user_id, last.n_events, ROUND(r.s, 6) AS ewma
+FROM r JOIN last ON r.user_id = last.user_id AND r.rnk = last.n_events
+""",
+)
+def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA as a REAL custom stateful streaming operator — the streaming
+    twin of ts_ewma_final, same recurrence carried in a per-user GroupState
+    across micro-batches; batch fold, streaming state machine, and the
+    recursive-CTE oracle all agree bit-for-bit."""
+    import os
+
+    from youcruit_tap_rawpostgresql_spark.streaming.stateful import (
+        run_stateful_ewma,
+    )
+
+    return run_stateful_ewma(spark, os.path.join(sf_dir, "events.parquet"))

@@ -159,3 +159,82 @@ def run_session_window_stream(spark: SparkSession, events_path: str) -> DataFram
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         "n_events",
     )
+
+
+from pyspark.sql.types import DoubleType  # noqa: E402
+
+_EWMA_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+_EWMA_STATE = StructType(
+    [
+        StructField("s", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _ewma_group(key, pdfs, state) -> "Iterator[pd.DataFrame]":
+    """Per-user EWMA (α = 0.3) carried across micro-batches: the recurrence
+    s ← 0.3·v + 0.7·s runs as a Python float64 loop in event-time order —
+    the identical IEEE op sequence as the batch array fold and the
+    recursive-CTE oracle, so all three agree bit-for-bit."""
+    (user_id,) = key
+    if state.exists:
+        s, n = state.get
+    else:
+        s, n = None, 0
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    for v in batch["value"].astype("float64"):
+        v = float(v)
+        s = v if s is None else 0.3 * v + 0.7 * s
+        n += 1
+    state.update((float(s), int(n)))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "ewma": [s]})
+
+
+def run_stateful_ewma(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming EWMA via applyInPandasWithState: one (s, n) state pair per
+    user survives across micro-batches; each batch emits the running
+    result. The final answer per user is the emission with the highest
+    n_events (monotone), making re-emission idempotent.
+
+    Scale: O(1) state per key; the sequential recurrence only ever scans
+    each batch once, in arrival order."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = open_file_stream(spark, events_path).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    ewma = stream.groupBy("user_id").applyInPandasWithState(
+        _ewma_group,
+        outputStructType=_EWMA_OUT,
+        stateStructType=_EWMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"stateful_ewma_{uuid.uuid4().hex[:8]}"
+    with scoped_stream_partitions(spark):
+        q = (
+            ewma.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    final = spark.table(sink)
+    return (
+        final.groupBy("user_id")
+        .agg(F.expr("max_by(struct(n_events, ewma), n_events)").alias("st"))
+        .select(
+            "user_id",
+            F.col("st.n_events").alias("n_events"),
+            F.round(F.col("st.ewma"), 6).alias("ewma"),
+        )
+    )
