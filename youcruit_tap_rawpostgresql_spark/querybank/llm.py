@@ -1168,3 +1168,65 @@ def sample_quality_top_half(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(W.partitionBy("source")).alias("n"),
     )
     return ranked.filter(2 * F.col("quality_rank") <= F.col("n")).drop("n")
+
+
+@register(
+    "split_leakage_audit",
+    # near-dup clusters spanning train/valid/test: composes the component
+    # oracle with the hash-split oracle; all aggregates integer
+    oracle=_o_components().rstrip().replace(
+        """SELECT node AS doc_id, MIN(root) AS component_id
+FROM reach GROUP BY node""",
+        "",
+    ).rstrip()
+    + f""", comp AS (
+  SELECT node AS doc_id, MIN(root) AS component_id FROM reach GROUP BY node
+), split AS (
+  SELECT doc_id,
+    CASE WHEN {O_HASH.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         WHEN {O_HASH.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'valid'
+         ELSE 'test' END AS split
+  FROM documents
+), joined AS (
+  SELECT c.component_id, s.split, c.doc_id
+  FROM comp c JOIN split s ON c.doc_id = s.doc_id
+), per_comp AS (
+  SELECT component_id, COUNT(DISTINCT split) AS n_splits, COUNT(*) AS n_docs
+  FROM joined GROUP BY component_id
+)
+SELECT COUNT(*) AS n_clusters,
+  COUNT(*) FILTER (WHERE n_splits > 1) AS n_leaky_clusters,
+  CAST(COALESCE(SUM(n_docs) FILTER (WHERE n_splits > 1), 0) AS BIGINT)
+    AS n_docs_in_leaky
+FROM per_comp
+""",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid/test leakage audit: how many near-dup clusters straddle
+    split boundaries (a doc-level hash split ignores duplicate structure,
+    so paraphrases of a training doc can land in the eval split — the
+    audit every serious pipeline runs before training).
+
+    Scale: clusters come from the bounded LSH pair graph; the audit itself
+    aggregates cluster-sized data. The remedy at scale is splitting by
+    component_id instead of doc_id — same hash trick, one level up."""
+    from youcruit_tap_rawpostgresql_spark.querybank.registry import REGISTRY
+
+    comp = REGISTRY["dedup_components"].fn(spark, sf_dir)
+    split = REGISTRY["sample_hash_split"].fn(spark, sf_dir).select("doc_id", "split")
+    per_comp = (
+        comp.join(split, "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.countDistinct("split").alias("n_splits"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    leaky = F.col("n_splits") > 1
+    return per_comp.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.count(F.when(leaky, 1)).alias("n_leaky_clusters"),
+        F.coalesce(F.sum(F.when(leaky, F.col("n_docs"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_docs_in_leaky"),
+    )
