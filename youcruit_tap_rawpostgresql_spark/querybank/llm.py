@@ -1230,3 +1230,55 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_docs_in_leaky"),
     )
+
+
+@register(
+    "sample_split_by_component",
+    # the remedy for split_leakage_audit's finding: hash the CLUSTER id,
+    # not the doc id — every near-dup lands in the same split by
+    # construction. Singleton docs (no candidate pair) hash their own id,
+    # which equals their would-be component id
+    oracle=_o_components().rstrip().replace(
+        """SELECT node AS doc_id, MIN(root) AS component_id
+FROM reach GROUP BY node""",
+        "",
+    ).rstrip()
+    + f""", comp AS (
+  SELECT node AS doc_id, MIN(root) AS component_id FROM reach GROUP BY node
+), assigned AS (
+  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, component_id,
+  CASE WHEN {O_HASH.format(x="'split:' || CAST(component_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+       WHEN {O_HASH.format(x="'split:' || CAST(component_id AS VARCHAR)")} % 100 < 90 THEN 'valid'
+       ELSE 'test' END AS split
+FROM assigned
+""",
+)
+def sample_split_by_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/valid/test split: the salted hash is computed on
+    the near-dup CLUSTER id (component), so paraphrase groups move between
+    splits as a unit — zero straddling clusters by construction (the
+    remedy split_leakage_audit motivates).
+
+    Scale: same map-only hash split, plus one left join against the
+    cluster map (candidate-pair-sized, not corpus-sized)."""
+    from youcruit_tap_rawpostgresql_spark.querybank.registry import REGISTRY
+
+    d = tables(spark, sf_dir)["documents"]
+    comp = REGISTRY["dedup_components"].fn(spark, sf_dir)
+    assigned = d.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component_id", "doc_id").alias("component_id")
+    )
+    bucket = (
+        hash64(F.concat(F.lit("split:"), F.col("component_id").cast("string"))) % 100
+    )
+    return assigned.select(
+        "doc_id",
+        "component_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
