@@ -825,3 +825,26 @@ def tablefunc_regexp_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "match_idx", "word"
         ),
     )
+
+
+@register(
+    "agg_bool_and_or",
+    oracle="""
+SELECT l_returnflag,
+  bool_and(l_quantity > 0) AS all_positive_qty,
+  bool_or(l_discount > 0.09) AS any_high_discount,
+  bool_and(l_shipdate >= TIMESTAMP '1992-01-01') AS all_after_1992
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_bool_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOL_AND / BOOL_OR aggregates (PG delegated surface; Spark names
+    them bool_and/bool_or too). Integer-exact threshold predicates."""
+    l = tables(spark, sf_dir)["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        F.expr("bool_and(l_quantity > 0)").alias("all_positive_qty"),
+        F.expr("bool_or(l_discount > 0.09)").alias("any_high_discount"),
+        F.expr("bool_and(l_shipdate >= TIMESTAMP '1992-01-01')").alias(
+            "all_after_1992"
+        ),
+    )

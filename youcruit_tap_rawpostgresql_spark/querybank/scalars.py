@@ -299,3 +299,30 @@ def scalar_datetime_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.weekday("o_orderdate") + 1).cast("bigint").alias("iso_weekday"),
         F.weekofyear("o_orderdate").cast("bigint").alias("iso_week"),
     )
+
+
+@register(
+    "scalar_bitwise",
+    oracle="""
+SELECT o_orderkey,
+  o_orderkey & 255 AS low_byte,
+  o_orderkey | 4096 AS with_flag,
+  xor(o_orderkey, 21845) AS xored,
+  o_orderkey << 2 AS shifted_l,
+  o_orderkey >> 3 AS shifted_r
+FROM orders WHERE o_orderkey % 100 = 0
+""",
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator surface (&, |, xor, shifts — PG's `#` xor spelled
+    portably) — integer-exact in any engine; the building blocks of the
+    Z-order/bucketing layout math."""
+    o = tables(spark, sf_dir)["orders"]
+    return o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("low_byte"),
+        F.expr("o_orderkey | 4096").alias("with_flag"),
+        F.expr("o_orderkey ^ 21845").alias("xored"),
+        F.expr("shiftleft(o_orderkey, 2)").alias("shifted_l"),
+        F.expr("shiftright(o_orderkey, 3)").alias("shifted_r"),
+    )
