@@ -280,3 +280,33 @@ def test_mixture_epochs_multiset_shape(run, spark, sf_dir):
     assert len(per_doc) < n_docs  # some docs dropped (w < 1 and not picked)
     for doc, epochs in per_doc.items():
         assert sorted(epochs) == list(range(1, len(epochs) + 1)), (doc, epochs)
+
+
+def test_table_checksum_detects_single_row_change(run, spark, sf_dir):
+    """The replica checksum must move when any single value changes —
+    XOR-fold sensitivity, the property that makes it a sync validator."""
+    import pyspark.sql.functions as F
+
+    from youcruit_tap_rawpostgresql_spark.functions.hashing import hash64
+
+    base = run("tap_table_checksum").collect()[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    tampered = o.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == 7, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    row_repr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        "o_orderpriority",
+    )
+    t = tampered.select(hash64(row_repr).alias("h")).agg(
+        F.expr("bit_xor(h)").alias("checksum")
+    ).collect()[0]
+    assert t["checksum"] != base["checksum"]
