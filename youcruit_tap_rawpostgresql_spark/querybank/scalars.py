@@ -326,3 +326,40 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftleft(o_orderkey, 2)").alias("shifted_l"),
         F.expr("shiftright(o_orderkey, 3)").alias("shifted_r"),
     )
+
+
+@register(
+    "scalar_null_semantics",
+    # NULLIF manufactures NULLs, then every null-handling construct the
+    # PG surface carries is exercised: COALESCE, IS DISTINCT FROM,
+    # null-safe compare, GREATEST/LEAST null-skipping
+    oracle="""
+SELECT o_orderkey,
+  NULLIF(o_orderstatus, 'O') AS status_or_null,
+  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_defaulted,
+  o_orderstatus IS DISTINCT FROM 'F' AS not_f_nullsafe,
+  NULLIF(o_orderstatus, 'O') IS NULL AS was_open,
+  GREATEST(o_totalprice, 100000.0) AS floored_price,
+  LEAST(NULLIF(o_totalprice, o_totalprice), o_totalprice) AS least_with_null
+FROM orders WHERE o_orderkey % 100 = 0
+""",
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface (SURVEY §2.8 conditional family): NULLIF /
+    COALESCE / IS DISTINCT FROM / GREATEST / LEAST — identical three-valued
+    logic in Spark and DuckDB (both skip NULLs in GREATEST/LEAST, unlike
+    engines that propagate them)."""
+    o = tables(spark, sf_dir)["orders"]
+    return o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.nullif("o_orderstatus", F.lit("O")).alias("status_or_null"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+            "status_defaulted"
+        ),
+        F.expr("o_orderstatus IS DISTINCT FROM 'F'").alias("not_f_nullsafe"),
+        F.nullif("o_orderstatus", F.lit("O")).isNull().alias("was_open"),
+        F.greatest("o_totalprice", F.lit(100000.0)).alias("floored_price"),
+        F.least(
+            F.nullif("o_totalprice", F.col("o_totalprice")), F.col("o_totalprice")
+        ).alias("least_with_null"),
+    )
