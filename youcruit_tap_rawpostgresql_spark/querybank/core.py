@@ -848,3 +848,49 @@ def agg_bool_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
             "all_after_1992"
         ),
     )
+
+
+@register(
+    "subquery_notin_vs_notexists",
+    # the classic three-valued-logic trap, pinned as a case: a single NULL
+    # in the NOT IN subquery empties the result (x <> NULL is UNKNOWN for
+    # every x), while NOT EXISTS keeps its rows — both engines implement
+    # the same standard semantics, and the pair makes the trap visible
+    oracle="""
+SELECT
+  (SELECT COUNT(*) FROM customer
+   WHERE c_custkey NOT IN (
+     SELECT NULLIF(o_custkey, 7) FROM orders WHERE o_orderpriority = '1-URGENT'
+   )) AS n_not_in_with_null,
+  (SELECT COUNT(*) FROM customer c
+   WHERE NOT EXISTS (
+     SELECT 1 FROM orders o
+     WHERE NULLIF(o.o_custkey, 7) = c.c_custkey
+       AND o.o_orderpriority = '1-URGENT'
+   )) AS n_not_exists
+""",
+)
+def subquery_notin_vs_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs NOT EXISTS under NULLs (delegated-surface semantics the
+    reference's users hit constantly): NULLIF plants one NULL in the
+    subquery, NOT IN collapses to 0 rows, NOT EXISTS still returns the
+    true anti-join count — identical standard behavior in Spark and
+    DuckDB, asserted side by side."""
+    t = tables(spark, sf_dir)
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM customer
+           WHERE c_custkey NOT IN (
+             SELECT NULLIF(o_custkey, 7) FROM orders
+             WHERE o_orderpriority = '1-URGENT'
+           )) AS n_not_in_with_null,
+          (SELECT COUNT(*) FROM customer c
+           WHERE NOT EXISTS (
+             SELECT 1 FROM orders o
+             WHERE NULLIF(o.o_custkey, 7) = c.c_custkey
+               AND o.o_orderpriority = '1-URGENT'
+           )) AS n_not_exists
+        """
+    )
