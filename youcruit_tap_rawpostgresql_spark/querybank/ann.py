@@ -371,3 +371,88 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_csv"),
         )
     )
+
+
+@register(
+    "ann_recall_eval",
+    # recall@3 of the LSH path against exact brute force: both rankings
+    # use the same fold cosine and rounded-score ordering, so the hit
+    # counts are pure integer set intersections. Note the DIFFERENT query
+    # sets (% 25 vs % 50) — the eval restricts to their overlap (% 50)
+    oracle=f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_o_sig('embedding')} AS sig,
+    {_O_NORM.format(a='embedding')} AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, sig, nrm AS q_nrm
+  FROM sigs WHERE vec_id % 50 = 0
+), cand AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+    {_O_DOT_PAIR.format(a='q.q_emb', b='s.embedding')} / (q.q_nrm * s.nrm) AS cos
+  FROM q JOIN sigs s ON q.sig = s.sig AND q.query_id <> s.vec_id
+), lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY ROUND(cos, 6) DESC, neighbor_id) AS rank
+    FROM cand) WHERE rank <= 3
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        ROUND({_O_DOT_PAIR.format(a='q.embedding', b='e.embedding')}
+          / ({_O_NORM.format(a='q.embedding')} * {_O_NORM.format(a='e.embedding')}), 6)
+        DESC, e.vec_id) AS rank
+    FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+    WHERE q.vec_id % 50 = 0) WHERE rank <= 3
+)
+SELECT COUNT(DISTINCT exact.query_id) AS n_queries,
+  COUNT(lsh.neighbor_id) AS n_hits,
+  COUNT(*) AS n_possible
+FROM exact LEFT JOIN lsh
+  ON exact.query_id = lsh.query_id AND exact.neighbor_id = lsh.neighbor_id
+""",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: recall@3 of the LSH bucket path against exact
+    brute-force top-3 for the shared query sample — the measurement that
+    decides band/bit parameters before committing a 100 TB index build
+    (companion to dedup_minhash_eval on the dedup side).
+
+    Scale: both sides restrict to the query sample; the exact side is the
+    expensive one and exists only for evaluation — production recall is
+    estimated on a sampled slice exactly like this."""
+    t = tables(spark, sf_dir)
+    e = t["embeddings"]
+    lsh = (
+        sim_ann_lsh(spark, sf_dir)
+        .filter(F.col("query_id") % 50 == 0)
+        .select("query_id", "neighbor_id")
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    n = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    wr = W.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 6).desc(), "neighbor_id"
+    )
+    exact = (
+        F.broadcast(q)
+        .join(n, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pairs("q_emb", "embedding").alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    hit = lsh.withColumn("hit", F.lit(1))
+    joined = exact.join(hit, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("hit").alias("n_hits"),
+        F.count(F.lit(1)).alias("n_possible"),
+    )
