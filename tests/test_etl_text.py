@@ -310,3 +310,31 @@ def test_table_checksum_detects_single_row_change(run, spark, sf_dir):
         F.expr("bit_xor(h)").alias("checksum")
     ).collect()[0]
     assert t["checksum"] != base["checksum"]
+
+
+def test_markov_single_shuffle(run):
+    # lag window + (prev, next) groupBy: the window partitioning feeds the
+    # agg; only the tiny final |types|^2 agg re-shuffles
+    p = plan_of(run("markov_transitions"), "simple")
+    assert p.count("FileScan") == 1, p
+    assert p.count("Exchange") <= 2, p
+
+
+def test_streak_single_user_shuffle(run):
+    p = plan_of(run("user_longest_streak"), "simple")
+    assert p.count("FileScan") == 1, p
+    assert "BroadcastExchange" not in p
+
+
+def test_ewma_single_shuffle(run):
+    # groupBy user + array fold: one exchange, no Python in the plan
+    p = plan_of(run("ts_ewma_final"), "simple")
+    assert p.count("Exchange") == 1, p
+    assert "Python" not in p, p
+
+
+def test_checksum_is_scan_bound(run):
+    # no join, no window — scan + single aggregate pair
+    p = plan_of(run("tap_table_checksum"), "simple")
+    assert p.count("FileScan") == 1
+    assert "Join" not in p
