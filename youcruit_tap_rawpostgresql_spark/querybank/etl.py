@@ -761,3 +761,53 @@ def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("bigint").alias("longest_streak_days"),
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
     )
+
+
+@register(
+    "impute_group_median",
+    # a deterministic 1-in-9 of balances is nulled out (the fixture has no
+    # NULLs — without this the imputation branch would be vacuous), then
+    # refilled with the per-nation exact median of the REMAINING values
+    oracle="""
+WITH dirty AS (
+  SELECT c_custkey, c_nationkey,
+    CASE WHEN c_custkey % 9 = 0 THEN NULL ELSE c_acctbal END AS bal
+  FROM customer
+), med AS (
+  SELECT c_nationkey,
+    ROUND(CAST(quantile_cont(bal, 0.5) AS DOUBLE), 6) AS median_bal
+  FROM dirty WHERE bal IS NOT NULL GROUP BY c_nationkey
+)
+SELECT d.c_custkey, d.c_nationkey,
+  COALESCE(d.bal, m.median_bal) AS bal_imputed,
+  d.bal IS NULL AS was_imputed
+FROM dirty d JOIN med m ON d.c_nationkey = m.c_nationkey
+""",
+)
+def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation: NULL balances refilled with their
+    nation's exact median of observed values, imputation flagged — the
+    repair step between conformance-quarantine and the warehouse write.
+
+    Scale: per-group medians are a group-count-sized broadcast back onto
+    the rows; swap exact percentile for the approx sketch at 100 TB. The
+    6dp-rounded median keeps the filled value cross-engine identical."""
+    c = tables(spark, sf_dir)["customer"]
+    dirty = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 9 == 0, F.lit(None)).otherwise(
+            F.col("c_acctbal")
+        ).alias("bal"),
+    )
+    med = (
+        dirty.filter(F.col("bal").isNotNull())
+        .groupBy("c_nationkey")
+        .agg(F.round(F.expr("percentile(bal, 0.5)"), 6).alias("median_bal"))
+    )
+    return dirty.join(F.broadcast(med), "c_nationkey").select(
+        "c_custkey",
+        "c_nationkey",
+        F.coalesce("bal", "median_bal").alias("bal_imputed"),
+        F.col("bal").isNull().alias("was_imputed"),
+    )
