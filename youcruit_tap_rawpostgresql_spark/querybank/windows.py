@@ -241,3 +241,38 @@ def win_ignore_nulls_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.last(sparse, ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+@register(
+    "win_time_range_frame",
+    # calendar-interval RANGE frame (trailing 1 hour by EVENT TIME, not row
+    # count) — identical frame semantics in Spark and DuckDB; the sum is
+    # exact-decimal
+    oracle="""
+SELECT user_id, event_id,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS trailing_1h_value
+FROM events
+""",
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame (SURVEY §2.6): per-user trailing-1-hour value
+    sum keyed by event time — the frame rows/ROWS can't express when event
+    spacing is irregular. Spark SQL accepts calendar intervals as RANGE
+    bounds when ordering by a timestamp.
+
+    Scale: one user_id shuffle; the frame is evaluated with a sliding
+    pointer over the sorted partition — no per-row rescans."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW
+          ) AS DOUBLE) AS trailing_1h_value
+        FROM events
+        """
+    )
