@@ -894,3 +894,45 @@ def subquery_notin_vs_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
            )) AS n_not_exists
         """
     )
+
+
+@register(
+    "agg_share_of_parent",
+    # each (flag, status) leaf's share of its flag subtotal: exact decimal
+    # sums, one IEEE division, 6dp output
+    oracle="""
+WITH leaf AS (
+  SELECT l_returnflag, l_linestatus,
+    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+), parent AS (
+  SELECT l_returnflag, SUM(qty) AS flag_qty FROM leaf GROUP BY l_returnflag
+)
+SELECT l.l_returnflag, l.l_linestatus,
+  CAST(l.qty AS DOUBLE) AS qty,
+  ROUND(CAST(l.qty AS DOUBLE) / CAST(p.flag_qty AS DOUBLE), 6)
+    AS share_of_flag
+FROM leaf l JOIN parent p ON l.l_returnflag = p.l_returnflag
+""",
+)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent reporting: each (flag, status) leaf as a fraction of
+    its flag subtotal — computed with a window over the LEAF aggregate, so
+    the fact table is scanned and shuffled once (the oracle's join-back
+    formulation reads the aggregate twice).
+
+    Scale: the window input is group-count-sized; decimal sums keep the
+    division exact-operand on both engines."""
+    l = tables(spark, sf_dir)["lineitem"]
+    leaf = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty")
+    )
+    w = W.partitionBy("l_returnflag")
+    return leaf.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("qty").cast("double").alias("qty"),
+        F.round(
+            F.col("qty").cast("double") / F.sum("qty").over(w).cast("double"), 6
+        ).alias("share_of_flag"),
+    )

@@ -811,3 +811,44 @@ def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("bal", "median_bal").alias("bal_imputed"),
         F.col("bal").isNull().alias("was_imputed"),
     )
+
+
+@register(
+    "user_profile_pivot",
+    # wide per-user feature row: first/last event type by a composite
+    # (ts, event_id) key (deterministic under ts ties), counts and exact
+    # sums — the feature-assembly shape feeding training joins
+    oracle="""
+SELECT user_id,
+  arg_min(event_type, strftime(ts, '%Y%m%d%H%M%S') || '.' ||
+          lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0') || '-' ||
+          lpad(CAST(event_id AS VARCHAR), 12, '0')) AS first_type,
+  arg_max(event_type, strftime(ts, '%Y%m%d%H%M%S') || '.' ||
+          lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0') || '-' ||
+          lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+  COUNT(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+""",
+)
+def user_profile_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user profile assembly: first/last event type, activity counts,
+    exact value total, type diversity — one groupBy produces the wide
+    feature row (min_by/max_by on a struct key; the DuckDB oracle encodes
+    the same (ts µs, event_id) ordering as a fixed-width string because its
+    arg_min lacks composite keys).
+
+    Scale: single shuffle on user_id; every aggregate is map-side
+    combinable — the canonical one-pass feature extraction."""
+    e = tables(spark, sf_dir)["events"]
+    key = "named_struct('t', ts, 'e', event_id)"
+    return e.groupBy("user_id").agg(
+        F.expr(f"min_by(event_type, {key})").alias("first_type"),
+        F.expr(f"max_by(event_type, {key})").alias("last_type"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+            "total_value"
+        ),
+        F.countDistinct("event_type").alias("n_types"),
+    )
