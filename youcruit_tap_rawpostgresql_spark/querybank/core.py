@@ -936,3 +936,26 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qty").cast("double") / F.sum("qty").over(w).cast("double"), 6
         ).alias("share_of_flag"),
     )
+
+
+@register(
+    "sort_limit_offset",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10 OFFSET 20
+""",
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination (SURVEY §2.7; Spark SQL has OFFSET since
+    3.4) over a deterministic ordering. Scale note: OFFSET still evaluates
+    the prefix — keyset pagination (WHERE key > last_seen) is the 100 TB
+    form; this case pins the syntax surface."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10 OFFSET 20
+        """
+    )

@@ -910,3 +910,50 @@ def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stateful_ewma(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register(
+    "stats_gini_coefficient",
+    # Gini over shifted-positive balances: rank-weighted sum with ranks
+    # deterministic under (value, key) ordering; Σx and Σ(rank·x) are
+    # exact decimals (rank is an integer multiplier), so the final
+    # two-division formula is the only float arithmetic
+    oracle="""
+WITH ranked AS (
+  SELECT CAST(c_acctbal AS DECIMAL(12,2)) + 1000 AS x,
+    ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) AS i,
+    COUNT(*) OVER () AS n
+  FROM customer
+)
+SELECT ROUND(
+  2.0 * CAST(SUM(i * x) AS DOUBLE) / (n * CAST(SUM(x) AS DOUBLE))
+  - (n + 1.0) / n, 6) AS gini,
+  CAST(MAX(n) AS BIGINT) AS n_customers
+FROM ranked GROUP BY n
+""",
+)
+def stats_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of (shifted-positive) customer balances — the
+    inequality/concentration summary used for skew diagnosis and fairness
+    reporting. Rank-weighted exact-decimal sums; only the closed-form
+    division is float.
+
+    Scale: the global rank is the textbook form at fixture scale; at
+    100 TB ranks come from the two-phase per-shard rank + prefix offsets
+    (ids_dense_assign), and the weighted sums stay mergeable partials."""
+    c = tables(spark, sf_dir)["customer"]
+    w = W.orderBy("c_acctbal", "c_custkey")
+    ranked = c.select(
+        (F.col("c_acctbal").cast("decimal(12,2)") + 1000).alias("x"),
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    return ranked.groupBy("n").agg(
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("x")).cast("double")
+            / (F.col("n") * F.sum("x").cast("double"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+        F.max("n").cast("bigint").alias("n_customers"),
+    ).drop("n")
