@@ -852,3 +852,65 @@ def user_profile_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+@register(
+    "session_type_cooccurrence",
+    # unordered event-type pairs co-occurring within a session (a < b
+    # canonical order) — composes the sessionizer; all-integer counts
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, event_type, ts,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE OR
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, event_type,
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM g
+), types AS (
+  SELECT DISTINCT user_id, session_seq, event_type FROM s
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+  COUNT(*) AS n_sessions
+FROM types a JOIN types b
+  ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+  AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+""",
+)
+def session_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type co-occurrence (how often do 'click' and
+    'error' happen in the same session?) — the association input for
+    basket/affinity analysis, composed on the 30-minute sessionizer.
+
+    Scale: the distinct (session, type) set collapses the stream before
+    the pair join; pairs are bounded by |types|² per session, never event
+    counts."""
+    e = tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "event_type",
+        F.sum(new_session)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_seq"),
+    )
+    types = sess.select("user_id", "session_seq", "event_type").distinct()
+    a = types.select(
+        "user_id", "session_seq", F.col("event_type").alias("type_a")
+    )
+    b = types.select(
+        "user_id", "session_seq", F.col("event_type").alias("type_b")
+    )
+    return (
+        a.join(b, ["user_id", "session_seq"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )

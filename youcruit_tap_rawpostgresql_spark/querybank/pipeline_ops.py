@@ -755,3 +755,54 @@ def ts_ewma_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("evs").cast("bigint").alias("n_events"),
         F.round(ewma, 6).alias("ewma"),
     )
+
+
+@register(
+    "profile_winsorize",
+    # robust-statistics clipping: per-nation p05/p95 bounds, ROUNDED to
+    # 6dp before comparison/clip (same convention as the IQR screen)
+    oracle="""
+WITH b AS (
+  SELECT c_nationkey,
+    ROUND(CAST(quantile_cont(c_acctbal, 0.05) AS DOUBLE), 6) AS lo,
+    ROUND(CAST(quantile_cont(c_acctbal, 0.95) AS DOUBLE), 6) AS hi
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c.c_nationkey AS nationkey,
+  COUNT(*) FILTER (WHERE c.c_acctbal < b.lo) AS n_clipped_low,
+  COUNT(*) FILTER (WHERE c.c_acctbal > b.hi) AS n_clipped_high,
+  CAST(SUM(CAST(GREATEST(LEAST(c.c_acctbal, b.hi), b.lo) AS DECIMAL(18,6)))
+    AS DOUBLE) AS winsorized_sum
+FROM customer c JOIN b ON c.c_nationkey = b.c_nationkey
+GROUP BY c.c_nationkey
+""",
+)
+def profile_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each nation's balances to its [p05, p95] band
+    and report clip counts + the clipped exact sum — the robust-statistics
+    companion to the IQR screen (clip, don't drop).
+
+    Scale: per-group bounds broadcast back; clipping is a map expression;
+    the clipped values are 6dp-bounded so the decimal(18,6) sum is exact in
+    both engines."""
+    c = tables(spark, sf_dir)["customer"]
+    b = c.groupBy("c_nationkey").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(c_acctbal, 0.95)"), 6).alias("hi"),
+    )
+    clipped = F.greatest(F.least(F.col("c_acctbal"), F.col("hi")), F.col("lo"))
+    return (
+        c.join(F.broadcast(b), "c_nationkey")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.when(F.col("c_acctbal") < F.col("lo"), 1)).alias(
+                "n_clipped_low"
+            ),
+            F.count(F.when(F.col("c_acctbal") > F.col("hi"), 1)).alias(
+                "n_clipped_high"
+            ),
+            F.sum(clipped.cast("decimal(18,6)")).cast("double").alias(
+                "winsorized_sum"
+            ),
+        )
+    )
