@@ -914,3 +914,80 @@ def session_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
     )
+
+
+@register(
+    "max_concurrent_sessions",
+    # sweep-line over session intervals: +1 at start, −1 after end, running
+    # sum ordered by (time, delta) so ends process before starts at the
+    # same instant — all integers, the canonical max-overlap algorithm
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE OR
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_seq
+  FROM g
+), iv AS (
+  SELECT user_id, session_seq, MIN(ts) AS s_start,
+    MAX(ts) + INTERVAL 30 MINUTE AS s_end
+  FROM s GROUP BY user_id, session_seq
+), pts AS (
+  SELECT s_start AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT s_end AS t, -1 AS delta FROM iv
+), run AS (
+  SELECT t, SUM(delta) OVER (ORDER BY t, delta
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+  FROM pts
+)
+SELECT CAST(MAX(live) AS BIGINT) AS max_concurrent,
+  CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions
+FROM run
+""",
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency: maximum number of simultaneously-open sessions
+    (session = 30-min-gap window, open until last event + 30 min) via the
+    sweep-line ±1 running sum — the capacity-planning number.
+
+    Scale: intervals are session-count-sized (already collapsed); the
+    global ordered sweep is the textbook form here — at 100 TB, bucket the
+    timeline (e.g. per hour), take per-bucket maxima of bucket-local
+    sweeps seeded with the carried-in live count."""
+    e = tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    s = e.select(
+        "user_id",
+        "ts",
+        F.sum(new_session)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_seq"),
+    )
+    iv = s.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("s_start"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTE")).alias("s_end"),
+    )
+    pts = iv.select(F.col("s_start").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("s_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    run = pts.select(
+        F.sum("delta")
+        .over(
+            W.orderBy("t", "delta").rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("live")
+    )
+    return run.agg(
+        F.max("live").cast("bigint").alias("max_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_sessions"),
+    )
