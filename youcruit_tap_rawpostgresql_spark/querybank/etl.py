@@ -991,3 +991,89 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("live").cast("bigint").alias("max_concurrent"),
         (F.count(F.lit(1)) / 2).cast("bigint").alias("n_sessions"),
     )
+
+
+@register(
+    "session_type_lift",
+    # association lift over sessions: lift(a,b) = N·n_ab / (n_a·n_b) —
+    # one integer product each side of a single IEEE division
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, event_type, ts,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE OR
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, event_type,
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_seq
+  FROM g
+), types AS (
+  SELECT DISTINCT user_id, session_seq, event_type FROM s
+), n_total AS (
+  SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, session_seq FROM types)
+), marg AS (
+  SELECT event_type, COUNT(*) AS n_t FROM types GROUP BY event_type
+), pair AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+  FROM types a JOIN types b
+    ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+    AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+  ROUND(CAST(t.n * p.n_ab AS DOUBLE) / (ma.n_t * mb.n_t), 6) AS lift
+FROM pair p
+JOIN marg ma ON ma.event_type = p.type_a
+JOIN marg mb ON mb.event_type = p.type_b
+CROSS JOIN n_total t
+""",
+)
+def session_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association lift between event types at session granularity
+    (lift > 1 ⇒ types co-occur more than independence predicts) — the
+    affinity score on top of the co-occurrence counts.
+
+    Scale: marginals and the session total are type-count-sized
+    broadcasts; the pair join is bounded by |types|² per session."""
+    e = tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    s = e.select(
+        "user_id",
+        "event_type",
+        F.sum(new_session)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_seq"),
+    )
+    types = s.select("user_id", "session_seq", "event_type").distinct()
+    n_total = types.select("user_id", "session_seq").distinct().count()
+    marg = types.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = types.select("user_id", "session_seq", F.col("event_type").alias("type_a"))
+    b = types.select("user_id", "session_seq", F.col("event_type").alias("type_b"))
+    pair = (
+        a.join(b, ["user_id", "session_seq"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ma = marg.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("na"))
+    mb = marg.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("nb"))
+    return (
+        pair.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                (F.lit(n_total) * F.col("n_ab")).cast("double")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -957,3 +957,45 @@ def stats_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         F.max("n").cast("bigint").alias("n_customers"),
     ).drop("n")
+
+
+@register(
+    "agg_percentile_disc",
+    # discrete percentile = an ACTUAL element (rank ceil(p·n) under a
+    # deterministic order) — no interpolation, no float boundary at all
+    oracle="""
+WITH ranked AS (
+  SELECT l_returnflag, l_quantity,
+    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                       ORDER BY l_quantity, l_orderkey, l_linenumber) AS r,
+    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+  MIN(CASE WHEN 2 * r >= n THEN l_quantity END) AS p50_disc,
+  MIN(CASE WHEN 10 * r >= 9 * n THEN l_quantity END) AS p90_disc
+FROM ranked GROUP BY l_returnflag
+""",
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (PG `percentile_disc` semantics: the smallest
+    element whose cumulative rank reaches p) — integer rank arithmetic
+    only, complementing the continuous `agg_percentiles`."""
+    l = tables(spark, sf_dir)["lineitem"]
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    ranked = l.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("l_returnflag")).alias("n"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.min(F.when(2 * F.col("r") >= F.col("n"), F.col("l_quantity"))).alias(
+            "p50_disc"
+        ),
+        F.min(
+            F.when(10 * F.col("r") >= 9 * F.col("n"), F.col("l_quantity"))
+        ).alias("p90_disc"),
+    )
