@@ -1077,3 +1077,55 @@ def session_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "user_burstiness",
+    # inter-event gaps are INTEGER seconds (floored epochs), so Σg and Σg²
+    # aggregate exactly; mean/variance/CoV are the only float ops, written
+    # identically on both sides. Users need ≥3 events for a sample variance
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+    CAST(floor(epoch(ts)) AS BIGINT)
+      - CAST(floor(epoch(LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))) AS BIGINT)
+      AS g
+  FROM events
+), agg AS (
+  SELECT user_id, COUNT(g) AS n, SUM(g) AS s, SUM(g * g) AS ss
+  FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+  ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_gap_s,
+  ROUND(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+        / (CAST(s AS DOUBLE) / n), 6) AS cov_burstiness
+FROM agg WHERE n >= 2
+""",
+)
+def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event burstiness per user: coefficient of variation of the
+    gap distribution (CoV ≈ 1 ⇒ Poisson-like, > 1 ⇒ bursty) — the
+    behavioral feature complementing sessionization.
+
+    Scale: one window pass for gaps, then integer-moment partial
+    aggregates — same exact-moments pattern as the Welch t and OLS
+    cases, one shuffle end-to-end."""
+    e = tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    ).alias("g")
+    gaps = e.select("user_id", g).filter(F.col("g").isNotNull())
+    agg = gaps.groupBy("user_id").agg(
+        F.count("g").alias("n"), F.sum("g").alias("s"), F.sum(F.col("g") * F.col("g")).alias("ss")
+    )
+    n, s, ss = F.col("n"), F.col("s").cast("double"), F.col("ss").cast("double")
+    mean = s / n
+    sd = F.sqrt((ss - s * F.col("s") / n) / (n - F.lit(1)))
+    return agg.filter(F.col("n") >= 2).select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.round(mean, 6).alias("mean_gap_s"),
+        F.round(sd / mean, 6).alias("cov_burstiness"),
+    )

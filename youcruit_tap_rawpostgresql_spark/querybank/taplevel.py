@@ -433,3 +433,53 @@ def tap_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.expr("bit_xor(h)").alias("checksum"),
     )
+
+
+@register(
+    "tap_integrity_audit",
+    # the fixture is referentially consistent (an audit on it would pass
+    # vacuously), so the header side simulates a partial sync — every 7th
+    # order hasn't arrived yet — and the audit must count its orphans
+    oracle="""
+WITH synced_orders AS (
+  SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+)
+SELECT
+  (SELECT COUNT(*) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM synced_orders o
+                     WHERE o.o_orderkey = l.l_orderkey)) AS n_orphan_lines,
+  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM synced_orders o
+                     WHERE o.o_orderkey = l.l_orderkey)) AS n_missing_headers,
+  (SELECT COUNT(*) FROM synced_orders o
+   WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey)) AS n_headers_no_lines
+""",
+)
+def tap_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-detail referential audit under partial sync: line items whose
+    order header hasn't arrived (orphans), distinct missing headers, and
+    headers with no lines — the consistency check between incremental
+    syncs of parent/child streams.
+
+    Scale: two anti-joins co-partitioned on the order key; counts are
+    map-side-combinable. At 100 TB the missing-header set feeds the next
+    sync's targeted backfill predicate."""
+    t = tables(spark, sf_dir)
+    li, o = t["lineitem"], t["orders"]
+    synced = o.filter(F.col("o_orderkey") % 7 != 0)
+    orphans = li.join(
+        synced, li["l_orderkey"] == synced["o_orderkey"], "left_anti"
+    )
+    no_lines = synced.join(
+        li, synced["o_orderkey"] == li["l_orderkey"], "left_anti"
+    )
+    return (
+        orphans.agg(
+            F.count(F.lit(1)).alias("n_orphan_lines"),
+            F.countDistinct("l_orderkey").alias("n_missing_headers"),
+        )
+        .crossJoin(
+            F.broadcast(no_lines.agg(F.count(F.lit(1)).alias("n_headers_no_lines")))
+        )
+    )
