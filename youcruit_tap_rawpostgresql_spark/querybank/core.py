@@ -959,3 +959,32 @@ def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10 OFFSET 20
         """
     )
+
+
+@register(
+    "agg_weighted_avg",
+    # price-weighted average discount: both Σ(w·x) and Σw are exact
+    # decimals (products stay within the 38-digit cap), one division
+    oracle="""
+SELECT l_returnflag,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+    AS weighted_avg_discount,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average (price-weighted discount) — exact decimal
+    numerator and denominator, one IEEE division; the reporting primitive
+    plain AVG silently gets wrong."""
+    l = tables(spark, sf_dir)["lineitem"]
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    dsc = F.col("l_discount").cast("decimal(12,2)")
+    return l.groupBy("l_returnflag").agg(
+        (F.sum(p * dsc).cast("double") / F.sum(p).cast("double")).alias(
+            "weighted_avg_discount"
+        ),
+        F.sum(p).cast("double").alias("total_price"),
+    )

@@ -276,3 +276,35 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         """
     )
+
+
+@register(
+    "win_centered_time_frame",
+    # symmetric event-time neighborhood: ±30 minutes around each event —
+    # the local-density feature (how busy was this moment?)
+    oracle="""
+SELECT user_id, event_id,
+  CAST(COUNT(*) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+              AND INTERVAL 30 MINUTE FOLLOWING
+  ) AS BIGINT) AS n_events_1h_window
+FROM events
+""",
+)
+def win_centered_time_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered calendar-interval RANGE frame (±30 min): per-event local
+    activity density — unlike the trailing frame, the window looks BOTH
+    directions, which ROWS frames cannot express on irregular spacing."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+          CAST(COUNT(*) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL '30' MINUTE PRECEDING
+                      AND INTERVAL '30' MINUTE FOLLOWING
+          ) AS BIGINT) AS n_events_1h_window
+        FROM events
+        """
+    )
