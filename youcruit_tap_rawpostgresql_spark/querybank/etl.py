@@ -1129,3 +1129,58 @@ def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("mean_gap_s"),
         F.round(sd / mean, 6).alias("cov_burstiness"),
     )
+
+
+@register(
+    "order_fulfillment_lag",
+    # accumulating-snapshot rollup: per order, lag from order date to
+    # first/last shipment (integer day diffs), plus the share fulfilled
+    # within 30 days — counts and day arithmetic only
+    oracle="""
+WITH lag AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+    date_diff('day', CAST(o.o_orderdate AS DATE),
+              CAST(MIN(l.l_shipdate) AS DATE)) AS first_ship_days,
+    date_diff('day', CAST(o.o_orderdate AS DATE),
+              CAST(MAX(l.l_shipdate) AS DATE)) AS last_ship_days
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+)
+SELECT o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(MIN(first_ship_days) AS BIGINT) AS min_first_ship_days,
+  CAST(MAX(last_ship_days) AS BIGINT) AS max_last_ship_days,
+  COUNT(*) FILTER (WHERE last_ship_days <= 30) AS n_fully_shipped_30d
+FROM lag GROUP BY o_orderpriority
+""",
+)
+def order_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulating-snapshot rollup: order-to-first/last-shipment lags per
+    priority class, with the 30-day full-fulfillment count — the lifecycle
+    fact every order pipeline reports.
+
+    Scale: the header-detail join shuffles both sides on the order key
+    they share; the per-order accumulate collapses line fan-out before the
+    tiny priority rollup."""
+    t = tables(spark, sf_dir)
+    o, li = t["orders"], t["lineitem"]
+    lag = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.datediff(
+                F.to_date(F.min("l_shipdate")), F.to_date(F.col("o_orderdate"))
+            ).alias("first_ship_days"),
+            F.datediff(
+                F.to_date(F.max("l_shipdate")), F.to_date(F.col("o_orderdate"))
+            ).alias("last_ship_days"),
+        )
+    )
+    return lag.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("first_ship_days").cast("bigint").alias("min_first_ship_days"),
+        F.max("last_ship_days").cast("bigint").alias("max_last_ship_days"),
+        F.count(F.when(F.col("last_ship_days") <= 30, 1)).alias(
+            "n_fully_shipped_30d"
+        ),
+    )
