@@ -1184,3 +1184,37 @@ def order_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_fully_shipped_30d"
         ),
     )
+
+
+@register(
+    "ts_seasonality_profile",
+    # weekday seasonality: exact-decimal sums per ISO weekday (pinned via
+    # the portable weekday()+1 == isodow convention), one division each
+    oracle="""
+SELECT CAST(isodow(ts) AS BIGINT) AS iso_weekday,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6)
+    AS avg_value
+FROM events GROUP BY 1
+""",
+)
+def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality profile (the simplest seasonal decomposition:
+    day-of-week level averages) — exact sums, pinned weekday convention.
+
+    Scale: 7-group partial aggregate; the shuffle is constant-size."""
+    e = tables(spark, sf_dir)["events"]
+    return e.groupBy(
+        (F.weekday("ts") + 1).cast("bigint").alias("iso_weekday")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+            "total_value"
+        ),
+        F.round(
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_value"),
+    )

@@ -308,3 +308,29 @@ def win_centered_time_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         """
     )
+
+
+@register(
+    "topk_with_ties",
+    # FETCH ... WITH TIES semantics: dense_rank keeps every row tied with
+    # the k-th value (row_number's arbitrary tie-cut is what WITH TIES
+    # exists to avoid); quantities tie heavily so the distinction is real
+    oracle="""
+SELECT l_returnflag, l_quantity, rk FROM (
+  SELECT l_returnflag, l_quantity,
+    DENSE_RANK() OVER (PARTITION BY l_returnflag
+                       ORDER BY l_quantity DESC) AS rk
+  FROM lineitem
+) WHERE rk <= 2
+""",
+)
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES (PG `FETCH FIRST k WITH TIES` semantics) via
+    dense_rank — keeps all rows sharing the k-th value instead of an
+    arbitrary tie cut. Scale: same single-shuffle window as plain top-k."""
+    l = tables(spark, sf_dir)["lineitem"]
+    w = W.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    return (
+        l.select("l_returnflag", "l_quantity", F.dense_rank().over(w).alias("rk"))
+        .filter(F.col("rk") <= 2)
+    )
