@@ -806,3 +806,44 @@ def profile_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "feature_minmax_scale",
+    # min-max normalization to [0,1] per nation: bounds are exact data
+    # values (min/max pick, no arithmetic), one subtraction and one
+    # division per row, 6dp output
+    oracle="""
+WITH b AS (
+  SELECT c_nationkey, MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c.c_custkey, c.c_nationkey,
+  ROUND((c.c_acctbal - b.lo) / (b.hi - b.lo), 6) AS bal_scaled
+FROM customer c JOIN b ON c.c_nationkey = b.c_nationkey
+WHERE c.c_custkey % 5 = 0
+""",
+)
+def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling to [0,1] — the normalization step
+    before distance-based models; group bounds broadcast back, map-only
+    scaling.
+
+    Scale: bounds are a group-count-sized broadcast; at 100 TB use
+    winsorized bounds (profile_winsorize) so a single outlier doesn't
+    flatten the scale."""
+    c = tables(spark, sf_dir)["customer"]
+    b = c.groupBy("c_nationkey").agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    return (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .join(F.broadcast(b), "c_nationkey")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(
+                (F.col("c_acctbal") - F.col("lo")) / (F.col("hi") - F.col("lo")), 6
+            ).alias("bal_scaled"),
+        )
+    )
