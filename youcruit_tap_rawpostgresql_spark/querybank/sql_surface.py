@@ -8,6 +8,9 @@ ROLLUP, and named WINDOW clauses shared by several window functions.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youcruit_tap_rawpostgresql_spark.functions.text_funcs import tokens
 
 from youcruit_tap_rawpostgresql_spark.querybank.helpers import O_REV
 from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
@@ -227,4 +230,47 @@ def sql_values_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON o.o_orderpriority = t.prio
         GROUP BY t.tier
         """
+    )
+
+
+@register(
+    "tablefunc_explode_outer",
+    # explode vs explode_outer, the row-dropping trap: 43 fixture docs
+    # have <20 tokens (empty 20-gram window list) — plain explode silently
+    # drops them, OUTER keeps them as a NULL row. The counts pin both
+    oracle="""
+WITH w AS (
+  SELECT doc_id,
+    CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) >= 20
+      THEN list_transform(
+        generate_series(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 19),
+        i -> i)
+      ELSE [] END AS starts
+  FROM documents
+), x AS (
+  SELECT w.doc_id, u.s
+  FROM w LEFT JOIN (SELECT doc_id, unnest(starts) AS s FROM w) u
+    ON u.doc_id = w.doc_id
+)
+SELECT COUNT(*) AS n_rows_outer,
+  COUNT(s) AS n_windows,
+  COUNT(*) FILTER (WHERE s IS NULL) AS n_docs_kept_empty
+FROM x
+""",
+)
+def tablefunc_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics (SURVEY §2.8 set-returning family): docs
+    whose 20-token window list is empty survive as a NULL row instead of
+    vanishing — the silent-row-loss trap between PG's LEFT JOIN LATERAL
+    unnest and a plain CROSS JOIN unnest, pinned by the three counts."""
+    d = tables(spark, sf_dir)["documents"]
+    starts = F.when(
+        F.size(tokens("text")) >= 20,
+        F.sequence(F.lit(1), F.size(tokens("text")) - 19),
+    ).otherwise(F.array())
+    x = d.select("doc_id", F.explode_outer(starts).alias("s"))
+    return x.agg(
+        F.count(F.lit(1)).alias("n_rows_outer"),
+        F.count("s").alias("n_windows"),
+        F.count(F.when(F.col("s").isNull(), 1)).alias("n_docs_kept_empty"),
     )
