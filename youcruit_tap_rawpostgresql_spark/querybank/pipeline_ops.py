@@ -847,3 +847,44 @@ def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bal_scaled"),
         )
     )
+
+
+@register(
+    "profile_mad",
+    # median absolute deviation: two exact-percentile passes, the inner
+    # median ROUNDED to 6dp before the |x − m| residual so both engines
+    # subtract the identical constant
+    oracle="""
+WITH m AS (
+  SELECT c_nationkey,
+    ROUND(CAST(quantile_cont(c_acctbal, 0.5) AS DOUBLE), 6) AS med
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c.c_nationkey AS nationkey, MAX(m.med) AS median_bal,
+  ROUND(CAST(quantile_cont(abs(c.c_acctbal - m.med), 0.5) AS DOUBLE), 6)
+    AS mad
+FROM customer c JOIN m ON c.c_nationkey = m.c_nationkey
+GROUP BY c.c_nationkey
+""",
+)
+def profile_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per nation — the robust scale estimator
+    (completes the robust trio with the IQR screen and winsorization):
+    MAD-based z-scores survive the outliers that wreck stddev.
+
+    Scale: two group-sized broadcast passes (median, then median of
+    residuals); at 100 TB both collapse to approx sketches."""
+    c = tables(spark, sf_dir)["customer"]
+    m = c.groupBy("c_nationkey").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("med")
+    )
+    return (
+        c.join(F.broadcast(m), "c_nationkey")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.max("med").alias("median_bal"),
+            F.round(
+                F.expr("percentile(abs(c_acctbal - med), 0.5)"), 6
+            ).alias("mad"),
+        )
+    )

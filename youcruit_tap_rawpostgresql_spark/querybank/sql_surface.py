@@ -274,3 +274,35 @@ def tablefunc_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("s").alias("n_windows"),
         F.count(F.when(F.col("s").isNull(), 1)).alias("n_docs_kept_empty"),
     )
+
+
+@register(
+    "sql_pivot_clause",
+    # Spark's native SQL PIVOT clause; the oracle states the same result
+    # as portable conditional aggregation (DuckDB's PIVOT syntax differs)
+    oracle="""
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN l_linestatus = 'F'
+    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS F_qty,
+  CAST(SUM(CASE WHEN l_linestatus = 'O'
+    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS O_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT clause (the syntax surface; pivot_sum covers the
+    DataFrame API form) — each status becomes a column of exact-decimal
+    quantity sums."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT l_returnflag, l_linestatus,
+            CAST(l_quantity AS DECIMAL(12,2)) AS qty
+          FROM lineitem
+        )
+        PIVOT (
+          CAST(SUM(qty) AS DOUBLE) FOR l_linestatus IN ('F' AS F_qty, 'O' AS O_qty)
+        )
+        """
+    )
