@@ -1218,3 +1218,61 @@ def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_value"),
     )
+
+
+@register(
+    "stats_chisq_cells",
+    # chi-square independence cells for event_type × ISO weekday: observed
+    # is an integer, expected = row·col/N is two integer products and one
+    # division — per-cell output keeps every float op order-free
+    oracle="""
+WITH obs AS (
+  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS wd, COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+), rows_t AS (
+  SELECT event_type, SUM(o) AS r FROM obs GROUP BY event_type
+), cols_t AS (
+  SELECT wd, SUM(o) AS c FROM obs GROUP BY wd
+), n_t AS (
+  SELECT SUM(o) AS n FROM obs
+)
+SELECT obs.event_type, obs.wd, obs.o,
+  ROUND(CAST(r.r * c.c AS DOUBLE) / n.n, 6) AS expected,
+  ROUND(POWER(obs.o - CAST(r.r * c.c AS DOUBLE) / n.n, 2)
+        / (CAST(r.r * c.c AS DOUBLE) / n.n), 6) AS chisq_contrib
+FROM obs
+JOIN rows_t r ON r.event_type = obs.event_type
+JOIN cols_t c ON c.wd = obs.wd
+CROSS JOIN n_t n
+""",
+)
+def stats_chisq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells (event type × weekday): per-cell
+    observed, expected-under-independence, and contribution — the
+    contingency analysis behind 'is activity mix day-dependent?'. Per-cell
+    emission keeps every float op single and ordered (a global Σ would be
+    accumulation-order-dependent; the consumer sums the 35 cells).
+
+    Scale: the contingency table is |types|×7 — marginals broadcast."""
+    e = tables(spark, sf_dir)["events"]
+    obs = e.groupBy(
+        "event_type", (F.weekday("ts") + 1).cast("bigint").alias("wd")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_t = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols_t = obs.groupBy("wd").agg(F.sum("o").alias("c"))
+    n_t = obs.agg(F.sum("o").alias("n"))
+    expected = (F.col("r") * F.col("c")).cast("double") / F.col("n")
+    return (
+        obs.join(F.broadcast(rows_t), "event_type")
+        .join(F.broadcast(cols_t), "wd")
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "event_type",
+            "wd",
+            "o",
+            F.round(expected, 6).alias("expected"),
+            F.round(
+                F.pow(F.col("o") - expected, F.lit(2)) / expected, 6
+            ).alias("chisq_contrib"),
+        )
+    )

@@ -306,3 +306,36 @@ def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "sql_unpivot_clause",
+    # Spark's native UNPIVOT clause; the oracle states the same result as
+    # the portable UNION ALL form
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'qty' AS metric, qty AS val FROM w
+UNION ALL
+SELECT l_returnflag, 'price' AS metric, price AS val FROM w
+""",
+)
+def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UNPIVOT clause (Spark 3.4+; unpivot_stack covers the stack()
+    form) — wide metric columns back to (metric, value) rows."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, metric, val FROM (
+          SELECT l_returnflag,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price
+          FROM lineitem GROUP BY l_returnflag
+        )
+        UNPIVOT (val FOR metric IN (qty, price))
+        """
+    )
