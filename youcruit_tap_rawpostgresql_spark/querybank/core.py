@@ -988,3 +988,50 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(p).cast("double").alias("total_price"),
     )
+
+
+@register(
+    "sort_keyset_page",
+    # keyset (seek) pagination: the page AFTER a known (price, key) cursor
+    # via row-value comparison — the scalable form of OFFSET (the filter
+    # pushes down; no prefix is evaluated)
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE (o_totalprice, o_orderkey) < (
+  SELECT (o_totalprice, o_orderkey) FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1 OFFSET 19
+)
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def sort_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination: rows after the 20th cursor under
+    (price DESC, key) order, via lexicographic struct comparison — same
+    page as sort_limit_offset's OFFSET 20, but the predicate prunes
+    instead of evaluating the prefix (the 100 TB pagination form).
+
+    Both sides use the lexicographic `(price, key) < (cursor)` form;
+    fixture prices are unique doubles, so the key tiebreak never decides a
+    page boundary and the page equals OFFSET 20's."""
+    t = tables(spark, sf_dir)["orders"]
+    cursor = (
+        t.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+        .orderBy(F.col("o_totalprice"), F.col("o_orderkey").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    cp, ck = cursor["o_totalprice"], cursor["o_orderkey"]
+    return (
+        t.filter(
+            F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+            < F.struct(
+                F.lit(cp).cast("double"), F.lit(ck).cast("bigint")
+            )
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
