@@ -1035,3 +1035,42 @@ def sort_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "join_null_safe",
+    # NULLIF plants NULL keys on both sides (nation 13): plain equality
+    # drops every NULL pair, the null-safe operator matches them — both
+    # counts pin the three-valued-logic difference
+    oracle="""
+WITH c AS (
+  SELECT c_custkey, NULLIF(c_nationkey, 13) AS nk FROM customer
+), s AS (
+  SELECT s_suppkey, NULLIF(s_nationkey, 13) AS nk FROM supplier
+)
+SELECT
+  (SELECT COUNT(*) FROM c JOIN s ON c.nk = s.nk) AS n_plain_eq,
+  (SELECT COUNT(*) FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk)
+    AS n_null_safe
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe join (Spark `<=>` / PG-DuckDB `IS NOT DISTINCT FROM`):
+    NULL keys match each other under the null-safe operator and never
+    match under plain equality — the join-key-nullability trap, pinned by
+    both counts side by side.
+
+    Scale note: Spark plans `<=>` as an equi hash join (NULL hashes to a
+    bucket), NOT a nested loop — null-safe keys keep the scalable path."""
+    t = tables(spark, sf_dir)
+    c = t["customer"].select(
+        "c_custkey", F.nullif("c_nationkey", F.lit(13)).alias("nk")
+    )
+    s = t["supplier"].select(
+        "s_suppkey", F.nullif("s_nationkey", F.lit(13)).alias("nk")
+    )
+    plain = c.join(s, c["nk"] == s["nk"]).count()
+    nullsafe = c.join(s, c["nk"].eqNullSafe(s["nk"])).count()
+    return spark.createDataFrame(
+        [(plain, nullsafe)], "n_plain_eq bigint, n_null_safe bigint"
+    )
