@@ -1276,3 +1276,136 @@ def stats_chisq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chisq_contrib"),
         )
     )
+
+
+@register(
+    "attribution_first_touch",
+    # first-touch attribution: every purchase's value credited to the
+    # user's FIRST-ever event type (the acquisition-channel proxy);
+    # first pick is deterministic under the (ts, event_id) composite key
+    oracle="""
+WITH first_touch AS (
+  SELECT user_id,
+    arg_min(event_type, strftime(ts, '%Y%m%d%H%M%S') || '-' ||
+            lpad(CAST(event_id AS VARCHAR), 12, '0')) AS channel
+  FROM events GROUP BY user_id
+)
+SELECT f.channel,
+  COUNT(*) AS n_purchases,
+  CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS attributed_value
+FROM events e JOIN first_touch f ON e.user_id = f.user_id
+WHERE e.event_type = 'purchase'
+GROUP BY f.channel
+""",
+)
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: purchase value rolled up to each user's
+    first-ever event type — the marketing-attribution join (last-touch is
+    the max_by twin).
+
+    Scale: the first-touch map is one user-keyed aggregate; the purchase
+    join re-uses the user partitioning; exact decimal sums."""
+    e = tables(spark, sf_dir)["events"]
+    key = "named_struct('t', ts, 'e', event_id)"
+    first = e.groupBy("user_id").agg(
+        F.expr(f"min_by(event_type, {key})").alias("channel")
+    )
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "attributed_value"
+            ),
+        )
+    )
+
+
+@register(
+    "rfm_segmentation",
+    # RFM terciles with integer keep rules (3·rank ≤ n / ≤ 2n) — no float
+    # percentile boundary; recency measured in whole days to a fixed
+    # reference date
+    oracle="""
+WITH base AS (
+  SELECT o_custkey,
+    date_diff('day', CAST(MAX(o_orderdate) AS DATE), DATE '2003-01-01')
+      AS recency_d,
+    COUNT(*) AS frequency,
+    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey, recency_d, frequency,
+    ROW_NUMBER() OVER (ORDER BY recency_d, o_custkey) AS rr,
+    ROW_NUMBER() OVER (ORDER BY frequency DESC, o_custkey) AS rf,
+    ROW_NUMBER() OVER (ORDER BY monetary DESC, o_custkey) AS rm,
+    COUNT(*) OVER () AS n
+  FROM base
+)
+SELECT CASE WHEN 3 * rr <= n THEN 1 WHEN 3 * rr <= 2 * n THEN 2 ELSE 3 END
+         || CASE WHEN 3 * rf <= n THEN 1 WHEN 3 * rf <= 2 * n THEN 2 ELSE 3 END
+         || CASE WHEN 3 * rm <= n THEN 1 WHEN 3 * rm <= 2 * n THEN 2 ELSE 3 END
+         AS rfm_segment,
+  COUNT(*) AS n_customers,
+  CAST(MIN(recency_d) AS BIGINT) AS min_recency_d,
+  CAST(MAX(frequency) AS BIGINT) AS max_frequency
+FROM ranked GROUP BY 1
+""",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: customers bucketed into recency/frequency/monetary
+    terciles (1 = best), segment label = concatenated tercile digits — the
+    classic CRM partitioning, with integer rank rules so no percentile
+    boundary exists.
+
+    Scale: per-customer rollup is one shuffle; the global rank is
+    fixture-scale — at 100 TB switch to the two-phase per-shard rank
+    (ids_dense_assign) or quantile-sketch boundaries."""
+    o = tables(spark, sf_dir)["orders"]
+    base = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.to_date(F.lit("2003-01-01")), F.to_date(F.max("o_orderdate"))
+        ).alias("recency_d"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("monetary"),
+    )
+    ranked = base.select(
+        "o_custkey",
+        "recency_d",
+        "frequency",
+        F.row_number().over(W.orderBy("recency_d", "o_custkey")).alias("rr"),
+        F.row_number()
+        .over(W.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("rf"),
+        F.row_number()
+        .over(W.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .alias("rm"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+
+    def tercile(r):
+        return (
+            F.when(3 * F.col(r) <= F.col("n"), F.lit(1))
+            .when(3 * F.col(r) <= 2 * F.col("n"), F.lit(2))
+            .otherwise(F.lit(3))
+        )
+
+    return (
+        ranked.select(
+            F.concat(
+                tercile("rr").cast("string"),
+                tercile("rf").cast("string"),
+                tercile("rm").cast("string"),
+            ).alias("rfm_segment"),
+            "recency_d",
+            "frequency",
+        )
+        .groupBy("rfm_segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("recency_d").cast("bigint").alias("min_recency_d"),
+            F.max("frequency").cast("bigint").alias("max_frequency"),
+        )
+    )
