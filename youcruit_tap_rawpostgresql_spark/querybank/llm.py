@@ -1282,3 +1282,63 @@ def sample_split_by_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register(
+    "source_centroid_similarity",
+    # domain-drift matrix: cosine between per-source centroids (first 4
+    # dims, each 6dp-ROUNDED before any pairwise math — identical doubles
+    # in, identical fold out)
+    oracle="""
+WITH cent AS (
+  SELECT d.source, p.pos,
+    ROUND(
+      list_reduce(list(CAST(e.embedding[p.pos] AS DOUBLE) ORDER BY d.doc_id),
+                  (x, y) -> x + y) / COUNT(*), 6) AS v
+  FROM documents d
+  JOIN embeddings e ON e.vec_id = d.doc_id
+  CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS pos) p
+  GROUP BY d.source, p.pos
+), vec AS (
+  SELECT source, list(v ORDER BY pos) AS c FROM cent GROUP BY source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+  ROUND(
+    list_reduce(list_transform(generate_series(1, 4),
+      i -> a.c[i] * b.c[i]), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform(generate_series(1, 4),
+        i -> a.c[i] * a.c[i]), (x, y) -> x + y))
+     * sqrt(list_reduce(list_transform(generate_series(1, 4),
+        i -> b.c[i] * b.c[i]), (x, y) -> x + y))), 6) AS cosine
+FROM vec a JOIN vec b ON a.source < b.source
+""",
+)
+def source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-to-source similarity matrix over embedding centroids — the
+    domain-drift / near-duplicate-SOURCE detector (which crawls overlap?),
+    composed on the deterministic per-source centroid fold.
+
+    Scale: centroids are source-count-sized; the pairwise matrix is
+    |sources|² — trivially broadcastable at any corpus size."""
+    cent = embed_centroid_per_source(spark, sf_dir)
+    vec = cent.groupBy("source").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))).alias("oc")
+    ).select(
+        "source", F.transform("oc", lambda s: s["centroid_val"]).alias("c")
+    )
+    a = vec.select(F.col("source").alias("source_a"), F.col("c").alias("ca"))
+    b = vec.select(F.col("source").alias("source_b"), F.col("c").alias("cb"))
+    dotp = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    nrm = lambda col: F.sqrt(
+        F.aggregate(F.col(col), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.round(dotp / (nrm("ca") * nrm("cb")), 6).alias("cosine"),
+        )
+    )
