@@ -1409,3 +1409,109 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("frequency").cast("bigint").alias("max_frequency"),
         )
     )
+
+
+@register(
+    "event_path_trigrams",
+    # top 10 three-step user paths: lag/lead over the per-user stream,
+    # integer counts, (count desc, path) deterministic ranking
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), paths AS (
+  SELECT prev || '>' || event_type || '>' || nxt AS path
+  FROM seq WHERE prev IS NOT NULL AND nxt IS NOT NULL
+), ranked AS (
+  SELECT path, COUNT(*) AS n,
+    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS rnk
+  FROM paths GROUP BY path
+)
+SELECT path, n, rnk FROM ranked WHERE rnk <= 10
+""",
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-path mining: the 10 most common three-step event sequences —
+    the navigation-flow summary behind funnel design.
+
+    Scale: one user-keyed window pass; the path vocabulary is |types|³
+    bounded, so the count shuffle is tiny."""
+    e = tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    paths = seq.filter(
+        F.col("prev").isNotNull() & F.col("nxt").isNotNull()
+    ).select(F.concat_ws(">", "prev", "cur", "nxt").alias("path"))
+    ranked = (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rnk", F.row_number().over(W.orderBy(F.col("n").desc(), "path"))
+        )
+    )
+    return ranked.filter(F.col("rnk") <= 10)
+
+
+@register(
+    "session_entry_exit",
+    # entry/exit distribution: each session's first and last event type
+    # (deterministic under the (ts, event_id) key), counted as a matrix
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, event_type, ts,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE OR
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, event_id, event_type, ts,
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_seq
+  FROM g
+), fl AS (
+  SELECT user_id, session_seq,
+    arg_min(event_type, strftime(ts, '%Y%m%d%H%M%S') || '-' ||
+            lpad(CAST(event_id AS VARCHAR), 12, '0')) AS entry_type,
+    arg_max(event_type, strftime(ts, '%Y%m%d%H%M%S') || '-' ||
+            lpad(CAST(event_id AS VARCHAR), 12, '0')) AS exit_type
+  FROM s GROUP BY user_id, session_seq
+)
+SELECT entry_type, exit_type, COUNT(*) AS n_sessions
+FROM fl GROUP BY entry_type, exit_type
+""",
+)
+def session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry/exit matrix: how sessions start vs how they end —
+    the landing/abandonment distribution on top of the sessionizer.
+
+    Scale: the first/last picks collapse each session map-side (min_by /
+    max_by on the composite key); the matrix is |types|²."""
+    e = tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    s = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.sum(new_session)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_seq"),
+    )
+    key = "named_struct('t', ts, 'e', event_id)"
+    fl = s.groupBy("user_id", "session_seq").agg(
+        F.expr(f"min_by(event_type, {key})").alias("entry_type"),
+        F.expr(f"max_by(event_type, {key})").alias("exit_type"),
+    )
+    return fl.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
