@@ -1334,8 +1334,10 @@ def source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = lambda col: F.sqrt(
         F.aggregate(F.col(col), F.lit(0.0), lambda acc, v: acc + v * v)
     )
+    # broadcast the (source-count-sized) right side: the non-equi pair
+    # join otherwise plans as a CartesianProduct
     return (
-        a.join(b, F.col("source_a") < F.col("source_b"))
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
         .select(
             "source_a",
             "source_b",
