@@ -391,3 +391,96 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(oov.cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
         (oov * 10 >= F.count(F.lit(1))).alias("is_noisy"),
     )
+
+
+@register(
+    "text_langid_ngram_profile",
+    # real n-gram language ID: per-language top-20 char-trigram profiles
+    # (deterministic count-desc/trigram-asc rank) built from the corpus's
+    # own declared labels, then each doc classified by profile-overlap
+    # count (argmax with lexical tiebreak) — integers end to end
+    oracle="""
+WITH tri AS (
+  SELECT d.doc_id, d.lang, substr(d.text, i, 3) AS tg
+  FROM (SELECT doc_id, lang, lower(trim(text)) AS text FROM documents) d,
+    unnest(generate_series(1, length(d.text) - 2)) AS u(i)
+), profile AS (
+  SELECT lang, tg FROM (
+    SELECT lang, tg, ROW_NUMBER() OVER (PARTITION BY lang
+      ORDER BY COUNT(*) DESC, tg) AS r
+    FROM tri GROUP BY lang, tg
+  ) WHERE r <= 20
+), doc_tg AS (
+  SELECT DISTINCT doc_id, tg FROM tri
+), scores AS (
+  SELECT dt.doc_id, p.lang, COUNT(*) AS overlap
+  FROM doc_tg dt JOIN profile p ON p.tg = dt.tg
+  GROUP BY dt.doc_id, p.lang
+), best AS (
+  SELECT doc_id, lang AS predicted_lang, overlap,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY overlap DESC, lang) AS r
+  FROM scores QUALIFY r = 1
+)
+SELECT b.doc_id, b.predicted_lang, b.overlap, d.lang AS declared_lang,
+  b.predicted_lang = d.lang AS correct
+FROM best b JOIN documents d ON d.doc_id = b.doc_id
+""",
+)
+def text_langid_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language identification (the n-gram profile
+    method proper, next to the stopword heuristic in text_langid): build
+    each language's top-20 trigram profile from labeled data, classify
+    every document by profile overlap.
+
+    Scale: profiles are |langs|×20 (broadcast); the trigram explode
+    shuffles once for the profile build and once for scoring; overlap
+    scoring is an equi-join on the trigram. All ranking integer with
+    lexical tiebreaks."""
+    d = tables(spark, sf_dir)["documents"]
+    base = d.select("doc_id", "lang", F.lower(F.trim("text")).alias("text"))
+    tri = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))")
+        ).alias("tg"),
+    )
+    profile = (
+        tri.groupBy("lang", "tg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(F.col("c").desc(), "tg")
+            ),
+        )
+        .filter(F.col("r") <= 20)
+        .select(F.col("lang").alias("p_lang"), "tg")
+    )
+    doc_tg = tri.select("doc_id", "tg").distinct()
+    scores = (
+        doc_tg.join(F.broadcast(profile), "tg")
+        .groupBy("doc_id", "p_lang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    best = (
+        scores.withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.col("overlap").desc(), "p_lang")
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .select("doc_id", F.col("p_lang").alias("predicted_lang"), "overlap")
+    )
+    return best.join(
+        F.broadcast(d.select("doc_id", F.col("lang").alias("declared_lang"))),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "predicted_lang",
+        "overlap",
+        "declared_lang",
+        (F.col("predicted_lang") == F.col("declared_lang")).alias("correct"),
+    )
