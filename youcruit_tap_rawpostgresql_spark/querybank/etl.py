@@ -1515,3 +1515,50 @@ def session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fl.groupBy("entry_type", "exit_type").agg(
         F.count(F.lit(1)).alias("n_sessions")
     )
+
+
+@register(
+    "attribution_last_touch",
+    # the max_by twin of first-touch: credit each purchase to the LAST
+    # non-purchase event before it… simplified to the user's latest
+    # non-purchase touch (deterministic composite key), the common
+    # practical approximation
+    oracle="""
+WITH last_touch AS (
+  SELECT user_id,
+    arg_max(event_type, strftime(ts, '%Y%m%d%H%M%S') || '-' ||
+            lpad(CAST(event_id AS VARCHAR), 12, '0')) AS channel
+  FROM events WHERE event_type <> 'purchase' GROUP BY user_id
+)
+SELECT l.channel,
+  COUNT(*) AS n_purchases,
+  CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS attributed_value
+FROM events e JOIN last_touch l ON e.user_id = l.user_id
+WHERE e.event_type = 'purchase'
+GROUP BY l.channel
+""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: purchase value credited to the user's most
+    recent non-purchase event type — first/last-touch pair complete.
+
+    Scale: identical shape to first-touch (one user-keyed pick + the
+    purchase join on the same partitioning)."""
+    e = tables(spark, sf_dir)["events"]
+    key = "named_struct('t', ts, 'e', event_id)"
+    last = (
+        e.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id")
+        .agg(F.expr(f"max_by(event_type, {key})").alias("channel"))
+    )
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .join(last, "user_id")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "attributed_value"
+            ),
+        )
+    )
