@@ -484,3 +484,30 @@ def text_langid_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "declared_lang",
         (F.col("predicted_lang") == F.col("declared_lang")).alias("correct"),
     )
+
+
+@register(
+    "profile_doc_length_hist",
+    # corpus length profile: 10-token-wide integer buckets — the
+    # distribution that sets chunking/packing parameters upstream
+    oracle=f"""
+SELECT (CAST(len({O_TOKS}) AS BIGINT) // 10) * 10 AS bucket_lo,
+  COUNT(*) AS n_docs,
+  CAST(MIN(len({O_TOKS})) AS BIGINT) AS min_tokens,
+  CAST(MAX(len({O_TOKS})) AS BIGINT) AS max_tokens
+FROM documents GROUP BY 1
+""",
+)
+def profile_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (10-token buckets) — the profile that
+    justifies the 128-token packing capacity and 16-token chunk window
+    used elsewhere. Integer bucket arithmetic, constant-size shuffle."""
+    d = tables(spark, sf_dir)["documents"]
+    n = F.size(tokens("text")).cast("bigint")
+    return d.select(n.alias("n_tokens")).groupBy(
+        ((F.col("n_tokens") / 10).cast("bigint") * 10).alias("bucket_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
