@@ -1562,3 +1562,60 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "rank_movement_report",
+    # nation revenue league table, 1996 vs 1997: integer ranks from exact
+    # decimal revenue (custkey-ordered tiebreak), rank delta — the
+    # period-over-period movement report
+    oracle="""
+WITH rev AS (
+  SELECT c.c_nationkey AS nationkey,
+    CAST(strftime(o.o_orderdate, '%Y') AS INTEGER) AS yr,
+    SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS r
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE strftime(o.o_orderdate, '%Y') IN ('1996', '1997')
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT nationkey, yr,
+    ROW_NUMBER() OVER (PARTITION BY yr ORDER BY r DESC, nationkey) AS rk
+  FROM rev
+)
+SELECT a.nationkey,
+  CAST(a.rk AS BIGINT) AS rank_1996, CAST(b.rk AS BIGINT) AS rank_1997,
+  CAST(a.rk - b.rk AS BIGINT) AS rank_gain
+FROM ranked a JOIN ranked b
+  ON a.nationkey = b.nationkey AND a.yr = 1996 AND b.yr = 1997
+""",
+)
+def rank_movement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """League-table movement: nation revenue rank in 1996 vs 1997 with the
+    rank delta — the period-over-period standings report (exact decimal
+    revenue, integer ranks, deterministic tiebreak).
+
+    Scale: one fact scan covers both periods (year is a grouping key, not
+    two scans); ranks run over group-count-sized rows."""
+    t = tables(spark, sf_dir)
+    o, c = t["orders"], t["customer"]
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .withColumn("yr", F.year("o_orderdate"))
+        .filter(F.col("yr").isin(1996, 1997))
+        .groupBy("c_nationkey", "yr")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("r"))
+    )
+    wy = W.partitionBy("yr").orderBy(F.col("r").desc(), "c_nationkey")
+    ranked = rev.withColumn("rk", F.row_number().over(wy))
+    a = ranked.filter(F.col("yr") == 1996).select(
+        F.col("c_nationkey").alias("nationkey"), F.col("rk").alias("rank_1996")
+    )
+    b = ranked.filter(F.col("yr") == 1997).select(
+        F.col("c_nationkey").alias("nationkey"), F.col("rk").alias("rank_1997")
+    )
+    return a.join(b, "nationkey").select(
+        "nationkey",
+        F.col("rank_1996").cast("bigint").alias("rank_1996"),
+        F.col("rank_1997").cast("bigint").alias("rank_1997"),
+        (F.col("rank_1996") - F.col("rank_1997")).cast("bigint").alias("rank_gain"),
+    )

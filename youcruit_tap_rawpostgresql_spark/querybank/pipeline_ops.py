@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from youcruit_tap_rawpostgresql_spark.functions.hashing import hash64
 from youcruit_tap_rawpostgresql_spark.functions.text_funcs import (
@@ -887,4 +888,49 @@ def profile_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("percentile(abs(c_acctbal - med), 0.5)"), 6
             ).alias("mad"),
         )
+    )
+
+
+@register(
+    "ts_time_weighted_avg",
+    # TWAP: value held until the next event, weighted by the integer-second
+    # duration — Σ(v·Δt) is exact (DECIMAL × BIGINT), one final division
+    oracle="""
+WITH seg AS (
+  SELECT user_id, CAST(value AS DECIMAL(12,2)) AS v,
+    CAST(floor(epoch(LEAD(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id))) AS BIGINT)
+      - CAST(floor(epoch(ts)) AS BIGINT) AS dt
+  FROM events
+)
+SELECT user_id,
+  CAST(SUM(dt) AS BIGINT) AS total_seconds,
+  ROUND(CAST(SUM(v * dt) AS DOUBLE) / CAST(SUM(dt) AS BIGINT), 6)
+    AS time_weighted_avg
+FROM seg WHERE dt IS NOT NULL AND dt > 0
+GROUP BY user_id
+""",
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each reading weighted
+    by how long it was current — the correct average for irregularly
+    sampled measurements (plain AVG over-weights bursts).
+
+    Scale: one lead-window pass + exact decimal·integer products,
+    map-side-combinable sums, one shuffle."""
+    e = tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = (F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")).alias(
+        "dt"
+    )
+    seg = e.select(
+        "user_id", F.col("value").cast("decimal(12,2)").alias("v"), dt
+    ).filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    return seg.groupBy("user_id").agg(
+        F.sum("dt").cast("bigint").alias("total_seconds"),
+        F.round(
+            F.sum(F.col("v") * F.col("dt")).cast("double")
+            / F.sum("dt").cast("bigint"),
+            6,
+        ).alias("time_weighted_avg"),
     )
