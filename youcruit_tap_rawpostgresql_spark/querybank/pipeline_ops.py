@@ -934,3 +934,78 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("time_weighted_avg"),
     )
+
+
+@register(
+    "ts_holt_linear",
+    # Holt's linear method (level + trend), α=0.5 β=0.3: TWO state values
+    # carried per step — the fold uses a struct accumulator, the oracle a
+    # two-column recursion; every step is the same pinned sequence of
+    # IEEE ops, so the chains agree bit-for-bit. Initialization: l₁=x₁,
+    # b₁=x₂−x₁ (users have ≥2 events in the fixture)
+    oracle="""
+WITH RECURSIVE ranked AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS v,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk
+  FROM events
+), init AS (
+  SELECT a.user_id, a.v AS l, b.v - a.v AS b
+  FROM ranked a JOIN ranked b
+    ON a.user_id = b.user_id AND a.rnk = 1 AND b.rnk = 2
+), r AS (
+  SELECT user_id, 2 AS rnk, l, b FROM init
+  UNION ALL
+  SELECT x.user_id, x.rnk,
+    0.5 * x.v + 0.5 * (r.l + r.b),
+    0.3 * (0.5 * x.v + 0.5 * (r.l + r.b) - r.l) + 0.7 * r.b
+  FROM r JOIN ranked x ON x.user_id = r.user_id AND x.rnk = r.rnk + 1
+), last AS (
+  SELECT user_id, MAX(rnk) AS n FROM r GROUP BY user_id
+)
+SELECT r.user_id, last.n AS n_events,
+  ROUND(r.l, 6) AS level, ROUND(r.b, 6) AS trend,
+  ROUND(r.l + r.b, 6) AS forecast_next
+FROM r JOIN last ON r.user_id = last.user_id AND r.rnk = last.n
+""",
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per user: level + trend
+    state folded over the time-ordered stream, one-step-ahead forecast —
+    the two-state sequential op that shows the STRUCT-accumulator fold
+    (EWMA's big sibling).
+
+    Scale: same one-shuffle group-fold shape as EWMA; state per key is two
+    doubles regardless of history length."""
+    e = tables(spark, sf_dir)["events"]
+    per_user = (
+        e.select(
+            "user_id", "ts", "event_id", F.col("value").cast("double").alias("v")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "v"))).alias(
+                "evs"
+            )
+        )
+        .filter(F.size("evs") >= 2)
+    )
+    v1 = F.element_at("evs", 1)["v"]
+    v2 = F.element_at("evs", 2)["v"]
+    init = F.struct(
+        v1.alias("l"), (v2 - v1).alias("b")
+    )
+    rest = F.expr("slice(evs, 3, greatest(size(evs) - 2, 0))")
+
+    def step(acc, x):
+        new_l = F.lit(0.5) * x["v"] + F.lit(0.5) * (acc["l"] + acc["b"])
+        new_b = F.lit(0.3) * (new_l - acc["l"]) + F.lit(0.7) * acc["b"]
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    folded = F.aggregate(rest, init, step)
+    return per_user.select(
+        "user_id",
+        F.size("evs").cast("bigint").alias("n_events"),
+        F.round(folded["l"], 6).alias("level"),
+        F.round(folded["b"], 6).alias("trend"),
+        F.round(folded["l"] + folded["b"], 6).alias("forecast_next"),
+    )
