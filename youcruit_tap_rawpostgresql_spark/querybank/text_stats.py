@@ -511,3 +511,57 @@ def profile_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )
+
+
+@register(
+    "text_halves_overlap",
+    # array set operations surface (union/intersect/except as scalars):
+    # the two halves of each document compared as token SETS — sorted-CSV
+    # canonical output so engine-internal set order never leaks
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+    list_distinct(list_slice(t, 1, len(t) // 2)) AS a,
+    list_distinct(list_slice(t, len(t) // 2 + 1, len(t))) AS b
+  FROM (SELECT doc_id, {O_TOKS} AS t FROM documents)
+)
+SELECT doc_id,
+  CAST(len(list_intersect(a, b)) AS INT) AS n_shared,
+  CAST(len(list_distinct(list_concat(a, b))) AS INT) AS n_union,
+  array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))), ',')
+    AS only_first_half
+FROM h WHERE len(a) > 0 AND len(b) > 0
+""",
+)
+def text_halves_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-operation surface (SURVEY §2.8: array_intersect /
+    array_union / array_except) applied as a self-similarity probe: token
+    sets of each document's two halves — high overlap flags internally
+    repetitive documents.
+
+    Scale: per-row array expressions, map-only."""
+    d = tables(spark, sf_dir)["documents"]
+    t = tokens("text")
+    half = (F.size(t) / 2).cast("int")
+    a = F.array_distinct(F.slice(t, 1, half))
+    b = F.array_distinct(F.expr(
+        "slice(split(lower(trim(text)), '\\\\s+'),"
+        " cast(size(split(lower(trim(text)), '\\\\s+')) / 2 as int) + 1,"
+        " size(split(lower(trim(text)), '\\\\s+')))"
+    ))
+    return (
+        d.select(
+            "doc_id",
+            a.alias("a"),
+            b.alias("b"),
+        )
+        .filter((F.size("a") > 0) & (F.size("b") > 0))
+        .select(
+            "doc_id",
+            F.size(F.array_intersect("a", "b")).alias("n_shared"),
+            F.size(F.array_union("a", "b")).alias("n_union"),
+            F.array_join(F.array_sort(F.array_except("a", "b")), ",").alias(
+                "only_first_half"
+            ),
+        )
+    )
