@@ -178,3 +178,27 @@ def test_greedy_pack_invariants(toks):
     for (tok, b), prev_b in zip(list(zip(toks, seq))[1:], seq):
         if b != prev_b:
             assert sum(fills[prev_b]) + tok > cap
+
+
+@given(st.from_regex(r"[A-Za-z: /.-]{0,20}", fullmatch=True))
+def test_to_char_unknown_tokens_pass_through(fmt):
+    """to_char translation maps the known PG tokens and leaves everything
+    else byte-for-byte; the call always becomes date_format."""
+    out = translate_pg_sql(f"SELECT to_char(ts, '{fmt}') FROM e")
+    assert "to_char" not in out.lower() or "date_format" in out
+    assert out.startswith("SELECT date_format(ts, '")
+
+
+@given(st.lists(st.integers(min_value=1, max_value=127), min_size=1, max_size=80))
+@settings(max_examples=200)
+def test_greedy_pack_bin_count_bound(toks):
+    """Greedy sequential packing uses at most 2·ceil(total/cap) bins for
+    items ≤ cap (any two adjacent bins sum past cap, the classic next-fit
+    bound) — the guarantee that makes greedy acceptable at scale."""
+    from youcruit_tap_rawpostgresql_spark.functions.text_funcs import greedy_pack
+
+    cap = 128
+    seq = greedy_pack(toks, cap)
+    n_bins = max(seq) + 1
+    total = sum(toks)
+    assert n_bins <= 2 * ((total + cap - 1) // cap)
