@@ -1009,3 +1009,47 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(folded["b"], 6).alias("trend"),
         F.round(folded["l"] + folded["b"], 6).alias("forecast_next"),
     )
+
+
+@register(
+    "sample_weighted_reservoir",
+    # Efraimidis-Spirakis weighted sampling without replacement: key =
+    # -ln(u)/w with u an exact rational from the portable hash; ranking on
+    # the 6dp-ROUNDED key (doc_id tiebreak) per the libm convention
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+    ROUND(
+      -ln((CAST('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 15)
+           AS BIGINT) % 1000000 + 1) / 1000000.0)
+      / n_chars, 6) AS k
+  FROM documents
+)
+SELECT doc_id, source, n_chars, k FROM (
+  SELECT doc_id, source, n_chars, k,
+    ROW_NUMBER() OVER (ORDER BY k, doc_id) AS r
+  FROM keyed
+) WHERE r <= 50
+""",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis): take
+    the 50 smallest −ln(u)/w keys, weight = document length — longer docs
+    proportionally likelier, reproducible independent of partitioning
+    (unlike rand()-based sampling).
+
+    Scale: the key is a per-row expression; global top-k by key is
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    d = tables(spark, sf_dir)["documents"]
+    u = (
+        hash64(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string"))) % 1000000
+        + 1
+    ) / 1000000.0
+    k = F.round(-F.log(u) / F.col("n_chars"), 6)
+    keyed = d.select("doc_id", "source", "n_chars", k.alias("k"))
+    w = W.orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 50)
+        .drop("r")
+    )
