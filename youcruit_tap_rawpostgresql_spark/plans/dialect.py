@@ -146,6 +146,8 @@ def bind_params(sql: str, params: Mapping[str, Any] | None) -> str:
 
     Mirrors the reference's bind of ``{"rep_key_val": v}``
     (``client.py:264,283,298``). Raises KeyError on unbound parameters.
+    ``:name`` inside single-quoted string literals is text, not a
+    parameter (sqlalchemy.text() behaves the same way).
     """
     if params is None:
         params = {}
@@ -156,7 +158,14 @@ def bind_params(sql: str, params: Mapping[str, Any] | None) -> str:
             raise KeyError(f"unbound SQL parameter :{name}")
         return quote_literal(params[name])
 
-    return _PARAM_RE.sub(repl, sql)
+    # split into literal / non-literal spans; substitute outside only
+    out = []
+    for part in re.split(r"('(?:[^']|'')*')", sql):
+        if part.startswith("'") and part.endswith("'") and len(part) >= 2:
+            out.append(part)
+        else:
+            out.append(_PARAM_RE.sub(repl, part))
+    return "".join(out)
 
 
 # string_agg with inline ORDER BY: PG puts the sort inside the call;
