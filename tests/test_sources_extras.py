@@ -113,3 +113,22 @@ def test_predicates_validate_args():
         range_predicates("id", 0, 10, 0)
     with pytest.raises(ValueError):
         hash_predicates("id", 0)
+
+
+def test_csv_roundtrip_with_explicit_schema(spark, tmp_path):
+    """CSV export/import parity: write with header, read back with the
+    EXPLICIT schema (inference off — the conformance stance: declared
+    types, not guessed ones); values and timestamp formatting survive."""
+    import pyspark.sql.functions as F
+
+    src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    out = str(tmp_path / "region_csv")
+    src.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema(src.schema)
+        .option("header", True)
+        .csv(out)
+    )
+    a = sorted(map(tuple, src.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
