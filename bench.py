@@ -35,14 +35,15 @@ def main() -> None:
     v.select(cosine_pairs("a", "a")).count()
     v.mapInPandas(lambda it: it, v.schema).count()
 
-    # best-of-2 per query: this environment shows random multi-second CPU
+    # best-of-3 per query: this environment shows random multi-second CPU
     # stalls that land on arbitrary queries (the same query measures 1s and
-    # 12s minutes apart with zero code change); the min of two runs reports
-    # the engine's cost instead of the hypervisor's mood
+    # 12s minutes apart with zero code change, and a stall window can cover
+    # two consecutive attempts); the min of three runs reports the engine's
+    # cost instead of the hypervisor's mood
     timings: dict[str, float] = {}
     for name, case in headline.items():
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = case.fn(spark, sf_dir)
             n = df.count()
