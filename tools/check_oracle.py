@@ -3,7 +3,11 @@ registry at a given SF via Spark AND its DuckDB oracle, compare row count,
 column names, and values (order-insensitive; exact where our determinism
 engineering applies, with a float report otherwise).
 
-Usage: python tools/check_oracle.py [--vanilla] [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--vanilla] [--shuffle SEED] [sf_dir] [query ...]
+
+``--shuffle SEED`` runs the cases in a seeded-random order — catches
+inter-query state pollution (temp-view overwrites, cache aliasing) that a
+fixed registry order can mask.
 
 ``--vanilla`` mirrors the driver exactly: a stock SparkSession with no
 engine tuning (default shuffle partitions, broadcast threshold, no UTC
@@ -47,10 +51,21 @@ def main() -> None:
     vanilla = "--vanilla" in args
     if vanilla:
         args.remove("--vanilla")
+    shuffle_seed = None
+    if "--shuffle" in args:
+        i = args.index("--shuffle")
+        shuffle_seed = int(args[i + 1])
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
     from youcruit_tap_rawpostgresql_spark.querybank import REGISTRY
+
+    registry_items = list(REGISTRY.items())
+    if shuffle_seed is not None:
+        import random
+
+        random.Random(shuffle_seed).shuffle(registry_items)
 
     if vanilla:
         from pyspark.sql import SparkSession
@@ -70,7 +85,7 @@ def main() -> None:
         )
 
     passed, failed, rows_only = [], [], []
-    for name, case in REGISTRY.items():
+    for name, case in registry_items:
         if only and name not in only:
             continue
         try:
