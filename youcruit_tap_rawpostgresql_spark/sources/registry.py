@@ -50,6 +50,22 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         return []
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (session-TZ).
+
+    Parquet micros timestamps with isAdjustedToUTC=false surface as
+    TIMESTAMP_NTZ in Spark 4; the engine (and its DuckDB oracles, and
+    streaming watermarks, which reject NTZ event time) operate on plain
+    TIMESTAMP with the session pinned to UTC — the cast is shift-free."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata parquet table as a DataFrame.
 
@@ -68,8 +84,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         for c in ns_cols:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-        return df
-    return spark.read.parquet(path)
+        return normalize_timestamps(df)
+    return normalize_timestamps(spark.read.parquet(path))
 
 
 def register_testdata(

@@ -78,7 +78,9 @@ def open_file_stream(spark: SparkSession, events_path: str) -> DataFrame:
     stream = spark.readStream.schema(base.schema).format("parquet").load(link_dir)
     if "ts" in ns_cols:
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    from ..sources.registry import normalize_timestamps
+
+    return normalize_timestamps(stream)
 
 
 def run_windowed_stream(
