@@ -13,6 +13,7 @@ from youcruit_tap_rawpostgresql_spark.operators.incremental import (
     resolve_starting_bookmark,
 )
 from youcruit_tap_rawpostgresql_spark.operators.maps import apply_stream_map
+from youcruit_tap_rawpostgresql_spark.sources.registry import load_table
 from youcruit_tap_rawpostgresql_spark.spec import ColumnSpec, SpecError, StreamSpec
 from youcruit_tap_rawpostgresql_spark.state import StateStore
 
@@ -245,8 +246,7 @@ def test_streaming_parquet_sink_roundtrip(spark, tmp_path):
     batch = {
         (str(r["ws"]), r["event_type"]): r["n"]
         for r in (
-            spark.read.parquet(src)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            load_table(spark, "/root/testdata/sf0.001", "events")
             .groupBy(
                 F.window("ts", "6 hours").alias("w"), "event_type"
             )

@@ -17,7 +17,10 @@ pin) — catches any correctness dependence on our session configs.
 from __future__ import annotations
 
 import math
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import traceback
 
 import duckdb
