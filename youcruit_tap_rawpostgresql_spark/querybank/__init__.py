@@ -26,3 +26,4 @@ from youcruit_tap_rawpostgresql_spark.querybank import sql_surface  # noqa: F401
 from youcruit_tap_rawpostgresql_spark.querybank import etl  # noqa: F401,E402
 from youcruit_tap_rawpostgresql_spark.querybank import text_stats  # noqa: F401,E402
 from youcruit_tap_rawpostgresql_spark.querybank import graph  # noqa: F401,E402
+from youcruit_tap_rawpostgresql_spark.querybank import modern  # noqa: F401,E402

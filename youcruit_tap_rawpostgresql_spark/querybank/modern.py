@@ -1,0 +1,335 @@
+"""Modern-engine surfaces: VARIANT semi-structured columns, mergeable
+sketches (HLL / top-k), and incremental aggregate maintenance.
+
+The reference's delegated-SQL contract (tap.py:81-85 → client.py:300-304)
+exposes whatever the source engine can compute; these cases cover the
+capabilities a 100 TB Spark deployment adds on top of the PG surface:
+
+- **VARIANT** (Spark 4): binary-encoded semi-structured values. Unlike
+  ``get_json_object`` (re-parses the JSON text per extraction), a column is
+  parsed ONCE into the variant encoding; every ``variant_get`` after that is
+  a binary path probe — the difference between O(paths × parse) and
+  O(parse + paths) per row, which dominates wide-telemetry scans.
+- **Mergeable sketches**: partial sketches per partition/day merged by
+  union — the only communication-efficient shape for distinct counts and
+  heavy hitters across 1000 executors (exact distinct requires a key
+  shuffle; a sketch union is a constant-size tree-reduce).
+- **Incremental aggregate maintenance**: the tap's bookmark (client.py:
+  260-283) splits facts into already-aggregated history and a new delta;
+  algebraic aggregates (count/sum) merge old partials with the delta
+  without rescanning history — recompute cost goes from O(total) to
+  O(delta), which is the entire point of incremental replication.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from youcruit_tap_rawpostgresql_spark.querybank.helpers import d, o_dsum
+from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
+
+
+@register(
+    "variant_json_extract",
+    oracle="""
+SELECT event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_distinct,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type
+""",
+)
+def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON props column into a VARIANT once, then extract a typed
+    path and aggregate. The single ``parse_json`` feeds every ``variant_get``
+    downstream — at scan time the text parse happens once per row, and only
+    the extracted BIGINT crosses the shuffle.
+
+    Scale: VARIANT is the schema-on-read path that stays cheap when the
+    payload grows to hundreds of keys — adding extractions adds binary
+    probes, not parses. (Shredded parquet VARIANT subcolumns carry this
+    further: the scan reads only probed paths.)"""
+    e = tables(spark, sf_dir)["events"]
+    typed = e.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    return typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("k_total"),
+        F.countDistinct("k").alias("k_distinct"),
+        F.max("k").alias("k_max"),
+    )
+
+
+@register(
+    "sketch_hll_mergeable",
+    # the oracle pins the exact distinct count and asserts the sketch
+    # estimate landed within the tolerance (est_ok TRUE) — if the sketch
+    # path broke, est_ok flips and the value hash mismatches
+    oracle="""
+SELECT event_type,
+  COUNT(DISTINCT user_id) AS exact_users,
+  TRUE AS est_ok
+FROM events GROUP BY event_type
+""",
+)
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type two ways: per-day HyperLogLog partial
+    sketches merged by ``hll_union_agg`` (the mergeable path), gated against
+    the exact distinct count (±5%).
+
+    Scale: this is THE pattern for distinct counts at 100 TB — each
+    partition/day builds a constant-size sketch (no key shuffle), sketches
+    tree-reduce by union, and the same partials roll up to any coarser
+    grain (day → month → total) without touching raw data again. Exact
+    countDistinct instead shuffles every distinct (type, user) pair."""
+    e = tables(spark, sf_dir)["events"]
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("est_ok"),
+    )
+
+
+@register(
+    "sketch_topk_approx",
+    # capacity (1000) exceeds the distinct-item count (100), so the
+    # space-saving sketch is provably exact here and both engines agree on
+    # counts; the deterministic (count DESC, item) tiebreak fixes membership
+    oracle="""
+SELECT item, cnt FROM (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+                            CAST(json_extract_string(props, '$.k') AS BIGINT)) AS rk
+  FROM events GROUP BY 1
+) WHERE rk <= 5
+""",
+)
+def sketch_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via ``approx_top_k`` (space-saving sketch): top-5 most
+    frequent ``props.k`` values. The sketch tracks up to 1000 items — more
+    than the 100 distinct values — so its counts are exact and hash-match
+    the oracle's true top-5; membership ties break by (count DESC, item).
+
+    Scale: approx_top_k partials merge associatively like HLL — per-
+    partition sketches tree-reduce instead of shuffling every (item, count)
+    pair; capacity bounds memory no matter how many distinct items exist.
+    (When distinct items exceed capacity, counts become upper bounds — the
+    documented trade.)"""
+    e = tables(spark, sf_dir)["events"]
+    topk = e.select(
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("item")
+    ).agg(F.expr("approx_top_k(item, 100, 1000)").alias("tk"))
+    # ask the sketch for ALL tracked items (k=100 ≥ distinct), then apply
+    # the deterministic (count DESC, item) top-5 OUTSIDE the sketch — a
+    # count tie at the k-boundary inside the sketch resolves arbitrarily
+    from pyspark.sql import Window
+
+    exploded = topk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").alias("cnt")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("item"))
+    return (
+        exploded.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("item", "cnt")
+    )
+
+
+@register(
+    "incr_agg_maintenance",
+    # full recompute with the bookmark only re-deriving the delta count —
+    # merged partials must equal the scratch aggregate exactly
+    oracle=f"""
+SELECT event_type,
+  COUNT(*) AS n_events,
+  {o_dsum('value', 'value_total')},
+  COUNT(*) FILTER (
+    WHERE ts >= (SELECT MAX(ts) - INTERVAL 7 DAY FROM events)
+  ) AS n_delta
+FROM events GROUP BY event_type
+""",
+)
+def incr_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: history partials (ts < bookmark)
+    merged with the new delta (ts ≥ bookmark) via algebraic re-aggregation
+    — count adds, decimal sums add — provably equal to a from-scratch
+    recompute. The bookmark is the tap's replication key high-watermark
+    (client.py:260-283) set 7 days before max(ts), so both sides are
+    non-empty at every SF (n_delta pins that).
+
+    Scale: this is why incremental replication matters — the maintained
+    aggregate costs O(delta) per sync instead of O(history); at 100 TB the
+    history partials live in a compact store keyed by group and only the
+    delta scans raw data. Exactness: decimal partial sums are associative,
+    so merge order cannot drift."""
+    e = tables(spark, sf_dir)["events"]
+    bookmark = e.agg(F.max("ts") - F.expr("INTERVAL 7 DAY")).first()[0]
+    partial = lambda df: df.groupBy("event_type").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d("value")).alias("v"),  # exact decimal partial
+        F.count(F.when(F.col("is_delta"), 1)).alias("nd"),
+    )
+    hist = partial(e.filter(F.col("ts") < F.lit(bookmark)).withColumn(
+        "is_delta", F.lit(False)))
+    delta = partial(e.filter(F.col("ts") >= F.lit(bookmark)).withColumn(
+        "is_delta", F.lit(True)))
+    return (
+        hist.unionAll(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("v").cast("double").alias("value_total"),
+            F.sum("nd").alias("n_delta"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iterative clustering (Lloyd's k-means) in exact integer fixed-point
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ITERS = 2
+_KM_SCALE = 1000  # quantization grid: floor(x * 1000) per component
+
+
+def _km_oracle() -> str:
+    """Unrolled Lloyd iterations in long (vec_id, pos, val) form: distances
+    via a pos-join + SUM of squared diffs, argmin by (dist, cid), centroid
+    update as truncating integer mean, empty clusters keeping their old
+    centroid (COALESCE on the LEFT JOIN)."""
+    steps = []
+    prev = "c0"
+    for i in range(1, _KM_ITERS + 1):
+        steps.append(f"""d{i} AS (
+  SELECT ql.vec_id, {prev}.cid,
+         SUM((ql.val - {prev}.val) * (ql.val - {prev}.val)) AS dist
+  FROM ql JOIN {prev} ON ql.pos = {prev}.pos
+  GROUP BY 1, 2
+), a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+    FROM d{i}
+  ) WHERE rk = 1
+), c{i} AS (
+  SELECT {prev}.cid, {prev}.pos, COALESCE(n.val, {prev}.val) AS val
+  FROM {prev} LEFT JOIN (
+    SELECT a{i}.cid, ql.pos, CAST(SUM(ql.val) // COUNT(*) AS BIGINT) AS val
+    FROM a{i} JOIN ql ON a{i}.vec_id = ql.vec_id
+    GROUP BY 1, 2
+  ) n ON n.cid = {prev}.cid AND n.pos = {prev}.pos
+)""")
+        prev = f"c{i}"
+    last = _KM_ITERS
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS v
+  FROM embeddings
+), ql AS (
+  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM q
+), c0 AS (
+  SELECT vec_id AS cid, pos, val FROM ql WHERE vec_id < {_KM_K}
+), {', '.join(steps)}
+SELECT s.cid AS cluster_id, s.n AS n_members, c.s AS centroid_sum
+FROM (SELECT cid, COUNT(*) AS n FROM a{last} GROUP BY cid) s
+JOIN (SELECT cid, CAST(SUM(val) AS BIGINT) AS s FROM c{last} GROUP BY cid) c
+  USING (cid)
+"""
+
+
+@register("kmeans_embed_lloyd", headline=True, oracle=_km_oracle())
+def kmeans_embed_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=4, 2 iterations) over the embedding fixture in
+    exact integer fixed-point: components quantized to floor(x·1000),
+    distances are exact BIGINT sums of squared diffs, argmin ties break to
+    the lowest centroid id, and the centroid update is the truncating
+    integer mean — bit-identical to the oracle's unrolled long-form SQL at
+    every step (same convention as graph_pagerank_trade).
+
+    Scale: the per-iteration work is one scan of the (cached) quantized
+    vectors with the k×dim centroid matrix BROADCAST as a literal — k-means
+    never shuffles the point set; only k×dim centroid partials return to
+    the driver (the classic Spark MLlib design). Distances run as
+    whole-stage-codegen zip_with/aggregate folds, no Python in the loop."""
+    t = tables(spark, sf_dir)
+    q = (
+        t["embeddings"]
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint"),
+            ).alias("v"),
+        )
+        .cache()
+    )
+    cents: dict[int, list[int]] = {
+        r["vec_id"]: list(r["v"])
+        for r in q.filter(F.col("vec_id") < _KM_K).collect()
+    }
+
+    def assign(df: DataFrame) -> DataFrame:
+        choices = F.array(
+            *[
+                F.struct(
+                    F.expr(
+                        "aggregate(zip_with(v, array({lits}), (a, b) -> (a - b) * (a - b)), "
+                        "0L, (acc, x) -> acc + x)".format(
+                            lits=",".join(f"{c}L" for c in cents[j])
+                        )
+                    ).alias("dist"),
+                    F.lit(j).alias("cid"),
+                )
+                for j in sorted(cents)
+            ]
+        )
+        return df.select(
+            "vec_id", "v", F.array_sort(choices).getItem(0).getField("cid").alias("cid")
+        )
+
+    a = None
+    for _ in range(_KM_ITERS):
+        a = assign(q)
+        updated = (
+            a.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.expr("sum(val) div count(*)").alias("val"))
+            .collect()
+        )
+        newc: dict[int, dict[int, int]] = {}
+        for r in updated:
+            newc.setdefault(r["cid"], {})[r["pos"]] = r["val"]
+        for cid in cents:
+            if cid in newc:
+                cents[cid] = [newc[cid][p] for p in range(len(cents[cid]))]
+    # sizes come from the LAST in-loop assignment (its plan captured the
+    # pre-update centroids as literals) — the oracle's a2, not a fresh
+    # assignment against the post-update centroids
+    sizes = a.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    sums = spark.createDataFrame(
+        [(cid, sum(v)) for cid, v in cents.items()],
+        "cid bigint, centroid_sum bigint",
+    )
+    return sizes.join(sums, "cid").select(
+        F.col("cid").alias("cluster_id"), "n_members", "centroid_sum"
+    )
