@@ -374,3 +374,96 @@ def test_plan_shape_is_scale_invariant(spark):
         a = shape(REGISTRY[name].fn(spark, "/root/testdata/sf0.001"))
         b = shape(REGISTRY[name].fn(spark, "/root/testdata/sf0.01"))
         assert a == b, (name, a, b)
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """Runtime-filter injection: a shuffle join whose build side carries a
+    selective filter gets a bloom filter pushed onto the probe side's scan
+    (InjectRuntimeFilter). At 100 TB this is what keeps the fact-table
+    scan from shipping rows that the join will discard anyway — the probe
+    side is pre-filtered by might_contain before the exchange. Thresholds
+    are lowered here because the fixture is tiny; production defaults
+    (10 MB creation side / 10 GB application side) gate the same rule."""
+    sf = "/root/testdata/sf0.01"
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "1",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_split(spark):
+    """AQE skew handling: a sort-merge join with one hot key gets its
+    oversized partition split at runtime (OptimizeSkewedJoin marks the
+    join skew=true and multiplies the task count for the hot partition).
+    This is the engine-side answer to key skew that the manual salting
+    cases (agg_salted_skew / join_salted_skew) implement by hand —
+    thresholds lowered to make an 8 KB partition count as 'skewed' at
+    fixture scale."""
+    from pyspark.sql import functions as F
+
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # 99% of the left side lands on key 7 — one hot shuffle partition
+        a = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("va"),
+        )
+        b = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("vb")
+        )
+        j = a.join(b, "k").groupBy().count()
+        j.collect()
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
