@@ -261,3 +261,48 @@ def test_streaming_parquet_sink_roundtrip(spark, tmp_path):
     for k, v in back.items():
         assert batch[k] == v, (k, v, batch.get(k))
     assert len(back) >= len(batch) - 4 * 5  # ≤ last day's windows pending
+
+
+def test_schema_evolution_mergeschema_then_conform(spark, tmp_path):
+    """Source schema drift across syncs (the tap's declared-schema stance,
+    reference client.py:144-161): batch 1 lacks a column the source later
+    adds, batch 2 carries an extra undeclared column. mergeSchema unions
+    the file schemas at read; conformance then projects EXACTLY the
+    declared columns — missing → NULL, undeclared → dropped, every kept
+    column cast to its declared type."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "drift")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, name string"
+    ).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(
+        [(3, "c", 9.5, "oops")],
+        "id bigint, name string, score double, undeclared string",
+    ).write.mode("append").parquet(d)
+
+    merged = spark.read.option("mergeSchema", True).parquet(d)
+    assert set(merged.columns) == {"id", "name", "score", "undeclared"}
+
+    spec = StreamSpec(
+        name="drifty",
+        sql="SELECT 1",
+        columns=[
+            ColumnSpec("id", "int"),
+            ColumnSpec("name", "string"),
+            ColumnSpec("score", "double"),
+        ],
+    )
+    out = conform(merged, spec)
+    assert out.columns == ["id", "name", "score"]
+    rows = {r["id"]: (r["name"], r["score"]) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+    # strict mode still surfaces truly-missing declared columns
+    with pytest.raises(SpecError):
+        conform(
+            merged,
+            StreamSpec(
+                name="d2", sql="SELECT 1", columns=[ColumnSpec("gone", "int")]
+            ),
+            strict=True,
+        )
