@@ -333,3 +333,153 @@ def kmeans_embed_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.join(sums, "cid").select(
         F.col("cid").alias("cluster_id"), "n_members", "centroid_sum"
     )
+
+
+@register(
+    "sample_temperature_quota",
+    # integer fixed-point weights (floor(sqrt(n·10^6))) keep the mixture
+    # arithmetic exact in both engines — a float Σsqrt(n) would be
+    # summation-order-dependent at the floor() boundary
+    oracle="""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), w AS (
+  SELECT source, n,
+         CAST(FLOOR(SQRT(CAST(n * 1000000 AS DOUBLE))) AS BIGINT) AS wgt
+  FROM counts
+), tot AS (
+  SELECT CAST(SUM(wgt) AS BIGINT) AS ws, CAST(SUM(n) AS BIGINT) AS nt FROM w
+), tgt AS (
+  SELECT source, n, CAST(nt * wgt // ws AS BIGINT) AS target FROM w, tot
+), ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':tq'), 1, 15) AS BIGINT),
+                    doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT t.source, t.n AS n_docs, t.target AS target_docs,
+  CAST(SUM(CASE WHEN r.rk <= t.target THEN r.doc_id ELSE 0 END) AS BIGINT)
+    AS selected_checksum
+FROM ranked r JOIN tgt t USING (source)
+GROUP BY t.source, t.n, t.target
+""",
+)
+def sample_temperature_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (T=2): per-source quota ∝
+    √n_source (the LLaMA-style rebalancing that upweights small domains),
+    filled by deterministic hash-rank so the same docs are picked on every
+    run and every partitioning. Weights are integer fixed-point
+    (floor(√(n·10⁶))) so quota arithmetic is exact; the selection
+    checksum (Σ selected doc_id) pins WHICH docs were chosen, not just how
+    many.
+
+    Scale: source counts are a tiny partial agg joined back by broadcast;
+    selection is one rank window partitioned by source — per-source
+    parallel, no global sort. At 100 TB the rank window is the only
+    shuffle and it carries (doc_id, hash), not documents."""
+    from youcruit_tap_rawpostgresql_spark.functions.hashing import hash64
+
+    from pyspark.sql import Window
+
+    d = tables(spark, sf_dir)["documents"]
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = counts.select(
+        "source",
+        "n",
+        F.floor(F.sqrt((F.col("n") * 1_000_000).cast("double")))
+        .cast("bigint")
+        .alias("wgt"),
+    )
+    tot = w.agg(
+        F.sum("wgt").alias("ws"), F.sum("n").cast("bigint").alias("nt")
+    )
+    tgt = w.crossJoin(F.broadcast(tot)).select(
+        "source", "n", F.expr("nt * wgt div ws").alias("target")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":tq"))),
+            "doc_id",
+        )
+    )
+    ranked = d.select("doc_id", "source", rk.alias("rk"))
+    return (
+        ranked.join(F.broadcast(tgt), "source")
+        .groupBy("source", "n", "target")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("target"), F.col("doc_id")).otherwise(0))
+            .cast("bigint")
+            .alias("selected_checksum")
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("target").alias("target_docs"),
+            "selected_checksum",
+        )
+    )
+
+
+@register(
+    "text_boilerplate_fraction",
+    # df·20 ≥ N is the integer form of "appears in ≥5% of documents"
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), bg AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t) - 1),
+      i -> concat_ws(' ', t[i], t[i+1])) ELSE [] END)) AS bg
+  FROM base
+), dfc AS (
+  SELECT bg, COUNT(*) AS df FROM bg GROUP BY bg
+), n AS (
+  SELECT COUNT(*) AS c FROM documents
+)
+SELECT b.doc_id,
+  COUNT(*) AS n_bigrams,
+  COUNT(*) FILTER (WHERE dfc.df * 20 >= n.c) AS n_common,
+  CAST(COUNT(*) FILTER (WHERE dfc.df * 20 >= n.c) AS DOUBLE) / COUNT(*)
+    AS boilerplate_ratio
+FROM bg b JOIN dfc USING (bg) CROSS JOIN n
+GROUP BY b.doc_id
+""",
+)
+def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate score: the fraction of each document's
+    distinct bigrams that occur in ≥5% of all documents (the CCNet-style
+    signal for template/boilerplate text — distinct from text_repetition's
+    WITHIN-document redundancy and text_ngram_topk's global list).
+
+    Scale: bigram document-frequency is a vocabulary-sized aggregate; the
+    corpus explodes and shuffles twice (df count, df join-back) with
+    partial aggregation absorbing the per-doc distinct fan-out map-side.
+    The 5% threshold is the integer compare df·20 ≥ N — no float in the
+    cut."""
+    from youcruit_tap_rawpostgresql_spark.functions.text_funcs import (
+        tokens,
+        word_shingles,
+    )
+
+    d = tables(spark, sf_dir)["documents"]
+    n_total = d.count()
+    pairs = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(tokens("text"), 2))).alias("bg"),
+    )
+    dfc = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("df"))
+    common = F.col("df") * 20 >= F.lit(n_total)
+    return (
+        pairs.join(dfc, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count(F.when(common, 1)).alias("n_common"),
+            (
+                F.count(F.when(common, 1)).cast("double") / F.count(F.lit(1))
+            ).alias("boilerplate_ratio"),
+        )
+    )
