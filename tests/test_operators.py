@@ -306,3 +306,88 @@ def test_schema_evolution_mergeschema_then_conform(spark, tmp_path):
             ),
             strict=True,
         )
+
+
+def test_stateful_sessionize_across_micro_batches(spark, tmp_path):
+    """Cross-batch state continuation, genuinely exercised: the events
+    fixture is split into one file per day and streamed with
+    maxFilesPerTrigger=1, so the applyInPandasWithState sessionizer sees
+    ~30 micro-batches and must carry (last_ts, seq, open_count) state
+    between them — including sessions that straddle a midnight file
+    boundary. The result must equal the single-pass batch sessionization
+    (same rule as the stream_stateful_sessionize oracle)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from youcruit_tap_rawpostgresql_spark.streaming.stateful import (
+        _OUT_SCHEMA,
+        _sessionize_group,
+    )
+    from youcruit_tap_rawpostgresql_spark.streaming.incremental_stream import (
+        scoped_stream_partitions,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_id", "ts"
+    )
+    # one arrival file per day, named so lexical order == event-time order
+    arrivals = str(tmp_path / "arrivals")
+    (
+        events.withColumn("day", F.date_format("ts", "yyyyMMdd"))
+        .repartition(1)
+        .sortWithinPartitions("ts", "event_id")
+        .write.partitionBy("day")
+        .mode("overwrite")
+        .parquet(arrivals)
+    )
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals + "/day=*")
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType="last_us long, session_seq long, open_count long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    with scoped_stream_partitions(spark):
+        q = (
+            sessions.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("xbatch_sessions")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    progress = q.lastProgress
+    streamed = {
+        (r["user_id"], r["session_seq"]): r["n_events"]
+        for r in spark.table("xbatch_sessions")
+        .groupBy("user_id", "session_seq")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_session = (
+        F.lag("ts").over(w).isNull()
+        | ((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")) > 30 * 60)
+    ).cast("long")
+    batch = {
+        (r["user_id"], r["session_seq"]): r["n_events"]
+        for r in events.withColumn(
+            "session_seq",
+            F.sum(new_session).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert streamed == batch
+    # the split actually produced a multi-batch run (one per day file)
+    assert progress is not None and int(progress["batchId"]) >= 10
