@@ -32,6 +32,7 @@ from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
 
 @register(
     "variant_json_extract",
+    headline=True,
     oracle="""
 SELECT event_type,
   COUNT(*) AS n_events,
@@ -66,6 +67,7 @@ def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_hll_mergeable",
+    headline=True,
     # the oracle pins the exact distinct count and asserts the sketch
     # estimate landed within the tolerance (est_ok TRUE) — if the sketch
     # path broke, est_ok flips and the value hash mismatches
@@ -482,4 +484,107 @@ def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.when(common, 1)).cast("double") / F.count(F.lit(1))
             ).alias("boilerplate_ratio"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear algebra on DataFrames: dominant eigenvector by power iteration
+# ---------------------------------------------------------------------------
+
+_PI_ITERS = 2
+_PI_ONE = 1000  # fixed-point unit for the iterate vector
+
+
+def _pi_oracle() -> str:
+    steps = []
+    prev = "u0"
+    for i in range(1, _PI_ITERS + 1):
+        steps.append(f"""d{i} AS (
+  SELECT ql.vec_id, CAST(SUM(ql.val * {prev}.u) AS BIGINT) AS dot
+  FROM ql JOIN {prev} USING (pos) GROUP BY 1
+), w{i} AS (
+  SELECT ql.pos, CAST(SUM(ql.val * d{i}.dot) AS BIGINT) AS w
+  FROM ql JOIN d{i} USING (vec_id) GROUP BY 1
+), m{i} AS (
+  SELECT MAX(ABS(w)) AS m FROM w{i}
+), u{i} AS (
+  SELECT pos, CAST(w * {_PI_ONE} // m AS BIGINT) AS u FROM w{i}, m{i}
+)""")
+        prev = f"u{i}"
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), ql AS (
+  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM q
+), u0 AS (
+  SELECT DISTINCT pos, CAST({_PI_ONE} AS BIGINT) AS u FROM ql
+), {', '.join(steps)}
+SELECT pos, u AS component FROM u{_PI_ITERS}
+"""
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — matches Spark's ``div``
+    and DuckDB's ``//``; Python's ``//`` floors instead, which differs for
+    negative numerators."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+@register("embed_power_iteration", oracle=_pi_oracle())
+def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigenvector of the embeddings' Gram matrix by 2 power
+    iterations (u ← Aᵀ(Au), max-abs renormalized) in exact integer
+    fixed-point — the PCA-direction primitive behind corpus drift
+    detection and whitening, computed without ever materializing the
+    64×64 Gram matrix. Same bit-exactness convention as
+    graph_pagerank_trade / kmeans_embed_lloyd: quantized components,
+    integer products/sums, truncating division in BOTH engines (the
+    driver-side renormalize uses a truncating div helper because
+    Python's // floors).
+
+    Scale: each iteration is two matrix-free passes — Au is a per-row
+    zip_with fold against the BROADCAST iterate (no shuffle), Aᵀ(Au) is
+    one pos-keyed partial aggregate of dim-sized rows. The iterate (dim
+    ints) is the only state that ever returns to the driver; the row
+    matrix never shuffles. This is the shape distributed Lanczos/PCA
+    takes on Spark at any corpus size."""
+    t = tables(spark, sf_dir)
+    q = (
+        t["embeddings"]
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
+            ).alias("v"),
+        )
+        .cache()
+    )
+    dim = len(q.select("v").first()["v"])
+    u = [_PI_ONE] * dim
+    for _ in range(_PI_ITERS):
+        lits = ",".join(f"{c}L" for c in u)
+        dots = q.select(
+            "v",
+            F.expr(
+                f"aggregate(zip_with(v, array({lits}), (a, b) -> a * b), "
+                "0L, (acc, x) -> acc + x)"
+            ).alias("dot"),
+        )
+        w_rows = (
+            dots.select("dot", F.posexplode("v").alias("pos", "val"))
+            .select("pos", (F.col("val") * F.col("dot")).alias("wv"))
+            .groupBy("pos")
+            .agg(F.sum("wv").alias("w"))
+            .collect()
+        )
+        w = {r["pos"]: r["w"] for r in w_rows}
+        m = max(abs(x) for x in w.values()) or 1
+        u = [_tdiv(w[p] * _PI_ONE, m) for p in range(dim)]
+    # oracle positions are 1-based (generate_subscripts)
+    return spark.createDataFrame(
+        [(p + 1, c) for p, c in enumerate(u)], "pos int, component bigint"
     )
