@@ -202,3 +202,37 @@ def test_greedy_pack_bin_count_bound(toks):
     n_bins = max(seq) + 1
     total = sum(toks)
     assert n_bins <= 2 * ((total + cap - 1) // cap)
+
+
+@given(
+    st.integers(min_value=-(10**15), max_value=10**15),
+    st.integers(min_value=1, max_value=10**9),
+)
+@settings(max_examples=300)
+def test_truncating_div_matches_duckdb(a, b):
+    """The fixed-point operators (pagerank, kmeans, power iteration,
+    temperature quotas) rely on Spark `div`, DuckDB `//`, and the driver-
+    side _tdiv all truncating toward zero — Python's // floors, which
+    differs on negative numerators, so the helper is load-bearing."""
+    import duckdb
+
+    from youcruit_tap_rawpostgresql_spark.querybank.modern import _tdiv
+
+    expected = duckdb.sql(f"SELECT CAST({a} AS BIGINT) // {b}").fetchone()[0]
+    assert _tdiv(a, b) == expected
+    # the int() constructor truncates float division but loses precision
+    # past 2^53 — _tdiv must stay exact where int(a / b) would not
+    assert _tdiv(a, b) == (abs(a) // b) * (1 if a >= 0 else -1)
+
+
+def test_truncating_div_matches_spark(spark):
+    """Spot-check the same contract against Spark's `div` on the negative
+    boundary cases hypothesis likes to find."""
+    cases = [(-7, 2), (7, 2), (-7, 7), (-1, 3), (-(10**15) - 1, 997)]
+    from youcruit_tap_rawpostgresql_spark.querybank.modern import _tdiv
+
+    rows = spark.sql(
+        "SELECT " + ", ".join(f"{a}L div {b}L AS c{i}" for i, (a, b) in enumerate(cases))
+    ).first()
+    for i, (a, b) in enumerate(cases):
+        assert rows[f"c{i}"] == _tdiv(a, b), (a, b)

@@ -309,31 +309,31 @@ def kmeans_embed_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "v", F.array_sort(choices).getItem(0).getField("cid").alias("cid")
         )
 
-    a = None
+    sizes: dict[int, int] = {}
     for _ in range(_KM_ITERS):
-        a = assign(q)
         updated = (
-            a.select("cid", F.posexplode("v").alias("pos", "val"))
+            assign(q)
+            .select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")
-            .agg(F.expr("sum(val) div count(*)").alias("val"))
+            .agg(
+                F.expr("sum(val) div count(*)").alias("val"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
             .collect()
         )
         newc: dict[int, dict[int, int]] = {}
+        # the per-(cid, pos) count is the cluster size — reusing it saves
+        # the separate sizes job the naive form pays after the loop, and
+        # it is the size of the LAST assignment (the oracle's a2)
+        sizes = {r["cid"]: r["cnt"] for r in updated if r["pos"] == 0}
         for r in updated:
             newc.setdefault(r["cid"], {})[r["pos"]] = r["val"]
         for cid in cents:
             if cid in newc:
                 cents[cid] = [newc[cid][p] for p in range(len(cents[cid]))]
-    # sizes come from the LAST in-loop assignment (its plan captured the
-    # pre-update centroids as literals) — the oracle's a2, not a fresh
-    # assignment against the post-update centroids
-    sizes = a.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
-    sums = spark.createDataFrame(
-        [(cid, sum(v)) for cid, v in cents.items()],
-        "cid bigint, centroid_sum bigint",
-    )
-    return sizes.join(sums, "cid").select(
-        F.col("cid").alias("cluster_id"), "n_members", "centroid_sum"
+    return spark.createDataFrame(
+        [(cid, sizes[cid], sum(cents[cid])) for cid in sorted(sizes)],
+        "cluster_id bigint, n_members bigint, centroid_sum bigint",
     )
 
 
