@@ -165,3 +165,28 @@ def test_substring_regex_form():
     # numeric FROM/FOR is native Spark syntax — must pass through untouched
     sql = "SELECT substring(name FROM 2 FOR 3) FROM t"
     assert translate_pg_sql(sql) == sql
+
+
+def test_array_constructor_translates():
+    out = translate_pg_sql("SELECT ARRAY[1, 2, 3] AS a, ARRAY[ARRAY[1], ARRAY[2]] AS n")
+    assert out == "SELECT array(1, 2, 3) AS a, array(array(1), array(2)) AS n"
+
+
+def test_similar_to_translates_and_matches(spark):
+    out = translate_pg_sql("SELECT n_name FROM nation WHERE n_name SIMILAR TO 'A%_A'")
+    assert "RLIKE '^(?:A.*.A)$'" in out
+    neg = translate_pg_sql("SELECT 1 WHERE 'abc' NOT SIMILAR TO 'a_c'")
+    assert neg == "SELECT 1 WHERE NOT ('abc' RLIKE '^(?:a.c)$')"
+    # end-to-end: SIMILAR TO is fully anchored, unlike bare RLIKE
+    assert spark.sql(
+        translate_pg_sql("SELECT 'abcd' SIMILAR TO 'a%c' AS m")
+    ).first()["m"] is False
+    assert spark.sql(
+        translate_pg_sql("SELECT 'abc' SIMILAR TO 'a%c' AS m")
+    ).first()["m"] is True
+
+
+def test_gen_random_uuid_translates(spark):
+    out = translate_pg_sql("SELECT gen_random_uuid() AS u")
+    assert out == "SELECT uuid() AS u"
+    assert len(spark.sql(out).first()["u"]) == 36

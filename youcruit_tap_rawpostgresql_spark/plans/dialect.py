@@ -21,13 +21,20 @@ Also translated: ``->``/``->>`` and the path forms ``#>``/``#>>`` (→
 ``E'...'`` literals, ``to_char(ts, 'YYYY…')`` (PG format tokens → JDK
 patterns), and ``substring(x FROM 'regex')`` (→ ``regexp_extract``).
 
+Also: ``ARRAY[...]`` constructors (→ ``array(...)``), ``SIMILAR TO``
+patterns (→ anchored RLIKE with %/_ wildcards converted),
+``gen_random_uuid()`` (→ ``uuid()``).
+
 No translation needed (native Spark syntax): ``ilike`` (3.3+),
 ``position(x IN y)``, ``substring(x FROM n FOR l)``, ``split_part``,
-``left``/``right``, ``date_part``. Two PG deltas are
+``left``/``right``, ``date_part``, ``IS [NOT] DISTINCT FROM``. PG deltas
 intentionally NOT auto-rewritten because they need type/context analysis a
 regex cannot do safely: integer ``/`` (PG truncates, Spark is fractional —
-write ``div`` explicitly) and default NULL sort order (PG: NULLS LAST on
-ASC; Spark: NULLS FIRST — write explicit ``NULLS FIRST/LAST``).
+write ``div`` explicitly), default NULL sort order (PG: NULLS LAST on
+ASC; Spark: NULLS FIRST — write explicit ``NULLS FIRST/LAST``), numeric
+``^`` (PG exponentiation vs Spark bitwise XOR — write ``power()``), and
+array subscripts (PG ``a[i]`` is 1-based, Spark's ``[i]`` is 0-based —
+write ``element_at`` which is 1-based in both).
 
 This is deliberately NOT a full PG parser: queries authored for this engine
 are written in Spark SQL directly; translation only covers the constructs the
@@ -245,7 +252,45 @@ _SUBSTRING_REGEX_RE = re.compile(
 )
 
 
+# expr [NOT] SIMILAR TO 'pat': SQL regex — % and _ are wildcards, the rest
+# is (a POSIX subset of) regex, implicitly anchored at both ends. The
+# operand also admits string literals and numbers, and must not be the NOT
+# keyword itself (else `lit NOT SIMILAR TO` matches NOT as the operand).
+_SIMILAR_OPERAND = (
+    r"(" + _STR_LIT + r"|\d+(?:\.\d+)?|(?!NOT\b)[a-zA-Z_][\w.]*|\([^()]*\))"
+)
+_SIMILAR_TO_RE = re.compile(
+    _SIMILAR_OPERAND + r"\s+(NOT\s+)?SIMILAR\s+TO\s+(" + _STR_LIT + r")",
+    re.IGNORECASE,
+)
+
+# ARRAY[e1, e2, ...] constructor → array(e1, e2, ...)
+_ARRAY_CTOR_RE = re.compile(r"\bARRAY\s*\[([^\[\]]*)\]", re.IGNORECASE)
+
+
+def _similar_to_regex(pat: str) -> str:
+    """Convert a SIMILAR TO pattern body to an anchored Java regex:
+    % → .*, _ → . (other regex metacharacters pass through — SIMILAR TO
+    accepts a POSIX subset that RLIKE's engine also understands)."""
+    return "^(?:" + pat.replace("%", ".*").replace("_", ".") + ")$"
+
+
 def _translate_operators(sql: str) -> str:
+    def similar_repl(m: re.Match) -> str:
+        operand, neg, lit = m.group(1), m.group(2), m.group(3)
+        body = _similar_to_regex(lit[1:-1])
+        rlike = f"{operand} RLIKE '{body}'"
+        return f"NOT ({rlike})" if neg else rlike
+
+    sql = _SIMILAR_TO_RE.sub(similar_repl, sql)
+    # repeat for nested ARRAY[ARRAY[...]] constructors (innermost first)
+    prev = None
+    while prev != sql:
+        prev = sql
+        sql = _ARRAY_CTOR_RE.sub(lambda m: f"array({m.group(1)})", sql)
+    sql = re.sub(
+        r"\bgen_random_uuid\s*\(\s*\)", "uuid()", sql, flags=re.IGNORECASE
+    )
     # path-array form first: its quoted operand would otherwise half-match
     # the single-key -> rule
     def path_repl(m: re.Match) -> str:
