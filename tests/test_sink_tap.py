@@ -223,3 +223,61 @@ def test_compact_output_merges_small_files(spark, sf_dir, tmp_path):
     before = sorted(r.doc_id for r in docs.select("doc_id").collect())
     after = sorted(r.doc_id for r in spark.read.parquet(out_dir).select("doc_id").collect())
     assert before == after
+
+
+def test_tap_parallel_sync_interleaves_safely(spark, sf_dir):
+    """parallel=3 lifts the reference's one-connection sequential bound
+    (client.py:106-119). The interleaved Singer output must stay valid:
+    every line parses, each stream's SCHEMA precedes its first RECORD,
+    per-stream record counts equal a sequential sync, and results keep
+    config order regardless of completion order."""
+    import threading
+
+    from youcruit_tap_rawpostgresql_spark.sources.registry import register_testdata
+
+    register_testdata(spark, sf_dir)
+    specs = [
+        StreamSpec(
+            name=f"ev_{t}",
+            sql=f"SELECT event_id, user_id FROM events WHERE event_type = '{t}'",
+            columns=[
+                ColumnSpec("event_id", "int", nullable=False),
+                ColumnSpec("user_id", "int"),
+            ],
+            key_properties=["event_id"],
+        )
+        for t in ("click", "view", "error")
+    ]
+    config = TapConfig(streams=specs)
+
+    lines: list[str] = []
+    buf: list[str] = []
+    lk = threading.Lock()
+
+    def write(chunk: str) -> None:
+        # emulate a line sink; chunks may end mid-line only if writes tear
+        with lk:
+            buf.append(chunk)
+
+    seq = SparkTap(TapConfig(streams=specs), spark).sync_all
+    sequential = {r.stream: r.record_count for r in seq()}
+
+    tap = SparkTap(config, spark, write=write)
+    results = tap.sync_all(parallel=3)
+    lines = "".join(buf).splitlines()
+
+    parsed = [json.loads(ln) for ln in lines if ln.strip()]  # no torn lines
+    first_record: dict[str, int] = {}
+    schema_at: dict[str, int] = {}
+    counts: dict[str, int] = {}
+    for i, m in enumerate(parsed):
+        if m["type"] == "SCHEMA":
+            schema_at.setdefault(m["stream"], i)
+        elif m["type"] == "RECORD":
+            first_record.setdefault(m["stream"], i)
+            counts[m["stream"]] = counts.get(m["stream"], 0) + 1
+    for s in counts:
+        assert schema_at[s] < first_record[s]
+    assert {r.stream: r.record_count for r in results} == sequential
+    assert counts == {k: v for k, v in sequential.items() if v}
+    assert [r.stream for r in results] == [s.fully_qualified_name for s in specs]

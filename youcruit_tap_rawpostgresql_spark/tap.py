@@ -102,9 +102,48 @@ class SparkTap:
             manifests=manifests,
         )
 
-    def sync_all(self, batch_mode: bool = False) -> list[SyncResult]:
-        results = [
-            self.sync_stream(s, batch_mode=batch_mode) for s in self.config.streams
-        ]
+    def sync_all(
+        self, batch_mode: bool = False, parallel: int = 1
+    ) -> list[SyncResult]:
+        """Sync every configured stream.
+
+        ``parallel`` lifts the reference's architectural bound of one
+        SQLAlchemy connection syncing streams sequentially
+        (``client.py:106-119``): each worker thread submits its stream's
+        Spark jobs concurrently and the scheduler interleaves them across
+        the cluster. Singer output stays valid under interleaving —
+        RECORD messages carry their stream name and each stream's SCHEMA
+        is emitted before its records; a line-level lock prevents torn
+        writes. Results keep config order regardless of completion order.
+        """
+        if parallel <= 1:
+            results = [
+                self.sync_stream(s, batch_mode=batch_mode)
+                for s in self.config.streams
+            ]
+            self.state.flush()
+            return results
+
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        lock = threading.Lock()
+        inner_write = self.write
+
+        def locked_write(line: str) -> None:
+            with lock:
+                inner_write(line)
+
+        self.write = locked_write
+        try:
+            with ThreadPoolExecutor(max_workers=parallel) as pool:
+                results = list(
+                    pool.map(
+                        lambda s: self.sync_stream(s, batch_mode=batch_mode),
+                        self.config.streams,
+                    )
+                )
+        finally:
+            self.write = inner_write
         self.state.flush()
         return results
