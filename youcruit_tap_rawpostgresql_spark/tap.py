@@ -79,13 +79,16 @@ class SparkTap:
         return df, bookmark
 
     def sync_stream(self, spec: StreamSpec, batch_mode: bool = False) -> SyncResult:
+        import json as _json
+        import logging
+        import time as _time
+
+        t0 = _time.perf_counter()
         df, _ = self._prepare(spec)
         emit_schema_message(spec, self.write)
         manifests: list[BatchManifest] = []
         if batch_mode and self.config.batch:
             manifests = write_batch_files(df, spec, self.config.batch)
-            import json as _json
-
             for m in manifests:
                 self.write(_json.dumps(m.to_message(spec.fully_qualified_name)) + "\n")
             n = df.count()
@@ -95,6 +98,27 @@ class SparkTap:
             advance_bookmark(df, spec, self.state) if spec.replication_key else None
         )
         emit_state_message(self.state.to_dict(), self.write)
+        # Singer SDK-style METRIC lines on the logger (never stdout — the
+        # message stream must stay parseable): record counter + sync timer
+        logger = logging.getLogger(__name__)
+        tags = {"stream": spec.fully_qualified_name}
+        logger.info(
+            "METRIC: %s",
+            _json.dumps(
+                {"type": "counter", "metric": "record_count", "value": n, "tags": tags}
+            ),
+        )
+        logger.info(
+            "METRIC: %s",
+            _json.dumps(
+                {
+                    "type": "timer",
+                    "metric": "sync_duration",
+                    "value": round(_time.perf_counter() - t0, 4),
+                    "tags": tags,
+                }
+            ),
+        )
         return SyncResult(
             stream=spec.fully_qualified_name,
             record_count=n,
