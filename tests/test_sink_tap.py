@@ -281,3 +281,34 @@ def test_tap_parallel_sync_interleaves_safely(spark, sf_dir):
     assert {r.stream: r.record_count for r in results} == sequential
     assert counts == {k: v for k, v in sequential.items() if v}
     assert [r.stream for r in results] == [s.fully_qualified_name for s in specs]
+
+
+def test_cli_explain_prints_plans(tmp_path, capsys):
+    """--explain prints each stream's formatted physical plan without
+    syncing — plan visibility PG's EXPLAIN can't give through the tap."""
+    from youcruit_tap_rawpostgresql_spark.cli import main
+
+    cfg = {
+        "database": "spark",
+        "streams": [
+            {
+                "name": "ev",
+                "sql": "SELECT event_id, user_id FROM events WHERE user_id = 7",
+                "columns": [
+                    {"name": "event_id", "type": "int", "nullable": False},
+                    {"name": "user_id", "type": "int"},
+                ],
+                "key_properties": ["event_id"],
+            }
+        ],
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    rc = main(
+        ["--config", str(cfg_path), "--explain", "--sf-dir", "/root/testdata/sf0.001"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "== spark-public-ev ==" in out
+    assert "PushedFilters" in out  # the predicate reached the scan
+    assert "RECORD" not in out  # no sync happened

@@ -22,6 +22,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--about", action="store_true")
     p.add_argument("--batch", action="store_true", help="emit BATCH files/messages")
     p.add_argument(
+        "--explain",
+        action="store_true",
+        help="print each stream's physical plan instead of syncing "
+        "(the engine-side EXPLAIN the reference cannot surface from PG)",
+    )
+    p.add_argument(
+        "--parallel",
+        type=int,
+        default=1,
+        help="sync up to N streams concurrently (reference is sequential)",
+    )
+    p.add_argument(
         "--sf-dir",
         default=None,
         help="register testdata parquet tables from this dir as source views",
@@ -53,8 +65,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.sf_dir:
         register_testdata(spark, args.sf_dir)
     tap = SparkTap(config, spark, state=StateStore(args.state))
+    if args.explain:
+        for spec in config.streams:
+            df, _ = tap._prepare(spec)
+            print(f"== {spec.fully_qualified_name} ==")
+            df.explain(mode="formatted")
+        return 0
     try:
-        results = tap.sync_all(batch_mode=args.batch)
+        results = tap.sync_all(batch_mode=args.batch, parallel=args.parallel)
     except BrokenPipeError:
         # downstream Singer target closed the pipe — exit quietly like any
         # well-behaved pipeline stage
