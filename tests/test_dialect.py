@@ -190,3 +190,41 @@ def test_gen_random_uuid_translates(spark):
     out = translate_pg_sql("SELECT gen_random_uuid() AS u")
     assert out == "SELECT uuid() AS u"
     assert len(spark.sql(out).first()["u"]) == 36
+
+
+def test_similar_to_dot_is_literal(spark):
+    """In SIMILAR TO a bare '.' is a literal character (unlike regex) and
+    backslash-escaped wildcards stay literal."""
+    assert spark.sql(
+        translate_pg_sql("SELECT 'v192-beta' SIMILAR TO 'v1.2%' AS m")
+    ).first()["m"] is False
+    assert spark.sql(
+        translate_pg_sql("SELECT 'v1.2-beta' SIMILAR TO 'v1.2%' AS m")
+    ).first()["m"] is True
+    assert spark.sql(
+        translate_pg_sql(r"SELECT '100%' SIMILAR TO '100\%' AS m")
+    ).first()["m"] is True
+    assert spark.sql(
+        translate_pg_sql(r"SELECT '1000' SIMILAR TO '100\%' AS m")
+    ).first()["m"] is False
+
+
+def test_similar_to_function_call_operand(spark):
+    out = translate_pg_sql("SELECT upper(n) NOT SIMILAR TO 'A%' AS m FROM t")
+    assert out == "SELECT NOT (upper(n) RLIKE '^(?:A.*)$') AS m FROM t"
+
+
+def test_rewrites_leave_string_literals_alone():
+    sql = (
+        "SELECT 'keep ARRAY[1,2] and now() and gen_random_uuid() text' AS note, "
+        "ARRAY[1, 2] AS a, now() AS ts"
+    )
+    out = translate_pg_sql(sql)
+    assert "'keep ARRAY[1,2] and now() and gen_random_uuid() text'" in out
+    assert "array(1, 2) AS a" in out and "current_timestamp() AS ts" in out
+
+
+def test_array_ctor_with_brackets_in_literal(spark):
+    out = translate_pg_sql("SELECT ARRAY['a[1]', 'b]'] AS a")
+    assert out == "SELECT array('a[1]', 'b]') AS a"
+    assert spark.sql(out).first()["a"] == ["a[1]", "b]"]

@@ -312,3 +312,60 @@ def test_cli_explain_prints_plans(tmp_path, capsys):
     assert "== spark-public-ev ==" in out
     assert "PushedFilters" in out  # the predicate reached the scan
     assert "RECORD" not in out  # no sync happened
+
+
+def test_tap_parallel_sync_with_bookmarks_consistent_state(spark, sf_dir):
+    """The code-review race: parallel workers advancing bookmarks while
+    another serializes STATE. With the state lock, every emitted STATE
+    line parses, the LAST one contains every stream's bookmark, and the
+    store matches a sequential sync."""
+    import threading
+
+    from youcruit_tap_rawpostgresql_spark.sources.registry import register_testdata
+
+    register_testdata(spark, sf_dir)
+
+    def specs():
+        return [
+            StreamSpec(
+                name=f"bm_{t}",
+                sql=(
+                    "SELECT event_id, ts FROM events "
+                    f"WHERE event_type = '{t}' AND ts > :rep_key_val"
+                ),
+                columns=[
+                    ColumnSpec("event_id", "int", nullable=False),
+                    ColumnSpec("ts", "datetime"),
+                ],
+                key_properties=["event_id"],
+                replication_key="ts",
+                replication_key_value_start="2024-01-01 00:00:00",
+            )
+            for t in ("click", "view", "error", "purchase", "signup")
+        ]
+
+    buf: list[str] = []
+    lk = threading.Lock()
+
+    def write(chunk: str) -> None:
+        with lk:
+            buf.append(chunk)
+
+    state = StateStore()
+    tap = SparkTap(TapConfig(streams=specs()), spark, state=state, write=write)
+    results = tap.sync_all(parallel=5)
+
+    states = [
+        json.loads(ln)
+        for ln in "".join(buf).splitlines()
+        if ln.strip() and json.loads(ln)["type"] == "STATE"
+    ]
+    assert len(states) == 5
+    last = states[-1]["value"]["bookmarks"]
+    assert len(last) == 5  # the final STATE carries every bookmark
+    seq_state = StateStore()
+    SparkTap(
+        TapConfig(streams=specs()), spark, state=seq_state, write=lambda s: None
+    ).sync_all()
+    assert state.to_dict() == seq_state.to_dict()
+    assert all(r.new_bookmark for r in results)

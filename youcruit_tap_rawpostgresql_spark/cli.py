@@ -65,17 +65,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.sf_dir:
         register_testdata(spark, args.sf_dir)
     tap = SparkTap(config, spark, state=StateStore(args.state))
-    if args.explain:
-        for spec in config.streams:
-            df, _ = tap._prepare(spec)
-            print(f"== {spec.fully_qualified_name} ==")
-            df.explain(mode="formatted")
-        return 0
     try:
+        if args.explain:
+            for spec in config.streams:
+                df, _ = tap._prepare(spec)
+                print(f"== {spec.fully_qualified_name} ==")
+                df.explain(mode="formatted")
+            return 0
         results = tap.sync_all(batch_mode=args.batch, parallel=args.parallel)
     except BrokenPipeError:
-        # downstream Singer target closed the pipe — exit quietly like any
-        # well-behaved pipeline stage
+        # downstream (Singer target or a pager on --explain) closed the
+        # pipe — exit quietly like any well-behaved pipeline stage
         import os as _os
 
         _os.dup2(_os.open(_os.devnull, _os.O_WRONLY), sys.stdout.fileno())

@@ -189,8 +189,15 @@ def _translate_set_functions(sql: str) -> str:
         f"WITHIN GROUP (ORDER BY {m.group(3).strip()})",
         sql,
     )
-    sql = re.sub(r"\bstring_agg\s*\(", "listagg(", sql, flags=re.IGNORECASE)
-    sql = re.sub(r"\bunnest\s*\(", "explode(", sql, flags=re.IGNORECASE)
+    sql = _outside_literals(
+        sql,
+        lambda s: re.sub(
+            r"\bunnest\s*\(",
+            "explode(",
+            re.sub(r"\bstring_agg\s*\(", "listagg(", s, flags=re.IGNORECASE),
+            flags=re.IGNORECASE,
+        ),
+    )
     return sql
 
 
@@ -254,42 +261,136 @@ _SUBSTRING_REGEX_RE = re.compile(
 
 # expr [NOT] SIMILAR TO 'pat': SQL regex — % and _ are wildcards, the rest
 # is (a POSIX subset of) regex, implicitly anchored at both ends. The
-# operand also admits string literals and numbers, and must not be the NOT
-# keyword itself (else `lit NOT SIMILAR TO` matches NOT as the operand).
+# operand admits string literals, numbers, and function calls, and must
+# not be the NOT keyword itself (else `lit NOT SIMILAR TO` matches NOT as
+# the operand).
 _SIMILAR_OPERAND = (
-    r"(" + _STR_LIT + r"|\d+(?:\.\d+)?|(?!NOT\b)[a-zA-Z_][\w.]*|\([^()]*\))"
+    r"("
+    + _STR_LIT
+    + r"|\d+(?:\.\d+)?"
+    + r"|(?!NOT\b)[a-zA-Z_][\w.]*\([^()]*\)"  # function call
+    + r"|(?!NOT\b)[a-zA-Z_][\w.]*"
+    + r"|\([^()]*\))"
 )
 _SIMILAR_TO_RE = re.compile(
     _SIMILAR_OPERAND + r"\s+(NOT\s+)?SIMILAR\s+TO\s+(" + _STR_LIT + r")",
     re.IGNORECASE,
 )
 
-# ARRAY[e1, e2, ...] constructor → array(e1, e2, ...)
-_ARRAY_CTOR_RE = re.compile(r"\bARRAY\s*\[([^\[\]]*)\]", re.IGNORECASE)
-
 
 def _similar_to_regex(pat: str) -> str:
-    """Convert a SIMILAR TO pattern body to an anchored Java regex:
-    % → .*, _ → . (other regex metacharacters pass through — SIMILAR TO
-    accepts a POSIX subset that RLIKE's engine also understands)."""
-    return "^(?:" + pat.replace("%", ".*").replace("_", ".") + ")$"
+    """Convert a SIMILAR TO pattern body to an anchored Java regex.
+
+    % → .*, _ → . (SQL wildcards); ``\\%`` / ``\\_`` stay literal; a bare
+    ``.`` is a LITERAL character in SIMILAR TO (unlike regex) so it is
+    escaped. Other metacharacters (| * + ? ( ) [ ] { }) carry the same
+    meaning in SIMILAR TO and Java regex and pass through."""
+    out = []
+    i = 0
+    while i < len(pat):
+        ch = pat[i]
+        if ch == "\\" and i + 1 < len(pat):
+            out.append(re.escape(pat[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        elif ch == ".":
+            out.append("\\.")
+        else:
+            out.append(ch)
+        i += 1
+    return "^(?:" + "".join(out) + ")$"
+
+
+def _split_literals(sql: str) -> list[str]:
+    """Split into alternating non-literal / single-quoted-literal spans
+    (the same convention bind_params uses)."""
+    return re.split(r"('(?:[^']|'')*')", sql)
+
+
+def _outside_literals(sql: str, fn) -> str:
+    """Apply ``fn`` to the non-literal spans only — keyword/function
+    renames must never rewrite the inside of a string literal."""
+    parts = _split_literals(sql)
+    return "".join(
+        p if p.startswith("'") and p.endswith("'") and len(p) >= 2 else fn(p)
+        for p in parts
+    )
+
+
+def _translate_array_ctors(sql: str) -> str:
+    """ARRAY[...] → array(...) via a quote-aware bracket scanner: regex
+    cannot pair brackets when element literals contain '[' or ']' (and
+    must not fire on ARRAY[...] text inside a string literal)."""
+    out = []
+    i, n = 0, len(sql)
+    kw = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
+    while i < n:
+        if sql[i] == "'":  # skip string literals ('' is the escaped quote)
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        m = kw.match(sql, i)
+        if not m:
+            out.append(sql[i])
+            i += 1
+            continue
+        # scan to the matching ] honoring nesting and literals
+        depth, j = 1, m.end()
+        while j < n and depth:
+            c = sql[j]
+            if c == "'":
+                j += 1
+                while j < n:
+                    if sql[j] == "'":
+                        if j + 1 < n and sql[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+            elif c == "[":
+                depth += 1
+            elif c == "]":
+                depth -= 1
+                if not depth:
+                    break
+            j += 1
+        if depth:  # unbalanced — leave untouched
+            out.append(sql[i:])
+            break
+        inner = _translate_array_ctors(sql[m.end() : j])
+        out.append(f"array({inner})")
+        i = j + 1
+    return "".join(out)
 
 
 def _translate_operators(sql: str) -> str:
     def similar_repl(m: re.Match) -> str:
         operand, neg, lit = m.group(1), m.group(2), m.group(3)
-        body = _similar_to_regex(lit[1:-1])
+        # double the backslashes: Spark's literal parser consumes one
+        # level of escaping before the regex engine sees the pattern
+        body = _similar_to_regex(lit[1:-1]).replace("\\", "\\\\")
         rlike = f"{operand} RLIKE '{body}'"
         return f"NOT ({rlike})" if neg else rlike
 
     sql = _SIMILAR_TO_RE.sub(similar_repl, sql)
-    # repeat for nested ARRAY[ARRAY[...]] constructors (innermost first)
-    prev = None
-    while prev != sql:
-        prev = sql
-        sql = _ARRAY_CTOR_RE.sub(lambda m: f"array({m.group(1)})", sql)
-    sql = re.sub(
-        r"\bgen_random_uuid\s*\(\s*\)", "uuid()", sql, flags=re.IGNORECASE
+    sql = _translate_array_ctors(sql)
+    sql = _outside_literals(
+        sql,
+        lambda s: re.sub(
+            r"\bgen_random_uuid\s*\(\s*\)", "uuid()", s, flags=re.IGNORECASE
+        ),
     )
     # path-array form first: its quoted operand would otherwise half-match
     # the single-key -> rule
@@ -323,8 +424,15 @@ def _translate_operators(sql: str) -> str:
     sql = _REGEX_OP_RE.sub(regex_repl, sql)
     sql = _ARRAY_LENGTH_RE.sub(lambda m: f"size({m.group(1).strip()})", sql)
     sql = _EPOCH_RE.sub(lambda m: f"unix_timestamp({m.group(1).strip()})", sql)
-    sql = re.sub(r"\brandom\s*\(\s*\)", "rand()", sql, flags=re.IGNORECASE)
-    sql = re.sub(r"\bstrpos\s*\(", "instr(", sql, flags=re.IGNORECASE)
+    sql = _outside_literals(
+        sql,
+        lambda s: re.sub(
+            r"\bstrpos\s*\(",
+            "instr(",
+            re.sub(r"\brandom\s*\(\s*\)", "rand()", s, flags=re.IGNORECASE),
+            flags=re.IGNORECASE,
+        ),
+    )
     # E'...' escape-string literals: Spark processes backslash escapes in
     # plain literals already, so the prefix just drops
     sql = re.sub(r"(?<![\w'])[eE](" + _STR_LIT + r")", r"\1", sql)
@@ -336,7 +444,12 @@ def translate_pg_sql(sql: str, params: Mapping[str, Any] | None = None) -> str:
     set functions → operators → params."""
     out = _translate_typed_literals(sql)
     out = _translate_casts(out)
-    out = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", out, flags=re.IGNORECASE)
+    out = _outside_literals(
+        out,
+        lambda s: re.sub(
+            r"\bnow\s*\(\s*\)", "current_timestamp()", s, flags=re.IGNORECASE
+        ),
+    )
     out = _translate_set_functions(out)
     out = _translate_operators(out)
     if params is not None or _PARAM_RE.search(out):

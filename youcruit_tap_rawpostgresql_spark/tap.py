@@ -19,7 +19,6 @@ from pyspark.sql import DataFrame, SparkSession
 from youcruit_tap_rawpostgresql_spark.operators.conform import conform
 from youcruit_tap_rawpostgresql_spark.operators.flatten import flatten_struct_columns
 from youcruit_tap_rawpostgresql_spark.operators.incremental import (
-    advance_bookmark,
     resolve_starting_bookmark,
 )
 from youcruit_tap_rawpostgresql_spark.operators.maps import apply_stream_map
@@ -57,10 +56,17 @@ class SparkTap:
         state: StateStore | None = None,
         write: Callable[[str], None] | None = None,
     ):
+        import threading
+
         self.config = config
         self.spark = spark
         self.state = state or StateStore()
         self.write = write or sys.stdout.write
+        # serializes bookmark-advance + STATE serialization + STATE write:
+        # without it, parallel workers mutate the bookmarks dict while
+        # another thread's json.dumps iterates it (RuntimeError), and a
+        # stale snapshot could be the LAST state line a target persists
+        self._state_lock = threading.Lock()
 
     def _prepare(self, spec: StreamSpec) -> tuple[DataFrame, Any]:
         bookmark = (
@@ -94,10 +100,22 @@ class SparkTap:
             n = df.count()
         else:
             n = emit_record_messages(df, spec, self.write)
-        new_bm = (
-            advance_bookmark(df, spec, self.state) if spec.replication_key else None
-        )
-        emit_state_message(self.state.to_dict(), self.write)
+        new_bm = None
+        if spec.replication_key:
+            # the max() Spark job runs OUTSIDE the lock (parallel streams
+            # keep their jobs concurrent); only the dict mutation and the
+            # consistent STATE snapshot+write serialize
+            from pyspark.sql import functions as F
+
+            row = df.agg(F.max(spec.replication_key).alias("mx")).first()
+            new_bm = row["mx"] if row else None
+        with self._state_lock:
+            if new_bm is not None:
+                self.state.set_bookmark(
+                    spec.fully_qualified_name, spec.replication_key, new_bm
+                )
+                new_bm = self.state.get_bookmark(spec.fully_qualified_name)
+            emit_state_message(self.state.to_dict(), self.write)
         # Singer SDK-style METRIC lines on the logger (never stdout — the
         # message stream must stay parseable): record counter + sync timer
         logger = logging.getLogger(__name__)
