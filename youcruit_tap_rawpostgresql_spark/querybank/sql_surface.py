@@ -339,3 +339,87 @@ def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNPIVOT (val FOR metric IN (qty, price))
         """
     )
+
+
+@register(
+    "sql_named_params",
+    oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' AND value >= 10.0
+GROUP BY event_type
+""",
+)
+def sql_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native named parameter markers (``spark.sql(..., args=)``) — the
+    engine-level analogue of the reference's ``:rep_key_val`` bind
+    (client.py:264-298). Unlike the dialect layer's literal substitution,
+    markers are typed plan parameters: no quoting, no injection surface,
+    and the plan caches independent of the bound value."""
+    tables(spark, sf_dir)
+    import datetime
+
+    return spark.sql(
+        """
+        SELECT event_type, COUNT(*) AS n
+        FROM events
+        WHERE ts >= :cutoff AND value >= :min_value
+        GROUP BY event_type
+        """,
+        args={
+            "cutoff": datetime.datetime(2024, 1, 20),
+            "min_value": 10.0,
+        },
+    )
+
+
+@register(
+    "sql_identifier_clause",
+    oracle="""
+SELECT 'events' AS table_name, COUNT(*) AS n_rows,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events
+""",
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER(:param) — injection-safe dynamic table references, the
+    right way to template the tap's per-stream view names into SQL (a
+    config-driven stream id can never smuggle SQL into the query the way
+    string formatting could)."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT :name AS table_name, COUNT(*) AS n_rows,
+          COUNT(DISTINCT user_id) AS n_users
+        FROM IDENTIFIER(:tbl)
+        """,
+        args={"tbl": "events", "name": "events"},
+    )
+
+
+@register(
+    "sql_session_variable",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+WHERE o_totalprice > 150000.0
+GROUP BY o_orderpriority
+""",
+)
+def sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (DECLARE / SET VAR, Spark 4): engine-side
+    state usable across statements — the SQL-scripting counterpart of the
+    tap's config-driven thresholds. The variable is namespaced to avoid
+    cross-query collisions; referencing engines constant-fold it into the
+    plan, so pushdown is unaffected."""
+    tables(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE ytrs_price_floor DOUBLE")
+    spark.sql("SET VAR ytrs_price_floor = 150000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_totalprice > ytrs_price_floor
+        GROUP BY o_orderpriority
+        """
+    )
