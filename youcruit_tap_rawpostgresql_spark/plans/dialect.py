@@ -439,9 +439,18 @@ def _translate_operators(sql: str) -> str:
     return sql
 
 
-def translate_pg_sql(sql: str, params: Mapping[str, Any] | None = None) -> str:
+def translate_pg_sql(
+    sql: str,
+    params: Mapping[str, Any] | None = None,
+    bind: bool = True,
+) -> str:
     """Full translation pipeline: typed literals → casts → now() →
-    set functions → operators → params."""
+    set functions → operators → params.
+
+    ``bind=False`` performs syntax translation only, leaving ``:name``
+    markers in place for the engine's native typed parameter binding
+    (``spark.sql(..., args=)``) — the preferred path; the literal
+    substitution below is the fallback for non-parameterizable engines."""
     out = _translate_typed_literals(sql)
     out = _translate_casts(out)
     out = _outside_literals(
@@ -452,6 +461,6 @@ def translate_pg_sql(sql: str, params: Mapping[str, Any] | None = None) -> str:
     )
     out = _translate_set_functions(out)
     out = _translate_operators(out)
-    if params is not None or _PARAM_RE.search(out):
+    if bind and (params is not None or _PARAM_RE.search(out)):
         out = bind_params(out, params)
     return out

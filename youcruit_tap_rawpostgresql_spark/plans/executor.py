@@ -22,10 +22,19 @@ def run_sql(
     params: Mapping[str, Any] | None = None,
     pg_dialect: bool = True,
 ) -> DataFrame:
-    """Execute a SQL string (optionally PG-dialect) over registered views."""
+    """Execute a SQL string (optionally PG-dialect) over registered views.
+
+    Parameters bind NATIVELY (``spark.sql(..., args=)``): ``:name``
+    markers become typed plan parameters — no quoting, no injection
+    surface, and unbound markers fail analysis just like the literal
+    binder raised KeyError. Dialect translation is syntax-only here
+    (``bind=False``); the literal-substitution binder remains available
+    for engines/paths without parameterized SQL."""
     if not sql or not sql.strip():
         raise SpecError("sql must not be empty")  # reference client.py:255-258
-    text = translate_pg_sql(sql, params) if pg_dialect else sql
+    text = translate_pg_sql(sql, bind=False) if pg_dialect else sql
+    if params:
+        return spark.sql(text, args=dict(params))
     return spark.sql(text)
 
 
