@@ -467,3 +467,25 @@ def test_aqe_skew_join_split(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_max_partition_bytes_controls_scan_parallelism(spark):
+    """Scan parallelism is sized by spark.sql.files.maxPartitionBytes:
+    the 10 MB sf0.1 lineitem file reads as ONE input partition at the
+    128 MB default but splits into 10+ tasks at 1 MB. This is the knob
+    that turns a 100 TB table into ~800k splits — and why writing
+    many-GB monolithic files (unsplittable formats aside) caps
+    parallelism while parquet row groups stay splittable."""
+    path = "/root/testdata/sf0.1/lineitem.parquet"
+    saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128MB")
+        one = spark.read.parquet(path).rdd.getNumPartitions()
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1MB")
+        many = spark.read.parquet(path).rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+    # at 128 MB the 10 MB file yields a handful of splits (openCostInBytes
+    # / parallelism floor); at 1 MB it must fan out well past that
+    assert one <= 4, one
+    assert many >= 8 and many > 2 * one, (one, many)
