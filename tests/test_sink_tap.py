@@ -369,3 +369,56 @@ def test_tap_parallel_sync_with_bookmarks_consistent_state(spark, sf_dir):
     ).sync_all()
     assert state.to_dict() == seq_state.to_dict()
     assert all(r.new_bookmark for r in results)
+
+
+def test_stream_map_suppress_and_alias(spark):
+    """Singer SDK stream-level map directives: a None map suppresses the
+    stream; a map under a new name with __source__ duplicates the source
+    with its own transforms (reference capability tap.py:256)."""
+    base = StreamSpec(
+        name="nums",
+        sql="SELECT id, id * 2 AS dbl FROM range(5)",
+        columns=[
+            ColumnSpec("id", "int", nullable=False),
+            ColumnSpec("dbl", "int"),
+        ],
+        key_properties=["id"],
+    )
+    hidden = StreamSpec(
+        name="secret",
+        sql="SELECT 1 AS id",
+        columns=[ColumnSpec("id", "int", nullable=False)],
+        key_properties=["id"],
+    )
+    config = TapConfig(
+        streams=[base, hidden],
+        stream_maps={
+            "secret": None,  # suppressed
+            "nums_big": {"__source__": "nums", "filter": "id >= 3"},
+        },
+    )
+    out = io.StringIO()
+    tap = SparkTap(config, spark, write=out.write)
+    results = tap.sync_all()
+    by_stream = {r.stream: r.record_count for r in results}
+    assert by_stream == {
+        "spark-public-nums": 5,
+        "spark-public-nums_big": 2,
+    }
+    msgs = [json.loads(ln) for ln in out.getvalue().splitlines()]
+    streams_seen = {m.get("stream") for m in msgs if m["type"] == "SCHEMA"}
+    assert streams_seen == {"spark-public-nums", "spark-public-nums_big"}
+
+
+def test_stream_map_alias_unknown_source_raises(spark):
+    from youcruit_tap_rawpostgresql_spark.spec import SpecError
+
+    config = TapConfig(
+        streams=[],
+        stream_maps={"x": {"__source__": "nope"}},
+    )
+    tap = SparkTap(config, spark)
+    import pytest
+
+    with pytest.raises(SpecError):
+        tap.sync_all()

@@ -16,6 +16,12 @@ Map config shape (a pragmatic subset of Singer's stream_maps):
       "mask":    ["col", ...],          # sha256-hash in place
       "filter":  "<spark SQL boolean expr>"
     }
+
+Stream-level forms (Singer SDK parity, resolved by ``SparkTap``):
+a map value of ``None`` SUPPRESSES the stream from sync; a map under a
+NEW stream name with ``{"__source__": "existing", ...transforms}``
+DUPLICATES/ALIASES the source stream under that name. ``__``-prefixed
+keys are directives, ignored here.
 """
 
 from __future__ import annotations
@@ -25,7 +31,8 @@ from pyspark.sql import functions as F
 
 
 def apply_stream_map(df: DataFrame, map_config: dict) -> DataFrame:
-    """Apply one stream's map config to its DataFrame."""
+    """Apply one stream's map config to its DataFrame (``__`` directives
+    like ``__source__`` are stream-level, handled by the tap)."""
     out = df
     for name, expr in (map_config.get("derive") or {}).items():
         out = out.withColumn(name, F.expr(expr))

@@ -68,6 +68,36 @@ class SparkTap:
         # stale snapshot could be the LAST state line a target persists
         self._state_lock = threading.Lock()
 
+    def _effective_streams(self) -> list[StreamSpec]:
+        """Resolve stream-level map directives (Singer SDK parity,
+        reference capability tap.py:256): a stream whose map config is
+        ``None`` is SUPPRESSED; a map under a new name with
+        ``__source__`` duplicates/aliases that source stream (its
+        transforms then apply under the alias's own map config)."""
+        import dataclasses
+
+        from youcruit_tap_rawpostgresql_spark.spec import SpecError
+
+        by_name = {s.name: s for s in self.config.streams}
+        out = [
+            s
+            for s in self.config.streams
+            if not (
+                s.name in self.config.stream_maps
+                and self.config.stream_maps[s.name] is None
+            )
+        ]
+        for alias, cfg in self.config.stream_maps.items():
+            if isinstance(cfg, dict) and "__source__" in cfg:
+                src = by_name.get(cfg["__source__"])
+                if src is None:
+                    raise SpecError(
+                        f"stream map {alias!r}: unknown __source__ "
+                        f"{cfg['__source__']!r}"
+                    )
+                out.append(dataclasses.replace(src, name=alias))
+        return out
+
     def _prepare(self, spec: StreamSpec) -> tuple[DataFrame, Any]:
         bookmark = (
             resolve_starting_bookmark(spec, self.state)
@@ -158,10 +188,10 @@ class SparkTap:
         is emitted before its records; a line-level lock prevents torn
         writes. Results keep config order regardless of completion order.
         """
+        streams = self._effective_streams()
         if parallel <= 1:
             results = [
-                self.sync_stream(s, batch_mode=batch_mode)
-                for s in self.config.streams
+                self.sync_stream(s, batch_mode=batch_mode) for s in streams
             ]
             self.state.flush()
             return results
@@ -182,7 +212,7 @@ class SparkTap:
                 results = list(
                     pool.map(
                         lambda s: self.sync_stream(s, batch_mode=batch_mode),
-                        self.config.streams,
+                        streams,
                     )
                 )
         finally:
