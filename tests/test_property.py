@@ -236,3 +236,31 @@ def test_truncating_div_matches_spark(spark):
     ).first()
     for i, (a, b) in enumerate(cases):
         assert rows[f"c{i}"] == _tdiv(a, b), (a, b)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=999),
+            st.text(alphabet="ab[]',", min_size=0, max_size=8),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=150)
+def test_array_ctor_scanner_handles_bracket_literals(elems):
+    """The quote-aware ARRAY[...] scanner must translate any element list
+    — including string literals containing brackets and quotes (SQL ''
+    escaping) — into array(...) with the literal bodies untouched."""
+    from youcruit_tap_rawpostgresql_spark.plans.dialect import translate_pg_sql
+
+    rendered = []
+    for e in elems:
+        if isinstance(e, int):
+            rendered.append(str(e))
+        else:
+            rendered.append("'" + e.replace("'", "''") + "'")
+    sql = f"SELECT ARRAY[{', '.join(rendered)}] AS a"
+    out = translate_pg_sql(sql)
+    assert out == f"SELECT array({', '.join(rendered)}) AS a"
