@@ -391,3 +391,54 @@ def test_stateful_sessionize_across_micro_batches(spark, tmp_path):
     assert streamed == batch
     # the split actually produced a multi-batch run (one per day file)
     assert progress is not None and int(progress["batchId"]) >= 10
+
+
+def test_stateful_op_on_rocksdb_state_store(spark):
+    """The stateful operators must run unchanged on the RocksDB state
+    store provider — the production backend once per-key state outgrows
+    the JVM heap (SCALE.md: 10^9 users). Same sessionization, same
+    result; only the provider conf differs."""
+    import pyspark.sql.functions as F
+
+    from youcruit_tap_rawpostgresql_spark.streaming.stateful import (
+        run_stateful_sessionize,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        out = run_stateful_sessionize(
+            spark, "/root/testdata/sf0.001/events.parquet"
+        )
+        got = {
+            (r["user_id"], r["session_seq"]): r["n_events"] for r in out.collect()
+        }
+    finally:
+        spark.conf.set(key, saved)
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_session = (
+        F.lag("ts").over(w).isNull()
+        | ((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")) > 30 * 60)
+    ).cast("long")
+    want = {
+        (r["user_id"], r["session_seq"]): r["n_events"]
+        for r in events.withColumn(
+            "session_seq",
+            F.sum(new_session).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == want

@@ -588,3 +588,78 @@ def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(p + 1, c) for p, c in enumerate(u)], "pos int, component bigint"
     )
+
+
+_JL_OUT_DIM = 8
+
+
+@register(
+    "embed_random_projection",
+    # sign matrix entry (i,j) = parity of the portable md5-based hash of
+    # "i:j" — data-independent, engine-independent, and exact: projected
+    # component = Σ_i v_i · (±1)
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), ql AS (
+  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM q
+), proj AS (
+  SELECT ql.vec_id, j.j,
+    CAST(SUM(ql.val * (CASE WHEN
+      CAST('0x' || substr(md5(CAST(ql.pos AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+      THEN 1 ELSE -1 END)) AS BIGINT) AS comp
+  FROM ql CROSS JOIN (SELECT unnest(generate_series(1, {_JL_OUT_DIM})) AS j) j
+  GROUP BY 1, 2
+)
+SELECT vec_id, j AS out_dim, comp FROM proj WHERE vec_id % 10 = 0
+""",
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (64 → 8 dims) with a ±1
+    sign matrix derived from a portable hash — the dimensionality
+    reduction that preserves pairwise distances within (1±ε) and shrinks
+    ANN index width 8×. Quantized integer components make the projection
+    exact, and the hash-parity sign matrix needs no materialized matrix,
+    no randomness state, and no broadcast: it is recomputed per (pos,
+    out_dim) inside codegen in both engines.
+
+    Scale: map-only — each row folds its own vector against the implicit
+    sign matrix; output width is out_dim ints. The JL lemma does the
+    heavy lifting: distance error is O(√(log n / out_dim)) independent
+    of the input dimension."""
+    from youcruit_tap_rawpostgresql_spark.functions.hashing import hash64
+
+    t = tables(spark, sf_dir)
+    ql = (
+        t["embeddings"]
+        .filter(F.col("vec_id") % 10 == 0)
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
+                )
+            ).alias("pos0", "val"),
+        )
+        .select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+    )
+    dims = spark.range(1, _JL_OUT_DIM + 1).select(F.col("id").alias("out_dim"))
+    sign = F.when(
+        hash64(
+            F.concat(
+                F.col("pos").cast("string"), F.lit(":"), F.col("out_dim").cast("string")
+            )
+        )
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        ql.crossJoin(F.broadcast(dims))
+        .groupBy("vec_id", "out_dim")
+        .agg(F.sum(F.col("val") * sign).alias("comp"))
+    )
