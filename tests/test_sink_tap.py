@@ -422,3 +422,85 @@ def test_stream_map_alias_unknown_source_raises(spark):
 
     with pytest.raises(SpecError):
         tap.sync_all()
+
+
+def test_record_messages_serialize_decimal_and_binary(spark):
+    """Decimal (declared numeric) and binary (declared bytea) column
+    values must serialize on the Singer RECORD path — review finding:
+    json.dumps crashed on them."""
+    from youcruit_tap_rawpostgresql_spark.sink import emit_record_messages
+
+    df = spark.sql(
+        "SELECT CAST(12.34 AS DECIMAL(12,2)) AS amount, "
+        "CAST('abc' AS BINARY) AS blob, ARRAY(CAST(1.5 AS DECIMAL(4,1))) AS amts"
+    )
+    spec = StreamSpec(
+        name="dec",
+        sql="x",
+        columns=[
+            ColumnSpec("amount", "numeric(12,2)"),
+            ColumnSpec("blob", "bytea"),
+        ],
+        key_properties=[],
+    )
+    out = io.StringIO()
+    n = emit_record_messages(df, spec, out.write)
+    assert n == 1
+    rec = json.loads(out.getvalue())["record"]
+    assert rec["amount"] == 12.34
+    import base64
+
+    assert base64.b64decode(rec["blob"]) == b"abc"
+    assert rec["amts"] == [1.5]
+
+
+def test_compact_output_rejects_in_place(spark, tmp_path):
+    """In-place compaction would delete the input before the lazy read
+    runs (review finding) — must refuse."""
+    import pytest
+
+    from youcruit_tap_rawpostgresql_spark.sink import compact_output
+
+    p = str(tmp_path / "t")
+    spark.range(10).write.parquet(p)
+    with pytest.raises(ValueError):
+        compact_output(spark, p, p + "/")
+
+
+def test_upsert_empty_first_batch_and_conf_restore(spark, tmp_path):
+    """Review findings: an empty first batch must not wedge the sink with
+    a dataless directory, and partitionOverwriteMode must not leak."""
+    from youcruit_tap_rawpostgresql_spark.streaming.upsert_sink import (
+        read_upsert_table,
+        upsert_batch,
+    )
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key)
+    target = str(tmp_path / "upsert")
+    empty = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    upsert_batch(spark, empty, target, key="user_id", version_col="ts")
+
+    rows = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 5.0), (2, "2024-01-02 00:00:00", 7.0)],
+        "user_id long, ts string, value double",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    upsert_batch(spark, rows, target, key="user_id", version_col="ts")
+    got = {r["user_id"]: r["value"] for r in read_upsert_table(spark, target).collect()}
+    assert got == {1: 5.0, 2: 7.0}
+    assert spark.conf.get(key) == before
+
+
+def test_jdbc_validation_and_signsafe_hash():
+    import pytest
+
+    from youcruit_tap_rawpostgresql_spark.sources.jdbc import (
+        hash_predicates,
+        jdbc_options,
+    )
+
+    with pytest.raises(ValueError):
+        jdbc_options({"database": "d"}, "SELECT 1", partition_column="id")
+    preds = hash_predicates("id", 4)
+    assert all("abs(" not in p for p in preds)  # INT_MIN-safe double mod
+    assert preds[1] == "mod(mod(hashtext(id::text), 4) + 4, 4) = 1"

@@ -67,7 +67,9 @@ def main(argv: list[str] | None = None) -> int:
     tap = SparkTap(config, spark, state=StateStore(args.state))
     try:
         if args.explain:
-            for spec in config.streams:
+            # resolve suppress/alias map directives — explain must show
+            # the streams sync would actually run
+            for spec in tap._effective_streams():
                 df, _ = tap._prepare(spec)
                 print(f"== {spec.fully_qualified_name} ==")
                 df.explain(mode="formatted")

@@ -157,18 +157,28 @@ def emit_record_messages(df: DataFrame, spec: StreamSpec, write) -> int:
     is ``write_batch_files`` + BATCH messages, exactly why the Singer spec
     grew the BATCH capability in the first place.
     """
+    import base64
     import datetime as _dt
+    import decimal as _dec
+
+    def _jsonable(v):
+        if isinstance(v, _dt.datetime):
+            return v.isoformat() + ("+00:00" if v.tzinfo is None else "")
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        if isinstance(v, _dec.Decimal):  # declared numeric/decimal columns
+            return float(v)
+        if isinstance(v, (bytes, bytearray)):  # declared bytea/binary
+            return base64.b64encode(bytes(v)).decode("ascii")
+        if isinstance(v, dict):
+            return {k: _jsonable(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [_jsonable(x) for x in v]
+        return v
 
     n = 0
     for row in df.toLocalIterator():
-        rec = {}
-        for k, v in row.asDict(recursive=True).items():
-            if isinstance(v, _dt.datetime):
-                rec[k] = v.isoformat() + ("+00:00" if v.tzinfo is None else "")
-            elif isinstance(v, _dt.date):
-                rec[k] = v.isoformat()
-            else:
-                rec[k] = v
+        rec = {k: _jsonable(v) for k, v in row.asDict(recursive=True).items()}
         write(
             json.dumps(
                 {"type": "RECORD", "stream": spec.fully_qualified_name, "record": rec}
@@ -211,6 +221,14 @@ def compact_output(
     run it per time-partition (e.g. per day), not over the whole table.
     """
     import math
+
+    if in_path.rstrip("/") == out_path.rstrip("/"):
+        # static overwrite deletes the target before the lazy read runs —
+        # in-place compaction would destroy the very data being compacted
+        raise ValueError(
+            "compact_output: out_path must differ from in_path "
+            "(overwrite deletes the input before the read executes)"
+        )
 
     sc = spark.sparkContext
     jvm = sc._jvm

@@ -50,6 +50,12 @@ def jdbc_options(
         "fetchsize": str(config.get("fetchsize", 10_000)),
     }
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # fail at assembly time with the real cause — otherwise Spark
+            # dies later parsing the stringified 'None' bounds
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound"
+            )
         # partitioned parallel read requires dbtable (a derived table)
         opts["dbtable"] = f"({sql}) AS src"
         opts["partitionColumn"] = partition_column
@@ -121,9 +127,13 @@ def hash_predicates(column: str, num_partitions: int) -> list[str]:
     """
     if num_partitions < 1:
         raise ValueError("num_partitions must be >= 1")
-    preds = [
-        f"mod(abs(hashtext({column}::text)), {num_partitions}) = {i}"
-        for i in range(num_partitions)
-    ]
+    # sign-safe double mod: hashtext spans the full int4 range and
+    # abs(INT_MIN) errors in PostgreSQL, so abs() would fail on ~1/2^32
+    # of keys — certainty at the row counts this path targets
+    expr = (
+        f"mod(mod(hashtext({column}::text), {num_partitions}) "
+        f"+ {num_partitions}, {num_partitions})"
+    )
+    preds = [f"{expr} = {i}" for i in range(num_partitions)]
     preds[0] = f"({preds[0]}) OR {column} IS NULL"
     return preds

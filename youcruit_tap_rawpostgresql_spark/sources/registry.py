@@ -80,8 +80,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if ns_cols:
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        # the legacy conf is consulted at read time (the relation captures
+        # it); restore afterwards so OTHER parquet reads in this session
+        # keep normal nanos→timestamp semantics
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
         for c in ns_cols:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         return normalize_timestamps(df)

@@ -57,15 +57,31 @@ def open_file_stream(spark: SparkSession, events_path: str) -> DataFrame:
 
     import pyarrow.parquet as pq
 
+    from contextlib import nullcontext
+
     arrow_schema = pq.read_schema(events_path)
     ns_cols = {
         f.name
         for f in arrow_schema
         if str(arrow_schema.field(f.name).type).startswith("timestamp[ns")
     }
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # streaming sources need an explicit schema — reuse the batch reader's
-    base = spark.read.parquet(events_path)
+
+    @contextmanager
+    def _nanos_conf():
+        # scoped like sources.registry.load_table: the relation captures
+        # the legacy conf at creation; leaking it session-wide would turn
+        # OTHER nanos parquet reads into raw longs
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            yield
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
     link_dir = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_stream",
@@ -75,7 +91,12 @@ def open_file_stream(spark: SparkSession, events_path: str) -> DataFrame:
     link = os.path.join(link_dir, os.path.basename(events_path))
     if not os.path.exists(link):
         os.symlink(events_path, link)
-    stream = spark.readStream.schema(base.schema).format("parquet").load(link_dir)
+    with _nanos_conf() if ns_cols else nullcontext():
+        # streaming sources need an explicit schema — reuse the batch reader's
+        base = spark.read.parquet(events_path)
+        stream = (
+            spark.readStream.schema(base.schema).format("parquet").load(link_dir)
+        )
     if "ts" in ns_cols:
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     from ..sources.registry import normalize_timestamps

@@ -16,6 +16,7 @@ overwrite so untouched buckets' files are never rewritten.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,6 +27,42 @@ from youcruit_tap_rawpostgresql_spark.streaming.incremental_stream import (
 from pyspark.sql.window import Window as W
 
 _BUCKET_COL = "__bucket"
+
+
+def _target_has_data(spark: SparkSession, target_dir: str) -> bool:
+    """True when the target exists AND contains data files — via the
+    Hadoop FS for the path's own scheme (a driver-local os.path check is
+    wrong for s3a://, hdfs://, …, and a _SUCCESS-only directory from an
+    empty first batch must count as empty or the next read dies on
+    schema inference)."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(target_dir)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    for status in fs.listStatus(jpath):
+        name = str(status.getPath().getName())
+        # partition directories may legitimately start with '_' when the
+        # partition COLUMN does (__bucket=0) — the '=' marks them as data
+        if "=" in name or not name.startswith(("_", ".")):
+            return True
+    return False
+
+
+@contextmanager
+def _scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a session conf for the block and restore the caller's value —
+    leaking partitionOverwriteMode=dynamic would silently change the
+    semantics of the caller's later mode('overwrite') writes."""
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def _with_bucket(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
@@ -46,6 +83,8 @@ def upsert_batch(
     """Merge ``batch_df`` into the bucketed parquet table at ``target_dir``:
     per key, the row with the highest ``version_col`` wins (ties: incoming
     row wins). Only buckets containing incoming keys are rewritten."""
+    if batch_df.isEmpty():
+        return  # an empty micro-batch must not create a dataless target
     batch = _with_bucket(batch_df, key, n_buckets)
     # dedup within the batch first (a micro-batch may carry several
     # versions of one key)
@@ -56,31 +95,35 @@ def upsert_batch(
         .drop("__rn")
     )
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    if not os.path.exists(target_dir):
-        batch.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(target_dir)
-        return
+    with _scoped_conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        if not _target_has_data(spark, target_dir):
+            batch.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(
+                target_dir
+            )
+            return
 
-    current = spark.read.parquet(target_dir)
-    touched = [r[_BUCKET_COL] for r in batch.select(_BUCKET_COL).distinct().collect()]
-    # bucket pruning: only read+rewrite partitions whose keys changed
-    current_touched = current.filter(F.col(_BUCKET_COL).isin(touched))
-    merged = (
-        current_touched.withColumn("__src", F.lit(0))
-        .unionByName(batch.withColumn("__src", F.lit(1)))
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                W.partitionBy(key).orderBy(
-                    F.col(version_col).desc(), F.col("__src").desc()
-                )
-            ),
+        current = spark.read.parquet(target_dir)
+        touched = [
+            r[_BUCKET_COL] for r in batch.select(_BUCKET_COL).distinct().collect()
+        ]
+        # bucket pruning: only read+rewrite partitions whose keys changed
+        current_touched = current.filter(F.col(_BUCKET_COL).isin(touched))
+        merged = (
+            current_touched.withColumn("__src", F.lit(0))
+            .unionByName(batch.withColumn("__src", F.lit(1)))
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    W.partitionBy(key).orderBy(
+                        F.col(version_col).desc(), F.col("__src").desc()
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__src")
         )
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__src")
-    )
-    # dynamic overwrite replaces ONLY the touched bucket partitions
-    merged.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(target_dir)
+        # dynamic overwrite replaces ONLY the touched bucket partitions
+        merged.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(target_dir)
 
 
 def read_upsert_table(spark: SparkSession, target_dir: str) -> DataFrame:
@@ -105,9 +148,9 @@ def run_streaming_upsert(
         open_file_stream,
     )
 
-    stream = open_file_stream(spark, events_path).select(
-        "user_id", "ts", "event_id", "event_type", "value"
-    )
+    # keep every source column — projecting to a fixture-specific list
+    # would break any non-default key/version_col the caller passes
+    stream = open_file_stream(spark, events_path)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         upsert_batch(
