@@ -228,3 +228,25 @@ def test_array_ctor_with_brackets_in_literal(spark):
     out = translate_pg_sql("SELECT ARRAY['a[1]', 'b]'] AS a")
     assert out == "SELECT array('a[1]', 'b]') AS a"
     assert spark.sql(out).first()["a"] == ["a[1]", "b]"]
+
+
+def test_cast_inside_string_literal_is_data():
+    """'foo::bar' is data, not a cast (review finding) — while a cast OF
+    a literal ('x'::uuid) still translates."""
+    out = translate_pg_sql("SELECT 'ns::id' AS tag, 'x'::uuid AS u")
+    assert out == "SELECT 'ns::id' AS tag, CAST('x' AS string) AS u"
+    out2 = translate_pg_sql("SELECT 'meeting date ''x''' AS note")
+    assert out2 == "SELECT 'meeting date ''x''' AS note"
+
+
+def test_to_char_bare_hh_is_12_hour(spark):
+    out = translate_pg_sql("SELECT to_char(TIMESTAMP '2024-01-01 13:05:00', 'HH:MI') AS t")
+    assert spark.sql(out).first()["t"] == "01:05"
+
+
+def test_quote_literal_nan_inf():
+    from youcruit_tap_rawpostgresql_spark.plans.dialect import quote_literal
+
+    assert quote_literal(float("nan")) == "CAST('NaN' AS DOUBLE)"
+    assert quote_literal(float("inf")) == "CAST('Infinity' AS DOUBLE)"
+    assert quote_literal(float("-inf")) == "CAST('-Infinity' AS DOUBLE)"

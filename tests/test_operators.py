@@ -442,3 +442,88 @@ def test_stateful_op_on_rocksdb_state_store(spark):
         .collect()
     }
     assert got == want
+
+
+def test_bookmark_key_switch_starts_over():
+    """Review finding: switching a stream's replication key must NOT
+    reuse the old key's bookmark value (wrong-typed comparison)."""
+    state = StateStore()
+    state.set_bookmark("db-public-t", "id", 12345)
+    assert state.get_bookmark("db-public-t", "id") == 12345
+    assert state.get_bookmark("db-public-t", "updated_at") is None
+    # unchecked lookup keeps old behavior
+    assert state.get_bookmark("db-public-t") == 12345
+
+
+def test_incremental_filter_applies_without_sql_marker(spark):
+    """Review finding: a replication-key stream whose SQL lacks
+    :rep_key_val must get the DataFrame-level filter (path b) — not
+    silently re-emit the full table while advancing state."""
+    import io
+
+    from youcruit_tap_rawpostgresql_spark.spec import TapConfig
+    from youcruit_tap_rawpostgresql_spark.sources.registry import register_testdata
+    from youcruit_tap_rawpostgresql_spark.tap import SparkTap
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    spec = StreamSpec(
+        name="ev_nofilter",
+        sql="SELECT event_id, ts FROM events",  # no :rep_key_val marker
+        columns=[
+            ColumnSpec("event_id", "int", nullable=False),
+            ColumnSpec("ts", "datetime"),
+        ],
+        key_properties=["event_id"],
+        replication_key="ts",
+        replication_key_value_start="2024-01-25 00:00:00",
+    )
+    total = spark.table("events").count()
+    tap = SparkTap(TapConfig(streams=[spec]), spark, write=io.StringIO().write)
+    res = tap.sync_all()[0]
+    assert 0 < res.record_count < total  # filtered, not the full table
+    # second sync from the advanced bookmark emits nothing new
+    tap2 = SparkTap(
+        TapConfig(streams=[spec]), spark, state=tap.state, write=io.StringIO().write
+    )
+    assert tap2.sync_all()[0].record_count == 0
+
+
+def test_bookmark_computed_on_premap_frame(spark):
+    """Review finding: a stream map that masks the replication key must
+    not corrupt the bookmark — state advances from the PRE-map frame."""
+    import io
+
+    from youcruit_tap_rawpostgresql_spark.spec import TapConfig
+    from youcruit_tap_rawpostgresql_spark.sources.registry import register_testdata
+    from youcruit_tap_rawpostgresql_spark.tap import SparkTap
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    spec = StreamSpec(
+        name="ev_masked",
+        sql="SELECT event_id, ts FROM events WHERE ts > :rep_key_val",
+        columns=[
+            ColumnSpec("event_id", "int", nullable=False),
+            ColumnSpec("ts", "datetime"),
+        ],
+        key_properties=["event_id"],
+        replication_key="ts",
+        replication_key_value_start="2024-01-25 00:00:00",
+    )
+    config = TapConfig(
+        streams=[spec], stream_maps={"ev_masked": {"mask": ["ts"]}}
+    )
+    out = io.StringIO()
+    tap = SparkTap(config, spark, write=out.write)
+    res = tap.sync_all()[0]
+    assert res.record_count > 0
+    bm = tap.state.get_bookmark("spark-public-ev_masked", "ts")
+    assert str(bm).startswith("2024-01-3")  # a real timestamp, not sha256 hex
+    # emitted records carry the MASKED ts (64-hex), proving map applied
+    import json as _json
+
+    recs = [
+        _json.loads(ln)
+        for ln in out.getvalue().splitlines()
+        if _json.loads(ln)["type"] == "RECORD"
+    ]
+    assert len(recs[0]["record"]["ts"]) == 64

@@ -70,7 +70,7 @@ def main(argv: list[str] | None = None) -> int:
             # resolve suppress/alias map directives — explain must show
             # the streams sync would actually run
             for spec in tap._effective_streams():
-                df, _ = tap._prepare(spec)
+                df, _premap, _bm = tap._prepare(spec)
                 print(f"== {spec.fully_qualified_name} ==")
                 df.explain(mode="formatted")
             return 0

@@ -114,10 +114,20 @@ def cosine_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
     cost; throughput is memory-bandwidth bound (~1 GB/s/core on 64-dim).
     Zero vectors yield NULL (parity with cosine_similarity).
     """
-    A = np.array(a.tolist(), dtype=np.float64)
-    B = np.array(b.tolist(), dtype=np.float64)
-    if A.size == 0:
+    if len(a) == 0:
         return pd.Series(np.empty(0, dtype=np.float64))
+    try:
+        A = np.array(a.tolist(), dtype=np.float64)
+        B = np.array(b.tolist(), dtype=np.float64)
+    except ValueError:  # ragged vector lengths — not a rectangular batch
+        raise ValueError(
+            "cosine_pairs: vectors in a batch must share one length "
+            "(got ragged embedding arrays)"
+        ) from None
+    if A.ndim != 2 or A.shape[1] == 0 or B.shape != A.shape:
+        # n rows of zero-length (or mismatched) vectors: no dimensions to
+        # dot — NULL per row, same as the zero-vector contract
+        return pd.Series(pd.array([pd.NA] * len(a), dtype="Float64"))
     d = A[:, 0] * B[:, 0]
     na = A[:, 0] * A[:, 0]
     nb = B[:, 0] * B[:, 0]

@@ -35,6 +35,7 @@ def connected_components(
     labels = edges.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
+    converged = False
     for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges["s"] == labels["node"])
@@ -58,5 +59,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently returning partial labels would split one real dup
+        # cluster into several and KEEP duplicates — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(graph diameter exceeds the cap — raise max_rounds or switch "
+            "to the large-star/small-star variant)"
+        )
     return labels.select("node", F.col("label").alias("component"))

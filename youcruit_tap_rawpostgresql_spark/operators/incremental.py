@@ -39,7 +39,9 @@ def resolve_starting_bookmark(spec: StreamSpec, state: StateStore | None) -> Any
         return None
     if spec.replication_method == "INCREMENTAL":
         if state is not None:
-            bm = state.get_bookmark(spec.fully_qualified_name)
+            bm = state.get_bookmark(
+                spec.fully_qualified_name, spec.replication_key
+            )
             if bm is not None:
                 return bm
         if spec.replication_key_value_start is not None:

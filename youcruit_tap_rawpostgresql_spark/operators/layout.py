@@ -43,13 +43,14 @@ def zorder_key(a, b, bits: int = 16) -> Column:
 
 def normalize_to_bits(col, vmin: int, vmax: int, bits: int) -> Column:
     """Rank-scale an integer column from [vmin, vmax] onto [0, 2^bits):
-    exact integer multiply-then-floor-divide (no floats), so every engine
-    computes the identical bucket."""
+    exact integer multiply-then-truncating-divide (``div``, never IEEE
+    ``/`` — a double divide loses bits once (value-vmin)·(2^bits-1)
+    crosses 2^53, e.g. epoch-microsecond keys, and buckets would drift
+    from the integer-division oracle)."""
     c = (F.col(col) if isinstance(col, str) else col).cast("bigint")
     span = max(vmax - vmin, 1)
-    return F.floor(((c - F.lit(vmin)) * F.lit((1 << bits) - 1)) / F.lit(span)).cast(
-        "bigint"
-    )
+    scaled = (c - F.lit(vmin).cast("bigint")) * F.lit((1 << bits) - 1).cast("bigint")
+    return F.call_function("div", scaled, F.lit(span).cast("bigint"))
 
 
 def o_zorder_key(a: str, b: str, bits: int = 16) -> str:
@@ -73,6 +74,9 @@ def write_zordered(
     amin, amax, bmin, bmax = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).first()
+    if amin is None or bmin is None:  # empty input: nothing to cluster
+        df.write.mode("overwrite").parquet(path)
+        return
     keyed = df.withColumn(
         "__z",
         zorder_key(

@@ -108,13 +108,40 @@ def _rename_type(pg_type: str) -> str:
     return pg_type.strip()
 
 
+def _literal_interiors(sql: str) -> list[tuple[int, int]]:
+    """(start, end) spans of the INTERIORS of single-quoted literals —
+    content strictly between the quotes. A rewrite whose match begins
+    inside one of these would corrupt literal data; a match that begins
+    AT a literal's opening quote is legitimate (e.g. ``'x'::uuid`` casts
+    the literal itself)."""
+    return [
+        (m.start() + 1, m.end() - 1) for m in re.finditer(r"'(?:[^']|'')*'", sql)
+    ]
+
+
+def _sub_skipping_literal_interiors(pattern: re.Pattern, repl, sql: str) -> str:
+    """re.sub, but matches starting inside a string literal are left
+    untouched (their text is data, not SQL)."""
+    spans = _literal_interiors(sql)
+
+    def guarded(m: re.Match) -> str:
+        if any(a <= m.start() < b for a, b in spans):
+            return m.group(0)
+        return repl(m)
+
+    return pattern.sub(guarded, sql)
+
+
 def _translate_casts(sql: str) -> str:
-    # repeat to handle chained casts like x::text::int
+    # repeat to handle chained casts like x::text::int; matches beginning
+    # inside string literals ('foo::bar') are data, not casts
     prev = None
     while prev != sql:
         prev = sql
-        sql = _CAST_RE.sub(
-            lambda m: f"CAST({m.group(1)} AS {_rename_type(m.group(2))})", sql
+        sql = _sub_skipping_literal_interiors(
+            _CAST_RE,
+            lambda m: f"CAST({m.group(1)} AS {_rename_type(m.group(2))})",
+            sql,
         )
     return sql
 
@@ -129,7 +156,7 @@ def _translate_typed_literals(sql: str) -> str:
             return lit  # UUID is a plain string in this engine
         return f"{m.group(1).upper()} {lit}"
 
-    return _TYPED_LITERAL_RE.sub(repl, sql)
+    return _sub_skipping_literal_interiors(_TYPED_LITERAL_RE, repl, sql)
 
 
 def quote_literal(value: Any) -> str:
@@ -138,7 +165,17 @@ def quote_literal(value: Any) -> str:
         return "NULL"
     if isinstance(value, bool):
         return "TRUE" if value else "FALSE"
-    if isinstance(value, (int, float)):
+    if isinstance(value, float):
+        import math as _math
+
+        # repr() gives bare nan/inf tokens, which are not SQL literals
+        if _math.isnan(value):
+            return "CAST('NaN' AS DOUBLE)"
+        if _math.isinf(value):
+            sign = "-" if value < 0 else ""
+            return f"CAST('{sign}Infinity' AS DOUBLE)"
+        return repr(value)
+    if isinstance(value, int):
         return repr(value)
     if isinstance(value, _dt.datetime):
         return f"TIMESTAMP '{value.isoformat(sep=' ')}'"
@@ -240,6 +277,7 @@ _TO_CHAR_TOKENS = [
     ("YYYY", "yyyy"),
     ("HH24", "HH"),
     ("HH12", "hh"),
+    ("HH", "hh"),  # PG bare HH is 12-hour (= HH12); Spark's HH is 24-hour
     ("MS", "SSS"),
     ("YY", "yy"),
     ("DD", "dd"),

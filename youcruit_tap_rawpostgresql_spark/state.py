@@ -27,8 +27,20 @@ class StateStore:
                 self._state = json.load(f)
             self._state.setdefault("bookmarks", {})
 
-    def get_bookmark(self, stream_id: str) -> Any | None:
+    def get_bookmark(
+        self, stream_id: str, replication_key: str | None = None
+    ) -> Any | None:
+        """Stored bookmark value; ``replication_key``, when given, must
+        match the key the bookmark was stored under — a config that
+        switched replication keys must NOT reuse the old key's value as
+        the new key's starting point (wrong-typed comparison downstream)."""
         bm = self._state["bookmarks"].get(stream_id, {})
+        if (
+            replication_key is not None
+            and bm.get("replication_key") is not None
+            and bm["replication_key"] != replication_key
+        ):
+            return None
         return bm.get("replication_key_value")
 
     def set_bookmark(self, stream_id: str, replication_key: str, value: Any) -> None:

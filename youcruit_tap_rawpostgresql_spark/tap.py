@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from youcruit_tap_rawpostgresql_spark.operators.conform import conform
 from youcruit_tap_rawpostgresql_spark.operators.flatten import flatten_struct_columns
 from youcruit_tap_rawpostgresql_spark.operators.incremental import (
+    apply_replication_filter,
     resolve_starting_bookmark,
 )
 from youcruit_tap_rawpostgresql_spark.operators.maps import apply_stream_map
@@ -98,21 +99,35 @@ class SparkTap:
                 out.append(dataclasses.replace(src, name=alias))
         return out
 
-    def _prepare(self, spec: StreamSpec) -> tuple[DataFrame, Any]:
+    def _prepare(self, spec: StreamSpec) -> tuple[DataFrame, DataFrame, Any]:
+        """Returns (mapped_df, conformed_premap_df, bookmark).
+
+        The bookmark aggregate runs on the PRE-map conformed frame — the
+        Singer SDK increments state from the unmapped record, so a map
+        that masks/renames/drops the replication key cannot corrupt the
+        bookmark. When the SQL has no ``:rep_key_val`` marker, the
+        incremental predicate applies as a DataFrame filter instead
+        (operators/incremental.py path b) — otherwise a replication-key
+        stream without the marker would silently re-emit the full table
+        every sync while still advancing state."""
         bookmark = (
             resolve_starting_bookmark(spec, self.state)
             if spec.replication_key
             else None
         )
-        params = {"rep_key_val": bookmark} if ":rep_key_val" in spec.sql else None
+        uses_marker = ":rep_key_val" in spec.sql
+        params = {"rep_key_val": bookmark} if uses_marker else None
         df = run_stream_sql(self.spark, spec, params=params)
         df = conform(df, spec)
+        if spec.replication_key and bookmark is not None and not uses_marker:
+            df = apply_replication_filter(df, spec, bookmark)
+        premap = df
         map_cfg = self.config.stream_maps.get(spec.name)
         if map_cfg:
             df = apply_stream_map(df, map_cfg)
         if self.config.flattening_enabled:
             df = flatten_struct_columns(df, self.config.flattening_max_depth)
-        return df, bookmark
+        return df, premap, bookmark
 
     def sync_stream(self, spec: StreamSpec, batch_mode: bool = False) -> SyncResult:
         import json as _json
@@ -120,25 +135,43 @@ class SparkTap:
         import time as _time
 
         t0 = _time.perf_counter()
-        df, _ = self._prepare(spec)
-        emit_schema_message(spec, self.write)
-        manifests: list[BatchManifest] = []
-        if batch_mode and self.config.batch:
-            manifests = write_batch_files(df, spec, self.config.batch)
-            for m in manifests:
-                self.write(_json.dumps(m.to_message(spec.fully_qualified_name)) + "\n")
-            n = df.count()
-        else:
-            n = emit_record_messages(df, spec, self.write)
-        new_bm = None
+        df, premap, _ = self._prepare(spec)
+        # one snapshot feeds emission, count, AND the bookmark aggregate:
+        # without the persist, a live source (JDBC) re-executes the query
+        # for the max() and can advance the bookmark past rows that were
+        # never emitted — permanent data loss on the next incremental sync
+        persisted = None
         if spec.replication_key:
-            # the max() Spark job runs OUTSIDE the lock (parallel streams
-            # keep their jobs concurrent); only the dict mutation and the
-            # consistent STATE snapshot+write serialize
-            from pyspark.sql import functions as F
+            from pyspark.storagelevel import StorageLevel
 
-            row = df.agg(F.max(spec.replication_key).alias("mx")).first()
-            new_bm = row["mx"] if row else None
+            # persist() marks the premap plan; the mapped df was derived
+            # from that same plan, so the cache serves both via plan match
+            persisted = premap.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            emit_schema_message(spec, self.write)
+            manifests: list[BatchManifest] = []
+            if batch_mode and self.config.batch:
+                manifests = write_batch_files(df, spec, self.config.batch)
+                for m in manifests:
+                    self.write(
+                        _json.dumps(m.to_message(spec.fully_qualified_name)) + "\n"
+                    )
+                n = df.count()
+            else:
+                n = emit_record_messages(df, spec, self.write)
+            new_bm = None
+            if spec.replication_key:
+                # the max() Spark job runs OUTSIDE the lock (parallel
+                # streams keep their jobs concurrent); only the dict
+                # mutation and the consistent STATE snapshot+write
+                # serialize. Aggregated over the persisted PRE-map frame.
+                from pyspark.sql import functions as F
+
+                row = persisted.agg(F.max(spec.replication_key).alias("mx")).first()
+                new_bm = row["mx"] if row else None
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
         with self._state_lock:
             if new_bm is not None:
                 self.state.set_bookmark(
