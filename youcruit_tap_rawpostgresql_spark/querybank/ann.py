@@ -21,10 +21,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from youcruit_tap_rawpostgresql_spark.functions.vectors import cosine_pairs, dot
+from youcruit_tap_rawpostgresql_spark.querybank.helpers import EMB_DIM as _DIM
 from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
 
 _N_PLANES = 6
-_DIM = 64
 
 
 def lsh_hyperplanes(n_planes: int = _N_PLANES, dim: int = _DIM, seed: int = 7) -> list[list[float]]:
@@ -281,8 +281,6 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring touches |Q| · nprobe · n/K pairs instead of |Q| · n. Recall is
     tuned by nprobe; the oracle recomputes the identical IVF algorithm, so
     this checks the real scale path, not brute force."""
-    from youcruit_tap_rawpostgresql_spark.functions.vectors import cosine_pairs
-
     e = tables(spark, sf_dir)["embeddings"]
     ranked = ivf_rank_cells(spark, sf_dir).cache()
     assign = (
@@ -375,10 +373,11 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_recall_eval",
-    # recall@3 of the LSH path against exact brute force: both rankings
-    # use the same fold cosine and rounded-score ordering, so the hit
-    # counts are pure integer set intersections. Note the DIFFERENT query
-    # sets (% 25 vs % 50) — the eval restricts to their overlap (% 50)
+    # recall@3 of the LSH path against exact brute force. The lsh CTE must
+    # rank by RAW cos (matching sim_ann_lsh, which this eval reuses on the
+    # Spark side); the exact sides rank rounded in both engines. Note the
+    # DIFFERENT query sets (% 25 vs % 50) — the eval restricts to their
+    # overlap (% 50)
     oracle=f"""
 WITH sigs AS (
   SELECT vec_id, embedding, {_o_sig('embedding')} AS sig,
@@ -395,7 +394,7 @@ WITH sigs AS (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,
       ROW_NUMBER() OVER (PARTITION BY query_id
-                         ORDER BY ROUND(cos, 6) DESC, neighbor_id) AS rank
+                         ORDER BY cos DESC, neighbor_id) AS rank
     FROM cand) WHERE rank <= 3
 ), exact AS (
   SELECT query_id, neighbor_id FROM (

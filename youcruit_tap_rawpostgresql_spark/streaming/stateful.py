@@ -34,13 +34,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from youcruit_tap_rawpostgresql_spark.streaming.incremental_stream import (
-    scoped_stream_partitions,
-)
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from youcruit_tap_rawpostgresql_spark.streaming.incremental_stream import (
+    drain_memory_sink,
     open_file_stream,
+    scoped_stream_partitions,
 )
 
 _GAP_SECONDS = 30 * 60
@@ -124,11 +123,12 @@ def run_stateful_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
         )
         q.awaitTermination()
     # MAX-merge re-emissions: a session's count only grows across batches
-    return (
+    out = (
         spark.table(sink)
         .groupBy("user_id", "session_seq")
         .agg(F.max("n_events").alias("n_events"))
     )
+    return drain_memory_sink(spark, sink, out)
 
 
 def run_session_window_stream(spark: SparkSession, events_path: str) -> DataFrame:
@@ -154,14 +154,13 @@ def run_session_window_stream(spark: SparkSession, events_path: str) -> DataFram
             .start()
         )
         q.awaitTermination()
-    return spark.table(sink).select(
+    out = spark.table(sink).select(
         "user_id",
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         "n_events",
     )
+    return drain_memory_sink(spark, sink, out)
 
-
-from pyspark.sql.types import DoubleType  # noqa: E402
 
 _EWMA_OUT = StructType(
     [
@@ -228,9 +227,9 @@ def run_stateful_ewma(spark: SparkSession, events_path: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    final = spark.table(sink)
-    return (
-        final.groupBy("user_id")
+    final = (
+        spark.table(sink)
+        .groupBy("user_id")
         .agg(F.expr("max_by(struct(n_events, ewma), n_events)").alias("st"))
         .select(
             "user_id",
@@ -238,3 +237,4 @@ def run_stateful_ewma(spark: SparkSession, events_path: str) -> DataFrame:
             F.round(F.col("st.ewma"), 6).alias("ewma"),
         )
     )
+    return drain_memory_sink(spark, sink, final)
