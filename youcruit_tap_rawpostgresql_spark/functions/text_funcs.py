@@ -20,6 +20,16 @@ def tokens(col) -> Column:
     return F.split(F.lower(F.trim(c)), r"\s+")
 
 
+def doc_fingerprint(text_col) -> Column:
+    """md5 of the sorted distinct token bag — THE document fingerprint
+    contract shared by text_fingerprint, dedup_keep_best, and
+    dedup_incremental_ingest (and their oracles via llm.O_FINGERPRINT).
+    A change here must change all of them together or near-dup joins
+    silently stop matching."""
+    t = tokens(text_col)
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t))))
+
+
 def word_shingles(toks: Column, k: int = 3) -> Column:
     """k-word shingles as strings; empty array when fewer than k tokens.
 

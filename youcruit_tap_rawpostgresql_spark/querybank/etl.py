@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from youcruit_tap_rawpostgresql_spark.querybank.helpers import iso_date, iso_ts
+from youcruit_tap_rawpostgresql_spark.querybank.helpers import (
+    iso_date,
+    iso_ts,
+    sessionized,
+)
 from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
 
 _D1 = "1998-01-01"
@@ -891,16 +895,7 @@ def session_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair join; pairs are bounded by |types|² per session, never event
     counts."""
     e = tables(spark, sf_dir)["events"]
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
-    sess = e.select(
-        "user_id",
-        "event_type",
-        F.sum(new_session)
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("session_seq"),
-    )
+    sess = sessionized(e, "user_id", "event_type")
     types = sess.select("user_id", "session_seq", "event_type").distinct()
     a = types.select(
         "user_id", "session_seq", F.col("event_type").alias("type_a")
@@ -963,16 +958,7 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     timeline (e.g. per hour), take per-bucket maxima of bucket-local
     sweeps seeded with the carried-in live count."""
     e = tables(spark, sf_dir)["events"]
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
-    s = e.select(
-        "user_id",
-        "ts",
-        F.sum(new_session)
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("session_seq"),
-    )
+    s = sessionized(e, "user_id", "ts")
     iv = s.groupBy("user_id", "session_seq").agg(
         F.min("ts").alias("s_start"),
         (F.max("ts") + F.expr("INTERVAL 30 MINUTE")).alias("s_end"),
@@ -1040,18 +1026,17 @@ def session_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: marginals and the session total are type-count-sized
     broadcasts; the pair join is bounded by |types|² per session."""
     e = tables(spark, sf_dir)["events"]
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
-    s = e.select(
-        "user_id",
-        "event_type",
-        F.sum(new_session)
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("session_seq"),
+    s = sessionized(e, "user_id", "event_type")
+    # cache: marginals, the session total, and the pair join all derive
+    # from this one distinct set
+    types = s.select("user_id", "session_seq", "event_type").distinct().cache()
+    # lazy broadcast total instead of an eager driver-side count() that
+    # paid a full extra sessionization job at plan-construction time
+    n_total_df = (
+        types.select("user_id", "session_seq")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_total"))
     )
-    types = s.select("user_id", "session_seq", "event_type").distinct()
-    n_total = types.select("user_id", "session_seq").distinct().count()
     marg = types.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
     a = types.select("user_id", "session_seq", F.col("event_type").alias("type_a"))
     b = types.select("user_id", "session_seq", F.col("event_type").alias("type_b"))
@@ -1066,12 +1051,13 @@ def session_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pair.join(F.broadcast(ma), "type_a")
         .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(n_total_df))
         .select(
             "type_a",
             "type_b",
             "n_ab",
             F.round(
-                (F.lit(n_total) * F.col("n_ab")).cast("double")
+                (F.col("n_total") * F.col("n_ab")).cast("double")
                 / (F.col("na") * F.col("nb")),
                 6,
             ).alias("lift"),
@@ -1286,7 +1272,8 @@ def stats_chisq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH first_touch AS (
   SELECT user_id,
-    arg_min(event_type, strftime(ts, '%Y%m%d%H%M%S') || '-' ||
+    arg_min(event_type, strftime(ts, '%Y%m%d%H%M%S') ||
+            lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0') || '-' ||
             lpad(CAST(event_id AS VARCHAR), 12, '0')) AS channel
   FROM events GROUP BY user_id
 )
@@ -1478,9 +1465,11 @@ WITH g AS (
   FROM g
 ), fl AS (
   SELECT user_id, session_seq,
-    arg_min(event_type, strftime(ts, '%Y%m%d%H%M%S') || '-' ||
+    arg_min(event_type, strftime(ts, '%Y%m%d%H%M%S') ||
+            lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0') || '-' ||
             lpad(CAST(event_id AS VARCHAR), 12, '0')) AS entry_type,
-    arg_max(event_type, strftime(ts, '%Y%m%d%H%M%S') || '-' ||
+    arg_max(event_type, strftime(ts, '%Y%m%d%H%M%S') ||
+            lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0') || '-' ||
             lpad(CAST(event_id AS VARCHAR), 12, '0')) AS exit_type
   FROM s GROUP BY user_id, session_seq
 )
@@ -1495,18 +1484,7 @@ def session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the first/last picks collapse each session map-side (min_by /
     max_by on the composite key); the matrix is |types|²."""
     e = tables(spark, sf_dir)["events"]
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
-    s = e.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        "ts",
-        F.sum(new_session)
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("session_seq"),
-    )
+    s = sessionized(e, "user_id", "event_id", "event_type", "ts")
     key = "named_struct('t', ts, 'e', event_id)"
     fl = s.groupBy("user_id", "session_seq").agg(
         F.expr(f"min_by(event_type, {key})").alias("entry_type"),
@@ -1526,7 +1504,8 @@ def session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH last_touch AS (
   SELECT user_id,
-    arg_max(event_type, strftime(ts, '%Y%m%d%H%M%S') || '-' ||
+    arg_max(event_type, strftime(ts, '%Y%m%d%H%M%S') ||
+            lpad(CAST(epoch_us(ts) % 1000000 AS VARCHAR), 6, '0') || '-' ||
             lpad(CAST(event_id AS VARCHAR), 12, '0')) AS channel
   FROM events WHERE event_type <> 'purchase' GROUP BY user_id
 )

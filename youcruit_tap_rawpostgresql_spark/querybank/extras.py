@@ -294,20 +294,10 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute inactivity gap → new session (lag + running
     sum over one per-user window sort; the batch analogue of streaming
     ``session_window``)."""
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import sessionized
+
     e = tables(spark, sf_dir)["events"]
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_session = F.when(
-        gap.isNull() | (gap > 30 * 60), 1
-    ).otherwise(0)
-    sess = e.select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.sum(new_session).over(
-            w.rowsBetween(W.unboundedPreceding, W.currentRow)
-        ).alias("session_seq"),
-    )
+    sess = sessionized(e, "user_id", "event_id", "ts")
     return sess.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events")
     )

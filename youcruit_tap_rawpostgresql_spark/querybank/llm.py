@@ -26,6 +26,7 @@ from youcruit_tap_rawpostgresql_spark.functions.hashing import (
 from youcruit_tap_rawpostgresql_spark.functions.text_funcs import (
     EN_STOPWORDS,
     avg_token_len,
+    doc_fingerprint,
     stopword_hits,
     tokens,
     word_shingles,
@@ -39,6 +40,8 @@ from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
 
 O_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
 O_HASH = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+# the oracle half of functions.text_funcs.doc_fingerprint
+O_FINGERPRINT = f"md5(array_to_string(list_sort(list_distinct({O_TOKS})), ' '))"
 
 O_SHINGLES = (
     "CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t) - 2), "
@@ -199,13 +202,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 of the sorted distinct token bag (detects
     shuffled/reordered copies that exact dedup misses)."""
     d = tables(spark, sf_dir)["documents"]
-    t = tokens("text")
-    return d.select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t)))).alias(
-            "fingerprint"
-        ),
-    )
+    return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
 
 
 # ---------------------------------------------------------------------------
@@ -254,7 +251,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # memoized per (session, sf_dir): a re-built mapInPandas plan carries a fresh
 # serialized closure, which can miss Spark's cache-by-plan-equality matching
-_SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,12 +267,12 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the signature agg shuffles one row per shingle.
 
     Bit-parity with the oracle: tokens = split on ``\\s+`` of lowercased
-    trimmed text (same regex class), shingle set = distinct 3-grams (min is
+    space-trimmed text (str.strip(' ') — SQL trim() removes spaces only), shingle set = distinct 3-grams (min is
     order-invariant), hash = first 15 hex chars of md5 (hashlib == Spark
     ``md5`` == DuckDB ``md5``), and the universal-hash chain
     ``(a*(h%P)+b) % P`` stays below 2^62 so int64 arithmetic is exact in
     every engine. Cached because the LSH query self-joins the signatures."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _SIG_CACHE:
         return _SIG_CACHE[key]
     d = tables(spark, sf_dir)["documents"]
@@ -302,7 +299,9 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in pdfs:
             ids, sigs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = ws.split(text.strip().lower())
+                # SQL trim() strips SPACES only — str.strip() would also
+                # eat tabs/newlines and shift the token/shingle sets
+                toks = ws.split(text.strip(" ").lower())
                 if len(toks) < 3:
                     continue
                 shingles = {
@@ -824,7 +823,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tokens("text")
     scored = d.select(
         "doc_id",
-        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t)))).alias("fp"),
+        doc_fingerprint("text").alias("fp"),
         F.size(t).alias("n_tokens"),
     )
     w = W.partitionBy("fp").orderBy(F.col("n_tokens").desc(), "doc_id")
@@ -993,8 +992,6 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     + broadcast stats; cosine: one query row broadcast against the corpus);
     the fusion join touches 20+20 rows. Both ranks order by ROUNDED scores
     so cross-engine ln/float drift cannot flip them."""
-    from youcruit_tap_rawpostgresql_spark.functions.vectors import cosine_pairs
-
     # deferred: text_stats imports llm's oracle fragments at module level
     from youcruit_tap_rawpostgresql_spark.querybank.text_stats import (
         text_bm25_keyword,
@@ -1075,8 +1072,6 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: query side broadcasts (fixed sample); the vote and winner picks
     are integer aggregations over 5 rows per query. Swap the exact scorer
     for the IVF/LSH candidate path at corpus scale."""
-    from youcruit_tap_rawpostgresql_spark.functions.vectors import cosine_pairs
-
     t = tables(spark, sf_dir)
     e, d = t["embeddings"], t["documents"]
     q = e.filter(F.col("vec_id") % 25 == 0).select(

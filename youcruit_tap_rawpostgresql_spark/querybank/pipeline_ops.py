@@ -17,6 +17,7 @@ from pyspark.sql.window import Window as W
 
 from youcruit_tap_rawpostgresql_spark.functions.hashing import hash64
 from youcruit_tap_rawpostgresql_spark.functions.text_funcs import (
+    doc_fingerprint,
     tokens,
     word_shingles,
 )
@@ -198,15 +199,11 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-batch dedup reuses the same fingerprint partitioning, and a
     bloom filter on corpus fingerprints would pre-filter the batch map-side
     before the shuffle."""
-    from pyspark.sql.window import Window as W
-
     t = tables(spark, sf_dir)
     base = t["documents"].select(
         "doc_id",
         "source",
-        F.md5(
-            F.concat_ws(" ", F.array_sort(F.array_distinct(tokens("text"))))
-        ).alias("fingerprint"),
+        doc_fingerprint("text").alias("fingerprint"),
         F.substring("source", 4, 10).cast("int").alias("src_num"),
     )
     corpus = base.filter(F.col("src_num") < 10).select("fingerprint").distinct()
@@ -295,8 +292,6 @@ def ts_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on (user_id, day) shared by both window passes and
     the final aggregate; at 100 TB, partition the table by day so the
     shuffle is within-partition and time-range queries prune."""
-    from pyspark.sql.window import Window as W
-
     t = tables(spark, sf_dir)
     e = t["events"].select(
         "user_id",
@@ -400,8 +395,6 @@ def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-pass that TABLESAMPLEs sources already over the cap keeps any one
     partition bounded."""
     d = tables(spark, sf_dir)["documents"]
-    from pyspark.sql.window import Window as W
-
     w = W.partitionBy("source").orderBy(
         hash64(F.col("doc_id").cast("string")), "doc_id"
     )
@@ -440,8 +433,6 @@ def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank step, while per-shard windows rank all shards in parallel and each
     shard writes its own file."""
     d = tables(spark, sf_dir)["documents"]
-    from pyspark.sql.window import Window as W
-
     h = hash64(F.col("doc_id").cast("string"))
     shard = (h % _N_SHARDS).alias("shard")
     w = W.partitionBy(h % _N_SHARDS).orderBy(h, "doc_id")
@@ -584,7 +575,7 @@ def hist_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH RECURSIVE ranked AS (
   SELECT doc_id, source,
-    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
     ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
   FROM documents
 ), r AS (
@@ -620,7 +611,9 @@ def pack_greedy_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "doc_id",
         "source",
-        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        # shared tokens() so packing consumes the SAME token counts
+        # every other text operator reports (module invariant)
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
     )
     out = T.StructType(
         [
