@@ -735,6 +735,10 @@ def proj_literals_pg_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference ``tests/test_postgres.py:25,153-157``)."""
     from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
 
+    # register_testdata pins spark.sql.session.timeZone=UTC; this case has
+    # no table inputs, so without the call a stock session on a non-UTC
+    # machine would date_format the timestamptz literal in local time
+    tables(spark, sf_dir)
     df = run_sql(
         spark,
         "SELECT 'Ichi' AS one, 2 AS two, '3' AS three, '4' AS four, "
@@ -778,7 +782,7 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag,
   array_to_string(list_sort(list_distinct(list(l_linestatus))), ',')
     AS statuses,
-  array_to_string(list_sort(list_distinct(list(CAST(l_quantity AS BIGINT)))), ',')
+  array_to_string(list_sort(list_distinct(list(CAST(FLOOR(l_quantity) AS BIGINT)))), ',')
     AS quantities
 FROM lineitem GROUP BY l_returnflag
 """,
@@ -794,7 +798,7 @@ def agg_array_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_set(F.col("l_quantity").cast("bigint"))),
+                F.array_sort(F.collect_set(F.floor("l_quantity"))),
                 lambda x: x.cast("string"),
             ),
             ",",
@@ -876,7 +880,6 @@ def subquery_notin_vs_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery, NOT IN collapses to 0 rows, NOT EXISTS still returns the
     true anti-join count — identical standard behavior in Spark and
     DuckDB, asserted side by side."""
-    t = tables(spark, sf_dir)
     tables(spark, sf_dir)
     return spark.sql(
         """
@@ -996,12 +999,13 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # via row-value comparison — the scalable form of OFFSET (the filter
     # pushes down; no prefix is evaluated)
     oracle="""
-SELECT o_orderkey, o_totalprice
-FROM orders
-WHERE (o_totalprice, o_orderkey) < (
-  SELECT (o_totalprice, o_orderkey) FROM orders
+WITH cur AS (
+  SELECT o_totalprice AS cp, o_orderkey AS ck FROM orders
   ORDER BY o_totalprice DESC, o_orderkey LIMIT 1 OFFSET 19
 )
+SELECT o_orderkey, o_totalprice
+FROM orders, cur
+WHERE o_totalprice < cp OR (o_totalprice = cp AND o_orderkey > ck)
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 10
 """,
@@ -1012,9 +1016,12 @@ def sort_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     page as sort_limit_offset's OFFSET 20, but the predicate prunes
     instead of evaluating the prefix (the 100 TB pagination form).
 
-    Both sides use the lexicographic `(price, key) < (cursor)` form;
-    fixture prices are unique doubles, so the key tiebreak never decides a
-    page boundary and the page equals OFFSET 20's."""
+    The seek predicate is the explicit OR form
+    ``price < cp OR (price = cp AND key > ck)`` — the mixed-direction
+    order (price DESC, key ASC) makes the lexicographic row-value ``<``
+    tiebreak the WRONG way on duplicate prices (which DO occur in the
+    fixtures), re-emitting one row and dropping another whenever a
+    duplicate straddles the page boundary."""
     t = tables(spark, sf_dir)["orders"]
     cursor = (
         t.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
@@ -1026,9 +1033,10 @@ def sort_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     cp, ck = cursor["o_totalprice"], cursor["o_orderkey"]
     return (
         t.filter(
-            F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
-            < F.struct(
-                F.lit(cp).cast("double"), F.lit(ck).cast("bigint")
+            (F.col("o_totalprice") < F.lit(cp))
+            | (
+                (F.col("o_totalprice") == F.lit(cp))
+                & (F.col("o_orderkey") > F.lit(ck))
             )
         )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")

@@ -23,11 +23,17 @@ from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
 
 @register(
     "join_asof",
+    # views deduped to the max-event_id row per (user, ts): DuckDB's ASOF
+    # picks an ARBITRARY row among equal timestamps while the Spark window
+    # (ordered ts, kind, event_id) deterministically surfaces the last —
+    # the dedup pins both engines to the same choice should the fixture
+    # ever carry same-(user, ts) view pairs
     oracle="""
 WITH clicks AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 ), views AS (
-  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+  SELECT user_id, ts, arg_max(value, event_id) AS value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
 )
 SELECT c.event_id, c.user_id,
   strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
@@ -625,13 +631,21 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), "spark_graft_upsert", _uuid.uuid4().hex[:12]
     )
     out = run_streaming_upsert(spark, os.path.join(sf_dir, "events.parquet"), target)
-    return out.select(
+    result = out.select(
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         "event_id",
         "event_type",
         "value",
     )
+    # materialize (one row per user), then delete the upsert target and
+    # checkpoint — per-invocation uuid dirs would otherwise pile up in /tmp
+    import shutil
+
+    rows = result.collect()
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(target + "_chk", ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
 
 
 @register(

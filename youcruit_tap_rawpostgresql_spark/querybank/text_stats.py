@@ -439,7 +439,11 @@ def text_langid_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexical tiebreaks."""
     d = tables(spark, sf_dir)["documents"]
     base = d.select("doc_id", "lang", F.lower(F.trim("text")).alias("text"))
-    tri = base.select(
+    tri = base.filter(F.length("text") >= 3).select(
+        # length guard BEFORE sequence(): Spark's sequence(1, 0) infers a
+        # DESCENDING step and emits [1, 0] — bogus "trigrams" for <3-char
+        # docs where DuckDB's generate_series(1, 0) is empty (same guard
+        # bpe_first_merges applies)
         "doc_id",
         "lang",
         F.explode(
@@ -544,11 +548,10 @@ def text_halves_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tokens("text")
     half = (F.size(t) / 2).cast("int")
     a = F.array_distinct(F.slice(t, 1, half))
-    b = F.array_distinct(F.expr(
-        "slice(split(lower(trim(text)), '\\\\s+'),"
-        " cast(size(split(lower(trim(text)), '\\\\s+')) / 2 as int) + 1,"
-        " size(split(lower(trim(text)), '\\\\s+')))"
-    ))
+    # Column-argument slice keeps BOTH halves on the shared tokens()
+    # definition (the previous inline SQL re-expanded the tokenizer and
+    # would silently diverge if tokens() ever changed)
+    b = F.array_distinct(F.slice(t, half + F.lit(1), F.size(t)))
     return (
         d.select(
             "doc_id",
