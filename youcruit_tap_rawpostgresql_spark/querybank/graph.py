@@ -31,6 +31,45 @@ _DAMP = 850_000  # 0.85 damping in ppm
 _BASE = 150_000  # (1 - 0.85) in ppm
 
 
+
+# THE trade-graph edge rule, shared by both graph analytics (and both
+# oracles via _O_EDGES): an edge cust_nation -> supp_nation exists where
+# that lane carries >= |lineitem| / _W_FRAC lineitems. One definition —
+# a weight-floor change applied to one case but not the other would make
+# the two "same graph" analytics silently analyze different graphs.
+_O_EDGES = f"""e AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= (SELECT COUNT(*) FROM lineitem) // {_W_FRAC}
+)"""
+
+
+def _trade_edges(t: dict) -> DataFrame:
+    """(src, dst) edge list of the nation-level trade graph — the Spark
+    half of _O_EDGES (broadcast star join, partial agg before the
+    (src, dst) shuffle)."""
+    li, o = t["lineitem"], t["orders"]
+    c, s = t["customer"], t["supplier"]
+    min_w = li.count() // _W_FRAC
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= F.lit(min_w))
+        .select("src", "dst")
+    )
+
+
 def _o_iter(prev: str, idx: int) -> str:
     """One PageRank step as chained CTEs (the oracle unrolls the fixed
     iteration count instead of recursing — aggregation over the recursive
@@ -50,16 +89,7 @@ def _o_iter(prev: str, idx: int) -> str:
     "graph_pagerank_trade",
     headline=True,
     oracle=f"""
-WITH e AS (
-  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
-  FROM lineitem l
-  JOIN orders o ON l.l_orderkey = o.o_orderkey
-  JOIN customer c ON o.o_custkey = c.c_custkey
-  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-  WHERE c.c_nationkey <> s.s_nationkey
-  GROUP BY 1, 2
-  HAVING COUNT(*) >= (SELECT COUNT(*) FROM lineitem) // {_W_FRAC}
-), deg AS (
+WITH {_O_EDGES}, deg AS (
   SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
 ), i0 AS (
   SELECT n_nationkey AS node, CAST({_ONE} AS BIGINT) AS r FROM nation
@@ -83,21 +113,8 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     no fact-table rescans, no growing lineage (each step is a new small
     DataFrame; at real scale checkpoint every ~10 steps)."""
     t = tables(spark, sf_dir)
-    li, o = t["lineitem"], t["orders"]
-    c, s, n = t["customer"], t["supplier"], t["nation"]
-    min_w = li.count() // _W_FRAC
-    e = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= F.lit(min_w))
-        .select("src", "dst")
-    )
+    n = t["nation"]
+    e = _trade_edges(t)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # (src, dst, outdeg) is static across iterations and edge-sized (tiny);
     # without the cache every iteration's lineage re-runs the fact-table
@@ -134,16 +151,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # list: e1=(a,b), e2=(b,c), e3=(a,c) with a < b < c counts each
     # triangle exactly once; per-node counts credit all three corners
     oracle=f"""
-WITH e AS (
-  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
-  FROM lineitem l
-  JOIN orders o ON l.l_orderkey = o.o_orderkey
-  JOIN customer c ON o.o_custkey = c.c_custkey
-  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-  WHERE c.c_nationkey <> s.s_nationkey
-  GROUP BY 1, 2
-  HAVING COUNT(*) >= (SELECT COUNT(*) FROM lineitem) // {_W_FRAC}
-), ue AS (
+WITH {_O_EDGES}, ue AS (
   SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi FROM e
 ), tri AS (
   SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
@@ -171,19 +179,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, never the fact table, and the edge list itself derives once via
     broadcast star join."""
     t = tables(spark, sf_dir)
-    li, o = t["lineitem"], t["orders"]
-    c, s = t["customer"], t["supplier"]
-    min_w = li.count() // _W_FRAC
     e = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= F.lit(min_w))
+        _trade_edges(t)
         .select(
             F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
         )

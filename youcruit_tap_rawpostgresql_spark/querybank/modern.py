@@ -119,7 +119,7 @@ SELECT item, cnt FROM (
          COUNT(*) AS cnt,
          ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
                             CAST(json_extract_string(props, '$.k') AS BIGINT)) AS rk
-  FROM events GROUP BY 1
+  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL GROUP BY 1
 ) WHERE rk <= 5
 """,
 )
@@ -135,9 +135,15 @@ def sketch_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     (When distinct items exceed capacity, counts become upper bounds — the
     documented trade.)"""
     e = tables(spark, sf_dir)["events"]
-    topk = e.select(
-        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("item")
-    ).agg(F.expr("approx_top_k(item, 100, 1000)").alias("tk"))
+    # drop NULL items explicitly: the sketch never tracks NULLs but a
+    # GROUP BY oracle would keep the NULL group
+    topk = (
+        e.select(
+            F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("item")
+        )
+        .filter(F.col("item").isNotNull())
+        .agg(F.expr("approx_top_k(item, 100, 1000)").alias("tk"))
+    )
     # ask the sketch for ALL tracked items (k=100 ≥ distinct), then apply
     # the deterministic (count DESC, item) top-5 OUTSIDE the sketch — a
     # count tie at the k-boundary inside the sketch resolves arbitrarily
@@ -188,8 +194,12 @@ def incr_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d("value")).alias("v"),  # exact decimal partial
         F.count(F.when(F.col("is_delta"), 1)).alias("nd"),
     )
-    hist = partial(e.filter(F.col("ts") < F.lit(bookmark)).withColumn(
-        "is_delta", F.lit(False)))
+    # NULL replication keys ride with history: both range predicates
+    # evaluate NULL for them, and the from-scratch oracle counts every row
+    hist = partial(
+        e.filter((F.col("ts") < F.lit(bookmark)) | F.col("ts").isNull())
+        .withColumn("is_delta", F.lit(False))
+    )
     delta = partial(e.filter(F.col("ts") >= F.lit(bookmark)).withColumn(
         "is_delta", F.lit(True)))
     return (
@@ -209,7 +219,22 @@ def incr_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KM_K = 4
 _KM_ITERS = 2
-_KM_SCALE = 1000  # quantization grid: floor(x * 1000) per component
+_Q_SCALE = 1000  # shared quantization grid: floor(x * 1000) per component
+
+# THE embedding-quantization contract for every fixed-point operator below
+# (kmeans, power iteration, JL projection) and their oracles — one
+# definition; a grid change anywhere else silently breaks bit-exactness
+O_QUANTIZED = (
+    "list_transform(embedding, "
+    f"x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_Q_SCALE}) AS BIGINT))"
+)
+
+
+def quantized_embedding():
+    return F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * _Q_SCALE).cast("bigint"),
+    )
 
 
 def _km_oracle() -> str:
@@ -243,9 +268,7 @@ def _km_oracle() -> str:
     last = _KM_ITERS
     return f"""
 WITH q AS (
-  SELECT vec_id,
-         list_transform(embedding,
-           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS v
+  SELECT vec_id, {O_QUANTIZED} AS v
   FROM embeddings
 ), ql AS (
   SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM q
@@ -278,10 +301,7 @@ def kmeans_embed_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["embeddings"]
         .select(
             "vec_id",
-            F.transform(
-                "embedding",
-                lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint"),
-            ).alias("v"),
+            quantized_embedding().alias("v"),
         )
         .cache()
     )
@@ -331,6 +351,8 @@ def kmeans_embed_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         for cid in cents:
             if cid in newc:
                 cents[cid] = [newc[cid][p] for p in range(len(cents[cid]))]
+    # the cache only serves the in-loop collects; the result is local
+    q.unpersist()
     return spark.createDataFrame(
         [(cid, sizes[cid], sum(cents[cid])) for cid in sorted(sizes)],
         "cluster_id bigint, n_members bigint, centroid_sum bigint",
@@ -386,8 +408,8 @@ def sample_temperature_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    d = tables(spark, sf_dir)["documents"]
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    docs = tables(spark, sf_dir)["documents"]
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     w = counts.select(
         "source",
         "n",
@@ -407,7 +429,7 @@ def sample_temperature_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
         )
     )
-    ranked = d.select("doc_id", "source", rk.alias("rk"))
+    ranked = docs.select("doc_id", "source", rk.alias("rk"))
     return (
         ranked.join(F.broadcast(tgt), "source")
         .groupBy("source", "n", "target")
@@ -466,9 +488,9 @@ def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles,
     )
 
-    d = tables(spark, sf_dir)["documents"]
-    n_total = d.count()
-    pairs = d.select(
+    docs = tables(spark, sf_dir)["documents"]
+    n_total = docs.count()
+    pairs = docs.select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles(tokens("text"), 2))).alias("bg"),
     )
@@ -508,14 +530,12 @@ def _pi_oracle() -> str:
 ), m{i} AS (
   SELECT MAX(ABS(w)) AS m FROM w{i}
 ), u{i} AS (
-  SELECT pos, CAST(w * {_PI_ONE} // m AS BIGINT) AS u FROM w{i}, m{i}
+  SELECT pos, CAST(w * {_PI_ONE} // GREATEST(m, 1) AS BIGINT) AS u FROM w{i}, m{i}
 )""")
         prev = f"u{i}"
     return f"""
 WITH q AS (
-  SELECT vec_id,
-         list_transform(embedding,
-           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  SELECT vec_id, {O_QUANTIZED} AS v
   FROM embeddings
 ), ql AS (
   SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM q
@@ -556,10 +576,7 @@ def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["embeddings"]
         .select(
             "vec_id",
-            F.transform(
-                "embedding",
-                lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
-            ).alias("v"),
+            quantized_embedding().alias("v"),
         )
         .cache()
     )
@@ -584,6 +601,7 @@ def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = {r["pos"]: r["w"] for r in w_rows}
         m = max(abs(x) for x in w.values()) or 1
         u = [_tdiv(w[p] * _PI_ONE, m) for p in range(dim)]
+    q.unpersist()
     # oracle positions are 1-based (generate_subscripts)
     return spark.createDataFrame(
         [(p + 1, c) for p, c in enumerate(u)], "pos int, component bigint"
@@ -600,9 +618,7 @@ _JL_OUT_DIM = 8
     # component = Σ_i v_i · (±1)
     oracle=f"""
 WITH q AS (
-  SELECT vec_id,
-         list_transform(embedding,
-           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  SELECT vec_id, {O_QUANTIZED} AS v
   FROM embeddings
 ), ql AS (
   SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM q
@@ -638,12 +654,7 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") % 10 == 0)
         .select(
             "vec_id",
-            F.posexplode(
-                F.transform(
-                    "embedding",
-                    lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
-                )
-            ).alias("pos0", "val"),
+            F.posexplode(quantized_embedding()).alias("pos0", "val"),
         )
         .select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
     )

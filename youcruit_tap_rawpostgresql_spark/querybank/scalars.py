@@ -204,7 +204,7 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_json",
     oracle="""
 SELECT event_id, event_type,
-  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+  CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT) AS k_value,
   json_extract_string(props, '$.missing') AS missing_key
 FROM events WHERE event_id % 20 = 0
 """,
@@ -216,7 +216,10 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.filter(F.col("event_id") % 20 == 0).select(
         "event_id",
         "event_type",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+        # floor(double) on BOTH sides: a bare string->bigint cast rounds
+        # in DuckDB but truncates/NULLs in Spark for non-integral values
+        F.floor(F.get_json_object("props", "$.k").cast("double"))
+        .alias("k_value"),
         F.get_json_object("props", "$.missing").alias("missing_key"),
     )
 
@@ -269,7 +272,9 @@ def scalar_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat("c_mktsegment", 2).alias("doubled"),
         F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
         F.reverse("c_name").alias("reversed"),
-        F.regexp_replace("c_name", "Customer", "C").alias("shortened"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias(
+            "shortened"
+        ),
     )
 
 
