@@ -575,7 +575,7 @@ def hist_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH RECURSIVE ranked AS (
   SELECT doc_id, source,
-    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
     ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
   FROM documents
 ), r AS (
