@@ -674,3 +674,84 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "out_dim")
         .agg(F.sum(F.col("val") * sign).alias("comp"))
     )
+
+
+@register(
+    "ts_time_bucket_stride",
+    # Spark window(ts, stride).start == DuckDB time_bucket(stride, ts) for
+    # strides that divide 24h (both origins sit at a UTC midnight, so the
+    # bucket grids coincide); 90 minutes is deliberately NOT a date_trunc
+    # unit — this is arbitrary-stride bucketing, not calendar truncation
+    oracle=f"""
+SELECT strftime(time_bucket(INTERVAL '90 minutes', ts), '%Y-%m-%d %H:%M:%S')
+    AS bucket_start,
+  event_type,
+  COUNT(*) AS n,
+  {o_dsum('value', 'value_total')}
+FROM events GROUP BY 1, 2
+""",
+)
+def ts_time_bucket_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stride time bucketing (90-minute bins): the ``date_bin``/
+    ``time_bucket`` surface other engines expose, expressed with Spark's
+    ``window()`` — unlike ``date_trunc`` the stride is any interval, the
+    grid every downsampling/rollup pipeline needs between 'minute' and
+    'hour'.
+
+    Scale: the bucket is a per-row expression (no session state — this is
+    the BATCH form of the streaming tumbling window); partial aggregation
+    collapses rows map-side to one per (bucket, type)."""
+    e = tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy(
+            F.date_format(
+                F.window("ts", "90 minutes").getField("start"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d("value")).cast("double").alias("value_total"),
+        )
+    )
+
+
+@register(
+    "scalar_array_lambda",
+    # higher-order array-function surface (SURVEY §2.8 array family):
+    # exists / forall / filter / aggregate over the quantized embedding —
+    # all-integer payloads keep every engine's fold exact
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, {{O_QUANTIZED}} AS v FROM embeddings WHERE vec_id % 20 = 0
+)
+SELECT vec_id,
+  len(list_filter(v, x -> x > 0)) > 0 AS any_positive,
+  len(list_filter(v, x -> x > -600)) = len(v) AS all_above_floor,
+  CAST(len(list_filter(v, x -> x % 2 = 0)) AS INT) AS n_even,
+  CAST(list_sum(list_transform(v, x -> CASE WHEN x > 0 THEN x ELSE 0 END))
+       AS BIGINT) AS pos_sum
+FROM q
+""".replace("{O_QUANTIZED}", O_QUANTIZED),
+)
+def scalar_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas (exists / forall / filter / aggregate)
+    over the quantized embeddings — the SQL-standard array-function family
+    PG exposes via ANY/ALL/unnest subqueries, native and codegen'd in
+    Spark. Integer payloads make the aggregate fold order-free."""
+    e = tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") % 20 == 0).select(
+        "vec_id", quantized_embedding().alias("v")
+    )
+    return q.select(
+        "vec_id",
+        F.exists("v", lambda x: x > 0).alias("any_positive"),
+        F.forall("v", lambda x: x > -600).alias("all_above_floor"),
+        F.size(F.filter("v", lambda x: x % 2 == 0)).alias("n_even"),
+        F.aggregate(
+            F.transform("v", lambda x: F.when(x > 0, x).otherwise(F.lit(0))),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("pos_sum"),
+    )
