@@ -755,3 +755,146 @@ def scalar_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("pos_sum"),
     )
+
+
+@register(
+    "scalar_map_lambda",
+    oracle="""
+WITH t AS (
+  SELECT event_id,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+    CAST(length(event_type) AS BIGINT) AS elen
+  FROM events WHERE event_id % 10 = 0
+), b AS (
+  SELECT event_id, k_val, elen,
+    (CASE WHEN k_val > 50 THEN 1 ELSE 0 END)
+      + (CASE WHEN elen > 50 THEN 1 ELSE 0 END) AS n_big
+  FROM t
+)
+SELECT event_id, n_big, 'k' AS mkey, k_val * 2 AS mval FROM b
+UNION ALL
+SELECT event_id, n_big, 'etype_len' AS mkey, elen * 2 AS mval FROM b
+""",
+)
+def scalar_map_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType higher-order surface: ``from_json`` into ``map<string,bigint>``
+    (schema-on-read of the props payload, the typed analogue of PG hstore /
+    jsonb_each), ``map_concat`` enrichment, ``map_filter`` / ``transform_values``
+    lambdas, and ``map_entries``+``explode`` back to relational rows.
+
+    Scale: every map op here is a per-row JVM expression inside whole-stage
+    codegen — map-only, no shuffle; the explode fan-out (2 rows/event) is
+    constant. The oracle expresses the same pipeline as UNION ALL branches —
+    PG reaches this surface via jsonb_each/hstore."""
+    e = tables(spark, sf_dir)["events"]
+    m = e.filter(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        F.map_concat(
+            F.from_json("props", "map<string,bigint>"),
+            F.create_map(
+                F.lit("etype_len"), F.length("event_type").cast("bigint")
+            ),
+        ).alias("pm"),
+    )
+    shaped = m.select(
+        "event_id",
+        F.size(F.map_filter("pm", lambda k, v: v > 50)).alias("n_big"),
+        F.map_entries(F.transform_values("pm", lambda k, v: v * 2)).alias("kv"),
+    )
+    return shaped.select(
+        "event_id",
+        "n_big",
+        F.explode("kv").alias("e"),
+    ).select(
+        "event_id",
+        "n_big",
+        F.col("e.key").alias("mkey"),
+        F.col("e.value").alias("mval"),
+    )
+
+
+@register(
+    "scalar_collation_ci",
+    oracle="""
+WITH mixed AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS lang_mixed
+  FROM documents
+)
+SELECT lower(lang_mixed) AS lang_norm,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN lower(lang_mixed) = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+FROM mixed GROUP BY lower(lang_mixed)
+""",
+)
+def scalar_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 ``collate``): a deterministically
+    case-mangled language column grouped under UTF8_LCASE collation — the
+    engine-native form of PG's ``citext`` / ``COLLATE "und-u-ks-level2"``.
+    Equality against a literal also resolves under the collation (the
+    ``= 'EN'`` predicate matches 'en').
+
+    Scale: collation-aware grouping hashes the collation key directly —
+    one shuffle, no ``lower()`` materialization; the final ``lower`` is
+    display-only. The oracle is the classic lower()-group rewrite."""
+    docs = tables(spark, sf_dir)["documents"]
+    mixed = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("lang"))
+        .otherwise(F.col("lang"))
+        .alias("lang_mixed")
+    )
+    ci = F.collate(F.col("lang_mixed"), "UTF8_LCASE")
+    return (
+        mixed.groupBy(ci.alias("lang_ci"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(ci == F.lit("EN"), 1).otherwise(0)).alias("n_en"),
+        )
+        .select(
+            F.lower(F.col("lang_ci")).cast("string").alias("lang_norm"),
+            "n_docs",
+            "n_en",
+        )
+    )
+
+
+@register(
+    "scalar_csv_roundtrip",
+    oracle="""
+SELECT p_partkey,
+  concat(p_brand, ',', p_type) AS brand_type,
+  p_retailprice AS price
+FROM part WHERE p_partkey % 5 = 0
+""",
+)
+def scalar_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scalar surface: ``to_csv`` serializes a struct (quoting the
+    embedded-comma field), ``from_csv`` parses it back under a declared
+    schema — the per-row form of the CSV source/sink the tap's batch layer
+    uses for interchange. The double survives bit-exactly because Spark
+    emits the shortest round-trip decimal repr.
+
+    Scale: both are codegen'd per-row expressions — map-only; the pattern
+    is how malformed-row quarantine (PERMISSIVE + columnNameOfCorruptRecord)
+    plugs into a declared-schema ingest at any scale."""
+    p = tables(spark, sf_dir)["part"]
+    lines = p.filter(F.col("p_partkey") % 5 == 0).select(
+        "p_partkey",
+        F.to_csv(
+            F.struct(
+                F.col("p_partkey").alias("pk"),
+                F.concat_ws(",", "p_brand", "p_type").alias("bt"),
+                F.col("p_retailprice").alias("price"),
+            )
+        ).alias("line"),
+    )
+    parsed = lines.select(
+        "p_partkey",
+        F.from_csv(
+            "line", "pk bigint, bt string, price double"
+        ).alias("r"),
+    )
+    return parsed.select(
+        "p_partkey",
+        F.col("r.bt").alias("brand_type"),
+        F.col("r.price").alias("price"),
+    )
