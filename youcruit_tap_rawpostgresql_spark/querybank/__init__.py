@@ -27,3 +27,4 @@ from youcruit_tap_rawpostgresql_spark.querybank import etl  # noqa: F401,E402
 from youcruit_tap_rawpostgresql_spark.querybank import text_stats  # noqa: F401,E402
 from youcruit_tap_rawpostgresql_spark.querybank import graph  # noqa: F401,E402
 from youcruit_tap_rawpostgresql_spark.querybank import modern  # noqa: F401,E402
+from youcruit_tap_rawpostgresql_spark.querybank import corpus  # noqa: F401,E402

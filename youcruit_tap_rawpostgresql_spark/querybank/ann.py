@@ -455,3 +455,82 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").alias("n_hits"),
         F.count(F.lit(1)).alias("n_possible"),
     )
+
+
+_O_PAIR_COS = (
+    "(" + _O_DOT_PAIR.format(a="ea.embedding", b="eb.embedding") + ")"
+    " / ((" + _O_NORM.format(a="ea.embedding") + ")"
+    " * (" + _O_NORM.format(a="eb.embedding") + "))"
+)
+
+
+@register(
+    "dedup_semantic_cluster",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings WHERE vec_id % 40 = 1
+), scored AS (
+  SELECT v.vec_id, c.cent_id, {_O_CELL_COS} AS ccos
+  FROM embeddings v CROSS JOIN cent c
+), ranked AS (
+  SELECT vec_id, cent_id,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
+  FROM scored
+), assign AS (
+  SELECT vec_id, cent_id AS cell FROM ranked WHERE crank = 1
+), pairs AS (
+  SELECT b.vec_id AS b_id
+  FROM assign a
+  JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE {_O_PAIR_COS} >= 0.3
+)
+SELECT v.vec_id, v.cell,
+  (v.vec_id NOT IN (SELECT b_id FROM pairs)) AS kept
+FROM assign v
+""",
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): cluster embeddings
+    into IVF cells, compare pairs ONLY within a cell, and drop the
+    higher-id member of any pair with cosine ≥ 0.3 — near-duplicate
+    *meaning* that exact/MinHash text dedup cannot see.
+
+    Scale: the whole point is the pair loop never goes O(n²) — candidate
+    pairs are bounded by the per-cell membership (cells stay ~n/K rows;
+    skewed cells split by AQE). Assignment is the same map-only broadcast
+    scoring pass as IVF ANN (`ivf_rank_cells`), so a corpus laid out
+    cell-partitioned for ANN gets semantic dedup for one extra within-cell
+    self-join — no re-clustering, no extra scan of the embedding payload."""
+    e = tables(spark, sf_dir)["embeddings"]
+    assign = (
+        ivf_rank_cells(spark, sf_dir)
+        .filter(F.col("crank") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+        .join(e, "vec_id")
+        .select("vec_id", "cell", "embedding")
+    )
+    a = assign.select(
+        F.col("cell"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("ea"),
+    )
+    b = assign.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("eb"),
+    )
+    dropped = (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("a_id") < F.col("b_id")))
+        .select("b_id", cosine_pairs("ea", "eb").alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return assign.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.col("is_dup").isNull().alias("kept"),
+    )

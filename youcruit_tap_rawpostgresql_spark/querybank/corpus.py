@@ -1,0 +1,158 @@
+"""Corpus-hygiene operators: cross-document chunk dedup and PII scanning.
+
+The reference's delegated-SQL contract (tap.py:81-85 → client.py:300-304)
+ends at what PostgreSQL can compute; these are the corpus-preparation passes
+a training-data pipeline runs after extraction:
+
+- **Chunk-level exact dedup** (Dolma/CCNet-style): boilerplate repeats
+  *within* otherwise-distinct documents (headers, navigation, license
+  blocks), so document-hash dedup misses it. Chunking each document into
+  fixed token windows and keeping only the globally-first occurrence of
+  each window removes repeated passages corpus-wide.
+- **PII scan with checksum validation** (Luhn): regex digit-run candidates
+  produce overwhelming false positives at corpus scale; the Luhn check
+  (the card-number checksum) cuts candidates ~10× before human/model
+  review, and masking keeps only the last 4 digits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
+
+_CHUNK = 8  # tokens per dedup window
+
+
+@register(
+    "dedup_paragraph_exact",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), chunks AS (
+  SELECT doc_id,
+    unnest(generate_series(0, CAST(ceil(len(ts) / {_CHUNK}.0) AS INT) - 1)) AS chunk_idx,
+    ts
+  FROM toks
+), chunk_text AS (
+  SELECT doc_id, chunk_idx,
+    array_to_string(ts[(chunk_idx * {_CHUNK} + 1):(chunk_idx * {_CHUNK} + {_CHUNK})], ' ') AS chunk
+  FROM chunks
+), ranked AS (
+  SELECT doc_id, chunk_idx,
+    ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunk_text
+)
+SELECT doc_id,
+  COUNT(*) AS n_chunks,
+  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+FROM ranked GROUP BY doc_id
+""",
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk-level exact dedup (Dolma-style): split every
+    document into 8-token windows, keep only the globally-first
+    occurrence of each window text (first = lowest (doc_id, chunk_idx)),
+    report per-document kept/duplicate counts.
+
+    Scale: the explode is a constant ~n_tokens/8 fan-out with ZERO extra
+    exchanges before the dedup shuffle. The first-occurrence window
+    partitions on ``xxhash64(chunk)`` — 8 bytes per chunk cross the wire,
+    not the chunk text (the oracle partitions on the text itself; identical
+    grouping, a 64-bit collision needs ~10^9 distinct chunks — production
+    uses a 128-bit hash for the same plan shape). Partial aggregation then
+    collapses the per-doc counts map-side."""
+    docs = tables(spark, sf_dir)["documents"]
+    toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
+    chunks = toks.select(
+        "doc_id",
+        "ts",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("ts") / F.lit(float(_CHUNK))).cast("int") - 1,
+            )
+        ).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(
+            F.slice(F.col("ts"), F.col("chunk_idx") * _CHUNK + 1, _CHUNK), " "
+        ).alias("chunk"),
+    )
+    w = W.partitionBy(F.xxhash64("chunk")).orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_chunks"),
+    )
+
+
+@register(
+    "pii_scan_luhn",
+    oracle="""
+WITH c AS (
+  SELECT doc_id,
+    lpad(CAST((doc_id * 2654435761 + 12345) % 10000000000000000 AS VARCHAR),
+         16, '0') AS cand
+  FROM documents
+), v AS (
+  SELECT doc_id, cand,
+    (list_sum(list_transform(generate_series(1, 16), i ->
+       CASE WHEN i % 2 = 1 THEN CAST(cand[-i] AS INT)
+            ELSE CASE WHEN CAST(cand[-i] AS INT) * 2 > 9
+                      THEN CAST(cand[-i] AS INT) * 2 - 9
+                      ELSE CAST(cand[-i] AS INT) * 2 END
+       END)) % 10 = 0) AS luhn_valid
+  FROM c
+)
+SELECT doc_id, cand AS found, luhn_valid,
+  CASE WHEN luhn_valid THEN '************' || cand[13:16] ELSE cand END AS masked
+FROM v
+""",
+)
+def pii_scan_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan with checksum validation: extract a card-number-shaped
+    digit run (regexp over a deterministically synthesized payload — the
+    fixtures carry no real PII), validate it with the Luhn checksum
+    (``luhn_check``), and mask validated hits to their last 4 digits. The
+    oracle re-implements Luhn as an explicit digit fold.
+
+    Scale: regexp extraction + checksum + masking are per-row JVM
+    expressions — map-only at any corpus size; the checksum prunes ~90% of
+    regex candidates before any downstream review touches them."""
+    docs = tables(spark, sf_dir)["documents"]
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 20),
+            F.lit(" card "),
+            F.lpad(
+                ((F.col("doc_id") * F.lit(2654435761) + F.lit(12345))
+                 % F.lit(10_000_000_000_000_000)).cast("string"),
+                16,
+                "0",
+            ),
+            F.lit(" end"),
+        ).alias("payload"),
+    )
+    found = synth.select(
+        "doc_id",
+        F.regexp_extract("payload", r"(\d{13,19})", 1).alias("found"),
+    )
+    valid = found.withColumn("luhn_valid", F.expr("luhn_check(found)"))
+    return valid.select(
+        "doc_id",
+        "found",
+        "luhn_valid",
+        F.when(
+            F.col("luhn_valid"),
+            F.concat(F.lit("************"), F.substring("found", -4, 4)),
+        )
+        .otherwise(F.col("found"))
+        .alias("masked"),
+    )
