@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from youcruit_tap_rawpostgresql_spark.functions.vectors import cosine_pairs, dot
+from youcruit_tap_rawpostgresql_spark.functions.vectors import cosine_pairs
 from youcruit_tap_rawpostgresql_spark.querybank.helpers import EMB_DIM as _DIM
 from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
 
@@ -71,16 +71,47 @@ _O_NORM = (
 )
 
 
-def _spark_sig() -> F.Column:
-    sig = F.lit(0)
-    for i, p in enumerate(_PLANES):
-        # fold form (plane as array literal): tiny expression tree — the
-        # unrolled form quadruples plan-compile time for a once-per-row calc
-        plane = F.array(*[F.lit(x) for x in p])
-        sig = sig + F.when(dot(F.col("embedding"), plane) > 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        )
-    return sig
+def lsh_signatures(vecs: DataFrame) -> DataFrame:
+    """(vec_id, embedding) → (vec_id, embedding, sig): the 6-bit hyperplane
+    sign pattern, computed in ONE Arrow-batched ``mapInPandas`` pass with
+    the 6×64 plane matrix in the task closure.
+
+    Replaces the earlier higher-order-function fold expression (6 planes ×
+    64-dim ``aggregate`` lambda + per-row plane array literals): measured at
+    sf0.1 the interpreted fold cost ~0.5s for 2000 rows — the lambda
+    dispatch, not the arithmetic. The kernel accumulates the dot products
+    dim-by-dim (one fused vectorized add per dim), the identical IEEE-754
+    op sequence as the oracle's ``list_reduce`` fold, so the sign pattern
+    is bit-exact.
+
+    Scale: map-only, no shuffle; throughput is memory-bandwidth bound like
+    every other Arrow kernel here."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.array(_PLANES, dtype=np.float64)  # b×dim
+    weights = (1 << np.arange(P.shape[0], dtype=np.int64))
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            D = np.outer(V[:, 0], P[:, 0])
+            for i in range(1, V.shape[1]):
+                D = D + np.outer(V[:, i], P[:, i])
+            sig = (D > 0).astype(np.int64) @ weights
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "sig": sig.astype(np.int32),
+                }
+            )
+
+    return vecs.select("vec_id", "embedding").mapInPandas(
+        batches, "vec_id long, embedding array<float>, sig int"
+    )
 
 
 @register(
@@ -116,15 +147,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE's skew-join splitting covers pathological buckets."""
     e = tables(spark, sf_dir)["embeddings"]
     n_part = spark.sparkContext.defaultParallelism
-    sigs = (
-        e.repartition(n_part, "vec_id")
-        .select(
-            "vec_id",
-            "embedding",
-            _spark_sig().alias("sig"),
-        )
-        .cache()
-    )
+    sigs = lsh_signatures(e.repartition(n_part, "vec_id")).cache()
     q = sigs.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
