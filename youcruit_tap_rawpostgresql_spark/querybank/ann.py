@@ -557,3 +557,217 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         F.col("is_dup").isNull().alias("kept"),
     )
+
+
+# --- Product quantization (Jégou et al., IEEE TPAMI 2011) ---------------
+# M subspaces of SUBDIM dims, K centroids per subspace: a 64-dim float
+# vector compresses to M small codes (here 8 bytes — 32× smaller than the
+# float32 payload), and approximate scores against a full-precision query
+# come from M lookup-table probes (ADC) instead of a 64-dim dot product.
+
+_PQ_M = 8       # subspaces
+_PQ_K = 8       # centroids per subspace
+_PQ_SUB = _DIM // _PQ_M
+
+
+def pq_codebooks(seed: int = 11) -> list[list[list[float]]]:
+    """Deterministic LCG codebooks [m][c][i] in [-1, 1) — same exact-
+    decimal-literal trick as the LSH hyperplanes (state/2^30 - 1 round-
+    trips through any engine's literal parser bit-exactly)."""
+    state = seed
+    books = []
+    for _ in range(_PQ_M):
+        cents = []
+        for _ in range(_PQ_K):
+            row = []
+            for _ in range(_PQ_SUB):
+                state = (state * 1103515245 + 12345) % (1 << 31)
+                row.append(state / (1 << 30) - 1.0)
+            cents.append(row)
+        books.append(cents)
+    return books
+
+
+_PQ_BOOKS = pq_codebooks()
+
+
+def _o_pq_subdot(m: int, c: int, vec: str = "embedding") -> str:
+    """Oracle fragment: sequential-fold dot of subspace m of ``vec`` with
+    centroid c (0-based m/c) — identical op order to the numpy kernel."""
+    cent = _PQ_BOOKS[m][c]
+    lit = "[" + ", ".join(repr(x) for x in cent) + "]"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {_PQ_SUB}), "
+        f"i -> CAST({vec}[{m * _PQ_SUB} + i] AS DOUBLE) * ({lit})[i]), "
+        "(x, y) -> x + y)"
+    )
+
+
+def _o_pq_code(m: int, vec: str = "embedding") -> str:
+    """Oracle fragment: 1-based argmax centroid index for subspace m
+    (first index on ties, matching np.argmax)."""
+    dots = "[" + ", ".join(_o_pq_subdot(m, c, vec) for c in range(_PQ_K)) + "]"
+    return f"list_position({dots}, list_max({dots}))"
+
+
+def pq_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, codes array<int>): PQ-encode every vector in ONE Arrow
+    pass — the n×M×K score tensor lives inside the kernel; only M small
+    ints per vector come out. Encoding is max-inner-product per subspace
+    with sequential per-dim accumulation (bit-exact with the oracle
+    fold); codes are 1-based like the oracle's list_position."""
+    import numpy as np
+    import pandas as pd
+
+    B = np.array(_PQ_BOOKS, dtype=np.float64)  # M×K×SUB
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            codes = np.empty((len(V), _PQ_M), dtype=np.int32)
+            for m in range(_PQ_M):
+                sub = V[:, m * _PQ_SUB:(m + 1) * _PQ_SUB]
+                S = np.outer(sub[:, 0], B[m, :, 0])
+                for i in range(1, _PQ_SUB):
+                    S = S + np.outer(sub[:, i], B[m, :, i])
+                codes[:, m] = S.argmax(axis=1) + 1
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes)}
+            )
+
+    return vecs_codes_input(spark, sf_dir).mapInPandas(
+        batches, "vec_id long, codes array<int>"
+    )
+
+
+def vecs_codes_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables(spark, sf_dir)["embeddings"]
+    return e.select("vec_id", "embedding")
+
+
+@register(
+    "embed_pq_codes",
+    oracle=f"""
+SELECT vec_id,
+  array_to_string([{", ".join(_o_pq_code(m) for m in range(_PQ_M))}], ',') AS code_csv
+FROM embeddings WHERE vec_id % 10 = 0
+""",
+)
+def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding parity: the 8-subspace code word for every 10th vector
+    (CSV-stringified — the cross-engine-comparable form for int arrays).
+
+    Scale: PQ is the ANN *storage* answer at 100 TB — 32× payload
+    compression means the candidate scan reads codes, not floats, and the
+    reranking step alone touches raw vectors. Encoding is map-only."""
+    codes = pq_codes_df(spark, sf_dir)
+    return codes.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", F.array_join("codes", ",").alias("code_csv")
+    )
+
+
+def _o_pq_adc_score() -> str:
+    """Oracle fragment: ADC approximate score of query q.embedding against
+    code word n.codes — Σ_m dot(q_sub_m, centroid[m][codes[m]]), the CASE
+    ladder standing in for the kernel's table probe. Left-associated adds
+    in subspace order match the kernel's sequential accumulation."""
+    terms = []
+    for m in range(_PQ_M):
+        cases = " ".join(
+            f"WHEN {c + 1} THEN ({_o_pq_subdot(m, c, 'q.embedding')})"
+            for c in range(_PQ_K)
+        )
+        terms.append(f"(CASE n.codes[{m + 1}] {cases} END)")
+    score = terms[0]
+    for t in terms[1:]:
+        score = f"({score} + {t})"
+    return score
+
+
+@register(
+    "sim_ann_pq_adc",
+    oracle=f"""
+WITH codes AS (
+  SELECT vec_id,
+    [{", ".join(_o_pq_code(m) for m in range(_PQ_M))}] AS codes
+  FROM embeddings
+), r AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+    ROUND({_o_pq_adc_score()}, 6) AS adc,
+    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_o_pq_adc_score()} DESC, n.vec_id) AS rank
+  FROM embeddings q JOIN codes n ON q.vec_id <> n.vec_id
+  WHERE q.vec_id % 50 = 0
+)
+SELECT query_id, neighbor_id, adc, rank FROM r WHERE rank <= 3
+""",
+)
+def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN top-3: queries stay full-precision, the corpus is its
+    8-byte PQ codes, and each (query, neighbor) score is 8 lookup-table
+    probes (asymmetric distance computation) instead of a 64-dim dot.
+
+    Scale: THE storage-bound ANN path — scoring reads |corpus|×8 bytes of
+    codes (32× less than raw float32), and each query precomputes its M×K
+    lookup table once (64 subspace dots) regardless of corpus size. The
+    kernel scores every (query, code-word) pair in one Arrow pass with the
+    query table matrix in the closure (queries are a driver-collectable
+    sample, like the IVF centroid set); combine with IVF cell pruning for
+    the full IVF-PQ index. Bit-exact with the oracle: table entries use
+    the same sequential per-dim fold, scores the same subspace-order
+    adds."""
+    import numpy as np
+    import pandas as pd
+
+    e = tables(spark, sf_dir)["embeddings"]
+    B = np.array(_PQ_BOOKS, dtype=np.float64)  # M×K×SUB
+    q_rows = sorted(
+        e.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    # per-query lookup tables: LUT[q, m, c] = dot(q_sub_m, cent_mc), the
+    # sequential per-dim accumulation both engines share
+    LUT = np.empty((len(Q), _PQ_M, _PQ_K), dtype=np.float64)
+    for m in range(_PQ_M):
+        sub = Q[:, m * _PQ_SUB:(m + 1) * _PQ_SUB]
+        S = np.outer(sub[:, 0], B[m, :, 0])
+        for i in range(1, _PQ_SUB):
+            S = S + np.outer(sub[:, i], B[m, :, i])
+        LUT[:, m, :] = S
+
+    def score_batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64) - 1  # n×M
+            n = len(C)
+            nq = len(Q)
+            # adc[q, n] accumulated in subspace order (matches the oracle's
+            # left-associated adds)
+            adc = LUT[:, 0, :][:, C[:, 0]]
+            for m in range(1, _PQ_M):
+                adc = adc + LUT[:, m, :][:, C[:, m]]
+            nid = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n),
+                    "neighbor_id": np.tile(nid, nq),
+                    "adc": adc.reshape(-1),
+                }
+            )
+
+    scored = (
+        pq_codes_df(spark, sf_dir)
+        .mapInPandas(score_batches, "query_id long, neighbor_id long, adc double")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", F.round("adc", 6).alias("adc"), "rank")
+    )
