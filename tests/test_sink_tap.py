@@ -504,3 +504,57 @@ def test_jdbc_validation_and_signsafe_hash():
     preds = hash_predicates("id", 4)
     assert all("abs(" not in p for p in preds)  # INT_MIN-safe double mod
     assert preds[1] == "mod(mod(hashtext(id::text), 4) + 4, 4) = 1"
+
+
+def test_batch_sync_single_pass_observation(spark, sf_dir, tmp_path):
+    """Batch-mode sync collects record count AND bookmark from the ONE
+    write job (pyspark Observation) — including the empty-slice edge,
+    where the zero-row write must still satisfy both observations (no
+    hang) and leave the bookmark unadvanced."""
+    from youcruit_tap_rawpostgresql_spark.sources.registry import register_testdata
+
+    register_testdata(spark, sf_dir)
+    spec = StreamSpec(
+        name="events_obs",
+        sql="SELECT event_id, ts FROM events WHERE ts > :rep_key_val",
+        columns=[
+            ColumnSpec("event_id", "int", nullable=False),
+            ColumnSpec("ts", "datetime"),
+        ],
+        key_properties=["event_id"],
+        replication_key="ts",
+        replication_key_value_start="2024-01-25 00:00:00",
+    )
+    config = TapConfig(
+        streams=[spec],
+        batch=BatchSinkConfig(root=f"file://{tmp_path}", batch_size=100000),
+    )
+    state = StateStore()
+    out = io.StringIO()
+    tap = SparkTap(config, spark, state=state, write=out.write)
+    res = tap.sync_all(batch_mode=True)[0]
+    assert res.record_count > 0
+    bm1 = state.get_bookmark("spark-public-events_obs")
+    assert bm1 is not None
+    # count + bookmark came from observations: only the write job (plus
+    # Spark's internal listing, never a full re-scan count/agg pair) ran
+    msgs = [json.loads(line) for line in out.getvalue().splitlines()]
+    assert [m["type"] for m in msgs] == ["SCHEMA", "BATCH", "STATE"]
+    # record_count matches what landed in the files
+    import glob as _glob
+    import gzip as _gzip
+
+    n_lines = 0
+    for m in msgs:
+        if m["type"] == "BATCH":
+            for url in m["manifest"]:
+                with _gzip.open(url.replace("file://", ""), "rt") as fh:
+                    n_lines += sum(1 for _ in fh)
+    assert n_lines == res.record_count
+    # empty slice: re-sync from the advanced bookmark — zero rows, no hang,
+    # bookmark unchanged
+    res2 = SparkTap(config, spark, state=state, write=io.StringIO().write).sync_all(
+        batch_mode=True
+    )[0]
+    assert res2.record_count == 0
+    assert state.get_bookmark("spark-public-events_obs") == bm1

@@ -99,8 +99,17 @@ class SparkTap:
                 out.append(dataclasses.replace(src, name=alias))
         return out
 
-    def _prepare(self, spec: StreamSpec) -> tuple[DataFrame, DataFrame, Any]:
+    def _prepare(
+        self,
+        spec: StreamSpec,
+        premap_wrap: Callable[[DataFrame], DataFrame] | None = None,
+    ) -> tuple[DataFrame, DataFrame, Any]:
         """Returns (mapped_df, conformed_premap_df, bookmark).
+
+        ``premap_wrap`` (optional) is applied to the conformed pre-map
+        frame before stream maps/flattening derive from it — the hook the
+        batch path uses to attach an ``observe()`` node so the bookmark
+        aggregate rides the write job instead of running its own.
 
         The bookmark aggregate runs on the PRE-map conformed frame — the
         Singer SDK increments state from the unmapped record, so a map
@@ -122,6 +131,9 @@ class SparkTap:
         if spec.replication_key and bookmark is not None and not uses_marker:
             df = apply_replication_filter(df, spec, bookmark)
         premap = df
+        if premap_wrap is not None:
+            premap = premap_wrap(premap)
+            df = premap
         map_cfg = self.config.stream_maps.get(spec.name)
         if map_cfg:
             df = apply_stream_map(df, map_cfg)
@@ -135,43 +147,73 @@ class SparkTap:
         import time as _time
 
         t0 = _time.perf_counter()
-        df, premap, _ = self._prepare(spec)
-        # one snapshot feeds emission, count, AND the bookmark aggregate:
-        # without the persist, a live source (JDBC) re-executes the query
-        # for the max() and can advance the bookmark past rows that were
-        # never emitted — permanent data loss on the next incremental sync
-        persisted = None
-        if spec.replication_key:
-            from pyspark.storagelevel import StorageLevel
+        manifests: list[BatchManifest] = []
+        if batch_mode and self.config.batch:
+            # single-pass batch export: record count and bookmark ride the
+            # write job as observed metrics (pyspark.sql.Observation) —
+            # no second count() job, no persist, and the bookmark is
+            # consistent with the written files BY CONSTRUCTION (both come
+            # out of the one action that wrote them). The bookmark max is
+            # observed on the PRE-map frame (Singer parity: maps cannot
+            # corrupt state), the count on the post-map frame (what was
+            # actually written).
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
 
-            # persist() marks the premap plan; the mapped df was derived
-            # from that same plan, so the cache serves both via plan match
-            persisted = premap.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
+            obs_n = Observation()
+            obs_bm = Observation() if spec.replication_key else None
+            wrap = (
+                (lambda p: p.observe(obs_bm, F.max(spec.replication_key).alias("mx")))
+                if obs_bm is not None
+                else None
+            )
+            df, _premap, _ = self._prepare(spec, premap_wrap=wrap)
             emit_schema_message(spec, self.write)
-            manifests: list[BatchManifest] = []
-            if batch_mode and self.config.batch:
-                manifests = write_batch_files(df, spec, self.config.batch)
-                for m in manifests:
-                    self.write(
-                        _json.dumps(m.to_message(spec.fully_qualified_name)) + "\n"
-                    )
-                n = df.count()
-            else:
-                n = emit_record_messages(df, spec, self.write)
-            new_bm = None
+            manifests = write_batch_files(
+                df.observe(obs_n, F.count(F.lit(1)).alias("n")),
+                spec,
+                self.config.batch,
+            )
+            for m in manifests:
+                self.write(
+                    _json.dumps(m.to_message(spec.fully_qualified_name)) + "\n"
+                )
+            n = obs_n.get["n"]
+            new_bm = obs_bm.get["mx"] if obs_bm is not None else None
+        else:
+            df, premap, _ = self._prepare(spec)
+            # one snapshot feeds emission AND the bookmark aggregate:
+            # without the persist, a live source (JDBC) re-executes the
+            # query for the max() and can advance the bookmark past rows
+            # that were never emitted — permanent data loss on the next
+            # incremental sync
+            persisted = None
             if spec.replication_key:
-                # the max() Spark job runs OUTSIDE the lock (parallel
-                # streams keep their jobs concurrent); only the dict
-                # mutation and the consistent STATE snapshot+write
-                # serialize. Aggregated over the persisted PRE-map frame.
-                from pyspark.sql import functions as F
+                from pyspark.storagelevel import StorageLevel
 
-                row = persisted.agg(F.max(spec.replication_key).alias("mx")).first()
-                new_bm = row["mx"] if row else None
-        finally:
-            if persisted is not None:
-                persisted.unpersist()
+                # persist() marks the premap plan; the mapped df was
+                # derived from that same plan, so the cache serves both
+                # via plan match
+                persisted = premap.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                emit_schema_message(spec, self.write)
+                n = emit_record_messages(df, spec, self.write)
+                new_bm = None
+                if spec.replication_key:
+                    # the max() Spark job runs OUTSIDE the lock (parallel
+                    # streams keep their jobs concurrent); only the dict
+                    # mutation and the consistent STATE snapshot+write
+                    # serialize. Aggregated over the persisted PRE-map
+                    # frame.
+                    from pyspark.sql import functions as F
+
+                    row = persisted.agg(
+                        F.max(spec.replication_key).alias("mx")
+                    ).first()
+                    new_bm = row["mx"] if row else None
+            finally:
+                if persisted is not None:
+                    persisted.unpersist()
         with self._state_lock:
             if new_bm is not None:
                 self.state.set_bookmark(
