@@ -688,6 +688,7 @@ def _o_pq_adc_score() -> str:
 
 @register(
     "sim_ann_pq_adc",
+    headline=True,
     oracle=f"""
 WITH codes AS (
   SELECT vec_id,

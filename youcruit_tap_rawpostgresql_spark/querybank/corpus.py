@@ -28,6 +28,7 @@ _CHUNK = 8  # tokens per dedup window
 
 @register(
     "dedup_paragraph_exact",
+    headline=True,
     oracle=f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS ts FROM documents
@@ -155,4 +156,70 @@ def pii_scan_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.col("found"))
         .alias("masked"),
+    )
+
+
+@register(
+    "url_normalize_dedupe",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END AS host_seg,
+    lang, doc_id % 50 AS page
+  FROM documents
+), canon AS (
+  SELECT doc_id,
+    'https://' || lower(host_seg) || '.example.com/' || lang || '/'
+      || CAST(page AS VARCHAR) || '?id=' || CAST(page AS VARCHAR) AS canonical
+  FROM raw
+)
+SELECT canonical,
+  COUNT(*) AS n_docs,
+  MIN(doc_id) AS first_doc
+FROM canon GROUP BY canonical
+""",
+)
+def url_normalize_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup (web-crawl hygiene): synthesized crawl
+    URLs carry mixed-case hosts, tracking parameters (utm_*) and fragments;
+    the canonical form is lowercased host + path + the id param only —
+    extracted with ``parse_url`` (HOST / PATH / QUERY key probes), the
+    engine-native URL parser. Docs sharing a canonical URL collapse to one
+    group (keep the lowest doc_id). The oracle rebuilds the canonical form
+    from the same inputs, so a parse_url extraction bug hash-mismatches.
+
+    Scale: parsing and canonicalization are per-row JVM expressions; the
+    dedup groupBy shuffles one canonical string per doc — the standard
+    first-pass dedup on a crawl frontier before any content fetch."""
+    docs = tables(spark, sf_dir)["documents"]
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(
+                F.col("source")
+            ),
+            F.lit(".Example.com/"),
+            F.col("lang"),
+            F.lit("/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("?utm_source=feed&id="),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("&utm_campaign=x#sec"),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("url"),
+    )
+    canon = raw.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.lower(F.parse_url("url", F.lit("HOST"))),
+            F.parse_url("url", F.lit("PATH")),
+            F.lit("?id="),
+            F.parse_url("url", F.lit("QUERY"), F.lit("id")),
+        ).alias("canonical"),
+    )
+    return canon.groupBy("canonical").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
     )

@@ -368,3 +368,51 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nullif("o_totalprice", F.col("o_totalprice")), F.col("o_totalprice")
         ).alias("least_with_null"),
     )
+
+
+@register(
+    "scalar_xml_extract",
+    oracle="""
+WITH x AS (
+  SELECT p_partkey,
+    '<item><id>' || CAST(p_partkey AS VARCHAR) || '</id><brand>' || p_brand
+      || '</brand><size>' || CAST(p_size AS VARCHAR) || '</size></item>' AS xml
+  FROM part WHERE p_partkey % 7 = 0
+)
+SELECT p_partkey,
+  CAST(regexp_extract(xml, '<id>([0-9]+)</id>', 1) AS BIGINT) AS xid,
+  regexp_extract(xml, '<brand>(.*?)</brand>', 1) AS xbrand,
+  CAST(regexp_extract(xml, '<size>([0-9]+)</size>', 1) AS BIGINT) AS xsize,
+  (regexp_extract(xml, '<brand>(.*?)</brand>', 1) <> '') AS has_brand
+FROM x
+""",
+)
+def scalar_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scalar surface: XPath probes (``xpath_long`` / ``xpath_string``
+    / ``xpath_boolean``) over a per-row XML payload — the PG analogue is
+    ``xpath()``/``xmltable``. The oracle uses regexp extraction over the
+    identically-constructed document, so a path-evaluation bug mismatches.
+
+    Scale: XPath evaluation is a per-row JVM expression (no shuffle); for
+    hundreds of probes per document the VARIANT/from_xml parse-once forms
+    take over (same trade as get_json_object vs parse_json)."""
+    p = tables(spark, sf_dir)["part"]
+    x = p.filter(F.col("p_partkey") % 7 == 0).select(
+        "p_partkey",
+        F.concat(
+            F.lit("<item><id>"),
+            F.col("p_partkey").cast("string"),
+            F.lit("</id><brand>"),
+            F.col("p_brand"),
+            F.lit("</brand><size>"),
+            F.col("p_size").cast("string"),
+            F.lit("</size></item>"),
+        ).alias("xml"),
+    )
+    return x.select(
+        "p_partkey",
+        F.expr("xpath_long(xml, '/item/id')").alias("xid"),
+        F.expr("xpath_string(xml, '/item/brand')").alias("xbrand"),
+        F.expr("xpath_long(xml, '/item/size')").alias("xsize"),
+        F.expr("xpath_boolean(xml, '/item/brand')").alias("has_brand"),
+    )
