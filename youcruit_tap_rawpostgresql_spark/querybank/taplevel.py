@@ -491,3 +491,74 @@ def tap_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(no_lines.agg(F.count(F.lit(1)).alias("n_headers_no_lines")))
         )
     )
+
+
+@register(
+    "tap_batch_reingest_source",
+    oracle="""
+SELECT event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_total
+FROM events
+GROUP BY event_type
+""",
+)
+def tap_batch_reingest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full export→re-ingest loop through the CUSTOM PYTHON DATASOURCE
+    (Spark 4 ``pyspark.sql.datasource``): events are written as rotated
+    gzip-JSONL batch files (reference S5/S6), the Singer BATCH manifest is
+    materialized, and ``spark.read.format("singer_batch")`` consumes that
+    manifest — one input partition per batch file — under the declared
+    schema. The oracle aggregates the parquet source directly, so any
+    record lost/duplicated/mis-typed across write→manifest→custom-source
+    read fails the hash (timestamps included: the sink's ISO-8601 output
+    re-parses in the reader).
+
+    Scale: a manifest-driven source re-ingests exactly the files a sync
+    produced (never a directory glob that could pick up a failed sync's
+    orphans), with file-level parallelism — batch_size bounds per-task
+    work uniformly."""
+    import json as _json
+    import tempfile
+    import uuid as _uuid
+
+    from youcruit_tap_rawpostgresql_spark.sink import write_batch_files
+    from youcruit_tap_rawpostgresql_spark.sources import singer_batch
+    from youcruit_tap_rawpostgresql_spark.spec import (
+        BatchSinkConfig,
+        ColumnSpec,
+        StreamSpec,
+    )
+
+    ev = tables(spark, sf_dir)["events"].select(
+        "event_id", "ts", "event_type", "value"
+    )
+    out_root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_reingest", _uuid.uuid4().hex[:12]
+    )
+    os.makedirs(out_root, exist_ok=True)
+    spec = StreamSpec(
+        name="events_reingest",
+        sql="SELECT 1",
+        columns=[
+            ColumnSpec("event_id", "int8"),
+            ColumnSpec("ts", "datetime"),
+            ColumnSpec("event_type", "text"),
+            ColumnSpec("value", "float8"),
+        ],
+    )
+    batch = BatchSinkConfig(root=f"file://{out_root}", batch_size=2500)
+    manifests = write_batch_files(ev, spec, batch)
+    manifest_path = os.path.join(out_root, "manifest.json")
+    with open(manifest_path, "w") as fh:
+        _json.dump(manifests[0].to_message("spark-public-events_reingest"), fh)
+    singer_batch.register(spark)
+    back = (
+        spark.read.format("singer_batch")
+        .schema("event_id long, ts timestamp, event_type string, value double")
+        .load(manifest_path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_total"),
+    )

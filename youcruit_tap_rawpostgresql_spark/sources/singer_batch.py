@@ -1,0 +1,141 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource``): read the
+gzip-JSONL batch files this engine's sink produces (reference S5/S6,
+``client.py:185-245``) back into a DataFrame —
+``spark.read.format("singer_batch").schema(...).load(manifest_or_dir)``.
+
+Closes the tap's own loop: a downstream Spark job consumes a Singer BATCH
+manifest exactly as a Singer target would, but distributed — one input
+partition per batch file, so a 100 TB export re-ingests with file-level
+parallelism and no driver-side reading.
+
+Why a custom source instead of ``spark.read.json``: the unit of work is the
+*manifest* (the Singer message contract), not a directory glob — file lists
+come from the BATCH message, may span filesystems, and re-ingestion must
+process exactly the manifest's files (a half-written directory may contain
+orphans from a failed earlier sync that the manifest correctly excludes).
+
+The schema is declared by the caller (``.schema(...)``) — the same
+config-declared-schema stance as the tap itself (reference tap.py:86-109):
+no inference pass over 100 TB of gzip.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import json
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+FORMAT_NAME = "singer_batch"
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    url: str
+
+
+def _local_path(url: str) -> str:
+    if url.startswith("file://"):
+        return url[len("file://"):]
+    return url
+
+
+def _resolve_files(path: str) -> list[str]:
+    """Accepts a manifest JSON file (Singer BATCH message or bare
+    ``{"files": [...]}`` / ``[...]`` list) or a directory of
+    ``*.json.gz`` parts."""
+    import glob as _glob
+    import os
+
+    p = _local_path(path)
+    if os.path.isdir(p):
+        return sorted(
+            f"file://{f}" for f in _glob.glob(os.path.join(p, "*.json.gz"))
+        )
+    with open(p) as fh:
+        doc = json.load(fh)
+    if isinstance(doc, list):
+        return [str(u) for u in doc]
+    for key in ("manifest", "files"):
+        if key in doc:
+            return [str(u) for u in doc[key]]
+    raise ValueError(
+        f"singer_batch: {path!r} is neither a directory nor a manifest "
+        "(expected a BATCH message with 'manifest', a dict with 'files', "
+        "or a JSON list of URLs)"
+    )
+
+
+class SingerBatchReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("singer_batch: .load(path) is required")
+        self.files = _resolve_files(self.path)
+
+    def partitions(self):
+        # one partition per batch file: the sink rotates at batch_size
+        # rows, so files are uniformly bounded — natural parallel units
+        return [_FilePartition(u) for u in self.files]
+
+    def read(self, partition):
+        import datetime as _dt
+
+        from pyspark.sql.types import (
+            DateType,
+            TimestampType,
+        )
+
+        names = self.schema.fieldNames()
+        casts = []
+        for f in self.schema.fields:
+            if isinstance(f.dataType, TimestampType):
+                casts.append(_parse_ts)
+            elif isinstance(f.dataType, DateType):
+                casts.append(lambda v: _dt.date.fromisoformat(v) if v else None)
+            else:
+                casts.append(lambda v: v)
+        with open(_local_path(partition.url), "rb") as raw:
+            with gzip.open(io.BufferedReader(raw), "rt") as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    rec = json.loads(line)
+                    yield tuple(
+                        cast(rec.get(name)) for name, cast in zip(names, casts)
+                    )
+
+
+def _parse_ts(v):
+    import datetime as _dt
+
+    if v is None:
+        return None
+    # the sink writes ISO-8601 with offset; fromisoformat handles both
+    # offset and naive forms
+    return _dt.datetime.fromisoformat(v)
+
+
+class SingerBatchDataSource(DataSource):
+    """``spark.dataSource.register(SingerBatchDataSource)`` then
+    ``spark.read.format("singer_batch").schema(s).load(manifest)``."""
+
+    @classmethod
+    def name(cls):
+        return FORMAT_NAME
+
+    def schema(self):
+        raise ValueError(
+            "singer_batch: declare the schema explicitly with .schema(...) "
+            "(config-declared schemas, no inference — reference tap.py:86-109)"
+        )
+
+    def reader(self, schema):
+        return SingerBatchReader(schema, self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SingerBatchDataSource)
