@@ -250,3 +250,47 @@ def test_singer_batch_datasource_roundtrip(spark, sf_dir, tmp_path):
         .load(out_dir)
     )
     assert back_dir.count() == ev.count()
+
+
+def test_singer_batch_datasource_edges(spark, tmp_path):
+    """Reader edges: (a) an empty manifest (what an empty incremental
+    slice's BATCH message carries) yields an empty DataFrame, not a
+    crash; (b) decimal and binary fields re-ingest as typed values
+    (JSON under-types them as number / base64 text)."""
+    import base64
+    import gzip as _gzip
+    import json as _json
+    from decimal import Decimal
+
+    from youcruit_tap_rawpostgresql_spark.sources import singer_batch
+
+    singer_batch.register(spark)
+    # (a) empty manifest
+    empty = str(tmp_path / "empty_manifest.json")
+    with open(empty, "w") as fh:
+        _json.dump({"type": "BATCH", "manifest": []}, fh)
+    df = (
+        spark.read.format("singer_batch")
+        .schema("a long, b string")
+        .load(empty)
+    )
+    assert df.count() == 0 and df.columns == ["a", "b"]
+    # (b) decimal + binary payloads
+    part = tmp_path / "p-0.json.gz"
+    with _gzip.open(part, "wt") as fh:
+        fh.write(_json.dumps({
+            "a": 1,
+            "dec": 12.34,
+            "bin": base64.b64encode(b"\x00\xffhi").decode(),
+        }) + "\n")
+    man = str(tmp_path / "typed_manifest.json")
+    with open(man, "w") as fh:
+        _json.dump({"manifest": [f"file://{part}"]}, fh)
+    row = (
+        spark.read.format("singer_batch")
+        .schema("a long, dec decimal(10,2), bin binary")
+        .load(man)
+        .first()
+    )
+    assert row["dec"] == Decimal("12.34")
+    assert bytes(row["bin"]) == b"\x00\xffhi"

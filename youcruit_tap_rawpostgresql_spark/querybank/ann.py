@@ -527,12 +527,15 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-partitioned for ANN gets semantic dedup for one extra within-cell
     self-join — no re-clustering, no extra scan of the embedding payload."""
     e = tables(spark, sf_dir)["embeddings"]
+    # cached: referenced three times below (both self-join sides + the
+    # final spine) — without it the IVF scoring kernel would run 3×
     assign = (
         ivf_rank_cells(spark, sf_dir)
         .filter(F.col("crank") == 1)
         .select("vec_id", F.col("cent_id").alias("cell"))
         .join(e, "vec_id")
         .select("vec_id", "cell", "embedding")
+        .cache()
     )
     a = assign.select(
         F.col("cell"),

@@ -242,6 +242,26 @@ def tap_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scratch_export_dir(kind: str, sf_dir: str) -> str:
+    """Deterministic per-(kind, SF) scratch dir, WIPED before reuse — a
+    uuid-per-run dir leaks a full gzip export copy on every registry/bench
+    invocation; this bounds disk to one live export per kind+SF. Safe to
+    wipe: the registry runs cases sequentially, so any prior DataFrame
+    over these files has finished collecting."""
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        kind,
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+
 @register(
     "tap_batch_export_roundtrip",
     headline=True,
@@ -262,9 +282,6 @@ def tap_batch_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the export is a straight parallel write (each task rotates at
     batch_size); no coalesce, no driver involvement — throughput is the
     gzip+JSON encode rate times task parallelism."""
-    import tempfile
-    import uuid as _uuid
-
     from youcruit_tap_rawpostgresql_spark.sink import write_batch_files
     from youcruit_tap_rawpostgresql_spark.spec import (
         BatchSinkConfig,
@@ -273,10 +290,7 @@ def tap_batch_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = tables(spark, sf_dir)["lineitem"]
-    out_root = os.path.join(
-        tempfile.gettempdir(), "spark_graft_export", _uuid.uuid4().hex[:12]
-    )
-    os.makedirs(out_root, exist_ok=True)
+    out_root = _scratch_export_dir("spark_graft_export", sf_dir)
     spec = StreamSpec(
         name="lineitem_export",
         sql="SELECT * FROM lineitem",
@@ -519,8 +533,6 @@ def tap_batch_reingest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     orphans), with file-level parallelism — batch_size bounds per-task
     work uniformly."""
     import json as _json
-    import tempfile
-    import uuid as _uuid
 
     from youcruit_tap_rawpostgresql_spark.sink import write_batch_files
     from youcruit_tap_rawpostgresql_spark.sources import singer_batch
@@ -533,10 +545,7 @@ def tap_batch_reingest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables(spark, sf_dir)["events"].select(
         "event_id", "ts", "event_type", "value"
     )
-    out_root = os.path.join(
-        tempfile.gettempdir(), "spark_graft_reingest", _uuid.uuid4().hex[:12]
-    )
-    os.makedirs(out_root, exist_ok=True)
+    out_root = _scratch_export_dir("spark_graft_reingest", sf_dir)
     spec = StreamSpec(
         name="events_reingest",
         sql="SELECT 1",

@@ -49,13 +49,17 @@ def _resolve_files(path: str) -> list[str]:
     import glob as _glob
     import os
 
-    p = _local_path(path)
-    if os.path.isdir(p):
-        return sorted(
-            f"file://{f}" for f in _glob.glob(os.path.join(p, "*.json.gz"))
-        )
-    with open(p) as fh:
-        doc = json.load(fh)
+    if "://" in path and not path.startswith("file://"):
+        with _open_url(path) as fh:
+            doc = json.loads(fh.read().decode("utf-8"))
+    else:
+        p = _local_path(path)
+        if os.path.isdir(p):
+            return sorted(
+                f"file://{f}" for f in _glob.glob(os.path.join(p, "*.json.gz"))
+            )
+        with open(p) as fh:
+            doc = json.load(fh)
     if isinstance(doc, list):
         return [str(u) for u in doc]
     for key in ("manifest", "files"):
@@ -82,23 +86,14 @@ class SingerBatchReader(DataSourceReader):
         return [_FilePartition(u) for u in self.files]
 
     def read(self, partition):
-        import datetime as _dt
-
-        from pyspark.sql.types import (
-            DateType,
-            TimestampType,
-        )
-
+        if partition is None:
+            # empty manifest (e.g. an empty incremental slice's BATCH
+            # message): partitions() returned [] and pyspark probes with
+            # no partition — an empty stream, not a crash
+            return
         names = self.schema.fieldNames()
-        casts = []
-        for f in self.schema.fields:
-            if isinstance(f.dataType, TimestampType):
-                casts.append(_parse_ts)
-            elif isinstance(f.dataType, DateType):
-                casts.append(lambda v: _dt.date.fromisoformat(v) if v else None)
-            else:
-                casts.append(lambda v: v)
-        with open(_local_path(partition.url), "rb") as raw:
+        casts = [_json_cast(f.dataType) for f in self.schema.fields]
+        with _open_url(partition.url) as raw:
             with gzip.open(io.BufferedReader(raw), "rt") as fh:
                 for line in fh:
                     if not line.strip():
@@ -117,6 +112,48 @@ def _parse_ts(v):
     # the sink writes ISO-8601 with offset; fromisoformat handles both
     # offset and naive forms
     return _dt.datetime.fromisoformat(v)
+
+
+def _json_cast(dtype):
+    """JSON scalar → the Python value pyspark's Arrow conversion expects
+    for ``dtype``. JSON under-types relative to the declared schema:
+    timestamps/dates arrive as ISO strings, decimals as floats, binary as
+    base64 text (Spark's JSON writer encoding)."""
+    import base64
+    import datetime as _dt
+    import decimal as _decimal
+
+    from pyspark.sql.types import (
+        BinaryType,
+        DateType,
+        DecimalType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return _parse_ts
+    if isinstance(dtype, DateType):
+        return lambda v: _dt.date.fromisoformat(v) if v else None
+    if isinstance(dtype, DecimalType):
+        # str() first: Decimal(0.1) would embed the binary-float error the
+        # JSON text never had
+        return lambda v: _decimal.Decimal(str(v)) if v is not None else None
+    if isinstance(dtype, BinaryType):
+        return lambda v: base64.b64decode(v) if v is not None else None
+    return lambda v: v
+
+
+def _open_url(url: str):
+    """Open a manifest file URL for reading: local paths directly, any
+    other scheme (s3a://, hdfs://, ...) through pyarrow's filesystem
+    layer — the sink's remote-FS branch (sink.py) emits such URLs."""
+    if url.startswith("file://") or "://" not in url:
+        return open(_local_path(url), "rb")
+    from pyarrow import fs as _pafs
+
+    filesystem, path = _pafs.FileSystem.from_uri(url)
+    return filesystem.open_input_stream(path)
 
 
 class SingerBatchDataSource(DataSource):
