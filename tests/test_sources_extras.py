@@ -294,3 +294,67 @@ def test_singer_batch_datasource_edges(spark, tmp_path):
     )
     assert row["dec"] == Decimal("12.34")
     assert bytes(row["bin"]) == b"\x00\xffhi"
+
+
+def test_singer_batch_stream_reader_incremental(spark, sf_dir, tmp_path):
+    """Streaming custom DataSource: a directory of BATCH manifests is a
+    log — Trigger.AvailableNow ingests every existing manifest; dropping
+    a new manifest and restarting from the SAME checkpoint ingests only
+    the delta (exactly-once over manifests, offsets in the checkpoint)."""
+    import json as _json
+
+    from youcruit_tap_rawpostgresql_spark.sink import write_batch_files
+    from youcruit_tap_rawpostgresql_spark.sources import singer_batch
+    from youcruit_tap_rawpostgresql_spark.sources.registry import load_table
+    from youcruit_tap_rawpostgresql_spark.spec import (
+        BatchSinkConfig,
+        ColumnSpec,
+        StreamSpec,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    spec = StreamSpec(
+        name="ev_stream",
+        sql="SELECT 1",
+        columns=[ColumnSpec("event_id", "int8"), ColumnSpec("event_type", "text")],
+    )
+    man_dir = tmp_path / "manifests"
+    man_dir.mkdir()
+    sink_root = tmp_path / "files"
+
+    def export_slice(i, frac_mod):
+        sl = ev.filter((ev["event_id"] % 3) == frac_mod)
+        batch = BatchSinkConfig(root=f"file://{sink_root}_{i}", batch_size=100000)
+        m = write_batch_files(sl, spec, batch)[0]
+        with open(man_dir / f"sync-{i:04d}.json", "w") as fh:
+            _json.dump(m.to_message("s"), fh)
+        return sl.count()
+
+    n0 = export_slice(0, 0)
+    n1 = export_slice(1, 1)
+    singer_batch.register(spark)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        got = []
+
+        def sink(bdf, _bid):
+            got.append(bdf.count())
+
+        q = (
+            spark.readStream.format("singer_batch")
+            .schema("event_id long, event_type string")
+            .load(str(man_dir))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sum(got)
+
+    assert run_stream() == n0 + n1
+    # new sync lands → only the delta is read on restart from the ckpt
+    n2 = export_slice(2, 2)
+    assert run_stream() == n2
+    assert n0 + n1 + n2 == ev.count()

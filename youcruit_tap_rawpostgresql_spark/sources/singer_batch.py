@@ -26,7 +26,12 @@ import io
 import json
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 FORMAT_NAME = "singer_batch"
 
@@ -173,6 +178,60 @@ class SingerBatchDataSource(DataSource):
     def reader(self, schema):
         return SingerBatchReader(schema, self.options)
 
+    def streamReader(self, schema):
+        return SingerBatchStreamReader(schema, self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(SingerBatchDataSource)
+
+
+class SingerBatchStreamReader(DataSourceStreamReader):
+    """Streaming variant: ``spark.readStream.format("singer_batch")`` over
+    a DIRECTORY of manifest JSON files — each completed sync drops one
+    manifest; the stream ingests manifests in sorted-name order, exactly
+    once, driven by the checkpoint.
+
+    Offsets are ``{"index": N}`` = number of manifests (in sorted order)
+    already ingested: append-only manifest naming (sync id / timestamp
+    prefix) makes the sorted list a stable log. The driver only LISTS
+    manifests; record reading happens on executors, one input partition
+    per batch file — the same partition-per-file scaling as the batch
+    reader, now per micro-batch."""
+
+    def __init__(self, schema, options):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("singer_batch stream: .load(manifest_dir) required")
+
+    def _manifests(self) -> list[str]:
+        import glob as _glob
+        import os
+
+        p = _local_path(self.path)
+        return sorted(_glob.glob(os.path.join(p, "*.json")))
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def latestOffset(self):
+        return {"index": len(self._manifests())}
+
+    def partitions(self, start: dict, end: dict):
+        files: list[str] = []
+        for m in self._manifests()[start["index"]:end["index"]]:
+            files.extend(_resolve_files(m))
+        if not files:
+            return []
+        return [_FilePartition(u) for u in files]
+
+    def read(self, partition):
+        reader = SingerBatchReader.__new__(SingerBatchReader)
+        reader.schema = self.schema
+        reader.path = self.path
+        reader.files = []
+        yield from SingerBatchReader.read(reader, partition)
+
+    def commit(self, end: dict):
+        pass  # progress is the checkpoint's offset log; nothing to ack
