@@ -416,3 +416,49 @@ def scalar_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("xpath_long(xml, '/item/size')").alias("xsize"),
         F.expr("xpath_boolean(xml, '/item/brand')").alias("has_brand"),
     )
+
+
+@register(
+    "tablefunc_json_elements",
+    oracle="""
+WITH j AS (
+  SELECT o_orderkey,
+    [o_orderkey % 10, CAST(o_custkey % 100 AS BIGINT),
+     CAST(length(o_orderpriority) AS BIGINT)] AS arr
+  FROM orders WHERE o_orderkey % 20 = 0
+)
+SELECT o_orderkey,
+  CAST(pos - 1 AS INT) AS pos,
+  arr[pos] AS element
+FROM (SELECT o_orderkey, arr, unnest(generate_series(1, len(arr))) AS pos FROM j)
+""",
+)
+def tablefunc_json_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-returning JSON expansion (PG ``jsonb_array_elements WITH
+    ORDINALITY``): a JSON array payload is parsed once (``from_json`` to
+    ``array<bigint>``) and fanned out to one row per element with its
+    position (``posexplode``). The oracle builds the same array from the
+    source columns directly, so a parse or ordering bug mismatches.
+
+    Scale: parse + explode are narrow (pipelined, no exchange); the
+    fan-out factor is the array length, and position comes from the
+    generator — no window, no sort."""
+    o = tables(spark, sf_dir)["orders"]
+    j = o.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey",
+        F.concat(
+            F.lit("["),
+            (F.col("o_orderkey") % 10).cast("string"),
+            F.lit(","),
+            (F.col("o_custkey") % 100).cast("string"),
+            F.lit(","),
+            F.length("o_orderpriority").cast("string"),
+            F.lit("]"),
+        ).alias("payload"),
+    )
+    parsed = j.select(
+        "o_orderkey", F.from_json("payload", "array<bigint>").alias("arr")
+    )
+    return parsed.select(
+        "o_orderkey", F.posexplode("arr").alias("pos", "element")
+    )

@@ -568,3 +568,70 @@ def text_halves_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_quality_logit",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_tok,
+    CAST(len(list_filter(string_split(text, ' '),
+             t -> t IN ('the', 'a', 'of', 'to'))) AS DOUBLE)
+      / len(string_split(text, ' ')) AS frac_stop,
+    CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      / len(string_split(text, ' ')) AS mean_len
+  FROM documents
+), z AS (
+  SELECT doc_id, n_tok,
+    ((-1.0 + 10.0 * frac_stop) + 0.2 * (mean_len - 4.5)) + 0.01 * n_tok AS zv
+  FROM f
+)
+SELECT doc_id, n_tok,
+  ROUND(1.0 / (1.0 + exp(-zv)), 6) AS score,
+  zv > 0.0 AS keep
+FROM z
+""",
+)
+def text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring as a columnar expression: a fixed-weight
+    logistic scorer over cheap text features (stopword fraction, mean token
+    length, token count) — the stand-in for the fastText/logreg quality
+    classifiers LLM pipelines apply corpus-wide (weights come from offline
+    training; INFERENCE is just arithmetic). The keep decision tests the
+    exact linear score (z > 0 — bit-identical across engines since both
+    evaluate the same IEEE op sequence); the sigmoid is display-rounded
+    to 6dp (exp differs in the last ulp across libm implementations).
+
+    Scale: map-only, whole-stage codegen, no Python — classifier scoring
+    at 100 TB is a scan, not a model-serving problem."""
+    docs = tables(spark, sf_dir)["documents"]
+    toks = F.split("text", " ")
+    f = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "to")))
+            .cast("double")
+            / F.size(toks)
+        ).alias("frac_stop"),
+        (
+            (F.length("text") - F.size(toks) + 1).cast("double") / F.size(toks)
+        ).alias("mean_len"),
+    )
+    z = f.select(
+        "doc_id",
+        "n_tok",
+        (
+            (F.lit(-1.0) + 10.0 * F.col("frac_stop"))
+            + 0.2 * (F.col("mean_len") - 4.5)
+        ).alias("zp"),
+    ).select(
+        "doc_id", "n_tok", (F.col("zp") + 0.01 * F.col("n_tok")).alias("zv")
+    )
+    return z.select(
+        "doc_id",
+        "n_tok",
+        F.round(1.0 / (1.0 + F.exp(-F.col("zv"))), 6).alias("score"),
+        (F.col("zv") > 0.0).alias("keep"),
+    )
