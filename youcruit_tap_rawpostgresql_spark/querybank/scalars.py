@@ -462,3 +462,62 @@ def tablefunc_json_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "o_orderkey", F.posexplode("arr").alias("pos", "element")
     )
+
+
+@register(
+    "scalar_trgm_similarity",
+    oracle="""
+WITH t AS (
+  SELECT p_partkey,
+    '  ' || lower(p_name) || ' ' AS a,
+    '  ' || lower(p_type) || ' ' AS b
+  FROM part WHERE p_partkey % 9 = 0
+), g AS (
+  SELECT p_partkey,
+    list_distinct(list_transform(generate_series(1, length(a) - 2),
+                                 i -> a[i:(i+2)])) AS ta,
+    list_distinct(list_transform(generate_series(1, length(b) - 2),
+                                 i -> b[i:(i+2)])) AS tb
+  FROM t
+)
+SELECT p_partkey,
+  CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+    / len(list_distinct(list_concat(ta, tb))) AS sim,
+  (CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+    / len(list_distinct(list_concat(ta, tb)))) >= 0.3 AS is_similar
+FROM g
+""",
+)
+def scalar_trgm_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pg_trgm parity: trigram similarity (`similarity()` / the `%`
+    operator, default threshold 0.3) as native array expressions — pad
+    with two leading/one trailing space like pg_trgm, distinct 3-grams,
+    |A∩B| / |A∪B|. Exact across engines: set sizes are integers and the
+    single division is one IEEE op.
+
+    Scale: map-only per-row expression here; for trigram JOINs (fuzzy
+    match against a dictionary) the same trigram array explodes into an
+    inverted index — the distributed analogue of pg_trgm's GIN index
+    (er_blocked_fuzzy_join shows the blocked-join form)."""
+    p = tables(spark, sf_dir)["part"]
+
+    def trigrams(col):
+        padded = F.concat(F.lit("  "), F.lower(col), F.lit(" "))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(padded) - 2),
+                lambda i: F.substring(padded, i, F.lit(3)),
+            )
+        )
+
+    g = p.filter(F.col("p_partkey") % 9 == 0).select(
+        "p_partkey",
+        trigrams(F.col("p_name")).alias("ta"),
+        trigrams(F.col("p_type")).alias("tb"),
+    )
+    sim = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    return g.select(
+        "p_partkey", sim.alias("sim"), (sim >= 0.3).alias("is_similar")
+    )
