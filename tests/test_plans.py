@@ -551,3 +551,13 @@ def test_cbo_statistics_drive_join_planning(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.cbo.enabled", "false")
         spark.sql("DROP TABLE IF EXISTS cbo_orders")
         spark.sql("DROP TABLE IF EXISTS cbo_lineitem")
+
+
+def test_range_join_binned_is_hash_equi(plans):
+    """join_range_binned must plan the interval overlap as a hash
+    equi-join on the bucket — never a nested-loop/cartesian (the O(n·m)
+    shape a naive BETWEEN join takes when both sides are large)."""
+    p = plans("join_range_binned")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Join" in p  # the equi form survived optimization
