@@ -264,3 +264,54 @@ def test_array_ctor_scanner_handles_bracket_literals(elems):
     sql = f"SELECT ARRAY[{', '.join(rendered)}] AS a"
     out = translate_pg_sql(sql)
     assert out == f"SELECT array({', '.join(rendered)}) AS a"
+
+
+def test_singer_batch_json_cast_roundtrip_property():
+    """Property: any value the sink's JSON writer can emit for a declared
+    type re-ingests to an equal typed value via the custom source's cast
+    layer (timestamps → ISO text, decimals → JSON numbers, binary →
+    base64 text)."""
+    import base64
+    import datetime as dt
+    from decimal import Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql.types import (
+        BinaryType,
+        DateType,
+        DecimalType,
+        TimestampType,
+    )
+
+    from youcruit_tap_rawpostgresql_spark.sources.singer_batch import _json_cast
+
+    ts_strategy = st.datetimes(
+        min_value=dt.datetime(1970, 1, 1),
+        max_value=dt.datetime(2100, 1, 1),
+        timezones=st.just(dt.timezone.utc),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ts=ts_strategy,
+        d=st.dates(),
+        dec=st.decimals(
+            min_value=-10**8, max_value=10**8, places=2, allow_nan=False
+        ),
+        raw=st.binary(max_size=64),
+    )
+    def check(ts, d, dec, raw):
+        # timestamp: sink writes ISO-8601 with offset
+        assert _json_cast(TimestampType())(ts.isoformat()) == ts
+        assert _json_cast(DateType())(d.isoformat()) == d
+        # decimal: JSON carries a number; float(str) round-trips 2dp sums
+        got = _json_cast(DecimalType(12, 2))(float(dec))
+        assert got == Decimal(str(float(dec)))
+        assert _json_cast(BinaryType())(base64.b64encode(raw).decode()) == raw
+        # NULLs pass through untouched for every type
+        for t in (TimestampType(), DateType(), DecimalType(12, 2), BinaryType()):
+            assert _json_cast(t)(None) is None
+
+    check()
