@@ -214,3 +214,67 @@ def byte_histogram(binary_df: DataFrame) -> DataFrame:
         _histogram_batches,
         "doc_id long, bin long, n_bytes long",
     )
+
+
+# --- frame embedding + clustering (the multimodal → vector bridge) ------
+
+_EMB_BUCKETS = 16
+_EMB_K = 4
+
+
+def frame_embed_centroids(seed: int = 23) -> list[list[int]]:
+    """Deterministic integer centroids (LCG), one per cluster, in byte-
+    bucket-count space: values 0..8 around the expected per-bucket count
+    (64 bytes / 16 buckets = 4). Integer space keeps the whole embed +
+    assign pipeline EXACT — no float accumulation order to disagree on."""
+    state = seed
+    books = []
+    for _ in range(_EMB_K):
+        row = []
+        for _ in range(_EMB_BUCKETS):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            row.append(state % 9)
+        books.append(row)
+    return books
+
+
+EMBED_CLUSTER_SCHEMA = "doc_id bigint, frame_idx bigint, cell int, dist bigint"
+
+
+def _embed_cluster_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB FRAME EMBEDDER + cluster assign — the pattern of a real
+    vision-encoder scoring pass (decode → embed → nearest centroid), with
+    a deterministic 16-dim byte-bucket histogram standing in for the
+    model forward pass. Integer L2 to fixed centroids, argmin with
+    first-index tiebreak (1-based, matching the oracle's list_position)."""
+    import numpy as np
+
+    C = np.array(frame_embed_centroids(), dtype=np.int64)
+    for pdf in batches:
+        ids, idxs, cells, dists = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            n_frames = len(raw) // _FRAME_BYTES
+            for k, frame_idx in enumerate(range(0, n_frames, _FRAME_STRIDE)):
+                if k >= _MAX_FRAMES:
+                    break
+                off = frame_idx * _FRAME_BYTES
+                fb = np.frombuffer(raw[off : off + _FRAME_BYTES], dtype=np.uint8)
+                hist = np.bincount(fb >> 4, minlength=_EMB_BUCKETS).astype(np.int64)
+                d = ((hist - C) ** 2).sum(axis=1)
+                cell = int(d.argmin())
+                ids.append(doc_id)
+                idxs.append(frame_idx)
+                cells.append(cell + 1)
+                dists.append(int(d[cell]))
+        yield pd.DataFrame(
+            {"doc_id": ids, "frame_idx": idxs, "cell": cells, "dist": dists}
+        )
+
+
+def embed_cluster_frames(binary_df: DataFrame) -> DataFrame:
+    """Stride-sampled frames → 16-dim integer feature → nearest fixed
+    centroid, in one Arrow pass (no intermediate frame materialization)."""
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _embed_cluster_batches, schema=EMBED_CLUSTER_SCHEMA
+    )

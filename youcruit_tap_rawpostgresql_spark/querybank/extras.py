@@ -1003,3 +1003,71 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(10 * F.col("r") >= 9 * F.col("n"), F.col("l_quantity"))
         ).alias("p90_disc"),
     )
+
+
+@register(
+    "multimodal_frame_embed_cluster",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, text AS raw,
+    unnest(generate_series(0, LEAST(4, CAST(ceil(CAST(strlen(text) // 64 AS DOUBLE) / 4) AS INT) - 1))) AS k
+  FROM documents
+  WHERE strlen(text) // 64 >= 1
+), fr AS (
+  SELECT doc_id, k * 4 AS frame_idx,
+    substring(raw, k * 4 * 64 + 1, 64) AS frame
+  FROM f WHERE k * 4 < strlen(raw) // 64
+), codes AS (
+  SELECT doc_id, frame_idx,
+    list_transform(generate_series(1, 64), i -> ascii(frame[i])) AS codes
+  FROM fr
+), hist AS (
+  SELECT doc_id, frame_idx,
+    CAST(len(list_filter(codes, c -> c // 16 = 0)) AS BIGINT) AS h0,
+    CAST(len(list_filter(codes, c -> c // 16 = 1)) AS BIGINT) AS h1,
+    CAST(len(list_filter(codes, c -> c // 16 = 2)) AS BIGINT) AS h2,
+    CAST(len(list_filter(codes, c -> c // 16 = 3)) AS BIGINT) AS h3,
+    CAST(len(list_filter(codes, c -> c // 16 = 4)) AS BIGINT) AS h4,
+    CAST(len(list_filter(codes, c -> c // 16 = 5)) AS BIGINT) AS h5,
+    CAST(len(list_filter(codes, c -> c // 16 = 6)) AS BIGINT) AS h6,
+    CAST(len(list_filter(codes, c -> c // 16 = 7)) AS BIGINT) AS h7,
+    CAST(len(list_filter(codes, c -> c // 16 = 8)) AS BIGINT) AS h8,
+    CAST(len(list_filter(codes, c -> c // 16 = 9)) AS BIGINT) AS h9,
+    CAST(len(list_filter(codes, c -> c // 16 = 10)) AS BIGINT) AS h10,
+    CAST(len(list_filter(codes, c -> c // 16 = 11)) AS BIGINT) AS h11,
+    CAST(len(list_filter(codes, c -> c // 16 = 12)) AS BIGINT) AS h12,
+    CAST(len(list_filter(codes, c -> c // 16 = 13)) AS BIGINT) AS h13,
+    CAST(len(list_filter(codes, c -> c // 16 = 14)) AS BIGINT) AS h14,
+    CAST(len(list_filter(codes, c -> c // 16 = 15)) AS BIGINT) AS h15
+  FROM codes
+), d AS (
+  SELECT doc_id, frame_idx, [((h0 - 2) * (h0 - 2) + (h1 - 6) * (h1 - 6) + (h2 - 0) * (h2 - 0) + (h3 - 1) * (h3 - 1) + (h4 - 7) * (h4 - 7) + (h5 - 2) * (h5 - 2) + (h6 - 1) * (h6 - 1) + (h7 - 8) * (h7 - 8) + (h8 - 1) * (h8 - 1) + (h9 - 6) * (h9 - 6) + (h10 - 1) * (h10 - 1) + (h11 - 6) * (h11 - 6) + (h12 - 6) * (h12 - 6) + (h13 - 4) * (h13 - 4) + (h14 - 2) * (h14 - 2) + (h15 - 1) * (h15 - 1)), ((h0 - 7) * (h0 - 7) + (h1 - 0) * (h1 - 0) + (h2 - 3) * (h2 - 3) + (h3 - 0) * (h3 - 0) + (h4 - 3) * (h4 - 3) + (h5 - 6) * (h5 - 6) + (h6 - 0) * (h6 - 0) + (h7 - 1) * (h7 - 1) + (h8 - 0) * (h8 - 0) + (h9 - 2) * (h9 - 2) + (h10 - 7) * (h10 - 7) + (h11 - 7) * (h11 - 7) + (h12 - 1) * (h12 - 1) + (h13 - 8) * (h13 - 8) + (h14 - 6) * (h14 - 6) + (h15 - 8) * (h15 - 8)), ((h0 - 1) * (h0 - 1) + (h1 - 2) * (h1 - 2) + (h2 - 7) * (h2 - 7) + (h3 - 7) * (h3 - 7) + (h4 - 3) * (h4 - 3) + (h5 - 4) * (h5 - 4) + (h6 - 3) * (h6 - 3) + (h7 - 3) * (h7 - 3) + (h8 - 7) * (h8 - 7) + (h9 - 2) * (h9 - 2) + (h10 - 5) * (h10 - 5) + (h11 - 4) * (h11 - 4) + (h12 - 5) * (h12 - 5) + (h13 - 7) * (h13 - 7) + (h14 - 2) * (h14 - 2) + (h15 - 5) * (h15 - 5)), ((h0 - 1) * (h0 - 1) + (h1 - 8) * (h1 - 8) + (h2 - 0) * (h2 - 0) + (h3 - 1) * (h3 - 1) + (h4 - 5) * (h4 - 5) + (h5 - 4) * (h5 - 4) + (h6 - 0) * (h6 - 0) + (h7 - 2) * (h7 - 2) + (h8 - 8) * (h8 - 8) + (h9 - 8) * (h9 - 8) + (h10 - 0) * (h10 - 0) + (h11 - 6) * (h11 - 6) + (h12 - 1) * (h12 - 1) + (h13 - 0) * (h13 - 0) + (h14 - 3) * (h14 - 3) + (h15 - 5) * (h15 - 5))] AS dists
+  FROM hist
+)
+SELECT doc_id, frame_idx,
+  CAST(list_position(dists, list_min(dists)) AS INT) AS cell,
+  CAST(list_min(dists) AS BIGINT) AS dist
+FROM d
+""",
+)
+def multimodal_frame_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal → vector bridge, end to end: binary payloads →
+    stride-sampled frames → per-frame 16-dim integer feature (byte-bucket
+    histogram, the stub for a vision-encoder forward pass) → nearest
+    fixed centroid by integer L2 — decode, embed, and assign fused into
+    ONE Arrow pass (``operators/multimodal.py::embed_cluster_frames``).
+    Integer feature space makes every step bit-exact against the oracle's
+    unrolled SQL (16 histogram columns, 4 distance expressions).
+
+    Scale: this is the shape of a real frame-embedding job at 100 TB —
+    map-only fan-out (no shuffle until someone aggregates cells), model
+    weights/centroids in the task closure, frames never materialized
+    between stages. Swap the histogram for a real encoder and the plan is
+    unchanged."""
+    from youcruit_tap_rawpostgresql_spark.operators.multimodal import (
+        attach_binary_payload,
+        embed_cluster_frames,
+    )
+
+    docs = tables(spark, sf_dir)["documents"]
+    return embed_cluster_frames(attach_binary_payload(docs))
