@@ -423,3 +423,63 @@ def sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "sql_lateral_column_alias",
+    oracle="""
+SELECT o_orderkey,
+  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS base,
+  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(3,1)) AS DOUBLE) AS fee,
+  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(3,1))
+       + CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_with_fee
+FROM orders WHERE o_orderkey % 100 = 0
+""",
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+): a select-list expression
+    referencing an alias defined EARLIER IN THE SAME SELECT — the
+    readability feature PG users emulate with nested subselects; the
+    optimizer inlines the alias, so the plan is identical to the expanded
+    form (no extra projection stage). The oracle writes the expansion."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS base_dec,
+          CAST(base_dec AS DOUBLE) AS base,
+          CAST(base_dec * CAST(0.1 AS DECIMAL(3,1)) AS DOUBLE) AS fee,
+          CAST(base_dec * CAST(0.1 AS DECIMAL(3,1)) + base_dec AS DOUBLE) AS total_with_fee
+        FROM orders WHERE o_orderkey % 100 = 0
+        """
+    ).drop("base_dec")
+
+
+@register(
+    "set_union_by_name",
+    oracle="""
+SELECT n_nationkey AS k, n_name AS name, CAST(n_regionkey AS BIGINT) AS extra
+FROM nation
+UNION ALL
+SELECT r_regionkey AS k, r_name AS name, NULL AS extra
+FROM region
+""",
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution-safe union: ``unionByName(allowMissingColumns)``
+    matches columns BY NAME and null-fills the gaps — the correct way to
+    stack extracts whose schemas drifted between syncs (positional UNION
+    would silently mis-align). The oracle is the explicit aligned form.
+
+    Scale: union is plan-level concatenation (no shuffle); the null-fill
+    is a projection."""
+    t = tables(spark, sf_dir)
+    a = t["nation"].select(
+        F.col("n_nationkey").alias("k"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("bigint").alias("extra"),
+    )
+    b = t["region"].select(
+        F.col("r_regionkey").alias("k"), F.col("r_name").alias("name")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
