@@ -558,3 +558,36 @@ def test_batch_sync_single_pass_observation(spark, sf_dir, tmp_path):
     )[0]
     assert res2.record_count == 0
     assert state.get_bookmark("spark-public-events_obs") == bm1
+
+
+def test_cli_test_mode(spark, tmp_path, capsys):
+    """--test (Singer SDK parity): per-stream one-record probe, rc 0 when
+    every stream plans+executes, rc 1 (with per-stream FAILED line) when
+    any stream is broken; no Singer messages on stdout either way."""
+    from youcruit_tap_rawpostgresql_spark.cli import main
+
+    def cfg_file(sql):
+        cfg = {
+            "database": "postgres",
+            "streams": [
+                {
+                    "name": "probe",
+                    "sql": sql,
+                    "columns": [{"name": "one", "type": "int", "nullable": False}],
+                    "key_properties": ["one"],
+                }
+            ],
+        }
+        path = tmp_path / f"cfg_{abs(hash(sql)) % 10**8}.json"
+        path.write_text(json.dumps(cfg))
+        return str(path)
+
+    assert main(["--config", cfg_file("SELECT 1 AS one"), "--test"]) == 0
+    out, err = capsys.readouterr()
+    assert out == ""  # no messages emitted
+    assert "probe: ok" in err
+
+    assert main(["--config", cfg_file("SELECT x FROM no_such_table"), "--test"]) == 1
+    out, err = capsys.readouterr()
+    assert out == ""
+    assert "FAILED" in err

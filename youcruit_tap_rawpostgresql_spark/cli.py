@@ -34,6 +34,12 @@ def main(argv: list[str] | None = None) -> int:
         help="sync up to N streams concurrently (reference is sequential)",
     )
     p.add_argument(
+        "--test",
+        action="store_true",
+        help="connection/config test (Singer SDK --test parity): resolve "
+        "each stream's plan and fetch one record; no messages emitted",
+    )
+    p.add_argument(
         "--sf-dir",
         default=None,
         help="register testdata parquet tables from this dir as source views",
@@ -66,6 +72,26 @@ def main(argv: list[str] | None = None) -> int:
         register_testdata(spark, args.sf_dir)
     tap = SparkTap(config, spark, state=StateStore(args.state))
     try:
+        if args.test:
+            # one-record probe per stream: catches bad SQL, missing source
+            # columns (conform fails analysis), and unreadable sources
+            # without emitting any Singer message or advancing state
+            failed = False
+            for spec in tap._effective_streams():
+                try:
+                    df, _premap, _bm = tap._prepare(spec)
+                    df.limit(1).collect()
+                    print(
+                        f"-- test {spec.fully_qualified_name}: ok",
+                        file=sys.stderr,
+                    )
+                except Exception as exc:  # noqa: BLE001 — report, don't die
+                    failed = True
+                    print(
+                        f"-- test {spec.fully_qualified_name}: FAILED: {exc}",
+                        file=sys.stderr,
+                    )
+            return 1 if failed else 0
         if args.explain:
             # resolve suppress/alias map directives — explain must show
             # the streams sync would actually run
