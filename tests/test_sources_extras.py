@@ -358,3 +358,49 @@ def test_singer_batch_stream_reader_incremental(spark, sf_dir, tmp_path):
     n2 = export_slice(2, 2)
     assert run_stream() == n2
     assert n0 + n1 + n2 == ev.count()
+
+
+def test_singer_batch_writer_transactional_manifest(spark, sf_dir, tmp_path):
+    """Writer side of the custom DataSource: df.write.format('singer_batch')
+    writes rotated gzip-JSONL per task and commits manifest.json ONCE on
+    the driver listing exactly the committed files — then the reader
+    ingests that manifest back to the identical rows (full loop through
+    the DataSource protocol both ways)."""
+    import glob as _glob
+    import json as _json
+
+    from youcruit_tap_rawpostgresql_spark.sources import singer_batch
+    from youcruit_tap_rawpostgresql_spark.sources.registry import load_table
+
+    singer_batch.register(spark)
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    out = str(tmp_path / "export")
+    (
+        src.write.format("singer_batch")
+        .option("batch_size", 400)
+        .option("stream", "orders_export")
+        .mode("append")
+        .save(out)
+    )
+    man = _json.load(open(f"{out}/manifest.json"))
+    assert man["record_count"] == src.count()
+    assert man["manifest"], "no files committed"
+    # manifest lists exactly the files on disk
+    on_disk = {f"file://{f}" for f in _glob.glob(f"{out}/*.json.gz")}
+    assert set(man["manifest"]) == on_disk
+    # every file respects the rotation bound
+    import gzip as _gzip
+
+    for url in man["manifest"]:
+        with _gzip.open(url[len("file://"):], "rt") as fh:
+            assert sum(1 for _ in fh) <= 400
+    # read back through the reader half: identical rows
+    back = (
+        spark.read.format("singer_batch")
+        .schema("o_orderkey long, o_orderdate timestamp, o_totalprice double")
+        .load(f"{out}/manifest.json")
+    )
+    assert back.count() == src.count()
+    assert src.exceptAll(back).count() == 0 and back.exceptAll(src).count() == 0

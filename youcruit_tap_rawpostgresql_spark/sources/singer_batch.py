@@ -30,7 +30,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 FORMAT_NAME = "singer_batch"
@@ -181,6 +183,9 @@ class SingerBatchDataSource(DataSource):
     def streamReader(self, schema):
         return SingerBatchStreamReader(schema, self.options)
 
+    def writer(self, schema, overwrite):
+        return SingerBatchWriter(schema, self.options, overwrite)
+
 
 def register(spark) -> None:
     spark.dataSource.register(SingerBatchDataSource)
@@ -235,3 +240,116 @@ class SingerBatchStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict):
         pass  # progress is the checkpoint's offset log; nothing to ack
+
+
+# --- writer side: df.write.format("singer_batch").save(root) ------------
+
+@dataclass
+class _WroteFiles(WriterCommitMessage):
+    urls: list[str]
+    n_records: int
+
+
+class SingerBatchWriter(DataSourceWriter):
+    """Transactional gzip-JSONL batch export through the DataSource write
+    protocol: each task writes its own rotated ``.json.gz`` files and
+    reports them in a commit message; ``commit()`` runs ONCE on the driver
+    with every task's message and only then writes ``manifest.json`` — so
+    the manifest lists exactly the files of a fully-successful job, and a
+    failed/retried task's orphans are never referenced (the atomicity gap
+    the sink's directory-listing path documents). ``abort()`` removes the
+    partial output.
+
+    Scale: same parallel-write shape as the sink (every task rotates at
+    ``batch_size``); the only driver work is the file-list merge."""
+
+    def __init__(self, schema, options, overwrite: bool):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("singer_batch write: .save(root) is required")
+        self.batch_size = int(options.get("batch_size", 100_000))
+        self.prefix = options.get("prefix", "")
+        self.stream_name = options.get("stream", "stream")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import datetime as _dt
+        import decimal as _decimal
+        import os
+        import uuid as _uuid
+
+        root = _local_path(self.path)
+        os.makedirs(root, exist_ok=True)
+        names = self.schema.fieldNames()
+
+        def default(v):
+            if isinstance(v, (_dt.datetime, _dt.date)):
+                return v.isoformat()
+            if isinstance(v, _decimal.Decimal):
+                return float(v)
+            if isinstance(v, (bytes, bytearray)):
+                import base64
+
+                return base64.b64encode(bytes(v)).decode()
+            raise TypeError(f"singer_batch write: unserializable {type(v)}")
+
+        urls: list[str] = []
+        n_total = 0
+        fh = None
+        n_in_file = 0
+        task_id = _uuid.uuid4().hex[:12]
+        try:
+            for row in iterator:
+                if fh is None or n_in_file >= self.batch_size:
+                    if fh is not None:
+                        fh.close()
+                    fname = (
+                        f"{self.prefix}{self.stream_name}-{task_id}"
+                        f"-{len(urls)}.json.gz"
+                    )
+                    fpath = os.path.join(root, fname)
+                    fh = gzip.open(fpath, "wt")
+                    urls.append(f"file://{fpath}")
+                    n_in_file = 0
+                fh.write(
+                    json.dumps(dict(zip(names, row)), default=default) + "\n"
+                )
+                n_in_file += 1
+                n_total += 1
+        finally:
+            if fh is not None:
+                fh.close()
+        return _WroteFiles(urls=urls, n_records=n_total)
+
+    def commit(self, messages):
+        root = _local_path(self.path)
+        files = []
+        n = 0
+        for m in messages:
+            if m is not None:
+                files.extend(m.urls)
+                n += m.n_records
+        manifest = {
+            "type": "BATCH",
+            "stream": self.stream_name,
+            "encoding": {"format": "jsonl", "compression": "gzip"},
+            "manifest": sorted(files),
+            "record_count": n,
+        }
+        import os
+
+        with open(os.path.join(root, "manifest.json"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            for url in m.urls:
+                try:
+                    os.remove(_local_path(url))
+                except OSError:
+                    pass
