@@ -142,6 +142,8 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^k grouping combinations
+    in one pass (SURVEY §2.5) — partial-agg applies per grouping set."""
     l = tables(spark, sf_dir)["lineitem"]
     return l.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().alias("gid"),
@@ -247,6 +249,8 @@ FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 5
 """,
 )
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING: post-aggregation filter (SURVEY §2.5) — planned as a
+    Filter above the final HashAggregate, never a second scan."""
     c = tables(spark, sf_dir)["customer"]
     return (
         c.groupBy("c_nationkey")
@@ -357,6 +361,8 @@ GROUP BY o.o_orderstatus
 """,
 )
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join nation⋈region (SURVEY §2.4) — Catalyst picks
+    broadcast-hash for the dim-sized sides."""
     t = tables(spark, sf_dir)
     return (
         t["lineitem"]
@@ -401,6 +407,7 @@ GROUP BY n.n_name
 """,
 )
 def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: unmatched right rows null-extend (SURVEY §2.4)."""
     t = tables(spark, sf_dir)
     return (
         t["supplier"]
@@ -613,6 +620,8 @@ SELECT nationkey, COUNT(*) AS n FROM (
 """,
 )
 def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL: bag concatenation (SURVEY §2.7) — plan-level, no
+    shuffle, no dedup."""
     t = tables(spark, sf_dir)
     u = t["customer"].select(F.col("c_nationkey").alias("nationkey")).unionAll(
         t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
@@ -629,6 +638,8 @@ SELECT s_nationkey AS nationkey FROM supplier
 """,
 )
 def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT: concatenation + dedup shuffle on all columns
+    (SURVEY §2.7)."""
     t = tables(spark, sf_dir)
     return (
         t["customer"]
@@ -647,6 +658,8 @@ SELECT s_nationkey AS nationkey FROM supplier
 """,
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): planned as a left-semi join + distinct
+    (SURVEY §2.7)."""
     t = tables(spark, sf_dir)
     return (
         t["customer"]
@@ -667,6 +680,7 @@ SELECT s_nationkey AS nationkey FROM supplier WHERE s_nationkey < 13
 """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): left-anti join + distinct (SURVEY §2.7)."""
     t = tables(spark, sf_dir)
     return (
         t["customer"]

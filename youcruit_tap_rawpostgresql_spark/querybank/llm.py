@@ -96,6 +96,8 @@ FROM documents GROUP BY source
 """,
 )
 def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship report: per duplicate-count bucket, how many
+    fingerprint groups — the audit run before deleting anything."""
     d = tables(spark, sf_dir)["documents"]
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
