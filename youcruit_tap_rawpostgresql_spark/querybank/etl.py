@@ -1598,3 +1598,93 @@ def rank_movement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank_1997").cast("bigint").alias("rank_1997"),
         (F.col("rank_1996") - F.col("rank_1997")).cast("bigint").alias("rank_gain"),
     )
+
+
+@register(
+    "survival_km_fulfillment",
+    # the ln-sum runs in ascending-duration order on both sides (same
+    # additions, same single exp), 6dp-rounded; counts are exact ints
+    oracle="""
+WITH dur AS (
+  SELECT o.o_orderkey,
+    date_diff('day', CAST(o.o_orderdate AS DATE), CAST(MAX(l.l_shipdate) AS DATE)) AS dur,
+    CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderstatus
+), g AS (
+  SELECT dur, CAST(SUM(ev) AS BIGINT) AS d, COUNT(*) AS m FROM dur GROUP BY dur
+), r AS (
+  SELECT dur, d,
+    CAST(SUM(m) OVER (ORDER BY dur DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS n
+  FROM g
+)
+SELECT dur AS t_days, d, n AS n_at_risk,
+  CASE WHEN d = n THEN 0.0 ELSE
+    ROUND(exp(SUM(CASE WHEN d < n THEN ln(1 - CAST(d AS DOUBLE) / n) ELSE 0 END)
+              OVER (ORDER BY dur
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+  END AS survival
+FROM r WHERE d > 0
+""",
+)
+def survival_km_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of order fulfillment time (event =
+    order reached final status 'F'; still-open orders are right-censored
+    at their last shipment): at each observed event time t, S(t) multiplies
+    in (1 − d/n) over the at-risk set — the estimator product expressed as
+    exp(Σ ln(·)) so both engines run the identical op sequence. Censoring
+    is what makes this KM and not a plain quantile: open orders still
+    count in n until they drop out.
+
+    Scale: durations aggregate per order (one fact shuffle with partial
+    agg); everything after runs on the distinct-duration grid — bounded
+    by the calendar (thousands of rows), not by fact scale, so the
+    global (unpartitioned) windows stay cheap at any corpus size. The classic use over sync pipelines: time-to-complete SLAs
+    with in-flight records censored, not dropped."""
+    t = tables(spark, sf_dir)
+    o, li = t["orders"], t["lineitem"]
+    dur = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderstatus")
+        .agg(F.max("l_shipdate").alias("mx"))
+        .select(
+            F.datediff(F.to_date("mx"), F.to_date("o_orderdate")).alias("dur"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("ev"),
+        )
+    )
+    g = dur.groupBy("dur").agg(
+        F.sum("ev").cast("bigint").alias("d"), F.count(F.lit(1)).alias("m")
+    )
+    w_desc = W.orderBy(F.col("dur").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    r = g.select(
+        "dur", "d", F.sum("m").over(w_desc).cast("bigint").alias("n")
+    )
+    w_asc = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
+    events_only = r.filter(F.col("d") > 0)
+    return events_only.select(
+        F.col("dur").alias("t_days"),
+        "d",
+        F.col("n").alias("n_at_risk"),
+        # the d = n row (all remaining at-risk fulfill — only possible at
+        # the last event time) would put ln(0) in the chain: emitted as an
+        # exact 0 instead, with a guarded dummy term in the running sum
+        F.when(F.col("d") == F.col("n"), F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.when(
+                            F.col("d") < F.col("n"),
+                            F.log(1 - F.col("d").cast("double") / F.col("n")),
+                        ).otherwise(F.lit(0.0))
+                    ).over(w_asc)
+                ),
+                6,
+            )
+        )
+        .alias("survival"),
+    )

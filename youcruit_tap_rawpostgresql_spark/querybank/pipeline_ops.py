@@ -1046,3 +1046,95 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= 50)
         .drop("r")
     )
+
+
+@register(
+    "ts_cusum_alerts",
+    # every step is the same exact-decimal op pair (add, clamp at 0) with a
+    # re-cast to DECIMAL(12,2) pinning the type on both sides — no float
+    # accumulation anywhere, so the chains are identical bit-for-bit
+    oracle="""
+WITH RECURSIVE ranked AS (
+  SELECT user_id, CAST(value AS DECIMAL(12,2)) AS v,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk
+  FROM events
+), r AS (
+  SELECT user_id, rnk,
+    CAST(GREATEST(CAST(0 AS DECIMAL(12,2)), v - CAST(60 AS DECIMAL(12,2)))
+         AS DECIMAL(12,2)) AS s,
+    CASE WHEN GREATEST(CAST(0 AS DECIMAL(12,2)),
+                       v - CAST(60 AS DECIMAL(12,2))) > 200 THEN 1 ELSE 0
+    END AS n_alerts
+  FROM ranked WHERE rnk = 1
+  UNION ALL
+  SELECT x.user_id, x.rnk,
+    CAST(GREATEST(CAST(0 AS DECIMAL(12,2)),
+                  r.s + (x.v - CAST(60 AS DECIMAL(12,2))))
+         AS DECIMAL(12,2)),
+    r.n_alerts + CASE WHEN GREATEST(CAST(0 AS DECIMAL(12,2)),
+                         r.s + (x.v - CAST(60 AS DECIMAL(12,2)))) > 200
+                      THEN 1 ELSE 0 END
+  FROM r JOIN ranked x ON x.user_id = r.user_id AND x.rnk = r.rnk + 1
+), last AS (
+  SELECT user_id, MAX(rnk) AS n_events FROM r GROUP BY user_id
+)
+SELECT r.user_id, last.n_events,
+  CAST(r.s AS DOUBLE) AS final_cusum,
+  CAST(r.n_alerts AS BIGINT) AS n_alerts
+FROM r JOIN last ON r.user_id = last.user_id AND r.rnk = last.n_events
+""",
+)
+def ts_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection per user (Page 1954 — the
+    drift detector behind data-quality monitors on sync pipelines): the
+    statistic s ← max(0, s + (v − K)) accumulates excess over the
+    reference K=60 and an alert fires whenever s crosses H=200; reported
+    as the per-user alert count + final statistic. EXACT decimal state —
+    no float fold, so no rounding in the hash compare at all.
+
+    Scale: one shuffle to group each user's history, then a per-row JVM
+    array fold in time order (same machinery as EWMA/Holt); streaming
+    deployments run the identical update in applyInPandasWithState. The
+    oracle replays the recursion stepwise — proof harness, not the scale
+    path."""
+    e = tables(spark, sf_dir)["events"]
+    DEC = "decimal(12,2)"
+    per_user = (
+        e.select(
+            "user_id", "ts", "event_id", F.col("value").cast(DEC).alias("v")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "v"))
+            ).alias("evs")
+        )
+    )
+    zero = F.lit(0).cast(DEC)
+    K = F.lit(60).cast(DEC)
+    H = F.lit(200).cast(DEC)
+
+    def step_s(acc_s, v):
+        return F.greatest(zero, acc_s + (v - K)).cast(DEC)
+
+    init_s = step_s(zero, F.element_at("evs", 1)["v"])
+    init = F.struct(
+        init_s.alias("s"),
+        F.when(init_s > H, 1).otherwise(0).cast("bigint").alias("n_alerts"),
+    )
+    rest = F.expr("slice(evs, 2, greatest(size(evs) - 1, 0))")
+
+    def step(acc, x):
+        s2 = step_s(acc["s"], x["v"])
+        return F.struct(
+            s2.alias("s"),
+            (acc["n_alerts"] + F.when(s2 > H, 1).otherwise(0)).alias("n_alerts"),
+        )
+
+    folded = F.aggregate(rest, init, step)
+    return per_user.select(
+        "user_id",
+        F.size("evs").cast("bigint").alias("n_events"),
+        folded["s"].cast("double").alias("final_cusum"),
+        folded["n_alerts"].alias("n_alerts"),
+    )
