@@ -1071,3 +1071,111 @@ def multimodal_frame_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = tables(spark, sf_dir)["documents"]
     return embed_cluster_frames(attach_binary_payload(docs))
+
+
+@register(
+    "recsys_item_cooccurrence",
+    oracle="""
+WITH bask AS (
+  SELECT DISTINCT l_orderkey, l_partkey % 200 AS item FROM lineitem
+), cnt AS (
+  SELECT item, COUNT(*) AS n FROM bask GROUP BY item
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS co
+  FROM bask a JOIN bask b
+    ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+  GROUP BY a.item, b.item
+)
+SELECT p.item_a, p.item_b, CAST(p.co AS BIGINT) AS co,
+  ROUND(p.co / (sqrt(ca.n) * sqrt(cb.n)), 6) AS cosine
+FROM pairs p
+JOIN cnt ca ON ca.item = p.item_a
+JOIN cnt cb ON cb.item = p.item_b
+WHERE p.co >= 5
+""",
+)
+def recsys_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering preprocessing: co-purchase counts
+    within an order basket → cosine similarity co/√(n_a·n_b) over the
+    binary item-basket matrix, thresholded to meaningful pairs — the
+    candidate-generation matrix behind "customers also bought".
+
+    Scale: the self-join is ON THE BASKET KEY, so pair fan-out is bounded
+    by per-basket item count (Σk²), never |items|² — the standard
+    market-basket shape. Skewed mega-baskets are the known hazard: cap
+    basket size upstream or salt; item marginals broadcast back onto the
+    pair aggregate (dim-sized)."""
+    li = tables(spark, sf_dir)["lineitem"]
+    bask = li.select(
+        "l_orderkey", (F.col("l_partkey") % 200).alias("item")
+    ).distinct()
+    cnt = bask.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    a = bask.select(F.col("l_orderkey").alias("k"), F.col("item").alias("item_a"))
+    b = bask.select(F.col("l_orderkey").alias("k"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 5)
+    )
+    ca = cnt.select(F.col("item").alias("item_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("item").alias("item_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("co").cast("bigint").alias("co"),
+            F.round(
+                F.col("co") / (F.sqrt("na") * F.sqrt("nb")), 6
+            ).alias("cosine"),
+        )
+    )
+
+
+@register(
+    "text_phrase_search",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+)
+SELECT doc_id,
+  CAST(len(list_filter(generate_series(1, len(ts) - 1),
+       i -> ts[i] = 'fast' AND ts[i + 1] = 'query')) AS BIGINT) AS n_hits
+FROM toks
+WHERE len(list_filter(generate_series(1, len(ts) - 1),
+      i -> ts[i] = 'fast' AND ts[i + 1] = 'query')) > 0
+""",
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search ("fast query") through an inverted index
+    with positions: postings for each term explode once, and the phrase
+    match is an equi-join on (doc, position+1) — the way a search engine
+    answers phrase queries without rescanning text. The oracle is the
+    scan-everything form (per-doc adjacency filter), proving the index
+    path returns exactly the scan's answer.
+
+    Scale: at 100 TB the postings build is a one-time explode keyed by
+    term (and would be written term-partitioned); each phrase query then
+    touches ONLY the two terms' postings — index size × query count
+    replaces corpus size × query count. The position join shuffles
+    postings for the two terms, not the corpus."""
+    docs = tables(spark, sf_dir)["documents"]
+    postings = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "term"),
+    ).filter(F.col("term").isin("fast", "query"))
+    t1 = postings.filter(F.col("term") == "fast").select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    t2 = postings.filter(F.col("term") == "query").select(
+        "doc_id", F.col("pos").alias("p2")
+    )
+    return (
+        t1.join(t2, (t1["doc_id"] == t2["doc_id"]) & (F.col("p2") == F.col("p1") + 1))
+        .select(t1["doc_id"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
