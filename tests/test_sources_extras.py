@@ -384,7 +384,9 @@ def test_singer_batch_writer_transactional_manifest(spark, sf_dir, tmp_path):
         .mode("append")
         .save(out)
     )
-    man = _json.load(open(f"{out}/manifest.json"))
+    man_files = _glob.glob(f"{out}/manifest-*.json")
+    assert len(man_files) == 1
+    man = _json.load(open(man_files[0]))
     assert man["record_count"] == src.count()
     assert man["manifest"], "no files committed"
     # manifest lists exactly the files on disk
@@ -400,7 +402,82 @@ def test_singer_batch_writer_transactional_manifest(spark, sf_dir, tmp_path):
     back = (
         spark.read.format("singer_batch")
         .schema("o_orderkey long, o_orderdate timestamp, o_totalprice double")
-        .load(f"{out}/manifest.json")
+        .load(man_files[0])
     )
     assert back.count() == src.count()
     assert src.exceptAll(back).count() == 0 and back.exceptAll(src).count() == 0
+
+
+def test_singer_batch_writer_modes_and_stream_inflight(spark, sf_dir, tmp_path):
+    """Review-driven edges: (a) mode('overwrite') clears previous data
+    files AND manifests; (b) two append jobs commit two manifests (a
+    manifest log) and a directory read returns the union; (c) a remote
+    scheme is rejected up front; (d) the stream reader skips a
+    half-written manifest instead of crashing, then picks it up once
+    complete."""
+    import glob as _glob
+    import json as _json
+
+    from youcruit_tap_rawpostgresql_spark.sources import singer_batch
+    from youcruit_tap_rawpostgresql_spark.sources.registry import load_table
+
+    singer_batch.register(spark)
+    src = load_table(spark, sf_dir, "region")
+    out = str(tmp_path / "exp")
+    w = src.write.format("singer_batch").option("stream", "r")
+    w.mode("append").save(out)
+    w.mode("append").save(out)
+    assert len(_glob.glob(f"{out}/manifest-*.json")) == 2
+    back_dir = (
+        spark.read.format("singer_batch")
+        .schema("r_regionkey long, r_name string")
+        .load(out)
+    )
+    assert back_dir.count() == 2 * src.count()  # union of both jobs
+    # overwrite clears everything prior
+    src.write.format("singer_batch").option("stream", "r").mode(
+        "overwrite"
+    ).save(out)
+    assert len(_glob.glob(f"{out}/manifest-*.json")) == 1
+    assert (
+        spark.read.format("singer_batch")
+        .schema("r_regionkey long, r_name string")
+        .load(out)
+        .count()
+        == src.count()
+    )
+    # remote scheme rejected
+    try:
+        src.write.format("singer_batch").mode("append").save("s3a://bucket/x")
+        raise AssertionError("expected ValueError for remote scheme")
+    except AssertionError:
+        raise
+    except Exception as exc:
+        assert "local" in str(exc)
+    # stream reader vs in-flight manifest
+    man_dir = tmp_path / "mans"
+    man_dir.mkdir()
+    good = _glob.glob(f"{out}/manifest-*.json")[0]
+    (man_dir / "sync-0001.json").write_text(open(good).read())
+    (man_dir / "sync-0002.json").write_text('{"manifest": ["file:///nope')  # truncated
+    counts = []
+
+    def run():
+        got = []
+        q = (
+            spark.readStream.format("singer_batch")
+            .schema("r_regionkey long, r_name string")
+            .load(str(man_dir))
+            .writeStream.foreachBatch(lambda b, _i: got.append(b.count()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sum(got)
+
+    counts.append(run())  # in-flight sync-0002 skipped, no crash
+    assert counts[0] == src.count()
+    (man_dir / "sync-0002.json").write_text(open(good).read())  # completed
+    counts.append(run())
+    assert counts[1] == src.count()  # only the newly-completed manifest

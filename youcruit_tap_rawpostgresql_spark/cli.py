@@ -77,7 +77,12 @@ def main(argv: list[str] | None = None) -> int:
             # columns (conform fails analysis), and unreadable sources
             # without emitting any Singer message or advancing state
             failed = False
-            for spec in tap._effective_streams():
+            try:
+                specs = tap._effective_streams()
+            except Exception as exc:  # noqa: BLE001 — config-level failure
+                print(f"-- test config: FAILED: {exc}", file=sys.stderr)
+                return 1
+            for spec in specs:
                 try:
                     df, _premap, _bm = tap._prepare(spec)
                     df.limit(1).collect()

@@ -149,6 +149,30 @@ def emit_schema_message(spec: StreamSpec, write) -> None:
     )
 
 
+def jsonable_value(v):
+    """THE record-serialization contract for every JSON-emitting path
+    (RECORD messages here, the singer_batch DataSource writer): naive
+    timestamps are pinned to +00:00 (session TZ is UTC), dates ISO,
+    decimals as numbers, binary as base64, structs as objects."""
+    import base64
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(v, _dt.datetime):
+        return v.isoformat() + ("+00:00" if v.tzinfo is None else "")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, _dec.Decimal):  # declared numeric/decimal columns
+        return float(v)
+    if isinstance(v, (bytes, bytearray)):  # declared bytea/binary
+        return base64.b64encode(bytes(v)).decode("ascii")
+    if isinstance(v, dict):
+        return {k: jsonable_value(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [jsonable_value(x) for x in v]
+    return v
+
+
 def emit_record_messages(df: DataFrame, spec: StreamSpec, write) -> int:
     """Emit one RECORD message per row.
 
@@ -157,28 +181,9 @@ def emit_record_messages(df: DataFrame, spec: StreamSpec, write) -> int:
     is ``write_batch_files`` + BATCH messages, exactly why the Singer spec
     grew the BATCH capability in the first place.
     """
-    import base64
-    import datetime as _dt
-    import decimal as _dec
-
-    def _jsonable(v):
-        if isinstance(v, _dt.datetime):
-            return v.isoformat() + ("+00:00" if v.tzinfo is None else "")
-        if isinstance(v, _dt.date):
-            return v.isoformat()
-        if isinstance(v, _dec.Decimal):  # declared numeric/decimal columns
-            return float(v)
-        if isinstance(v, (bytes, bytearray)):  # declared bytea/binary
-            return base64.b64encode(bytes(v)).decode("ascii")
-        if isinstance(v, dict):
-            return {k: _jsonable(x) for k, x in v.items()}
-        if isinstance(v, (list, tuple)):
-            return [_jsonable(x) for x in v]
-        return v
-
     n = 0
     for row in df.toLocalIterator():
-        rec = {k: _jsonable(v) for k, v in row.asDict(recursive=True).items()}
+        rec = {k: jsonable_value(v) for k, v in row.asDict(recursive=True).items()}
         write(
             json.dumps(
                 {"type": "RECORD", "stream": spec.fully_qualified_name, "record": rec}

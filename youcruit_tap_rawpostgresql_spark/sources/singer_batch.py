@@ -52,7 +52,10 @@ def _local_path(url: str) -> str:
 def _resolve_files(path: str) -> list[str]:
     """Accepts a manifest JSON file (Singer BATCH message or bare
     ``{"files": [...]}`` / ``[...]`` list) or a directory of
-    ``*.json.gz`` parts."""
+    ``*.json.gz`` parts. Semantics differ deliberately: a manifest reads
+    exactly ONE job's committed files; a directory reads the union of
+    every file present (all append jobs — plus any orphans, which is why
+    manifests are the transactional path)."""
     import glob as _glob
     import os
 
@@ -98,17 +101,7 @@ class SingerBatchReader(DataSourceReader):
             # message): partitions() returned [] and pyspark probes with
             # no partition — an empty stream, not a crash
             return
-        names = self.schema.fieldNames()
-        casts = [_json_cast(f.dataType) for f in self.schema.fields]
-        with _open_url(partition.url) as raw:
-            with gzip.open(io.BufferedReader(raw), "rt") as fh:
-                for line in fh:
-                    if not line.strip():
-                        continue
-                    rec = json.loads(line)
-                    yield tuple(
-                        cast(rec.get(name)) for name, cast in zip(names, casts)
-                    )
+        yield from _read_batch_file(partition.url, self.schema)
 
 
 def _parse_ts(v):
@@ -163,6 +156,20 @@ def _open_url(url: str):
     return filesystem.open_input_stream(path)
 
 
+def _read_batch_file(url: str, schema):
+    """Yield typed row tuples from one gzip-JSONL batch file — the single
+    record path shared by the batch reader and the stream reader."""
+    names = schema.fieldNames()
+    casts = [_json_cast(f.dataType) for f in schema.fields]
+    with _open_url(url) as raw:
+        with gzip.open(io.BufferedReader(raw), "rt") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                yield tuple(cast(rec.get(name)) for name, cast in zip(names, casts))
+
+
 class SingerBatchDataSource(DataSource):
     """``spark.dataSource.register(SingerBatchDataSource)`` then
     ``spark.read.format("singer_batch").schema(s).load(manifest)``."""
@@ -194,15 +201,24 @@ def register(spark) -> None:
 class SingerBatchStreamReader(DataSourceStreamReader):
     """Streaming variant: ``spark.readStream.format("singer_batch")`` over
     a DIRECTORY of manifest JSON files — each completed sync drops one
-    manifest; the stream ingests manifests in sorted-name order, exactly
-    once, driven by the checkpoint.
+    manifest; the stream ingests manifests exactly once, driven by the
+    checkpoint.
 
-    Offsets are ``{"index": N}`` = number of manifests (in sorted order)
-    already ingested: append-only manifest naming (sync id / timestamp
-    prefix) makes the sorted list a stable log. The driver only LISTS
-    manifests; record reading happens on executors, one input partition
-    per batch file — the same partition-per-file scaling as the batch
-    reader, now per micro-batch."""
+    Offsets are ``{"last": "<manifest filename>"}`` — the greatest
+    manifest name ingested so far (names compare lexicographically).
+    REQUIREMENT: manifests must land under ascending names (the
+    singer_batch writer's timestamp-prefixed ``manifest-...json`` names
+    satisfy this; so do zero-padded sync counters). Name-based offsets
+    make re-ingestion impossible even if a late manifest sorts below the
+    watermark — such a manifest is NOT picked up (it violates the
+    append-only contract) rather than corrupting exactly-once. A manifest
+    that fails to parse is treated as in-flight and skipped until its
+    writer finishes (the writer publishes atomically via rename, so its
+    manifests are never seen half-written).
+
+    The driver only LISTS manifests; record reading happens on executors,
+    one input partition per batch file — the same partition-per-file
+    scaling as the batch reader, now per micro-batch."""
 
     def __init__(self, schema, options):
         self.schema = schema
@@ -210,33 +226,48 @@ class SingerBatchStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("singer_batch stream: .load(manifest_dir) required")
 
-    def _manifests(self) -> list[str]:
+    def _valid_manifests(self) -> list[str]:
+        """Sorted manifest paths that parse as complete JSON (in-flight
+        writes are skipped — they'll be complete by a later tick)."""
         import glob as _glob
         import os
 
         p = _local_path(self.path)
-        return sorted(_glob.glob(os.path.join(p, "*.json")))
+        out = []
+        for f in sorted(_glob.glob(os.path.join(p, "*.json"))):
+            try:
+                with open(f) as fh:
+                    json.load(fh)
+            except (OSError, ValueError):
+                continue
+            out.append(f)
+        return out
 
     def initialOffset(self):
-        return {"index": 0}
+        return {"last": ""}
 
     def latestOffset(self):
-        return {"index": len(self._manifests())}
+        import os
+
+        names = [os.path.basename(f) for f in self._valid_manifests()]
+        return {"last": max(names) if names else ""}
 
     def partitions(self, start: dict, end: dict):
+        import os
+
         files: list[str] = []
-        for m in self._manifests()[start["index"]:end["index"]]:
-            files.extend(_resolve_files(m))
+        for f in self._valid_manifests():
+            name = os.path.basename(f)
+            if start["last"] < name <= end["last"]:
+                files.extend(_resolve_files(f))
         if not files:
             return []
         return [_FilePartition(u) for u in files]
 
     def read(self, partition):
-        reader = SingerBatchReader.__new__(SingerBatchReader)
-        reader.schema = self.schema
-        reader.path = self.path
-        reader.files = []
-        yield from SingerBatchReader.read(reader, partition)
+        if partition is None:
+            return
+        yield from _read_batch_file(partition.url, self.schema)
 
     def commit(self, end: dict):
         pass  # progress is the checkpoint's offset log; nothing to ack
@@ -254,46 +285,61 @@ class SingerBatchWriter(DataSourceWriter):
     """Transactional gzip-JSONL batch export through the DataSource write
     protocol: each task writes its own rotated ``.json.gz`` files and
     reports them in a commit message; ``commit()`` runs ONCE on the driver
-    with every task's message and only then writes ``manifest.json`` — so
-    the manifest lists exactly the files of a fully-successful job, and a
-    failed/retried task's orphans are never referenced (the atomicity gap
-    the sink's directory-listing path documents). ``abort()`` removes the
-    partial output.
+    with every task's message and only then publishes a manifest — written
+    to a temp name and RENAMED, so readers (including the streaming
+    manifest-log reader) never observe a partial manifest, and a
+    failed/retried task's orphans are never referenced. Each job commits
+    its OWN timestamp-prefixed ``manifest-<ns>-<uuid>.json``: append-mode
+    jobs accumulate a manifest log (exactly what the stream reader
+    consumes), and a manifest read returns exactly one job's output while
+    a directory read returns the union — both semantics are deliberate.
+    ``mode("overwrite")`` clears previous data files AND manifests up
+    front. Record serialization delegates to ``sink.jsonable_value`` —
+    one contract for every JSON-emitting path (naive timestamps pinned
+    to +00:00, structs as objects, binary as base64).
+
+    Local filesystems only: remote schemes raise up front instead of
+    silently writing to a local directory named ``s3a:/...``.
 
     Scale: same parallel-write shape as the sink (every task rotates at
     ``batch_size``); the only driver work is the file-list merge."""
 
     def __init__(self, schema, options, overwrite: bool):
+        import glob as _glob
+        import os
+
         self.schema = schema
         self.path = options.get("path")
         if not self.path:
             raise ValueError("singer_batch write: .save(root) is required")
+        if "://" in self.path and not self.path.startswith("file://"):
+            raise ValueError(
+                "singer_batch write supports local (file://) roots only; "
+                f"got {self.path!r} — export to a local staging dir or use "
+                "the Hadoop-FS sink (sink.write_batch_files) for object "
+                "stores"
+            )
         self.batch_size = int(options.get("batch_size", 100_000))
         self.prefix = options.get("prefix", "")
         self.stream_name = options.get("stream", "stream")
-        self.overwrite = overwrite
+        root = _local_path(self.path)
+        os.makedirs(root, exist_ok=True)
+        if overwrite:
+            # overwrite semantics: the previous export (data + manifest
+            # log) is gone the moment the new job starts
+            for f in _glob.glob(os.path.join(root, "*.json.gz")) + _glob.glob(
+                os.path.join(root, "manifest*.json")
+            ):
+                os.remove(f)
 
     def write(self, iterator):
-        import datetime as _dt
-        import decimal as _decimal
         import os
         import uuid as _uuid
 
+        from youcruit_tap_rawpostgresql_spark.sink import jsonable_value
+
         root = _local_path(self.path)
-        os.makedirs(root, exist_ok=True)
         names = self.schema.fieldNames()
-
-        def default(v):
-            if isinstance(v, (_dt.datetime, _dt.date)):
-                return v.isoformat()
-            if isinstance(v, _decimal.Decimal):
-                return float(v)
-            if isinstance(v, (bytes, bytearray)):
-                import base64
-
-                return base64.b64encode(bytes(v)).decode()
-            raise TypeError(f"singer_batch write: unserializable {type(v)}")
-
         urls: list[str] = []
         n_total = 0
         fh = None
@@ -312,9 +358,11 @@ class SingerBatchWriter(DataSourceWriter):
                     fh = gzip.open(fpath, "wt")
                     urls.append(f"file://{fpath}")
                     n_in_file = 0
-                fh.write(
-                    json.dumps(dict(zip(names, row)), default=default) + "\n"
-                )
+                rec = {
+                    k: jsonable_value(v)
+                    for k, v in row.asDict(recursive=True).items()
+                }
+                fh.write(json.dumps(rec) + "\n")
                 n_in_file += 1
                 n_total += 1
         finally:
@@ -323,6 +371,10 @@ class SingerBatchWriter(DataSourceWriter):
         return _WroteFiles(urls=urls, n_records=n_total)
 
     def commit(self, messages):
+        import os
+        import time as _time
+        import uuid as _uuid
+
         root = _local_path(self.path)
         files = []
         n = 0
@@ -337,10 +389,13 @@ class SingerBatchWriter(DataSourceWriter):
             "manifest": sorted(files),
             "record_count": n,
         }
-        import os
-
-        with open(os.path.join(root, "manifest.json"), "w") as fh:
+        # ascending, collision-free name (the stream reader's offset
+        # contract) + atomic publish via rename
+        name = f"manifest-{_time.time_ns():020d}-{_uuid.uuid4().hex[:8]}.json"
+        tmp = os.path.join(root, f".{name}.tmp")
+        with open(tmp, "w") as fh:
             json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(root, name))
 
     def abort(self, messages):
         import os
