@@ -481,3 +481,48 @@ def test_singer_batch_writer_modes_and_stream_inflight(spark, sf_dir, tmp_path):
     (man_dir / "sync-0002.json").write_text(open(good).read())  # completed
     counts.append(run())
     assert counts[1] == src.count()  # only the newly-completed manifest
+
+
+def test_versioned_table_time_travel_and_conflict(spark, sf_dir, tmp_path):
+    """Versioned parquet table: overwrite/append/upsert commits produce a
+    version history; every old version stays readable byte-identical
+    (time travel); a commit derived from a stale base raises
+    CommitConflict instead of clobbering."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from youcruit_tap_rawpostgresql_spark.sources import versioned
+    from youcruit_tap_rawpostgresql_spark.sources.registry import load_table
+
+    root = str(tmp_path / "vt")
+    nation = load_table(spark, sf_dir, "nation")
+    v0 = versioned.commit_snapshot(
+        nation.filter("n_regionkey < 2"), root, mode="overwrite", op="initial"
+    )
+    v1 = versioned.commit_snapshot(
+        nation.filter("n_regionkey >= 2"), root, mode="append", op="backfill"
+    )
+    assert (v0, v1) == (0, 1)
+    n0 = versioned.read_version(spark, root, 0).count()
+    assert versioned.read_version(spark, root, 1).count() == nation.count()
+    # upsert: rename one nation
+    upd = nation.filter("n_nationkey = 3").withColumn("n_name", F.lit("RENAMED"))
+    v2 = versioned.upsert_snapshot(spark, upd, root, "n_nationkey")
+    assert v2 == 2
+    cur = versioned.read_version(spark, root)
+    assert cur.count() == nation.count()
+    assert cur.filter("n_nationkey = 3").first()["n_name"] == "RENAMED"
+    # time travel: v1 still has the original name, v0 its original count
+    assert (
+        versioned.read_version(spark, root, 1)
+        .filter("n_nationkey = 3")
+        .first()["n_name"]
+        != "RENAMED"
+    )
+    assert versioned.read_version(spark, root, 0).count() == n0
+    # stale-base commit conflicts
+    with _pytest.raises(versioned.CommitConflict):
+        versioned.commit_snapshot(
+            nation, root, mode="overwrite", op="stale", expected_base=0
+        )

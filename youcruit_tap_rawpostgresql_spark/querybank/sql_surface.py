@@ -483,3 +483,36 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_regionkey").alias("k"), F.col("r_name").alias("name")
     )
     return a.unionByName(b, allowMissingColumns=True)
+
+
+@register(
+    "sql_execute_immediate",
+    oracle="""
+SELECT o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2024-06-01 00:00:00'
+GROUP BY o_orderpriority
+""",
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic SQL with parameter binding (Spark 4 EXECUTE IMMEDIATE …
+    USING) — the engine-native analogue of the tap's ``:rep_key_val``
+    textual binding (client.py:264-304): the statement is a runtime
+    STRING, the bookmark binds as a typed positional parameter, and no
+    value is ever spliced into SQL text (injection-safe by construction).
+
+    Scale: identical plan to the static form — parameters reach Catalyst
+    as literals, so the pushed-down predicate and partial aggregation are
+    unchanged."""
+    tables(spark, sf_dir)
+    stmt = (
+        "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total "
+        "FROM orders WHERE o_orderdate >= ? GROUP BY o_orderpriority"
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE :stmt USING (TIMESTAMP '2024-06-01 00:00:00')",
+        args={"stmt": stmt},
+    )

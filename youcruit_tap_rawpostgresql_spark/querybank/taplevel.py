@@ -571,3 +571,72 @@ def tap_batch_reingest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_total"),
     )
+
+
+@register(
+    "versioned_time_travel",
+    oracle="""
+SELECT 0 AS version, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 1, COUNT(*),
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+UNION ALL
+SELECT 2, COUNT(*),
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+           + CASE WHEN o_orderkey % 30 = 0
+                  THEN CAST(1000 AS DECIMAL(12,2))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+""",
+)
+def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned table end to end (sources/versioned.py — the
+    open-table-format core): commit an initial load, an append, and a
+    copy-on-write upsert (+1000 on every 30th order), then TIME-TRAVEL
+    READ all three versions and aggregate each. The oracle recomputes
+    every version's expected state straight from the source — a commit
+    that leaked rows across snapshots, an upsert that dropped or
+    duplicated keys, or a manifest listing the wrong files all
+    hash-mismatch.
+
+    Scale: commits are O(1) manifest renames regardless of data size;
+    snapshot reads list ONE manifest; the naive full-rewrite upsert is
+    the documented trade vs statistics-pruned file rewrites."""
+    from pyspark.sql import functions as F2
+
+    from youcruit_tap_rawpostgresql_spark.sources import versioned
+
+    o = tables(spark, sf_dir)["orders"]
+    root = _scratch_export_dir("spark_graft_versioned", sf_dir)
+    versioned.commit_snapshot(
+        o.filter(F2.col("o_orderkey") % 3 == 0), root, mode="overwrite", op="load"
+    )
+    versioned.commit_snapshot(
+        o.filter(F2.col("o_orderkey") % 3 == 1), root, mode="append", op="incr"
+    )
+    upd = o.filter(F2.col("o_orderkey") % 30 == 0).withColumn(
+        "o_totalprice",
+        (
+            F2.col("o_totalprice").cast("decimal(12,2)")
+            + F2.lit(1000).cast("decimal(12,2)")
+        ).cast("double"),
+    )
+    versioned.upsert_snapshot(spark, upd, root, "o_orderkey")
+    frames = []
+    for v in (0, 1, 2):
+        frames.append(
+            versioned.read_version(spark, root, v).agg(
+                F2.lit(v).alias("version"),
+                F2.count(F2.lit(1)).alias("n_rows"),
+                F2.sum(F2.col("o_totalprice").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
