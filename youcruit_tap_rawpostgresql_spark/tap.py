@@ -294,3 +294,59 @@ class SparkTap:
             self.write = inner_write
         self.state.flush()
         return results
+
+
+    def sync_stream_to_versioned(self, spec: StreamSpec, root: str) -> SyncResult:
+        """Sync one stream into a versioned snapshot table
+        (``sources/versioned.py``) — the warehouse-target mode: the first
+        sync commits a full snapshot; each later sync commits its
+        incremental slice as an UPSERT on the key properties (or an
+        append when the stream declares no keys), so the current version
+        always equals source state for the synced key range and every
+        prior sync stays time-travel readable. The bookmark advances only
+        AFTER the commit succeeds — a failed commit leaves state
+        untouched and the next sync re-extracts the same slice
+        (at-least-once extract, exactly-once visible state: the upsert is
+        idempotent on keys)."""
+        from youcruit_tap_rawpostgresql_spark.sources import versioned
+
+        df, premap, _ = self._prepare(spec)
+        from pyspark.sql import functions as F
+
+        new_bm_row = None
+        if spec.replication_key:
+            # bookmark from the pre-map frame, computed BEFORE the commit
+            # consumes the plan (the commit re-executes the extract; for
+            # JDBC sources wrap the premap in persist() — parquet/testdata
+            # re-reads are consistent by snapshot)
+            new_bm_row = premap.agg(F.max(spec.replication_key).alias("mx")).first()
+        if versioned.current_version(root) is None:
+            version = versioned.commit_snapshot(
+                df, root, mode="overwrite", op="initial-sync"
+            )
+        elif spec.key_properties:
+            if len(spec.key_properties) > 1:
+                raise NotImplementedError(
+                    "versioned upsert supports a single key property"
+                )
+            version = versioned.upsert_snapshot(
+                self.spark, df, root, spec.key_properties[0]
+            )
+        else:
+            version = versioned.commit_snapshot(
+                df, root, mode="append", op="incremental-append"
+            )
+        n = versioned.read_version(self.spark, root, version).count()
+        new_bm = None
+        if spec.replication_key and new_bm_row and new_bm_row["mx"] is not None:
+            with self._state_lock:
+                self.state.set_bookmark(
+                    spec.fully_qualified_name, spec.replication_key, new_bm_row["mx"]
+                )
+                new_bm = self.state.get_bookmark(spec.fully_qualified_name)
+        return SyncResult(
+            stream=spec.fully_qualified_name,
+            record_count=n,
+            new_bookmark=new_bm,
+            manifests=[],
+        )
