@@ -640,3 +640,32 @@ def test_tap_sync_to_versioned_target(spark, sf_dir, tmp_path):
     # final state equals the source (no dup keys from the upsert)
     cur = versioned.read_version(spark, root)
     assert cur.select("event_id").distinct().count() == total
+
+
+def test_cli_versioned_root_sync(spark, tmp_path, capsys):
+    """--versioned-root: the CLI syncs each stream into its own versioned
+    snapshot table (root/<stream>) and reports per-stream results."""
+    from youcruit_tap_rawpostgresql_spark.cli import main
+    from youcruit_tap_rawpostgresql_spark.sources import versioned
+
+    cfg = {
+        "database": "postgres",
+        "streams": [
+            {
+                "name": "probe",
+                "sql": "SELECT id AS one FROM range(7)",
+                "columns": [{"name": "one", "type": "int", "nullable": False}],
+                "key_properties": ["one"],
+            }
+        ],
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    vroot = str(tmp_path / "warehouse")
+    assert main(["--config", str(cfg_path), "--versioned-root", vroot]) == 0
+    assert versioned.current_version(f"{vroot}/probe") == 0
+    assert versioned.read_version(spark, f"{vroot}/probe").count() == 7
+    # second sync: keyed upsert, still 7 rows, one more version
+    assert main(["--config", str(cfg_path), "--versioned-root", vroot]) == 0
+    assert versioned.current_version(f"{vroot}/probe") == 1
+    assert versioned.read_version(spark, f"{vroot}/probe").count() == 7

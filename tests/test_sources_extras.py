@@ -526,3 +526,37 @@ def test_versioned_table_time_travel_and_conflict(spark, sf_dir, tmp_path):
         versioned.commit_snapshot(
             nation, root, mode="overwrite", op="stale", expected_base=0
         )
+
+
+def test_versioned_vacuum_reclaims_only_dead_files(spark, sf_dir, tmp_path):
+    """VACUUM deletes files exclusive to expired versions and their
+    manifests; the kept version still reads completely (shared files
+    survive), and expired versions are gone."""
+    import pytest as _pytest
+
+    from youcruit_tap_rawpostgresql_spark.sources import versioned
+    from youcruit_tap_rawpostgresql_spark.sources.registry import load_table
+
+    root = str(tmp_path / "vt")
+    nation = load_table(spark, sf_dir, "nation")
+    versioned.commit_snapshot(nation.filter("n_regionkey = 0"), root)
+    versioned.commit_snapshot(
+        nation.filter("n_regionkey = 1"), root, mode="append"
+    )
+    versioned.commit_snapshot(
+        nation.filter("n_regionkey >= 2"), root, mode="append"
+    )
+    n_v2 = versioned.read_version(spark, root, 2).count()
+    deleted = versioned.vacuum(root, keep_last=1)
+    # appends share files: v0/v1's files are all referenced by v2 → only
+    # manifests died, no data deleted
+    assert deleted == []
+    assert versioned.list_versions(root) == [2]
+    assert versioned.read_version(spark, root, 2).count() == n_v2
+    with _pytest.raises(FileNotFoundError):
+        versioned.read_version(spark, root, 0)
+    # an overwrite makes old files exclusive → vacuum reclaims them
+    versioned.commit_snapshot(nation, root, mode="overwrite", op="rebuild")
+    deleted = versioned.vacuum(root, keep_last=1)
+    assert deleted, "overwritten files should be reclaimed"
+    assert versioned.read_version(spark, root).count() == nation.count()

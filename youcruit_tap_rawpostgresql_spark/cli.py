@@ -40,6 +40,12 @@ def main(argv: list[str] | None = None) -> int:
         "each stream's plan and fetch one record; no messages emitted",
     )
     p.add_argument(
+        "--versioned-root",
+        default=None,
+        help="sync into a versioned snapshot table under this root "
+        "(one atomic commit per stream per sync; time-travel readable)",
+    )
+    p.add_argument(
         "--sf-dir",
         default=None,
         help="register testdata parquet tables from this dir as source views",
@@ -105,7 +111,18 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"== {spec.fully_qualified_name} ==")
                 df.explain(mode="formatted")
             return 0
-        results = tap.sync_all(batch_mode=args.batch, parallel=args.parallel)
+        if args.versioned_root:
+            import os as _os
+
+            results = [
+                tap.sync_stream_to_versioned(
+                    spec, _os.path.join(args.versioned_root, spec.name)
+                )
+                for spec in tap._effective_streams()
+            ]
+            tap.state.flush()
+        else:
+            results = tap.sync_all(batch_mode=args.batch, parallel=args.parallel)
     except BrokenPipeError:
         # downstream (Singer target or a pager on --explain) closed the
         # pipe — exit quietly like any well-behaved pipeline stage

@@ -157,3 +157,31 @@ def upsert_snapshot(
     return commit_snapshot(
         merged, root, mode="overwrite", op="upsert", expected_base=base
     )
+
+
+def vacuum(root: str, keep_last: int = 1) -> list[str]:
+    """Delete data files referenced ONLY by versions older than the last
+    ``keep_last`` — reclaiming time-travel storage is an explicit,
+    destructive decision (exactly like production formats' VACUUM /
+    expire_snapshots), never a side effect of writing. Old manifests are
+    removed with their exclusive files; returns the deleted file paths.
+
+    Scale: pure manifest set-arithmetic on the driver + file deletes —
+    no Spark job, no data read."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = list_versions(root)
+    if len(versions) <= keep_last:
+        return []
+    keep, drop = versions[-keep_last:], versions[:-keep_last]
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(root, v)["files"])
+    deleted: list[str] = []
+    for v in drop:
+        for f in _read_manifest(root, v)["files"]:
+            if f not in live and os.path.exists(f):
+                os.remove(f)
+                deleted.append(f)
+        os.remove(_manifest_path(root, v))
+    return deleted
