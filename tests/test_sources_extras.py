@@ -560,3 +560,58 @@ def test_versioned_vacuum_reclaims_only_dead_files(spark, sf_dir, tmp_path):
     deleted = versioned.vacuum(root, keep_last=1)
     assert deleted, "overwritten files should be reclaimed"
     assert versioned.read_version(spark, root).count() == nation.count()
+
+
+def test_versioned_stats_pruning_and_pruned_upsert(spark, sf_dir, tmp_path):
+    """File statistics in the manifest drive data skipping: a key-ranged
+    read opens only overlapping files, and the pruned upsert rewrites
+    only touched files while disjoint files (and their stats) carry over
+    — with full result parity against the naive path."""
+    from pyspark.sql import functions as F
+
+    from youcruit_tap_rawpostgresql_spark.sources import versioned
+    from youcruit_tap_rawpostgresql_spark.sources.registry import load_table
+
+    root = str(tmp_path / "vt")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    # range-partitioned layout → each file holds a narrow o_orderkey span
+    versioned.commit_snapshot(
+        orders.repartitionByRange(4, "o_orderkey"),
+        root,
+        stats_columns=["o_orderkey"],
+    )
+    man = versioned._read_manifest(root, 0)
+    assert len(man["files"]) == 4
+    assert all(man["stats"][f]["o_orderkey"] for f in man["files"])
+    # pruned read touches fewer files than the full set
+    max_key = orders.agg(F.max("o_orderkey")).first()[0]
+    hit, miss = versioned.prune_files(root, 0, "o_orderkey", 0, max_key // 8)
+    assert len(hit) < 4 and len(hit) >= 1 and len(hit) + len(miss) == 4
+    pruned = versioned.read_version_pruned(
+        spark, root, "o_orderkey", 0, max_key // 8
+    )
+    full = versioned.read_version(spark, root, 0).filter(
+        F.col("o_orderkey").between(0, max_key // 8)
+    )
+    assert pruned.count() == full.count()
+    # pruned upsert: touch only the low key range
+    upd = orders.filter(F.col("o_orderkey") <= max_key // 8).withColumn(
+        "o_orderstatus", F.lit("X")
+    )
+    v, n_new, n_carried = versioned.upsert_snapshot_pruned(
+        spark, upd, root, "o_orderkey"
+    )
+    assert v == 1
+    assert n_carried == len(miss), "disjoint files must carry over untouched"
+    cur = versioned.read_version(spark, root)
+    assert cur.count() == orders.count()
+    assert (
+        cur.filter("o_orderstatus = 'X'").count() == upd.count()
+    )
+    # carried stats still prune at the new version
+    hit2, miss2 = versioned.prune_files(
+        root, 1, "o_orderkey", max_key - 10, max_key
+    )
+    assert len(hit2) < len(versioned._read_manifest(root, 1)["files"])

@@ -78,6 +78,8 @@ def commit_snapshot(
     mode: str = "overwrite",
     op: str = "write",
     expected_base: int | None = ...,
+    stats_columns: list[str] | None = None,
+    carry_stats: dict | None = None,
 ) -> int:
     """Write ``df``'s rows as new immutable parquet files and publish the
     next version. ``mode='append'`` carries the previous snapshot's file
@@ -88,7 +90,13 @@ def commit_snapshot(
     ``expected_base`` (optional) asserts the snapshot this commit was
     DERIVED from: if another writer advanced the table meanwhile, raise
     CommitConflict instead of silently clobbering their rows (the
-    read-modify-write race of upserts)."""
+    read-modify-write race of upserts).
+
+    ``stats_columns`` records per-file min/max (from parquet footers —
+    driver-side, no data read) into the manifest: the data-skipping index
+    that lets reads and upserts touch only overlapping files.
+    ``carry_stats`` re-attaches known stats for files carried over from a
+    previous snapshot (the pruned-upsert path)."""
     rp = _root_path(root)
     os.makedirs(os.path.join(rp, "data"), exist_ok=True)
     base = current_version(root)
@@ -103,13 +111,27 @@ def commit_snapshot(
     new_files = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
 
     files: list[str] = []
+    stats: dict[str, dict] = {}
     if mode == "append" and base is not None:
-        files.extend(_read_manifest(root, base)["files"])
+        prev = _read_manifest(root, base)
+        files.extend(prev["files"])
+        stats.update(prev.get("stats", {}))
     elif mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
     files.extend(new_files)
+    if stats_columns:
+        for f in new_files:
+            stats[f] = _file_stats(f, stats_columns)
+    if carry_stats:
+        stats.update(carry_stats)
 
-    manifest = {"version": version, "op": op, "mode": mode, "files": files}
+    manifest = {
+        "version": version,
+        "op": op,
+        "mode": mode,
+        "files": files,
+        "stats": stats,
+    }
     tmp = os.path.join(rp, f".v{version:012d}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -185,3 +207,160 @@ def vacuum(root: str, keep_last: int = 1) -> list[str]:
                 deleted.append(f)
         os.remove(_manifest_path(root, v))
     return deleted
+
+
+def _json_stat(v):
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, _dec.Decimal):
+        return float(v)
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def _file_stats(path: str, columns: list[str]) -> dict:
+    """Per-file min/max for ``columns`` from the parquet footer (row-group
+    statistics merged) — no data pages are read."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    schema_names = pf.schema_arrow.names
+    out: dict[str, list] = {}
+    md = pf.metadata
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if name not in columns:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                out[name] = None  # unknown → never prune this file
+                continue
+            mn, mx = _json_stat(st.min), _json_stat(st.max)
+            if name not in out:
+                out[name] = [mn, mx]
+            elif out[name] is not None:
+                out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
+    return {c: out.get(c) for c in columns}
+
+
+def _overlaps(stat, lo, hi) -> bool:
+    if stat is None:
+        return True  # no stats → must assume overlap
+    mn, mx = stat
+    return not (mx < lo or mn > hi)
+
+
+def prune_files(root: str, version: int, column: str, lo, hi) -> tuple[list[str], list[str]]:
+    """Split version's files into (overlapping, disjoint) w.r.t.
+    ``column ∈ [lo, hi]`` using manifest stats — the data-skipping core."""
+    man = _read_manifest(root, version)
+    stats = man.get("stats", {})
+    hit, miss = [], []
+    for f in man["files"]:
+        st = stats.get(f, {}).get(column) if f in stats else None
+        (hit if _overlaps(st, lo, hi) else miss).append(f)
+    return hit, miss
+
+
+def read_version_pruned(
+    spark: SparkSession, root: str, column: str, lo, hi, version: int | None = None
+) -> DataFrame:
+    """Snapshot read that SKIPS files whose ``column`` stats are disjoint
+    from [lo, hi] (the exact predicate still applies to survivors). The
+    file-level analogue of parquet row-group skipping — at 100 TB, a
+    key-ranged read touches the overlapping fraction only."""
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    hit, _miss = prune_files(root, v, column, lo, hi)
+    from pyspark.sql import functions as F
+
+    if not hit:
+        schema = spark.read.parquet(*_read_manifest(root, v)["files"]).schema
+        return spark.createDataFrame([], schema=schema).filter(
+            F.col(column).between(lo, hi)
+        )
+    return spark.read.parquet(*hit).filter(F.col(column).between(lo, hi))
+
+
+def upsert_snapshot_pruned(
+    spark: SparkSession, updates: DataFrame, root: str, key: str
+) -> tuple[int, int, int]:
+    """Statistics-pruned copy-on-write upsert: only files whose ``key``
+    range overlaps the updates' key span are rewritten; disjoint files
+    carry over untouched (with their stats). Returns
+    (version, n_rewritten_files, n_carried_files).
+
+    Scale: THE production upsert shape — cost scales with the touched
+    key range, not table size. A point update against a key-sorted
+    100 TB table rewrites one file."""
+    from pyspark.sql import functions as F
+
+    base = current_version(root)
+    if base is None:
+        return (
+            commit_snapshot(
+                updates, root, mode="overwrite", op="upsert", stats_columns=[key]
+            ),
+            0,
+            0,
+        )
+    bounds = updates.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).first()
+    if bounds["lo"] is None:  # empty updates — nothing to do, new no-op version
+        man = _read_manifest(root, base)
+        return (
+            commit_snapshot(
+                spark.createDataFrame([], spark.read.parquet(*man["files"]).schema)
+                if man["files"]
+                else updates,
+                root,
+                mode="append",
+                op="upsert-noop",
+            ),
+            0,
+            len(man["files"]),
+        )
+    hit, miss = prune_files(root, base, key, _json_stat(bounds["lo"]), _json_stat(bounds["hi"]))
+    touched = (
+        spark.read.parquet(*hit) if hit else updates.limit(0)
+    )
+    kept = touched.join(updates.select(key).distinct(), key, "left_anti")
+    rewritten = kept.unionByName(updates)
+    base_stats = _read_manifest(root, base).get("stats", {})
+    carried = {f: base_stats[f] for f in miss if f in base_stats}
+    # commit the rewritten slice as new files + carry the disjoint files
+    rp = _root_path(root)
+    if current_version(root) != base:
+        raise CommitConflict("table advanced during pruned upsert")
+    staging = os.path.join(rp, "data", f"commit-{_uuid.uuid4().hex[:12]}")
+    rewritten.write.mode("errorifexists").parquet(staging)
+    new_files = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+    stats = dict(carried)
+    for f in new_files:
+        stats[f] = _file_stats(f, [key])
+    version = base + 1
+    manifest = {
+        "version": version,
+        "op": "upsert-pruned",
+        "mode": "overwrite",
+        "files": miss + new_files,
+        "stats": stats,
+    }
+    tmp = os.path.join(rp, f".v{version:012d}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    target = _manifest_path(root, version)
+    if os.path.exists(target):
+        os.remove(tmp)
+        raise CommitConflict(f"version {version} already committed")
+    os.replace(tmp, target)
+    return version, len(new_files), len(miss)

@@ -320,16 +320,21 @@ class SparkTap:
             # JDBC sources wrap the premap in persist() — parquet/testdata
             # re-reads are consistent by snapshot)
             new_bm_row = premap.agg(F.max(spec.replication_key).alias("mx")).first()
+        stats_cols = spec.key_properties[:1] or None
         if versioned.current_version(root) is None:
             version = versioned.commit_snapshot(
-                df, root, mode="overwrite", op="initial-sync"
+                df, root, mode="overwrite", op="initial-sync",
+                stats_columns=stats_cols,
             )
         elif spec.key_properties:
             if len(spec.key_properties) > 1:
                 raise NotImplementedError(
                     "versioned upsert supports a single key property"
                 )
-            version = versioned.upsert_snapshot(
+            # statistics-pruned: only files overlapping the slice's key
+            # span are rewritten — incremental sync cost follows the
+            # delta's key range, not table size
+            version, _, _ = versioned.upsert_snapshot_pruned(
                 self.spark, df, root, spec.key_properties[0]
             )
         else:
