@@ -315,3 +315,64 @@ def test_singer_batch_json_cast_roundtrip_property():
             assert _json_cast(t)(None) is None
 
     check()
+
+
+def test_versioned_table_model_property(spark, tmp_path):
+    """Model-based randomized check of the versioned table: a random
+    sequence of overwrite/append/upsert(naive|pruned) commits against a
+    plain dict model — after every commit the current snapshot equals the
+    model, and EVERY historical version still equals its recorded model
+    snapshot (time travel never drifts)."""
+    import random
+
+    from youcruit_tap_rawpostgresql_spark.sources import versioned
+
+    rng = random.Random(1234)
+    root = str(tmp_path / "vt")
+
+    def df_of(rows):
+        if not rows:
+            return spark.createDataFrame([], "k long, v string")
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(rows.items())], "k long, v string"
+        )
+
+    def snapshot_dict(version=None):
+        return {
+            r["k"]: r["v"]
+            for r in versioned.read_version(spark, root, version).collect()
+        }
+
+    model: dict[int, str] = {}
+    history: list[dict[int, str]] = []
+    for step in range(8):
+        op = rng.choice(["overwrite", "append", "upsert", "upsert_pruned"])
+        batch = {
+            rng.randrange(40): f"s{step}-{i}" for i in range(rng.randrange(1, 12))
+        }
+        if not history:
+            op = "overwrite"
+        if op == "overwrite":
+            versioned.commit_snapshot(
+                df_of(batch), root, mode="overwrite", stats_columns=["k"]
+            )
+            model = dict(batch)
+        elif op == "append":
+            # append semantics = bag union; keep keys disjoint so the
+            # model stays a dict (duplicate keys are upsert territory)
+            batch = {k: v for k, v in batch.items() if k not in model}
+            versioned.commit_snapshot(
+                df_of(batch), root, mode="append", stats_columns=["k"]
+            )
+            model.update(batch)
+        elif op == "upsert":
+            versioned.upsert_snapshot(spark, df_of(batch), root, "k")
+            model.update(batch)
+        else:
+            versioned.upsert_snapshot_pruned(spark, df_of(batch), root, "k")
+            model.update(batch)
+        history.append(dict(model))
+        assert snapshot_dict() == model, f"step {step} ({op})"
+    # full time travel audit
+    for v, expected in enumerate(history):
+        assert snapshot_dict(v) == expected, f"version {v} drifted"

@@ -615,3 +615,24 @@ def test_versioned_stats_pruning_and_pruned_upsert(spark, sf_dir, tmp_path):
         root, 1, "o_orderkey", max_key - 10, max_key
     )
     assert len(hit2) < len(versioned._read_manifest(root, 1)["files"])
+
+
+def test_versioned_schema_evolution_added_column(spark, tmp_path):
+    """Schema evolution across snapshots: a later commit adds a column;
+    reading the current version merges schemas (old files null-fill), and
+    time travel to the pre-evolution version shows the original schema."""
+    from youcruit_tap_rawpostgresql_spark.sources import versioned
+
+    root = str(tmp_path / "vt")
+    v0_df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    versioned.commit_snapshot(v0_df, root)
+    v1_df = spark.createDataFrame(
+        [(3, "c", 1.5)], "k long, v string, score double"
+    )
+    versioned.commit_snapshot(v1_df, root, mode="append")
+    cur = versioned.read_version_merged(spark, root)
+    assert set(cur.columns) == {"k", "v", "score"}
+    rows = {r["k"]: r for r in cur.collect()}
+    assert rows[1]["score"] is None and rows[3]["score"] == 1.5
+    old = versioned.read_version(spark, root, 0)
+    assert set(old.columns) == {"k", "v"}

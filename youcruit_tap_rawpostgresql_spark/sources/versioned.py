@@ -364,3 +364,17 @@ def upsert_snapshot_pruned(
         raise CommitConflict(f"version {version} already committed")
     os.replace(tmp, target)
     return version, len(new_files), len(miss)
+
+
+def read_version_merged(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read with schema merging across the version's files —
+    the schema-evolution read path: files written before a column existed
+    null-fill it (parquet mergeSchema), so appended snapshots can widen
+    the schema without rewriting history."""
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    files = _read_manifest(root, v)["files"]
+    return spark.read.option("mergeSchema", "true").parquet(*files)
