@@ -633,7 +633,9 @@ def test_tap_sync_to_versioned_target(spark, sf_dir, tmp_path):
     r2 = tap.sync_stream_to_versioned(spec, root)
     assert versioned.current_version(root) == 1
     total = spark.table("events").count()
-    assert r2.record_count == total
+    # record_count is the slice synced THIS run (sync_stream semantics),
+    # never a full-table count
+    assert r1.record_count + r2.record_count == total
     # time travel: version 0 is the first slice only
     assert versioned.read_version(spark, root, 0).count() == r1.record_count
     assert r1.record_count < total

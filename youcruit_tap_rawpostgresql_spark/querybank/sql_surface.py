@@ -492,7 +492,7 @@ SELECT o_orderpriority,
   COUNT(*) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
 FROM orders
-WHERE o_orderdate >= TIMESTAMP '2024-06-01 00:00:00'
+WHERE o_orderdate >= TIMESTAMP '1999-06-01 00:00:00'
 GROUP BY o_orderpriority
 """,
 )
@@ -513,6 +513,6 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM orders WHERE o_orderdate >= ? GROUP BY o_orderpriority"
     )
     return spark.sql(
-        "EXECUTE IMMEDIATE :stmt USING (TIMESTAMP '2024-06-01 00:00:00')",
+        "EXECUTE IMMEDIATE :stmt USING (TIMESTAMP '1999-06-01 00:00:00')",
         args={"stmt": stmt},
     )

@@ -6,19 +6,24 @@ Model:
 - data files are IMMUTABLE parquet parts under ``root/data/``, uniquely
   named per commit (a commit never rewrites another commit's files);
 - a snapshot is a version manifest ``v{N:012d}.json`` listing exactly the
-  data files visible at version N (plus op metadata);
-- commit = write data files, then publish the manifest atomically
-  (temp name + rename). Readers list manifests only — a half-finished
-  commit is invisible, so every read is a consistent snapshot;
-- optimistic concurrency: the manifest publish fails if version N already
-  exists (two writers raced; the loser retries on the new current).
+  data files visible at version N, their per-file column statistics (the
+  data-skipping index) and the snapshot schema;
+- commit = write data files, then publish the manifest ATOMICALLY via
+  ``os.link`` (hard-link fails with EEXIST if the version exists — the
+  true test-and-set; a check-then-rename would let two racers both
+  "succeed" with one snapshot silently lost). Readers list manifests
+  only, so a half-finished commit is invisible and every read is a
+  consistent snapshot;
+- optimistic concurrency: the loser of a publish race gets
+  ``CommitConflict`` and retries on the new current version.
 
 Scale: exactly the architecture that makes 100 TB tables transactional —
-O(1) commit (one small JSON rename) regardless of data size, snapshot
-isolation without locks, time travel for free (old manifests + immutable
-files), and upserts as copy-on-write of only the touched files. The
-difference from production formats is degree (file-level statistics,
-manifest compaction, vacuum), not kind.
+O(1) commit (one small manifest publish) regardless of data size,
+snapshot isolation without locks, time travel from immutable files,
+data skipping from footer statistics (no data read at commit), and
+upserts that rewrite only statistics-overlapping files. The difference
+from production formats is degree (manifest compaction, column-level
+dictionaries, retention policies), not kind.
 
 Why not reuse an open format directly: no Delta/Iceberg jars ship in this
 environment; the module exists to express the engine's sync pipeline
@@ -47,7 +52,7 @@ def _manifest_path(root: str, version: int) -> str:
 
 def list_versions(root: str) -> list[int]:
     """Committed versions, ascending. Unparsable (in-flight) manifests are
-    impossible by construction (atomic rename), so no filtering needed."""
+    impossible by construction (atomic publish), so no filtering needed."""
     out = []
     for f in glob.glob(os.path.join(_root_path(root), _MANIFEST_GLOB)):
         name = os.path.basename(f)
@@ -72,143 +77,6 @@ class CommitConflict(RuntimeError):
     """Another writer committed this version first — re-read and retry."""
 
 
-def commit_snapshot(
-    df: DataFrame,
-    root: str,
-    mode: str = "overwrite",
-    op: str = "write",
-    expected_base: int | None = ...,
-    stats_columns: list[str] | None = None,
-    carry_stats: dict | None = None,
-) -> int:
-    """Write ``df``'s rows as new immutable parquet files and publish the
-    next version. ``mode='append'`` carries the previous snapshot's file
-    list forward; ``mode='overwrite'`` starts the list fresh (old files
-    stay on disk for time travel — vacuuming is a separate, explicit
-    decision, exactly like production formats).
-
-    ``expected_base`` (optional) asserts the snapshot this commit was
-    DERIVED from: if another writer advanced the table meanwhile, raise
-    CommitConflict instead of silently clobbering their rows (the
-    read-modify-write race of upserts).
-
-    ``stats_columns`` records per-file min/max (from parquet footers —
-    driver-side, no data read) into the manifest: the data-skipping index
-    that lets reads and upserts touch only overlapping files.
-    ``carry_stats`` re-attaches known stats for files carried over from a
-    previous snapshot (the pruned-upsert path)."""
-    rp = _root_path(root)
-    os.makedirs(os.path.join(rp, "data"), exist_ok=True)
-    base = current_version(root)
-    if expected_base is not ... and base != expected_base:
-        raise CommitConflict(
-            f"expected base version {expected_base}, found {base}"
-        )
-    version = 0 if base is None else base + 1
-
-    staging = os.path.join(rp, "data", f"commit-{_uuid.uuid4().hex[:12]}")
-    df.write.mode("errorifexists").parquet(staging)
-    new_files = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
-
-    files: list[str] = []
-    stats: dict[str, dict] = {}
-    if mode == "append" and base is not None:
-        prev = _read_manifest(root, base)
-        files.extend(prev["files"])
-        stats.update(prev.get("stats", {}))
-    elif mode not in ("overwrite", "append"):
-        raise ValueError(f"unknown mode {mode!r}")
-    files.extend(new_files)
-    if stats_columns:
-        for f in new_files:
-            stats[f] = _file_stats(f, stats_columns)
-    if carry_stats:
-        stats.update(carry_stats)
-
-    manifest = {
-        "version": version,
-        "op": op,
-        "mode": mode,
-        "files": files,
-        "stats": stats,
-    }
-    tmp = os.path.join(rp, f".v{version:012d}.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    target = _manifest_path(root, version)
-    if os.path.exists(target):  # lost the race after our base read
-        os.remove(tmp)
-        raise CommitConflict(f"version {version} already committed")
-    os.replace(tmp, target)
-    return version
-
-
-def read_version(
-    spark: SparkSession, root: str, version: int | None = None
-) -> DataFrame:
-    """Snapshot read: the file list of ``version`` (default: current).
-    Files are immutable, so this DataFrame stays valid and consistent no
-    matter what later commits do."""
-    v = current_version(root) if version is None else version
-    if v is None:
-        raise FileNotFoundError(f"no committed version under {root}")
-    files = _read_manifest(root, v)["files"]
-    if not files:
-        return spark.createDataFrame([], schema="__empty string")
-    return spark.read.parquet(*files)
-
-
-def upsert_snapshot(
-    spark: SparkSession, updates: DataFrame, root: str, key: str
-) -> int:
-    """Copy-on-write upsert: rows in the current snapshot whose ``key``
-    collides with ``updates`` are replaced, everything else carried over —
-    committed as one new overwrite snapshot derived from the base read
-    (CommitConflict if someone else committed meanwhile).
-
-    Scale: this naive form rewrites the whole table; production formats
-    rewrite only files whose key-range statistics overlap the updates —
-    the same pruning the IVF/z-order layout tests prove, applied to the
-    upsert's touched-file set."""
-    base = current_version(root)
-    if base is None:
-        return commit_snapshot(updates, root, mode="overwrite", op="upsert")
-    current = read_version(spark, root, base)
-    kept = current.join(updates.select(key).distinct(), key, "left_anti")
-    merged = kept.unionByName(updates)
-    return commit_snapshot(
-        merged, root, mode="overwrite", op="upsert", expected_base=base
-    )
-
-
-def vacuum(root: str, keep_last: int = 1) -> list[str]:
-    """Delete data files referenced ONLY by versions older than the last
-    ``keep_last`` — reclaiming time-travel storage is an explicit,
-    destructive decision (exactly like production formats' VACUUM /
-    expire_snapshots), never a side effect of writing. Old manifests are
-    removed with their exclusive files; returns the deleted file paths.
-
-    Scale: pure manifest set-arithmetic on the driver + file deletes —
-    no Spark job, no data read."""
-    if keep_last < 1:
-        raise ValueError("keep_last must be >= 1")
-    versions = list_versions(root)
-    if len(versions) <= keep_last:
-        return []
-    keep, drop = versions[-keep_last:], versions[:-keep_last]
-    live: set[str] = set()
-    for v in keep:
-        live.update(_read_manifest(root, v)["files"])
-    deleted: list[str] = []
-    for v in drop:
-        for f in _read_manifest(root, v)["files"]:
-            if f not in live and os.path.exists(f):
-                os.remove(f)
-                deleted.append(f)
-        os.remove(_manifest_path(root, v))
-    return deleted
-
-
 def _json_stat(v):
     import datetime as _dt
     import decimal as _dec
@@ -228,7 +96,6 @@ def _file_stats(path: str, columns: list[str]) -> dict:
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(path)
-    schema_names = pf.schema_arrow.names
     out: dict[str, list] = {}
     md = pf.metadata
     for rg in range(md.num_row_groups):
@@ -250,6 +117,135 @@ def _file_stats(path: str, columns: list[str]) -> dict:
     return {c: out.get(c) for c in columns}
 
 
+def _write_staging(df: DataFrame, rp: str) -> list[str]:
+    staging = os.path.join(rp, "data", f"commit-{_uuid.uuid4().hex[:12]}")
+    df.write.mode("errorifexists").parquet(staging)
+    return sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+
+
+def _publish(rp: str, root: str, version: int, manifest: dict) -> None:
+    """Atomic test-and-set publish: hard-link the temp manifest to its
+    version name — EEXIST (not a racy exists-check) decides the winner."""
+    tmp = os.path.join(rp, f".v{version:012d}.{_uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    target = _manifest_path(root, version)
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise CommitConflict(f"version {version} already committed") from None
+    finally:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+
+
+def commit_snapshot(
+    df: DataFrame,
+    root: str,
+    mode: str = "overwrite",
+    op: str = "write",
+    expected_base: int | None = ...,
+    stats_columns: list[str] | None = None,
+    carry_files: list[str] | None = None,
+    carry_stats: dict | None = None,
+) -> int:
+    """Write ``df``'s rows as new immutable parquet files and publish the
+    next version. ``mode='append'`` carries the previous snapshot's file
+    list forward; ``mode='overwrite'`` starts the list fresh (old files
+    stay on disk for time travel — vacuuming is a separate, explicit
+    decision, exactly like production formats).
+
+    ``expected_base`` (optional) asserts the snapshot this commit was
+    DERIVED from: if another writer advanced the table meanwhile, raise
+    CommitConflict instead of silently clobbering their rows (the
+    read-modify-write race of upserts).
+
+    ``stats_columns`` records per-file min/max (from parquet footers —
+    driver-side, no data read) into the manifest: the data-skipping index
+    that lets reads and upserts touch only overlapping files.
+    ``carry_files``/``carry_stats`` prepend files surviving from a
+    previous snapshot with their known stats (the pruned-upsert path)."""
+    rp = _root_path(root)
+    os.makedirs(os.path.join(rp, "data"), exist_ok=True)
+    base = current_version(root)
+    if expected_base is not ... and base != expected_base:
+        raise CommitConflict(
+            f"expected base version {expected_base}, found {base}"
+        )
+    version = 0 if base is None else base + 1
+
+    new_files = _write_staging(df, rp)
+
+    files: list[str] = []
+    stats: dict[str, dict] = {}
+    if mode == "append" and base is not None:
+        prev = _read_manifest(root, base)
+        files.extend(prev["files"])
+        stats.update(prev.get("stats", {}))
+    elif mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if carry_files:
+        files.extend(carry_files)
+    if carry_stats:
+        stats.update(carry_stats)
+    files.extend(new_files)
+    if stats_columns:
+        for f in new_files:
+            stats[f] = _file_stats(f, stats_columns)
+
+    manifest = {
+        "version": version,
+        "op": op,
+        "mode": mode,
+        "files": files,
+        "stats": stats,
+        "schema": df.schema.json(),
+    }
+    _publish(rp, root, version, manifest)
+    return version
+
+
+def _empty_frame(spark: SparkSession, man: dict) -> DataFrame:
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    return spark.createDataFrame([], schema=schema)
+
+
+def read_version(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: the file list of ``version`` (default: current).
+    Files are immutable, so this DataFrame stays valid and consistent no
+    matter what later commits do. A zero-file snapshot reads as an empty
+    frame with the manifest's recorded schema."""
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    man = _read_manifest(root, v)
+    if not man["files"]:
+        return _empty_frame(spark, man)
+    return spark.read.parquet(*man["files"])
+
+
+def read_version_merged(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read with schema merging across the version's files —
+    the schema-evolution read path: files written before a column existed
+    null-fill it (parquet mergeSchema), so appended snapshots can widen
+    the schema without rewriting history."""
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    man = _read_manifest(root, v)
+    if not man["files"]:
+        return _empty_frame(spark, man)
+    return spark.read.option("mergeSchema", "true").parquet(*man["files"])
+
+
 def _overlaps(stat, lo, hi) -> bool:
     if stat is None:
         return True  # no stats → must assume overlap
@@ -257,9 +253,14 @@ def _overlaps(stat, lo, hi) -> bool:
     return not (mx < lo or mn > hi)
 
 
-def prune_files(root: str, version: int, column: str, lo, hi) -> tuple[list[str], list[str]]:
+def prune_files(
+    root: str, version: int, column: str, lo, hi
+) -> tuple[list[str], list[str]]:
     """Split version's files into (overlapping, disjoint) w.r.t.
-    ``column ∈ [lo, hi]`` using manifest stats — the data-skipping core."""
+    ``column ∈ [lo, hi]`` using manifest stats — the data-skipping core.
+    Bounds are JSON-normalized like the stored stats (timestamps compare
+    as ISO strings)."""
+    lo, hi = _json_stat(lo), _json_stat(hi)
     man = _read_manifest(root, version)
     stats = man.get("stats", {})
     hit, miss = [], []
@@ -276,18 +277,67 @@ def read_version_pruned(
     from [lo, hi] (the exact predicate still applies to survivors). The
     file-level analogue of parquet row-group skipping — at 100 TB, a
     key-ranged read touches the overlapping fraction only."""
+    from pyspark.sql import functions as F
+
     v = current_version(root) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version under {root}")
     hit, _miss = prune_files(root, v, column, lo, hi)
-    from pyspark.sql import functions as F
-
     if not hit:
-        schema = spark.read.parquet(*_read_manifest(root, v)["files"]).schema
-        return spark.createDataFrame([], schema=schema).filter(
+        return _empty_frame(spark, _read_manifest(root, v)).filter(
             F.col(column).between(lo, hi)
         )
     return spark.read.parquet(*hit).filter(F.col(column).between(lo, hi))
+
+
+def _check_unique_keys(updates: DataFrame, key: str) -> None:
+    from pyspark.sql import functions as F
+
+    dup = (
+        updates.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"upsert updates carry {dup[0]['n']} rows for key "
+            f"{key}={dup[0][key]!r} — MERGE semantics require one row per "
+            "key (dedup the extract, e.g. DISTINCT ON latest, first)"
+        )
+
+
+def upsert_snapshot(
+    spark: SparkSession, updates: DataFrame, root: str, key: str
+) -> int:
+    """Copy-on-write upsert: rows in the current snapshot whose ``key``
+    collides with ``updates`` are replaced, everything else carried over —
+    committed as one new overwrite snapshot derived from the base read
+    (CommitConflict if someone else committed meanwhile). Updates with
+    more than one row per key are REJECTED (silent duplicate keys would
+    corrupt the 'current version equals source state' invariant).
+
+    Scale: this naive form rewrites the whole table; use
+    ``upsert_snapshot_pruned`` to rewrite only statistics-overlapping
+    files."""
+    base = current_version(root)
+    _check_unique_keys(updates, key)
+    if base is None:
+        return commit_snapshot(
+            updates, root, mode="overwrite", op="upsert", stats_columns=[key]
+        )
+    current = read_version(spark, root, base)
+    kept = current.join(updates.select(key).distinct(), key, "left_anti")
+    merged = kept.unionByName(updates)
+    return commit_snapshot(
+        merged,
+        root,
+        mode="overwrite",
+        op="upsert",
+        expected_base=base,
+        stats_columns=[key],
+    )
 
 
 def upsert_snapshot_pruned(
@@ -304,6 +354,7 @@ def upsert_snapshot_pruned(
     from pyspark.sql import functions as F
 
     base = current_version(root)
+    _check_unique_keys(updates, key)
     if base is None:
         return (
             commit_snapshot(
@@ -312,69 +363,98 @@ def upsert_snapshot_pruned(
             0,
             0,
         )
-    bounds = updates.agg(
-        F.min(key).alias("lo"), F.max(key).alias("hi")
-    ).first()
-    if bounds["lo"] is None:  # empty updates — nothing to do, new no-op version
-        man = _read_manifest(root, base)
+    bounds = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+    man = _read_manifest(root, base)
+    if bounds["lo"] is None:  # empty updates — a no-op version
         return (
             commit_snapshot(
-                spark.createDataFrame([], spark.read.parquet(*man["files"]).schema)
-                if man["files"]
-                else updates,
+                _empty_frame(spark, man),
                 root,
                 mode="append",
                 op="upsert-noop",
+                expected_base=base,
             ),
             0,
             len(man["files"]),
         )
-    hit, miss = prune_files(root, base, key, _json_stat(bounds["lo"]), _json_stat(bounds["hi"]))
-    touched = (
-        spark.read.parquet(*hit) if hit else updates.limit(0)
-    )
+    hit, miss = prune_files(root, base, key, bounds["lo"], bounds["hi"])
+    touched = spark.read.parquet(*hit) if hit else _empty_frame(spark, man)
     kept = touched.join(updates.select(key).distinct(), key, "left_anti")
     rewritten = kept.unionByName(updates)
-    base_stats = _read_manifest(root, base).get("stats", {})
+    base_stats = man.get("stats", {})
     carried = {f: base_stats[f] for f in miss if f in base_stats}
-    # commit the rewritten slice as new files + carry the disjoint files
+    version = commit_snapshot(
+        rewritten,
+        root,
+        mode="overwrite",
+        op="upsert-pruned",
+        expected_base=base,
+        stats_columns=[key],
+        carry_files=miss,
+        carry_stats=carried,
+    )
+    n_new = len(_read_manifest(root, version)["files"]) - len(miss)
+    return version, n_new, len(miss)
+
+
+def vacuum(
+    root: str,
+    keep_last: int = 1,
+    clean_orphans: bool = False,
+    orphan_grace_s: float = 3600.0,
+) -> list[str]:
+    """Delete data files referenced ONLY by versions older than the last
+    ``keep_last`` — reclaiming time-travel storage is an explicit,
+    destructive decision (exactly like production formats' VACUUM /
+    expire_snapshots), never a side effect of writing. Old manifests are
+    removed with their exclusive files; returns the deleted file paths.
+
+    ``clean_orphans=True`` additionally removes data files referenced by
+    NO remaining manifest (staging left by failed/conflict-aborted
+    commits) — guarded by ``orphan_grace_s`` of mtime age so an
+    in-flight commit's staging is never swept mid-write (the retention
+    window production formats use for the same race). Emptied commit
+    directories are pruned.
+
+    Scale: pure manifest set-arithmetic on the driver + file deletes —
+    no Spark job, no data read."""
+    import time as _time
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
     rp = _root_path(root)
-    if current_version(root) != base:
-        raise CommitConflict("table advanced during pruned upsert")
-    staging = os.path.join(rp, "data", f"commit-{_uuid.uuid4().hex[:12]}")
-    rewritten.write.mode("errorifexists").parquet(staging)
-    new_files = sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
-    stats = dict(carried)
-    for f in new_files:
-        stats[f] = _file_stats(f, [key])
-    version = base + 1
-    manifest = {
-        "version": version,
-        "op": "upsert-pruned",
-        "mode": "overwrite",
-        "files": miss + new_files,
-        "stats": stats,
-    }
-    tmp = os.path.join(rp, f".v{version:012d}.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    target = _manifest_path(root, version)
-    if os.path.exists(target):
-        os.remove(tmp)
-        raise CommitConflict(f"version {version} already committed")
-    os.replace(tmp, target)
-    return version, len(new_files), len(miss)
-
-
-def read_version_merged(
-    spark: SparkSession, root: str, version: int | None = None
-) -> DataFrame:
-    """Snapshot read with schema merging across the version's files —
-    the schema-evolution read path: files written before a column existed
-    null-fill it (parquet mergeSchema), so appended snapshots can widen
-    the schema without rewriting history."""
-    v = current_version(root) if version is None else version
-    if v is None:
-        raise FileNotFoundError(f"no committed version under {root}")
-    files = _read_manifest(root, v)["files"]
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+    versions = list_versions(root)
+    keep = versions[-keep_last:]
+    drop = versions[:-keep_last]
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(root, v)["files"])
+    deleted: list[str] = []
+    for v in drop:
+        for f in _read_manifest(root, v)["files"]:
+            if f not in live and os.path.exists(f):
+                os.remove(f)
+                deleted.append(f)
+        os.remove(_manifest_path(root, v))
+    if clean_orphans:
+        now = _time.time()
+        for f in glob.glob(os.path.join(rp, "data", "commit-*", "*")):
+            base = os.path.basename(f)
+            is_data = base.startswith("part-") and base.endswith(".parquet")
+            if is_data and f in live:
+                continue
+            try:
+                if now - os.path.getmtime(f) >= orphan_grace_s:
+                    os.remove(f)
+                    if is_data:
+                        deleted.append(f)
+            except OSError:
+                continue
+    # prune emptied commit dirs either way
+    for d in glob.glob(os.path.join(rp, "data", "commit-*")):
+        try:
+            if not os.listdir(d):
+                os.rmdir(d)
+        except OSError:
+            continue
+    return deleted

@@ -300,48 +300,62 @@ class SparkTap:
         """Sync one stream into a versioned snapshot table
         (``sources/versioned.py``) — the warehouse-target mode: the first
         sync commits a full snapshot; each later sync commits its
-        incremental slice as an UPSERT on the key properties (or an
-        append when the stream declares no keys), so the current version
-        always equals source state for the synced key range and every
-        prior sync stays time-travel readable. The bookmark advances only
-        AFTER the commit succeeds — a failed commit leaves state
-        untouched and the next sync re-extracts the same slice
-        (at-least-once extract, exactly-once visible state: the upsert is
-        idempotent on keys)."""
+        incremental slice as a statistics-PRUNED upsert on the key
+        property (or an append when the stream declares no keys), so the
+        current version always equals source state for the synced key
+        range and every prior sync stays time-travel readable. The
+        extract is persisted for the duration: the bookmark aggregate,
+        the commit, and the record count all read ONE materialized
+        snapshot — a live (JDBC) source re-executing between them could
+        otherwise advance the bookmark past rows never committed
+        (permanent data loss), the same hazard sync_stream persists
+        against. The bookmark is written only AFTER the commit succeeds —
+        a failed commit leaves state untouched and the next sync
+        re-extracts the same slice (at-least-once extract, exactly-once
+        visible state: the keyed upsert is idempotent).
+
+        ``record_count`` is the number of records synced THIS run (the
+        slice), matching sync_stream's semantics — never a full-table
+        count."""
+        if len(spec.key_properties) > 1:
+            # fail BEFORE any commit or bookmark advance: a multi-key
+            # stream would otherwise succeed once and dead-end forever
+            raise NotImplementedError(
+                "versioned upsert supports a single key property"
+            )
+        from pyspark.sql import functions as F
+        from pyspark.storagelevel import StorageLevel
+
         from youcruit_tap_rawpostgresql_spark.sources import versioned
 
         df, premap, _ = self._prepare(spec)
-        from pyspark.sql import functions as F
-
-        new_bm_row = None
-        if spec.replication_key:
-            # bookmark from the pre-map frame, computed BEFORE the commit
-            # consumes the plan (the commit re-executes the extract; for
-            # JDBC sources wrap the premap in persist() — parquet/testdata
-            # re-reads are consistent by snapshot)
-            new_bm_row = premap.agg(F.max(spec.replication_key).alias("mx")).first()
-        stats_cols = spec.key_properties[:1] or None
-        if versioned.current_version(root) is None:
-            version = versioned.commit_snapshot(
-                df, root, mode="overwrite", op="initial-sync",
-                stats_columns=stats_cols,
-            )
-        elif spec.key_properties:
-            if len(spec.key_properties) > 1:
-                raise NotImplementedError(
-                    "versioned upsert supports a single key property"
+        persisted = premap.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n = persisted.count()  # materializes the snapshot all paths read
+            new_bm_row = None
+            if spec.replication_key:
+                new_bm_row = persisted.agg(
+                    F.max(spec.replication_key).alias("mx")
+                ).first()
+            stats_cols = spec.key_properties[:1] or None
+            if versioned.current_version(root) is None:
+                versioned.commit_snapshot(
+                    df, root, mode="overwrite", op="initial-sync",
+                    stats_columns=stats_cols,
                 )
-            # statistics-pruned: only files overlapping the slice's key
-            # span are rewritten — incremental sync cost follows the
-            # delta's key range, not table size
-            version, _, _ = versioned.upsert_snapshot_pruned(
-                self.spark, df, root, spec.key_properties[0]
-            )
-        else:
-            version = versioned.commit_snapshot(
-                df, root, mode="append", op="incremental-append"
-            )
-        n = versioned.read_version(self.spark, root, version).count()
+            elif spec.key_properties:
+                # statistics-pruned: only files overlapping the slice's
+                # key span are rewritten — incremental sync cost follows
+                # the delta's key range, not table size
+                versioned.upsert_snapshot_pruned(
+                    self.spark, df, root, spec.key_properties[0]
+                )
+            else:
+                versioned.commit_snapshot(
+                    df, root, mode="append", op="incremental-append"
+                )
+        finally:
+            persisted.unpersist()
         new_bm = None
         if spec.replication_key and new_bm_row and new_bm_row["mx"] is not None:
             with self._state_lock:
