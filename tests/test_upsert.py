@@ -70,3 +70,73 @@ def test_upsert_prunes_untouched_buckets(spark, tmp_path):
     # and the merge result is still correct
     rows = {r["k"]: r["payload"] for r in read_upsert_table(spark, target).collect()}
     assert rows[7] == "y" and rows[6] == "x" and len(rows) == 40
+
+
+def test_streaming_versioned_sink_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming → versioned table: one snapshot per micro-batch with the
+    batch_id in the manifest; re-applying an already-committed batch id
+    (foreachBatch redelivery after restart) is a no-op, and the final
+    state equals the full input exactly once."""
+    import json as _json
+
+    from youcruit_tap_rawpostgresql_spark.sink import write_batch_files
+    from youcruit_tap_rawpostgresql_spark.sources import singer_batch, versioned
+    from youcruit_tap_rawpostgresql_spark.sources.registry import load_table
+    from youcruit_tap_rawpostgresql_spark.spec import (
+        BatchSinkConfig,
+        ColumnSpec,
+        StreamSpec,
+    )
+    from youcruit_tap_rawpostgresql_spark.streaming.upsert_sink import (
+        run_streaming_versioned_sink,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    spec = StreamSpec(
+        name="ev",
+        sql="SELECT 1",
+        columns=[ColumnSpec("event_id", "int8"), ColumnSpec("event_type", "text")],
+    )
+    man_dir = tmp_path / "mans"
+    man_dir.mkdir()
+
+    def export(i, mod):
+        sl = ev.filter((ev["event_id"] % 2) == mod)
+        b = BatchSinkConfig(root=f"file://{tmp_path}/files_{i}", batch_size=10**6)
+        m = write_batch_files(sl, spec, b)[0]
+        with open(man_dir / f"sync-{i:04d}.json", "w") as fh:
+            _json.dump(m.to_message("ev"), fh)
+        return sl.count()
+
+    n0 = export(0, 0)
+    singer_batch.register(spark)
+    root = str(tmp_path / "vt")
+    ckpt = str(tmp_path / "ck")
+
+    def run():
+        q = run_streaming_versioned_sink(
+            spark.readStream.format("singer_batch")
+            .schema("event_id long, event_type string")
+            .load(str(man_dir)),
+            root,
+            ckpt,
+            key="event_id",
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert versioned.read_version(spark, root).count() == n0
+    v_after_first = versioned.current_version(root)
+    # second slice arrives; restart the stream from the same checkpoint
+    n1 = export(1, 1)
+    run()
+    cur = versioned.read_version(spark, root)
+    assert cur.count() == n0 + n1
+    assert cur.select("event_id").distinct().count() == n0 + n1
+    # idempotence: re-running with no new manifests commits nothing
+    v_now = versioned.current_version(root)
+    run()
+    assert versioned.current_version(root) == v_now
+    # manifests carry the stream batch ids
+    op = versioned._read_manifest(root, v_now)["op"]
+    assert op.startswith("stream-batch-")

@@ -168,3 +168,98 @@ def run_streaming_upsert(
         )
         q.awaitTermination()
     return read_upsert_table(spark, target_dir)
+
+
+def run_streaming_versioned_sink(
+    stream_df: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    key: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Structured Streaming → versioned snapshot table, EXACTLY-ONCE:
+    each micro-batch commits one snapshot (keyed upsert when ``key`` is
+    given, append otherwise) whose manifest records the stream's
+    ``batch_id``. On restart, foreachBatch may REDELIVER the last batch
+    (its offsets committed but the sink action unacknowledged) — the sink
+    consults the current manifest's batch_id and skips the duplicate, the
+    standard idempotent-sink contract Spark asks of foreachBatch.
+
+    Scale: micro-batch commits are O(1) manifest publishes; keyed mode
+    gets statistics-pruned rewrites, so steady-state cost follows each
+    batch's key range. Combined with the singer_batch streaming reader
+    this closes the loop: manifests in → exactly-once snapshots out.
+
+    Returns the StreamingQuery (caller awaits termination)."""
+    import json as _json
+    import os as _os
+
+    from youcruit_tap_rawpostgresql_spark.sources import versioned
+
+    def _last_committed_batch(sp) -> int | None:
+        v = versioned.current_version(root)
+        if v is None:
+            return None
+        man = versioned._read_manifest(root, v)
+        op = man.get("op", "")
+        if op.startswith("stream-batch-"):
+            try:
+                return int(op[len("stream-batch-"):])
+            except ValueError:
+                return None
+        return None
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        last = _last_committed_batch(sp)
+        if last is not None and batch_id <= last:
+            return  # redelivered batch — already committed, skip
+        op = f"stream-batch-{batch_id}"
+        if versioned.current_version(root) is None:
+            versioned.commit_snapshot(
+                batch_df, root, mode="overwrite", op=op,
+                stats_columns=[key] if key else None,
+            )
+        elif key:
+            base = versioned.current_version(root)
+            # pruned upsert, then rewrite the op tag via a tiny manifest
+            # touch is avoided: commit through the pruned path but with
+            # our op recorded — reuse its mechanics directly
+            from pyspark.sql import functions as F
+
+            versioned._check_unique_keys(batch_df, key)
+            bounds = batch_df.agg(
+                F.min(key).alias("lo"), F.max(key).alias("hi")
+            ).first()
+            man = versioned._read_manifest(root, base)
+            if bounds["lo"] is None:
+                versioned.commit_snapshot(
+                    versioned._empty_frame(sp, man), root, mode="append",
+                    op=op, expected_base=base,
+                )
+                return
+            hit, miss = versioned.prune_files(
+                root, base, key, bounds["lo"], bounds["hi"]
+            )
+            touched = (
+                sp.read.parquet(*hit) if hit else versioned._empty_frame(sp, man)
+            )
+            kept = touched.join(batch_df.select(key).distinct(), key, "left_anti")
+            rewritten = kept.unionByName(batch_df)
+            base_stats = man.get("stats", {})
+            carried = {f: base_stats[f] for f in miss if f in base_stats}
+            versioned.commit_snapshot(
+                rewritten, root, mode="overwrite", op=op,
+                expected_base=base, stats_columns=[key],
+                carry_files=miss, carry_stats=carried,
+            )
+        else:
+            versioned.commit_snapshot(batch_df, root, mode="append", op=op)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
