@@ -636,3 +636,36 @@ def test_versioned_schema_evolution_added_column(spark, tmp_path):
     assert rows[1]["score"] is None and rows[3]["score"] == 1.5
     old = versioned.read_version(spark, root, 0)
     assert set(old.columns) == {"k", "v"}
+
+
+def test_versioned_compaction(spark, sf_dir, tmp_path):
+    """Compaction rewrites a many-small-files snapshot into few files as
+    a NEW version with identical rows; the pre-compaction version still
+    time-travels to its original layout."""
+    from youcruit_tap_rawpostgresql_spark.sources import versioned
+    from youcruit_tap_rawpostgresql_spark.sources.registry import load_table
+
+    root = str(tmp_path / "vt")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # simulate micro-batch accretion: 5 append commits → many files
+    for i in range(5):
+        versioned.commit_snapshot(
+            orders.filter((orders["o_orderkey"] % 5) == i).repartition(3),
+            root,
+            mode="append" if i else "overwrite",
+            stats_columns=["o_orderkey"],
+        )
+    before = len(versioned._read_manifest(root, 4)["files"])
+    assert before >= 15
+    v, n_before, n_after = versioned.compact_version(
+        spark, root, target_file_bytes=10**9, stats_columns=["o_orderkey"]
+    )
+    assert (v, n_before) == (5, before)
+    assert n_after < before
+    assert versioned.read_version(spark, root, v).count() == orders.count()
+    # pre-compaction snapshot unchanged
+    assert len(versioned._read_manifest(root, 4)["files"]) == before
+    assert versioned.read_version(spark, root, 4).count() == orders.count()
+    # compacted files carry fresh stats for pruning
+    man = versioned._read_manifest(root, v)
+    assert all(man["stats"][f]["o_orderkey"] for f in man["files"])

@@ -458,3 +458,39 @@ def vacuum(
         except OSError:
             continue
     return deleted
+
+
+def compact_version(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    stats_columns: list[str] | None = None,
+) -> tuple[int, int, int]:
+    """Rewrite the CURRENT snapshot's files into ~``target_file_bytes``
+    files and commit the result as a new version (op='compact') — same
+    rows, better layout. Returns (version, files_before, files_after).
+
+    Scale: small files are the scale killer for versioned tables (every
+    micro-batch commit adds a few) — compaction trades one bounded
+    rewrite for permanently cheaper scans. Run it per key-range/partition
+    at 100 TB, never the whole table in one job; old versions still read
+    their original files until VACUUM."""
+    base = current_version(root)
+    if base is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    man = _read_manifest(root, base)
+    files = man["files"]
+    if not files:
+        return base, 0, 0
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, round(total_bytes / target_file_bytes))
+    df = spark.read.parquet(*files).coalesce(n_out)
+    version = commit_snapshot(
+        df,
+        root,
+        mode="overwrite",
+        op="compact",
+        expected_base=base,
+        stats_columns=stats_columns,
+    )
+    return version, len(files), len(_read_manifest(root, version)["files"])
