@@ -250,3 +250,35 @@ def test_quote_literal_nan_inf():
     assert quote_literal(float("nan")) == "CAST('NaN' AS DOUBLE)"
     assert quote_literal(float("inf")) == "CAST('Infinity' AS DOUBLE)"
     assert quote_literal(float("-inf")) == "CAST('-Infinity' AS DOUBLE)"
+
+
+def test_at_time_zone_translation():
+    from youcruit_tap_rawpostgresql_spark.plans.dialect import translate_pg_sql
+
+    assert (
+        translate_pg_sql("SELECT ts AT TIME ZONE 'UTC' FROM t")
+        == "SELECT from_utc_timestamp(ts, 'UTC') FROM t"
+    )
+    # function-call operand
+    assert (
+        translate_pg_sql("SELECT date_trunc('day', ts) AT TIME ZONE 'CET' FROM t")
+        == "SELECT from_utc_timestamp(date_trunc('day', ts), 'CET') FROM t"
+    )
+    # literal interiors untouched
+    assert (
+        translate_pg_sql("SELECT 'x AT TIME ZONE ''y''' AS s")
+        == "SELECT 'x AT TIME ZONE ''y''' AS s"
+    )
+
+
+def test_dow_isodow_translation():
+    from youcruit_tap_rawpostgresql_spark.plans.dialect import translate_pg_sql
+
+    assert (
+        translate_pg_sql("SELECT EXTRACT(DOW FROM ts) FROM t")
+        == "SELECT (dayofweek(ts) - 1) FROM t"
+    )
+    assert (
+        translate_pg_sql("SELECT EXTRACT(ISODOW FROM ts) FROM t")
+        == "SELECT (weekday(ts) + 1) FROM t"
+    )

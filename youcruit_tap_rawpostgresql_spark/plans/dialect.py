@@ -477,6 +477,46 @@ def _translate_operators(sql: str) -> str:
     return sql
 
 
+_ATZ_RE = re.compile(
+    r"((?:[A-Za-z_][\w.]*\s*\([^()]*\))|(?:\([^()]*\))|(?:[A-Za-z_][\w.]*))"
+    r"\s+AT\s+TIME\s+ZONE\s+('(?:[^']|'')*')",
+    re.IGNORECASE,
+)
+_DOW_RE = re.compile(r"\bEXTRACT\s*\(\s*DOW\s+FROM\s+([^()]+?)\s*\)", re.IGNORECASE)
+_ISODOW_RE = re.compile(
+    r"\bEXTRACT\s*\(\s*ISODOW\s+FROM\s+([^()]+?)\s*\)", re.IGNORECASE
+)
+
+
+def _translate_timezone_dow(sql: str) -> str:
+    """PG time-zone / weekday constructs:
+
+    - ``x AT TIME ZONE 'Z'`` → ``from_utc_timestamp(x, 'Z')``: the engine
+      holds timestamps as UTC instants (session TZ pinned UTC), so PG's
+      timestamptz→wall-time reading is the one that round-trips. (The
+      inverse reading — naive-local→timestamptz — would be
+      to_utc_timestamp; streams needing it should call it explicitly.)
+    - ``EXTRACT(DOW FROM x)`` → ``(dayofweek(x) - 1)``: PG numbers Sunday
+      as 0, Spark's dayofweek as 1.
+    - ``EXTRACT(ISODOW FROM x)`` → ``(weekday(x) + 1)``: PG ISO numbering
+      Monday=1..Sunday=7; Spark's weekday is Monday=0."""
+    prev = None
+    while prev != sql:
+        prev = sql
+        sql = _sub_skipping_literal_interiors(
+            _ATZ_RE,
+            lambda m: f"from_utc_timestamp({m.group(1)}, {m.group(2)})",
+            sql,
+        )
+    sql = _sub_skipping_literal_interiors(
+        _DOW_RE, lambda m: f"(dayofweek({m.group(1)}) - 1)", sql
+    )
+    sql = _sub_skipping_literal_interiors(
+        _ISODOW_RE, lambda m: f"(weekday({m.group(1)}) + 1)", sql
+    )
+    return sql
+
+
 def translate_pg_sql(
     sql: str,
     params: Mapping[str, Any] | None = None,
@@ -499,6 +539,7 @@ def translate_pg_sql(
     )
     out = _translate_set_functions(out)
     out = _translate_operators(out)
+    out = _translate_timezone_dow(out)
     if bind and (params is not None or _PARAM_RE.search(out)):
         out = bind_params(out, params)
     return out

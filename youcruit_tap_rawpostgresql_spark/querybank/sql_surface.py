@@ -516,3 +516,35 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "EXECUTE IMMEDIATE :stmt USING (TIMESTAMP '1999-06-01 00:00:00')",
         args={"stmt": stmt},
     )
+
+
+@register(
+    "pg_dialect_timezone",
+    oracle="""
+SELECT event_id,
+  strftime(ts + INTERVAL 5 HOUR + INTERVAL 30 MINUTE,
+           '%Y-%m-%d %H:%M:%S') AS ist_wall,
+  dayofweek(ts) AS dow,
+  isodow(ts) AS isodow
+FROM events WHERE event_id % 25 = 0
+""",
+)
+def pg_dialect_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG time-zone / weekday dialect end-to-end: ``AT TIME ZONE`` (fixed
+    offset — DST-free so the oracle is plain interval arithmetic),
+    ``EXTRACT(DOW ...)`` (PG Sunday=0) and ``EXTRACT(ISODOW ...)`` (ISO
+    Monday=1) — raw PG SQL translated and executed on Spark; DuckDB's
+    native dayofweek/isodow share PG's numbering, pinning the off-by-one
+    translations."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    tables(spark, sf_dir)
+    return run_sql(
+        spark,
+        "SELECT event_id, "
+        "to_char(ts AT TIME ZONE '+05:30', 'YYYY-MM-DD HH24:MI:SS') AS ist_wall, "
+        "EXTRACT(DOW FROM ts)::int8 AS dow, "
+        "EXTRACT(ISODOW FROM ts)::int8 AS isodow "
+        "FROM events WHERE event_id % 25 = 0",
+        pg_dialect=True,
+    )
