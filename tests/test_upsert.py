@@ -137,6 +137,17 @@ def test_streaming_versioned_sink_exactly_once(spark, sf_dir, tmp_path):
     v_now = versioned.current_version(root)
     run()
     assert versioned.current_version(root) == v_now
-    # manifests carry the stream batch ids
-    op = versioned._read_manifest(root, v_now)["op"]
-    assert op.startswith("stream-batch-")
+    # manifests carry the stream transaction marker
+    man = versioned._read_manifest(root, v_now)
+    assert man["op"].startswith("stream-batch-")
+    assert man["txn"]["batch_id"] >= 0
+    # an INTERLEAVED non-stream commit (tap sync / compaction) must not
+    # erase the stream's batch memory: re-running after it still skips
+    # already-committed batches (txn markers are scanned across the log)
+    extra_rows = ev.limit(3).withColumn(
+        "event_id", ev["event_id"] + 10_000_000
+    )
+    versioned.commit_snapshot(extra_rows, root, mode="append", op="manual-fix")
+    v_manual = versioned.current_version(root)
+    run()
+    assert versioned.current_version(root) == v_manual  # nothing re-applied

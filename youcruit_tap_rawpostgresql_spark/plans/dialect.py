@@ -477,15 +477,29 @@ def _translate_operators(sql: str) -> str:
     return sql
 
 
+# operand forms share one sub-pattern: identifier, call/paren group with
+# ONE nesting level, or a typed literal (TIMESTAMP '...' etc.)
+_NEST1 = r"\((?:[^()]|\([^()]*\))*\)"
+_ATZ_OPERAND = (
+    r"(?:[A-Za-z_][\w.]*\s*" + _NEST1 + r")"      # fn(...) incl. 1 nested level
+    r"|(?:" + _NEST1 + r")"                          # (...) group
+    r"|(?:[A-Za-z_]+\s+'(?:[^']|'')*')"             # typed literal
+    r"|(?:[A-Za-z_][\w.]*)"                         # identifier
+)
 _ATZ_RE = re.compile(
-    r"((?:[A-Za-z_][\w.]*\s*\([^()]*\))|(?:\([^()]*\))|(?:[A-Za-z_][\w.]*))"
-    r"\s+AT\s+TIME\s+ZONE\s+('(?:[^']|'')*')",
+    r"(" + _ATZ_OPERAND + r")\s+AT\s+TIME\s+ZONE\s+('(?:[^']|'')*')",
     re.IGNORECASE,
 )
-_DOW_RE = re.compile(r"\bEXTRACT\s*\(\s*DOW\s+FROM\s+([^()]+?)\s*\)", re.IGNORECASE)
-_ISODOW_RE = re.compile(
-    r"\bEXTRACT\s*\(\s*ISODOW\s+FROM\s+([^()]+?)\s*\)", re.IGNORECASE
+_DOW_OPERAND = r"((?:[^()']|'(?:[^']|'')*'|\([^()]*\))+?)"
+_DOW_RE = re.compile(
+    r"\bEXTRACT\s*\(\s*DOW\s+FROM\s+" + _DOW_OPERAND + r"\s*\)",
+    re.IGNORECASE,
 )
+_ISODOW_RE = re.compile(
+    r"\bEXTRACT\s*\(\s*ISODOW\s+FROM\s+" + _DOW_OPERAND + r"\s*\)",
+    re.IGNORECASE,
+)
+_DOW_LEFTOVER_RE = re.compile(r"\bEXTRACT\s*\(\s*(DOW|ISODOW)\b", re.IGNORECASE)
 
 
 def _translate_timezone_dow(sql: str) -> str:
@@ -500,6 +514,26 @@ def _translate_timezone_dow(sql: str) -> str:
       as 0, Spark's dayofweek as 1.
     - ``EXTRACT(ISODOW FROM x)`` → ``(weekday(x) + 1)``: PG ISO numbering
       Monday=1..Sunday=7; Spark's weekday is Monday=0."""
+    # DOW/ISODOW FIRST: ATZ rewriting inside an EXTRACT would otherwise
+    # produce a nested call the DOW pattern can't see
+    sql = _sub_skipping_literal_interiors(
+        _DOW_RE, lambda m: f"(dayofweek({m.group(1)}) - 1)", sql
+    )
+    sql = _sub_skipping_literal_interiors(
+        _ISODOW_RE, lambda m: f"(weekday({m.group(1)}) + 1)", sql
+    )
+    # Spark parses DOW natively with Sunday=1 (PG: Sunday=0) — an operand
+    # our pattern can't capture must fail LOUDLY, never shift weekdays by
+    # one silently
+    leftover = _sub_skipping_literal_interiors(
+        _DOW_LEFTOVER_RE, lambda m: "\x00DOW\x00", sql
+    )
+    if "\x00DOW\x00" in leftover:
+        raise ValueError(
+            "EXTRACT(DOW/ISODOW ...) operand too complex to translate "
+            "safely (PG numbers Sunday=0, Spark Sunday=1) — simplify the "
+            "operand or compute the weekday explicitly"
+        )
     prev = None
     while prev != sql:
         prev = sql
@@ -508,12 +542,6 @@ def _translate_timezone_dow(sql: str) -> str:
             lambda m: f"from_utc_timestamp({m.group(1)}, {m.group(2)})",
             sql,
         )
-    sql = _sub_skipping_literal_interiors(
-        _DOW_RE, lambda m: f"(dayofweek({m.group(1)}) - 1)", sql
-    )
-    sql = _sub_skipping_literal_interiors(
-        _ISODOW_RE, lambda m: f"(weekday({m.group(1)}) + 1)", sql
-    )
     return sql
 
 

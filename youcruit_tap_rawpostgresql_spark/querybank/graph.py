@@ -38,7 +38,7 @@ _BASE = 150_000  # (1 - 0.85) in ppm
 # a weight-floor change applied to one case but not the other would make
 # the two "same graph" analytics silently analyze different graphs.
 _O_EDGES = f"""e AS (
-  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
@@ -49,14 +49,15 @@ _O_EDGES = f"""e AS (
 )"""
 
 
-def _trade_edges(t: dict) -> DataFrame:
-    """(src, dst) edge list of the nation-level trade graph — the Spark
-    half of _O_EDGES (broadcast star join, partial agg before the
-    (src, dst) shuffle)."""
+def _trade_edges(t: dict, keep_weight: bool = False) -> DataFrame:
+    """(src, dst[, w]) edge list of the nation-level trade graph — the
+    Spark half of _O_EDGES (broadcast star join, partial agg before the
+    (src, dst) shuffle). ``keep_weight`` exposes the lane count for the
+    weighted analytics; the edge RULE stays this one definition."""
     li, o = t["lineitem"], t["orders"]
     c, s = t["customer"], t["supplier"]
     min_w = li.count() // _W_FRAC
-    return (
+    edges = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
@@ -66,8 +67,8 @@ def _trade_edges(t: dict) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= F.lit(min_w))
-        .select("src", "dst")
     )
+    return edges if keep_weight else edges.select("src", "dst")
 
 
 def _o_iter(prev: str, idx: int) -> str:
@@ -253,16 +254,8 @@ _SP_ROUNDS = 4
 @register(
     "graph_shortest_cost",
     oracle=f"""
-WITH RECURSIVE ew AS (
-  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-    1 + (COUNT(*) % 7) AS cost
-  FROM lineitem l
-  JOIN orders o ON l.l_orderkey = o.o_orderkey
-  JOIN customer c ON o.o_custkey = c.c_custkey
-  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-  WHERE c.c_nationkey <> s.s_nationkey
-  GROUP BY 1, 2
-  HAVING COUNT(*) >= (SELECT COUNT(*) FROM lineitem) // {_W_FRAC}
+WITH RECURSIVE {_O_EDGES}, ew AS (
+  SELECT src, dst, 1 + (w % 7) AS cost FROM e
 ), walk AS (
   SELECT 0 AS node, CAST(0 AS BIGINT) AS d, 0 AS hops
   UNION ALL
@@ -286,19 +279,8 @@ def graph_shortest_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges; the oracle's path enumeration is exponential in the cap and
     exists only as the proof harness."""
     t = tables(spark, sf_dir)
-    li, o = t["lineitem"], t["orders"]
-    c, s = t["customer"], t["supplier"]
-    min_w = li.count() // _W_FRAC
     edges = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= F.lit(min_w))
+        _trade_edges(t, keep_weight=True)
         .select("src", "dst", (1 + F.col("w") % 7).cast("bigint").alias("cost"))
         .cache()
     )

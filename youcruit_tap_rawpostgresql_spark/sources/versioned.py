@@ -150,6 +150,7 @@ def commit_snapshot(
     stats_columns: list[str] | None = None,
     carry_files: list[str] | None = None,
     carry_stats: dict | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Write ``df``'s rows as new immutable parquet files and publish the
     next version. ``mode='append'`` carries the previous snapshot's file
@@ -166,7 +167,9 @@ def commit_snapshot(
     driver-side, no data read) into the manifest: the data-skipping index
     that lets reads and upserts touch only overlapping files.
     ``carry_files``/``carry_stats`` prepend files surviving from a
-    previous snapshot with their known stats (the pruned-upsert path)."""
+    previous snapshot with their known stats (the pruned-upsert path).
+    ``extra`` merges additional metadata into the manifest (e.g. the
+    streaming sink's transaction marker)."""
     rp = _root_path(root)
     os.makedirs(os.path.join(rp, "data"), exist_ok=True)
     base = current_version(root)
@@ -203,6 +206,8 @@ def commit_snapshot(
         "stats": stats,
         "schema": df.schema.json(),
     }
+    if extra:
+        manifest.update(extra)
     _publish(rp, root, version, manifest)
     return version
 
@@ -341,7 +346,12 @@ def upsert_snapshot(
 
 
 def upsert_snapshot_pruned(
-    spark: SparkSession, updates: DataFrame, root: str, key: str
+    spark: SparkSession,
+    updates: DataFrame,
+    root: str,
+    key: str,
+    op: str = "upsert-pruned",
+    extra: dict | None = None,
 ) -> tuple[int, int, int]:
     """Statistics-pruned copy-on-write upsert: only files whose ``key``
     range overlaps the updates' key span are rewritten; disjoint files
@@ -358,7 +368,8 @@ def upsert_snapshot_pruned(
     if base is None:
         return (
             commit_snapshot(
-                updates, root, mode="overwrite", op="upsert", stats_columns=[key]
+                updates, root, mode="overwrite", op=op,
+                stats_columns=[key], extra=extra,
             ),
             0,
             0,
@@ -371,8 +382,9 @@ def upsert_snapshot_pruned(
                 _empty_frame(spark, man),
                 root,
                 mode="append",
-                op="upsert-noop",
+                op=op + "-noop" if op != "upsert-pruned" else "upsert-noop",
                 expected_base=base,
+                extra=extra,
             ),
             0,
             len(man["files"]),
@@ -387,11 +399,12 @@ def upsert_snapshot_pruned(
         rewritten,
         root,
         mode="overwrite",
-        op="upsert-pruned",
+        op=op,
         expected_base=base,
         stats_columns=[key],
         carry_files=miss,
         carry_stats=carried,
+        extra=extra,
     )
     n_new = len(_read_manifest(root, version)["files"]) - len(miss)
     return version, n_new, len(miss)
@@ -482,6 +495,13 @@ def compact_version(
     files = man["files"]
     if not files:
         return base, 0, 0
+    if stats_columns is None:
+        # preserve the table's data-skipping index by default: compacting
+        # away the stats would silently un-prune every later read/upsert
+        cols: set[str] = set()
+        for st in man.get("stats", {}).values():
+            cols.update(c for c, v in st.items() if v is not None)
+        stats_columns = sorted(cols) or None
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_out = max(1, round(total_bytes / target_file_bytes))
     df = spark.read.parquet(*files).coalesce(n_out)

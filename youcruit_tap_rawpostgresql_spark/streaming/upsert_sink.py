@@ -178,12 +178,18 @@ def run_streaming_versioned_sink(
     trigger_available_now: bool = True,
 ):
     """Structured Streaming → versioned snapshot table, EXACTLY-ONCE:
-    each micro-batch commits one snapshot (keyed upsert when ``key`` is
-    given, append otherwise) whose manifest records the stream's
-    ``batch_id``. On restart, foreachBatch may REDELIVER the last batch
-    (its offsets committed but the sink action unacknowledged) — the sink
-    consults the current manifest's batch_id and skips the duplicate, the
-    standard idempotent-sink contract Spark asks of foreachBatch.
+    each micro-batch commits one snapshot (keyed statistics-pruned upsert
+    when ``key`` is given, append otherwise) whose manifest records a
+    TRANSACTION MARKER ``txn = {app, batch_id}`` with the app identity
+    derived from the checkpoint. On restart, foreachBatch may REDELIVER
+    the last batch (offsets committed, sink action unacknowledged) — the
+    sink scans the manifest log for this app's highest committed batch_id
+    and skips duplicates, the (txnAppId, txnVersion) idempotent-sink
+    contract production formats use. Keying on the app identity means
+    interleaved NON-stream commits (tap syncs, compaction) never erase
+    the stream's batch memory, and a NEW checkpoint (= new app) correctly
+    reprocesses from its own offset 0 rather than silently discarding
+    early batches.
 
     Scale: micro-batch commits are O(1) manifest publishes; keyed mode
     gets statistics-pruned rewrites, so steady-state cost follows each
@@ -191,70 +197,44 @@ def run_streaming_versioned_sink(
     this closes the loop: manifests in → exactly-once snapshots out.
 
     Returns the StreamingQuery (caller awaits termination)."""
-    import json as _json
-    import os as _os
+    import hashlib
 
     from youcruit_tap_rawpostgresql_spark.sources import versioned
 
-    def _last_committed_batch(sp) -> int | None:
-        v = versioned.current_version(root)
-        if v is None:
-            return None
-        man = versioned._read_manifest(root, v)
-        op = man.get("op", "")
-        if op.startswith("stream-batch-"):
-            try:
-                return int(op[len("stream-batch-"):])
-            except ValueError:
-                return None
-        return None
+    app_id = hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:16]
+
+    def _last_committed_batch() -> int | None:
+        best = None
+        for v in versioned.list_versions(root):
+            txn = versioned._read_manifest(root, v).get("txn")
+            if txn and txn.get("app") == app_id:
+                bid = int(txn["batch_id"])
+                best = bid if best is None or bid > best else best
+        return best
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        last = _last_committed_batch(sp)
+        last = _last_committed_batch()
         if last is not None and batch_id <= last:
             return  # redelivered batch — already committed, skip
         op = f"stream-batch-{batch_id}"
-        if versioned.current_version(root) is None:
+        extra = {"txn": {"app": app_id, "batch_id": batch_id}}
+        if key:
+            # the pruned upsert enforces the dup-key MERGE guard on every
+            # path, including the very first commit
+            versioned.upsert_snapshot_pruned(
+                sp, batch_df, root, key, op=op, extra=extra
+            )
+        elif versioned.current_version(root) is None:
             versioned.commit_snapshot(
-                batch_df, root, mode="overwrite", op=op,
-                stats_columns=[key] if key else None,
-            )
-        elif key:
-            base = versioned.current_version(root)
-            # pruned upsert, then rewrite the op tag via a tiny manifest
-            # touch is avoided: commit through the pruned path but with
-            # our op recorded — reuse its mechanics directly
-            from pyspark.sql import functions as F
-
-            versioned._check_unique_keys(batch_df, key)
-            bounds = batch_df.agg(
-                F.min(key).alias("lo"), F.max(key).alias("hi")
-            ).first()
-            man = versioned._read_manifest(root, base)
-            if bounds["lo"] is None:
-                versioned.commit_snapshot(
-                    versioned._empty_frame(sp, man), root, mode="append",
-                    op=op, expected_base=base,
-                )
-                return
-            hit, miss = versioned.prune_files(
-                root, base, key, bounds["lo"], bounds["hi"]
-            )
-            touched = (
-                sp.read.parquet(*hit) if hit else versioned._empty_frame(sp, man)
-            )
-            kept = touched.join(batch_df.select(key).distinct(), key, "left_anti")
-            rewritten = kept.unionByName(batch_df)
-            base_stats = man.get("stats", {})
-            carried = {f: base_stats[f] for f in miss if f in base_stats}
-            versioned.commit_snapshot(
-                rewritten, root, mode="overwrite", op=op,
-                expected_base=base, stats_columns=[key],
-                carry_files=miss, carry_stats=carried,
+                batch_df, root, mode="overwrite", op=op, extra=extra
             )
         else:
-            versioned.commit_snapshot(batch_df, root, mode="append", op=op)
+            versioned.commit_snapshot(
+                batch_df, root, mode="append", op=op, extra=extra
+            )
 
     writer = (
         stream_df.writeStream.foreachBatch(apply_batch)
