@@ -669,3 +669,38 @@ def test_versioned_compaction(spark, sf_dir, tmp_path):
     # compacted files carry fresh stats for pruning
     man = versioned._read_manifest(root, v)
     assert all(man["stats"][f]["o_orderkey"] for f in man["files"])
+
+
+def test_versioned_delete_keys_and_erasure(spark, sf_dir, tmp_path):
+    """Row-level delete: the keyed deletion rewrites only overlapping
+    files; deleted rows are gone from the current version, still
+    time-travelable at the old version, and VACUUM completes the erasure
+    (old files physically removed)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from youcruit_tap_rawpostgresql_spark.sources import versioned
+    from youcruit_tap_rawpostgresql_spark.sources.registry import load_table
+
+    root = str(tmp_path / "vt")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    versioned.commit_snapshot(
+        cust.repartitionByRange(4, "c_custkey"), root, stats_columns=["c_custkey"]
+    )
+    # forget a contiguous low-key cohort (clustered → few files touched)
+    max_key = cust.agg(F.max("c_custkey")).first()[0]
+    doomed = cust.filter(F.col("c_custkey") <= max_key // 8).select("c_custkey")
+    n_doomed = doomed.count()
+    assert n_doomed > 0
+    v, n_rewritten = versioned.delete_keys(spark, root, "c_custkey", doomed)
+    assert v == 1 and 1 <= n_rewritten < 4
+    cur = versioned.read_version(spark, root)
+    assert cur.count() == cust.count() - n_doomed
+    assert cur.join(doomed, "c_custkey").count() == 0
+    # time travel still sees them (erasure incomplete by design)...
+    assert versioned.read_version(spark, root, 0).count() == cust.count()
+    # ...until VACUUM expires the old snapshot
+    deleted = versioned.vacuum(root, keep_last=1)
+    assert deleted, "pre-delete files should be reclaimed"
+    assert versioned.read_version(spark, root).count() == cust.count() - n_doomed

@@ -514,3 +514,50 @@ def compact_version(
         stats_columns=stats_columns,
     )
     return version, len(files), len(_read_manifest(root, version)["files"])
+
+
+def delete_keys(
+    spark: SparkSession, root: str, key: str, keys_df: DataFrame
+) -> tuple[int, int]:
+    """Row-level DELETE by key set (the data-governance / right-to-be-
+    forgotten primitive): files whose ``key`` statistics overlap the
+    deletion set's span are rewritten WITHOUT the matching rows
+    (anti-join); disjoint files carry over untouched. Returns
+    (version, n_files_rewritten).
+
+    IMPORTANT: like every commit, old versions still reference the
+    original files — completing an erasure requires VACUUM down to the
+    post-delete version (exactly the two-step production formats
+    document for GDPR workloads: delete, then expire snapshots).
+
+    Scale: cost follows the deletion set's key span, not table size —
+    with clustered keys (the sync layout) a user's rows live in few
+    files."""
+    from pyspark.sql import functions as F
+
+    base = current_version(root)
+    if base is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    man = _read_manifest(root, base)
+    bounds = keys_df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+    if bounds["lo"] is None:
+        return base, 0
+    hit, miss = prune_files(root, base, key, bounds["lo"], bounds["hi"])
+    if not hit:
+        return base, 0
+    touched = spark.read.parquet(*hit)
+    kept = touched.join(keys_df.select(key).distinct(), key, "left_anti")
+    base_stats = man.get("stats", {})
+    carried = {f: base_stats[f] for f in miss if f in base_stats}
+    version = commit_snapshot(
+        kept,
+        root,
+        mode="overwrite",
+        op="delete",
+        expected_base=base,
+        stats_columns=[key],
+        carry_files=miss,
+        carry_stats=carried,
+    )
+    n_new = len(_read_manifest(root, version)["files"]) - len(miss)
+    return version, n_new
