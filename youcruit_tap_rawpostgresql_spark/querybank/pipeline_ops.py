@@ -1138,3 +1138,111 @@ def ts_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         folded["s"].cast("double").alias("final_cusum"),
         folded["n_alerts"].alias("n_alerts"),
     )
+
+
+_FH_DIM = 16  # hashed-feature dimensionality
+
+
+@register(
+    "feature_hashing",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id % 10 = 0
+), hashed AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % {_FH_DIM} AS slot
+  FROM toks
+), counts AS (
+  SELECT doc_id, slot, COUNT(*) AS n FROM hashed GROUP BY doc_id, slot
+)
+SELECT doc_id,
+  array_to_string(
+    list_transform(generate_series(0, {_FH_DIM - 1}),
+      s -> CAST(COALESCE(list_extract(
+             list_transform(list_filter(
+               list_zip(list(slot ORDER BY slot), list(n ORDER BY slot)),
+               z -> z[1] = s), z -> z[2]), 1), 0) AS VARCHAR)),
+    ',') AS feat_csv
+FROM counts GROUP BY doc_id
+""",
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): tokens hash into a
+    fixed 16-slot count vector — unbounded vocabulary, bounded feature
+    width, no dictionary to build or broadcast. The portable md5-prefix
+    hash makes slot assignment identical in both engines; output is the
+    CSV-stringified vector (the cross-engine-comparable form).
+
+    Scale: THE way to featurize 100 TB of text without a vocabulary
+    pass — explode + two-level groupBy with map-side partial counts;
+    feature width is a constant, independent of corpus growth."""
+    docs = tables(spark, sf_dir)["documents"]
+    toks = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    slots = toks.select(
+        "doc_id", (hash64(F.col("tok")) % _FH_DIM).alias("slot")
+    )
+    counts = slots.groupBy("doc_id", "slot").agg(F.count(F.lit(1)).alias("n"))
+    vec = counts.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("slot", "n"))).alias("m")
+    )
+    feat = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_FH_DIM - 1)),
+            lambda s: F.coalesce(
+                F.col("m").getItem(s.cast("bigint")), F.lit(0)
+            ).cast("string"),
+        ),
+        ",",
+    )
+    return vec.select("doc_id", feat.alias("feat_csv"))
+
+
+@register(
+    "sample_balanced_classes",
+    oracle="""
+WITH sized AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), cap AS (
+  SELECT MIN(n) AS m FROM sized
+), ranked AS (
+  SELECT doc_id, lang,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':bal'), 1, 15)
+               AS BIGINT), doc_id
+    ) AS rnk
+  FROM documents
+)
+SELECT r.doc_id, r.lang
+FROM ranked r CROSS JOIN cap
+WHERE r.rnk <= cap.m
+""",
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class balancing for classifier training: downsample every language
+    to the minority class's size, picking members by HASH RANK (not
+    ``ORDER BY rand()``) — reproducible across runs, partitionings and
+    engines, which is what makes train/eval comparisons meaningful.
+
+    Scale: one shuffle per window partition (the class key) + a
+    broadcast scalar cap; the hash rank replaces a global random sort.
+    Skewed majority classes cost their own partition's sort only."""
+    docs = tables(spark, sf_dir)["documents"]
+    cap = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.min("n").alias("m")
+    )
+    w = W.partitionBy("lang").orderBy(
+        hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":bal"))),
+        "doc_id",
+    )
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(w).alias("rnk")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cap))
+        .filter(F.col("rnk") <= F.col("m"))
+        .select("doc_id", "lang")
+    )
