@@ -640,3 +640,82 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+WITH m AS (
+  SELECT
+    COUNT(*) AS n_rows,
+    COUNT(DISTINCT o_orderkey) AS n_keys,
+    CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+    CAST(SUM(CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_dated,
+    CAST(SUM(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_status_ok
+  FROM orders
+)
+SELECT 'unique_key' AS rule,
+  ROUND(CAST(n_keys AS DOUBLE) / n_rows, 6) AS metric,
+  1.0 AS threshold, (n_keys = n_rows) AS pass FROM m
+UNION ALL
+SELECT 'price_positive', ROUND(CAST(n_pos AS DOUBLE) / n_rows, 6),
+  1.0, (n_pos = n_rows) FROM m
+UNION ALL
+SELECT 'orderdate_not_null', ROUND(CAST(n_dated AS DOUBLE) / n_rows, 6),
+  1.0, (n_dated = n_rows) FROM m
+UNION ALL
+SELECT 'status_in_domain', ROUND(CAST(n_status_ok AS DOUBLE) / n_rows, 6),
+  0.99, (CAST(n_status_ok AS DOUBLE) / n_rows >= 0.99) FROM m
+""",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the Great-Expectations /
+    dbt-test pattern) evaluated in ONE aggregate pass over the synced
+    table: key uniqueness, value positivity, null rate, domain
+    membership — each reported as (rule, metric, threshold, pass). The
+    audit a sync pipeline runs before publishing a snapshot; pair with
+    the versioned target to gate commits on `pass`.
+
+    Scale: every expectation is a conditional partial aggregate in the
+    same scan — adding rules adds expressions, never passes. The
+    exception is exact uniqueness (a distinct shuffle); at 100 TB swap
+    in approx_count_distinct's sketch unless exactness is the point."""
+    o = tables(spark, sf_dir)["orders"]
+    m = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.when(F.col("o_totalprice") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("o_orderdate").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dated"),
+        F.sum(F.when(F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_status_ok"),
+    )
+
+    def rule(name, num, thresh, strict_all):
+        metric = F.round(F.col(num).cast("double") / F.col("n_rows"), 6)
+        ok = (
+            (F.col(num) == F.col("n_rows"))
+            if strict_all
+            else (F.col(num).cast("double") / F.col("n_rows") >= thresh)
+        )
+        return m.select(
+            F.lit(name).alias("rule"),
+            metric.alias("metric"),
+            F.lit(thresh).alias("threshold"),
+            ok.alias("pass"),
+        )
+
+    out = rule("unique_key", "n_keys", 1.0, True)
+    for r in (
+        rule("price_positive", "n_pos", 1.0, True),
+        rule("orderdate_not_null", "n_dated", 1.0, True),
+        rule("status_in_domain", "n_status_ok", 0.99, False),
+    ):
+        out = out.unionByName(r)
+    return out
