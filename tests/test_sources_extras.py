@@ -676,7 +676,7 @@ def test_versioned_delete_keys_and_erasure(spark, sf_dir, tmp_path):
     files; deleted rows are gone from the current version, still
     time-travelable at the old version, and VACUUM completes the erasure
     (old files physically removed)."""
-    import glob as _glob
+
 
     from pyspark.sql import functions as F
 

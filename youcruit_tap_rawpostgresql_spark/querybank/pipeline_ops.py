@@ -1192,7 +1192,7 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.sequence(F.lit(0), F.lit(_FH_DIM - 1)),
             lambda s: F.coalesce(
-                F.col("m").getItem(s.cast("bigint")), F.lit(0)
+                F.element_at(F.col("m"), s.cast("bigint")), F.lit(0)
             ).cast("string"),
         ),
         ",",

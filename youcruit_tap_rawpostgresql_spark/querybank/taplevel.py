@@ -697,6 +697,8 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_status_ok"),
     )
 
+    # ONE aggregate row fans out to rule rows via explode — a union of
+    # per-rule selects would replan (and rescan) the aggregate per branch
     def rule(name, num, thresh, strict_all):
         metric = F.round(F.col(num).cast("double") / F.col("n_rows"), 6)
         ok = (
@@ -704,18 +706,22 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             if strict_all
             else (F.col(num).cast("double") / F.col("n_rows") >= thresh)
         )
-        return m.select(
+        return F.struct(
             F.lit(name).alias("rule"),
             metric.alias("metric"),
             F.lit(thresh).alias("threshold"),
             ok.alias("pass"),
         )
 
-    out = rule("unique_key", "n_keys", 1.0, True)
-    for r in (
+    rules = F.array(
+        rule("unique_key", "n_keys", 1.0, True),
         rule("price_positive", "n_pos", 1.0, True),
         rule("orderdate_not_null", "n_dated", 1.0, True),
         rule("status_in_domain", "n_status_ok", 0.99, False),
-    ):
-        out = out.unionByName(r)
-    return out
+    )
+    return m.select(F.explode(rules).alias("r")).select(
+        F.col("r.rule").alias("rule"),
+        F.col("r.metric").alias("metric"),
+        F.col("r.threshold").alias("threshold"),
+        F.col("r.pass").alias("pass"),
+    )

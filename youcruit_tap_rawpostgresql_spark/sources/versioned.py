@@ -345,6 +345,73 @@ def upsert_snapshot(
     )
 
 
+def _base_stats_columns(man: dict, key: str) -> list[str]:
+    """Stats columns to record on a rewrite: the base manifest's tracked
+    set ∪ the operation key — rewriting files must never silently drop
+    another column's data-skipping index (same guard as compact_version)."""
+    cols: set[str] = {key}
+    for st in man.get("stats", {}).values():
+        cols.update(c for c, v in st.items() if v is not None)
+    return sorted(cols)
+
+
+def _pruned_rewrite(
+    spark: SparkSession,
+    root: str,
+    base: int,
+    key: str,
+    keys_df: DataFrame,
+    merge_df: DataFrame | None,
+    op: str,
+    extra: dict | None = None,
+) -> tuple[int, int, int]:
+    """Shared statistics-pruned copy-on-write core: files overlapping
+    ``keys_df``'s key span are re-read (mergeSchema — schema-evolved
+    tables must not lose columns in a rewrite), stripped of matching
+    keys, optionally merged with ``merge_df`` (upsert) or not (delete),
+    and committed with disjoint files carried over. Returns
+    (version, n_rewritten, n_carried)."""
+    from pyspark.sql import functions as F
+
+    man = _read_manifest(root, base)
+    bounds = keys_df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+    if bounds["lo"] is None:  # empty key set — a no-op version
+        return (
+            commit_snapshot(
+                _empty_frame(spark, man),
+                root,
+                mode="append",
+                op=op + "-noop",
+                expected_base=base,
+                extra=extra,
+            ),
+            0,
+            len(man["files"]),
+        )
+    hit, miss = prune_files(root, base, key, bounds["lo"], bounds["hi"])
+    if hit:
+        touched = spark.read.option("mergeSchema", "true").parquet(*hit)
+    else:
+        touched = _empty_frame(spark, man)
+    kept = touched.join(keys_df.select(key).distinct(), key, "left_anti")
+    rewritten = kept.unionByName(merge_df, allowMissingColumns=True) if merge_df is not None else kept
+    base_stats = man.get("stats", {})
+    carried = {f: base_stats[f] for f in miss if f in base_stats}
+    version = commit_snapshot(
+        rewritten,
+        root,
+        mode="overwrite",
+        op=op,
+        expected_base=base,
+        stats_columns=_base_stats_columns(man, key),
+        carry_files=miss,
+        carry_stats=carried,
+        extra=extra,
+    )
+    n_new = len(_read_manifest(root, version)["files"]) - len(miss)
+    return version, n_new, len(miss)
+
+
 def upsert_snapshot_pruned(
     spark: SparkSession,
     updates: DataFrame,
@@ -361,8 +428,6 @@ def upsert_snapshot_pruned(
     Scale: THE production upsert shape — cost scales with the touched
     key range, not table size. A point update against a key-sorted
     100 TB table rewrites one file."""
-    from pyspark.sql import functions as F
-
     base = current_version(root)
     _check_unique_keys(updates, key)
     if base is None:
@@ -374,40 +439,35 @@ def upsert_snapshot_pruned(
             0,
             0,
         )
-    bounds = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
-    man = _read_manifest(root, base)
-    if bounds["lo"] is None:  # empty updates — a no-op version
-        return (
-            commit_snapshot(
-                _empty_frame(spark, man),
-                root,
-                mode="append",
-                op=op + "-noop" if op != "upsert-pruned" else "upsert-noop",
-                expected_base=base,
-                extra=extra,
-            ),
-            0,
-            len(man["files"]),
-        )
-    hit, miss = prune_files(root, base, key, bounds["lo"], bounds["hi"])
-    touched = spark.read.parquet(*hit) if hit else _empty_frame(spark, man)
-    kept = touched.join(updates.select(key).distinct(), key, "left_anti")
-    rewritten = kept.unionByName(updates)
-    base_stats = man.get("stats", {})
-    carried = {f: base_stats[f] for f in miss if f in base_stats}
-    version = commit_snapshot(
-        rewritten,
-        root,
-        mode="overwrite",
-        op=op,
-        expected_base=base,
-        stats_columns=[key],
-        carry_files=miss,
-        carry_stats=carried,
-        extra=extra,
+    return _pruned_rewrite(
+        spark, root, base, key, updates, updates, op, extra=extra
     )
-    n_new = len(_read_manifest(root, version)["files"]) - len(miss)
-    return version, n_new, len(miss)
+
+
+def delete_keys(
+    spark: SparkSession, root: str, key: str, keys_df: DataFrame
+) -> tuple[int, int]:
+    """Row-level DELETE by key set (the data-governance / right-to-be-
+    forgotten primitive): files whose ``key`` statistics overlap the
+    deletion set's span are rewritten WITHOUT the matching rows
+    (anti-join); disjoint files carry over untouched. Returns
+    (version, n_files_rewritten).
+
+    IMPORTANT: like every commit, old versions still reference the
+    original files — completing an erasure requires VACUUM down to the
+    post-delete version (exactly the two-step production formats
+    document for GDPR workloads: delete, then expire snapshots).
+
+    Scale: cost follows the deletion set's key span, not table size —
+    with clustered keys (the sync layout) a user's rows live in few
+    files."""
+    base = current_version(root)
+    if base is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    version, n_new, _carried = _pruned_rewrite(
+        spark, root, base, key, keys_df, None, "delete"
+    )
+    return version, n_new
 
 
 def vacuum(
@@ -514,50 +574,3 @@ def compact_version(
         stats_columns=stats_columns,
     )
     return version, len(files), len(_read_manifest(root, version)["files"])
-
-
-def delete_keys(
-    spark: SparkSession, root: str, key: str, keys_df: DataFrame
-) -> tuple[int, int]:
-    """Row-level DELETE by key set (the data-governance / right-to-be-
-    forgotten primitive): files whose ``key`` statistics overlap the
-    deletion set's span are rewritten WITHOUT the matching rows
-    (anti-join); disjoint files carry over untouched. Returns
-    (version, n_files_rewritten).
-
-    IMPORTANT: like every commit, old versions still reference the
-    original files — completing an erasure requires VACUUM down to the
-    post-delete version (exactly the two-step production formats
-    document for GDPR workloads: delete, then expire snapshots).
-
-    Scale: cost follows the deletion set's key span, not table size —
-    with clustered keys (the sync layout) a user's rows live in few
-    files."""
-    from pyspark.sql import functions as F
-
-    base = current_version(root)
-    if base is None:
-        raise FileNotFoundError(f"no committed version under {root}")
-    man = _read_manifest(root, base)
-    bounds = keys_df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
-    if bounds["lo"] is None:
-        return base, 0
-    hit, miss = prune_files(root, base, key, bounds["lo"], bounds["hi"])
-    if not hit:
-        return base, 0
-    touched = spark.read.parquet(*hit)
-    kept = touched.join(keys_df.select(key).distinct(), key, "left_anti")
-    base_stats = man.get("stats", {})
-    carried = {f: base_stats[f] for f in miss if f in base_stats}
-    version = commit_snapshot(
-        kept,
-        root,
-        mode="overwrite",
-        op="delete",
-        expected_base=base,
-        stats_columns=[key],
-        carry_files=miss,
-        carry_stats=carried,
-    )
-    n_new = len(_read_manifest(root, version)["files"]) - len(miss)
-    return version, n_new
