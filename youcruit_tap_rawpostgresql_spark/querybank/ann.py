@@ -775,3 +775,77 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", F.round("adc", 6).alias("adc"), "rank")
     )
+
+
+@register(
+    "pq_recall_eval",
+    oracle=f"""
+WITH codes AS (
+  SELECT vec_id,
+    [{", ".join(_o_pq_code(m) for m in range(_PQ_M))}] AS codes
+  FROM embeddings
+), adc AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY {_o_pq_adc_score()} DESC, n.vec_id) AS rank
+    FROM embeddings q JOIN codes n ON q.vec_id <> n.vec_id
+    WHERE q.vec_id % 50 = 0) WHERE rank <= 3
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        ROUND({_O_DOT_PAIR.format(a='q.embedding', b='e.embedding')}
+          / ({_O_NORM.format(a='q.embedding')} * {_O_NORM.format(a='e.embedding')}), 6)
+        DESC, e.vec_id) AS rank
+    FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+    WHERE q.vec_id % 50 = 0) WHERE rank <= 3
+)
+SELECT COUNT(DISTINCT exact.query_id) AS n_queries,
+  COUNT(adc.neighbor_id) AS n_hits,
+  COUNT(*) AS n_possible
+FROM exact LEFT JOIN adc
+  ON exact.query_id = adc.query_id AND exact.neighbor_id = adc.neighbor_id
+""",
+)
+def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality gate: recall@3 of the 8-byte-code ADC ranking against
+    exact full-precision top-3 — the measurement that picks (M, K) before
+    committing a 100 TB PQ index, completing the per-variant gate set
+    (LSH has ann_recall_eval, IVF is oracle-exact by construction).
+
+    Scale: both sides restrict to the query sample; the exact side exists
+    only for evaluation, on a sampled slice exactly like production
+    recall estimation."""
+    t = tables(spark, sf_dir)
+    e = t["embeddings"]
+    adc = (
+        sim_ann_pq_adc(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    n = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    wr = W.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 6).desc(), "neighbor_id"
+    )
+    exact = (
+        F.broadcast(q)
+        .join(n, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pairs("q_emb", "embedding").alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    hit = adc.withColumn("hit", F.lit(1))
+    joined = exact.join(hit, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("hit").alias("n_hits"),
+        F.count(F.lit(1)).alias("n_possible"),
+    )
