@@ -849,3 +849,86 @@ def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").alias("n_hits"),
         F.count(F.lit(1)).alias("n_possible"),
     )
+
+
+@register(
+    "sim_ann_lsh_multiprobe",
+    oracle=f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_o_sig('embedding')} AS sig,
+    {_O_NORM.format(a='embedding')} AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, sig, nrm AS q_nrm
+  FROM sigs WHERE vec_id % 25 = 0
+), probes AS (
+  SELECT query_id, q_emb, q_nrm,
+    unnest([sig, xor(sig, 1), xor(sig, 2), xor(sig, 4),
+            xor(sig, 8), xor(sig, 16), xor(sig, 32)]) AS probe
+  FROM q
+), cand AS (
+  SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id,
+    {_O_DOT_PAIR.format(a='p.q_emb', b='s.embedding')} / (p.q_nrm * s.nrm) AS cos
+  FROM probes p JOIN sigs s ON p.probe = s.sig AND p.query_id <> s.vec_id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
+FROM r WHERE rank <= 3
+""",
+)
+def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (Lv et al., VLDB 2007): each query searches its own
+    bucket PLUS the 6 Hamming-distance-1 buckets (one sign bit flipped) —
+    the standard recall knob that trades candidate volume for index count:
+    1 table × 7 probes ≈ the recall of several independent tables at a
+    seventh of the index storage.
+
+    Scale: probes explode query-side only (|Q|×7 rows, never the corpus);
+    candidates still come from a hash equi-join on the bucket id, so the
+    shuffle stays O(|Q|·probes·n/2^b). DISTINCT collapses a neighbor
+    reachable via several probes before ranking."""
+    e = tables(spark, sf_dir)["embeddings"]
+    n_part = spark.sparkContext.defaultParallelism
+    sigs = lsh_signatures(e.repartition(n_part, "vec_id")).cache()
+    probes = (
+        sigs.filter(F.col("vec_id") % 25 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(
+                F.array(
+                    F.col("sig"),
+                    *[
+                        F.col("sig").bitwiseXOR(F.lit(1 << i))
+                        for i in range(_N_PLANES)
+                    ],
+                )
+            ).alias("probe"),
+        )
+    )
+    cand = (
+        probes.join(
+            sigs.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("n_emb"),
+                F.col("sig").alias("n_sig"),
+            ),
+            (F.col("probe") == F.col("n_sig"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pairs("q_emb", "n_emb").alias("cos"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
+    )
