@@ -689,6 +689,30 @@ def _o_pq_adc_score() -> str:
     return score
 
 
+def pq_query_luts(rows) -> "dict[int, object]":
+    """query rows → {vec_id: M×K ADC lookup table}. THE bit-exactness-
+    critical fold: each LUT entry accumulates the subspace dot product
+    dim-by-dim in sequence, the identical IEEE-754 op order as the
+    oracle's list_reduce — shared by every PQ consumer so the op order
+    can never drift between them."""
+    import numpy as np
+
+    B = np.array(_PQ_BOOKS, dtype=np.float64)
+    out = {}
+    for r in sorted(rows, key=lambda r: r["vec_id"]):
+        Q = np.array(r["embedding"], dtype=np.float64)
+        lut = np.empty((_PQ_M, _PQ_K), dtype=np.float64)
+        for m in range(_PQ_M):
+            sub = Q[m * _PQ_SUB:(m + 1) * _PQ_SUB]
+            S = sub[0] * B[m, :, 0]
+            for i in range(1, _PQ_SUB):
+                S = S + sub[i] * B[m, :, i]
+            lut[m] = S
+        out[int(r["vec_id"])] = lut
+    return out
+
+
+
 @register(
     "sim_ann_pq_adc",
     headline=True,
@@ -726,22 +750,12 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = tables(spark, sf_dir)["embeddings"]
-    B = np.array(_PQ_BOOKS, dtype=np.float64)  # M×K×SUB
-    q_rows = sorted(
-        e.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding").collect(),
-        key=lambda r: r["vec_id"],
-    )
-    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
-    # per-query lookup tables: LUT[q, m, c] = dot(q_sub_m, cent_mc), the
-    # sequential per-dim accumulation both engines share
-    LUT = np.empty((len(Q), _PQ_M, _PQ_K), dtype=np.float64)
-    for m in range(_PQ_M):
-        sub = Q[:, m * _PQ_SUB:(m + 1) * _PQ_SUB]
-        S = np.outer(sub[:, 0], B[m, :, 0])
-        for i in range(1, _PQ_SUB):
-            S = S + np.outer(sub[:, i], B[m, :, i])
-        LUT[:, m, :] = S
+    q_rows = e.filter(F.col("vec_id") % 50 == 0).select(
+        "vec_id", "embedding"
+    ).collect()
+    luts = pq_query_luts(q_rows)
+    q_ids = np.array(sorted(luts), dtype=np.int64)
+    LUT = np.stack([luts[int(q)] for q in q_ids])  # |Q|×M×K
 
     def score_batches(it):
         for pdf in it:
@@ -749,7 +763,7 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             C = np.array(pdf["codes"].tolist(), dtype=np.int64) - 1  # n×M
             n = len(C)
-            nq = len(Q)
+            nq = len(q_ids)
             # adc[q, n] accumulated in subspace order (matches the oracle's
             # left-associated adds)
             adc = LUT[:, 0, :][:, C[:, 0]]
@@ -863,11 +877,10 @@ WITH sigs AS (
   FROM sigs WHERE vec_id % 25 = 0
 ), probes AS (
   SELECT query_id, q_emb, q_nrm,
-    unnest([sig, xor(sig, 1), xor(sig, 2), xor(sig, 4),
-            xor(sig, 8), xor(sig, 16), xor(sig, 32)]) AS probe
+    unnest([sig, {", ".join(f"xor(sig, {1 << i})" for i in range(_N_PLANES))}]) AS probe
   FROM q
 ), cand AS (
-  SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id,
+  SELECT p.query_id, s.vec_id AS neighbor_id,
     {_O_DOT_PAIR.format(a='p.q_emb', b='s.embedding')} / (p.q_nrm * s.nrm) AS cos
   FROM probes p JOIN sigs s ON p.probe = s.sig AND p.query_id <> s.vec_id
 ), r AS (
@@ -888,8 +901,9 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: probes explode query-side only (|Q|×7 rows, never the corpus);
     candidates still come from a hash equi-join on the bucket id, so the
-    shuffle stays O(|Q|·probes·n/2^b). DISTINCT collapses a neighbor
-    reachable via several probes before ranking."""
+    shuffle stays O(|Q|·probes·n/2^b). No dedup is needed: the 7 probe
+    values are pairwise distinct and each neighbor has exactly ONE
+    signature, so a (query, neighbor) pair meets on at most one probe."""
     e = tables(spark, sf_dir)["embeddings"]
     n_part = spark.sparkContext.defaultParallelism
     sigs = lsh_signatures(e.repartition(n_part, "vec_id")).cache()
@@ -924,7 +938,6 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             cosine_pairs("q_emb", "n_emb").alias("cos"),
         )
-        .distinct()
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -999,22 +1012,13 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.filter((F.col("crank") <= 2) & (F.col("vec_id") % 25 == 0))
         .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
     )
-    B = np.array(_PQ_BOOKS, dtype=np.float64)
-    q_rows = sorted(
-        e.filter(F.col("vec_id") % 25 == 0).select("vec_id", "embedding").collect(),
-        key=lambda r: r["vec_id"],
-    )
-    LUT = {}
-    for r in q_rows:
-        Q = np.array(r["embedding"], dtype=np.float64)
-        lut = np.empty((_PQ_M, _PQ_K), dtype=np.float64)
-        for m in range(_PQ_M):
-            sub = Q[m * _PQ_SUB:(m + 1) * _PQ_SUB]
-            S = sub[0] * B[m, :, 0]
-            for i in range(1, _PQ_SUB):
-                S = S + sub[i] * B[m, :, i]
-            lut[m] = S
-        LUT[int(r["vec_id"])] = lut
+    q_rows = e.filter(F.col("vec_id") % 25 == 0).select(
+        "vec_id", "embedding"
+    ).collect()
+    luts = pq_query_luts(q_rows)
+    lut_ids = np.array(sorted(luts), dtype=np.int64)
+    lut_stack = np.stack([luts[int(q)] for q in lut_ids])  # |Q|×M×K
+    id_to_idx = {int(q): i for i, q in enumerate(lut_ids)}
 
     def adc_batches(it):
         for pdf in it:
@@ -1022,13 +1026,12 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             C = np.array(pdf["codes"].tolist(), dtype=np.int64) - 1
             qids = pdf["query_id"].to_numpy()
-            out = np.empty(len(pdf), dtype=np.float64)
-            for i, qid in enumerate(qids):
-                lut = LUT[int(qid)]
-                s = lut[0, C[i, 0]]
-                for m in range(1, _PQ_M):
-                    s = s + lut[m, C[i, m]]
-                out[i] = s
+            qidx = np.array([id_to_idx[int(q)] for q in qids], dtype=np.int64)
+            # vectorized gather, accumulated in subspace order (the same
+            # left-assoc adds as the oracle)
+            out = lut_stack[qidx, 0, C[:, 0]]
+            for m in range(1, _PQ_M):
+                out = out + lut_stack[qidx, m, C[:, m]]
             yield pd.DataFrame(
                 {
                     "query_id": qids,
