@@ -1179,3 +1179,90 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
     )
+
+
+@register(
+    "join_asof_nearest",
+    # views deduped to max event_id per (user, ts) — same pin as join_asof:
+    # equal-distance ties then resolve purely on view ts (earlier wins)
+    oracle="""
+WITH vd AS (
+  SELECT user_id, ts, MAX(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+), c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT c.event_id, c.user_id, vd.view_id,
+    abs(date_diff('microsecond', vd.ts, c.ts)) AS dus, vd.ts AS vts
+  FROM c JOIN vd ON vd.user_id = c.user_id
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                               ORDER BY dus, vts) AS rn
+  FROM p
+)
+SELECT event_id, user_id, view_id, CAST(dus AS BIGINT) AS delta_us
+FROM r WHERE rn = 1
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join (both directions): each click pairs with
+    the closest view of the same user, earlier-on-tie — the sensor-fusion
+    variant of ASOF that backward-only joins can't express. Composition:
+    ONE (user, time)-ordered window yields both the last-preceding and
+    first-following view (last/first ignorenulls over mirrored frames);
+    the nearer of the two wins in exact µs integers.
+
+    Scale: still one shuffle + one sort per user partition — the oracle's
+    all-pairs form (|clicks|×|views| per user) is exactly what this
+    composition avoids."""
+    e = tables(spark, sf_dir)["events"]
+    vd = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("kind"),
+            F.col("view_id"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("view_id"), "event_id",
+    )
+    tagged = vd.unionByName(clicks).withColumn("us", F.unix_micros("ts"))
+    vstruct = F.when(
+        F.col("kind") == 0, F.struct(F.col("us").alias("vus"), F.col("view_id"))
+    )
+    ordering = [F.col("ts"), F.col("kind"), F.coalesce("event_id", "view_id")]
+    w_prev = (
+        W.partitionBy("user_id").orderBy(*ordering)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy("user_id").orderBy(*ordering)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    scored = (
+        tagged.withColumn("prev", F.last(vstruct, ignorenulls=True).over(w_prev))
+        .withColumn("nxt", F.first(vstruct, ignorenulls=True).over(w_next))
+        .filter(F.col("kind") == 1)
+    )
+    prev_d = F.col("us") - F.col("prev.vus")
+    next_d = F.col("nxt.vus") - F.col("us")
+    pick_prev = F.col("nxt").isNull() | (
+        F.col("prev").isNotNull() & (prev_d <= next_d)
+    )
+    return (
+        scored.filter(F.col("prev").isNotNull() | F.col("nxt").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.when(pick_prev, F.col("prev.view_id"))
+            .otherwise(F.col("nxt.view_id"))
+            .alias("view_id"),
+            F.when(pick_prev, prev_d).otherwise(next_d).alias("delta_us"),
+        )
+    )
