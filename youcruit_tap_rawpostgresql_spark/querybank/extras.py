@@ -1266,3 +1266,159 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(pick_prev, prev_d).otherwise(next_d).alias("delta_us"),
         )
     )
+
+
+@register(
+    "agg_bit_flags",
+    oracle="""
+WITH coded AS (
+  SELECT user_id,
+    CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+      WHEN 'purchase' THEN 4 WHEN 'login' THEN 8 ELSE 16 END AS flag
+  FROM events
+)
+SELECT user_id,
+  CAST(bit_or(flag) AS BIGINT) AS seen_mask,
+  CAST(bit_and(flag | 96) AS BIGINT) AS common_mask
+FROM coded GROUP BY user_id
+""",
+)
+def agg_bit_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate flags: each event type maps to a bit; BIT_OR
+    builds the user's seen-set mask in ONE pass (the compact form of five
+    bool_or columns), BIT_AND the always-present set — PG's bit_or/bit_and
+    aggregate surface, and the classic segmentation-mask trick.
+
+    Scale: masks are single-word partial aggregates (perfect map-side
+    combine); downstream segment predicates become bit tests instead of
+    joins against an event-type table."""
+    e = tables(spark, sf_dir)["events"]
+    flag = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "login", 8)
+        .otherwise(16)
+    )
+    return (
+        e.select("user_id", flag.alias("flag"))
+        .groupBy("user_id")
+        .agg(
+            F.bit_or("flag").cast("bigint").alias("seen_mask"),
+            F.bit_and(F.col("flag").bitwiseOR(F.lit(96)))
+            .cast("bigint")
+            .alias("common_mask"),
+        )
+    )
+
+
+@register(
+    "stats_theil_index",
+    # order-free: every per-row term uses exact decimal totals broadcast
+    # from one aggregate, the ln is per-row (same input bits both
+    # engines), and the final sum is rounded to 6dp
+    oracle="""
+WITH tot AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s,
+    COUNT(*) AS n
+  FROM orders
+), share AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) / t.s AS w, t.n
+  FROM orders CROSS JOIN tot t
+)
+SELECT ROUND(SUM(w * ln(w * n)), 6) AS theil
+FROM share
+""",
+)
+def stats_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil inequality index of order values — the entropy-based
+    concentration measure (0 = perfectly equal): T = Σ wᵢ·ln(wᵢ·n) with
+    wᵢ the value share. Companion to the Gini coefficient case; unlike
+    Gini it decomposes additively across groups, which is why economists
+    (and capacity planners) prefer it for drill-downs.
+
+    Scale: one aggregate for the totals (broadcast scalar), one map-only
+    share/ln pass, one final sum — two scans, no sort (Gini needs the
+    rank sort). NOTE the final float sum's addend order is engine/
+    partition dependent; 6dp rounding absorbs it (|terms| ≤ 15k here;
+    for 100 TB accumulate in decimal via fixed-point ln if exactness
+    matters)."""
+    o = tables(spark, sf_dir)["orders"]
+    tot = o.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    share = o.crossJoin(F.broadcast(tot)).select(
+        (
+            F.col("o_totalprice").cast("decimal(12,2)").cast("double") / F.col("s")
+        ).alias("w"),
+        "n",
+    )
+    return share.agg(
+        F.round(F.sum(F.col("w") * F.log(F.col("w") * F.col("n"))), 6).alias(
+            "theil"
+        )
+    )
+
+
+@register(
+    "ts_autocorr_lag1",
+    # exact decimal moment sums feed one closed-form expression — the only
+    # IEEE ops are the final few multiplies/divides, identical both sides
+    oracle="""
+WITH pairs AS (
+  SELECT user_id,
+    CAST(value AS DECIMAL(12,2)) AS x,
+    CAST(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS DECIMAL(12,2)) AS y
+  FROM events
+), m AS (
+  SELECT user_id, COUNT(*) AS n,
+    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+    CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM pairs WHERE y IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+  ROUND((n * sxy - sx * sy)
+        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r1
+FROM m WHERE n >= 3
+""",
+)
+def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation of event values — THE quick test for
+    temporal structure (r₁ ≈ 0 ⇒ white noise; the screening stat before
+    fitting any sequence model). Pearson r over (vₜ, vₜ₋₁) pairs from
+    exact-decimal moment sums, so only the closed-form tail is floating
+    point.
+
+    Scale: one (user)-partitioned window for the lag + one partial-agg
+    groupBy on the same key — a single shuffle; moments are five numbers
+    per user regardless of history length."""
+    e = tables(spark, sf_dir)["events"]
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        "user_id",
+        F.col("value").cast("decimal(12,2)").alias("x"),
+        F.lag(F.col("value")).over(wl).cast("decimal(12,2)").alias("y"),
+    ).filter(F.col("y").isNotNull())
+    m = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    r1 = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.filter(F.col("n") >= 3).select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(r1, 6).alias("r1"),
+    )
