@@ -1688,3 +1688,60 @@ def survival_km_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("survival"),
     )
+
+
+@register(
+    "attribution_time_decay",
+    # per-touch weights are IEEE-identical (one div on exact ints); the
+    # per-channel weight sums accumulate in DECIMAL(18,6) after a
+    # deterministic per-value rounding, so summation order cannot matter
+    oracle="""
+WITH purch AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+  WHERE event_type = 'purchase'
+), touch AS (
+  SELECT p.p_id, p.user_id, e.event_type AS channel,
+    date_diff('day', CAST(e.ts AS DATE), CAST(p.p_ts AS DATE)) AS age_d
+  FROM purch p
+  JOIN events e ON e.user_id = p.user_id AND e.ts < p.p_ts
+    AND e.event_type IN ('click', 'view', 'login')
+), wt AS (
+  SELECT channel,
+    CAST(CAST(1.0 AS DOUBLE) / (1 + age_d) AS DECIMAL(18,6)) AS w
+  FROM touch
+)
+SELECT channel,
+  CAST(SUM(w) AS DOUBLE) AS credit,
+  COUNT(*) AS n_touches
+FROM wt GROUP BY channel
+""",
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution: every pre-purchase touch earns credit
+    1/(1+age_days) toward its channel — the middle ground between the
+    first/last-touch cases (all-or-nothing) and data-driven models. The
+    hyperbolic weight keeps arithmetic rational; quantizing each weight
+    to DECIMAL(18,6) BEFORE summing makes the aggregate exact and
+    order-free (a raw float sum would hash-differ across partitionings).
+
+    Scale: the touch join is user-keyed (one shuffle); at 100 TB bound
+    the lookback window (age < N days) so the per-user touch fan-out
+    stays constant."""
+    e = tables(spark, sf_dir)["events"]
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    touch = purch.join(
+        e.filter(F.col("event_type").isin("click", "view", "login")),
+        (F.col("user_id") == F.col("p_user")) & (F.col("ts") < F.col("p_ts")),
+    ).select(
+        F.col("event_type").alias("channel"),
+        F.datediff(F.to_date("p_ts"), F.to_date("ts")).alias("age_d"),
+    )
+    w = (F.lit(1.0) / (1 + F.col("age_d"))).cast("decimal(18,6)")
+    return touch.select("channel", w.alias("w")).groupBy("channel").agg(
+        F.sum("w").cast("double").alias("credit"),
+        F.count(F.lit(1)).alias("n_touches"),
+    )

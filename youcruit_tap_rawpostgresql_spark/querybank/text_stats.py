@@ -635,3 +635,60 @@ def text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 / (1.0 + F.exp(-F.col("zv"))), 6).alias("score"),
         (F.col("zv") > 0.0).alias("keep"),
     )
+
+
+@register(
+    "text_kwic_concordance",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), hits AS (
+  SELECT doc_id, unnest(generate_series(1, len(ts))) AS pos, ts FROM toks
+)
+SELECT doc_id, CAST(pos AS INT) AS pos,
+  COALESCE(array_to_string(ts[GREATEST(1, pos - 2):(pos - 1)], ' '), '') AS left_ctx,
+  COALESCE(array_to_string(ts[(pos + 1):LEAST(len(ts), pos + 2)], ' '), '') AS right_ctx
+FROM hits WHERE ts[pos] = 'spark'
+""",
+)
+def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance for the term 'spark': every
+    occurrence with two tokens of left/right context — the corpus-
+    inspection view behind data-quality spot checks and term-usage
+    audits (and the retrieval unit for fine-grained citation).
+
+    Scale: positions come from sequence+explode (no window), context from
+    array slices — map-only besides the explode; a term-filtered postings
+    layout (text_phrase_search) serves the same query without scanning
+    non-matching docs."""
+    docs = tables(spark, sf_dir)["documents"]
+    hits = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("ts"),
+    ).select(
+        "doc_id",
+        "ts",
+        F.explode(F.sequence(F.lit(1), F.size("ts"))).alias("pos"),
+    ).filter(F.element_at("ts", F.col("pos")) == "spark")
+    left = F.array_join(
+        F.slice(
+            F.col("ts"),
+            F.greatest(F.lit(1), F.col("pos") - 2),
+            F.col("pos") - F.greatest(F.lit(1), F.col("pos") - 2),
+        ),
+        " ",
+    )
+    right = F.array_join(
+        F.slice(
+            F.col("ts"),
+            F.col("pos") + 1,
+            F.least(F.size("ts"), F.col("pos") + 2) - F.col("pos"),
+        ),
+        " ",
+    )
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        left.alias("left_ctx"),
+        right.alias("right_ctx"),
+    )

@@ -334,3 +334,47 @@ def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.select("l_returnflag", "l_quantity", F.dense_rank().over(w).alias("rk"))
         .filter(F.col("rk") <= 2)
     )
+
+
+@register(
+    "win_sliding_median",
+    # DOUBLE median interpolates even-count frames as (a+b)/2 in both
+    # engines (DuckDB's DECIMAL median instead takes the lower middle —
+    # caught by the hash compare); one add + one halving on identical
+    # doubles is bit-identical
+    oracle="""
+SELECT user_id, event_id,
+  median(CAST(value AS DOUBLE))
+       OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+    AS med5
+FROM events WHERE user_id % 10 = 0
+""",
+)
+def win_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 5-row median per user — the robust smoother (spike
+    rejection) that a mean-based moving average can't provide. Spark has
+    no median window function; the composition collects the frame into
+    an array, sorts it, and picks/averages the middle — exact decimals
+    end to end, so even the interpolated even-count edges hash-match.
+
+    Scale: the frame array is bounded (5), so state per row is O(frame),
+    the same cost class as any ROWS window; a percentile-sketch window
+    would take over for wide frames."""
+    e = tables(spark, sf_dir)["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    frame = F.array_sort(
+        F.collect_list(F.col("value").cast("double")).over(w)
+    )
+    n = F.size(frame)
+    mid_hi = F.element_at(frame, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(frame, ((n + 1) / 2).cast("int"))
+    med = (mid_lo + mid_hi) / F.lit(2.0)
+    return (
+        e.filter(F.col("user_id") % 10 == 0)
+        .select("user_id", "event_id", med.alias("med5"))
+    )
