@@ -1246,3 +1246,71 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= F.col("m"))
         .select("doc_id", "lang")
     )
+
+
+_NEG_K = 3  # negatives per anchor
+
+
+@register(
+    "sample_negative_pairs",
+    oracle=f"""
+WITH n AS (
+  SELECT COUNT(*) AS total FROM documents
+), cand AS (
+  SELECT d.doc_id AS anchor_id, d.source AS anchor_source,
+    CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':neg:' ||
+         CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % n.total AS neg_id
+  FROM documents d
+  CROSS JOIN n
+  CROSS JOIN (SELECT unnest(generate_series(1, {_NEG_K})) AS i)
+)
+SELECT c.anchor_id, c.neg_id,
+  (c.anchor_source = d2.source) AS same_source
+FROM cand c
+JOIN documents d2 ON d2.doc_id = c.neg_id
+WHERE c.neg_id <> c.anchor_id
+""",
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-pair sampling for contrastive training (the data half of
+    embedding-model fine-tuning): each anchor doc draws 3 deterministic
+    hash-derived negatives from the corpus — reproducible across runs
+    and partitionings (unlike rand()), with accidental same-source draws
+    FLAGGED (hard-negative vs false-negative triage) rather than
+    silently kept.
+
+    Scale: the draw is a per-row hash expression; resolving negatives is
+    ONE equi-join on the drawn id — no shuffle of the corpus beyond the
+    join, and the fan-out is the constant k. Contiguous ids come free
+    here; production uses the dense-id assignment case
+    (`ids_dense_assign`) first."""
+    docs = tables(spark, sf_dir)["documents"]
+    total = docs.count()
+    cand = docs.select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("source").alias("anchor_source"),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        hash64(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(f":neg:{i}"),
+                            )
+                        )
+                        % F.lit(total)
+                    )
+                    for i in range(1, _NEG_K + 1)
+                ]
+            )
+        ).alias("neg_id"),
+    ).filter(F.col("neg_id") != F.col("anchor_id"))
+    d2 = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
+    )
+    return cand.join(d2, "neg_id").select(
+        "anchor_id",
+        "neg_id",
+        (F.col("anchor_source") == F.col("neg_source")).alias("same_source"),
+    )
