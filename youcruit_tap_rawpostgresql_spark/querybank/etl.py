@@ -1704,7 +1704,7 @@ WITH purch AS (
     date_diff('day', CAST(e.ts AS DATE), CAST(p.p_ts AS DATE)) AS age_d
   FROM purch p
   JOIN events e ON e.user_id = p.user_id AND e.ts < p.p_ts
-    AND e.event_type IN ('click', 'view', 'login')
+    AND e.event_type <> 'purchase'
 ), wt AS (
   SELECT channel,
     CAST(CAST(1.0 AS DOUBLE) / (1 + age_d) AS DECIMAL(18,6)) AS w
@@ -1717,7 +1717,8 @@ FROM wt GROUP BY channel
 """,
 )
 def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-decay attribution: every pre-purchase touch earns credit
+    """Time-decay attribution: every pre-purchase touch (any
+    non-purchase event type) earns credit
     1/(1+age_days) toward its channel — the middle ground between the
     first/last-touch cases (all-or-nothing) and data-driven models. The
     hyperbolic weight keeps arithmetic rational; quantizing each weight
@@ -1734,7 +1735,7 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("p_id"),
     )
     touch = purch.join(
-        e.filter(F.col("event_type").isin("click", "view", "login")),
+        e.filter(F.col("event_type") != "purchase"),
         (F.col("user_id") == F.col("p_user")) & (F.col("ts") < F.col("p_ts")),
     ).select(
         F.col("event_type").alias("channel"),

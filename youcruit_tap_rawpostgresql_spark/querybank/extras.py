@@ -1274,7 +1274,8 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH coded AS (
   SELECT user_id,
     CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
-      WHEN 'purchase' THEN 4 WHEN 'login' THEN 8 ELSE 16 END AS flag
+      WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+      WHEN 'error' THEN 16 ELSE 32 END AS flag
   FROM events
 )
 SELECT user_id,
@@ -1297,8 +1298,9 @@ def agg_bit_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "click", 1)
         .when(F.col("event_type") == "view", 2)
         .when(F.col("event_type") == "purchase", 4)
-        .when(F.col("event_type") == "login", 8)
-        .otherwise(16)
+        .when(F.col("event_type") == "signup", 8)
+        .when(F.col("event_type") == "error", 16)
+        .otherwise(32)  # future-proof: unknown types share one bit
     )
     return (
         e.select("user_id", flag.alias("flag"))
@@ -1327,7 +1329,7 @@ WITH tot AS (
   FROM orders CROSS JOIN tot t
 )
 SELECT ROUND(SUM(w * ln(w * n)), 6) AS theil
-FROM share
+FROM share WHERE w > 0
 """,
 )
 def stats_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1356,7 +1358,10 @@ def stats_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w"),
         "n",
     )
-    return share.agg(
+    # w > 0 on both sides: ln(0) THROWS in DuckDB but NULLs in Spark —
+    # zero-value rows (possible under future fixtures) must drop
+    # identically, not diverge error-vs-answer
+    return share.filter(F.col("w") > 0).agg(
         F.round(F.sum(F.col("w") * F.log(F.col("w") * F.col("n"))), 6).alias(
             "theil"
         )
@@ -1383,8 +1388,10 @@ WITH pairs AS (
   FROM pairs WHERE y IS NOT NULL GROUP BY user_id
 )
 SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
-  ROUND((n * sxy - sx * sy)
-        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r1
+  CASE WHEN (n * sxx - sx * sx) <= 0 OR (n * syy - sy * sy) <= 0 THEN NULL
+       ELSE ROUND((n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+  END AS r1
 FROM m WHERE n >= 3
 """,
 )
@@ -1413,12 +1420,15 @@ def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
     )
-    r1 = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r1 = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(vx * vy)
+    # zero-variance guard: rounding can push the radicand epsilon-negative
+    # (DuckDB sqrt would THROW, Spark would NaN) — pin both to NULL
     return m.filter(F.col("n") >= 3).select(
         "user_id",
         F.col("n").cast("bigint").alias("n_pairs"),
-        F.round(r1, 6).alias("r1"),
+        F.when((vx <= 0) | (vy <= 0), F.lit(None))
+        .otherwise(F.round(r1, 6))
+        .alias("r1"),
     )

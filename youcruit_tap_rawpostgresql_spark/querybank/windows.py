@@ -373,7 +373,9 @@ def win_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(frame)
     mid_hi = F.element_at(frame, (n / 2 + 1).cast("int"))
     mid_lo = F.element_at(frame, ((n + 1) / 2).cast("int"))
-    med = (mid_lo + mid_hi) / F.lit(2.0)
+    # all-NULL frame (latent: no NULL values in current fixtures) →
+    # empty collect_list → index 0 would THROW; NULL like DuckDB's median
+    med = F.when(n > 0, (mid_lo + mid_hi) / F.lit(2.0))
     return (
         e.filter(F.col("user_id") % 10 == 0)
         .select("user_id", "event_id", med.alias("med5"))
