@@ -561,3 +561,26 @@ def test_range_join_binned_is_hash_equi(plans):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "Join" in p  # the equi form survived optimization
+
+
+def test_multiprobe_lsh_no_cartesian(plans):
+    """Multi-probe LSH must stay a hash equi-join on the probe signature
+    — the probe fan-out explodes the QUERY side only, never a product."""
+    p = plans("sim_ann_lsh_multiprobe")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_paragraph_dedup_shuffles_hash_not_text(plans):
+    """Chunk-level dedup's first-occurrence window must partition on
+    xxhash64(chunk) — 8 bytes per chunk across the wire, not the text."""
+    p = plans("dedup_paragraph_exact")
+    assert "xxhash64" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ivf_pq_no_cartesian(plans):
+    """Composed IVF-PQ: candidates come from the cell equi-join; the only
+    broadcast is the probe (query-sample) side."""
+    p = plans("sim_ann_ivf_pq")
+    assert "CartesianProduct" not in p
