@@ -296,3 +296,80 @@ def graph_shortest_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("d").alias("d"))
         )
     return dist.select("node", F.col("d").alias("cost"))
+
+
+_LP_ROUNDS = 3
+
+
+def _o_lp_round(prev: str, idx: int) -> str:
+    """One synchronous min-label round as plain join+group-by CTEs — a
+    correlated-subquery formulation re-evaluates the edge derivation per
+    node and is quadratically slower at larger SFs."""
+    # AS MATERIALIZED: each round references the previous label set
+    # TWICE — left inlined, the CTE chain re-evaluates the upstream star
+    # join exponentially (measured: minutes at sf0.1 vs instant
+    # materialized)
+    return f"""c{idx} AS MATERIALIZED (
+  SELECT b.a AS node, MIN(p.label) AS nmin
+  FROM bi b JOIN l{idx - 1} p ON p.node = b.b
+  GROUP BY b.a
+), l{idx} AS MATERIALIZED (
+  SELECT n.node, LEAST(n.label, COALESCE(c{idx}.nmin, n.label)) AS label
+  FROM l{idx - 1} n LEFT JOIN c{idx} ON c{idx}.node = n.node
+)"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+WITH {_O_EDGES}, ue AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi FROM e
+), bi AS MATERIALIZED (
+  SELECT lo AS a, hi AS b FROM ue UNION ALL SELECT hi, lo FROM ue
+), l0 AS MATERIALIZED (
+  SELECT n_nationkey AS node, n_nationkey AS label FROM nation
+), {", ".join(_o_lp_round("", i + 1) for i in range(_LP_ROUNDS))}
+SELECT node, label AS community FROM l{_LP_ROUNDS}
+""",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous min-label propagation over the
+    undirected trade graph: every node starts as its own label and
+    repeatedly adopts the minimum label in its closed neighborhood — after
+    k rounds, labels equal the minimum node id within k hops, so connected
+    components emerge as label plateaus (the deterministic, integer-exact
+    variant of LPA; the same loop underlies dedup_components).
+
+    Scale: each round is one edges⋈labels equi-join + a min-aggregate on
+    node id — Pregel shape, node/edge-sized data only; the oracle's
+    correlated-min round expansion is the proof harness."""
+    t = tables(spark, sf_dir)
+    n = t["nation"]
+    ue = (
+        _trade_edges(t)
+        .select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .distinct()
+        .cache()
+    )
+    both = ue.unionByName(
+        ue.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
+    )
+    labels = n.select(
+        F.col("n_nationkey").alias("node"), F.col("n_nationkey").alias("label")
+    )
+    for _ in range(_LP_ROUNDS):
+        neigh_min = (
+            both.join(labels, both["hi"] == labels["node"])
+            .groupBy(F.col("lo").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neigh_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+        )
+    return labels.select("node", F.col("label").alias("community"))
