@@ -373,3 +373,81 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+WITH {_O_EDGES}, ue AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi FROM e
+), bi AS MATERIALIZED (
+  SELECT lo AS a, hi AS b FROM ue UNION ALL SELECT hi, lo FROM ue
+), deg AS MATERIALIZED (
+  SELECT a AS node, COUNT(*) AS d FROM bi GROUP BY a
+), wedge AS (
+  SELECT x.a AS u, y.a AS v, COUNT(*) AS common
+  FROM bi x JOIN bi y ON x.b = y.b AND x.a < y.a
+  GROUP BY x.a, y.a
+), cand AS (
+  SELECT w.u, w.v, w.common, du.d AS du, dv.d AS dv
+  FROM wedge w
+  JOIN deg du ON du.node = w.u
+  JOIN deg dv ON dv.node = w.v
+  WHERE NOT EXISTS (SELECT 1 FROM ue WHERE ue.lo = w.u AND ue.hi = w.v)
+)
+SELECT u, v, CAST(common AS BIGINT) AS common_neighbors,
+  ROUND(CAST(common AS DOUBLE) / (du + dv - common), 6) AS jaccard
+FROM cand WHERE common >= 2
+""",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the undirected trade graph: for every
+    NON-edge pair sharing ≥2 neighbors, the common-neighbor count and
+    Jaccard score |N(u)∩N(v)| / |N(u)∪N(v)| — the classic "which trade
+    lanes open next" / friend-suggestion primitive. Exact integers plus
+    one rounded division.
+
+    Scale: the wedge join (bi⋈bi on the shared endpoint) is the same
+    fan-out as triangle counting — bounded by Σdeg²; hub nodes are the
+    skew hazard (cap or sample neighbor lists past a degree threshold).
+    The anti-join removes existing edges; degree join is node-sized."""
+    t = tables(spark, sf_dir)
+    ue = (
+        _trade_edges(t)
+        .select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .distinct()
+        .cache()
+    )
+    bi = ue.unionByName(
+        ue.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
+    ).select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    deg = bi.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    x = bi.select(F.col("a").alias("u"), F.col("b").alias("w1"))
+    y = bi.select(F.col("a").alias("v"), F.col("b").alias("w2"))
+    wedge = (
+        x.join(y, (F.col("w1") == F.col("w2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = (
+        wedge.join(
+            ue,
+            (wedge["u"] == ue["lo"]) & (wedge["v"] == ue["hi"]),
+            "left_anti",
+        )
+        .join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .filter(F.col("common") >= 2)
+    )
+    return cand.select(
+        "u",
+        "v",
+        F.col("common").cast("bigint").alias("common_neighbors"),
+        F.round(
+            F.col("common").cast("double")
+            / (F.col("du") + F.col("dv") - F.col("common")),
+            6,
+        ).alias("jaccard"),
+    )
