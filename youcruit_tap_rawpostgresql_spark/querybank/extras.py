@@ -1432,3 +1432,69 @@ def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(r1, 6))
         .alias("r1"),
     )
+
+
+@register(
+    "ts_seasonal_anomaly",
+    # the weekday baseline means are exact-decimal ÷ count (one IEEE div);
+    # residual z-scores only compare against a rounded threshold after
+    # 6dp rounding, so engine float order cannot flip membership
+    oracle="""
+WITH base AS (
+  SELECT event_type, dayofweek(ts) AS dow,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mu,
+    CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+         AS DOUBLE) / COUNT(*) AS m2,
+    COUNT(*) AS n
+  FROM events GROUP BY event_type, dayofweek(ts)
+), scored AS (
+  SELECT e.event_id, e.event_type, b.dow,
+    ROUND((CAST(e.value AS DOUBLE) - b.mu)
+          / sqrt(b.m2 - b.mu * b.mu), 6) AS z
+  FROM events e
+  JOIN base b ON b.event_type = e.event_type AND b.dow = dayofweek(e.ts)
+  WHERE b.n >= 10 AND b.m2 - b.mu * b.mu > 0
+)
+SELECT event_id, event_type, CAST(dow AS INT) AS dow, z
+FROM scored WHERE z > 3.0
+""",
+)
+def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each event's value z-scores
+    against ITS (type, weekday) population — the deseasonalized screen
+    that flags a quiet-Sunday spike a global threshold would miss.
+    Moments from exact decimal sums; the z computation is the same few
+    IEEE ops in both engines, rounded to 6dp before the cut.
+
+    Scale: baselines are a tiny (type × 7) aggregate broadcast back onto
+    the stream — one partial-agg pass + one map-only score pass; the
+    same shape serves millions of (entity, season) cells with a shuffle
+    join instead of the broadcast."""
+    e = tables(spark, sf_dir)["events"]
+    v = F.col("value").cast("decimal(12,2)")
+    base = e.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(
+        (F.sum(v).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (F.sum(v * v).cast("double") / F.count(F.lit(1))).alias("m2"),
+        F.count(F.lit(1)).alias("n"),
+    ).filter((F.col("n") >= 10) & (F.col("m2") - F.col("mu") * F.col("mu") > 0))
+    base_r = base.select(
+        F.col("event_type").alias("b_type"), "dow", "mu", "m2"
+    )
+    scored = e.join(
+        F.broadcast(base_r),
+        (e["event_type"] == F.col("b_type"))
+        & (F.dayofweek(e["ts"]) == F.col("dow")),
+    ).select(
+        "event_id",
+        F.col("b_type").alias("event_type"),
+        # DuckDB/PG number Sunday=0; Spark's dayofweek is Sunday=1
+        (F.col("dow") - 1).cast("int").alias("dow"),
+        F.round(
+            (F.col("value").cast("double") - F.col("mu"))
+            / F.sqrt(F.col("m2") - F.col("mu") * F.col("mu")),
+            6,
+        ).alias("z"),
+    )
+    return scored.filter(F.col("z") > 3.0)
