@@ -271,6 +271,66 @@ def test_at_time_zone_translation():
     )
 
 
+def test_at_time_zone_naive_literal_inverse_reading():
+    """PG: a NAIVE timestamp literal AT TIME ZONE Z is read as wall time
+    IN Z (→ to_utc_timestamp), the inverse of the timestamptz reading —
+    the silent-inversion hazard flagged in round-3 advice."""
+    from youcruit_tap_rawpostgresql_spark.plans.dialect import translate_pg_sql
+
+    assert (
+        translate_pg_sql(
+            "SELECT TIMESTAMP '2021-01-01 12:00:00' AT TIME ZONE "
+            "'America/New_York' AS t"
+        )
+        == "SELECT to_utc_timestamp(TIMESTAMP '2021-01-01 12:00:00', "
+        "'America/New_York') AS t"
+    )
+    # case-insensitive keyword, DATE literal form
+    assert (
+        translate_pg_sql("SELECT date '2021-01-01' at time zone 'CET' AS t")
+        == "SELECT to_utc_timestamp(DATE '2021-01-01', 'CET') AS t"
+    )
+    # a TIMESTAMPTZ literal keeps the timestamptz→wall-time reading
+    assert (
+        translate_pg_sql(
+            "SELECT timestamptz '2021-01-01 12:00:00+00' AT TIME ZONE 'CET' AS t"
+        )
+        == "SELECT from_utc_timestamp(TIMESTAMP '2021-01-01 12:00:00+00', "
+        "'CET') AS t"
+    )
+    # chained: naive literal enters zone A (to_utc), result is an instant
+    # so the second hop gets the timestamptz reading (from_utc)
+    assert (
+        translate_pg_sql(
+            "SELECT TIMESTAMP '2021-01-01 12:00:00' AT TIME ZONE 'CET' "
+            "AT TIME ZONE 'UTC' AS t"
+        )
+        == "SELECT from_utc_timestamp(to_utc_timestamp("
+        "TIMESTAMP '2021-01-01 12:00:00', 'CET'), 'UTC') AS t"
+    )
+    # inside a string literal: data, not SQL
+    assert (
+        translate_pg_sql("SELECT 'TIMESTAMP ''x'' AT TIME ZONE ''y''' AS s")
+        == "SELECT 'TIMESTAMP ''x'' AT TIME ZONE ''y''' AS s"
+    )
+
+
+def test_at_time_zone_naive_literal_semantics_spark(spark):
+    """End-to-end: the translated SQL yields PG's instant. Noon naive in
+    New York (UTC-5 in January) is 17:00 UTC — the OLD from_utc reading
+    would have produced 07:00 (a 10-hour silent error)."""
+    row = spark.sql(
+        __import__(
+            "youcruit_tap_rawpostgresql_spark.plans.dialect",
+            fromlist=["translate_pg_sql"],
+        ).translate_pg_sql(
+            "SELECT CAST(TIMESTAMP '2021-01-15 12:00:00' AT TIME ZONE "
+            "'America/New_York' AS STRING) AS t"
+        )
+    ).first()
+    assert row["t"] == "2021-01-15 17:00:00"
+
+
 def test_dow_isodow_translation():
     from youcruit_tap_rawpostgresql_spark.plans.dialect import translate_pg_sql
 

@@ -338,3 +338,56 @@ def test_checksum_is_scan_bound(run):
     p = plan_of(run("tap_table_checksum"), "simple")
     assert p.count("FileScan") == 1
     assert "Join" not in p
+
+
+def test_lsh_bucket_cap_bounds_mega_bucket(spark):
+    """Adversarial boilerplate: 200 docs sharing ONE signature would emit
+    C(200,2)=19900 candidate pairs uncapped. The per-bucket retention cap
+    bounds that at C(cap,2) while leaving normal buckets untouched —
+    deterministically (hash-ranked retention, no RNG)."""
+    from pyspark.sql import functions as F
+
+    from youcruit_tap_rawpostgresql_spark.querybank.llm import (
+        _N_MINHASH,
+        minhash_lsh_pairs,
+    )
+
+    mega = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.array(*[F.lit(7)] * _N_MINHASH).alias("mh"),
+    )
+    # a normal near-dup pair in its own bucket, far from the mega bucket
+    pair = spark.createDataFrame(
+        [(1000, [5] * _N_MINHASH), (1001, [5] * _N_MINHASH)],
+        "doc_id long, mh array<int>",
+    )
+    sig = mega.union(pair.select("doc_id", F.col("mh").cast("array<bigint>")))
+
+    capped = minhash_lsh_pairs(sig, bucket_cap=16).collect()
+    mega_pairs = [r for r in capped if r["a_id"] < 1000]
+    assert len(mega_pairs) == 16 * 15 // 2  # C(cap,2), not C(200,2)
+    # the small bucket is untouched and its pair survives with est=1.0
+    small = [r for r in capped if r["a_id"] == 1000]
+    assert len(small) == 1 and small[0]["b_id"] == 1001
+    assert small[0]["est_jaccard"] == 1.0
+    # determinism: same survivors on a differently-partitioned input
+    again = minhash_lsh_pairs(sig.repartition(7), bucket_cap=16).collect()
+    assert sorted((r["a_id"], r["b_id"]) for r in again) == sorted(
+        (r["a_id"], r["b_id"]) for r in capped
+    )
+    # cap disabled → the full quadratic set (the hazard the cap exists for)
+    assert minhash_lsh_pairs(sig, bucket_cap=None).count() == 200 * 199 // 2 + 1
+
+
+def test_ann_driver_collect_guard(spark):
+    """bounded_collect: the explicit driver-size bound on ANN query/LUT
+    sets. Under the limit it returns the rows; over it, it raises naming
+    the broadcast-join fallback — it must never materialize the full
+    oversized result on the driver (only limit+1 rows are fetched)."""
+    from youcruit_tap_rawpostgresql_spark.querybank.ann import bounded_collect
+
+    small = spark.range(10)
+    assert len(bounded_collect(small, limit=10)) == 10
+    big = spark.range(1_000_000)
+    with pytest.raises(ValueError, match="sim_cosine_topk"):
+        bounded_collect(big, limit=100)

@@ -1,0 +1,275 @@
+"""Live-database end-to-end sync over JDBC, against embedded Apache Derby.
+
+The reference's whole reason to exist is executing stream SQL on a LIVE
+database and streaming the rows out (``client.py:300-304``); its tests
+prove the path against real engines — an injected SQLite connection
+(``tests/test_sqlite.py:57-89``) and a postgres:14 CI service
+(``.github/workflows/ci_workflow.yml:43-51``). No PostgreSQL exists in
+this sandbox, but PySpark ships Derby jars, so the SAME sync path —
+``read_jdbc_stream`` → conform → stream maps → Singer messages, with the
+incremental bookmark bound into the pushed-down query — runs here against
+a real embedded SQL engine.
+
+Identifier note: Spark's JDBC writer creates quoted (case-sensitive,
+lowercase) columns, so the stream SQL quotes them — exactly what a real
+PG deployment with quoted identifiers requires too.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from youcruit_tap_rawpostgresql_spark.spec import (
+    ColumnSpec,
+    StreamSpec,
+    TapConfig,
+)
+from youcruit_tap_rawpostgresql_spark.state import StateStore
+from youcruit_tap_rawpostgresql_spark.tap import SparkTap
+
+DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+@pytest.fixture(scope="module")
+def derby_url(spark, tmp_path_factory):
+    """An embedded Derby database seeded over Spark's JDBC writer:
+    table PEOPLE("id" BIGINT, "score" INT, "name" VARCHAR, "ts" TIMESTAMP),
+    ids 0..9, one row per id, ts = 2024-01-01 + id days."""
+    db = tmp_path_factory.mktemp("derby") / "db"
+    url = f"jdbc:derby:{db};create=true"
+    src = spark.range(10).selectExpr(
+        "id",
+        "cast(id * 10 as int) as score",
+        "concat('name-', id) as name",
+        "timestampadd(DAY, cast(id as int), timestamp'2024-01-01 00:00:00') as ts",
+    )
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("driver", DERBY_DRIVER)
+        .option("dbtable", "PEOPLE")
+        .mode("overwrite")
+        .save()
+    )
+    return url
+
+
+def _jdbc_cfg(url: str) -> dict:
+    return {"jdbc_url": url, "driver": DERBY_DRIVER}
+
+
+def _tap(spark, url, spec, state=None, out=None, **cfg_kw):
+    config = TapConfig(streams=[spec], jdbc=_jdbc_cfg(url), **cfg_kw)
+    return SparkTap(
+        config, spark, state=state or StateStore(),
+        write=out.write if out is not None else None,
+    )
+
+
+def test_full_table_sync_live_db(spark, derby_url):
+    """FULL_TABLE sync against live Derby: SCHEMA → RECORD* → STATE, rows
+    conformed to the declared schema (mirrors reference
+    tests/test_sqlite.py:57-89 run against an injected live engine)."""
+    spec = StreamSpec(
+        name="people",
+        sql='SELECT "id", "score", "name" FROM PEOPLE',
+        columns=[
+            ColumnSpec("id", "int8", nullable=False),
+            ColumnSpec("score", "int4"),
+            ColumnSpec("name", "text"),
+        ],
+        key_properties=["id"],
+        database="derbydb",
+    )
+    out = io.StringIO()
+    tap = _tap(spark, derby_url, spec, out=out)
+    res = tap.sync_all()
+    assert res[0].record_count == 10
+    msgs = [json.loads(line) for line in out.getvalue().splitlines()]
+    types = [m["type"] for m in msgs]
+    assert types[0] == "SCHEMA" and types[-1] == "STATE"
+    assert types.count("RECORD") == 10
+    recs = {m["record"]["id"]: m["record"] for m in msgs if m["type"] == "RECORD"}
+    assert recs[3] == {"id": 3, "score": 30, "name": "name-3"}
+
+
+def test_incremental_bookmark_bound_into_pushed_query(spark, derby_url):
+    """INCREMENTAL with the ``:rep_key_val`` marker: the bookmark binds as
+    a literal INTO the SQL the source engine executes (reference
+    client.py:260-304). Proven three ways: the JDBC scan's query text
+    contains the bound value, only rows past the bookmark come back, and
+    a second sync from the advanced bookmark returns the delta only."""
+    spec = StreamSpec(
+        name="people_inc",
+        sql='SELECT "id", "score" FROM PEOPLE WHERE "id" > :rep_key_val',
+        columns=[
+            ColumnSpec("id", "int8", nullable=False),
+            ColumnSpec("score", "int4"),
+        ],
+        key_properties=["id"],
+        replication_key="id",
+        replication_key_value_start=4,
+        database="derbydb",
+    )
+    state = StateStore()
+    out = io.StringIO()
+    tap = _tap(spark, derby_url, spec, state=state, out=out)
+
+    # the pushed-down relation carries the BOUND predicate — the source
+    # engine prunes, not Spark (reference parity: PG executed the WHERE)
+    df, _premap, bookmark = tap._prepare(spec)
+    assert bookmark == 4
+    plan = df._jdf.queryExecution().simpleString()
+    assert '"id" > 4' in plan
+
+    res = tap.sync_all()
+    assert res[0].record_count == 5  # ids 5..9
+    assert res[0].new_bookmark == 9
+    ids = sorted(
+        json.loads(line)["record"]["id"]
+        for line in out.getvalue().splitlines()
+        if json.loads(line)["type"] == "RECORD"
+    )
+    assert ids == [5, 6, 7, 8, 9]
+    # state advanced → re-sync is an empty delta, bookmark holds at 9
+    assert state.get_bookmark("derbydb-public-people_inc", "id") == 9
+    res2 = tap.sync_all()
+    assert res2[0].record_count == 0
+    assert state.get_bookmark("derbydb-public-people_inc", "id") == 9
+
+
+def test_incremental_delta_after_source_append(spark, derby_url):
+    """New rows landing in the SOURCE between syncs: the next sync
+    extracts exactly the delta past the bookmark — the core incremental-
+    replication behavior the reference exists to provide."""
+    spec = StreamSpec(
+        name="people_delta",
+        sql='SELECT "id", "score" FROM PEOPLE WHERE "id" > :rep_key_val',
+        columns=[
+            ColumnSpec("id", "int8", nullable=False),
+            ColumnSpec("score", "int4"),
+        ],
+        key_properties=["id"],
+        replication_key="id",
+        replication_key_value_start=-1,
+        database="derbydb",
+    )
+    state = StateStore()
+    tap = _tap(spark, derby_url, spec, state=state, out=io.StringIO())
+    assert tap.sync_all()[0].record_count == 10
+    # append ids 10..12 source-side
+    (
+        spark.range(10, 13)
+        .selectExpr(
+            "id",
+            "cast(id * 10 as int) as score",
+            "concat('name-', id) as name",
+            "timestampadd(DAY, cast(id as int), "
+            "timestamp'2024-01-01 00:00:00') as ts",
+        )
+        .write.format("jdbc")
+        .option("url", derby_url)
+        .option("driver", DERBY_DRIVER)
+        .option("dbtable", "PEOPLE")
+        .mode("append")
+        .save()
+    )
+    res = tap.sync_all()
+    assert res[0].record_count == 3
+    assert res[0].new_bookmark == 12
+
+
+def test_incremental_without_marker_pushes_filter(spark, derby_url):
+    """INCREMENTAL with NO ``:rep_key_val`` marker (incremental.py path b):
+    the replication predicate applies as a DataFrame filter — and Spark
+    pushes it into the JDBC scan (PushedFilters), so the source still
+    prunes server-side. Timestamp key: the typed pushdown crosses the
+    JDBC boundary without any string-vs-timestamp comparison hazard."""
+    spec = StreamSpec(
+        name="people_ts",
+        sql='SELECT "id", "ts" FROM PEOPLE',
+        columns=[
+            ColumnSpec("id", "int8", nullable=False),
+            ColumnSpec("ts", "timestamp"),
+        ],
+        key_properties=["id"],
+        replication_key="ts",
+        replication_key_value_start="2024-01-06 00:00:00",
+        database="derbydb",
+    )
+    tap = _tap(spark, derby_url, spec, out=io.StringIO())
+    df, _premap, _bm = tap._prepare(spec)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in physical and "GreaterThan(ts" in physical
+    res = tap.sync_all()
+    # ids 6..12 have ts > 2024-01-06 midnight (10 original + 3 appended)
+    assert res[0].record_count == 7
+    assert res[0].new_bookmark == "2024-01-13 00:00:00"
+
+
+def test_partitioned_parallel_extract(spark, derby_url):
+    """Parallel range-partitioned extraction: N executor-side connections
+    each pull a bounded key slice (partitionColumn/bounds — the scale-out
+    the reference's single-connection architecture cannot do), with no
+    row lost or duplicated across slice boundaries."""
+    spec = StreamSpec(
+        name="people_par",
+        sql='SELECT "id", "score" FROM PEOPLE',
+        columns=[
+            ColumnSpec("id", "int8", nullable=False),
+            ColumnSpec("score", "int4"),
+        ],
+        key_properties=["id"],
+        database="derbydb",
+        jdbc_partition={
+            "partition_column": "id",
+            "num_partitions": 3,
+            "lower_bound": 0,
+            "upper_bound": 13,
+        },
+    )
+    tap = _tap(spark, derby_url, spec, out=io.StringIO())
+    df, _premap, _bm = tap._prepare(spec)
+    assert df.rdd.getNumPartitions() == 3
+    res = tap.sync_all()
+    assert res[0].record_count == 13  # exactly-once across slices
+
+
+def test_live_sync_through_batch_export(spark, derby_url, tmp_path):
+    """The full production shape end-to-end: live Derby extract → conform
+    → stream map (mask PII) → gzip-JSONL batch files → read back equals
+    source. One pipeline, every stage real."""
+    from youcruit_tap_rawpostgresql_spark.spec import BatchSinkConfig
+
+    spec = StreamSpec(
+        name="people_batch",
+        sql='SELECT "id", "name" FROM PEOPLE',
+        columns=[
+            ColumnSpec("id", "int8", nullable=False),
+            ColumnSpec("name", "text"),
+        ],
+        key_properties=["id"],
+        database="derbydb",
+    )
+    out = io.StringIO()
+    config = TapConfig(
+        streams=[spec],
+        jdbc=_jdbc_cfg(derby_url),
+        batch=BatchSinkConfig(root=f"file://{tmp_path}/batches", batch_size=100),
+        stream_maps={"people_batch": {"mask": ["name"]}},
+    )
+    tap = SparkTap(config, spark, state=StateStore(), write=out.write)
+    res = tap.sync_all(batch_mode=True)
+    assert res[0].record_count == 13
+    paths = [
+        u[len("file://"):] for m in res[0].manifests for u in m.files
+    ]
+    assert paths
+    back = spark.read.schema("id long, name string").json(paths)
+    assert back.count() == 13
+    # the mask applied between extract and export: sha256 hex, not names
+    a_name = back.select("name").first()["name"]
+    assert len(a_name) == 64 and not a_name.startswith("name-")

@@ -644,9 +644,35 @@ def test_tap_sync_to_versioned_target(spark, sf_dir, tmp_path):
     assert cur.select("event_id").distinct().count() == total
 
 
+def test_versioned_sync_record_count_is_post_map(spark, tmp_path):
+    """record_count reflects the POST-map frame — the rows the commit
+    actually wrote. A stream map with a filter must not make the count
+    overstate the committed rows (round-3 advice, tap.py)."""
+    from youcruit_tap_rawpostgresql_spark.sources import versioned
+
+    spec = StreamSpec(
+        name="nums",
+        sql="SELECT id AS n FROM range(10)",
+        columns=[ColumnSpec("n", "bigint", nullable=False)],
+        key_properties=["n"],
+    )
+    tap = SparkTap(
+        TapConfig(streams=[spec], stream_maps={"nums": {"filter": "n % 2 = 0"}}),
+        spark,
+        state=StateStore(),
+    )
+    root = str(tmp_path / "vt")
+    r = tap.sync_stream_to_versioned(spec, root)
+    committed = versioned.read_version(spark, root).count()
+    assert committed == 5
+    assert r.record_count == committed
+
+
 def test_cli_versioned_root_sync(spark, tmp_path, capsys):
     """--versioned-root: the CLI syncs each stream into its own versioned
-    snapshot table (root/<stream>) and reports per-stream results."""
+    snapshot table keyed by the FULLY QUALIFIED stream name
+    (root/<db-schema-name>) — same-named streams in different schemas
+    must not share a table — and reports per-stream results."""
     from youcruit_tap_rawpostgresql_spark.cli import main
     from youcruit_tap_rawpostgresql_spark.sources import versioned
 
@@ -664,10 +690,56 @@ def test_cli_versioned_root_sync(spark, tmp_path, capsys):
     cfg_path = tmp_path / "config.json"
     cfg_path.write_text(json.dumps(cfg))
     vroot = str(tmp_path / "warehouse")
+    stream_root = f"{vroot}/postgres-public-probe"
     assert main(["--config", str(cfg_path), "--versioned-root", vroot]) == 0
-    assert versioned.current_version(f"{vroot}/probe") == 0
-    assert versioned.read_version(spark, f"{vroot}/probe").count() == 7
+    assert versioned.current_version(stream_root) == 0
+    assert versioned.read_version(spark, stream_root).count() == 7
     # second sync: keyed upsert, still 7 rows, one more version
     assert main(["--config", str(cfg_path), "--versioned-root", vroot]) == 0
-    assert versioned.current_version(f"{vroot}/probe") == 1
-    assert versioned.read_version(spark, f"{vroot}/probe").count() == 7
+    assert versioned.current_version(stream_root) == 1
+    assert versioned.read_version(spark, stream_root).count() == 7
+
+
+def test_cli_versioned_root_flushes_state_per_stream(spark, tmp_path):
+    """A committed stream's bookmark is flushed BEFORE later streams run:
+    if stream B fails mid-run, stream A's advance must already be on disk
+    — otherwise A's next run re-extracts the same slice and a keyless
+    APPEND stream would duplicate rows (round-3 advice, cli.py)."""
+    import pytest as _pytest
+
+    from youcruit_tap_rawpostgresql_spark.cli import main
+
+    cfg = {
+        "database": "postgres",
+        "streams": [
+            {
+                "name": "good",
+                "sql": "SELECT id AS one FROM range(7)",
+                "columns": [{"name": "one", "type": "int", "nullable": False}],
+                "replication_key": "one",
+                "replication_key_value_start": 0,
+            },
+            {
+                "name": "bad",
+                "sql": "SELECT definitely_not_a_column FROM range(1)",
+                "columns": [{"name": "x", "type": "int"}],
+            },
+        ],
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    state_path = tmp_path / "state.json"
+    vroot = str(tmp_path / "warehouse")
+    with _pytest.raises(Exception):
+        main(
+            [
+                "--config", str(cfg_path),
+                "--state", str(state_path),
+                "--versioned-root", vroot,
+            ]
+        )
+    # stream A committed and its bookmark reached disk despite B's failure
+    saved = json.loads(state_path.read_text())
+    assert (
+        saved["bookmarks"]["postgres-public-good"]["replication_key_value"] == 6
+    )

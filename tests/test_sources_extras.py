@@ -408,6 +408,51 @@ def test_singer_batch_writer_transactional_manifest(spark, sf_dir, tmp_path):
     assert src.exceptAll(back).count() == 0 and back.exceptAll(src).count() == 0
 
 
+def test_singer_batch_stream_offset_prefilter(tmp_path, monkeypatch):
+    """Driver-side manifest scanning is incremental: manifests at or
+    below the returned offset are name-filtered BEFORE json parsing, so
+    per-tick work tracks NEW manifests, not the accumulated log (the
+    round-3 advice finding on latestOffset/partitions driver cost)."""
+    import json as _json
+
+    from youcruit_tap_rawpostgresql_spark.sources import singer_batch
+
+    man_dir = tmp_path / "m"
+    man_dir.mkdir()
+    for i in range(3):
+        (man_dir / f"sync-{i:04d}.json").write_text(
+            _json.dumps({"files": [], "record_count": 0})
+        )
+
+    parses = []
+    real_load = _json.load
+
+    def counting_load(fh):
+        parses.append(fh.name)
+        return real_load(fh)
+
+    monkeypatch.setattr(singer_batch.json, "load", counting_load)
+    rdr = singer_batch.SingerBatchStreamReader(None, {"path": str(man_dir)})
+
+    off = rdr.latestOffset()
+    assert off == {"last": "sync-0002.json"}
+    assert len(parses) == 3  # first sweep validates everything once
+    parses.clear()
+    assert rdr.latestOffset() == off
+    assert parses == []  # steady state: zero file opens, name compares only
+    (man_dir / "sync-0003.json").write_text(
+        _json.dumps({"files": [], "record_count": 0})
+    )
+    assert rdr.latestOffset() == {"last": "sync-0003.json"}
+    assert len(parses) == 1  # only the new manifest was parsed
+    parses.clear()
+    # partitions opens only manifests inside (start, end] (validate +
+    # _resolve_files both read the one in-range manifest; the three
+    # out-of-range ones are never opened)
+    rdr.partitions({"last": "sync-0001.json"}, {"last": "sync-0002.json"})
+    assert set(parses) == {str(man_dir / "sync-0002.json")}
+
+
 def test_singer_batch_writer_modes_and_stream_inflight(spark, sf_dir, tmp_path):
     """Review-driven edges: (a) mode('overwrite') clears previous data
     files AND manifests; (b) two append jobs commit two manifests (a

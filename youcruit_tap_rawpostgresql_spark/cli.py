@@ -114,13 +114,26 @@ def main(argv: list[str] | None = None) -> int:
         if args.versioned_root:
             import os as _os
 
-            results = [
-                tap.sync_stream_to_versioned(
-                    spec, _os.path.join(args.versioned_root, spec.name)
+            # per-stream root keyed by the FULLY QUALIFIED name: two
+            # streams named alike in different schemas/databases must not
+            # share one versioned table (they'd upsert over each other)
+            results = []
+            for spec in tap._effective_streams():
+                results.append(
+                    tap.sync_stream_to_versioned(
+                        spec,
+                        _os.path.join(
+                            args.versioned_root, spec.fully_qualified_name
+                        ),
+                    )
                 )
-                for spec in tap._effective_streams()
-            ]
-            tap.state.flush()
+                # flush IMMEDIATELY after each stream's commit: deferring
+                # to one end-of-run flush would let a later stream's
+                # failure discard this stream's bookmark advance, and the
+                # keyless APPEND path would then re-append the same slice
+                # on retry (duplicate rows — upserts are idempotent,
+                # appends are not)
+                tap.state.flush()
         else:
             results = tap.sync_all(batch_mode=args.batch, parallel=args.parallel)
     except BrokenPipeError:

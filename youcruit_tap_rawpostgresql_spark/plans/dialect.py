@@ -490,6 +490,16 @@ _ATZ_RE = re.compile(
     r"(" + _ATZ_OPERAND + r")\s+AT\s+TIME\s+ZONE\s+('(?:[^']|'')*')",
     re.IGNORECASE,
 )
+# NAIVE typed-literal operands get the INVERSE reading (PG semantics:
+# a timestamp-without-time-zone is interpreted as wall time IN the zone
+# → to_utc_timestamp), and must be consumed BEFORE _translate_typed_literals
+# rewrites `timestamptz '...'` into the same `TIMESTAMP '...'` surface form
+# — afterwards the two cases are indistinguishable. `(TIMESTAMP|DATE)\s+'`
+# cannot match TIMESTAMPTZ (no whitespace before the literal there).
+_ATZ_NAIVE_LITERAL_RE = re.compile(
+    r"\b(TIMESTAMP|DATE)\s+('(?:[^']|'')*')\s+AT\s+TIME\s+ZONE\s+('(?:[^']|'')*')",
+    re.IGNORECASE,
+)
 _DOW_OPERAND = r"((?:[^()']|'(?:[^']|'')*'|\([^()]*\))+?)"
 _DOW_RE = re.compile(
     r"\bEXTRACT\s*\(\s*DOW\s+FROM\s+" + _DOW_OPERAND + r"\s*\)",
@@ -507,9 +517,15 @@ def _translate_timezone_dow(sql: str) -> str:
 
     - ``x AT TIME ZONE 'Z'`` → ``from_utc_timestamp(x, 'Z')``: the engine
       holds timestamps as UTC instants (session TZ pinned UTC), so PG's
-      timestamptz→wall-time reading is the one that round-trips. (The
-      inverse reading — naive-local→timestamptz — would be
-      to_utc_timestamp; streams needing it should call it explicitly.)
+      timestamptz→wall-time reading is the one that round-trips.
+      EXCEPTION: a NAIVE typed-literal operand (``TIMESTAMP '...'`` /
+      ``DATE '...'``) gets PG's inverse reading — interpret the literal
+      as wall time IN the zone → ``to_utc_timestamp`` — handled by a
+      pre-pass in ``translate_pg_sql`` BEFORE typed-literal translation
+      (which erases the timestamptz/timestamp distinction). Column
+      operands stay on the timestamptz reading: the engine cannot know a
+      column's PG-side nullability of zone, and the conformed extract
+      stores instants.
     - ``EXTRACT(DOW FROM x)`` → ``(dayofweek(x) - 1)``: PG numbers Sunday
       as 0, Spark's dayofweek as 1.
     - ``EXTRACT(ISODOW FROM x)`` → ``(weekday(x) + 1)``: PG ISO numbering
@@ -557,7 +573,16 @@ def translate_pg_sql(
     markers in place for the engine's native typed parameter binding
     (``spark.sql(..., args=)``) — the preferred path; the literal
     substitution below is the fallback for non-parameterizable engines."""
-    out = _translate_typed_literals(sql)
+    # naive-literal AT TIME ZONE first — see _ATZ_NAIVE_LITERAL_RE: after
+    # typed-literal translation the naive/timestamptz distinction is gone
+    out = _sub_skipping_literal_interiors(
+        _ATZ_NAIVE_LITERAL_RE,
+        lambda m: (
+            f"to_utc_timestamp({m.group(1).upper()} {m.group(2)}, {m.group(3)})"
+        ),
+        sql,
+    )
+    out = _translate_typed_literals(out)
     out = _translate_casts(out)
     out = _outside_literals(
         out,

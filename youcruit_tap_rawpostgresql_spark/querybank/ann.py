@@ -26,6 +26,35 @@ from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
 
 _N_PLANES = 6
 
+# Hard ceiling on rows any ANN path may collect() to the driver (query
+# vectors, per-query LUTs, centroid samples). 64k rows × 128-dim float64
+# ≈ 64 MB — safely inside driver heap; beyond it the driver-closure
+# scoring design is wrong for the workload and the caller must switch to
+# the broadcast-DataFrame join scoring path (sim_cosine_topk's shape),
+# which has no driver materialization at all.
+DRIVER_COLLECT_LIMIT = 65_536
+
+
+def bounded_collect(df, limit: int = DRIVER_COLLECT_LIMIT) -> list:
+    """collect() with an explicit driver-size guard.
+
+    The ANN kernels carry the query/centroid set in the task closure —
+    correct only while that set is a bounded sample. At 100 TB an
+    unguarded ``collect`` of a mis-scoped "query set" (say, the whole
+    corpus) would OOM the driver long after the code looked fine at test
+    SF. ``limit + 1`` rows are fetched so overflow is detected without
+    materializing the full result; overflow raises with the designed
+    alternative named, instead of dying in the JVM."""
+    rows = df.limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(
+            f"driver-collect bound exceeded (> {limit} rows): this "
+            "closure-scoring path needs a bounded query/centroid sample; "
+            "for larger query sets use the broadcast-DataFrame join "
+            "scoring path (see sim_cosine_topk)"
+        )
+    return rows
+
 
 def lsh_hyperplanes(n_planes: int = _N_PLANES, dim: int = _DIM, seed: int = 7) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1): LCG state/2^30-1
@@ -211,7 +240,9 @@ def ivf_rank_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = tables(spark, sf_dir)["embeddings"]
     cent_rows = sorted(
-        e.filter(F.col("vec_id") % 40 == 1).select("vec_id", "embedding").collect(),
+        bounded_collect(
+            e.filter(F.col("vec_id") % 40 == 1).select("vec_id", "embedding")
+        ),
         key=lambda r: r["vec_id"],
     )
     cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
@@ -750,9 +781,9 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = tables(spark, sf_dir)["embeddings"]
-    q_rows = e.filter(F.col("vec_id") % 50 == 0).select(
-        "vec_id", "embedding"
-    ).collect()
+    q_rows = bounded_collect(
+        e.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding")
+    )
     luts = pq_query_luts(q_rows)
     q_ids = np.array(sorted(luts), dtype=np.int64)
     LUT = np.stack([luts[int(q)] for q in q_ids])  # |Q|×M×K
@@ -1012,9 +1043,9 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.filter((F.col("crank") <= 2) & (F.col("vec_id") % 25 == 0))
         .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
     )
-    q_rows = e.filter(F.col("vec_id") % 25 == 0).select(
-        "vec_id", "embedding"
-    ).collect()
+    q_rows = bounded_collect(
+        e.filter(F.col("vec_id") % 25 == 0).select("vec_id", "embedding")
+    )
     luts = pq_query_luts(q_rows)
     lut_ids = np.array(sorted(luts), dtype=np.int64)
     lut_stack = np.stack([luts[int(q)] for q in lut_ids])  # |Q|×M×K

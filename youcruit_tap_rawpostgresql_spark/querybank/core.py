@@ -99,15 +99,37 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; driver records rows-only
+    # HLL estimates are engine-specific, so the oracle pins the EXACT
+    # distinct count plus a tolerance-gate boolean: the Spark side emits
+    # within_tolerance = |approx - exact| <= 3*rsd*exact, the oracle emits
+    # TRUE — if the sketch path breaks, the boolean flips and the value
+    # hash mismatches (same pattern as sketch_hll_mergeable)
+    oracle="""
+SELECT l_returnflag,
+  COUNT(DISTINCT l_orderkey) AS exact_orders,
+  TRUE AS within_tolerance
+FROM lineitem GROUP BY l_returnflag
+""",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++). Scale: constant-memory sketch
-    per group, mergeable map-side — the right distinct at 100 TB."""
+    """approx_count_distinct (HyperLogLog++) gated against the exact count
+    (±3·rsd — HLL++ error is approximately Gaussian with σ=rsd, so 3σ is a
+    deterministic-in-practice bound at every SF).
+
+    Scale: constant-memory sketch per group, mergeable map-side — the
+    right distinct at 100 TB; the exact countDistinct here exists only to
+    make the estimate oracle-checkable."""
     l = tables(spark, sf_dir)["lineitem"]
     return l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    ).select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= 0.06 * F.col("exact_orders")
+        ).alias("within_tolerance"),
     )
 
 

@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 def jdbc_url(config: Mapping[str, Any]) -> str:
     """postgresql JDBC URL from the reference's config shape
-    (host/port/database/user/password — ``tap.py:33-61``)."""
+    (host/port/database/user/password — ``tap.py:33-61``). An explicit
+    ``jdbc_url`` wins — the injected-engine analogue of the reference's
+    connection-injection mode (``client.py:28-31``), and what lets the
+    test suite point the SAME sync path at embedded Derby."""
+    if config.get("jdbc_url"):
+        return str(config["jdbc_url"])
     host = config.get("host", "localhost")
     port = config.get("port", 5432)
     database = config["database"]
@@ -44,11 +49,14 @@ def jdbc_options(
     """Assemble Spark JDBC reader options with whole-query pushdown."""
     opts: dict[str, str] = {
         "url": jdbc_url(config),
-        "user": str(config.get("user", "")),
-        "password": str(config.get("password", "")),
-        "driver": "org.postgresql.Driver",
+        "driver": str(config.get("driver", "org.postgresql.Driver")),
         "fetchsize": str(config.get("fetchsize", 10_000)),
     }
+    # only pass credentials when configured — embedded engines (Derby)
+    # reject auth properties they weren't booted with
+    for k, src in (("user", "user"), ("password", "password")):
+        if config.get(src) is not None:
+            opts[k] = str(config[src])
     if partition_column is not None:
         if lower_bound is None or upper_bound is None:
             # fail at assembly time with the real cause — otherwise Spark

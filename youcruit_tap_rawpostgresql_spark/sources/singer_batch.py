@@ -225,16 +225,29 @@ class SingerBatchStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("singer_batch stream: .load(manifest_dir) required")
+        # highest offset this reader instance has returned — manifests at
+        # or below it are NAME-filtered before any open/parse, so per-tick
+        # driver work is proportional to NEW manifests, not to the whole
+        # accumulated manifest log (the long-running append workload this
+        # class exists for). Fresh instances (restart) start at "" and
+        # pay one full validation sweep, then go incremental.
+        self._watermark = ""
 
-    def _valid_manifests(self) -> list[str]:
-        """Sorted manifest paths that parse as complete JSON (in-flight
-        writes are skipped — they'll be complete by a later tick)."""
+    def _valid_manifests(self, after: str = "", upto: str | None = None) -> list[str]:
+        """Sorted manifest paths with ``after < basename [<= upto]`` that
+        parse as complete JSON (in-flight writes are skipped — they'll be
+        complete by a later tick). The name bounds are applied BEFORE any
+        file is opened: names are the ordering contract, so already-seen
+        manifests cost a string compare, not a json.load."""
         import glob as _glob
         import os
 
         p = _local_path(self.path)
         out = []
         for f in sorted(_glob.glob(os.path.join(p, "*.json"))):
+            name = os.path.basename(f)
+            if name <= after or (upto is not None and name > upto):
+                continue
             try:
                 with open(f) as fh:
                     json.load(fh)
@@ -249,17 +262,17 @@ class SingerBatchStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         import os
 
-        names = [os.path.basename(f) for f in self._valid_manifests()]
-        return {"last": max(names) if names else ""}
+        names = [
+            os.path.basename(f) for f in self._valid_manifests(after=self._watermark)
+        ]
+        if names:
+            self._watermark = max(self._watermark, max(names))
+        return {"last": self._watermark}
 
     def partitions(self, start: dict, end: dict):
-        import os
-
         files: list[str] = []
-        for f in self._valid_manifests():
-            name = os.path.basename(f)
-            if start["last"] < name <= end["last"]:
-                files.extend(_resolve_files(f))
+        for f in self._valid_manifests(after=start["last"], upto=end["last"]):
+            files.extend(_resolve_files(f))
         if not files:
             return []
         return [_FilePartition(u) for u in files]

@@ -72,6 +72,11 @@ class StreamSpec:
     # catalog metadata may force FULL_TABLE even with a replication key
     # (reference client.py:285-298 handles exactly that combination)
     forced_replication_method: str | None = None
+    # live-source parallel extraction (jdbc mode only): keys
+    # partition_column / num_partitions / lower_bound / upper_bound —
+    # passed through to sources/jdbc.jdbc_options so N executors each
+    # pull a bounded key range instead of one connection pulling all
+    jdbc_partition: dict | None = None
 
     def __post_init__(self) -> None:
         if not self.sql or not self.sql.strip():
@@ -142,6 +147,12 @@ class TapConfig:
     stream_maps: dict[str, dict] = field(default_factory=dict)
     flattening_enabled: bool = False
     flattening_max_depth: int | None = None
+    # live-source mode: when set, stream SQL is SHIPPED to the source
+    # database over JDBC (reference ``client.py:300-304`` — the SQL runs
+    # in the source engine's dialect) instead of executing on registered
+    # Spark views. Keys: jdbc_url (or host/port/database), driver, user,
+    # password, fetchsize — see sources/jdbc.py.
+    jdbc: dict | None = None
 
     @classmethod
     def from_dict(cls, raw: dict) -> "TapConfig":
@@ -165,6 +176,7 @@ class TapConfig:
                     replication_key_value_start=s.get("replication_key_value_start"),
                     database=raw.get("database", "spark"),
                     db_schema=s.get("schema", "public"),
+                    jdbc_partition=s.get("jdbc_partition"),
                 )
             )
         batch = None
@@ -179,10 +191,22 @@ class TapConfig:
                 encoding_format=enc.get("format", "jsonl"),
                 encoding_compression=enc.get("compression", "gzip"),
             )
+        jdbc = raw.get("jdbc")
+        if jdbc is None and raw.get("host") and raw.get("username"):
+            # reference config shape (tap.py:30-61): top-level
+            # host/port/database/username/password means a live source
+            jdbc = {
+                "host": raw["host"],
+                "port": raw.get("port", 5432),
+                "database": raw.get("database", "postgres"),
+                "user": raw["username"],
+                "password": raw.get("password"),
+            }
         return cls(
             streams=streams,
             batch=batch,
             stream_maps=raw.get("stream_maps", {}),
             flattening_enabled=raw.get("flattening_enabled", False),
             flattening_max_depth=raw.get("flattening_max_depth"),
+            jdbc=jdbc,
         )

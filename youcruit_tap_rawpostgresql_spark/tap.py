@@ -126,7 +126,10 @@ class SparkTap:
         )
         uses_marker = ":rep_key_val" in spec.sql
         params = {"rep_key_val": bookmark} if uses_marker else None
-        df = run_stream_sql(self.spark, spec, params=params)
+        if self.config.jdbc is not None:
+            df = self._run_jdbc_stream(spec, params)
+        else:
+            df = run_stream_sql(self.spark, spec, params=params)
         df = conform(df, spec)
         if spec.replication_key and bookmark is not None and not uses_marker:
             df = apply_replication_filter(df, spec, bookmark)
@@ -140,6 +143,32 @@ class SparkTap:
         if self.config.flattening_enabled:
             df = flatten_struct_columns(df, self.config.flattening_max_depth)
         return df, premap, bookmark
+
+    def _run_jdbc_stream(
+        self, spec: StreamSpec, params: dict[str, Any] | None
+    ) -> DataFrame:
+        """Live-source mode: ship the stream SQL to the source database
+        (reference ``client.py:300-304`` — sqlalchemy text + bound params
+        executed BY the source engine, results streamed back).
+
+        The SQL goes over VERBATIM in the source's dialect — no PG→Spark
+        translation, exactly like the reference pipes its SQL to
+        PostgreSQL untouched. ``:rep_key_val`` binds as a quoted literal
+        into the pushed-down text (the JDBC boundary has no typed
+        parameter channel; quote_literal mirrors sqlalchemy's bind
+        rendering). An incremental stream WITHOUT the marker takes the
+        DataFrame-filter path afterwards — Spark pushes that predicate
+        into the JDBC scan (PushedFilters), so the source still prunes
+        server-side either way."""
+        from youcruit_tap_rawpostgresql_spark.plans.dialect import bind_params
+        from youcruit_tap_rawpostgresql_spark.sources.jdbc import read_jdbc_stream
+        from youcruit_tap_rawpostgresql_spark.spec import SpecError
+
+        if not spec.sql or not spec.sql.strip():
+            raise SpecError("sql must not be empty")  # reference client.py:255-258
+        sql = bind_params(spec.sql, params) if params else spec.sql
+        partitioning = dict(spec.jdbc_partition or {})
+        return read_jdbc_stream(self.spark, self.config.jdbc, sql, **partitioning)
 
     def sync_stream(self, spec: StreamSpec, batch_mode: bool = False) -> SyncResult:
         import json as _json
@@ -331,7 +360,13 @@ class SparkTap:
         df, premap, _ = self._prepare(spec)
         persisted = premap.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            n = persisted.count()  # materializes the snapshot all paths read
+            n_premap = persisted.count()  # materializes the snapshot all paths read
+            # record_count is the POST-map frame — what the commit below
+            # actually writes; a stream map with a filter would otherwise
+            # overstate the committed rows. The post-map plan derives from
+            # the now-cached pre-map snapshot, so this count is served
+            # from cache, not a second extract.
+            n = n_premap if df is persisted else df.count()
             new_bm_row = None
             if spec.replication_key:
                 new_bm_row = persisted.agg(
