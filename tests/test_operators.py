@@ -527,3 +527,30 @@ def test_bookmark_computed_on_premap_frame(spark):
         if _json.loads(ln)["type"] == "RECORD"
     ]
     assert len(recs[0]["record"]["ts"]) == 64
+
+
+def test_tws_sessionize_if_protobuf_available(spark):
+    """transformWithStateInPandas (Spark 4's successor arbitrary-state
+    API): gated on protobuf — the container lacks google.protobuf, so the
+    test skips here and lights up the moment the env gains it (same
+    stance as the Avro classpath gate). The TWS path shares
+    _sessionize_batch with the applyInPandasWithState path, so their
+    outputs must be identical."""
+    import pytest
+
+    from youcruit_tap_rawpostgresql_spark.streaming.stateful import (
+        run_stateful_sessionize,
+        run_tws_sessionize,
+    )
+
+    try:
+        tws = run_tws_sessionize(spark, "/root/testdata/sf0.001/events.parquet")
+    except ImportError as exc:
+        assert "protobuf" in str(exc)  # the gate names its dependency
+        pytest.skip("google.protobuf not installed")
+    legacy = run_stateful_sessionize(
+        spark, "/root/testdata/sf0.001/events.parquet"
+    )
+    assert sorted(map(tuple, tws.collect())) == sorted(
+        map(tuple, legacy.collect())
+    )

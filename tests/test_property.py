@@ -376,3 +376,93 @@ def test_versioned_table_model_property(spark, tmp_path):
     # full time travel audit
     for v, expected in enumerate(history):
         assert snapshot_dict(v) == expected, f"version {v} drifted"
+
+
+# --- round-4 fuzz breadth: literal-span scanner corners ---------------------
+
+# literal BODY in doubled-quote rendering: any text, with ' written as ''
+_lit_body = st.from_regex(r"[a-z0-9_ :.%>~-]{0,20}", fullmatch=True).map(
+    lambda s: s.replace("'", "''")
+)
+
+
+@given(_lit_body, _ident, _pg_type)
+def test_cast_tokens_inside_literals_survive(body, col, typ):
+    """`::casts`, `->`, `~` etc. INSIDE a string literal are data: the
+    literal must come through byte-identical while the cast outside it
+    still translates."""
+    lit = f"'{body}::int8 -> x'"
+    out = translate_pg_sql(f"SELECT {lit} AS s, {col}::{typ} AS c")
+    assert lit in out
+    assert f"CAST({col} AS " in out  # the real cast DID translate
+
+
+@given(_lit_body)
+def test_e_prefix_dropped_only_outside_literals(body):
+    """E'' prefix handling is span-aware: an `e` INSIDE a literal (even one
+    followed by doubled quotes — the `'a e''b'''` shape that corrupted the
+    old flat-regex implementation) is data; a real E-prefix drops."""
+    inner = f"'x e''{body}'' y'"
+    out = translate_pg_sql(f"SELECT {inner} AS a, E'{body}' AS b")
+    assert inner in out  # literal with interior e'' untouched
+    assert f" E'{body}'" not in out and f"'{body}' AS b" in out
+
+
+@given(_lit_body, _lit_body)
+def test_adjacent_literals_never_pair_across(b1, b2):
+    """A literal ending in `e` followed by another literal must not let
+    the scanner pair the first's closing quote with the second's opening
+    quote (the `'said e' AS s, E'x'` corruption class)."""
+    sql = f"SELECT '{b1} e' AS s, E'{b2}' AS t"
+    out = translate_pg_sql(sql)
+    assert f"'{b1} e'" in out
+    assert f"'{b2}'" in out
+
+
+@given(st.from_regex(r"[a-z0-9_]{1,8}", fullmatch=True))
+def test_identifier_trailing_e_is_not_a_prefix(name):
+    sql = f"SELECT {name}_e'x' AS s"
+    assert f"{name}_e'x'" in translate_pg_sql(sql)
+
+
+# SIMILAR TO pattern corners: char classes, bounded repeats, alternation,
+# escaped wildcards, literal dots
+_sim_pat = st.from_regex(r"(\[a-z\]|\{1,3\}|[a-z]|%|_|\\%|\\_|\.|\|)+", fullmatch=True)
+
+
+@given(_sim_pat)
+def test_similar_to_always_anchored_rlike(pat):
+    body = pat.replace("'", "''")
+    out = translate_pg_sql(f"SELECT x SIMILAR TO '{body}' AS m")
+    assert "SIMILAR" not in out.upper()
+    assert "RLIKE '^(?:" in out and out.rstrip().endswith("$' AS m")
+    # wildcard conversion invariants on the produced regex body
+    rx = out.split("RLIKE '", 1)[1].rsplit("'", 1)[0]
+    if "\\" not in pat:
+        assert ("%" in pat) == (".*" in rx)  # unescaped % → .* wildcard
+        if "." in pat:
+            assert "\\\\." in rx  # SIMILAR TO dots are literal (escaped)
+
+
+def test_similar_to_corner_semantics(spark):
+    """Pin the corner classes end-to-end in Spark: bounded repeats, char
+    classes, alternation, escaped wildcards, literal dots."""
+    cases = [
+        ("'aab'", "a{1,2}b", True),
+        ("'aaab'", "a{1,2}b", False),
+        ("'acb'", "a[a-c]b", True),
+        ("'adb'", "a[a-c]b", False),
+        ("'xy'", "xy|zw", True),
+        ("'a%b'", "a\\%b", True),
+        ("'axb'", "a\\%b", False),
+        ("'a.b'", "a.b", True),
+        ("'axb'", "a.b", False),  # dot is LITERAL in SIMILAR TO
+        ("'a_b'", "a\\_b", True),
+        ("'axb'", "a\\_b", False),
+    ]
+    sel = ", ".join(
+        f"{v} SIMILAR TO '{p}' AS m{i}" for i, (v, p, _) in enumerate(cases)
+    )
+    row = spark.sql(translate_pg_sql(f"SELECT {sel}")).first()
+    for i, (v, p, want) in enumerate(cases):
+        assert row[f"m{i}"] is want, (v, p, want)

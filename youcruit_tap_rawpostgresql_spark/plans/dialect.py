@@ -221,7 +221,8 @@ _STRING_AGG_ORDERED_RE = re.compile(
 
 
 def _translate_set_functions(sql: str) -> str:
-    sql = _STRING_AGG_ORDERED_RE.sub(
+    sql = _sub_skipping_literal_interiors(
+        _STRING_AGG_ORDERED_RE,
         lambda m: f"listagg({m.group(1).strip()}, {m.group(2)}) "
         f"WITHIN GROUP (ORDER BY {m.group(3).strip()})",
         sql,
@@ -422,7 +423,10 @@ def _translate_operators(sql: str) -> str:
         rlike = f"{operand} RLIKE '{body}'"
         return f"NOT ({rlike})" if neg else rlike
 
-    sql = _SIMILAR_TO_RE.sub(similar_repl, sql)
+    # every operator rule below runs through the literal-interior guard: a
+    # match STARTING inside a string literal is data (the round-4 fuzz
+    # pass caught `~` sequences inside literals being rewritten to RLIKE)
+    sql = _sub_skipping_literal_interiors(_SIMILAR_TO_RE, similar_repl, sql)
     sql = _translate_array_ctors(sql)
     sql = _outside_literals(
         sql,
@@ -436,9 +440,11 @@ def _translate_operators(sql: str) -> str:
         keys = [k.strip() for k in m.group(2).split(",") if k.strip()]
         return f"get_json_object({m.group(1)}, '$.{'.'.join(keys)}')"
 
-    sql = _JSON_PATH_RE.sub(path_repl, sql)
-    sql = _JSON_EXTRACT_RE.sub(
-        lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')", sql
+    sql = _sub_skipping_literal_interiors(_JSON_PATH_RE, path_repl, sql)
+    sql = _sub_skipping_literal_interiors(
+        _JSON_EXTRACT_RE,
+        lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')",
+        sql,
     )
 
     def to_char_repl(m: re.Match) -> str:
@@ -447,9 +453,11 @@ def _translate_operators(sql: str) -> str:
         )
         return f"date_format({m.group(1).strip()}, '{fmt}')"
 
-    sql = _TO_CHAR_RE.sub(to_char_repl, sql)
-    sql = _SUBSTRING_REGEX_RE.sub(
-        lambda m: f"regexp_extract({m.group(1).strip()}, {m.group(2)}, 0)", sql
+    sql = _sub_skipping_literal_interiors(_TO_CHAR_RE, to_char_repl, sql)
+    sql = _sub_skipping_literal_interiors(
+        _SUBSTRING_REGEX_RE,
+        lambda m: f"regexp_extract({m.group(1).strip()}, {m.group(2)}, 0)",
+        sql,
     )
 
     def regex_repl(m: re.Match) -> str:
@@ -459,9 +467,13 @@ def _translate_operators(sql: str) -> str:
         rlike = f"{operand} RLIKE {pat}"
         return f"NOT ({rlike})" if op.startswith("!") else rlike
 
-    sql = _REGEX_OP_RE.sub(regex_repl, sql)
-    sql = _ARRAY_LENGTH_RE.sub(lambda m: f"size({m.group(1).strip()})", sql)
-    sql = _EPOCH_RE.sub(lambda m: f"unix_timestamp({m.group(1).strip()})", sql)
+    sql = _sub_skipping_literal_interiors(_REGEX_OP_RE, regex_repl, sql)
+    sql = _sub_skipping_literal_interiors(
+        _ARRAY_LENGTH_RE, lambda m: f"size({m.group(1).strip()})", sql
+    )
+    sql = _sub_skipping_literal_interiors(
+        _EPOCH_RE, lambda m: f"unix_timestamp({m.group(1).strip()})", sql
+    )
     sql = _outside_literals(
         sql,
         lambda s: re.sub(
@@ -473,8 +485,31 @@ def _translate_operators(sql: str) -> str:
     )
     # E'...' escape-string literals: Spark processes backslash escapes in
     # plain literals already, so the prefix just drops
-    sql = re.sub(r"(?<![\w'])[eE](" + _STR_LIT + r")", r"\1", sql)
+    sql = _drop_escape_string_prefixes(sql)
     return sql
+
+
+def _drop_escape_string_prefixes(sql: str) -> str:
+    """Remove the ``E``/``e`` prefix from escape-string literals.
+
+    Span-aware, NOT a flat regex: a regex over the whole text would match
+    `e''`-shaped sequences INSIDE literals (``'a e''b'' c'`` — the
+    doubled-quote rendering of ``a e'b' c``) and even pair a literal's
+    closing quote with the NEXT literal's opening quote
+    (``'said e' AS s, E'x'``), silently corrupting data — both found by
+    the round-4 property-fuzz pass. Here only a trailing ``e``/``E`` of a
+    NON-literal span, immediately before a literal and not part of an
+    identifier (`table_e'x'`) or an adjacent literal, is a prefix."""
+    parts = _split_literals(sql)
+    for i in range(0, len(parts) - 1, 2):
+        nonlit = parts[i]
+        if not nonlit or nonlit[-1] not in "eE":
+            continue
+        before = nonlit[-2] if len(nonlit) >= 2 else ""
+        if before.isalnum() or before in {"_", "'"}:
+            continue
+        parts[i] = nonlit[:-1]
+    return "".join(parts)
 
 
 # operand forms share one sub-pattern: identifier, call/paren group with

@@ -242,6 +242,82 @@ def tap_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DERBY_SEEDED: set = set()
+
+
+@register(
+    "tap_jdbc_live_roundtrip",
+    oracle="""
+SELECT COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def tap_jdbc_live_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL architecture, oracle-gated: stream SQL runs
+    INSIDE a live SQL database (embedded Derby — the JDBC engine PySpark
+    ships) and rows come back over JDBC through the full tap path
+    (``read_jdbc_stream`` → conform), reference ``client.py:300-304``.
+    The source is seeded once per (session, SF) from the orders fixture,
+    so the DuckDB oracle over the same parquet proves the WHOLE
+    write→live-SQL→extract loop lost and invented nothing.
+
+    Scale: the extraction side is Spark's parallel JDBC source
+    (partitionable via jdbc_partition); the seed write is test scaffolding
+    standing in for the customer's existing database."""
+    import tempfile
+
+    from youcruit_tap_rawpostgresql_spark.spec import TapConfig
+    from youcruit_tap_rawpostgresql_spark.tap import SparkTap
+
+    db = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_derby",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+        "db",
+    )
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    seed_key = (spark.sparkContext.applicationId, db)
+    if seed_key not in _DERBY_SEEDED:
+        o = tables(spark, sf_dir)["orders"]
+        (
+            o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .write.format("jdbc")
+            .option("url", url)
+            .option("driver", driver)
+            .option("dbtable", "ORDERS_SRC")
+            # Derby maps Spark STRING to CLOB by default, and CLOB = 'F'
+            # isn't comparable there — declare a real varchar
+            .option("createTableColumnTypes", "o_orderstatus VARCHAR(2)")
+            .mode("overwrite")
+            .save()
+        )
+        _DERBY_SEEDED.add(seed_key)
+    spec = StreamSpec(
+        name="orders_live",
+        sql='SELECT "o_orderkey", "o_totalprice" FROM ORDERS_SRC '
+        "WHERE \"o_orderstatus\" = 'F'",
+        columns=[
+            ColumnSpec("o_orderkey", "int8", nullable=False),
+            ColumnSpec("o_totalprice", "float8"),
+        ],
+        key_properties=["o_orderkey"],
+    )
+    tap = SparkTap(
+        TapConfig(streams=[spec], jdbc={"jdbc_url": url, "driver": driver}),
+        spark,
+        state=StateStore(),
+    )
+    df, _premap, _bm = tap._prepare(spec)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
 def _scratch_export_dir(kind: str, sf_dir: str) -> str:
     """Deterministic per-(kind, SF) scratch dir, WIPED before reuse — a
     uuid-per-run dir leaks a full gzip export copy on every registry/bench
@@ -302,7 +378,10 @@ def tap_batch_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         BatchSinkConfig(root=out_root, batch_size=100_000),
     )
     paths = [f.replace("file://", "") for m in manifests for f in m.files]
-    back = spark.read.json(paths)
+    # read back with the DECLARED schema (what a Singer consumer has from
+    # the SCHEMA message) — schema inference would re-scan every gzip
+    # file a second time, and measured ~0.7 s of the ~2 s r3 bench time
+    back = spark.read.schema("l_orderkey long, l_quantity double").json(paths)
     agg = back.agg(
         F.count(F.lit(1)).alias("n_records"),
         F.countDistinct("l_orderkey").alias("n_orders"),
