@@ -325,3 +325,18 @@ def test_live_catalog_discovery(spark, derby_url):
     )
     tap = _tap(spark, derby_url, spec, out=io.StringIO())
     assert tap.sync_all()[0].record_count == _live_count(spark, derby_url)
+
+
+def test_cli_discover_live(spark, derby_url, tmp_path, capsys):
+    """--discover-live: the CLI introspects the configured live database
+    and prints a Singer catalog of its tables — no streams declared in
+    config, the source itself is the authority."""
+    from youcruit_tap_rawpostgresql_spark.cli import main
+
+    cfg = {"jdbc": _jdbc_cfg(derby_url), "streams": []}
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    assert main(["--config", str(cfg_path), "--discover-live", "APP"]) == 0
+    cat = json.loads(capsys.readouterr().out)
+    names = [s["stream"] for s in cat["streams"]]
+    assert any(n.endswith("-APP-PEOPLE") for n in names)

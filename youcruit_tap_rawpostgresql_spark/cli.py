@@ -19,6 +19,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--config", help="path to tap config JSON")
     p.add_argument("--state", help="path to state JSON")
     p.add_argument("--discover", action="store_true")
+    p.add_argument(
+        "--discover-live",
+        metavar="SCHEMA_PATTERN",
+        nargs="?",
+        const="",
+        default=None,
+        help="introspect the CONFIGURED live database (config.jdbc) over "
+        "JDBC metadata and print a catalog of its tables — the "
+        "live-source complement of config-declared --discover",
+    )
     p.add_argument("--about", action="store_true")
     p.add_argument("--batch", action="store_true", help="emit BATCH files/messages")
     p.add_argument(
@@ -66,6 +76,20 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.discover:
         print(json.dumps(discover_catalog(config), indent=2))
+        return 0
+
+    if args.discover_live is not None:
+        if config.jdbc is None:
+            p.error("--discover-live requires a jdbc source in the config")
+        from youcruit_tap_rawpostgresql_spark.catalog import discover_live_catalog
+        from youcruit_tap_rawpostgresql_spark.session import get_session as _gs
+
+        cat = discover_live_catalog(
+            _gs(app_name="tap-rawpostgresql-spark"),
+            config.jdbc,
+            schema_pattern=args.discover_live or None,
+        )
+        print(json.dumps(cat, indent=2))
         return 0
 
     from youcruit_tap_rawpostgresql_spark.session import get_session

@@ -47,10 +47,11 @@ _PREFIX = [
     "set_union_all", "set_except_all", "proj_literals_pg_dialect",
     "filter_predicates", "scalar_string", "scalar_datetime", "scalar_json",
     "scalar_array_lambda",
-    # tap-level behaviors (the reference's own surface)
-    "tap_batch_export_roundtrip", "tap_incremental_bookmark", "tap_catalog",
-    "tap_conform_schema", "tap_stream_map", "tap_flatten",
-    "tap_full_table_start",
+    # tap-level behaviors (the reference's own surface), incl. the
+    # live-database JDBC roundtrip (stream SQL executed in embedded Derby)
+    "tap_batch_export_roundtrip", "tap_incremental_bookmark",
+    "tap_jdbc_live_roundtrip", "tap_conform_schema", "tap_stream_map",
+    "tap_flatten", "tap_full_table_start",
     # LLM-pipeline: dedup / ANN / text / multimodal / packing / clustering
     "dedup_exact", "dedup_minhash_lsh", "sim_cosine_topk", "sim_ann_ivf_pq",
     "sim_ann_lsh_multiprobe", "text_token_stats", "text_tfidf_topk",
