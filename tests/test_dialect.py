@@ -342,3 +342,26 @@ def test_dow_isodow_translation():
         translate_pg_sql("SELECT EXTRACT(ISODOW FROM ts) FROM t")
         == "SELECT (weekday(ts) + 1) FROM t"
     )
+
+
+def test_quote_literal_styles():
+    """spark style: backslash escapes (Spark's literal parser); standard
+    style: doubled quotes ONLY — what a live source engine parses. Using
+    the spark form server-side would mis-parse (and inject) on engines
+    with standard_conforming_strings."""
+    from youcruit_tap_rawpostgresql_spark.plans.dialect import (
+        bind_params,
+        quote_literal,
+    )
+
+    assert quote_literal("O'Brien") == "'O\\'Brien'"
+    assert quote_literal("O'Brien", style="standard") == "'O''Brien'"
+    # backslash is an ordinary character in standard strings
+    assert quote_literal("a\\b", style="standard") == "'a\\b'"
+    assert quote_literal("a\\b") == "'a\\\\b'"
+    # injection probe: the classic terminate-and-comment payload stays
+    # inside the literal under standard escaping
+    evil = "x' OR 1=1 --"
+    assert quote_literal(evil, style="standard") == "'x'' OR 1=1 --'"
+    out = bind_params("SELECT * FROM t WHERE k > :v", {"v": evil}, style="standard")
+    assert out == "SELECT * FROM t WHERE k > 'x'' OR 1=1 --'"

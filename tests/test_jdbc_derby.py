@@ -218,9 +218,13 @@ def test_incremental_without_marker_pushes_filter(spark, derby_url):
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in physical and "GreaterThan(ts" in physical
     res = tap.sync_all()
-    # ids 6..12 have ts > 2024-01-06 midnight (10 original + 3 appended)
-    assert res[0].record_count == 7
-    assert res[0].new_bookmark == "2024-01-13 00:00:00"
+    # ts = 2024-01-01 + id days, so ids 6..max qualify; derive the
+    # expectation from the live table (10 or 13 rows depending on whether
+    # the append test ran first — must not hardcode)
+    n_live = _live_count(spark, derby_url)
+    assert res[0].record_count == n_live - 6
+    last_day = n_live - 1  # max id
+    assert res[0].new_bookmark == f"2024-01-{1 + last_day:02d} 00:00:00"
 
 
 def test_partitioned_parallel_extract(spark, derby_url):
@@ -340,3 +344,34 @@ def test_cli_discover_live(spark, derby_url, tmp_path, capsys):
     cat = json.loads(capsys.readouterr().out)
     names = [s["stream"] for s in cat["streams"]]
     assert any(n.endswith("-APP-PEOPLE") for n in names)
+
+
+def test_incremental_string_bookmark_with_quote(spark, derby_url):
+    """A string bookmark containing a quote binds into the pushed-down
+    query with SQL-STANDARD doubled-quote escaping — the source engine
+    (not Spark) parses this text, so spark-style backslash escaping would
+    be a syntax error there and an injection surface (code-review
+    finding). Start value name-0'x sorts between name-0 and name-1."""
+    spec = StreamSpec(
+        name="people_str",
+        # Spark's writer created "name" as CLOB, which Derby can't compare
+        # directly — the cast is Derby's own documented workaround and
+        # keeps the predicate (with the bound literal) on the source side
+        sql='SELECT "id", "name" FROM PEOPLE '
+        'WHERE CAST("name" AS VARCHAR(64)) > :rep_key_val',
+        columns=[
+            ColumnSpec("id", "int8", nullable=False),
+            ColumnSpec("name", "text"),
+        ],
+        key_properties=["id"],
+        replication_key="name",
+        replication_key_value_start="name-0'x",
+        database="derbydb",
+    )
+    tap = _tap(spark, derby_url, spec, out=io.StringIO())
+    df, _premap, _bm = tap._prepare(spec)
+    plan = df._jdf.queryExecution().simpleString()
+    assert "name-0''x" in plan  # standard escaping reached the source
+    res = tap.sync_all()
+    # everything except name-0 sorts above name-0'x
+    assert res[0].record_count == _live_count(spark, derby_url) - 1

@@ -62,8 +62,8 @@ def discover_catalog(config: TapConfig) -> dict:
 _JDBC_TYPE_MAP = {
     -5: "int8",     # BIGINT
     4: "int4",      # INTEGER
-    5: "int2",      # SMALLINT
-    -6: "int2",     # TINYINT
+    5: "smallint",  # SMALLINT ("int2" is not in the spec type vocabulary)
+    -6: "smallint",  # TINYINT
     12: "text",     # VARCHAR
     1: "text",      # CHAR
     -1: "text",     # LONGVARCHAR
@@ -77,7 +77,9 @@ _JDBC_TYPE_MAP = {
     -7: "bool",     # BIT
     93: "timestamp",  # TIMESTAMP
     91: "date",     # DATE
-    92: "time",     # TIME
+    # Spark's JDBC reader surfaces java.sql.Types.TIME as TimestampType
+    # (JdbcUtils getCatalystType), so declare what the extract will carry
+    92: "timestamp",  # TIME
     -2: "bytea",    # BINARY
     -3: "bytea",    # VARBINARY
     -4: "bytea",    # LONGVARBINARY

@@ -141,16 +141,30 @@ def main(argv: list[str] | None = None) -> int:
             # per-stream root keyed by the FULLY QUALIFIED name: two
             # streams named alike in different schemas/databases must not
             # share one versioned table (they'd upsert over each other)
+            from youcruit_tap_rawpostgresql_spark.sources import versioned
+
             results = []
             for spec in tap._effective_streams():
-                results.append(
-                    tap.sync_stream_to_versioned(
-                        spec,
-                        _os.path.join(
-                            args.versioned_root, spec.fully_qualified_name
-                        ),
-                    )
+                root = _os.path.join(
+                    args.versioned_root, spec.fully_qualified_name
                 )
+                legacy = _os.path.join(args.versioned_root, spec.name)
+                if (
+                    legacy != root
+                    and versioned.current_version(root) is None
+                    and versioned.current_version(legacy) is not None
+                ):
+                    # pre-FQN layout exists: keep syncing it rather than
+                    # silently seeding a NEW table with only the current
+                    # incremental slice and orphaning the history
+                    print(
+                        f"-- {spec.fully_qualified_name}: using legacy "
+                        f"versioned root {legacy!r} (rename it to "
+                        f"{spec.fully_qualified_name!r} to migrate)",
+                        file=sys.stderr,
+                    )
+                    root = legacy
+                results.append(tap.sync_stream_to_versioned(spec, root))
                 # flush IMMEDIATELY after each stream's commit: deferring
                 # to one end-of-run flush would let a later stream's
                 # failure discard this stream's bookmark advance, and the

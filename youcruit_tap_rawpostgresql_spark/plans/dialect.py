@@ -159,8 +159,18 @@ def _translate_typed_literals(sql: str) -> str:
     return _sub_skipping_literal_interiors(_TYPED_LITERAL_RE, repl, sql)
 
 
-def quote_literal(value: Any) -> str:
-    """Render a Python value as a safe Spark SQL literal."""
+def quote_literal(value: Any, style: str = "spark") -> str:
+    """Render a Python value as a safe SQL literal.
+
+    ``style="spark"`` targets Spark's literal parser (backslash is an
+    escape character, so both backslashes and quotes are backslash-
+    escaped). ``style="standard"`` targets SQL-standard string literals —
+    what a LIVE source engine (PostgreSQL with standard_conforming_strings,
+    Derby, …) parses: the ONLY escape is the doubled quote, and a
+    backslash is an ordinary character. Using the spark style on a server
+    dialect is not just wrong, it is an injection surface: ``O\\'Brien``
+    terminates the server-side literal at the backslash and executes the
+    rest as SQL."""
     if value is None:
         return "NULL"
     if isinstance(value, bool):
@@ -169,11 +179,12 @@ def quote_literal(value: Any) -> str:
         import math as _math
 
         # repr() gives bare nan/inf tokens, which are not SQL literals
+        dbl = "DOUBLE" if style == "spark" else "DOUBLE PRECISION"
         if _math.isnan(value):
-            return "CAST('NaN' AS DOUBLE)"
+            return f"CAST('NaN' AS {dbl})"
         if _math.isinf(value):
             sign = "-" if value < 0 else ""
-            return f"CAST('{sign}Infinity' AS DOUBLE)"
+            return f"CAST('{sign}Infinity' AS {dbl})"
         return repr(value)
     if isinstance(value, int):
         return repr(value)
@@ -181,17 +192,24 @@ def quote_literal(value: Any) -> str:
         return f"TIMESTAMP '{value.isoformat(sep=' ')}'"
     if isinstance(value, _dt.date):
         return f"DATE '{value.isoformat()}'"
+    if style == "standard":
+        return "'" + str(value).replace("'", "''") + "'"
     s = str(value).replace("\\", "\\\\").replace("'", "\\'")
     return f"'{s}'"
 
 
-def bind_params(sql: str, params: Mapping[str, Any] | None) -> str:
+def bind_params(
+    sql: str, params: Mapping[str, Any] | None, style: str = "spark"
+) -> str:
     """Substitute ``:name`` parameters as quoted literals.
 
     Mirrors the reference's bind of ``{"rep_key_val": v}``
     (``client.py:264,283,298``). Raises KeyError on unbound parameters.
     ``:name`` inside single-quoted string literals is text, not a
-    parameter (sqlalchemy.text() behaves the same way).
+    parameter (sqlalchemy.text() behaves the same way). ``style`` selects
+    the literal dialect (see ``quote_literal``) — the live-JDBC path MUST
+    bind with ``style="standard"`` because the text executes on the
+    source engine, not on Spark.
     """
     if params is None:
         params = {}
@@ -200,7 +218,7 @@ def bind_params(sql: str, params: Mapping[str, Any] | None) -> str:
         name = m.group(1)
         if name not in params:
             raise KeyError(f"unbound SQL parameter :{name}")
-        return quote_literal(params[name])
+        return quote_literal(params[name], style=style)
 
     # split into literal / non-literal spans; substitute outside only
     out = []

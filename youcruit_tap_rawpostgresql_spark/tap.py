@@ -153,10 +153,12 @@ class SparkTap:
 
         The SQL goes over VERBATIM in the source's dialect — no PG→Spark
         translation, exactly like the reference pipes its SQL to
-        PostgreSQL untouched. ``:rep_key_val`` binds as a quoted literal
-        into the pushed-down text (the JDBC boundary has no typed
-        parameter channel; quote_literal mirrors sqlalchemy's bind
-        rendering). An incremental stream WITHOUT the marker takes the
+        PostgreSQL untouched. ``:rep_key_val`` binds as a SQL-STANDARD
+        quoted literal into the pushed-down text (style="standard":
+        doubled-quote escaping only — this text executes on the SOURCE
+        engine, where Spark's backslash escaping both mis-parses and is
+        an injection surface; the JDBC boundary has no typed parameter
+        channel). An incremental stream WITHOUT the marker takes the
         DataFrame-filter path afterwards — Spark pushes that predicate
         into the JDBC scan (PushedFilters), so the source still prunes
         server-side either way."""
@@ -166,7 +168,7 @@ class SparkTap:
 
         if not spec.sql or not spec.sql.strip():
             raise SpecError("sql must not be empty")  # reference client.py:255-258
-        sql = bind_params(spec.sql, params) if params else spec.sql
+        sql = bind_params(spec.sql, params, style="standard") if params else spec.sql
         partitioning = dict(spec.jdbc_partition or {})
         return read_jdbc_stream(self.spark, self.config.jdbc, sql, **partitioning)
 
