@@ -375,3 +375,28 @@ def test_incremental_string_bookmark_with_quote(spark, derby_url):
     res = tap.sync_all()
     # everything except name-0 sorts above name-0'x
     assert res[0].record_count == _live_count(spark, derby_url) - 1
+
+
+def test_explicit_predicate_partitions_live(spark, derby_url):
+    """The explicit-predicate parallel read (range_predicates →
+    spark.read.jdbc(predicates=...)): each predicate becomes one
+    executor-side connection/partition, and the disjoint-complete
+    contract means no row is lost or duplicated — including ids OUTSIDE
+    [lower, upper), which stride partitioning would clamp into edge
+    slices but predicates must catch explicitly."""
+    from youcruit_tap_rawpostgresql_spark.sources.jdbc import range_predicates
+
+    preds = [
+        p.replace("id", '"id"') for p in range_predicates("id", 2, 8, 3)
+    ]
+    df = spark.read.jdbc(
+        derby_url,
+        "PEOPLE",
+        predicates=preds,
+        properties={"driver": DERBY_DRIVER},
+    )
+    assert df.rdd.getNumPartitions() == 3
+    n_live = _live_count(spark, derby_url)
+    rows = df.select("id").collect()
+    assert len(rows) == n_live  # complete
+    assert len({r["id"] for r in rows}) == n_live  # disjoint
