@@ -400,3 +400,73 @@ def test_explicit_predicate_partitions_live(spark, derby_url):
     rows = df.select("id").collect()
     assert len(rows) == n_live  # complete
     assert len({r["id"] for r in rows}) == n_live  # disjoint
+
+
+def test_sync_to_jdbc_target_el_loop(spark, derby_url, tmp_path_factory):
+    """The full EL loop over JDBC — extract from one live database, LOAD
+    into another over DataFrame writes (the BASELINE north star's 'Spark
+    JDBC source + DataFrame writes'): full refresh (overwrite), then an
+    incremental slice appends only the delta past the bookmark, and the
+    target equals the source at the end."""
+    target_db = tmp_path_factory.mktemp("derby_tgt") / "db"
+    target = {
+        "jdbc_url": f"jdbc:derby:{target_db};create=true",
+        "driver": DERBY_DRIVER,
+        "table": "PEOPLE_SINK",
+    }
+    spec = StreamSpec(
+        name="people_el",
+        sql='SELECT "id", "score" FROM PEOPLE WHERE "id" > :rep_key_val',
+        columns=[
+            ColumnSpec("id", "int8", nullable=False),
+            ColumnSpec("score", "int4"),
+        ],
+        key_properties=["id"],
+        replication_key="id",
+        replication_key_value_start=-1,
+        database="derbydb",
+    )
+    state = StateStore()
+    tap = _tap(spark, derby_url, spec, state=state, out=io.StringIO())
+    n_live = _live_count(spark, derby_url)
+
+    r1 = tap.sync_stream_to_jdbc(spec, target, mode="overwrite")
+    assert r1.record_count == n_live
+    assert r1.new_bookmark == n_live - 1
+
+    def read_target():
+        return (
+            spark.read.format("jdbc")
+            .option("url", target["jdbc_url"])
+            .option("driver", DERBY_DRIVER)
+            .option("dbtable", "PEOPLE_SINK")
+            .load()
+        )
+
+    assert read_target().count() == n_live
+    # no new source rows → empty delta appends nothing
+    r2 = tap.sync_stream_to_jdbc(spec, target, mode="append")
+    assert r2.record_count == 0
+    assert read_target().count() == n_live
+    # new source rows → exactly the delta lands in the target
+    (
+        spark.range(100, 103)
+        .selectExpr(
+            "id",
+            "cast(id * 10 as int) as score",
+            "concat('name-', id) as name",
+            "timestamp'2024-06-01 00:00:00' as ts",
+        )
+        .write.format("jdbc")
+        .option("url", derby_url)
+        .option("driver", DERBY_DRIVER)
+        .option("dbtable", "PEOPLE")
+        .mode("append")
+        .save()
+    )
+    r3 = tap.sync_stream_to_jdbc(spec, target, mode="append")
+    assert r3.record_count == 3
+    assert r3.new_bookmark == 102
+    got = read_target()
+    assert got.count() == n_live + 3
+    assert got.select("id").distinct().count() == n_live + 3

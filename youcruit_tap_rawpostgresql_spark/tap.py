@@ -406,3 +406,76 @@ class SparkTap:
             new_bookmark=new_bm,
             manifests=[],
         )
+
+    def sync_stream_to_jdbc(
+        self,
+        spec: StreamSpec,
+        target: dict,
+        mode: str = "append",
+    ) -> SyncResult:
+        """Sync one stream INTO a warehouse table over JDBC — the LOAD half
+        of extract-load (BASELINE.json north star: "Spark JDBC source +
+        DataFrame writes"). ``target`` takes the same connection shape as
+        ``TapConfig.jdbc`` (jdbc_url/host/driver/user/password) plus
+        ``table`` (defaults to the stream name). ``mode`` is Spark's JDBC
+        writer semantics: "append" for incremental slices, "overwrite"
+        for full refresh (truncate-and-reload). Keyed upserts belong to
+        the versioned-table target (``sync_stream_to_versioned``) — plain
+        JDBC has no engine-portable MERGE.
+
+        Same consistency discipline as the other targets: the extract is
+        persisted so the write, the record count, and the bookmark
+        aggregate all read ONE materialized snapshot (a live source
+        re-executing between them could advance the bookmark past rows
+        never loaded), and the bookmark is stored only AFTER the write
+        succeeds — a failed load leaves state untouched and the next sync
+        re-extracts the same slice. With "append" that makes delivery
+        at-least-once (re-run after a mid-write failure can duplicate);
+        exactly-once needs the idempotent targets (versioned upsert /
+        batch manifests)."""
+        from pyspark.sql import functions as F
+        from pyspark.storagelevel import StorageLevel
+
+        from youcruit_tap_rawpostgresql_spark.sources.jdbc import jdbc_url
+
+        df, premap, _ = self._prepare(spec)
+        persisted = premap.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n_premap = persisted.count()
+            n = n_premap if df is persisted else df.count()
+            new_bm_row = None
+            if spec.replication_key:
+                new_bm_row = persisted.agg(
+                    F.max(spec.replication_key).alias("mx")
+                ).first()
+            writer = (
+                df.write.format("jdbc")
+                .option("url", jdbc_url(target))
+                .option("dbtable", target.get("table", spec.name))
+                .mode(mode)
+            )
+            if target.get("driver"):
+                writer = writer.option("driver", str(target["driver"]))
+            for k in ("user", "password"):
+                if target.get(k) is not None:
+                    writer = writer.option(k, str(target[k]))
+            if target.get("createTableColumnTypes"):
+                writer = writer.option(
+                    "createTableColumnTypes", target["createTableColumnTypes"]
+                )
+            writer.save()
+        finally:
+            persisted.unpersist()
+        new_bm = None
+        if spec.replication_key and new_bm_row and new_bm_row["mx"] is not None:
+            with self._state_lock:
+                self.state.set_bookmark(
+                    spec.fully_qualified_name, spec.replication_key, new_bm_row["mx"]
+                )
+                new_bm = self.state.get_bookmark(spec.fully_qualified_name)
+        return SyncResult(
+            stream=spec.fully_qualified_name,
+            record_count=n,
+            new_bookmark=new_bm,
+            manifests=[],
+        )
