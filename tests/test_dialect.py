@@ -356,8 +356,14 @@ def test_quote_literal_styles():
 
     assert quote_literal("O'Brien") == "'O\\'Brien'"
     assert quote_literal("O'Brien", style="standard") == "'O''Brien'"
-    # backslash is an ordinary character in standard strings
-    assert quote_literal("a\\b", style="standard") == "'a\\b'"
+    # a backslash is AMBIGUOUS across server escaping modes (ordinary on
+    # standard-conforming engines, an escape on MySQL-family / PG with
+    # standard_conforming_strings=off) — the standard style refuses it
+    # loudly instead of picking a quoting that injects on the other mode
+    with pytest.raises(ValueError, match="backslash"):
+        quote_literal("a\\b", style="standard")
+    with pytest.raises(ValueError, match="backslash"):
+        quote_literal("\\' OR 1=1 --", style="standard")
     assert quote_literal("a\\b") == "'a\\\\b'"
     # injection probe: the classic terminate-and-comment payload stays
     # inside the literal under standard escaping

@@ -407,7 +407,19 @@ def test_sync_to_jdbc_target_el_loop(spark, derby_url, tmp_path_factory):
     into another over DataFrame writes (the BASELINE north star's 'Spark
     JDBC source + DataFrame writes'): full refresh (overwrite), then an
     incremental slice appends only the delta past the bookmark, and the
-    target equals the source at the end."""
+    target equals the source at the end. Uses its OWN source table
+    (PEOPLE_EL): other tests derive expectations from the shared PEOPLE
+    table, so this test must not mutate it under any run ordering."""
+    (
+        spark.range(10)
+        .selectExpr("id", "cast(id * 10 as int) as score")
+        .write.format("jdbc")
+        .option("url", derby_url)
+        .option("driver", DERBY_DRIVER)
+        .option("dbtable", "PEOPLE_EL")
+        .mode("overwrite")
+        .save()
+    )
     target_db = tmp_path_factory.mktemp("derby_tgt") / "db"
     target = {
         "jdbc_url": f"jdbc:derby:{target_db};create=true",
@@ -416,7 +428,7 @@ def test_sync_to_jdbc_target_el_loop(spark, derby_url, tmp_path_factory):
     }
     spec = StreamSpec(
         name="people_el",
-        sql='SELECT "id", "score" FROM PEOPLE WHERE "id" > :rep_key_val',
+        sql='SELECT "id", "score" FROM PEOPLE_EL WHERE "id" > :rep_key_val',
         columns=[
             ColumnSpec("id", "int8", nullable=False),
             ColumnSpec("score", "int4"),
@@ -428,7 +440,7 @@ def test_sync_to_jdbc_target_el_loop(spark, derby_url, tmp_path_factory):
     )
     state = StateStore()
     tap = _tap(spark, derby_url, spec, state=state, out=io.StringIO())
-    n_live = _live_count(spark, derby_url)
+    n_live = 10  # this test's own seed — PEOPLE_EL is not shared
 
     r1 = tap.sync_stream_to_jdbc(spec, target, mode="overwrite")
     assert r1.record_count == n_live
@@ -451,16 +463,11 @@ def test_sync_to_jdbc_target_el_loop(spark, derby_url, tmp_path_factory):
     # new source rows → exactly the delta lands in the target
     (
         spark.range(100, 103)
-        .selectExpr(
-            "id",
-            "cast(id * 10 as int) as score",
-            "concat('name-', id) as name",
-            "timestamp'2024-06-01 00:00:00' as ts",
-        )
+        .selectExpr("id", "cast(id * 10 as int) as score")
         .write.format("jdbc")
         .option("url", derby_url)
         .option("driver", DERBY_DRIVER)
-        .option("dbtable", "PEOPLE")
+        .option("dbtable", "PEOPLE_EL")
         .mode("append")
         .save()
     )

@@ -144,13 +144,22 @@ def main(argv: list[str] | None = None) -> int:
             from youcruit_tap_rawpostgresql_spark.sources import versioned
 
             results = []
-            for spec in tap._effective_streams():
+            effective = list(tap._effective_streams())
+            # the legacy (pre-FQN) fallback is only safe when the bare
+            # name is unambiguous — with two same-named streams, both
+            # would fall back onto ONE shared legacy table, which is the
+            # exact collision the FQN keying exists to prevent
+            name_counts: dict[str, int] = {}
+            for s in effective:
+                name_counts[s.name] = name_counts.get(s.name, 0) + 1
+            for spec in effective:
                 root = _os.path.join(
                     args.versioned_root, spec.fully_qualified_name
                 )
                 legacy = _os.path.join(args.versioned_root, spec.name)
                 if (
                     legacy != root
+                    and name_counts[spec.name] == 1
                     and versioned.current_version(root) is None
                     and versioned.current_version(legacy) is not None
                 ):

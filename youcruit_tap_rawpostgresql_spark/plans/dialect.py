@@ -193,7 +193,23 @@ def quote_literal(value: Any, style: str = "spark") -> str:
     if isinstance(value, _dt.date):
         return f"DATE '{value.isoformat()}'"
     if style == "standard":
-        return "'" + str(value).replace("'", "''") + "'"
+        s = str(value)
+        if "\\" in s:
+            # On a STANDARD-conforming engine a backslash is an ordinary
+            # character — but on a backslash-escaping server (MySQL family,
+            # PG with standard_conforming_strings=off) a payload like
+            # ``\' OR 1=1 --`` would re-open the literal and execute as
+            # SQL. There is no single quoting that is safe on both, so
+            # refuse loudly; callers with backslash-bearing bookmarks
+            # should use the marker-free DataFrame-filter path (typed
+            # predicate pushdown, no SQL text at all).
+            raise ValueError(
+                "refusing to bind a string containing a backslash as a "
+                "standard-style SQL literal (ambiguous across server "
+                "escaping modes); use the DataFrame-filter incremental "
+                "path (no :rep_key_val marker) for this stream"
+            )
+        return "'" + s.replace("'", "''") + "'"
     s = str(value).replace("\\", "\\\\").replace("'", "\\'")
     return f"'{s}'"
 

@@ -532,8 +532,12 @@ WITH h AS (
 SELECT doc_id,
   CAST(len(list_intersect(a, b)) AS INT) AS n_shared,
   CAST(len(list_distinct(list_concat(a, b))) AS INT) AS n_union,
-  array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))), ',')
-    AS only_first_half
+  -- COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+  -- array_join([]) is '' — bites only when a ⊆ b (first such docs
+  -- appear at sf0.1; found by the round-4 full sf0.1 sweep)
+  COALESCE(
+    array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))), ','),
+    '') AS only_first_half
 FROM h WHERE len(a) > 0 AND len(b) > 0
 """,
 )

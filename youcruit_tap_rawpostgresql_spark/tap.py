@@ -354,26 +354,9 @@ class SparkTap:
             raise NotImplementedError(
                 "versioned upsert supports a single key property"
             )
-        from pyspark.sql import functions as F
-        from pyspark.storagelevel import StorageLevel
-
         from youcruit_tap_rawpostgresql_spark.sources import versioned
 
-        df, premap, _ = self._prepare(spec)
-        persisted = premap.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            n_premap = persisted.count()  # materializes the snapshot all paths read
-            # record_count is the POST-map frame — what the commit below
-            # actually writes; a stream map with a filter would otherwise
-            # overstate the committed rows. The post-map plan derives from
-            # the now-cached pre-map snapshot, so this count is served
-            # from cache, not a second extract.
-            n = n_premap if df is persisted else df.count()
-            new_bm_row = None
-            if spec.replication_key:
-                new_bm_row = persisted.agg(
-                    F.max(spec.replication_key).alias("mx")
-                ).first()
+        def commit(df: DataFrame) -> None:
             stats_cols = spec.key_properties[:1] or None
             if versioned.current_version(root) is None:
                 versioned.commit_snapshot(
@@ -391,6 +374,51 @@ class SparkTap:
                 versioned.commit_snapshot(
                     df, root, mode="append", op="incremental-append"
                 )
+
+        # the keyed upsert is idempotent, so deferring the state flush to
+        # the caller (CLI flushes per stream) cannot duplicate rows
+        return self._sync_snapshot_to_target(spec, commit, flush_state=False)
+
+    def _sync_snapshot_to_target(
+        self,
+        spec: StreamSpec,
+        commit: Callable[[DataFrame], None],
+        flush_state: bool,
+    ) -> SyncResult:
+        """Shared extract→commit→bookmark scaffold for snapshot-style
+        targets (versioned table, JDBC warehouse table). The consistency
+        invariants live HERE, once:
+
+        - the extract is persisted so the commit, the record count, and
+          the bookmark aggregate all read ONE materialized snapshot — a
+          live (JDBC) source re-executing between them could otherwise
+          advance the bookmark past rows never committed;
+        - ``record_count`` is the POST-map frame (what the commit writes;
+          a filtering stream map must not overstate it) — served from the
+          cached pre-map snapshot, not a second extract;
+        - the bookmark aggregate runs on the PRE-map frame (Singer
+          parity: maps cannot corrupt state);
+        - the bookmark is stored only AFTER the commit succeeds — a
+          failed commit leaves state untouched and the next sync
+          re-extracts the same slice (at-least-once extract);
+        - ``flush_state=True`` additionally persists the state store
+          immediately — required when the commit is NON-idempotent
+          (plain JDBC append): losing an in-memory advance would
+          re-append the same slice on the next run."""
+        from pyspark.sql import functions as F
+        from pyspark.storagelevel import StorageLevel
+
+        df, premap, _ = self._prepare(spec)
+        persisted = premap.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n_premap = persisted.count()  # materializes the snapshot all paths read
+            n = n_premap if df is persisted else df.count()
+            new_bm_row = None
+            if spec.replication_key:
+                new_bm_row = persisted.agg(
+                    F.max(spec.replication_key).alias("mx")
+                ).first()
+            commit(df)
         finally:
             persisted.unpersist()
         new_bm = None
@@ -400,6 +428,8 @@ class SparkTap:
                     spec.fully_qualified_name, spec.replication_key, new_bm_row["mx"]
                 )
                 new_bm = self.state.get_bookmark(spec.fully_qualified_name)
+                if flush_state:
+                    self.state.flush()
         return SyncResult(
             stream=spec.fully_qualified_name,
             record_count=n,
@@ -417,41 +447,35 @@ class SparkTap:
         of extract-load (BASELINE.json north star: "Spark JDBC source +
         DataFrame writes"). ``target`` takes the same connection shape as
         ``TapConfig.jdbc`` (jdbc_url/host/driver/user/password) plus
-        ``table`` (defaults to the stream name). ``mode`` is Spark's JDBC
-        writer semantics: "append" for incremental slices, "overwrite"
-        for full refresh (truncate-and-reload). Keyed upserts belong to
-        the versioned-table target (``sync_stream_to_versioned``) — plain
-        JDBC has no engine-portable MERGE.
+        ``table``, defaulting to the FULLY QUALIFIED stream name with
+        non-identifier characters mapped to ``_``
+        (``postgres_public_people``) — same-named streams in different
+        schemas/databases must not load into one table. ``mode`` is
+        Spark's JDBC writer semantics: "append" for incremental slices,
+        "overwrite" for full refresh (truncate-and-reload). Keyed upserts
+        belong to the versioned-table target (``sync_stream_to_versioned``)
+        — plain JDBC has no engine-portable MERGE.
 
-        Same consistency discipline as the other targets: the extract is
-        persisted so the write, the record count, and the bookmark
-        aggregate all read ONE materialized snapshot (a live source
-        re-executing between them could advance the bookmark past rows
-        never loaded), and the bookmark is stored only AFTER the write
-        succeeds — a failed load leaves state untouched and the next sync
-        re-extracts the same slice. With "append" that makes delivery
-        at-least-once (re-run after a mid-write failure can duplicate);
-        exactly-once needs the idempotent targets (versioned upsert /
-        batch manifests)."""
-        from pyspark.sql import functions as F
-        from pyspark.storagelevel import StorageLevel
+        Consistency discipline lives in ``_sync_snapshot_to_target``;
+        because a plain JDBC append is NOT idempotent, the bookmark
+        advance is flushed to the state store immediately after the write
+        (flush_state=True) — a crash between write and flush is the only
+        remaining at-least-once window, and a re-run after a mid-write
+        failure can duplicate; exactly-once needs the idempotent targets
+        (versioned upsert / batch manifests)."""
+        import re as _re
 
         from youcruit_tap_rawpostgresql_spark.sources.jdbc import jdbc_url
 
-        df, premap, _ = self._prepare(spec)
-        persisted = premap.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            n_premap = persisted.count()
-            n = n_premap if df is persisted else df.count()
-            new_bm_row = None
-            if spec.replication_key:
-                new_bm_row = persisted.agg(
-                    F.max(spec.replication_key).alias("mx")
-                ).first()
+        table = target.get(
+            "table", _re.sub(r"\W", "_", spec.fully_qualified_name)
+        )
+
+        def commit(df: DataFrame) -> None:
             writer = (
                 df.write.format("jdbc")
                 .option("url", jdbc_url(target))
-                .option("dbtable", target.get("table", spec.name))
+                .option("dbtable", table)
                 .mode(mode)
             )
             if target.get("driver"):
@@ -464,18 +488,5 @@ class SparkTap:
                     "createTableColumnTypes", target["createTableColumnTypes"]
                 )
             writer.save()
-        finally:
-            persisted.unpersist()
-        new_bm = None
-        if spec.replication_key and new_bm_row and new_bm_row["mx"] is not None:
-            with self._state_lock:
-                self.state.set_bookmark(
-                    spec.fully_qualified_name, spec.replication_key, new_bm_row["mx"]
-                )
-                new_bm = self.state.get_bookmark(spec.fully_qualified_name)
-        return SyncResult(
-            stream=spec.fully_qualified_name,
-            record_count=n,
-            new_bookmark=new_bm,
-            manifests=[],
-        )
+
+        return self._sync_snapshot_to_target(spec, commit, flush_state=True)
