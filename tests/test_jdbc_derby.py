@@ -477,3 +477,61 @@ def test_sync_to_jdbc_target_el_loop(spark, derby_url, tmp_path_factory):
     got = read_target()
     assert got.count() == n_live + 3
     assert got.select("id").distinct().count() == n_live + 3
+
+
+def test_cli_jdbc_target_sync(spark, derby_url, tmp_path, tmp_path_factory):
+    """--jdbc-target: the CLI runs the EL loop end-to-end from config —
+    extract from the configured live source, load each stream into its
+    own fully-qualified-name table in the warehouse, bookmark persisted
+    to the state file after the write."""
+    from youcruit_tap_rawpostgresql_spark.cli import main
+
+    tgt_db = tmp_path_factory.mktemp("derby_cli_tgt") / "db"
+    tgt_url = f"jdbc:derby:{tgt_db};create=true"
+    cfg = {
+        "database": "derbydb",
+        "jdbc": _jdbc_cfg(derby_url),
+        "jdbc_target": {"jdbc_url": tgt_url, "driver": DERBY_DRIVER},
+        "streams": [
+            {
+                "name": "people_cli",
+                "sql": 'SELECT "id", "score" FROM PEOPLE WHERE "id" > :rep_key_val',
+                "columns": [
+                    {"name": "id", "type": "int8", "nullable": False},
+                    {"name": "score", "type": "int4"},
+                ],
+                "key_properties": ["id"],
+                "replication_key": "id",
+                "replication_key_value_start": -1,
+            }
+        ],
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    state_path = tmp_path / "state.json"
+    assert (
+        main(
+            [
+                "--config", str(cfg_path),
+                "--state", str(state_path),
+                "--jdbc-target", "overwrite",
+            ]
+        )
+        == 0
+    )
+    n_live = _live_count(spark, derby_url)
+    loaded = (
+        spark.read.format("jdbc")
+        .option("url", tgt_url)
+        .option("driver", DERBY_DRIVER)
+        .option("dbtable", "derbydb_public_people_cli")
+        .load()
+    )
+    assert loaded.count() == n_live
+    # the bookmark reached the state FILE (non-idempotent target → the
+    # advance must survive a process exit)
+    saved = json.loads(state_path.read_text())
+    assert (
+        saved["bookmarks"]["derbydb-public-people_cli"]["replication_key_value"]
+        == n_live - 1
+    )

@@ -20,6 +20,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--state", help="path to state JSON")
     p.add_argument("--discover", action="store_true")
     p.add_argument(
+        "--jdbc-target",
+        metavar="MODE",
+        nargs="?",
+        const="append",
+        default=None,
+        choices=["append", "overwrite"],
+        help="sync each stream into the warehouse table configured under "
+        "config.jdbc_target via DataFrame writes over JDBC (the LOAD "
+        "half of extract-load); MODE defaults to append",
+    )
+    p.add_argument(
         "--discover-live",
         metavar="SCHEMA_PATTERN",
         nargs="?",
@@ -135,7 +146,27 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"== {spec.fully_qualified_name} ==")
                 df.explain(mode="formatted")
             return 0
-        if args.versioned_root:
+        if args.jdbc_target is not None:
+            if config.jdbc_target is None:
+                p.error("--jdbc-target requires a jdbc_target in the config")
+            streams_eff = list(tap._effective_streams())
+            if config.jdbc_target.get("table") and len(streams_eff) > 1:
+                # an explicit table name + several streams would interleave
+                # (append) or clobber (overwrite) them all into one table
+                p.error(
+                    "config.jdbc_target.table is set but multiple streams "
+                    "are selected — omit 'table' so each stream loads its "
+                    "own fully-qualified-name table"
+                )
+            # sync_stream_to_jdbc flushes state per stream itself (plain
+            # JDBC append is non-idempotent — see the method docstring)
+            results = [
+                tap.sync_stream_to_jdbc(
+                    spec, config.jdbc_target, mode=args.jdbc_target
+                )
+                for spec in streams_eff
+            ]
+        elif args.versioned_root:
             import os as _os
 
             # per-stream root keyed by the FULLY QUALIFIED name: two

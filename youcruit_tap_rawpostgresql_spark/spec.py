@@ -153,6 +153,10 @@ class TapConfig:
     # Spark views. Keys: jdbc_url (or host/port/database), driver, user,
     # password, fetchsize — see sources/jdbc.py.
     jdbc: dict | None = None
+    # warehouse LOAD target for --jdbc-target mode: same connection shape
+    # as ``jdbc`` plus optional table/createTableColumnTypes — consumed by
+    # SparkTap.sync_stream_to_jdbc (DataFrame writes over JDBC)
+    jdbc_target: dict | None = None
 
     @classmethod
     def from_dict(cls, raw: dict) -> "TapConfig":
@@ -209,4 +213,5 @@ class TapConfig:
             flattening_enabled=raw.get("flattening_enabled", False),
             flattening_max_depth=raw.get("flattening_max_depth"),
             jdbc=jdbc,
+            jdbc_target=raw.get("jdbc_target"),
         )
