@@ -371,3 +371,25 @@ def test_quote_literal_styles():
     assert quote_literal(evil, style="standard") == "'x'' OR 1=1 --'"
     out = bind_params("SELECT * FROM t WHERE k > :v", {"v": evil}, style="standard")
     assert out == "SELECT * FROM t WHERE k > 'x'' OR 1=1 --'"
+
+
+def test_to_timestamp_to_date_pg_format(spark):
+    """to_timestamp/to_date with PG format tokens: the token vocabulary
+    translates (HH24/MI/SS → JDK), the function names stay (Spark's own
+    to_timestamp/to_date take JDK patterns)."""
+    out = translate_pg_sql(
+        "SELECT to_timestamp(s, 'YYYY-MM-DD HH24:MI:SS') AS t FROM x"
+    )
+    assert out == "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm:ss') AS t FROM x"
+    out2 = translate_pg_sql("SELECT to_date(s, 'DD/MM/YYYY') AS d FROM x")
+    assert out2 == "SELECT to_date(s, 'dd/MM/yyyy') AS d FROM x"
+    row = spark.sql(
+        translate_pg_sql(
+            "SELECT CAST(to_timestamp('2021-07-04 13:05:09', "
+            "'YYYY-MM-DD HH24:MI:SS') AS STRING) AS t"
+        )
+    ).first()
+    assert row["t"] == "2021-07-04 13:05:09"
+    # a to_timestamp already in JDK form must be a fixed point
+    sql = "SELECT to_timestamp(s, 'yyyy-MM-dd') AS t FROM x"
+    assert translate_pg_sql(sql) == sql

@@ -584,3 +584,18 @@ def test_ivf_pq_no_cartesian(plans):
     broadcast is the probe (query-sample) side."""
     p = plans("sim_ann_ivf_pq")
     assert "CartesianProduct" not in p
+
+
+def test_span_dedup_shuffles_hash_not_text(plans):
+    """Rolling-window substring dedup: the sharing count and the join-back
+    are keyed on xxhash64(window) — the window TEXT is projected away
+    before any exchange, and candidates never form a cartesian."""
+    p = plans("dedup_span_windows")
+    assert "xxhash64" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the exchanges carry only (doc_id, h) / (h, nd) — no string column
+    # named 'span' or the raw 'text'/'ts' survives to an exchange row
+    import re as _re
+    for ex in _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "span" not in ex and "text" not in ex and "ts" not in ex

@@ -308,6 +308,13 @@ _JSON_PATH_RE = re.compile(_JSON_OPERAND + r"\s*#>>?\s*'\{([^{}']*)\}'")
 _TO_CHAR_RE = re.compile(
     r"\bto_char\s*\(([^(),]+),\s*'((?:[^']|'')*)'\s*\)", re.IGNORECASE
 )
+# to_timestamp/to_date with a PG format: the SAME token vocabulary parses
+# instead of formats (Spark's functions exist under the same names but
+# take JDK patterns, so only the format string needs translation)
+_TO_TS_RE = re.compile(
+    r"\b(to_timestamp|to_date)\s*\(([^(),]+),\s*'((?:[^']|'')*)'\s*\)",
+    re.IGNORECASE,
+)
 _TO_CHAR_TOKENS = [
     ("YYYY", "yyyy"),
     ("HH24", "HH"),
@@ -488,6 +495,14 @@ def _translate_operators(sql: str) -> str:
         return f"date_format({m.group(1).strip()}, '{fmt}')"
 
     sql = _sub_skipping_literal_interiors(_TO_CHAR_RE, to_char_repl, sql)
+
+    def to_ts_repl(m: re.Match) -> str:
+        fmt = _TO_CHAR_TOKEN_RE.sub(
+            lambda t: dict(_TO_CHAR_TOKENS)[t.group(0)], m.group(3)
+        )
+        return f"{m.group(1).lower()}({m.group(2).strip()}, '{fmt}')"
+
+    sql = _sub_skipping_literal_interiors(_TO_TS_RE, to_ts_repl, sql)
     sql = _sub_skipping_literal_interiors(
         _SUBSTRING_REGEX_RE,
         lambda m: f"regexp_extract({m.group(1).strip()}, {m.group(2)}, 0)",

@@ -223,3 +223,87 @@ def url_normalize_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+_SPAN_W = 16  # tokens per rolling window
+_SPAN_S = 8   # stride between window starts (overlapping)
+
+
+@register(
+    "dedup_span_windows",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), w AS (
+  SELECT doc_id, unnest(generate_series(1, len(ts) - {_SPAN_W} + 1, {_SPAN_S})) AS s, ts
+  FROM toks WHERE len(ts) >= {_SPAN_W}
+), spans AS (
+  SELECT doc_id, s, array_to_string(ts[s:s + {_SPAN_W} - 1], ' ') AS span FROM w
+), sharing AS (
+  SELECT span, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY span
+)
+SELECT p.doc_id,
+  COUNT(*) AS n_windows,
+  CAST(SUM(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_windows,
+  CAST(SUM(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+    AS shared_frac
+FROM spans p JOIN sharing g USING (span)
+GROUP BY p.doc_id
+""",
+)
+def dedup_span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window substring dedup (the scalable approximation of
+    exact-substring dedup, Lee et al. "Deduplicating Training Data Makes
+    Language Models Better"): slide a 16-token window at stride 8 over
+    every document and flag windows whose text also appears in ANOTHER
+    document — per-doc shared-window fraction is the removal signal.
+    Overlapping windows catch duplicated passages at arbitrary offsets,
+    which the non-overlapping chunk dedup (``dedup_paragraph_exact``)
+    misses when the copy is shifted by less than a chunk.
+
+    Scale: the explode fans out ~n_tokens/stride rows, but only
+    (doc_id, xxhash64(window)) — 16 bytes — ever crosses a shuffle: the
+    cross-doc sharing count groups by the 8-byte hash (oracle groups by
+    the text itself; identical grouping short of a 64-bit collision —
+    production uses 128-bit, same plan), and the count-distinct-docs +
+    join-back are both keyed on that hash, so the window TEXT never
+    leaves the map side. Suffix arrays find arbitrary-length repeats;
+    this fixed-window form is the shuffle-friendly standard at corpus
+    scale."""
+    docs = tables(spark, sf_dir)["documents"]
+    toks = docs.select("doc_id", F.split("text", " ").alias("ts")).filter(
+        F.size("ts") >= _SPAN_W
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.size("ts") - F.lit(_SPAN_W - 1),
+                F.lit(_SPAN_S),
+            )
+        ).alias("s"),
+        "ts",
+    ).select(
+        "doc_id",
+        F.xxhash64(
+            F.array_join(F.slice(F.col("ts"), F.col("s"), _SPAN_W), " ")
+        ).alias("h"),
+    )
+    sharing = spans.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        spans.join(sharing, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_windows"),
+            (
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("shared_frac"),
+        )
+    )
