@@ -1084,3 +1084,117 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", F.round("adc", 6).alias("adc"), "rank")
     )
+
+
+_MRL_HALF = _DIM // 2
+
+
+@register(
+    "embed_matryoshka_eval",
+    # raw-cos ordering is safe cross-engine: cosine_pairs accumulates
+    # per-dimension in sequence, bit-identical to the oracle's list_reduce
+    # fold (same guarantee sim_cosine_topk relies on); vec_id tiebreak
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, embedding, list_slice(embedding, 1, {_MRL_HALF}) AS half
+  FROM embeddings WHERE vec_id % 50 = 0
+), e AS (
+  SELECT vec_id, embedding, list_slice(embedding, 1, {_MRL_HALF}) AS half
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+    {{cos_full}} AS cos_full,
+    {{cos_half}} AS cos_half
+  FROM q JOIN e ON q.vec_id <> e.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_full, cos_half,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_full DESC, neighbor_id) AS rf,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_half DESC, neighbor_id) AS rh
+  FROM scored
+)
+SELECT f.query_id,
+  f.neighbor_id AS top1_full,
+  h.neighbor_id AS top1_half,
+  (f.neighbor_id = h.neighbor_id) AS agree,
+  ROUND(f.cos_full, 6) AS cos_full_top,
+  ROUND(h.cos_half, 6) AS cos_half_top
+FROM (SELECT * FROM ranked WHERE rf = 1) f
+JOIN (SELECT * FROM ranked WHERE rh = 1) h USING (query_id)
+""".format(
+        cos_full="("
+        + _O_DOT_PAIR.format(a="q.embedding", b="e.embedding")
+        + " / ("
+        + _O_NORM.format(a="q.embedding")
+        + " * "
+        + _O_NORM.format(a="e.embedding")
+        + "))",
+        cos_half="("
+        + _O_DOT_PAIR.format(a="q.half", b="e.half")
+        + " / ("
+        + _O_NORM.format(a="q.half")
+        + " * "
+        + _O_NORM.format(a="e.half")
+        + "))",
+    ),
+)
+def embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/truncation retrieval eval: does the FIRST HALF of each
+    embedding retrieve the same top-1 neighbor as the full vector? The
+    measurement behind storing truncatable (MRL-style) embeddings — if
+    agreement is high, the index can serve half-dimension vectors at half
+    the memory/bandwidth and re-rank the shortlist with full vectors.
+
+    Scale: same broadcast-queries/stream-corpus shape as sim_cosine_topk,
+    but BOTH resolutions score in the one pass over the corpus (the half
+    slice is a per-row projection, not a second scan), and the two
+    rankings share one (query_id) exchange — two sorts, one shuffle."""
+    e = tables(spark, sf_dir)["embeddings"]
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.slice("embedding", 1, _MRL_HALF).alias("q_half"),
+    )
+    n = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        F.slice("embedding", 1, _MRL_HALF).alias("n_half"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(n, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pairs("q_emb", "embedding").alias("cos_full"),
+            cosine_pairs("q_half", "n_half").alias("cos_half"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), "neighbor_id"
+    )
+    wh = W.partitionBy("query_id").orderBy(
+        F.col("cos_half").desc(), "neighbor_id"
+    )
+    ranked = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rh", F.row_number().over(wh)
+    )
+    top_f = ranked.filter(F.col("rf") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("top1_full"),
+        F.round("cos_full", 6).alias("cos_full_top"),
+    )
+    top_h = ranked.filter(F.col("rh") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("top1_half"),
+        F.round("cos_half", 6).alias("cos_half_top"),
+    )
+    return top_f.join(top_h, "query_id").select(
+        "query_id",
+        "top1_full",
+        "top1_half",
+        (F.col("top1_full") == F.col("top1_half")).alias("agree"),
+        "cos_full_top",
+        "cos_half_top",
+    )

@@ -696,3 +696,59 @@ def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         left.alias("left_ctx"),
         right.alias("right_ctx"),
     )
+
+
+@register(
+    "text_token_entropy",
+    # fold parity: per-doc terms sum in TOKEN order on both engines
+    # (array_sort + F.aggregate vs list(… ORDER BY token) + list_reduce);
+    # the trailing `+ 0.0` normalizes the single-token doc's -0.0 so both
+    # engines hash the same zero
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({O_TOKS}) AS token FROM documents
+), tc AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token
+), per AS (
+  SELECT doc_id,
+    list(c ORDER BY token) AS cs,
+    CAST(SUM(c) AS DOUBLE) AS n
+  FROM tc GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST(len(cs) AS BIGINT) AS n_distinct,
+  ROUND(-list_reduce(
+     list_transform(cs, c -> (CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)),
+     (x, y) -> x + y) + 0.0, 6) AS token_entropy
+FROM per
+""",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document token-distribution Shannon entropy (bits): the
+    repetitiveness quality signal — boilerplate/looping text concentrates
+    mass on few tokens (low H), natural prose spreads it (high H ≈
+    log2(n_distinct)). Complements ``text_unigram_logprob`` (which scores
+    against the CORPUS model, not the doc's own distribution) and
+    ``text_repetition``.
+
+    Scale: one (doc, token) count aggregate — partial map-side combine —
+    then a per-doc array fold; no joins, no broadcast, nothing
+    corpus-global."""
+    d = tables(spark, sf_dir)["documents"]
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    per = tc.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("token", "c"))).alias("arr"),
+        F.sum("c").cast("double").alias("n"),
+    )
+    term = F.transform(
+        "arr",
+        lambda x: (x["c"].cast("double") / F.col("n"))
+        * F.log2(x["c"].cast("double") / F.col("n")),
+    )
+    folded = F.aggregate(term, F.lit(0.0), lambda acc, x: acc + x)
+    return per.select(
+        "doc_id",
+        F.size("arr").cast("bigint").alias("n_distinct"),
+        F.round(-folded + F.lit(0.0), 6).alias("token_entropy"),
+    )
