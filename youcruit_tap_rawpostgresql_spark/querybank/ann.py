@@ -1198,3 +1198,76 @@ def embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_full_top",
         "cos_half_top",
     )
+
+
+@register(
+    "cluster_quality_profile",
+    # decimal-exact quality features (token count, punct count, char count)
+    # so per-cell averages are exact-int ratios; single IEEE division each
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings WHERE vec_id % 40 = 1
+), scored AS (
+  SELECT v.vec_id, c.cent_id, {_O_CELL_COS} AS ccos
+  FROM embeddings v CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
+    FROM scored
+  ) WHERE crank = 1
+), feats AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_tok,
+    length(text) AS n_char
+  FROM documents
+)
+SELECT a.cell,
+  COUNT(*) AS n_docs,
+  CAST(SUM(f.n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens,
+  CAST(SUM(f.n_char) AS DOUBLE) / COUNT(*) AS avg_chars,
+  MIN(f.n_tok) AS min_tokens,
+  MAX(f.n_tok) AS max_tokens
+FROM assign a JOIN feats f ON a.vec_id = f.doc_id
+GROUP BY a.cell
+""",
+)
+def cluster_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality cluster profiling: join each document's TEXT quality
+    features onto its EMBEDDING-space cluster (nearest IVF centroid) and
+    aggregate per cell — the instrument behind cluster-level curation
+    (SemDeDup / density-based pruning drops entire low-quality or
+    degenerate clusters, so you need per-cluster quality stats BEFORE
+    deciding what to keep).
+
+    Scale: cell assignment is the shared one-pass mapInPandas kernel
+    (centroids in the closure, no shuffle); the doc-feature side is
+    map-only columnar expressions; the final join keys on the id both
+    tables share and the per-cell aggregate partial-combines. Exact-int
+    sums keep the averages bit-stable cross-engine."""
+    docs = tables(spark, sf_dir)["documents"]
+    assign = (
+        ivf_rank_cells(spark, sf_dir)
+        .filter(F.col("crank") == 1)
+        .select(F.col("vec_id").alias("doc_id"), F.col("cent_id").alias("cell"))
+    )
+    feats = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.length("text").alias("n_char"),
+    )
+    return (
+        assign.join(feats, "doc_id")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias(
+                "avg_tokens"
+            ),
+            (F.sum("n_char").cast("double") / F.count(F.lit(1))).alias(
+                "avg_chars"
+            ),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+    )
