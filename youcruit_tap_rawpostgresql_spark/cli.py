@@ -14,10 +14,45 @@ import json
 import sys
 
 
+def _config_from_env() -> dict:
+    """``--config=ENV``: assemble the config from TAP_RAWPOSTGRESQL_*
+    environment variables (reference README: env vars 'will be considered
+    if --config=ENV is provided'). The setting name is the lower-cased
+    suffix; values parse as JSON when they look like it (so `streams`,
+    `stream_maps`, ports and booleans come through typed) and stay
+    strings otherwise."""
+    import os
+
+    prefix = "TAP_RAWPOSTGRESQL_"
+    raw: dict = {}
+    for key, val in os.environ.items():
+        if not key.startswith(prefix) or not key[len(prefix):]:
+            continue
+        name = key[len(prefix):].lower()
+        try:
+            raw[name] = json.loads(val)
+        except ValueError:
+            raw[name] = val
+    return raw
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="tap-rawpostgresql-spark")
-    p.add_argument("--config", help="path to tap config JSON")
+    p.add_argument(
+        "--config",
+        help="path to tap config JSON, or the literal 'ENV' to build the "
+        "config from TAP_RAWPOSTGRESQL_* environment variables "
+        "(reference README 'Configure using environment variables')",
+    )
     p.add_argument("--state", help="path to state JSON")
+    p.add_argument(
+        "--catalog",
+        help="path to a Singer input catalog JSON: drives stream "
+        "selection ('selected' metadata) and replication overrides "
+        "('replication-method'/'replication-key') — the `catalog` "
+        "capability (reference tap.py:252)",
+    )
+    p.add_argument("--version", action="store_true")
     p.add_argument("--discover", action="store_true")
     p.add_argument(
         "--jdbc-target",
@@ -76,14 +111,27 @@ def main(argv: list[str] | None = None) -> int:
     from youcruit_tap_rawpostgresql_spark.catalog import about, discover_catalog
     from youcruit_tap_rawpostgresql_spark.spec import TapConfig
 
+    if args.version:
+        from youcruit_tap_rawpostgresql_spark import __version__
+
+        print(__version__)
+        return 0
+
     if args.about:
         print(json.dumps(about(), indent=2))
         return 0
 
     if not args.config:
-        p.error("--config is required unless --about")
-    with open(args.config) as f:
-        config = TapConfig.from_dict(json.load(f))
+        p.error("--config is required unless --about/--version")
+    if args.config == "ENV":
+        config = TapConfig.from_dict(_config_from_env())
+    else:
+        with open(args.config) as f:
+            config = TapConfig.from_dict(json.load(f))
+    input_catalog = None
+    if args.catalog:
+        with open(args.catalog) as f:
+            input_catalog = json.load(f)
 
     if args.discover:
         print(json.dumps(discover_catalog(config), indent=2))
@@ -111,7 +159,9 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_session(app_name="tap-rawpostgresql-spark")
     if args.sf_dir:
         register_testdata(spark, args.sf_dir)
-    tap = SparkTap(config, spark, state=StateStore(args.state))
+    tap = SparkTap(
+        config, spark, state=StateStore(args.state), catalog=input_catalog
+    )
     try:
         if args.test:
             # one-record probe per stream: catches bad SQL, missing source

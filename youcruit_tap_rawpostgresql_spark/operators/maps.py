@@ -22,22 +22,59 @@ a map value of ``None`` SUPPRESSES the stream from sync; a map under a
 NEW stream name with ``{"__source__": "existing", ...transforms}``
 DUPLICATES/ALIASES the source stream under that name. ``__``-prefixed
 keys are directives, ignored here.
+
+``stream_map_config`` (Singer SDK setting, reference README:36): a dict
+of user-defined values referenceable inside derive/filter expressions as
+``config.<key>`` — substituted as typed SQL literals before Catalyst
+parses the expression (the SDK exposes the same dict to its simpleeval
+expressions as ``config``).
 """
 
 from __future__ import annotations
 
+import re
+from typing import Any, Mapping
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_CONFIG_REF_RE = re.compile(r"\bconfig\.([A-Za-z_]\w*)")
 
-def apply_stream_map(df: DataFrame, map_config: dict) -> DataFrame:
+
+def _bind_map_vars(expr: str, map_vars: Mapping[str, Any] | None) -> str:
+    """Replace ``config.key`` references with quoted literals; unknown
+    keys fail loudly (a typo'd reference would otherwise analyze as a
+    missing column with a confusing error)."""
+    if not map_vars and not _CONFIG_REF_RE.search(expr):
+        return expr
+
+    from youcruit_tap_rawpostgresql_spark.plans.dialect import quote_literal
+
+    def repl(m: re.Match) -> str:
+        key = m.group(1)
+        if map_vars is None or key not in map_vars:
+            raise KeyError(
+                f"stream map expression references config.{key} but "
+                "stream_map_config has no such key"
+            )
+        return quote_literal(map_vars[key])
+
+    return _CONFIG_REF_RE.sub(repl, expr)
+
+
+def apply_stream_map(
+    df: DataFrame,
+    map_config: dict,
+    map_vars: Mapping[str, Any] | None = None,
+) -> DataFrame:
     """Apply one stream's map config to its DataFrame (``__`` directives
-    like ``__source__`` are stream-level, handled by the tap)."""
+    like ``__source__`` are stream-level, handled by the tap).
+    ``map_vars`` is the tap's ``stream_map_config`` dict."""
     out = df
     for name, expr in (map_config.get("derive") or {}).items():
-        out = out.withColumn(name, F.expr(expr))
+        out = out.withColumn(name, F.expr(_bind_map_vars(expr, map_vars)))
     if map_config.get("filter"):
-        out = out.filter(F.expr(map_config["filter"]))
+        out = out.filter(F.expr(_bind_map_vars(map_config["filter"], map_vars)))
     for col in map_config.get("mask") or []:
         out = out.withColumn(col, F.sha2(F.col(col).cast("string"), 256))
     for old, new in (map_config.get("rename") or {}).items():

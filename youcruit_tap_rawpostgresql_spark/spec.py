@@ -145,6 +145,9 @@ class TapConfig:
     streams: list[StreamSpec]
     batch: BatchSinkConfig | None = None
     stream_maps: dict[str, dict] = field(default_factory=dict)
+    # user-defined values referenceable as config.<key> inside stream-map
+    # expressions (Singer SDK `stream_map_config`, reference README:36)
+    stream_map_config: dict = field(default_factory=dict)
     flattening_enabled: bool = False
     flattening_max_depth: int | None = None
     # live-source mode: when set, stream SQL is SHIPPED to the source
@@ -210,6 +213,7 @@ class TapConfig:
             streams=streams,
             batch=batch,
             stream_maps=raw.get("stream_maps", {}),
+            stream_map_config=raw.get("stream_map_config", {}),
             flattening_enabled=raw.get("flattening_enabled", False),
             flattening_max_depth=raw.get("flattening_max_depth"),
             jdbc=jdbc,

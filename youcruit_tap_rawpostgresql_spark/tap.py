@@ -56,6 +56,7 @@ class SparkTap:
         spark: SparkSession,
         state: StateStore | None = None,
         write: Callable[[str], None] | None = None,
+        catalog: dict | None = None,
     ):
         import threading
 
@@ -63,6 +64,10 @@ class SparkTap:
         self.spark = spark
         self.state = state or StateStore()
         self.write = write or sys.stdout.write
+        # Singer input CATALOG (the `catalog` capability, reference
+        # tap.py:252): drives stream selection and replication overrides
+        # — applied in _effective_streams
+        self.catalog = catalog
         # serializes bookmark-advance + STATE serialization + STATE write:
         # without it, parallel workers mutate the bookmarks dict while
         # another thread's json.dumps iterates it (RuntimeError), and a
@@ -97,7 +102,42 @@ class SparkTap:
                         f"{cfg['__source__']!r}"
                     )
                 out.append(dataclasses.replace(src, name=alias))
+        if self.catalog is not None:
+            out = [self._apply_catalog_entry(s) for s in out]
+            out = [s for s in out if s is not None]
         return out
+
+    def _apply_catalog_entry(self, spec: StreamSpec) -> "StreamSpec | None":
+        """Apply the input catalog's metadata to one stream (Singer
+        `catalog` capability): an entry matched by tap_stream_id (or bare
+        stream name) contributes ``selected`` (False → stream dropped —
+        and a stream with NO catalog entry is dropped too, the Singer
+        selection contract), ``replication-method`` (forces
+        FULL_TABLE/INCREMENTAL, the exact combination reference
+        client.py:285-298 handles), and ``replication-key``."""
+        import dataclasses
+
+        entry = None
+        for ent in self.catalog.get("streams", []):
+            sid = ent.get("tap_stream_id") or ent.get("stream")
+            if sid in (spec.fully_qualified_name, spec.name):
+                entry = ent
+                break
+        if entry is None:
+            return None
+        md = {}
+        for item in entry.get("metadata", []):
+            if item.get("breadcrumb") == []:
+                md = item.get("metadata", {})
+                break
+        if md.get("selected") is False:
+            return None
+        changes = {}
+        if md.get("replication-method"):
+            changes["forced_replication_method"] = md["replication-method"]
+        if md.get("replication-key"):
+            changes["replication_key"] = md["replication-key"]
+        return dataclasses.replace(spec, **changes) if changes else spec
 
     def _prepare(
         self,
@@ -139,7 +179,9 @@ class SparkTap:
             df = premap
         map_cfg = self.config.stream_maps.get(spec.name)
         if map_cfg:
-            df = apply_stream_map(df, map_cfg)
+            df = apply_stream_map(
+                df, map_cfg, map_vars=self.config.stream_map_config
+            )
         if self.config.flattening_enabled:
             df = flatten_struct_columns(df, self.config.flattening_max_depth)
         return df, premap, bookmark
