@@ -554,3 +554,66 @@ def test_tws_sessionize_if_protobuf_available(spark):
     assert sorted(map(tuple, tws.collect())) == sorted(
         map(tuple, legacy.collect())
     )
+
+
+def test_stream_map_config_ref_inside_literal_is_text(spark):
+    """`config.key` shapes inside the derive expression's string literals
+    are text, not references (round-5 advisory): no KeyError for the
+    missing key, and the literal survives verbatim."""
+    df = spark.createDataFrame([(1,)], "id long")
+    out = apply_stream_map(
+        df,
+        {"derive": {"note": "concat('see config.docs #', config.tag)"}},
+        map_vars={"tag": "v1"},
+    )
+    assert out.first()["note"] == "see config.docs #v1"
+
+
+def test_catalog_entry_matches_on_stream_field_alone(spark):
+    """A catalog entry whose tap_stream_id matches nothing but whose
+    `stream` field names the stream must still apply (round-5 advisory)."""
+    from youcruit_tap_rawpostgresql_spark.spec import (
+        ColumnSpec,
+        StreamSpec,
+        TapConfig,
+    )
+    from youcruit_tap_rawpostgresql_spark.tap import SparkTap
+
+    spec = StreamSpec(
+        name="nums",
+        sql="SELECT 1 AS n",
+        columns=[ColumnSpec(name="n", type="integer")],
+        database="db",
+        db_schema="s",
+    )
+    catalog = {
+        "streams": [
+            {
+                "tap_stream_id": "weird-legacy-format-nums",
+                "stream": "nums",
+                "metadata": [
+                    {"breadcrumb": [], "metadata": {"selected": True}}
+                ],
+            }
+        ]
+    }
+    tap = SparkTap(TapConfig(streams=[spec]), spark, catalog=catalog)
+    assert [s.name for s in tap._effective_streams()] == ["nums"]
+
+
+def test_env_config_keeps_string_settings_verbatim(monkeypatch):
+    """TAP_RAWPOSTGRESQL_* string-typed settings must never be JSON-coerced:
+    password `null` would silently drop the credential (round-5 advisory)."""
+    from youcruit_tap_rawpostgresql_spark.cli import _config_from_env
+
+    monkeypatch.setenv("TAP_RAWPOSTGRESQL_PASSWORD", "null")
+    monkeypatch.setenv("TAP_RAWPOSTGRESQL_USERNAME", "true")
+    monkeypatch.setenv("TAP_RAWPOSTGRESQL_HOST", "007")
+    monkeypatch.setenv("TAP_RAWPOSTGRESQL_PORT", "5432")
+    monkeypatch.setenv("TAP_RAWPOSTGRESQL_STREAMS", '[{"name": "s"}]')
+    cfg = _config_from_env()
+    assert cfg["password"] == "null"
+    assert cfg["username"] == "true"
+    assert cfg["host"] == "007"
+    assert cfg["port"] == 5432
+    assert cfg["streams"] == [{"name": "s"}]

@@ -466,3 +466,91 @@ def test_similar_to_corner_semantics(spark):
     row = spark.sql(translate_pg_sql(f"SELECT {sel}")).first()
     for i, (v, p, want) in enumerate(cases):
         assert row[f"m{i}"] is want, (v, p, want)
+
+
+# --- round-5 fuzz breadth: dollar quotes + SQL comments vs the scanner ------
+
+# dollar-quote body: anything except a '$' run that could close early;
+# includes quotes, cast tokens, comment openers — all must survive as data
+_dollar_body = st.from_regex(r"[a-z0-9_ :'.%>~()-]{0,20}", fullmatch=True).filter(
+    lambda s: "$" not in s
+)
+
+
+@given(_dollar_body, _ident, _pg_type)
+def test_dollar_quoted_body_is_data(body, col, typ):
+    """$$...$$ bodies become standard literals byte-for-byte (quotes
+    doubled); cast/regex/comment tokens inside are data, while a real cast
+    outside still translates."""
+    out = translate_pg_sql(f"SELECT $${body}$$ AS s, {col}::{typ} AS c")
+    expected_lit = "'" + body.replace("'", "''") + "'"
+    assert expected_lit in out
+    assert f"CAST({col} AS " in out
+    assert "$$" not in out
+
+
+@given(_dollar_body, st.from_regex(r"[a-z_][a-z0-9_]{0,6}", fullmatch=True))
+def test_tagged_dollar_quotes_close_on_matching_tag(body, tag):
+    out = translate_pg_sql(f"SELECT ${tag}${body}${tag}$ AS s")
+    assert "'" + body.replace("'", "''") + "'" in out
+    assert "$" not in out
+
+
+@given(_lit_body)
+def test_dollar_quote_opener_inside_literal_is_text(body):
+    """A $$ inside a normal literal must not start a dollar quote."""
+    lit = f"'{body}$$x'"
+    out = translate_pg_sql(f"SELECT {lit} AS a, 1::int8 AS b")
+    assert lit in out
+    assert "CAST(1 AS bigint)" in out
+
+
+@given(_lit_body)
+def test_line_comment_contents_are_inert(body):
+    """Casts, quotes, and E'' shapes inside a -- comment are never
+    rewritten, and a quote in a comment must not open a literal that
+    swallows following SQL."""
+    sql = f"SELECT x::int8 AS a -- note: {body}' E'x ::text\n, 'lit' AS b"
+    out = translate_pg_sql(sql)
+    assert f"-- note: {body}' E'x ::text" in out
+    assert "CAST(x AS bigint)" in out
+    assert "'lit' AS b" in out
+
+
+@given(_lit_body)
+def test_block_comment_contents_are_inert(body):
+    sql = f"SELECT /* {body}' ::int8 E' */ y::text AS a, 'z' AS b"
+    out = translate_pg_sql(sql)
+    assert f"/* {body}' ::int8 E' */" in out
+    assert "CAST(y AS string)" in out
+    assert "'z' AS b" in out
+
+
+def test_nested_block_comments_scan_as_one_token():
+    out = translate_pg_sql("SELECT /* a /* b::int */ c' */ x::int8 AS v")
+    assert "/* a /* b::int */ c' */" in out
+    assert "CAST(x AS bigint)" in out
+
+
+@given(_lit_body)
+def test_comment_opener_inside_literal_is_text(body):
+    lit = f"'{body} -- not a comment'"
+    out = translate_pg_sql(f"SELECT {lit} AS a, now() AS t")
+    assert lit in out
+    assert "current_timestamp()" in out
+
+
+@given(_ident, st.integers())
+def test_bind_params_skip_comments(name, value):
+    """:name inside a comment is inert; outside it binds."""
+    sql = f"SELECT :{name} AS v -- uses :{name} and :missing\nFROM t"
+    out = bind_params(sql, {name: value})
+    assert f"-- uses :{name} and :missing" in out
+    assert out.startswith(f"SELECT {value} AS v")
+
+
+def test_unterminated_dollar_quote_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="dollar-quoted"):
+        translate_pg_sql("SELECT $$oops AS x")

@@ -153,12 +153,17 @@ def discover_live_catalog(
             while krs.next():
                 pks.append((int(krs.getInt("KEY_SEQ")), krs.getString("COLUMN_NAME")))
             krs.close()
+            # escape embedded double quotes when quoting identifiers: a
+            # discovered name containing `"` must not produce broken (or,
+            # from a hostile source, attacker-shaped) stream SQL
+            qt = '"' + table.replace('"', '""') + '"'
+            qs = '"' + schema.replace('"', '""') + '"' if schema else None
             streams.append(
                 StreamSpec(
                     name=table,
-                    sql=f'SELECT * FROM "{schema}"."{table}"'
+                    sql=f"SELECT * FROM {qs}.{qt}"
                     if schema
-                    else f'SELECT * FROM "{table}"',
+                    else f"SELECT * FROM {qt}",
                     columns=cols,
                     key_properties=[c for _, c in sorted(pks)],
                     database=jdbc_config.get("database", "jdbc"),

@@ -18,20 +18,41 @@ def _config_from_env() -> dict:
     """``--config=ENV``: assemble the config from TAP_RAWPOSTGRESQL_*
     environment variables (reference README: env vars 'will be considered
     if --config=ENV is provided'). The setting name is the lower-cased
-    suffix; values parse as JSON when they look like it (so `streams`,
-    `stream_maps`, ports and booleans come through typed) and stay
-    strings otherwise."""
+    suffix; values of structured settings (`streams`, `stream_maps`,
+    ports, booleans, …) parse as JSON; string-typed settings
+    (user/password/host/database/…) stay verbatim strings."""
     import os
 
     prefix = "TAP_RAWPOSTGRESQL_"
+    # only non-string-typed settings are JSON-parsed (mirrors the Singer
+    # SDK, which parses env values per the declared setting type): a
+    # password/username of `true`, `null`, or `007` must come through as
+    # the verbatim string, never be coerced (null would silently DROP the
+    # credential)
+    structured = {
+        "streams",
+        "stream_maps",
+        "stream_map_config",
+        "batch_config",
+        "jdbc",
+        "jdbc_target",
+        "jdbc_partition",
+        "port",
+        "batch_size",
+        "flattening_enabled",
+        "flattening_max_depth",
+    }
     raw: dict = {}
     for key, val in os.environ.items():
         if not key.startswith(prefix) or not key[len(prefix):]:
             continue
         name = key[len(prefix):].lower()
-        try:
-            raw[name] = json.loads(val)
-        except ValueError:
+        if name in structured:
+            try:
+                raw[name] = json.loads(val)
+            except ValueError:
+                raw[name] = val
+        else:
             raw[name] = val
     return raw
 

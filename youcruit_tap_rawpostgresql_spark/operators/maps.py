@@ -48,7 +48,10 @@ def _bind_map_vars(expr: str, map_vars: Mapping[str, Any] | None) -> str:
     if not map_vars and not _CONFIG_REF_RE.search(expr):
         return expr
 
-    from youcruit_tap_rawpostgresql_spark.plans.dialect import quote_literal
+    from youcruit_tap_rawpostgresql_spark.plans.dialect import (
+        _scan_segments,
+        quote_literal,
+    )
 
     def repl(m: re.Match) -> str:
         key = m.group(1)
@@ -59,7 +62,12 @@ def _bind_map_vars(expr: str, map_vars: Mapping[str, Any] | None) -> str:
             )
         return quote_literal(map_vars[key])
 
-    return _CONFIG_REF_RE.sub(repl, expr)
+    # a `config.key` shape inside a string literal of the expression is
+    # text, not a reference — substitute in code segments only
+    return "".join(
+        _CONFIG_REF_RE.sub(repl, text) if kind == "code" else text
+        for kind, text in _scan_segments(expr)
+    )
 
 
 def apply_stream_map(

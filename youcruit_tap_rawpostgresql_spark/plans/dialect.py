@@ -23,7 +23,9 @@ patterns), and ``substring(x FROM 'regex')`` (→ ``regexp_extract``).
 
 Also: ``ARRAY[...]`` constructors (→ ``array(...)``), ``SIMILAR TO``
 patterns (→ anchored RLIKE with %/_ wildcards converted),
-``gen_random_uuid()`` (→ ``uuid()``).
+``gen_random_uuid()`` (→ ``uuid()``), dollar-quoted strings
+(``$$…$$`` / ``$tag$…$tag$`` → standard literals), and SQL comments
+(``--``, nesting ``/* */``) treated as opaque spans no rule can rewrite.
 
 No translation needed (native Spark syntax): ``ilike`` (3.3+),
 ``position(x IN y)``, ``substring(x FROM n FOR l)``, ``split_part``,
@@ -108,25 +110,93 @@ def _rename_type(pg_type: str) -> str:
     return pg_type.strip()
 
 
-def _literal_interiors(sql: str) -> list[tuple[int, int]]:
-    """(start, end) spans of the INTERIORS of single-quoted literals —
-    content strictly between the quotes. A rewrite whose match begins
-    inside one of these would corrupt literal data; a match that begins
-    AT a literal's opening quote is legitimate (e.g. ``'x'::uuid`` casts
-    the literal itself)."""
-    return [
-        (m.start() + 1, m.end() - 1) for m in re.finditer(r"'(?:[^']|'')*'", sql)
-    ]
+def _scan_segments(sql: str) -> list[tuple[str, str]]:
+    """Tokenize into ``(kind, text)`` segments covering the whole string.
+
+    Kinds: ``code`` (rewritable SQL), ``lit`` (a single-quoted literal,
+    quotes included, ``''`` is the escaped quote), ``comment`` (``--`` to
+    end-of-line, or ``/* ... */`` with PG-style nesting). Literal and
+    comment text is DATA — no dialect rule may rewrite inside it, and no
+    regex may pair a quote in one segment with a quote in another (the
+    round-4/round-5 fuzz corruption classes). A ``--`` or ``/*`` inside a
+    literal is text; a ``'`` inside a comment does not open a literal."""
+    segs: list[tuple[str, str]] = []
+    i, n = 0, len(sql)
+    code_start = i
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            if code_start < i:
+                segs.append(("code", sql[code_start:i]))
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            end = min(j + 1, n)  # unterminated literal runs to EOS
+            segs.append(("lit", sql[i:end]))
+            i = code_start = end
+        elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            if code_start < i:
+                segs.append(("code", sql[code_start:i]))
+            j = sql.find("\n", i)
+            end = n if j < 0 else j  # newline stays code (token separator)
+            segs.append(("comment", sql[i:end]))
+            i = code_start = end
+        elif ch == "/" and i + 1 < n and sql[i + 1] == "*":
+            if code_start < i:
+                segs.append(("code", sql[code_start:i]))
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if sql.startswith("/*", j):
+                    depth += 1
+                    j += 2
+                elif sql.startswith("*/", j):
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
+            segs.append(("comment", sql[i:j]))
+            i = code_start = j
+        else:
+            i += 1
+    if code_start < n:
+        segs.append(("code", sql[code_start:n]))
+    return segs
+
+
+def _opaque_spans(sql: str) -> list[tuple[str, int, int]]:
+    """(kind, start, end) positions of every non-code segment."""
+    spans = []
+    pos = 0
+    for kind, text in _scan_segments(sql):
+        if kind != "code":
+            spans.append((kind, pos, pos + len(text)))
+        pos += len(text)
+    return spans
 
 
 def _sub_skipping_literal_interiors(pattern: re.Pattern, repl, sql: str) -> str:
-    """re.sub, but matches starting inside a string literal are left
-    untouched (their text is data, not SQL)."""
-    spans = _literal_interiors(sql)
+    """re.sub with span alignment: a match may only rewrite when, for every
+    string literal, it either contains the literal ENTIRELY or is disjoint
+    from it — partial overlap means the regex paired a quote inside one
+    literal with text outside it (e.g. a cast operand starting at a
+    literal's CLOSING quote), which silently corrupts data. Matches
+    touching a comment at all are rejected (comment text is inert)."""
+    spans = _opaque_spans(sql)
 
     def guarded(m: re.Match) -> str:
-        if any(a <= m.start() < b for a, b in spans):
-            return m.group(0)
+        ms, me = m.start(), m.end()
+        for kind, a, b in spans:
+            if ms >= b:
+                continue
+            if me <= a:
+                break  # spans are ordered; nothing further can overlap
+            if kind == "comment" or not (ms <= a and b <= me):
+                return m.group(0)
         return repl(m)
 
     return pattern.sub(guarded, sql)
@@ -236,14 +306,12 @@ def bind_params(
             raise KeyError(f"unbound SQL parameter :{name}")
         return quote_literal(params[name], style=style)
 
-    # split into literal / non-literal spans; substitute outside only
-    out = []
-    for part in re.split(r"('(?:[^']|'')*')", sql):
-        if part.startswith("'") and part.endswith("'") and len(part) >= 2:
-            out.append(part)
-        else:
-            out.append(_PARAM_RE.sub(repl, part))
-    return "".join(out)
+    # substitute in code segments only: ``:name`` inside a string literal
+    # is text; inside a comment it is inert
+    return "".join(
+        _PARAM_RE.sub(repl, text) if kind == "code" else text
+        for kind, text in _scan_segments(sql)
+    )
 
 
 # string_agg with inline ORDER BY: PG puts the sort inside the call;
@@ -385,41 +453,65 @@ def _similar_to_regex(pat: str) -> str:
     return "^(?:" + "".join(out) + ")$"
 
 
-def _split_literals(sql: str) -> list[str]:
-    """Split into alternating non-literal / single-quoted-literal spans
-    (the same convention bind_params uses)."""
-    return re.split(r"('(?:[^']|'')*')", sql)
+_DOLLAR_TAG_RE = re.compile(r"\$([A-Za-z_]\w*)?\$")
+
+
+def _normalize_dollar_quotes(sql: str) -> str:
+    """PG dollar-quoted strings (``$$…$$``, ``$tag$…$tag$``) → standard
+    single-quoted literals (interior ``'`` doubled). Spark has no dollar
+    quoting, and the rest of the pipeline's literal scanner must never see
+    one (a ``'`` inside a dollar body would mispair every later span).
+    Runs as the FIRST pre-pass. A ``$tag$`` opener inside a normal literal
+    or comment is text; an unterminated dollar quote raises (silently
+    passing it through would hand Spark's parser corrupt text)."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'" or sql.startswith("--", i) or sql.startswith("/*", i):
+            kind, text = _scan_segments(sql[i:])[0]
+            out.append(text)
+            i += len(text)
+            continue
+        if ch == "$":
+            m = _DOLLAR_TAG_RE.match(sql, i)
+            if m:
+                closer = m.group(0)
+                end = sql.find(closer, m.end())
+                if end < 0:
+                    raise ValueError(
+                        f"unterminated dollar-quoted string opened by {closer!r}"
+                    )
+                body = sql[m.end() : end]
+                out.append("'" + body.replace("'", "''") + "'")
+                i = end + len(closer)
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _outside_literals(sql: str, fn) -> str:
-    """Apply ``fn`` to the non-literal spans only — keyword/function
-    renames must never rewrite the inside of a string literal."""
-    parts = _split_literals(sql)
+    """Apply ``fn`` to the code segments only — keyword/function renames
+    must never rewrite the inside of a string literal or a comment."""
     return "".join(
-        p if p.startswith("'") and p.endswith("'") and len(p) >= 2 else fn(p)
-        for p in parts
+        fn(text) if kind == "code" else text for kind, text in _scan_segments(sql)
     )
 
 
 def _translate_array_ctors(sql: str) -> str:
     """ARRAY[...] → array(...) via a quote-aware bracket scanner: regex
     cannot pair brackets when element literals contain '[' or ']' (and
-    must not fire on ARRAY[...] text inside a string literal)."""
+    must not fire on ARRAY[...] text inside a string literal or comment)."""
     out = []
     i, n = 0, len(sql)
     kw = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
     while i < n:
-        if sql[i] == "'":  # skip string literals ('' is the escaped quote)
-            j = i + 1
-            while j < n:
-                if sql[j] == "'":
-                    if j + 1 < n and sql[j + 1] == "'":
-                        j += 2
-                        continue
-                    break
-                j += 1
-            out.append(sql[i : j + 1])
-            i = j + 1
+        if sql[i] == "'" or sql.startswith("--", i) or sql.startswith("/*", i):
+            # skip one opaque token (literal or comment) via the tokenizer
+            kind, text = _scan_segments(sql[i:])[0]
+            out.append(text)
+            i += len(text)
             continue
         m = kw.match(sql, i)
         if not m:
@@ -547,18 +639,23 @@ def _drop_escape_string_prefixes(sql: str) -> str:
     closing quote with the NEXT literal's opening quote
     (``'said e' AS s, E'x'``), silently corrupting data — both found by
     the round-4 property-fuzz pass. Here only a trailing ``e``/``E`` of a
-    NON-literal span, immediately before a literal and not part of an
+    CODE segment, immediately before a literal and not part of an
     identifier (`table_e'x'`) or an adjacent literal, is a prefix."""
-    parts = _split_literals(sql)
-    for i in range(0, len(parts) - 1, 2):
-        nonlit = parts[i]
-        if not nonlit or nonlit[-1] not in "eE":
-            continue
-        before = nonlit[-2] if len(nonlit) >= 2 else ""
-        if before.isalnum() or before in {"_", "'"}:
-            continue
-        parts[i] = nonlit[:-1]
-    return "".join(parts)
+    segs = _scan_segments(sql)
+    out = []
+    for i, (kind, text) in enumerate(segs):
+        if (
+            kind == "code"
+            and text
+            and text[-1] in "eE"
+            and i + 1 < len(segs)
+            and segs[i + 1][0] == "lit"
+        ):
+            before = text[-2] if len(text) >= 2 else ""
+            if not (before.isalnum() or before in {"_", "'"}):
+                text = text[:-1]
+        out.append(text)
+    return "".join(out)
 
 
 # operand forms share one sub-pattern: identifier, call/paren group with
@@ -657,7 +754,10 @@ def translate_pg_sql(
     markers in place for the engine's native typed parameter binding
     (``spark.sql(..., args=)``) — the preferred path; the literal
     substitution below is the fallback for non-parameterizable engines."""
-    # naive-literal AT TIME ZONE first — see _ATZ_NAIVE_LITERAL_RE: after
+    # dollar-quoted strings first: every later pass assumes standard
+    # single-quoted literals only
+    sql = _normalize_dollar_quotes(sql)
+    # naive-literal AT TIME ZONE next — see _ATZ_NAIVE_LITERAL_RE: after
     # typed-literal translation the naive/timestamptz distinction is gone
     out = _sub_skipping_literal_interiors(
         _ATZ_NAIVE_LITERAL_RE,

@@ -119,8 +119,11 @@ class SparkTap:
 
         entry = None
         for ent in self.catalog.get("streams", []):
-            sid = ent.get("tap_stream_id") or ent.get("stream")
-            if sid in (spec.fully_qualified_name, spec.name):
+            # match on EITHER field independently: a catalog written with
+            # stream=name but a differently-formatted tap_stream_id must
+            # not silently drop the stream
+            candidates = {ent.get("tap_stream_id"), ent.get("stream")}
+            if candidates & {spec.fully_qualified_name, spec.name}:
                 entry = ent
                 break
         if entry is None:
