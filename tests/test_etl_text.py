@@ -391,3 +391,25 @@ def test_ann_driver_collect_guard(spark):
     big = spark.range(1_000_000)
     with pytest.raises(ValueError, match="sim_cosine_topk"):
         bounded_collect(big, limit=100)
+
+
+def test_lsh_probe_verdict_memoized(spark):
+    """The adaptive bucket-cap probe memoizes its verdict per (plan,
+    input-files, cap): second run of the same signature frame consults the
+    memo (no new probe), and a different cap probes independently."""
+    from pyspark.sql import functions as F
+
+    from youcruit_tap_rawpostgresql_spark.querybank import llm
+
+    sig = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.array(*[(F.col("id") % 10).cast("bigint")] * llm._N_MINHASH).alias("mh"),
+    )
+    llm._PROBE_MEMO.clear()
+    llm.minhash_lsh_pairs(sig, bucket_cap=16).count()
+    assert len(llm._PROBE_MEMO) == 1
+    before = dict(llm._PROBE_MEMO)
+    llm.minhash_lsh_pairs(sig, bucket_cap=16).count()
+    assert llm._PROBE_MEMO == before  # hit, not a second entry
+    llm.minhash_lsh_pairs(sig, bucket_cap=3).count()
+    assert len(llm._PROBE_MEMO) == 2  # different cap → its own verdict
