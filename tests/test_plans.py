@@ -599,3 +599,16 @@ def test_span_dedup_shuffles_hash_not_text(plans):
     import re as _re
     for ex in _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p):
         assert "span" not in ex and "text" not in ex and "ts" not in ex
+
+
+def test_topk_brute_force_no_full_pair_window(plans):
+    """Round-5: the |Q|·n scored pairs are reduced map-side (fused
+    score+top-k mapInPandas); the only window runs over the bounded
+    survivor set AFTER the python stage, so no exchange carries the full
+    pair set. Plan shape: MapInPandas present, and the Window's exchange
+    sits above MapInPandas (bounded input), not above the join."""
+    p = plans("sim_cosine_topk")
+    assert "MapInPandas" in p
+    # window input must be the survivors: Window appears before (above)
+    # MapInPandas in the formatted top-down plan text
+    assert p.index("Window") < p.index("MapInPandas")

@@ -128,6 +128,20 @@ def cosine_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
         # n rows of zero-length (or mismatched) vectors: no dimensions to
         # dot — NULL per row, same as the zero-vector contract
         return pd.Series(pd.array([pd.NA] * len(a), dtype="Float64"))
+    out, n = cosine_f64_block(A, B)
+    res = pd.array(out, dtype="Float64")
+    res[n == 0] = pd.NA
+    return pd.Series(res)
+
+
+def cosine_f64_block(A: "np.ndarray", B: "np.ndarray"):
+    """Pairwise cosine of two aligned (rows, dim) float64 blocks.
+
+    Returns ``(cos, norm_product)`` — callers NULL rows where the norm
+    product is 0. Shared by ``cosine_pairs`` and the fused score+top-k
+    kernel in ``sim_cosine_topk`` so every consumer performs the IDENTICAL
+    IEEE-754 operation sequence (sequential per-dimension fold), keeping
+    ranks bit-exact against sequential-fold oracles."""
     d = A[:, 0] * B[:, 0]
     na = A[:, 0] * A[:, 0]
     nb = B[:, 0] * B[:, 0]
@@ -138,9 +152,7 @@ def cosine_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
     n = np.sqrt(na) * np.sqrt(nb)
     with np.errstate(divide="ignore", invalid="ignore"):
         out = d / n
-    res = pd.array(out, dtype="Float64")
-    res[n == 0] = pd.NA
-    return pd.Series(res)
+    return out, n
 
 
 def l2_distance(a, b, dim: int | None = None) -> Column:

@@ -625,28 +625,71 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: the correctness baseline for ANN.
 
     Scale: query side is broadcast (small); corpus side streams — cost is
-    O(|Q| · n) with no shuffle of the corpus. Ranking is bit-exact across
-    engines because the fold order of the dot product is pinned
-    (sequential), so ties never flip. For large |Q| see sim_ann_lsh."""
+    O(|Q| · n) with no shuffle of the corpus. The |Q|·n scored pairs
+    NEVER cross an exchange (the round-4 weakness): one fused mapInPandas
+    kernel scores each Arrow batch AND keeps only its per-query top-k —
+    a valid partial reduction (every global top-k row is in its batch's
+    top-k) — so only ≈ batches · |Q| · k survivor rows reach the final
+    ranking window. Ranking is bit-exact across engines because the fold
+    order of the dot product is pinned (sequential, shared
+    ``cosine_f64_block`` kernel), so ties never flip. For large |Q| see
+    sim_ann_lsh."""
+    import numpy as np
+    import pandas as pd
+
+    from youcruit_tap_rawpostgresql_spark.functions.vectors import (
+        cosine_f64_block,
+    )
+
+    k = 3
     e = tables(spark, sf_dir)["embeddings"]
     q = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
     )
     n = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    c = (
+    j = (
         F.broadcast(q)
         .join(n, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_pairs("q_emb", "embedding").alias("cos"),
-        )
+        .select("query_id", "neighbor_id", "q_emb", "embedding")
+    )
+
+    def score_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(pdf["q_emb"].tolist(), dtype=np.float64)
+            B = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cos, norm = cosine_f64_block(A, B)
+            qid = pdf["query_id"].to_numpy()
+            nid = pdf["neighbor_id"].to_numpy()
+            # same comparator as the final window: (query_id, cos DESC
+            # NULLS LAST, neighbor_id) — zero-norm rows become NaN, and
+            # NaN keys lexsort last, matching DESC NULLS LAST
+            key = np.where(norm == 0, np.nan, -cos)
+            order = np.lexsort((nid, key, qid))
+            sq = qid[order]
+            starts = np.flatnonzero(np.r_[True, sq[1:] != sq[:-1]])
+            sizes = np.diff(np.r_[starts, len(sq)])
+            rank = np.arange(len(sq)) - np.repeat(starts, sizes)
+            keep = order[rank < k]
+            out = pd.DataFrame(
+                {
+                    "query_id": qid[keep],
+                    "neighbor_id": nid[keep],
+                    "cos": pd.array(cos[keep], dtype="Float64"),
+                }
+            )
+            out.loc[norm[keep] == 0, "cos"] = pd.NA
+            yield out
+
+    survivors = j.mapInPandas(
+        score_topk, "query_id long, neighbor_id long, cos double"
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        c.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
     )
 
