@@ -535,3 +535,31 @@ def test_cli_jdbc_target_sync(spark, derby_url, tmp_path, tmp_path_factory):
         saved["bookmarks"]["derbydb-public-people_cli"]["replication_key_value"]
         == n_live - 1
     )
+
+
+def test_hash_predicate_partitions_live(spark, derby_url):
+    """The hash-split parallel read executes LIVE (round-5 directive): the
+    ANSI MOD form of hash_predicates runs on Derby and the N slices are
+    disjoint-complete — every row lands in exactly one partition. The PG
+    `hashtext` form shares the same double-mod bucket structure; its SQL
+    text stays pinned by test_sink_tap's string assertion."""
+    from youcruit_tap_rawpostgresql_spark.sources.jdbc import hash_predicates
+
+    preds = [
+        p.replace("id", '"id"')
+        for p in hash_predicates("id", 3, dialect="ansi")
+    ]
+    df = spark.read.jdbc(
+        derby_url,
+        "PEOPLE",
+        predicates=preds,
+        properties={"driver": DERBY_DRIVER},
+    )
+    assert df.rdd.getNumPartitions() == 3
+    n_live = _live_count(spark, derby_url)
+    rows = df.select("id").collect()
+    assert len(rows) == n_live  # complete
+    assert len({r["id"] for r in rows}) == n_live  # disjoint
+    # slices genuinely split the table (no empty-bucket degenerate pass)
+    sizes = [len(p) for p in df.select("id").rdd.glom().collect()]
+    assert sum(1 for s in sizes if s > 0) >= 2

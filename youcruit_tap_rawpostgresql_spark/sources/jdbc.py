@@ -123,10 +123,20 @@ def range_predicates(
     return preds
 
 
-def hash_predicates(column: str, num_partitions: int) -> list[str]:
+def hash_predicates(
+    column: str, num_partitions: int, dialect: str = "postgresql"
+) -> list[str]:
     """Hash-mod WHERE predicates for keys with no usable range (UUIDs,
-    skewed ids): PostgreSQL-side ``hashtext``/``mod`` splits rows evenly
-    regardless of key distribution. NULLs ride with bucket 0.
+    skewed ids): source-side hash/mod splits rows evenly regardless of
+    key distribution. NULLs ride with bucket 0.
+
+    ``dialect="postgresql"`` (the reference's production target) hashes
+    ANY key type via ``hashtext(col::text)``. ``dialect="ansi"`` emits
+    plain ``MOD`` on the key — runs on any ANSI engine (Derby, H2, …)
+    but requires an INTEGER column; the e2e Derby test executes this
+    form live to prove the disjoint-complete contract, which the PG form
+    shares structurally (same double-mod bucketing around an int-valued
+    expr).
 
     Scale note: each of the N concurrent queries still scans the table
     server-side unless the column is indexed by an expression index on the
@@ -135,11 +145,17 @@ def hash_predicates(column: str, num_partitions: int) -> list[str]:
     """
     if num_partitions < 1:
         raise ValueError("num_partitions must be >= 1")
-    # sign-safe double mod: hashtext spans the full int4 range and
-    # abs(INT_MIN) errors in PostgreSQL, so abs() would fail on ~1/2^32
-    # of keys — certainty at the row counts this path targets
+    # sign-safe double mod: hash/key values may be negative and SQL MOD
+    # keeps the dividend's sign (and abs(INT_MIN) errors in PostgreSQL,
+    # so abs() would fail on ~1/2^32 of keys)
+    if dialect == "postgresql":
+        inner = f"hashtext({column}::text)"
+    elif dialect == "ansi":
+        inner = column
+    else:
+        raise ValueError(f"unknown hash-split dialect {dialect!r}")
     expr = (
-        f"mod(mod(hashtext({column}::text), {num_partitions}) "
+        f"mod(mod({inner}, {num_partitions}) "
         f"+ {num_partitions}, {num_partitions})"
     )
     preds = [f"{expr} = {i}" for i in range(num_partitions)]
