@@ -743,3 +743,32 @@ def test_cli_versioned_root_flushes_state_per_stream(spark, tmp_path):
     assert (
         saved["bookmarks"]["postgres-public-good"]["replication_key_value"] == 6
     )
+
+
+def test_batch_sink_non_gzip_codec_roundtrip(spark, tmp_path):
+    """BatchSinkConfig.encoding_compression is honored by the writer
+    (round-5: previously hard-coded gzip). lz4 write → manifest extension
+    matches → Spark reads the files back to the same rows. gzip stays the
+    default/reference contract; lz4 measured 2.2x faster encode (see
+    VERIFICATION.md codec probe)."""
+    from youcruit_tap_rawpostgresql_spark.operators.conform import conform
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_stream_sql
+
+    spec = _batch_spec()
+    df = conform(run_stream_sql(spark, spec), spec)
+    batch = BatchSinkConfig(
+        root=f"file://{tmp_path}",
+        prefix="lz4-batch",
+        batch_size=5,
+        encoding_compression="lz4",
+    )
+    manifests = write_batch_files(df, spec, batch, exact_rotation=True)
+    assert len(manifests) == 1
+    m = manifests[0]
+    assert m.compression == "lz4"
+    assert all(u.endswith(".json.lz4") for u in m.files)
+    back = spark.read.schema(df.schema).json(
+        [u[len("file://"):] for u in m.files]
+    )
+    assert back.count() == df.count()
+    assert {r["id"] for r in back.collect()} == {r["id"] for r in df.collect()}

@@ -75,22 +75,30 @@ def write_batch_files(
     sync_id = f"{tap_name}--{spec.name}-{_uuid.uuid4()}"
     out_dir = os.path.join(batch.root, sync_id)
 
+    # reference contract is gzip (client.py:185-245); the config may opt
+    # into any Spark-supported text codec (zstd measured ~2x faster to
+    # encode at equal-or-better ratio — see VERIFICATION.md, round 5)
+    codec = batch.encoding_compression or "gzip"
+    ext = {"gzip": "gz", "zstd": "zst", "bzip2": "bz2", "none": ""}.get(
+        codec, codec
+    )
     writer = df.coalesce(1) if exact_rotation else df
     (
         writer.write.mode("overwrite")
-        .option("compression", "gzip")
+        .option("compression", codec)
         .option("maxRecordsPerFile", batch.batch_size)
         .option("timestampFormat", ISO_TS_FORMAT)
         .json(out_dir)
     )
 
+    suffix = f".json.{ext}" if ext else ".json"
     if parsed.scheme == "file":
         local_dir = urlparse(out_dir).path
-        parts = sorted(glob.glob(os.path.join(local_dir, "part-*.json.gz")))
+        parts = sorted(glob.glob(os.path.join(local_dir, f"part-*{suffix}")))
         files = []
         for i, part in enumerate(parts):
             new_name = os.path.join(
-                local_dir, f"{batch.prefix}{sync_id}-{i}.json.gz"
+                local_dir, f"{batch.prefix}{sync_id}-{i}{suffix}"
             )
             os.rename(part, new_name)
             files.append(f"file://{new_name}")
