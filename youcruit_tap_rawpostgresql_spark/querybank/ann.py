@@ -677,6 +677,10 @@ def pq_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def vecs_codes_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately NOT repartitioned (unlike sim_cosine_topk's corpus
+    # side): the encode/ADC kernels move 8 small ints per row, and at
+    # fixture scale the extra exchange costs more than the parallelism
+    # buys (measured 1.06s vs 0.40s at sf0.1)
     e = tables(spark, sf_dir)["embeddings"]
     return e.select("vec_id", "embedding")
 

@@ -648,6 +648,13 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
     )
     n = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    # a small corpus arrives as ONE parquet split, which would serialize
+    # the whole scoring pass into a single Python task; spread it across
+    # the cores first. At production scale the file count already exceeds
+    # parallelism and no extra exchange is added.
+    par = spark.sparkContext.defaultParallelism
+    if n.rdd.getNumPartitions() < par:
+        n = n.repartition(par)
     j = (
         F.broadcast(q)
         .join(n, F.col("query_id") != F.col("neighbor_id"))
