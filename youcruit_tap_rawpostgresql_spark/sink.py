@@ -82,7 +82,18 @@ def write_batch_files(
     ext = {"gzip": "gz", "zstd": "zst", "bzip2": "bz2", "none": ""}.get(
         codec, codec
     )
-    writer = df.coalesce(1) if exact_rotation else df
+    if exact_rotation:
+        writer = df.coalesce(1)
+    else:
+        # a small extract often arrives as ONE split (single parquet file,
+        # single JDBC partition), which would serialize the whole
+        # JSON+gzip encode into one task; spread it first — the encode is
+        # the cost (measured 64% of export wall), the exchange is small.
+        # At production scale the split count exceeds parallelism: no-op.
+        writer = df
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            writer = df.repartition(par)
     (
         writer.write.mode("overwrite")
         .option("compression", codec)
