@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from youcruit_tap_rawpostgresql_spark.querybank.llm import O_FINGERPRINT, O_TOKS
 from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
 
 _CHUNK = 8  # tokens per dedup window
@@ -301,4 +302,214 @@ def dedup_span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("n_windows"),
         shared.cast("bigint").alias("n_shared_windows"),
         (shared.cast("double") / F.sum("cnt")).alias("shared_frac"),
+    )
+
+
+@register(
+    "text_bigram_logprob",
+    # per-doc sums fold log-probs in POSITION order on both engines (array
+    # fold vs list(… ORDER BY pos) + list_reduce), so the only cross-engine
+    # difference is the last ulp of ln — absorbed by 6dp output rounding,
+    # never amplified by reordering (same convention as
+    # text_unigram_logprob)
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, {O_TOKS} AS t FROM documents
+), big AS (
+  SELECT doc_id, i AS pos, t[i] AS p, t[i+1] AS c
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM docs WHERE len(t) >= 2)
+), cpc AS (
+  SELECT p, c, COUNT(*) AS cpc FROM big GROUP BY p, c
+), cp AS (
+  SELECT p, SUM(cpc) AS cp FROM cpc GROUP BY p
+), lp AS (
+  SELECT cpc.p, cpc.c, ln(CAST(cp.cp AS DOUBLE) / cpc.cpc) AS lp
+  FROM cpc JOIN cp ON cpc.p = cp.p
+), per AS (
+  SELECT b.doc_id, list(l.lp ORDER BY b.pos) AS lps
+  FROM big b JOIN lp l ON b.p = l.p AND b.c = l.c
+  GROUP BY b.doc_id
+)
+SELECT doc_id, CAST(len(lps) AS BIGINT) AS n_bigrams,
+  ROUND(list_reduce(lps, (x, y) -> x + y) / len(lps), 6) AS avg_neg_logp
+FROM per
+""",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM quality score: average per-bigram negative
+    conditional log-probability ln(c(prev)/c(prev,cur)) — the next step up
+    from the unigram perplexity proxy (CCNet-style LM filtering ranks
+    documents by how predictable their token SEQUENCE is, which unigram
+    frequency alone cannot see). Docs with < 2 tokens have no bigrams and
+    are excluded, same as the oracle.
+
+    Scale: bigrams are built ROW-LOCALLY (zip of shifted array slices —
+    no window, no self-join); the model is two aggregates of the exploded
+    bigram stream, where the context count derives from the bigram counts
+    (sum per prev — no second corpus pass); probabilities broadcast back
+    onto the stream and the per-doc fold is position-pinned."""
+    from youcruit_tap_rawpostgresql_spark.functions.text_funcs import tokens
+
+    d = tables(spark, sf_dir)["documents"]
+    t = tokens("text")
+    n = F.size(t)
+    pairs = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.struct(a.alias("p"), b.alias("c")),
+    )
+    big = (
+        d.filter(n >= 2)
+        .select("doc_id", F.posexplode(pairs).alias("pos0", "pc"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("pc.p").alias("p"),
+            F.col("pc.c").alias("c"),
+        )
+    )
+    cpc = big.groupBy("p", "c").agg(F.count(F.lit(1)).alias("cpc"))
+    cp = cpc.groupBy("p").agg(F.sum("cpc").alias("cp"))
+    lp = cpc.join(cp, "p").select(
+        "p", "c", F.log(F.col("cp").cast("double") / F.col("cpc")).alias("lp")
+    )
+    per = (
+        big.join(F.broadcast(lp), ["p", "c"])
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "lp"))).alias("arr"))
+    )
+    folded = F.aggregate(
+        F.transform("arr", lambda x: x["lp"]), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return per.select(
+        "doc_id",
+        F.size("arr").cast("bigint").alias("n_bigrams"),
+        F.round(folded / F.size("arr"), 6).alias("avg_neg_logp"),
+    )
+
+
+@register(
+    "dedup_cascade_report",
+    oracle=f"""
+WITH d0 AS (
+  SELECT doc_id, text FROM documents
+), s1 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS r
+    FROM d0) WHERE r = 1
+), s2 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      ROW_NUMBER() OVER (
+        PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+        ORDER BY doc_id) AS r
+    FROM s1) WHERE r = 1
+), s3 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+      ROW_NUMBER() OVER (PARTITION BY {O_FINGERPRINT} ORDER BY doc_id) AS r
+    FROM s2) WHERE r = 1
+)
+SELECT 1 AS stage_no, 'exact' AS stage,
+  (SELECT COUNT(*) FROM d0) AS n_in, (SELECT COUNT(*) FROM s1) AS n_out
+UNION ALL
+SELECT 2, 'normalized',
+  (SELECT COUNT(*) FROM s1), (SELECT COUNT(*) FROM s2)
+UNION ALL
+SELECT 3, 'token_bag',
+  (SELECT COUNT(*) FROM s2), (SELECT COUNT(*) FROM s3)
+""",
+)
+def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup CASCADE, composed and instrumented: exact-hash
+    → whitespace/case-normalized → sorted-token-bag, each stage keeping
+    the lowest doc_id per key and feeding its survivors to the next; one
+    report row per stage with in/out counts. Stages are ordered
+    cheapest-first so each pays its shuffle only on the previous stage's
+    survivors — the standard cost structure of a corpus dedup pipeline
+    (exact dedup is ~free and removes the bulk; fuzzier stages run on the
+    residue).
+
+    Scale: every stage is one hash-keyed window (WindowGroupLimit bounds
+    the per-key exchange; the key is an md5 of the text/fingerprint, so
+    constant-width bytes cross the wire, never the documents). The three
+    count pairs are 1-row aggregates unioned into the report."""
+    from youcruit_tap_rawpostgresql_spark.functions.text_funcs import (
+        doc_fingerprint,
+    )
+
+    d0 = tables(spark, sf_dir)["documents"].select("doc_id", "text")
+
+    def keep_first(df: DataFrame, key) -> DataFrame:
+        w = W.partitionBy(key).orderBy("doc_id")
+        return (
+            df.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .drop("_r")
+        )
+
+    s1 = keep_first(d0, F.md5("text"))
+    norm_key = F.md5(
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    )
+    s2 = keep_first(s1, norm_key)
+    s3 = keep_first(s2, doc_fingerprint("text"))
+
+    def stage_row(no: int, name: str, fin: DataFrame, fout: DataFrame):
+        return (
+            fin.agg(F.count(F.lit(1)).alias("n_in"))
+            .crossJoin(fout.agg(F.count(F.lit(1)).alias("n_out")))
+            .select(
+                F.lit(no).alias("stage_no"),
+                F.lit(name).alias("stage"),
+                "n_in",
+                "n_out",
+            )
+        )
+
+    return (
+        stage_row(1, "exact", d0, s1)
+        .unionByName(stage_row(2, "normalized", s1, s2))
+        .unionByName(stage_row(3, "token_bag", s2, s3))
+    )
+
+
+@register(
+    "dedup_canonical_map",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id, {O_FINGERPRINT} AS k FROM documents
+), canon AS (
+  SELECT k, MIN(doc_id) AS kept FROM k GROUP BY k
+)
+SELECT a.doc_id AS removed_doc, c.kept AS kept_doc
+FROM k a JOIN canon c ON a.k = c.k
+WHERE a.doc_id <> c.kept
+""",
+)
+def dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup LINEAGE: the (removed → kept) mapping for every
+    fingerprint-level duplicate (sorted token bag — the shared
+    doc_fingerprint contract), not just the survivor set — what a dataset card / audit
+    trail needs to answer "where did this document go", and what
+    downstream joins need to re-point references at the canonical doc.
+
+    Scale: group keys are md5 fingerprints (constant width); the canonical
+    member is a plain min aggregate (partial map-side), and the map-back
+    join is keyed on the same hash — no text crosses an exchange."""
+    from youcruit_tap_rawpostgresql_spark.functions.text_funcs import (
+        doc_fingerprint,
+    )
+
+    d = tables(spark, sf_dir)["documents"]
+    k = d.select("doc_id", doc_fingerprint("text").alias("k"))
+    canon = k.groupBy("k").agg(F.min("doc_id").alias("kept"))
+    return (
+        k.join(canon, "k")
+        .filter(F.col("doc_id") != F.col("kept"))
+        .select(
+            F.col("doc_id").alias("removed_doc"), F.col("kept").alias("kept_doc")
+        )
     )
