@@ -413,3 +413,18 @@ def test_lsh_probe_verdict_memoized(spark):
     assert llm._PROBE_MEMO == before  # hit, not a second entry
     llm.minhash_lsh_pairs(sig, bucket_cap=3).count()
     assert len(llm._PROBE_MEMO) == 2  # different cap → its own verdict
+
+
+def test_ivf_pruned_store_matches_in_memory_ivf(spark):
+    """The partitioned-store IVF probe returns exactly the in-memory IVF
+    result (same algorithm through a parquet partitionBy(cell) round-trip
+    with partition-filtered re-read)."""
+    from youcruit_tap_rawpostgresql_spark.querybank import REGISTRY
+
+    sfd = "/root/testdata/sf0.001"
+    a = {tuple(r) for r in REGISTRY["sim_ann_ivf"].fn(spark, sfd).collect()}
+    b = {
+        tuple(r)
+        for r in REGISTRY["sim_ann_ivf_pruned_store"].fn(spark, sfd).collect()
+    }
+    assert a == b and len(a) > 0

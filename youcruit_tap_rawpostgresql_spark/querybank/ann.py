@@ -1295,3 +1295,81 @@ def cluster_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tok").alias("max_tokens"),
         )
     )
+
+
+def _ivf_oracle() -> str:
+    from youcruit_tap_rawpostgresql_spark.querybank.registry import REGISTRY
+
+    return REGISTRY["sim_ann_ivf"].oracle
+
+
+@register("sim_ann_ivf_pruned_store", oracle=_ivf_oracle())
+def sim_ann_ivf_pruned_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the PHYSICAL cell layout executed, not just claimed: the
+    assignment is written to parquet ``partitionBy(cell)``, and the probe
+    re-reads ONLY the probed cells through a partition filter — the scan
+    touches nprobe/K of the stored bytes (PartitionFilters, pinned by a
+    plan test). Same algorithm and oracle as ``sim_ann_ivf``; what this
+    case adds is the storage round-trip that makes cell pruning real.
+
+    Scale: this IS the 100 TB serving layout — the index build is one
+    map pass + one partitioned write; each query batch reads only its
+    probed cells (partition pruning happens in the file index, before
+    any I/O). Probe cells are a bounded driver list (≤ 2·|Q|, ≤ K)."""
+    import shutil
+
+    from youcruit_tap_rawpostgresql_spark.querybank.taplevel import (
+        _scratch_export_dir,
+    )
+
+    e = tables(spark, sf_dir)["embeddings"]
+    ranked = ivf_rank_cells(spark, sf_dir).cache()
+    out_root = _scratch_export_dir("spark_graft_ivf_store", sf_dir)
+    (
+        ranked.filter(F.col("crank") == 1)
+        .join(e, "vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("n_emb"),
+            F.col("cent_id").alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(out_root)
+    )
+    probes = (
+        ranked.filter((F.col("crank") <= 2) & (F.col("vec_id") % 25 == 0))
+        .join(e, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    probe_cells = [
+        r["cell"]
+        for r in bounded_collect(probes.select("cell").distinct())
+    ]
+    store = spark.read.parquet(out_root).filter(F.col("cell").isin(probe_cells))
+    cand = (
+        F.broadcast(probes)
+        .join(store, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pairs("q_emb", "n_emb").alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    out = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
+    )
+    # materialize (bounded: 3 rows per query), then drop the store so
+    # repeated invocations don't accumulate index copies under /tmp
+    rows = out.collect()
+    ranked.unpersist()
+    shutil.rmtree(out_root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
