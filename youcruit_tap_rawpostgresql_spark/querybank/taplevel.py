@@ -804,3 +804,130 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.threshold").alias("threshold"),
         F.col("r.pass").alias("pass"),
     )
+
+
+@register(
+    "tap_schema_evolution_read",
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+), v2 AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT
+  (SELECT COUNT(*) FROM v1) + (SELECT COUNT(*) FROM v2) AS n_rows,
+  (SELECT COUNT(*) FROM v1) AS n_missing_priority,
+  (SELECT COUNT(*) FROM v2) AS n_with_priority,
+  (SELECT COUNT(DISTINCT o_orderpriority) FROM v2) AS n_priorities
+""",
+)
+def tap_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across extract generations, executed: generation 1
+    writes (o_orderkey, o_totalprice), generation 2 adds o_orderpriority;
+    a ``mergeSchema`` read unifies them — gen-1 rows surface NULL for the
+    added column, nothing is dropped or mistyped. This is the data-lake
+    behavior every long-running tap hits when the source table gains a
+    column mid-history.
+
+    Scale: mergeSchema pays one footer read per file at planning time
+    (not a data scan); production pins the unified schema in a catalog
+    and reads with an explicit schema — same result, zero planning cost.
+    The report is three 1-row aggregates over the unified frame."""
+    import shutil
+
+    o = tables(spark, sf_dir)["orders"]
+    out_root = _scratch_export_dir("spark_graft_schema_evo", sf_dir)
+    (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_root, "gen=1"))
+    )
+    (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_root, "gen=2"))
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out_root, "gen=1"), os.path.join(out_root, "gen=2")
+    )
+    agg = merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)
+        ).alias("n_missing_priority"),
+        F.sum(
+            F.when(F.col("o_orderpriority").isNotNull(), 1).otherwise(0)
+        ).alias("n_with_priority"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+    rows = agg.collect()
+    shutil.rmtree(out_root, ignore_errors=True)
+    return spark.createDataFrame(rows, agg.schema)
+
+
+@register(
+    "tap_corrupt_record_ingest",
+    oracle="""
+WITH lines AS (
+  SELECT event_id,
+    CASE WHEN event_id % 11 = 0 THEN '{"event_id": ' || event_id || ', "broken'
+         ELSE '{"event_id": ' || event_id || ', "value": '
+              || CAST(event_id % 97 AS VARCHAR) || '}'
+    END AS line
+  FROM events WHERE event_id % 5 = 0
+)
+SELECT
+  COUNT(*) FILTER (WHERE event_id % 11 <> 0) AS n_good,
+  COUNT(*) FILTER (WHERE event_id % 11 = 0) AS n_corrupt,
+  CAST(SUM(event_id % 97) FILTER (WHERE event_id % 11 <> 0) AS BIGINT)
+    AS sum_value
+FROM lines
+""",
+)
+def tap_corrupt_record_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record-tolerant ingest (PERMISSIVE mode): a JSONL batch
+    where a deterministic 1/11 of lines is truncated mid-object parses
+    with ``columnNameOfCorruptRecord`` capturing the bad lines instead of
+    failing the job — the dead-letter pattern for re-ingesting batch
+    files of unknown provenance (the flip side of the sink's gzip-JSONL
+    contract). Good rows aggregate; corrupt rows are counted, not lost.
+
+    Scale: PERMISSIVE parsing is per-row map work; the corrupt split
+    costs one boolean per row. The quarantine write (not exercised here)
+    is a partitionBy(is_corrupt) on the same frame."""
+    ev = tables(spark, sf_dir)["events"]
+    lines = ev.filter(F.col("event_id") % 5 == 0).select(
+        F.when(
+            F.col("event_id") % 11 == 0,
+            F.concat(F.lit('{"event_id": '), F.col("event_id"), F.lit(', "broken')),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"event_id": '),
+                F.col("event_id"),
+                F.lit(', "value": '),
+                (F.col("event_id") % 97).cast("string"),
+                F.lit("}"),
+            )
+        )
+        .alias("line")
+    )
+    parsed = lines.select(
+        F.from_json(
+            "line",
+            "event_id long, value long, _corrupt string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("r")
+    ).select("r.*")
+    return parsed.agg(
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0)).alias("n_good"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0)).alias(
+            "n_corrupt"
+        ),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("value"))).alias(
+            "sum_value"
+        ),
+    )
