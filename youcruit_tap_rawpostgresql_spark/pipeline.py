@@ -1,0 +1,170 @@
+"""Resumable multi-stage pipeline runner with materialized stage outputs.
+
+A 100 TB curation job (extract → dedup cascade → quality filter → pack)
+runs for hours; a mid-flight failure must not restart from zero, and a
+re-run after editing ONE stage must recompute only that stage and its
+downstream. This runner gives each stage:
+
+- a MATERIALIZED output (parquet under ``root/<stage>/data``), so a
+  completed stage is a durable artifact any later run (or other tool)
+  can read;
+- a LINEAGE FINGERPRINT (stage version token + the fingerprints of its
+  dependencies, sha256-chained) plus a per-build BUILD ID, committed
+  atomically AFTER the write — a stage is skipped on re-run iff its
+  fingerprint matches AND every dependency's build id is the one it was
+  built against. Editing a stage (bump its ``version``) invalidates
+  everything downstream; REBUILDING a stage (crash recovery, force)
+  also invalidates downstream even though the logical fingerprint is
+  unchanged — the runner never assumes stages are deterministic. A
+  partially-written stage (no meta file) is recomputed;
+- deterministic topological execution of an explicit dependency DAG
+  (cycles and unknown deps fail loudly at submit time, not mid-run).
+
+This is deliberately NOT a scheduler: one process walks the DAG in
+order. Parallel stage execution belongs to the cluster scheduler (each
+stage is already a distributed Spark job); what the pipeline layer owns
+is artifact durability + recompute minimality.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+from typing import Callable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+_META = "_PIPELINE_META.json"
+
+
+@dataclass(frozen=True)
+class Stage:
+    """One pipeline stage.
+
+    ``fn(spark, inputs)`` receives the materialized DataFrames of the
+    stage's ``deps`` (by name) and returns the stage's output DataFrame.
+    ``version`` is the stage's code-identity token: bump it when the
+    stage's logic changes — it (not the Python source) drives
+    invalidation, so refactors that don't change semantics don't
+    trigger petabyte recomputes."""
+
+    name: str
+    fn: Callable[[SparkSession, Mapping[str, DataFrame]], DataFrame]
+    deps: tuple[str, ...] = ()
+    version: str = "1"
+
+
+@dataclass
+class StageResult:
+    name: str
+    path: str
+    fingerprint: str
+    skipped: bool
+
+
+class MaterializedPipeline:
+    def __init__(self, spark: SparkSession, root: str, stages: list[Stage]):
+        self.spark = spark
+        self.root = root
+        self.stages = self._toposort(stages)
+
+    @staticmethod
+    def _toposort(stages: list[Stage]) -> list[Stage]:
+        by_name = {s.name: s for s in stages}
+        if len(by_name) != len(stages):
+            raise ValueError("duplicate stage names")
+        for s in stages:
+            unknown = [d for d in s.deps if d not in by_name]
+            if unknown:
+                raise ValueError(f"stage {s.name!r}: unknown deps {unknown}")
+        out: list[Stage] = []
+        state: dict[str, int] = {}  # 0 visiting, 1 done
+
+        def visit(name: str, chain: tuple[str, ...]) -> None:
+            if state.get(name) == 1:
+                return
+            if state.get(name) == 0:
+                raise ValueError(f"dependency cycle: {' -> '.join(chain + (name,))}")
+            state[name] = 0
+            for d in by_name[name].deps:
+                visit(d, chain + (name,))
+            state[name] = 1
+            out.append(by_name[name])
+
+        for s in stages:
+            visit(s.name, ())
+        return out
+
+    def _fingerprint(self, stage: Stage, dep_fps: Mapping[str, str]) -> str:
+        h = hashlib.sha256()
+        h.update(stage.name.encode())
+        h.update(b"\x00")
+        h.update(stage.version.encode())
+        for d in stage.deps:  # declared order — part of the identity
+            h.update(b"\x00")
+            h.update(dep_fps[d].encode())
+        return h.hexdigest()
+
+    def _stage_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def run(self, force: bool = False) -> dict[str, StageResult]:
+        """Execute the DAG; returns per-stage results (skipped = served
+        from the existing artifact). ``force=True`` recomputes all."""
+        import uuid
+
+        results: dict[str, StageResult] = {}
+        fps: dict[str, str] = {}
+        build_ids: dict[str, str] = {}
+        for stage in self.stages:
+            fp = self._fingerprint(stage, fps)
+            fps[stage.name] = fp
+            sdir = self._stage_dir(stage.name)
+            data = os.path.join(sdir, "data")
+            meta = os.path.join(sdir, _META)
+            if not force and os.path.exists(meta):
+                with open(meta) as f:
+                    committed = json.load(f)
+                dep_builds_ok = all(
+                    committed.get("dep_build_ids", {}).get(d) == build_ids[d]
+                    for d in stage.deps
+                )
+                if committed.get("fingerprint") == fp and dep_builds_ok:
+                    build_ids[stage.name] = committed["build_id"]
+                    results[stage.name] = StageResult(stage.name, data, fp, True)
+                    continue
+            # stale or absent: recompute. Remove first so a crash leaves
+            # no meta (→ recompute on resume), never a meta over bad data
+            shutil.rmtree(sdir, ignore_errors=True)
+            inputs = {
+                d: self.spark.read.parquet(
+                    os.path.join(self._stage_dir(d), "data")
+                )
+                for d in stage.deps
+            }
+            out = stage.fn(self.spark, inputs)
+            out.write.mode("overwrite").parquet(data)
+            build_id = uuid.uuid4().hex
+            with open(meta + ".tmp", "w") as f:
+                json.dump(
+                    {
+                        "fingerprint": fp,
+                        "build_id": build_id,
+                        "version": stage.version,
+                        "deps": list(stage.deps),
+                        "dep_build_ids": {d: build_ids[d] for d in stage.deps},
+                    },
+                    f,
+                )
+            os.replace(meta + ".tmp", meta)  # atomic commit
+            build_ids[stage.name] = build_id
+            results[stage.name] = StageResult(stage.name, data, fp, False)
+        return results
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self._stage_dir(name), "data")
+        )

@@ -513,3 +513,94 @@ def dedup_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("removed_doc"), F.col("kept").alias("kept_doc")
         )
     )
+
+
+@register(
+    "pipeline_resumable_cascade",
+    oracle=f"""
+WITH s1 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS r
+    FROM documents) WHERE r = 1
+), s2 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+      ROW_NUMBER() OVER (PARTITION BY {O_FINGERPRINT} ORDER BY doc_id) AS r
+    FROM s1) WHERE r = 1
+)
+SELECT
+  (SELECT COUNT(*) FROM documents) AS n_raw,
+  (SELECT COUNT(*) FROM s1) AS n_exact,
+  (SELECT COUNT(*) FROM s2) AS n_final,
+  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM s2) AS survivor_id_sum
+""",
+)
+def pipeline_resumable_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup cascade executed THROUGH the resumable pipeline runner
+    (``ytrs/pipeline.py``): extract → exact-dedup → fingerprint-dedup as
+    materialized DAG stages with lineage-fingerprinted skip. The case
+    runs the DAG twice and asserts the second run served every stage
+    from its artifact (resume works), then reports the per-stage counts
+    — which the DuckDB oracle recomputes directly, so a stale or
+    corrupted artifact read hash-mismatches.
+
+    Scale: each stage is a normal distributed job whose output is a
+    durable parquet artifact; a failed 12-hour curation run resumes at
+    the failed stage, and editing one stage's logic (version bump)
+    recomputes only its downstream cone."""
+    import shutil
+    import tempfile
+
+    from youcruit_tap_rawpostgresql_spark.functions.text_funcs import (
+        doc_fingerprint,
+    )
+    from youcruit_tap_rawpostgresql_spark.pipeline import (
+        MaterializedPipeline,
+        Stage,
+    )
+
+    def keep_first(df: DataFrame, key) -> DataFrame:
+        w = W.partitionBy(key).orderBy("doc_id")
+        return (
+            df.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .drop("_r")
+        )
+
+    def extract(sp, inputs):
+        return tables(sp, sf_dir)["documents"].select("doc_id", "text")
+
+    def exact(sp, inputs):
+        return keep_first(inputs["extract"], F.md5("text"))
+
+    def fingerprint(sp, inputs):
+        return keep_first(inputs["exact"], doc_fingerprint("text"))
+
+    stages = [
+        Stage("extract", extract),
+        Stage("exact", exact, deps=("extract",)),
+        Stage("fingerprint", fingerprint, deps=("exact",)),
+    ]
+    root = tempfile.mkdtemp(prefix="spark_graft_pipeline_")
+    try:
+        p = MaterializedPipeline(spark, root, stages)
+        first = p.run()
+        assert not any(r.skipped for r in first.values())
+        second = p.run()  # resume: every artifact reused
+        assert all(r.skipped for r in second.values())
+        report = (
+            p.read("extract")
+            .agg(F.count(F.lit(1)).alias("n_raw"))
+            .crossJoin(p.read("exact").agg(F.count(F.lit(1)).alias("n_exact")))
+            .crossJoin(
+                p.read("fingerprint").agg(
+                    F.count(F.lit(1)).alias("n_final"),
+                    F.sum("doc_id").cast("bigint").alias("survivor_id_sum"),
+                )
+            )
+        )
+        rows = report.collect()
+        return spark.createDataFrame(rows, report.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
