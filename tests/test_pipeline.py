@@ -78,3 +78,19 @@ def test_pipeline_rejects_cycles_and_unknown_deps(spark, tmp_path):
         MaterializedPipeline(
             spark, str(tmp_path), [Stage("x", lambda sp, i: sp.range(1), deps=("nope",))]
         )
+
+
+def test_pipeline_on_hadoop_fs_uri(spark, tmp_path):
+    """The runner works when root is a Hadoop FS URI (meta and cleanup
+    go through the JVM FileSystem API, the same path object stores
+    take). file:// exercises that code path end-to-end."""
+    calls = []
+    stages = _counting_stages(spark, calls)
+    root = f"file://{tmp_path}/pipe_uri"
+    p = MaterializedPipeline(spark, root, stages)
+    r1 = p.run()
+    assert not any(r.skipped for r in r1.values())
+    assert p.read("score").count() == 7
+    calls.clear()
+    r2 = p.run()
+    assert all(r.skipped for r in r2.values()) and calls == []

@@ -111,6 +111,68 @@ class MaterializedPipeline:
     def _stage_dir(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    # --- storage layer: Hadoop FS when the root is a URI (s3a://, hdfs://),
+    # plain local FS otherwise. Artifacts already go through df.write
+    # (Hadoop-native); these cover the meta/cleanup side so the runner
+    # works against object stores too.
+
+    def _is_uri(self) -> bool:
+        return "://" in self.root
+
+    def _jfs(self, path: str):
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(conf), jpath, jvm
+
+    def _meta_read(self, meta: str) -> dict | None:
+        if not self._is_uri():
+            if not os.path.exists(meta):
+                return None
+            with open(meta) as f:
+                return json.load(f)
+        fs, jpath, jvm = self._jfs(meta)
+        if not fs.exists(jpath):
+            return None
+        stream = fs.open(jpath)
+        try:
+            # py4j passes byte arrays by value, so a fill-this-buffer
+            # read loop cannot work from Python; commons-io (on Spark's
+            # classpath) drains the stream JVM-side
+            text = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+            return json.loads(text)
+        finally:
+            stream.close()
+
+    def _meta_write(self, meta: str, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        if not self._is_uri():
+            with open(meta + ".tmp", "w") as f:
+                f.write(body.decode())
+            os.replace(meta + ".tmp", meta)  # atomic commit
+            return
+        fs, jpath, jvm = self._jfs(meta)
+        tmp = jvm.org.apache.hadoop.fs.Path(meta + ".tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(body)
+        finally:
+            out.close()
+        # rename is atomic on HDFS; on object stores it is copy+delete,
+        # acceptable for a single small meta object
+        fs.delete(jpath, False)
+        fs.rename(tmp, jpath)
+
+    def _rmtree(self, path: str) -> None:
+        if not self._is_uri():
+            shutil.rmtree(path, ignore_errors=True)
+            return
+        fs, jpath, _ = self._jfs(path)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+
     def run(self, force: bool = False) -> dict[str, StageResult]:
         """Execute the DAG; returns per-stage results (skipped = served
         from the existing artifact). ``force=True`` recomputes all."""
@@ -125,9 +187,8 @@ class MaterializedPipeline:
             sdir = self._stage_dir(stage.name)
             data = os.path.join(sdir, "data")
             meta = os.path.join(sdir, _META)
-            if not force and os.path.exists(meta):
-                with open(meta) as f:
-                    committed = json.load(f)
+            committed = None if force else self._meta_read(meta)
+            if committed is not None:
                 dep_builds_ok = all(
                     committed.get("dep_build_ids", {}).get(d) == build_ids[d]
                     for d in stage.deps
@@ -138,7 +199,7 @@ class MaterializedPipeline:
                     continue
             # stale or absent: recompute. Remove first so a crash leaves
             # no meta (→ recompute on resume), never a meta over bad data
-            shutil.rmtree(sdir, ignore_errors=True)
+            self._rmtree(sdir)
             inputs = {
                 d: self.spark.read.parquet(
                     os.path.join(self._stage_dir(d), "data")
@@ -148,18 +209,16 @@ class MaterializedPipeline:
             out = stage.fn(self.spark, inputs)
             out.write.mode("overwrite").parquet(data)
             build_id = uuid.uuid4().hex
-            with open(meta + ".tmp", "w") as f:
-                json.dump(
-                    {
-                        "fingerprint": fp,
-                        "build_id": build_id,
-                        "version": stage.version,
-                        "deps": list(stage.deps),
-                        "dep_build_ids": {d: build_ids[d] for d in stage.deps},
-                    },
-                    f,
-                )
-            os.replace(meta + ".tmp", meta)  # atomic commit
+            self._meta_write(
+                meta,
+                {
+                    "fingerprint": fp,
+                    "build_id": build_id,
+                    "version": stage.version,
+                    "deps": list(stage.deps),
+                    "dep_build_ids": {d: build_ids[d] for d in stage.deps},
+                },
+            )
             build_ids[stage.name] = build_id
             results[stage.name] = StageResult(stage.name, data, fp, False)
         return results
