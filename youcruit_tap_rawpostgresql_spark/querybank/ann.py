@@ -677,12 +677,20 @@ def pq_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def vecs_codes_input(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # deliberately NOT repartitioned (unlike sim_cosine_topk's corpus
-    # side): the encode/ADC kernels move 8 small ints per row, and at
-    # fixture scale the extra exchange costs more than the parallelism
-    # buys (measured 1.06s vs 0.40s at sf0.1)
+    """Corpus input for the encode/ADC kernels, repartitioned only when
+    a SINGLE parquet split would serialize a large scoring pass into one
+    Python task. The threshold is row-count-based: at 2k vectors the
+    extra exchange costs more than the parallelism buys (measured 1.06s
+    vs 0.40s at sf0.1), at 20k the serial kernel dominates (1.9s vs
+    ~0.8s). The row count is a metadata-only parquet count (no scan)."""
     e = tables(spark, sf_dir)["embeddings"]
-    return e.select("vec_id", "embedding")
+    out = e.select("vec_id", "embedding")
+    par = spark.sparkContext.defaultParallelism
+    n = e.count()  # parquet metadata count — cheap; checked first so the
+    # small-corpus path also skips the .rdd plan-analysis cost
+    if n > 10_000 and out.rdd.getNumPartitions() < par:
+        out = out.repartition(min(par, max(2, n // 5_000)))
+    return out
 
 
 @register(
