@@ -604,3 +604,64 @@ def pipeline_resumable_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, report.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+WITH s AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest({{shingles}}) AS sh
+    FROM (SELECT doc_id, {O_TOKS} AS t FROM documents)
+  )
+), m AS (
+  SELECT sh, MIN(doc_id) AS first_doc FROM s GROUP BY sh
+)
+SELECT s.doc_id,
+  COUNT(*) AS n_shingles,
+  CAST(SUM(CASE WHEN m.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_novel,
+  ROUND(CAST(SUM(CASE WHEN m.first_doc = s.doc_id THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 6) AS novelty_frac
+FROM s JOIN m ON s.sh = m.sh
+GROUP BY s.doc_id
+""".replace(
+        "{shingles}",
+        "CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t) - 2), "
+        "i -> concat_ws(' ', t[i], t[i+1], t[i+2])) ELSE [] END",
+    ),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-corpus novelty: per document, the fraction of its distinct
+    trigram shingles that FIRST appear in it (doc order = ingestion
+    order). The novelty curve is the standard redundancy instrument for
+    a growing corpus — when marginal novelty collapses, more crawl of
+    the same sources stops adding training signal.
+
+    Scale: distinct (shingle, doc) pairs collapse map-side; the
+    first-occurrence doc is a window MIN over the shingle partition of
+    those collapsed rows (same one-pass shape as dedup_span_windows —
+    no join-back, no second corpus pass), keyed on ``xxhash64(shingle)``
+    so constant-width bytes cross the exchange, never shingle text.
+    Docs with < 3 tokens have no shingles and are excluded, same as the
+    oracle."""
+    from youcruit_tap_rawpostgresql_spark.functions.text_funcs import (
+        tokens,
+        word_shingles,
+    )
+
+    d = tables(spark, sf_dir)["documents"]
+    s = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(tokens("text")))).alias("sh"),
+    ).select("doc_id", F.xxhash64("sh").alias("h"))
+    first = F.min("doc_id").over(W.partitionBy("h"))
+    per = s.withColumn("first_doc", first)
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    return per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        novel.cast("bigint").alias("n_novel"),
+        F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias(
+            "novelty_frac"
+        ),
+    )

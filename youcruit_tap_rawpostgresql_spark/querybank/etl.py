@@ -1746,3 +1746,47 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").cast("double").alias("credit"),
         F.count(F.lit(1)).alias("n_touches"),
     )
+
+
+@register(
+    "events_json_schema_profile",
+    oracle="""
+WITH k AS (
+  SELECT event_type, unnest(json_keys(props)) AS key FROM events
+), t AS (
+  SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+)
+SELECT k.event_type, key, COUNT(*) AS n_present,
+  ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(t.n_events), 6) AS fill_rate
+FROM k JOIN t ON k.event_type = t.event_type
+GROUP BY k.event_type, key
+""",
+)
+def events_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema profiling: per event type, which JSON keys
+    its payloads actually carry and how often — the drift instrument
+    that tells an ELT owner a producer added/dropped a field long before
+    a downstream cast fails. Key extraction is the engine-native
+    ``json_object_keys`` (no schema declaration needed).
+
+    Scale: key explode is map-side (a few keys per event); both
+    aggregates partial-combine, and the per-type totals are a
+    broadcast-sized join side."""
+    ev = tables(spark, sf_dir)["events"]
+    k = ev.select(
+        "event_type", F.explode(F.json_object_keys("props")).alias("key")
+    )
+    t = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        k.groupBy("event_type", "key")
+        .agg(F.count(F.lit(1)).alias("n_present"))
+        .join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "key",
+            "n_present",
+            F.round(
+                F.col("n_present").cast("double") / F.col("n_events"), 6
+            ).alias("fill_rate"),
+        )
+    )
