@@ -393,3 +393,17 @@ def test_to_timestamp_to_date_pg_format(spark):
     # a to_timestamp already in JDK form must be a fixed point
     sql = "SELECT to_timestamp(s, 'yyyy-MM-dd') AS t FROM x"
     assert translate_pg_sql(sql) == sql
+
+
+def test_distinct_on_raises_with_rewrite_recipe():
+    """PG DISTINCT ON cannot be regex-translated; the translator fails
+    loudly with the window-rewrite recipe instead of letting Spark's
+    cryptic parse error surface. The phrase inside a literal is text."""
+    import pytest
+
+    from youcruit_tap_rawpostgresql_spark.plans.dialect import translate_pg_sql
+
+    with pytest.raises(ValueError, match="ROW_NUMBER"):
+        translate_pg_sql("SELECT DISTINCT ON (a) a, b FROM t ORDER BY a, b")
+    out = translate_pg_sql("SELECT 'use DISTINCT ON (a) here' AS tip")
+    assert "DISTINCT ON (a)" in out

@@ -757,6 +757,23 @@ def translate_pg_sql(
     # dollar-quoted strings first: every later pass assumes standard
     # single-quoted literals only
     sql = _normalize_dollar_quotes(sql)
+    # DISTINCT ON is a structural PG-ism (needs the ORDER BY context to
+    # rewrite as a row_number window) — regex translation would be
+    # unsound, and Spark's own parse error for it is cryptic; fail with
+    # the rewrite recipe instead
+    probe = _outside_literals(
+        sql,
+        lambda s: re.sub(
+            r"\bDISTINCT\s+ON\s*\(", "\x00DON\x00", s, flags=re.IGNORECASE
+        ),
+    )
+    if "\x00DON\x00" in probe:
+        raise ValueError(
+            "PG DISTINCT ON (...) has no regex-safe Spark translation; "
+            "rewrite as ROW_NUMBER() OVER (PARTITION BY <on-exprs> "
+            "ORDER BY <order>) = 1 (see the distinct_on_latest query for "
+            "the pattern)"
+        )
     # naive-literal AT TIME ZONE next — see _ATZ_NAIVE_LITERAL_RE: after
     # typed-literal translation the naive/timestamptz distinction is gone
     out = _sub_skipping_literal_interiors(
