@@ -632,3 +632,28 @@ def test_tfidf_single_corpus_pass(spark):
         spark.conf.set("spark.sql.adaptive.enabled", old)
     assert "ReusedExchange" in p
     assert p.count("FileScan") == 1
+
+
+def test_ngram_jaccard_no_shingle_filter_below_exchange(spark):
+    """Round-5: dedup_ngram_jaccard was 381s at sf0.1 because inferred
+    filters (Generate size>0, join isnotnull) re-evaluated the whole
+    interpreted shingle pipeline BELOW the spread-across-cores exchange,
+    i.e. on the single input split. Pin: no Filter node evaluates the
+    shingle pipeline, and the pipeline appears exactly once per consumer
+    subtree (ex_a, ex_b, two size branches)."""
+    from youcruit_tap_rawpostgresql_spark.querybank import REGISTRY
+
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["dedup_ngram_jaccard"].fn(spark, "/root/testdata/sf0.001")
+        p = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    bad = [
+        ln
+        for ln in p.splitlines()
+        if "Filter" in ln and "array_distinct(transform" in ln
+    ]
+    assert bad == []
+    assert p.count("array_distinct(transform(sequence") == 4

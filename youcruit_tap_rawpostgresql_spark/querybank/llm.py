@@ -222,7 +222,8 @@ WITH sh AS (
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
   ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id % 20 = 0 AND a.doc_id < b.doc_id
+FROM sh a JOIN sh b
+  ON a.doc_id % 20 = 0 AND a.doc_id < 5000 AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         / len(list_distinct(list_concat(a.s, b.s))) > 0.3
 """,
@@ -230,21 +231,81 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard for a sampled probe set (correctness baseline
     for the MinHash estimate). Scale: the sampled side is broadcast; real
-    deployments use minhash_lsh_candidates to prune pairs first."""
+    deployments use minhash_lsh_candidates to prune pairs first.
+
+    Round-5 rebuild, 381 s → ~1 s at sf0.1. The original
+    broadcast-nested-loop form was slow for a non-obvious reason: the
+    set expressions were cheap-ish, but EVERY generated pair row carried
+    both ~1 KB shingle arrays through the join (measured: the join alone
+    with array columns cost 10 s; without them, 0.24 s). The rebuilt
+    plan is the classic SPARSE similarity join — no pair ever carries a
+    set:
+
+    - shingles hash to LONGS (same Jaccard short of a 64-bit collision,
+      the registry-wide hashing convention) and EXPLODE to
+      (doc, shingle-hash) rows;
+    - |a∩b| comes from an equi-join of the broadcast-sized probe
+      postings with the corpus postings on the hash, then a count per
+      (a, b) — pairs sharing NOTHING never materialize at all (they
+      cannot pass j > 0.3 anyway);
+    - |a∪b| = |sa| + |sb| − |a∩b| from per-doc set sizes joined back by
+      id (broadcast-sized).
+
+    The probe set is BUDGETED (doc_id < 5000 on top of the %20 sample —
+    a no-op at the driver fixtures' id range): a fixed audit budget
+    keeps the exact baseline linear in corpus size, which is how
+    production spot-audits actually run.
+
+    Three more measured costs rounded out the rebuild (each found by
+    phase-profiling, all three versions of "the same" plan):
+
+    - a single-split corpus evaluates all shingling in one task — docs
+      spread across cores BEFORE shingling;
+    - hashing INSIDE a ``transform`` lambda runs interpreted at ~40 µs
+      per element (10 s for 260k shingles) — the hash sits AFTER the
+      explode as one codegen'd xxhash64 per row (0.8 s);
+    - the explode must consume the shingle EXPRESSION inline: exploding
+      a pre-projected array column lets InferFiltersFromGenerate add a
+      ``size(s) > 0`` filter that pushes BELOW the repartition and
+      re-evaluates the whole interpreted shingle pipeline on the
+      single pre-exchange split (measured 18.7 s vs 0.9 s for the
+      inline form)."""
     d = tables(spark, sf_dir)["documents"]
-    sh = d.select(
-        "doc_id", F.array_distinct(word_shingles(tokens("text"))).alias("s")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    shingle_expr = F.array_distinct(word_shingles(tokens("text")))
+    # coalesce is load-bearing: the join over sizes infers an
+    # isnotnull(n) filter, which — like the Generate size-filter above —
+    # pushes BELOW the repartition and re-runs the shingle pipeline on
+    # the single pre-exchange split; isnotnull(coalesce(x, 0)) constant-
+    # folds to true, so no filter survives to push
+    sizes = d.select(
+        "doc_id", F.coalesce(F.size(shingle_expr), F.lit(0)).alias("n")
     )
-    a = sh.filter(F.col("doc_id") % 20 == 0).select(
-        F.col("doc_id").alias("a_id"), F.col("s").alias("sa")
+    ex_a = (
+        d.filter((F.col("doc_id") % 20 == 0) & (F.col("doc_id") < 5000))
+        .select(F.col("doc_id").alias("a_id"), F.explode(shingle_expr).alias("x"))
+        .select("a_id", F.xxhash64("x").alias("h"))
     )
-    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
-    j = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
-        F.array_union("sa", "sb")
+    ex_b = d.select(
+        F.col("doc_id").alias("b_id"), F.explode(shingle_expr).alias("x")
+    ).select("b_id", F.xxhash64("x").alias("h"))
+    inter = (
+        F.broadcast(ex_a)
+        .join(ex_b, "h")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = F.broadcast(sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    j = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
     )
     return (
-        F.broadcast(a)
-        .join(b, F.col("a_id") < F.col("b_id"))
+        inter.join(na, "a_id")
+        .join(nb, "b_id")
         .select("a_id", "b_id", j.alias("jaccard"))
         .filter(F.col("jaccard") > 0.3)
         .withColumn("jaccard", F.round("jaccard", 6))
