@@ -649,8 +649,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens,
         word_shingles,
     )
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import spread
 
-    d = tables(spark, sf_dir)["documents"]
+    d = spread(tables(spark, sf_dir)["documents"])
     s = d.select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles(tokens("text")))).alias("sh"),

@@ -95,3 +95,23 @@ def sessionized(e, *cols: str):
 
 
 O_REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+
+
+def spread(df):
+    """Repartition a small single-split input across cores before heavy
+    per-row work (interpreted higher-order functions, Python kernels,
+    per-row compression). A 3 MB parquet table arrives as ONE split, so
+    everything downstream of it runs in one task until a shuffle; the
+    round-5 timing census found several text operators serializing
+    seconds of interpreted shingling this way. No-op when the split
+    count already covers the cores (the production case).
+
+    Pair with inline explode of heavy array expressions: exploding a
+    pre-projected array column lets InferFiltersFromGenerate push a
+    size-filter BELOW this exchange, re-running the heavy expression on
+    the single pre-exchange split (see dedup_ngram_jaccard's plan
+    test)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df

@@ -773,18 +773,68 @@ WHERE {_o_cos('a.embedding', 'b.embedding')} >= 0.3
 )
 def sim_cosine_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold (the
-    embedding-space analogue of fuzzy dedup). Correctness-scale brute force;
-    the production path buckets by LSH hyperplane signs first."""
-    e = tables(spark, sf_dir)["embeddings"]
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
-    cos = cosine_pairs("ea", "eb")
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", cos.alias("cos"))
-        .filter(F.col("cos") >= 0.3)
-        .select("a_id", "b_id", F.round("cos", 6).alias("cosine"))
+    embedding-space analogue of fuzzy dedup). Correctness-scale brute
+    force; the production path buckets by LSH hyperplane signs first.
+
+    Round-5 rebuild: the pair JOIN carried both embedding arrays through
+    every one of the n²/2 rows and Arrow-shipped them per pair (census:
+    6.3 s warm at sf0.1). Now one mapInPandas kernel streams the corpus
+    once with the full vector matrix in the task closure (a
+    bounded_collect, like the ANN centroid sets — brute force is BY
+    DESIGN a bounded-corpus baseline) and emits only the qualifying
+    pairs; the a_id < b_id triangle is a mask inside the kernel. The
+    per-dimension accumulation order matches cosine_f64_block, so
+    scores stay bit-exact with the sequential-fold oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from youcruit_tap_rawpostgresql_spark.functions.vectors import (
+        cosine_f64_block,
     )
+    from youcruit_tap_rawpostgresql_spark.querybank.ann import bounded_collect
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import spread
+
+    e = tables(spark, sf_dir)["embeddings"]
+    rows = sorted(
+        bounded_collect(e.select("vec_id", "embedding")),
+        key=lambda r: r["vec_id"],
+    )
+    all_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    C = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            aid = pdf["vec_id"].to_numpy()
+            # cos[i, j] per (batch row i, corpus j), dim-sequential adds
+            d = np.outer(A[:, 0], C[:, 0])
+            na = A[:, 0] * A[:, 0]
+            nc = C[:, 0] * C[:, 0]
+            for k in range(1, A.shape[1]):
+                d = d + np.outer(A[:, k], C[:, k])
+                na = na + A[:, k] * A[:, k]
+                nc = nc + C[:, k] * C[:, k]
+            n = np.sqrt(na)[:, None] * np.sqrt(nc)[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = d / n
+            keep = (aid[:, None] < all_ids[None, :]) & (n != 0) & (cos >= 0.3)
+            ii, jj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "a_id": aid[ii],
+                    "b_id": all_ids[jj],
+                    "cos": cos[ii, jj],
+                }
+            )
+
+    scored = spread(e.select("vec_id", "embedding")).mapInPandas(
+        score, "a_id long, b_id long, cos double"
+    )
+    # rounding stays JVM-side: np.round is half-to-even, F.round is the
+    # oracle's HALF_UP
+    return scored.select("a_id", "b_id", F.round("cos", 6).alias("cosine"))
 
 
 def _o_components() -> str:
@@ -879,8 +929,12 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 bigrams (boilerplate detector). Scale: explode →
     two-phase count (map-side partials) → TakeOrderedAndProject; at 100 TB
     add a frequency-threshold pre-filter per partition before the global
-    top-k."""
-    d = tables(spark, sf_dir)["documents"]
+    top-k. Docs spread across cores first: the bigram transform is
+    interpreted HOF work that a single-split corpus would serialize
+    (round-5 census: 7.0 s → sub-second at sf0.1)."""
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import spread
+
+    d = spread(tables(spark, sf_dir)["documents"])
     t = tokens("text")
     bigrams = F.when(
         F.size(t) >= 2,
