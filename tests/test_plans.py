@@ -657,3 +657,32 @@ def test_ngram_jaccard_no_shingle_filter_below_exchange(spark):
     ]
     assert bad == []
     assert p.count("array_distinct(transform(sequence") == 4
+
+
+def test_no_hof_pipeline_inside_filters_text_family(spark):
+    """Bank-hygiene net for the round-5 pathology class: inferred filters
+    (Generate size>0, join isnotnull) can relocate an interpreted
+    higher-order shingle/bigram pipeline into a Filter BELOW the
+    spread-across-cores exchange, silently serializing seconds of work
+    onto a single split. Scan the text/dedup family's plans: no Filter
+    node may evaluate a transform(sequence...) pipeline."""
+    from youcruit_tap_rawpostgresql_spark.querybank import REGISTRY
+
+    fams = ("text_", "dedup_", "contamination_", "pipeline_")
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    flagged = []
+    try:
+        for name, case in REGISTRY.items():
+            if not name.startswith(fams):
+                continue
+            df = case.fn(spark, "/root/testdata/sf0.001")
+            p = df._jdf.queryExecution().executedPlan().toString()
+            if any(
+                "Filter" in ln and "transform(sequence" in ln
+                for ln in p.splitlines()
+            ):
+                flagged.append(name)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert flagged == []
