@@ -931,3 +931,40 @@ def tap_corrupt_record_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value"
         ),
     )
+
+
+@register(
+    "tap_orc_export_roundtrip",
+    oracle="""
+SELECT COUNT(*) AS n_records,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM orders
+""",
+)
+def tap_orc_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar export contract beside the reference's gzip-JSONL: orders
+    written as ORC (Spark-native columnar, the common warehouse handoff
+    when the target is Hive/Trino rather than a Singer consumer), then
+    re-read and aggregated — the oracle computes the same aggregate from
+    the parquet source, so any row lost or value mangled in the
+    write→read cycle hash-mismatches.
+
+    Scale: straight parallel columnar write; the read-back aggregate
+    pushes column pruning into the ORC scan (3 of 6 columns read)."""
+    import shutil
+
+    o = tables(spark, sf_dir)["orders"]
+    out_root = _scratch_export_dir("spark_graft_orc", sf_dir)
+    o.write.mode("overwrite").orc(out_root)
+    back = spark.read.orc(out_root)
+    agg = back.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+    rows = agg.collect()
+    shutil.rmtree(out_root, ignore_errors=True)
+    return spark.createDataFrame(rows, agg.schema)
