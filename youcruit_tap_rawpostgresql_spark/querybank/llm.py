@@ -783,14 +783,12 @@ def sim_cosine_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded_collect, like the ANN centroid sets — brute force is BY
     DESIGN a bounded-corpus baseline) and emits only the qualifying
     pairs; the a_id < b_id triangle is a mask inside the kernel. The
-    per-dimension accumulation order matches cosine_f64_block, so
-    scores stay bit-exact with the sequential-fold oracle."""
+    per-dimension accumulation order matches cosine_f64_block's (batch ×
+    corpus-matrix outer-product adds, one fused add per dim), so scores
+    stay bit-exact with the sequential-fold oracle."""
     import numpy as np
     import pandas as pd
 
-    from youcruit_tap_rawpostgresql_spark.functions.vectors import (
-        cosine_f64_block,
-    )
     from youcruit_tap_rawpostgresql_spark.querybank.ann import bounded_collect
     from youcruit_tap_rawpostgresql_spark.querybank.helpers import spread
 
