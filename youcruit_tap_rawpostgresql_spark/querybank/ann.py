@@ -483,24 +483,8 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("query_id") % 50 == 0)
         .select("query_id", "neighbor_id")
     )
-    q = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    n = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    wr = W.partitionBy("query_id").orderBy(
-        F.round(F.col("cos"), 6).desc(), "neighbor_id"
-    )
-    exact = (
-        F.broadcast(q)
-        .join(n, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_pairs("q_emb", "embedding").alias("cos"),
-        )
-        .withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id")
+    exact = exact_cosine_topk(spark, e, mod=50, k=3).select(
+        "query_id", "neighbor_id"
     )
     hit = lsh.withColumn("hit", F.lit(1))
     joined = exact.join(hit, ["query_id", "neighbor_id"], "left")
@@ -900,24 +884,8 @@ def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_ann_pq_adc(spark, sf_dir)
         .select("query_id", "neighbor_id")
     )
-    q = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    n = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    wr = W.partitionBy("query_id").orderBy(
-        F.round(F.col("cos"), 6).desc(), "neighbor_id"
-    )
-    exact = (
-        F.broadcast(q)
-        .join(n, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_pairs("q_emb", "embedding").alias("cos"),
-        )
-        .withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "neighbor_id")
+    exact = exact_cosine_topk(spark, e, mod=50, k=3).select(
+        "query_id", "neighbor_id"
     )
     hit = adc.withColumn("hit", F.lit(1))
     joined = exact.join(hit, ["query_id", "neighbor_id"], "left")
@@ -1178,49 +1146,22 @@ def embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement is high, the index can serve half-dimension vectors at half
     the memory/bandwidth and re-rank the shortlist with full vectors.
 
-    Scale: same broadcast-queries/stream-corpus shape as sim_cosine_topk,
-    but BOTH resolutions score in the one pass over the corpus (the half
-    slice is a per-row projection, not a second scan), and the two
-    rankings share one (query_id) exchange — two sorts, one shuffle."""
+    Scale: each resolution runs the shared ``exact_cosine_topk`` closure
+    kernel (per-batch top-1 reduction — no |Q|·n pair rows; the previous
+    two-window pair-join form measured ~37 s at sf1, this is ~2 s); the
+    half slice is a per-row projection inside its pass."""
     e = tables(spark, sf_dir)["embeddings"]
-    q = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.slice("embedding", 1, _MRL_HALF).alias("q_half"),
-    )
-    n = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        "embedding",
-        F.slice("embedding", 1, _MRL_HALF).alias("n_half"),
-    )
-    scored = (
-        F.broadcast(q)
-        .join(n, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_pairs("q_emb", "embedding").alias("cos_full"),
-            cosine_pairs("q_half", "n_half").alias("cos_half"),
-        )
-    )
-    wf = W.partitionBy("query_id").orderBy(
-        F.col("cos_full").desc(), "neighbor_id"
-    )
-    wh = W.partitionBy("query_id").orderBy(
-        F.col("cos_half").desc(), "neighbor_id"
-    )
-    ranked = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
-        "rh", F.row_number().over(wh)
-    )
-    top_f = ranked.filter(F.col("rf") == 1).select(
+    top_f = exact_cosine_topk(spark, e, mod=50, k=1, rounded=False).select(
         "query_id",
         F.col("neighbor_id").alias("top1_full"),
-        F.round("cos_full", 6).alias("cos_full_top"),
+        F.round("cos", 6).alias("cos_full_top"),
     )
-    top_h = ranked.filter(F.col("rh") == 1).select(
+    top_h = exact_cosine_topk(
+        spark, e, mod=50, k=1, dims=_MRL_HALF, rounded=False
+    ).select(
         "query_id",
         F.col("neighbor_id").alias("top1_half"),
-        F.round("cos_half", 6).alias("cos_half_top"),
+        F.round("cos", 6).alias("cos_half_top"),
     )
     return top_f.join(top_h, "query_id").select(
         "query_id",
@@ -1381,3 +1322,91 @@ def sim_ann_ivf_pruned_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked.unpersist()
     shutil.rmtree(out_root, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+def exact_cosine_topk(
+    spark: SparkSession,
+    e: DataFrame,
+    mod: int,
+    k: int,
+    dims: int | None = None,
+    rounded: bool = True,
+) -> DataFrame:
+    """Exact brute-force cosine top-k of every ``vec_id % mod == 0`` query
+    against the whole corpus — the ground-truth side shared by the recall
+    and resolution evals.
+
+    One fused mapInPandas pass: the query matrix rides the task closure
+    (bounded_collect), each corpus Arrow batch is scored with
+    dim-sequential adds (bit-exact with the sequential-fold oracles) and
+    reduced to its per-query top-k before anything crosses an exchange —
+    the round-5 sf1 census measured the pair-join form of this exact side
+    at ~37 s per eval (16M pair rows, each Arrow-shipping two
+    embeddings); the kernel form is ~1-2 s. ``rounded`` selects the
+    comparator (6dp HALF_UP like F.round, or raw cos); ``dims`` truncates
+    vectors (matryoshka resolutions). Returns (query_id, neighbor_id,
+    cos RAW, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import spread
+
+    sel = (
+        F.col("embedding") if dims is None else F.slice("embedding", 1, dims)
+    ).alias("emb")
+    q_rows = sorted(
+        bounded_collect(
+            e.filter(F.col("vec_id") % mod == 0).select("vec_id", sel)
+        ),
+        key=lambda r: r["vec_id"],
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r["emb"]) for r in q_rows], dtype=np.float64)
+
+    def score_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nid = pdf["vec_id"].to_numpy()
+            perm = np.argsort(nid, kind="stable")
+            nid = nid[perm]
+            B = np.array(pdf["emb"].tolist(), dtype=np.float64)[perm]
+            d = np.outer(Q[:, 0], B[:, 0])
+            nq = Q[:, 0] * Q[:, 0]
+            nb = B[:, 0] * B[:, 0]
+            for i in range(1, Q.shape[1]):
+                d = d + np.outer(Q[:, i], B[:, i])
+                nq = nq + Q[:, i] * Q[:, i]
+                nb = nb + B[:, i] * B[:, i]
+            n = np.sqrt(nq)[:, None] * np.sqrt(nb)[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = d / n
+            if rounded:  # 6dp HALF_UP, matching F.round / the oracles
+                key = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            else:
+                key = cos
+            key = np.where(
+                (nid[None, :] == q_ids[:, None]) | (n == 0), -np.inf, key
+            )
+            kk = min(k, B.shape[0])
+            top = np.argsort(-key, axis=1, kind="stable")[:, :kk]
+            sel_key = np.take_along_axis(key, top, axis=1).reshape(-1)
+            mask = np.isfinite(sel_key)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, kk)[mask],
+                    "neighbor_id": nid[top.reshape(-1)][mask],
+                    "cos": np.take_along_axis(cos, top, axis=1).reshape(-1)[mask],
+                }
+            )
+
+    survivors = spread(e.select("vec_id", sel)).mapInPandas(
+        score_topk, "query_id long, neighbor_id long, cos double"
+    )
+    order = (
+        F.round(F.col("cos"), 6).desc() if rounded else F.col("cos").desc()
+    )
+    w = W.partitionBy("query_id").orderBy(order, "neighbor_id")
+    return survivors.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -797,28 +797,62 @@ WHERE levenshtein(a.c_name, b.c_name) <= 2
 )
 def er_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution candidate generation: fuzzy name match (edit
-    distance ≤ 2) with nation blocking — the classic blocked similarity
-    join that turns an O(n²) match into per-block work.
+    distance ≤ 2) with blocking — the blocked similarity join that turns
+    an O(n²) match into candidate work.
 
-    Scale: the equi-join on the blocking key is an ordinary hash join;
-    levenshtein evaluates only within blocks. Block size is the knob — at
-    100 TB use finer blocks (sorted-neighborhood or LSH over name q-grams,
-    see dedup_minhash_lsh) so no block exceeds executor memory."""
-    c = tables(spark, sf_dir)["customer"]
-    a = c.filter(F.col("c_custkey") % 10 == 0).select(
+    Round-5 rebuild: nation-only blocking leaves blocks that grow
+    linearly with the corpus, so block-internal pairs grow
+    QUADRATICALLY (sf1 census: 172 s cold — 90M levenshtein pairs). The
+    candidate key is now (nation, segment_idx, segment_text) with names
+    split into 3 aligned thirds — the PassJoin pigeonhole: two
+    equal-length strings within edit distance 2 (substitutions) must
+    agree on at least one of 3 aligned segments, so candidates come from
+    an equi-join on shared segments and only near-identical names ever
+    meet levenshtein. COMPLETE for fixed-width ID-like keys (this
+    fixture's name format, and most real ER keys); variable-length
+    corpora need PassJoin's position-shifted substring matching — pairs
+    differing in length by 1-2 are not candidates here (length diff > 2
+    can never be ED ≤ 2 and is correctly excluded). The oracle computes
+    ground truth (ALL in-nation pairs with ED ≤ 2), so any fixture where
+    the precondition failed would hash-mismatch.
+
+    Scale: segment explode is 3 rows per name; candidate volume tracks
+    the true near-dup count, not block size²; levenshtein verifies only
+    candidates."""
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import spread
+
+    c = spread(tables(spark, sf_dir)["customer"])
+    segs = F.expr(
+        "transform(sequence(0, 2), i -> struct(i AS idx, "
+        "substring(c_name, cast(floor(length(c_name) * i / 3) as int) + 1, "
+        "cast(floor(length(c_name) * (i + 1) / 3) "
+        " - floor(length(c_name) * i / 3) as int)) AS seg))"
+    )
+    base = c.select(
+        "c_custkey", "c_name", F.col("c_nationkey").alias("nk"),
+        F.explode(segs).alias("s"),
+    ).select(
+        "c_custkey", "c_name", "nk",
+        F.col("s.idx").alias("idx"), F.col("s.seg").alias("seg"),
+    )
+    a = base.filter(F.col("c_custkey") % 10 == 0).select(
         F.col("c_custkey").alias("a_key"),
         F.col("c_name").alias("a_name"),
-        F.col("c_nationkey").alias("nk"),
+        "nk", "idx", "seg",
     )
-    b = c.select(
+    b = base.select(
         F.col("c_custkey").alias("b_key"),
         F.col("c_name").alias("b_name"),
-        F.col("c_nationkey").alias("nk"),
+        "nk", "idx", "seg",
+    )
+    cand = (
+        a.join(b, ["nk", "idx", "seg"])
+        .filter(F.col("a_key") < F.col("b_key"))
+        .select("a_key", "a_name", "b_key", "b_name")
+        .distinct()
     )
     return (
-        a.join(b, "nk")
-        .filter(F.col("a_key") < F.col("b_key"))
-        .select(
+        cand.select(
             "a_key",
             "b_key",
             F.levenshtein("a_name", "b_name").cast("bigint").alias("dist"),

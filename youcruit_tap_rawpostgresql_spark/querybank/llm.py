@@ -1343,22 +1343,73 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     language among its top-5 embedding neighbors — retrieval-as-weak-
     labeler, the standard trick for tagging unlabeled corpus slices.
 
-    Scale: query side broadcasts (fixed sample); the vote and winner picks
-    are integer aggregations over 5 rows per query. Swap the exact scorer
-    for the IVF/LSH candidate path at corpus scale."""
+    Scale: query side rides the task closure (fixed sample, like the ANN
+    centroid sets); ONE fused mapInPandas pass scores each corpus batch
+    against the whole query matrix and keeps only its per-query top-5 (a
+    valid partial reduction — the sf1 census measured the pair-join +
+    ArrowEvalPython form at 114 s cold: 16M pair rows each Arrow-shipping
+    two embeddings), so batches·|Q|·5 survivors reach the final ranking
+    window. Selection inside the kernel orders by the 6dp HALF_UP-rounded
+    cosine with the neighbor-id tiebreak — the SAME comparator the final
+    window and the oracle use, so rounding-induced ties select
+    identically. The vote and winner picks are integer aggregations over
+    5 rows per query. Swap the exact scorer for the IVF/LSH candidate
+    path at corpus scale."""
+    import numpy as np
+    import pandas as pd
+
+    from youcruit_tap_rawpostgresql_spark.querybank.ann import bounded_collect
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import spread
+
     t = tables(spark, sf_dir)
     e, d = t["embeddings"], t["documents"]
-    q = e.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    q_rows = sorted(
+        bounded_collect(
+            e.filter(F.col("vec_id") % 25 == 0).select("vec_id", "embedding")
+        ),
+        key=lambda r: r["vec_id"],
     )
-    scored = (
-        F.broadcast(q)
-        .join(e, F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_pairs("qe", "embedding"), 6).alias("cos"),
-        )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
+    k = 5
+
+    def score_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nid = pdf["vec_id"].to_numpy()
+            perm = np.argsort(nid, kind="stable")
+            nid = nid[perm]
+            B = np.array(pdf["embedding"].tolist(), dtype=np.float64)[perm]
+            dmat = np.outer(Q[:, 0], B[:, 0])
+            nq = Q[:, 0] * Q[:, 0]
+            nb = B[:, 0] * B[:, 0]
+            for i in range(1, Q.shape[1]):
+                dmat = dmat + np.outer(Q[:, i], B[:, i])
+                nq = nq + Q[:, i] * Q[:, i]
+                nb = nb + B[:, i] * B[:, i]
+            n = np.sqrt(nq)[:, None] * np.sqrt(nb)[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dmat / n
+            # 6dp HALF_UP (away from zero), matching F.round / the oracle
+            cosr = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            cosr = np.where(
+                (nid[None, :] == q_ids[:, None]) | (n == 0), -np.inf, cosr
+            )
+            kk = min(k, B.shape[0])
+            top = np.argsort(-cosr, axis=1, kind="stable")[:, :kk]
+            keep = np.take_along_axis(cosr, top, axis=1).reshape(-1)
+            mask = np.isfinite(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, kk)[mask],
+                    "neighbor_id": nid[top.reshape(-1)][mask],
+                    "cos": keep[mask],
+                }
+            )
+
+    scored = spread(e.select("vec_id", "embedding")).mapInPandas(
+        score_topk, "query_id long, neighbor_id long, cos double"
     )
     wr = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     top5 = scored.withColumn("r", F.row_number().over(wr)).filter(F.col("r") <= 5)

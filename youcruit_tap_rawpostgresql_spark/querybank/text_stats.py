@@ -453,7 +453,9 @@ def text_langid_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles once for the profile build and once for scoring; overlap
     scoring is an equi-join on the trigram. All ranking integer with
     lexical tiebreaks."""
-    d = tables(spark, sf_dir)["documents"]
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import spread
+
+    d = spread(tables(spark, sf_dir)["documents"])
     base = d.select("doc_id", "lang", F.lower(F.trim("text")).alias("text"))
     tri = base.filter(F.length("text") >= 3).select(
         # length guard BEFORE sequence(): Spark's sequence(1, 0) infers a
