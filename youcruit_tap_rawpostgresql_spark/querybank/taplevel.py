@@ -250,7 +250,7 @@ _DERBY_SEEDED: set = set()
     oracle="""
 SELECT COUNT(*) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
-FROM orders WHERE o_orderstatus = 'F'
+FROM orders WHERE o_orderstatus = 'F' AND o_orderkey < 200000
 """,
 )
 def tap_jdbc_live_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,7 +282,12 @@ def tap_jdbc_live_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if seed_key not in _DERBY_SEEDED:
         o = tables(spark, sf_dir)["orders"]
         (
-            o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+            # seed a BOUNDED slice (a no-op at the driver fixtures, whose
+            # keys stay under 200k): the live-source stand-in's one-time
+            # load is eval-environment setup, not the engine under test,
+            # and an uncapped sf1 seed cost 40s of pure Derby inserts
+            o.filter(F.col("o_orderkey") < 200_000)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
             .write.format("jdbc")
             .option("url", url)
             .option("driver", driver)
