@@ -44,33 +44,36 @@ _PINS = [
     "dedup_minhash_lsh", "sim_cosine_topk", "sim_ann_ivf_pq",
     "text_tfidf_topk", "kmeans_embed_lloyd", "stream_stateful_sessionize",
 ]
-_ROTATION_R05 = [
-    # 40 slots, all never driver-checked in r02-r04 (see ROTATION.md)
+_ROTATION_R06 = [
+    # 40 slots, all never driver-checked in r02-r05 (see ROTATION.md)
     # relational / TPC-H
-    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
-    "q8_market_share", "q9_product_profit", "q17_small_quantity",
-    "q22_dormant_customers",
-    # SQL surface: subqueries, CTEs, lateral, pivot, windows, top-k
-    "subquery_exists_correlated", "cte_top_supplier", "join_lateral",
-    "pivot_sum", "unpivot_stack", "recursive_cte_chain",
-    "distinct_on_latest", "agg_percentiles", "win_sliding_median",
-    "topk_with_ties",
+    "q7_nation_volume", "q10_returned_items", "q12_shipmode_buckets",
+    "q14_promo_ratio", "q18_large_orders", "q19_disjunctive_predicates",
+    "q20_qualified_suppliers",
+    # SQL surface: subqueries, pivot/unpivot clauses, aggregates
+    "subquery_scalar", "sql_pivot_clause", "sql_unpivot_clause",
+    "agg_mode_per_group", "agg_listagg_ordered",
     # scalars + PG dialect
-    "scalar_math", "scalar_null_semantics", "pg_dialect_operators",
-    "pg_dialect_timezone",
+    "scalar_conditional", "scalar_array", "pg_dialect_strings",
+    # round-5 rebuilt kernels (judge r6 directive: churned code needs
+    # driver-grade rows most)
+    "knn_label_vote", "er_blocked_fuzzy_join", "sim_cosine_threshold",
+    "text_langid_ngram_profile", "text_boilerplate_fraction",
+    "text_ngram_topk",
     # tap-level
-    "tap_catalog", "tap_conform_quarantine", "tap_backfill_chunks",
-    "versioned_time_travel", "dq_expectations",
-    # dedup / text / ANN
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_components",
-    "text_langid", "text_fingerprint", "text_bm25_keyword",
-    "sim_ann_lsh", "ann_recall_eval", "embed_quantize_int8",
-    "contamination_ngram_overlap",
-    # streaming / ETL / graph
-    "stream_windowed_agg", "stream_dedup_watermark",
-    "scd2_status_history", "graph_triangle_count",
+    "tap_table_checksum", "tap_integrity_audit",
+    "tap_batch_reingest_source", "tap_schema_evolution_read",
+    "tap_corrupt_record_ingest",
+    # dedup / text / ANN (biased toward round-5 rebuilt kernels)
+    "dedup_keep_best", "dedup_minhash_eval", "dedup_span_windows",
+    "dedup_cascade_report", "text_bigram_logprob", "text_ngram_novelty",
+    "sim_ann_ivf_pruned_store", "pq_recall_eval", "hybrid_rrf_fusion",
+    # streaming / ETL / multimodal / pipeline
+    "stream_stream_join", "stream_upsert_latest",
+    "multimodal_frame_sample", "funnel_ordered_steps",
+    "pipeline_resumable_cascade",
 ]
-_PREFIX = _PINS + _ROTATION_R05
+_PREFIX = _PINS + _ROTATION_R06
 assert len(_PREFIX) == 50, f"driver window is 50 entries, prefix has {len(_PREFIX)}"
 _missing = [n for n in _PREFIX if n not in REGISTRY]
 assert not _missing, f"prefix names not in REGISTRY: {_missing}"
@@ -79,4 +82,4 @@ _reordered = {k: REGISTRY[k] for k in _PREFIX}
 _reordered.update(_rest)
 REGISTRY.clear()
 REGISTRY.update(_reordered)
-del _PREFIX, _missing, _rest, _reordered, _PINS, _ROTATION_R05
+del _PREFIX, _missing, _rest, _reordered, _PINS, _ROTATION_R06
