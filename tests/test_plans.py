@@ -74,10 +74,22 @@ def test_ann_lsh_candidate_join_is_hash_equi(plans):
     assert "CartesianProduct" not in p
 
 
-def test_topk_brute_force_broadcasts_queries(plans):
-    # brute force intentionally broadcast-nested-loops the SMALL query side
+def test_cosine_threshold_lsh_no_all_pairs(plans):
+    # the production twin of the by-contract-quadratic brute-force case:
+    # candidates MUST come from the sig equi-join, never an n² product
+    p = plans("sim_cosine_threshold_lsh")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_topk_brute_force_streams_corpus_once(plans):
+    # round-6 rebuild: the bounded query set rides in the task closure —
+    # NO join of any kind remains; the corpus is Arrow-shipped once into
+    # a single fused score+top-k python stage
     p = plans("sim_cosine_topk")
-    assert "BroadcastNestedLoopJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
 
 
 def test_sessionize_single_shuffle(plans):

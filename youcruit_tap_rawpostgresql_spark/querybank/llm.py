@@ -496,8 +496,17 @@ def _probe_oversized_buckets(sig, band_keys, bucket_cap: int) -> bool:
     zero probe jobs."""
     key = None
     try:
-        plan_id = sig._jdf.queryExecution().analyzed().semanticHash()
-        key = (plan_id, tuple(sorted(sig.inputFiles())), bucket_cap)
+        files = tuple(sorted(sig.inputFiles()))
+        # Memoize ONLY file-backed plans: the snapshot key is the file
+        # list, and immutability is a property of files (data-lake
+        # appends create NEW files → new key). A JDBC read, temp view,
+        # or in-memory frame has inputFiles() == () and an identical
+        # semanticHash across re-reads of MUTATED data — a stale "no
+        # oversized buckets" verdict there would silently disable the
+        # cap. Those sources probe every time (one cheap scalar agg).
+        if files:
+            plan_id = sig._jdf.queryExecution().analyzed().semanticHash()
+            key = (plan_id, files, bucket_cap)
     except Exception:
         pass
     if key is not None and key in _PROBE_MEMO:
@@ -685,73 +694,78 @@ FROM r WHERE rank <= 3
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: the correctness baseline for ANN.
 
-    Scale: query side is broadcast (small); corpus side streams — cost is
-    O(|Q| · n) with no shuffle of the corpus. The |Q|·n scored pairs
-    NEVER cross an exchange (the round-4 weakness): one fused mapInPandas
-    kernel scores each Arrow batch AND keeps only its per-query top-k —
-    a valid partial reduction (every global top-k row is in its batch's
+    Scale: the bounded query set rides in the task closure as ONE dense
+    |Q|×d matrix (``bounded_collect`` guards the bound); the corpus
+    streams through a single mapInPandas pass — cost is O(|Q| · n)
+    compute with the corpus Arrow-shipped ONCE (the round-5 advisory:
+    the previous broadcast-join shape avoided the shuffle but still
+    Arrow-shipped both embeddings for every |Q|·n pair row). Each batch
+    scores a batch×|Q| block AND keeps only its per-query top-k — a
+    valid partial reduction (every global top-k row is in its batch's
     top-k) — so only ≈ batches · |Q| · k survivor rows reach the final
-    ranking window. Ranking is bit-exact across engines because the fold
-    order of the dot product is pinned (sequential, shared
-    ``cosine_f64_block`` kernel), so ties never flip. For large |Q| see
-    sim_ann_lsh."""
+    ranking window. Scores are bit-exact with the oracle because the
+    dot-product fold order is pinned (dim-sequential accumulation, the
+    same order as ``list_reduce``'s sequential fold), so ties never
+    flip. For |Q| beyond the closure bound see sim_ann_lsh."""
     import numpy as np
     import pandas as pd
 
-    from youcruit_tap_rawpostgresql_spark.functions.vectors import (
-        cosine_f64_block,
-    )
+    from youcruit_tap_rawpostgresql_spark.querybank.ann import bounded_collect
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import spread
 
     k = 3
     e = tables(spark, sf_dir)["embeddings"]
-    q = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
+    q_rows = sorted(
+        bounded_collect(
+            e.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding")
+        ),
+        key=lambda r: r["vec_id"],
     )
-    n = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    # a small corpus arrives as ONE parquet split, which would serialize
-    # the whole scoring pass into a single Python task; spread it across
-    # the cores first. At production scale the file count already exceeds
-    # parallelism and no extra exchange is added.
-    par = spark.sparkContext.defaultParallelism
-    if n.rdd.getNumPartitions() < par:
-        n = n.repartition(par)
-    j = (
-        F.broadcast(q)
-        .join(n, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "q_emb", "embedding")
-    )
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
+    corpus = spread(e.select("vec_id", "embedding"))
 
     def score_topk(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            A = np.array(pdf["q_emb"].tolist(), dtype=np.float64)
             B = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            cos, norm = cosine_f64_block(A, B)
-            qid = pdf["query_id"].to_numpy()
-            nid = pdf["neighbor_id"].to_numpy()
+            nid = pdf["vec_id"].to_numpy()
+            # cos[i, j] per (query i, batch row j), dim-sequential adds
+            d = np.outer(Q[:, 0], B[:, 0])
+            nq = Q[:, 0] * Q[:, 0]
+            nb = B[:, 0] * B[:, 0]
+            for t in range(1, Q.shape[1]):
+                d = d + np.outer(Q[:, t], B[:, t])
+                nq = nq + Q[:, t] * Q[:, t]
+                nb = nb + B[:, t] * B[:, t]
+            norm = np.sqrt(nq)[:, None] * np.sqrt(nb)[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = d / norm
+            qi, bj = np.nonzero(qids[:, None] != nid[None, :])
+            c = cos[qi, bj]
+            zero = norm[qi, bj] == 0
             # same comparator as the final window: (query_id, cos DESC
             # NULLS LAST, neighbor_id) — zero-norm rows become NaN, and
             # NaN keys lexsort last, matching DESC NULLS LAST
-            key = np.where(norm == 0, np.nan, -cos)
-            order = np.lexsort((nid, key, qid))
-            sq = qid[order]
+            key = np.where(zero, np.nan, -c)
+            order = np.lexsort((nid[bj], key, qi))
+            sq = qi[order]
             starts = np.flatnonzero(np.r_[True, sq[1:] != sq[:-1]])
             sizes = np.diff(np.r_[starts, len(sq)])
             rank = np.arange(len(sq)) - np.repeat(starts, sizes)
             keep = order[rank < k]
             out = pd.DataFrame(
                 {
-                    "query_id": qid[keep],
-                    "neighbor_id": nid[keep],
-                    "cos": pd.array(cos[keep], dtype="Float64"),
+                    "query_id": qids[qi[keep]],
+                    "neighbor_id": nid[bj[keep]],
+                    "cos": pd.array(c[keep], dtype="Float64"),
                 }
             )
-            out.loc[norm[keep] == 0, "cos"] = pd.NA
+            out.loc[zero[keep], "cos"] = pd.NA
             yield out
 
-    survivors = j.mapInPandas(
+    survivors = corpus.mapInPandas(
         score_topk, "query_id long, neighbor_id long, cos double"
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -773,66 +787,154 @@ WHERE {_o_cos('a.embedding', 'b.embedding')} >= 0.3
 )
 def sim_cosine_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold (the
-    embedding-space analogue of fuzzy dedup). Correctness-scale brute
-    force; the production path buckets by LSH hyperplane signs first.
+    embedding-space analogue of fuzzy dedup). Brute force BY CONTRACT —
+    ALL n²/2 pairs are examined; `sim_cosine_threshold_lsh` is the
+    bucketed production twin.
 
-    Round-5 rebuild: the pair JOIN carried both embedding arrays through
-    every one of the n²/2 rows and Arrow-shipped them per pair (census:
-    6.3 s warm at sf0.1). Now one mapInPandas kernel streams the corpus
-    once with the full vector matrix in the task closure (a
-    bounded_collect, like the ANN centroid sets — brute force is BY
-    DESIGN a bounded-corpus baseline) and emits only the qualifying
-    pairs; the a_id < b_id triangle is a mask inside the kernel. The
-    per-dimension accumulation order matches cosine_f64_block's (batch ×
-    corpus-matrix outer-product adds, one fused add per dim), so scores
-    stay bit-exact with the sequential-fold oracle."""
+    Round-6: two physical plans behind one contract. Corpora within the
+    driver-collect bound take the closure-matrix path (round-5 shape:
+    the full corpus matrix rides in the task closure, the corpus streams
+    once, the a_id < b_id triangle is a mask inside the kernel). Corpora
+    BEYOND the bound no longer raise (the round-5 advisory's capability
+    regression): they fall back to a fully distributed block-pair plan —
+    see `_cosine_threshold_blocked`."""
+    e = tables(spark, sf_dir)["embeddings"]
+    return cosine_threshold_pairs(e.select("vec_id", "embedding"), 0.3)
+
+
+def cosine_threshold_pairs(vecs: DataFrame, threshold: float) -> DataFrame:
+    """All (a_id < b_id) pairs with cosine ≥ threshold, any corpus size.
+
+    Dispatch: try the closure-matrix kernel (one bounded_collect, corpus
+    streamed once — the fast plan); if the corpus exceeds the driver
+    bound, fall back to the distributed block-pair plan instead of
+    failing. Both plans emit bit-identical scores (same dim-sequential
+    fold)."""
     import numpy as np
     import pandas as pd
 
     from youcruit_tap_rawpostgresql_spark.querybank.ann import bounded_collect
     from youcruit_tap_rawpostgresql_spark.querybank.helpers import spread
 
-    e = tables(spark, sf_dir)["embeddings"]
-    rows = sorted(
-        bounded_collect(e.select("vec_id", "embedding")),
-        key=lambda r: r["vec_id"],
-    )
-    all_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    C = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    try:
+        rows = sorted(bounded_collect(vecs), key=lambda r: r["vec_id"])
+    except ValueError:
+        scored = _cosine_threshold_blocked(vecs, threshold)
+    else:
+        all_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        C = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
 
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            aid = pdf["vec_id"].to_numpy()
-            # cos[i, j] per (batch row i, corpus j), dim-sequential adds
-            d = np.outer(A[:, 0], C[:, 0])
-            na = A[:, 0] * A[:, 0]
-            nc = C[:, 0] * C[:, 0]
-            for k in range(1, A.shape[1]):
-                d = d + np.outer(A[:, k], C[:, k])
-                na = na + A[:, k] * A[:, k]
-                nc = nc + C[:, k] * C[:, k]
-            n = np.sqrt(na)[:, None] * np.sqrt(nc)[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = d / n
-            keep = (aid[:, None] < all_ids[None, :]) & (n != 0) & (cos >= 0.3)
-            ii, jj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "a_id": aid[ii],
-                    "b_id": all_ids[jj],
-                    "cos": cos[ii, jj],
-                }
-            )
+        def score(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                aid = pdf["vec_id"].to_numpy()
+                # cos[i, j] per (batch row i, corpus j), dim-sequential adds
+                d = np.outer(A[:, 0], C[:, 0])
+                na = A[:, 0] * A[:, 0]
+                nc = C[:, 0] * C[:, 0]
+                for k in range(1, A.shape[1]):
+                    d = d + np.outer(A[:, k], C[:, k])
+                    na = na + A[:, k] * A[:, k]
+                    nc = nc + C[:, k] * C[:, k]
+                n = np.sqrt(na)[:, None] * np.sqrt(nc)[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = d / n
+                keep = (
+                    (aid[:, None] < all_ids[None, :]) & (n != 0) & (cos >= threshold)
+                )
+                ii, jj = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "a_id": aid[ii],
+                        "b_id": all_ids[jj],
+                        "cos": cos[ii, jj],
+                    }
+                )
 
-    scored = spread(e.select("vec_id", "embedding")).mapInPandas(
-        score, "a_id long, b_id long, cos double"
-    )
+        scored = spread(vecs).mapInPandas(score, "a_id long, b_id long, cos double")
     # rounding stays JVM-side: np.round is half-to-even, F.round is the
     # oracle's HALF_UP
     return scored.select("a_id", "b_id", F.round("cos", 6).alias("cosine"))
+
+
+def _cosine_threshold_blocked(vecs: DataFrame, threshold: float) -> DataFrame:
+    """Distributed all-pairs threshold scoring: no driver materialization
+    at any corpus size.
+
+    Rows are hashed into B blocks sized so a block PAIR fits one task
+    (~2·4k×d float64 ≈ 8 MB at d=128); each row is replicated to its B
+    block-pair groups; one applyInPandas kernel per (pi ≤ pj) group
+    scores the dense left×right matrix and emits only qualifying pairs.
+    Shuffle volume is n·B embedding rows — for the O(n²) compute this op
+    contracts to, that transfer is a vanishing fraction of the work
+    (n·B·d·8 bytes vs n²·d flops, B ≈ n/4096). Each unordered pair is
+    examined in exactly one group: cross-block pairs in their (pi, pj)
+    group, in-block pairs via the a_id < b_id triangle of the diagonal
+    group."""
+    import numpy as np
+    import pandas as pd
+
+    n_rows = vecs.count()
+    block_rows = 4096
+    B = max(2, -(-n_rows // block_rows))
+    withb = vecs.withColumn(
+        "_b", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int")
+    )
+    pair_keys = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.least("_b", F.lit(p)).alias("pi"),
+                    F.greatest("_b", F.lit(p)).alias("pj"),
+                )
+                for p in range(B)
+            ]
+        )
+    ).alias("pk")
+    exploded = withb.select("vec_id", "embedding", "_b", pair_keys).select(
+        "vec_id", "embedding", "_b", "pk.pi", "pk.pj"
+    )
+
+    def score_group(key, pdf):
+        pi, pj = int(key[0]), int(key[1])
+        left = pdf[pdf["_b"] == pi]
+        right = pdf[pdf["_b"] == pj]
+        if not len(left) or not len(right):
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cos": "float64"}
+            )
+        L = np.array(left["embedding"].tolist(), dtype=np.float64)
+        R = np.array(right["embedding"].tolist(), dtype=np.float64)
+        lid = left["vec_id"].to_numpy()
+        rid = right["vec_id"].to_numpy()
+        # dim-sequential adds: identical fold order to the closure kernel
+        d = np.outer(L[:, 0], R[:, 0])
+        nl = L[:, 0] * L[:, 0]
+        nr = R[:, 0] * R[:, 0]
+        for k in range(1, L.shape[1]):
+            d = d + np.outer(L[:, k], R[:, k])
+            nl = nl + L[:, k] * L[:, k]
+            nr = nr + R[:, k] * R[:, k]
+        n = np.sqrt(nl)[:, None] * np.sqrt(nr)[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = d / n
+        keep = (n != 0) & (cos >= threshold)
+        if pi == pj:
+            # in-block pairs: the triangle examines each unordered pair once
+            keep &= lid[:, None] < rid[None, :]
+        # cross-block pairs: blocks are disjoint, each unordered pair
+        # appears exactly once in this group (possibly with lid > rid) —
+        # orient the output by (min, max)
+        ii, jj = np.nonzero(keep)
+        a = np.minimum(lid[ii], rid[jj])
+        b = np.maximum(lid[ii], rid[jj])
+        return pd.DataFrame({"a_id": a, "b_id": b, "cos": cos[ii, jj]})
+
+    return exploded.groupBy("pi", "pj").applyInPandas(
+        score_group, "a_id long, b_id long, cos double"
+    )
 
 
 def _o_components() -> str:
