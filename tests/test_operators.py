@@ -601,6 +601,55 @@ def test_catalog_entry_matches_on_stream_field_alone(spark):
     assert [s.name for s in tap._effective_streams()] == ["nums"]
 
 
+def test_catalog_exact_tap_stream_id_beats_stream_field(spark):
+    """Singer semantics key on tap_stream_id (round-6 advisory): with two
+    schemas exposing same-named tables (both entries stream='users'), each
+    spec must pick the entry whose tap_stream_id names IT — never
+    first-entry-wins on the bare stream field, which would apply another
+    stream's selection/metadata."""
+    from youcruit_tap_rawpostgresql_spark.spec import (
+        ColumnSpec,
+        StreamSpec,
+        TapConfig,
+    )
+    from youcruit_tap_rawpostgresql_spark.tap import SparkTap
+
+    def spec_for(schema):
+        return StreamSpec(
+            name="users",
+            sql="SELECT 1 AS n",
+            columns=[ColumnSpec(name="n", type="integer")],
+            database="db",
+            db_schema=schema,
+        )
+
+    s1, s2 = spec_for("schema1"), spec_for("schema2")
+    # entry order adversarial: s2's spec would hit schema1's entry first
+    # under stream-field matching
+    catalog = {
+        "streams": [
+            {
+                "tap_stream_id": s1.fully_qualified_name,
+                "stream": "users",
+                "metadata": [
+                    {"breadcrumb": [], "metadata": {"selected": False}}
+                ],
+            },
+            {
+                "tap_stream_id": s2.fully_qualified_name,
+                "stream": "users",
+                "metadata": [
+                    {"breadcrumb": [], "metadata": {"selected": True}}
+                ],
+            },
+        ]
+    }
+    tap = SparkTap(TapConfig(streams=[s1, s2]), spark, catalog=catalog)
+    eff = tap._effective_streams()
+    # schema1's users is deselected by ITS entry; schema2's stays
+    assert [s.fully_qualified_name for s in eff] == [s2.fully_qualified_name]
+
+
 def test_env_config_keeps_string_settings_verbatim(monkeypatch):
     """TAP_RAWPOSTGRESQL_* string-typed settings must never be JSON-coerced:
     password `null` would silently drop the credential (round-5 advisory)."""

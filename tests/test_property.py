@@ -554,3 +554,15 @@ def test_unterminated_dollar_quote_raises():
 
     with pytest.raises(ValueError, match="dollar-quoted"):
         translate_pg_sql("SELECT $$oops AS x")
+
+
+@given(st.from_regex(r"[a-z][a-z0-9_]{0,4}", fullmatch=True),
+       st.from_regex(r"[a-z][a-z0-9_]{0,4}", fullmatch=True))
+def test_dollar_in_identifier_is_not_a_quote_opener(head, tail):
+    """PG identifiers may contain $ past the first char (a$x$b is ONE
+    identifier). The dollar-quote normalizer must not treat a $tag$ run
+    that starts right after an identifier character as an opener (round-6
+    advisory: these raised 'unterminated dollar-quoted string')."""
+    ident = f"{head}${tail}$b"
+    out = translate_pg_sql(f"SELECT {ident} FROM t")
+    assert ident in out

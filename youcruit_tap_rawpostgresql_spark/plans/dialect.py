@@ -473,7 +473,11 @@ def _normalize_dollar_quotes(sql: str) -> str:
             out.append(text)
             i += len(text)
             continue
-        if ch == "$":
+        if ch == "$" and not (i > 0 and (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            # PG's lexer: a dollar-quote delimiter cannot start right
+            # after an identifier character — `a$x$b` is ONE identifier
+            # ($ is legal in PG identifiers past the first char), not an
+            # `$x$` opener
             m = _DOLLAR_TAG_RE.match(sql, i)
             if m:
                 closer = m.group(0)

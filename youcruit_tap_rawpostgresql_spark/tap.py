@@ -117,15 +117,26 @@ class SparkTap:
         client.py:285-298 handles), and ``replication-key``."""
         import dataclasses
 
+        # Singer semantics key on tap_stream_id — an exact tap_stream_id
+        # match ALWAYS wins. Only when no entry's tap_stream_id matches
+        # does the bare `stream` field count (a catalog written with
+        # stream=name but a differently-formatted tap_stream_id must not
+        # silently drop the stream). The two-pass order matters with
+        # multiple schemas exposing same-named tables: two entries with
+        # stream='users' and tap_stream_ids 'schema1-users' /
+        # 'schema2-users' must each apply to THEIR stream, never
+        # first-entry-wins.
+        names = {spec.fully_qualified_name, spec.name}
         entry = None
         for ent in self.catalog.get("streams", []):
-            # match on EITHER field independently: a catalog written with
-            # stream=name but a differently-formatted tap_stream_id must
-            # not silently drop the stream
-            candidates = {ent.get("tap_stream_id"), ent.get("stream")}
-            if candidates & {spec.fully_qualified_name, spec.name}:
+            if ent.get("tap_stream_id") in names:
                 entry = ent
                 break
+        if entry is None:
+            for ent in self.catalog.get("streams", []):
+                if ent.get("stream") in names:
+                    entry = ent
+                    break
         if entry is None:
             return None
         md = {}
