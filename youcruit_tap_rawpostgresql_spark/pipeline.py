@@ -38,6 +38,17 @@ from typing import Callable, Mapping
 from pyspark.sql import DataFrame, SparkSession
 
 _META = "_PIPELINE_META.json"
+_LOCK = "_PIPELINE_LOCK"
+
+
+class ConcurrentBuildError(RuntimeError):
+    """Another builder holds (or held) this pipeline root's lock.
+
+    The runner is single-writer by design: two processes interleaving
+    meta commits under one root could pair a stage's meta with another
+    build's data. The lock makes that assumption fail LOUDLY at run()
+    instead of corrupting lineage. A crashed builder leaves its lock
+    behind — after verifying no builder is alive, call ``break_lock()``."""
 
 
 @dataclass(frozen=True)
@@ -173,9 +184,96 @@ class MaterializedPipeline:
         if fs.exists(jpath):
             fs.delete(jpath, True)
 
+    # --- single-writer lock: exactly one builder per root at a time.
+    # Local FS: O_CREAT|O_EXCL (atomic). Hadoop FS: create(path,
+    # overwrite=False) — atomic on HDFS; on S3-style stores it is
+    # best-effort (no atomic create-exclusive), which still catches the
+    # realistic double-scheduler case. The lock carries holder identity
+    # for the error message. It is NOT a lease with a TTL: a crashed
+    # builder's lock stays until an operator verifies the process is
+    # gone and calls break_lock() — silent expiry could hand the root to
+    # a second builder while a stalled first one is still writing.
+
+    def _lock_path(self) -> str:
+        return os.path.join(self.root, _LOCK)
+
+    def _acquire_lock(self) -> None:
+        import datetime
+        import socket
+
+        payload = json.dumps(
+            {
+                "pid": os.getpid(),
+                "host": socket.gethostname(),
+                "acquired_utc": datetime.datetime.now(
+                    datetime.timezone.utc
+                ).isoformat(),
+            }
+        )
+        lock = self._lock_path()
+        if not self._is_uri():
+            os.makedirs(self.root, exist_ok=True)
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    with open(lock) as f:
+                        holder = f.read().strip()
+                except OSError:
+                    holder = "<unreadable>"
+                raise ConcurrentBuildError(
+                    f"pipeline root {self.root!r} is locked by another "
+                    f"builder: {holder}. If that builder crashed, verify "
+                    "it is gone and call break_lock()."
+                ) from None
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            return
+        fs, jpath, _ = self._jfs(lock)
+        try:
+            out = fs.create(jpath, False)  # overwrite=False
+        except Exception as exc:
+            raise ConcurrentBuildError(
+                f"pipeline root {self.root!r} is locked by another "
+                "builder. If that builder crashed, verify it is gone and "
+                "call break_lock()."
+            ) from exc
+        try:
+            out.write(payload.encode())
+        finally:
+            out.close()
+
+    def _release_lock(self) -> None:
+        lock = self._lock_path()
+        if not self._is_uri():
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+            return
+        fs, jpath, _ = self._jfs(lock)
+        if fs.exists(jpath):
+            fs.delete(jpath, False)
+
+    def break_lock(self) -> None:
+        """Remove a crashed builder's lock. Operator action — call only
+        after verifying no builder process is alive on this root."""
+        self._release_lock()
+
     def run(self, force: bool = False) -> dict[str, StageResult]:
         """Execute the DAG; returns per-stage results (skipped = served
-        from the existing artifact). ``force=True`` recomputes all."""
+        from the existing artifact). ``force=True`` recomputes all.
+
+        Single-writer: acquires the root's builder lock for the whole
+        walk; a second concurrent run() on the same root raises
+        ``ConcurrentBuildError`` instead of interleaving meta commits."""
+        self._acquire_lock()
+        try:
+            return self._run_locked(force)
+        finally:
+            self._release_lock()
+
+    def _run_locked(self, force: bool) -> dict[str, StageResult]:
         import uuid
 
         results: dict[str, StageResult] = {}
