@@ -100,6 +100,27 @@ def test_regex_match_operators():
     )
 
 
+def test_like_operator_spellings():
+    """PG's `~~` family is LIKE, not regex (round-6 differential-execution
+    finding: these reached Spark untranslated and failed to parse)."""
+    assert (
+        translate_pg_sql("SELECT * FROM t WHERE name ~~ 'a%'")
+        == "SELECT * FROM t WHERE name LIKE 'a%'"
+    )
+    assert (
+        translate_pg_sql("SELECT * FROM t WHERE name ~~* 'a%'")
+        == "SELECT * FROM t WHERE name ILIKE 'a%'"
+    )
+    assert (
+        translate_pg_sql("SELECT * FROM t WHERE name !~~ 'a%'")
+        == "SELECT * FROM t WHERE NOT (name LIKE 'a%')"
+    )
+    assert (
+        translate_pg_sql("SELECT * FROM t WHERE name !~~* 'a%'")
+        == "SELECT * FROM t WHERE NOT (name ILIKE 'a%')"
+    )
+
+
 def test_spark_lambda_not_mangled_by_json_rule():
     # `->` only translates when followed by a quoted key
     sql = "SELECT transform(xs, x -> x + 1) FROM t"
@@ -111,9 +132,11 @@ def test_array_length_epoch_random_strpos():
         translate_pg_sql("SELECT array_length(xs, 1) AS n")
         == "SELECT size(xs) AS n"
     )
+    # fractional seconds preserved (PG returns numeric, not floored
+    # whole seconds — round-6 differential-execution finding)
     assert (
         translate_pg_sql("SELECT EXTRACT(EPOCH FROM ts) AS e")
-        == "SELECT unix_timestamp(ts) AS e"
+        == "SELECT (unix_micros(CAST(ts AS TIMESTAMP)) / 1e6) AS e"
     )
     assert translate_pg_sql("SELECT random() AS r") == "SELECT rand() AS r"
     assert (

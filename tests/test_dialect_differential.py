@@ -1,0 +1,253 @@
+"""Differential EXECUTION of the PG dialect layer (round-5 judge
+directive 2).
+
+The reference's contract is "PG SQL in, PG semantics out" — it ships the
+stream SQL verbatim to PostgreSQL (reference
+tap_rawpostgresql/client.py:300-304). This repo's `plans/dialect.py`
+rewrites PG-isms for Spark; until this module that rewrite was pinned
+only by string-level and property tests. DuckDB natively accepts most of
+the same PG surface (`::` casts, string_agg, ilike, `~`/`~~`, unnest,
+dollar quotes, E-strings, `->`/`->>`, EXTRACT(EPOCH/DOW/ISODOW), AT TIME
+ZONE), so here the ORIGINAL PG form is EXECUTED by DuckDB and the
+TRANSLATED form by Spark over views of the same parquet, and the result
+sets are value-compared order-insensitively — an executable parity check
+of translation SEMANTICS, not just shape.
+
+Known deltas (verified by probing, excluded from the corpus):
+
+- SIMILAR TO: DuckDB treats the pattern as a full RE2 regex ('%' is NOT
+  a wildcard), diverging from PG; our Spark translation implements PG
+  semantics (tests/test_dialect.py pins it), so DuckDB cannot oracle it.
+- substring(x FROM 'regex'), to_char(), '#>>': DuckDB doesn't implement
+  these PG forms at all (parse/catalog errors). String-level tests in
+  test_dialect.py cover their translations.
+- now()/current_timestamp: nondeterministic across engines.
+- Integer '/': PG does integer division; BOTH Spark and DuckDB return
+  double. This is an engine-semantics delta of the whole platform (the
+  oracle agrees with Spark, so registry cases are unaffected); a PG
+  user porting `a/b` on ints must cast. Documented, deliberately not
+  "fixed" — rewriting every `/` would need full expression typing.
+- `~` operator: DuckDB's `~` is a FULL regex match ('abc' ~ 'b' is
+  false); PG's is a partial (substring) match, which our translation
+  follows (RLIKE). The corpus uses ^...$-anchored patterns, where the
+  two semantics coincide.
+- double::int8: PG/DuckDB ROUND half away from zero; Spark CAST
+  truncates. Corpus applies floor() first, where all engines agree.
+
+Translation DEFECTS this module found on first run (both fixed in
+plans/dialect.py, pinned in test_dialect.py):
+- `~~` / `~~*` / `!~~` / `!~~*` (PG spellings of [I]LIKE) reached Spark
+  untranslated and failed to parse;
+- EXTRACT(EPOCH FROM ts) lowered to unix_timestamp(), silently flooring
+  away fractional seconds (PG returns numeric with the fraction).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import pathlib
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from youcruit_tap_rawpostgresql_spark.plans.dialect import translate_pg_sql
+from youcruit_tap_rawpostgresql_spark.querybank.registry import tables
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle", ROOT / "tools" / "check_oracle.py"
+)
+_check_oracle = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_check_oracle)
+normalize = _check_oracle.normalize
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def sview(spark):
+    tables(spark, SF_DIR)  # registers the same tables as Spark temp views
+    return spark
+
+
+def assert_differential(spark, duck, pg_sql: str) -> None:
+    translated = translate_pg_sql(pg_sql)
+    s_cols, s_recs = normalize(spark.sql(translated).toPandas())
+    d_cols, d_recs = normalize(duck.execute(pg_sql).df())
+    assert [c.lower() for c in s_cols] == [c.lower() for c in d_cols], (
+        f"column mismatch\n  pg: {pg_sql}\n  spark: {translated}"
+    )
+    assert s_recs == d_recs, (
+        f"value mismatch ({len(s_recs)} spark vs {len(d_recs)} duckdb rows)"
+        f"\n  pg: {pg_sql}\n  spark: {translated}"
+        f"\n  first spark: {s_recs[:3]}\n  first duckdb: {d_recs[:3]}"
+    )
+
+
+_CORPUS = {
+    "casts": """
+        SELECT o_orderkey::text AS k, (o_custkey % 10)::int8 AS b,
+               o_orderkey::float8 AS f
+        FROM orders WHERE o_orderkey < 100
+    """,
+    "decimal_cast": """
+        SELECT o_orderkey AS k, (o_totalprice::numeric(12,2))::float8 AS bal
+        FROM orders WHERE o_orderkey <= 80
+    """,
+    "typed_literal_filter": """
+        SELECT o_orderkey AS k FROM orders
+        WHERE o_orderdate >= timestamp '1999-01-01 00:00:00'
+          AND o_orderdate <  timestamp '1999-03-01 00:00:00'
+    """,
+    "string_agg_ordered": """
+        SELECT o_custkey % 5 AS g,
+               string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS s
+        FROM orders WHERE o_orderkey < 200 GROUP BY 1
+    """,
+    "ilike_and_like_op": """
+        SELECT c_name AS n FROM customer
+        WHERE c_name ILIKE 'customer#0000000%' OR c_name ~~ '%05'
+    """,
+    "regex_match_op": """
+        SELECT c_name AS n FROM customer
+        WHERE c_name ~ '^Customer#0{7}1[0-9]$'
+    """,
+    "unnest_array_ctor": """
+        SELECT unnest(ARRAY[1, 2, 3]) AS v
+    """,
+    "dollar_quotes": """
+        SELECT $$it's$$ AS a, $tag$line1 'q' line2$tag$ AS b
+    """,
+    "e_strings": r"""
+        SELECT E'a\nb' AS s, E'tab\there' AS t
+    """,
+    "json_ops": """
+        SELECT event_id AS id, props->>'k' AS k, props->'k' AS jk
+        FROM events WHERE event_id < 50
+    """,
+    "extract_epoch_dow": """
+        SELECT event_id AS id,
+               EXTRACT(EPOCH FROM ts) AS e,
+               floor(EXTRACT(EPOCH FROM ts))::int8 AS fe,
+               EXTRACT(DOW FROM ts)::int8 AS d,
+               EXTRACT(ISODOW FROM ts)::int8 AS i
+        FROM events WHERE event_id < 20
+    """,
+    "at_time_zone": """
+        SELECT event_id AS id,
+               (ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York') AS nyc
+        FROM events WHERE event_id < 20
+    """,
+    "string_functions": """
+        SELECT c_custkey AS k, split_part(c_name, '#', 2) AS tail,
+               position('mer' in c_name) AS p,
+               left(c_name, 4) AS l, right(c_name, 3) AS r
+        FROM customer WHERE c_custkey <= 20
+    """,
+    "distinct_from": """
+        SELECT o_orderkey AS k,
+               o_orderstatus IS DISTINCT FROM 'F' AS a,
+               o_orderstatus IS NOT DISTINCT FROM 'O' AS b
+        FROM orders WHERE o_orderkey < 60
+    """,
+    "conditionals": """
+        SELECT o_orderkey AS k,
+               COALESCE(NULLIF(o_orderstatus, 'F'), 'closed') AS s,
+               GREATEST(o_custkey % 7, 3) AS g, LEAST(o_custkey % 7, 3) AS l
+        FROM orders WHERE o_orderkey < 60
+    """,
+    "bool_agg_filter": """
+        SELECT o_orderstatus AS s,
+               count(*) FILTER (WHERE o_totalprice > 100000) AS big,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus
+    """,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_CORPUS))
+def test_differential_corpus(sview, duck, name):
+    """Original PG form in DuckDB vs translated form in Spark — values
+    must match exactly."""
+    assert_differential(sview, duck, _CORPUS[name])
+
+
+# --- hypothesis-driven differential fuzz over the dialect strategies ----
+# (same body/identifier strategies as test_property.py, but EXECUTED on
+# both engines instead of string-compared)
+
+_dollar_body = st.from_regex(r"[a-z0-9_ :'.%>~()-]{0,20}", fullmatch=True).filter(
+    lambda s: "$" not in s
+)
+_tag = st.from_regex(r"[a-z_][a-z0-9_]{0,6}", fullmatch=True)
+_int_type = st.sampled_from(["int8", "int4", "bigint", "float8", "text"])
+
+
+@settings(max_examples=15, deadline=None)
+@given(_dollar_body, _tag)
+def test_fuzz_dollar_quote_values_match(sview_g, duck_g, body, tag):
+    assert_differential(
+        sview_g, duck_g, f"SELECT ${tag}${body}${tag}$ AS s"
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=-10**6, max_value=10**6), _int_type)
+def test_fuzz_cast_values_match(sview_g, duck_g, n, typ):
+    assert_differential(sview_g, duck_g, f"SELECT ({n})::{typ} AS v")
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(
+            codec="ascii", exclude_characters="\\\x00", min_codepoint=32
+        ),
+        max_size=20,
+    )
+)
+def test_fuzz_string_literal_values_match(sview_g, duck_g, s):
+    lit = "'" + s.replace("'", "''") + "'"
+    assert_differential(sview_g, duck_g, f"SELECT {lit} AS v")
+
+
+# hypothesis forbids function-scoped fixtures inside @given; expose the
+# module fixtures through injectable session-scoped shims
+@pytest.fixture(scope="session")
+def _duck_session():
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="session")
+def duck_g(_duck_session):
+    return _duck_session
+
+
+@pytest.fixture(scope="session")
+def sview_g(spark):
+    tables(spark, SF_DIR)
+    return spark

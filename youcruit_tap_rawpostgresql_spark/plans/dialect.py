@@ -17,7 +17,9 @@ on Spark needs a thin dialect layer (SURVEY.md §4 deltas):
 
 Also translated: ``->``/``->>`` and the path forms ``#>``/``#>>`` (→
 ``get_json_object``), ``~``/``~*``/``!~``/``!~*`` (→ RLIKE),
-``EXTRACT(EPOCH)``, ``array_length(a, 1)``, ``strpos``, ``random()``,
+``~~``/``~~*``/``!~~``/``!~~*`` (→ LIKE/ILIKE),
+``EXTRACT(EPOCH)`` (fraction-preserving), ``array_length(a, 1)``,
+``strpos``, ``random()``,
 ``E'...'`` literals, ``to_char(ts, 'YYYY…')`` (PG format tokens → JDK
 patterns), and ``substring(x FROM 'regex')`` (→ ``regexp_extract``).
 
@@ -80,12 +82,16 @@ _TYPE_NAME = (
 )
 
 # operand for `operand::type`: quoted literal, number, function call,
-# parenthesized expr, or dotted identifier
+# parenthesized expr, or dotted identifier. Parenthesized/function
+# operands admit ONE nested paren level so a chained
+# `(x::numeric(12,2))::float8` — whose inner cast has already been
+# rewritten to CAST(...) by the time the outer :: is scanned — still
+# matches (round-6 differential-execution finding).
 _CAST_OPERAND = (
     r"('(?:[^']|'')*'"  # string literal
     r"|\d+(?:\.\d+)?"  # number
-    r"|[a-zA-Z_][\w.]*\([^()]*\)"  # simple function call
-    r"|\([^()]*\)"  # parenthesized expr (one level)
+    r"|[a-zA-Z_][\w.]*\((?:[^()]|\([^()]*\))*\)"  # function call
+    r"|\((?:[^()]|\([^()]*\))*\)"  # parenthesized expr
     r"|[a-zA-Z_][\w.]*)"  # identifier
 )
 _CAST_RE = re.compile(_CAST_OPERAND + r"\s*::\s*(" + _TYPE_NAME + r")")
@@ -352,9 +358,17 @@ _JSON_OPERAND = r"([a-zA-Z_][\w.]*|\([^()]*\))"
 # (both map to the extracted-text form: this engine models json as string)
 _JSON_EXTRACT_RE = re.compile(_JSON_OPERAND + r"\s*->>?\s*'((?:[^']|'')*)'")
 
+# expr ~~ 'pat' (PG spelling of LIKE), ~~* (ILIKE), !~~, !~~* — must be
+# rewritten BEFORE the single-~ regex ops so `~~` never half-matches as
+# `~`. Found by differential execution (round 6): `~~` reached Spark
+# untranslated and failed to parse.
+_LIKE_OP_RE = re.compile(
+    _JSON_OPERAND + r"\s*(!?~~\*?)\s*(" + _STR_LIT + r")"
+)
+
 # expr ~ 'pat' (case-sensitive match), ~* (insensitive), !~, !~*
 _REGEX_OP_RE = re.compile(
-    _JSON_OPERAND + r"\s*(!?~\*?)\s*(" + _STR_LIT + r")"
+    _JSON_OPERAND + r"\s*(!?~(?!~)\*?)\s*(" + _STR_LIT + r")"
 )
 
 # array_length(arr, 1) → size(arr)  (PG's dim argument; Spark arrays are 1-D)
@@ -605,6 +619,14 @@ def _translate_operators(sql: str) -> str:
         sql,
     )
 
+    def like_repl(m: re.Match) -> str:
+        operand, op, pat = m.group(1), m.group(2), m.group(3)
+        kw = "ILIKE" if "*" in op else "LIKE"  # Spark has native ILIKE
+        expr = f"{operand} {kw} {pat}"
+        return f"NOT ({expr})" if op.startswith("!") else expr
+
+    sql = _sub_skipping_literal_interiors(_LIKE_OP_RE, like_repl, sql)
+
     def regex_repl(m: re.Match) -> str:
         operand, op, pat = m.group(1), m.group(2), m.group(3)
         if "*" in op:  # case-insensitive: prepend the (?i) flag to the pattern
@@ -616,8 +638,16 @@ def _translate_operators(sql: str) -> str:
     sql = _sub_skipping_literal_interiors(
         _ARRAY_LENGTH_RE, lambda m: f"size({m.group(1).strip()})", sql
     )
+    # PG's EXTRACT(EPOCH) keeps fractional seconds (it returns numeric);
+    # unix_timestamp() would floor to whole seconds, silently changing
+    # sub-second data. Found by differential execution (round 6). The
+    # CAST admits DATE/STRING operands like PG does.
     sql = _sub_skipping_literal_interiors(
-        _EPOCH_RE, lambda m: f"unix_timestamp({m.group(1).strip()})", sql
+        _EPOCH_RE,
+        lambda m: (
+            f"(unix_micros(CAST({m.group(1).strip()} AS TIMESTAMP)) / 1e6)"
+        ),
+        sql,
     )
     sql = _outside_literals(
         sql,
