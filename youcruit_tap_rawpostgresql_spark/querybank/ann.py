@@ -269,10 +269,43 @@ def sim_cosine_threshold_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_centroid_stride(n: int) -> int:
+    """Deterministic IVF centroid stride for a corpus of ``n`` vectors:
+    centroids are every ``stride``-th vec_id, sized so K ≈ ⌈√n⌉ cells.
+
+    K MUST grow like √n, not n: with a fixed stride (the round-5 shape,
+    ``% 40``) K ∝ n and the n×K assignment pass is quadratic — the sf10
+    decade measured it at 220×/decade (1.5 s at sf1 → 339 s at sf10).
+    √n-K makes assignment O(n^1.5) work with O(√n) closure state and
+    keeps expected bucket size √n — the classic IVF balance point.
+
+    Cross-engine determinism: the DuckDB oracles compute the same stride
+    in SQL (``_O_STRIDE``). ceil(sqrt(n)) is evaluated in IEEE-754
+    double on both sides — sqrt is correctly rounded per IEEE, so the
+    result is engine-independent — and the floor-division is integer on
+    both sides."""
+    import math
+
+    if n <= 0:
+        return 1
+    return max(1, n // max(1, math.ceil(math.sqrt(n))))
+
+
+# SQL mirror of ivf_centroid_stride — keep the two in lockstep
+_O_STRIDE = (
+    "(SELECT GREATEST(1, count(*) // "
+    "GREATEST(1, CAST(ceil(sqrt(count(*))) AS BIGINT))) FROM embeddings)"
+)
+_O_CENT = (
+    "SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings "
+    f"WHERE vec_id % {_O_STRIDE} = 1"
+)
+
+
 def ivf_rank_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared IVF cell ranking: score every vector against the centroid set
-    (deterministic centroids = every 40th vector) and keep the top-2 cells
-    per vector → (vec_id, cent_id, crank).
+    (deterministic centroids = every ``ivf_centroid_stride(n)``-th vector,
+    K ≈ √n) and keep the top-2 cells per vector → (vec_id, cent_id, crank).
 
     One ``mapInPandas`` pass with the K×dim centroid matrix shipped in the
     task closure: the n×K score matrix lives only inside the kernel, so
@@ -293,9 +326,10 @@ def ivf_rank_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = tables(spark, sf_dir)["embeddings"]
+    stride = ivf_centroid_stride(e.count())
     cent_rows = sorted(
         bounded_collect(
-            e.filter(F.col("vec_id") % 40 == 1).select("vec_id", "embedding")
+            e.filter(F.col("vec_id") % stride == 1).select("vec_id", "embedding")
         ),
         key=lambda r: r["vec_id"],
     )
@@ -347,7 +381,7 @@ _O_CELL_COS = (
     headline=True,
     oracle=f"""
 WITH cent AS (
-  SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings WHERE vec_id % 40 = 1
+  {_O_CENT}
 ), scored AS (
   SELECT v.vec_id, c.cent_id, {_O_CELL_COS} AS ccos
   FROM embeddings v CROSS JOIN cent c
@@ -560,7 +594,7 @@ _O_PAIR_COS = (
     "dedup_semantic_cluster",
     oracle=f"""
 WITH cent AS (
-  SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings WHERE vec_id % 40 = 1
+  {_O_CENT}
 ), scored AS (
   SELECT v.vec_id, c.cent_id, {_O_CELL_COS} AS ccos
   FROM embeddings v CROSS JOIN cent c
@@ -1036,7 +1070,7 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_ivf_pq",
     oracle=f"""
 WITH cent AS (
-  SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings WHERE vec_id % 40 = 1
+  {_O_CENT}
 ), scored AS (
   SELECT v.vec_id, c.cent_id, {_O_CELL_COS} AS ccos
   FROM embeddings v CROSS JOIN cent c
@@ -1233,7 +1267,7 @@ def embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so per-cell averages are exact-int ratios; single IEEE division each
     oracle=f"""
 WITH cent AS (
-  SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings WHERE vec_id % 40 = 1
+  {_O_CENT}
 ), scored AS (
   SELECT v.vec_id, c.cent_id, {_O_CELL_COS} AS ccos
   FROM embeddings v CROSS JOIN cent c

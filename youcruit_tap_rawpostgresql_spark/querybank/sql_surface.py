@@ -95,6 +95,39 @@ def win_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pg_dialect_like_epoch",
+    oracle="""
+SELECT event_id,
+  event_type ~~ 'cl%' AS like_cl,
+  event_type ILIKE 'CL%' AS ilike_cl,
+  NOT (event_type ~~ '%ck') AS not_like_ck,
+  EXTRACT(EPOCH FROM ts) AS epoch_frac
+FROM events WHERE event_id % 7 = 0
+""",
+)
+def pg_dialect_like_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG's LIKE-operator spellings (``~~``/``~~*``/``!~~``) and
+    fraction-preserving EXTRACT(EPOCH) — the two translation defects the
+    round-6 differential-execution harness found
+    (tests/test_dialect_differential.py), now driver-checked end to end:
+    the raw PG form is translated and executed on Spark, the oracle runs
+    DuckDB's native spellings of the same predicates."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    tables(spark, sf_dir)
+    return run_sql(
+        spark,
+        "SELECT event_id, "
+        "event_type ~~ 'cl%' AS like_cl, "
+        "event_type ~~* 'CL%' AS ilike_cl, "
+        "event_type !~~ '%ck' AS not_like_ck, "
+        "EXTRACT(EPOCH FROM ts) AS epoch_frac "
+        "FROM events WHERE event_id % 7 = 0",
+        pg_dialect=True,
+    )
+
+
+@register(
     "pg_dialect_operators",
     oracle="""
 SELECT event_id,
