@@ -121,6 +121,35 @@ def test_like_operator_spellings():
     )
 
 
+def test_regexp_replace_flags_and_generate_series():
+    """PG's 4-arg regexp_replace flags form and generate_series (round-6
+    differential-execution findings: 'g' would be read as Spark's integer
+    position parameter; generate_series doesn't exist in Spark)."""
+    assert (
+        translate_pg_sql("SELECT regexp_replace(a, '[0-9]', 'x', 'g') AS r")
+        == "SELECT regexp_replace(a, '[0-9]', 'x') AS r"
+    )
+    assert (
+        translate_pg_sql("SELECT regexp_replace(a, '^c', 'K', 'gi') AS r")
+        == "SELECT regexp_replace(a, '(?i)^c', 'K') AS r"
+    )
+    # nested: inner flags handled, literals with commas/parens untouched
+    assert (
+        translate_pg_sql(
+            "SELECT regexp_replace(regexp_replace(a, ',', '(', 'g'), 'p', 'q', 'i') AS r"
+        )
+        == "SELECT regexp_replace(regexp_replace(a, ',', '('), '(?i)p', 'q') AS r"
+    )
+    # flagless 3-arg form passes through (PG replace-first vs Spark
+    # replace-all is a documented delta, not a rewrite)
+    sql = "SELECT regexp_replace(a, 'x', 'y') AS r"
+    assert translate_pg_sql(sql) == sql
+    assert (
+        translate_pg_sql("SELECT unnest(generate_series(1, 5)) AS v")
+        == "SELECT explode(sequence(1, 5)) AS v"
+    )
+
+
 def test_spark_lambda_not_mangled_by_json_rule():
     # `->` only translates when followed by a quoted key
     sql = "SELECT transform(xs, x -> x + 1) FROM t"

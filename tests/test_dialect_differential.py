@@ -34,12 +34,21 @@ Known deltas (verified by probing, excluded from the corpus):
 - double::int8: PG/DuckDB ROUND half away from zero; Spark CAST
   truncates. Corpus applies floor() first, where all engines agree.
 
-Translation DEFECTS this module found on first run (both fixed in
-plans/dialect.py, pinned in test_dialect.py):
+Translation DEFECTS this module found (all fixed in plans/dialect.py,
+pinned in test_dialect.py):
 - `~~` / `~~*` / `!~~` / `!~~*` (PG spellings of [I]LIKE) reached Spark
   untranslated and failed to parse;
 - EXTRACT(EPOCH FROM ts) lowered to unix_timestamp(), silently flooring
-  away fractional seconds (PG returns numeric with the fraction).
+  away fractional seconds (PG returns numeric with the fraction);
+- chained casts `(x::numeric(12,2))::float8` left the outer cast
+  untranslated (operand regex admitted no nested parens);
+- `regexp_replace(x, p, r, 'g')` reached Spark with the flags string in
+  the integer position-parameter slot ('g' drops — Spark is global by
+  default; 'i' becomes a (?i) pattern prefix). The FLAGLESS PG 3-arg
+  form (replace-first-only vs Spark's replace-all) stays a documented
+  delta;
+- `generate_series` doesn't exist in Spark (→ `sequence`, both ends
+  inclusive in both engines).
 """
 
 from __future__ import annotations
@@ -179,6 +188,20 @@ _CORPUS = {
                count(*) FILTER (WHERE o_totalprice > 100000) AS big,
                count(*) AS n
         FROM orders GROUP BY o_orderstatus
+    """,
+    "date_trunc_interval": """
+        SELECT event_id AS id, date_trunc('month', ts)::date::text AS m,
+               (ts + INTERVAL '1 day') AS tomorrow
+        FROM events WHERE event_id < 15
+    """,
+    "regexp_replace_flags": """
+        SELECT event_id AS id,
+               regexp_replace(event_type, '[aeiou]', '*', 'g') AS dev,
+               regexp_replace(event_type, '^C', 'K', 'gi') AS ki
+        FROM events WHERE event_id < 30
+    """,
+    "generate_series_unnest": """
+        SELECT unnest(generate_series(1, 5)) AS v
     """,
 }
 

@@ -509,6 +509,110 @@ def _normalize_dollar_quotes(sql: str) -> str:
     return "".join(out)
 
 
+def _split_top_level_args(s: str) -> list[str]:
+    """Split a function's argument text on top-level commas (quote- and
+    paren-aware)."""
+    args: list[str] = []
+    depth, start, i, n = 0, 0, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append(s[start:i])
+            start = i + 1
+        i += 1
+    args.append(s[start:])
+    return args
+
+
+_REGEXP_REPLACE_OPEN_RE = re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE)
+
+
+def _translate_regexp_replace_flags(sql: str) -> str:
+    """PG ``regexp_replace(src, pat, rep, 'flags')`` → Spark's 3-arg form
+    (Spark has no flags argument; a literal ``'g'`` there would be read
+    as the integer position parameter). ``g`` simply drops — Spark
+    replaces every match by default — and ``i`` prepends ``(?i)`` to a
+    literal pattern (non-literal patterns get ``concat('(?i)', pat)``).
+
+    Deliberately NOT rewritten: PG's FLAGLESS 3-arg form replaces only
+    the FIRST match while Spark replaces all — making Spark match that
+    would need pattern surgery regex can't do safely; write the 'g' form
+    (the common ETL spelling) for identical semantics. Balanced-paren
+    scan, one outermost call per pass, repeated to fixpoint for nested
+    calls."""
+    while True:
+        out: list[str] = []
+        i, n = 0, len(sql)
+        spans = _opaque_spans(sql)
+        changed = False
+        while i < n:
+            m = _REGEXP_REPLACE_OPEN_RE.search(sql, i)
+            if not m:
+                out.append(sql[i:])
+                break
+            if any(a <= m.start() < b for _, a, b in spans):
+                out.append(sql[i : m.end()])
+                i = m.end()
+                continue
+            depth, j = 1, m.end()
+            while j < n and depth:
+                ch = sql[j]
+                if ch == "'":
+                    k = j + 1
+                    while k < n:
+                        if sql[k] == "'":
+                            if k + 1 < n and sql[k + 1] == "'":
+                                k += 2
+                                continue
+                            break
+                        k += 1
+                    j = k + 1
+                    continue
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                j += 1
+            inner = sql[m.end() : j - 1]
+            args = _split_top_level_args(inner)
+            fm = re.fullmatch(r"\s*'([gi]*)'\s*", args[3]) if len(args) == 4 else None
+            if fm:
+                pat = args[1].strip()
+                if "i" in fm.group(1):
+                    if pat.startswith("'") and pat.endswith("'"):
+                        pat = "'(?i)" + pat[1:]
+                    else:
+                        pat = f"concat('(?i)', {pat})"
+                out.append(sql[i : m.start()])
+                out.append(f"regexp_replace({args[0].strip()}, {pat}, {args[2].strip()})")
+                changed = True
+                i = j
+            else:
+                # no flags arg on THIS call: advance just past its opener
+                # so nested regexp_replace calls inside its args still
+                # get scanned
+                out.append(sql[i : m.end()])
+                i = m.end()
+        sql = "".join(out)
+        if not changed:
+            return sql
+
+
 def _outside_literals(sql: str, fn) -> str:
     """Apply ``fn`` to the code segments only — keyword/function renames
     must never rewrite the inside of a string literal or a comment."""
@@ -827,6 +931,15 @@ def translate_pg_sql(
     )
     out = _translate_set_functions(out)
     out = _translate_operators(out)
+    out = _translate_regexp_replace_flags(out)
+    # PG generate_series(a, b[, step]) ≈ Spark sequence(a, b[, step]) —
+    # both inclusive of the stop bound (ints and timestamp+interval)
+    out = _outside_literals(
+        out,
+        lambda s: re.sub(
+            r"\bgenerate_series\s*\(", "sequence(", s, flags=re.IGNORECASE
+        ),
+    )
     out = _translate_timezone_dow(out)
     if bind and (params is not None or _PARAM_RE.search(out)):
         out = bind_params(out, params)
