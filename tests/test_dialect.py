@@ -447,15 +447,84 @@ def test_to_timestamp_to_date_pg_format(spark):
     assert translate_pg_sql(sql) == sql
 
 
-def test_distinct_on_raises_with_rewrite_recipe():
-    """PG DISTINCT ON cannot be regex-translated; the translator fails
-    loudly with the window-rewrite recipe instead of letting Spark's
-    cryptic parse error surface. The phrase inside a literal is text."""
+def test_pg_function_renames():
+    """strpos/array_to_string/starts_with/jsonb_* → the Spark builtins
+    with identical arity and semantics; string_to_array's literal
+    delimiter is regex-escaped for split. Executable parity for the
+    DuckDB-speakable ones is pinned by test_dialect_differential.py
+    (pg_string_fn_renames); the jsonb_* spellings (which DuckDB lacks)
+    are pinned here. Names inside string literals stay text."""
+    from youcruit_tap_rawpostgresql_spark.plans.dialect import translate_pg_sql
+
+    out = translate_pg_sql(
+        "SELECT jsonb_array_length(j) AS n, jsonb_object_keys(j) AS ks, "
+        "strpos(s, 'x') AS p, string_to_array(a || b, '.,') AS parts, "
+        "'strpos(a) stays' AS lit FROM t"
+    )
+    assert "json_array_length(j)" in out
+    assert "json_object_keys(j)" in out
+    assert "instr(s, 'x')" in out
+    assert "split(a || b, '\\\\.\\\\,')" in out
+    assert "'strpos(a) stays'" in out
+    # non-literal delimiter: untranslated (can't be escaped statically)
+    out = translate_pg_sql("SELECT string_to_array(s, d) FROM t")
+    assert "string_to_array(s, d)" in out
+
+
+def test_distinct_on_rewrites_to_row_number():
+    """The supported DISTINCT ON shape (single top-level SELECT, FROM,
+    matching top-level ORDER BY) structurally rewrites to the ROW_NUMBER
+    window form — with PG's null-order defaults made explicit (ASC →
+    NULLS LAST, DESC → NULLS FIRST; Spark's defaults are the opposite,
+    and which row survives depends on it). The phrase inside a literal
+    stays text. Executable parity is pinned by
+    tests/test_dialect_differential.py (distinct_on_* corpus cases,
+    DuckDB running the PG form natively)."""
+    from youcruit_tap_rawpostgresql_spark.plans.dialect import translate_pg_sql
+
+    out = translate_pg_sql(
+        "SELECT DISTINCT ON (a) a, b FROM t ORDER BY a, b DESC LIMIT 3"
+    )
+    assert "DISTINCT ON" not in out
+    assert (
+        "ROW_NUMBER() OVER (PARTITION BY a "
+        "ORDER BY a ASC NULLS LAST, b DESC NULLS FIRST)" in out
+    )
+    assert out.startswith("SELECT * EXCEPT (__don_k0, __don_rn) FROM (")
+    assert out.endswith("WHERE __don_rn = 1 ORDER BY __don_k0 ASC NULLS LAST LIMIT 3")
+    # ORDER BY naming a select-list alias: the window spec resolves
+    # against input columns only, so the alias is inlined
+    out = translate_pg_sql(
+        "SELECT DISTINCT ON (k) k, v*2 AS d FROM t ORDER BY k, d DESC"
+    )
+    assert "ORDER BY k ASC NULLS LAST, v*2 DESC NULLS FIRST" in out
+    # a WITH prefix is preserved in front of the rewritten block
+    out = translate_pg_sql(
+        "WITH c AS (SELECT * FROM t) "
+        "SELECT DISTINCT ON (k) k FROM c ORDER BY k"
+    )
+    assert out.startswith("WITH c AS (SELECT * FROM t) SELECT * EXCEPT")
+    out = translate_pg_sql("SELECT 'use DISTINCT ON (a) here' AS tip")
+    assert "DISTINCT ON (a)" in out
+
+
+def test_distinct_on_unsupported_shapes_raise_with_recipe():
+    """Anything outside the supported shape — no ORDER BY (PG keeps an
+    arbitrary row: no deterministic rewrite exists), ORDER BY not led by
+    the ON expressions (invalid in PG too), a subquery position, a
+    top-level set op, multiple DISTINCT ON — fails loudly with the
+    manual ROW_NUMBER recipe instead of Spark's cryptic parse error."""
     import pytest
 
     from youcruit_tap_rawpostgresql_spark.plans.dialect import translate_pg_sql
 
-    with pytest.raises(ValueError, match="ROW_NUMBER"):
-        translate_pg_sql("SELECT DISTINCT ON (a) a, b FROM t ORDER BY a, b")
-    out = translate_pg_sql("SELECT 'use DISTINCT ON (a) here' AS tip")
-    assert "DISTINCT ON (a)" in out
+    for bad in [
+        "SELECT DISTINCT ON (a) a, b FROM t",
+        "SELECT DISTINCT ON (a) a, b FROM t ORDER BY b",
+        "SELECT * FROM (SELECT DISTINCT ON (a) a FROM t ORDER BY a) x",
+        "SELECT DISTINCT ON (a) a FROM t ORDER BY a UNION SELECT 1",
+        "SELECT DISTINCT ON (a) a FROM t ORDER BY a, "
+        "(SELECT DISTINCT ON (b) b FROM u ORDER BY b)",
+    ]:
+        with pytest.raises(ValueError, match="ROW_NUMBER"):
+            translate_pg_sql(bad)

@@ -80,13 +80,23 @@ _spec.loader.exec_module(_check_oracle)
 normalize = _check_oracle.normalize
 
 
-@pytest.fixture(scope="module")
-def duck():
+def _pg_faithful_duck() -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # DuckDB's stock default null order is NULLS LAST on BOTH directions;
+    # PG's is nulls-largest (LAST on ASC, FIRST on DESC). This module's
+    # job is to proxy PG, so pin the PG rule — it changes which row
+    # DISTINCT ON keeps when a DESC tiebreak column is NULL.
+    con.execute("SET default_null_order='nulls_last_on_asc_first_on_desc'")
     for t in _TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
+    return con
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = _pg_faithful_duck()
     yield con
     con.close()
 
@@ -203,6 +213,49 @@ _CORPUS = {
     "generate_series_unnest": """
         SELECT unnest(generate_series(1, 5)) AS v
     """,
+    # DISTINCT ON: DuckDB implements the PG syntax natively (with the
+    # fixture's PG null-order pragma); Spark runs the structural
+    # ROW_NUMBER rewrite (_rewrite_distinct_on). The DESC tiebreak with
+    # manufactured NULLs exercises the PG null-default injection — the
+    # case where a naive rewrite silently keeps the wrong row.
+    "distinct_on_latest_order": """
+        SELECT DISTINCT ON (o_custkey) o_custkey, o_orderdate, o_orderkey
+        FROM orders WHERE o_custkey < 500
+        ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+    """,
+    "distinct_on_null_desc_tiebreak": """
+        SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey,
+          (CASE WHEN c_acctbal < 0 THEN NULL
+                ELSE c_acctbal END)::float8 AS bal
+        FROM customer
+        ORDER BY c_nationkey, bal DESC, c_custkey
+    """,
+    "distinct_on_limit_desc_key": """
+        SELECT DISTINCT ON (s_nationkey) s_nationkey, s_name
+        FROM supplier
+        ORDER BY s_nationkey DESC, s_name LIMIT 7
+    """,
+    # PG string/array function spellings Spark lacks: strpos → instr,
+    # array_to_string → array_join (NULL-skipping in PG, DuckDB, and
+    # Spark alike), starts_with → startswith, string_to_array → split
+    # with the literal delimiter regex-escaped (empty fields kept:
+    # 'a||b' → [a, '', b])
+    "pg_string_fn_renames": """
+        SELECT n_name,
+               strpos(n_name, 'AN') AS pos,
+               starts_with(n_name, 'A') AS sw,
+               array_to_string(string_to_array(n_name, 'A'), '|') AS rejoin,
+               string_to_array(n_name || '||x', '|') AS parts
+        FROM nation
+    """,
+    # PG LATERAL passes through untranslated: Spark 4 executes lateral
+    # correlated subqueries natively with identical semantics
+    "lateral_subquery_passthrough": """
+        SELECT o_orderkey, big.v
+        FROM orders,
+             LATERAL (SELECT o_totalprice * 2 AS v) big
+        WHERE o_orderkey < 100
+    """,
 }
 
 
@@ -256,11 +309,7 @@ def test_fuzz_string_literal_values_match(sview_g, duck_g, s):
 # module fixtures through injectable session-scoped shims
 @pytest.fixture(scope="session")
 def _duck_session():
-    con = duckdb.connect()
-    for t in _TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+    con = _pg_faithful_duck()
     yield con
     con.close()
 

@@ -669,6 +669,67 @@ def _translate_array_ctors(sql: str) -> str:
     return "".join(out)
 
 
+_PG_FN_RENAMES = [
+    ("strpos", "instr"),
+    ("array_to_string", "array_join"),
+    ("starts_with", "startswith"),
+    ("jsonb_array_length", "json_array_length"),
+    ("jsonb_object_keys", "json_object_keys"),
+]
+
+_STRING_TO_ARRAY_OPEN_RE = re.compile(r"\bstring_to_array\s*\(", re.IGNORECASE)
+_STR_LIT_ONLY_RE = re.compile(r"\s*'(?:[^']|'')*'\s*\Z")
+
+
+def _translate_string_to_array(sql: str) -> str:
+    """PG ``string_to_array(s, 'delim')`` → Spark ``split(s, 'regex')``.
+
+    PG's delimiter is a LITERAL string; Spark's is a Java regex, so the
+    delimiter's characters are regex-escaped at translation time (which
+    is why only the string-literal-delimiter form is translated — a
+    column-valued delimiter can't be escaped statically and is left
+    untouched to fail loudly). Both engines keep empty fields
+    ('a,,b' → [a, '', b]) and return NULL on NULL input. Operand and
+    argument splitting are quote- and paren-aware (masked scan +
+    _split_top_level_args), so concatenations and nested calls work."""
+    while True:
+        mask = _masked(sql)
+        changed = False
+        out: list[str] = []
+        i = 0
+        while True:
+            m = _STRING_TO_ARRAY_OPEN_RE.search(mask, i)
+            if m is None:
+                out.append(sql[i:])
+                break
+            open_i = m.end() - 1
+            close_i = _matching_paren(mask, open_i)
+            args = (
+                _split_top_level_args(sql[open_i + 1 : close_i])
+                if close_i > 0
+                else []
+            )
+            if len(args) == 2 and _STR_LIT_ONLY_RE.fullmatch(args[1]):
+                delim = args[1].strip()[1:-1].replace("''", "'")
+                escaped = "".join(
+                    ch if ch.isalnum() or ch == " " else "\\\\" + ch
+                    for ch in delim
+                )
+                lit = "'" + escaped.replace("'", "''") + "'"
+                out.append(sql[i : m.start()])
+                out.append(f"split({args[0].strip()}, {lit})")
+                changed = True
+                i = close_i + 1
+            else:
+                # unsupported arg shape: advance past the opener so any
+                # nested call inside the args is still scanned
+                out.append(sql[i : m.end()])
+                i = m.end()
+        sql = "".join(out)
+        if not changed:
+            return sql
+
+
 def _translate_operators(sql: str) -> str:
     def similar_repl(m: re.Match) -> str:
         operand, neg, lit = m.group(1), m.group(2), m.group(3)
@@ -689,6 +750,24 @@ def _translate_operators(sql: str) -> str:
             r"\bgen_random_uuid\s*\(\s*\)", "uuid()", s, flags=re.IGNORECASE
         ),
     )
+    # straight function renames where the Spark builtin has identical
+    # arity and semantics (verified differentially where DuckDB speaks
+    # the PG name — tests/test_dialect_differential.py):
+    #   strpos(s, sub)            → instr        (1-based, 0 if absent)
+    #   array_to_string(a, d[,n]) → array_join   (both skip NULLs; the
+    #                                             3-arg null-replacement
+    #                                             form matches too)
+    #   starts_with(s, p)         → startswith
+    #   jsonb_array_length / jsonb_object_keys → the json_* names Spark
+    #                                             implements
+    for pg_name, spark_name in _PG_FN_RENAMES:
+        sql = _outside_literals(
+            sql,
+            lambda s, p=pg_name, r=spark_name: re.sub(
+                rf"\b{p}\s*\(", f"{r}(", s, flags=re.IGNORECASE
+            ),
+        )
+    sql = _translate_string_to_array(sql)
     # path-array form first: its quoted operand would otherwise half-match
     # the single-key -> rule
     def path_repl(m: re.Match) -> str:
@@ -880,6 +959,201 @@ def _translate_timezone_dow(sql: str) -> str:
     return sql
 
 
+def _masked(sql: str) -> str:
+    """Same-length copy with literal/comment interiors blanked to spaces —
+    structural scans (keyword + paren depth) run on this so data never
+    looks like syntax."""
+    return "".join(
+        text if kind == "code" else " " * len(text)
+        for kind, text in _scan_segments(sql)
+    )
+
+
+def _matching_paren(mask: str, open_i: int) -> int:
+    depth = 0
+    for j in range(open_i, len(mask)):
+        if mask[j] == "(":
+            depth += 1
+        elif mask[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    return -1
+
+
+def _top_level_search(
+    pattern: re.Pattern, mask: str, start: int, end: int | None = None
+) -> re.Match | None:
+    """First match of ``pattern`` in ``mask[start:end]`` at paren depth 0
+    relative to ``start`` (the mask has literal parens blanked already)."""
+    end = len(mask) if end is None else end
+    for m in pattern.finditer(mask, start, end):
+        if mask.count("(", start, m.start()) == mask.count(")", start, m.start()):
+            return m
+    return None
+
+
+_DON_OPEN_RE = re.compile(r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
+_FROM_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_SETOP_RE = re.compile(r"\b(UNION|INTERSECT|EXCEPT)\b", re.IGNORECASE)
+_ORDER_TAIL_RE = re.compile(r"\b(LIMIT|OFFSET|FETCH|FOR)\b", re.IGNORECASE)
+_ORD_SUFFIX_RE = re.compile(
+    r"(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*$", re.IGNORECASE
+)
+_SELECT_ALIAS_RE = re.compile(r"\s+AS\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE)
+
+_DON_RECIPE = (
+    "rewrite as ROW_NUMBER() OVER (PARTITION BY <on-exprs> "
+    "ORDER BY <order>) = 1 (see the distinct_on_latest query for the "
+    "pattern)"
+)
+
+
+def _norm_expr(e: str) -> str:
+    return " ".join(e.split()).lower()
+
+
+def _parse_order_item(item: str) -> tuple[str, str, str]:
+    """``expr [ASC|DESC] [NULLS FIRST|LAST]`` → (expr, dir, nulls) with
+    POSTGRES defaults filled in: PG sorts NULLS LAST on ASC and NULLS
+    FIRST on DESC (nulls largest); Spark's defaults are the opposite
+    (nulls smallest), so the rewrite always emits the qualifier —
+    which row survives the DISTINCT ON depends on it."""
+    m = _ORD_SUFFIX_RE.search(item)
+    expr = item[: m.start()].strip() if m else item.strip()
+    direction = (m.group(1) or "ASC").upper() if m else "ASC"
+    nulls = m.group(2).upper() if m and m.group(2) else (
+        "FIRST" if direction == "DESC" else "LAST"
+    )
+    return expr, direction, nulls
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    """Structurally rewrite PG ``SELECT DISTINCT ON (k...) ... ORDER BY
+    k..., tiebreak...`` into the ROW_NUMBER window form Spark executes.
+
+    The reference ships this syntax verbatim to PostgreSQL
+    (reference tap_rawpostgresql/client.py:300-304 — PG SQL in, PG
+    semantics out); Spark has no DISTINCT ON, so the supported shape —
+    a single top-level SELECT DISTINCT ON with a FROM, a top-level
+    ORDER BY whose leftmost expressions match the ON expressions (PG's
+    own validity rule), no top-level set operation — becomes
+
+        SELECT * EXCEPT (__don_k0.., __don_rn) FROM (
+          SELECT <list>, <on_i> AS __don_k{i}..,
+                 ROW_NUMBER() OVER (PARTITION BY <on..>
+                                    ORDER BY <order.. w/ PG null defaults>)
+                   AS __don_rn
+          FROM ...) __don
+        WHERE __don_rn = 1 ORDER BY __don_k0.. [LIMIT/OFFSET tail]
+
+    The ON keys are re-projected under reserved names so the outer
+    ORDER BY (PG returns rows in ORDER BY order) never depends on the
+    select list projecting them. ORDER BY items naming a select-list
+    alias are inlined (Spark windows resolve against input columns
+    only). Any other shape raises with the manual rewrite recipe."""
+    mask = _masked(sql)
+    m = _DON_OPEN_RE.search(mask)
+    if m is None:
+        # bare "DISTINCT ON (" not preceded by SELECT (or split oddly):
+        # nothing we can soundly rewrite — loud error below if present
+        if re.search(r"\bDISTINCT\s+ON\s*\(", mask, re.IGNORECASE):
+            raise ValueError(
+                "PG DISTINCT ON in an unsupported position; " + _DON_RECIPE
+            )
+        return sql
+
+    def unsupported(why: str) -> ValueError:
+        return ValueError(
+            f"PG DISTINCT ON auto-rewrite supports a single top-level "
+            f"SELECT DISTINCT ON with FROM and a matching top-level "
+            f"ORDER BY ({why}); " + _DON_RECIPE
+        )
+
+    if _DON_OPEN_RE.search(mask, m.end()) or re.search(
+        r"\bDISTINCT\s+ON\s*\(", mask[: m.start()], re.IGNORECASE
+    ):
+        raise unsupported("found more than one DISTINCT ON")
+    if mask.count("(", 0, m.start()) != mask.count(")", 0, m.start()):
+        raise unsupported("this one is inside a subquery")
+    if _top_level_search(_SETOP_RE, mask, m.end()):
+        raise unsupported("a top-level set operation follows")
+
+    open_i = m.end() - 1
+    close_i = _matching_paren(mask, open_i)
+    if close_i < 0:
+        raise unsupported("unbalanced ON (...)")
+    on_exprs = [
+        a.strip() for a in _split_top_level_args(sql[open_i + 1 : close_i])
+    ]
+    from_m = _top_level_search(_FROM_RE, mask, close_i + 1)
+    if from_m is None:
+        raise unsupported("no top-level FROM")
+    select_list = sql[close_i + 1 : from_m.start()].strip()
+    order_m = _top_level_search(_ORDER_BY_RE, mask, from_m.end())
+    if order_m is None:
+        raise unsupported(
+            "no top-level ORDER BY — PG picks an arbitrary row per group "
+            "there, which no deterministic rewrite can reproduce"
+        )
+    body = sql[from_m.start() : order_m.start()].rstrip()
+    tail_m = _top_level_search(_ORDER_TAIL_RE, mask, order_m.end())
+    order_end = tail_m.start() if tail_m else len(sql)
+    order_text = sql[order_m.end() : order_end].strip().rstrip(";").strip()
+    tail = sql[order_end:].strip().rstrip(";").strip() if tail_m else ""
+    order_items = [
+        _parse_order_item(a) for a in _split_top_level_args(order_text)
+    ]
+    if len(order_items) < len(on_exprs):
+        raise unsupported("ORDER BY has fewer expressions than ON")
+
+    # select-list aliases, for inlining alias references in ON/ORDER BY
+    # (PG resolves them against the select list; Spark window specs
+    # resolve against input columns only)
+    alias_map: dict[str, str] = {}
+    for item in _split_top_level_args(select_list):
+        am = _SELECT_ALIAS_RE.search(item)
+        if am:
+            alias_map[am.group(1).lower()] = item[: am.start()].strip()
+
+    def resolve(expr: str) -> str:
+        return alias_map.get(_norm_expr(expr), expr.strip())
+
+    # PG validity rule: the leftmost ORDER BY expressions must match the
+    # DISTINCT ON expressions (compared after alias resolution)
+    for on, (oexpr, _d, _n) in zip(on_exprs, order_items):
+        if _norm_expr(resolve(on)) != _norm_expr(resolve(oexpr)):
+            raise unsupported(
+                f"ORDER BY must start with the ON expressions "
+                f"(PG's own rule): {on!r} vs {oexpr!r}"
+            )
+
+    keys = [f"__don_k{i}" for i in range(len(on_exprs))]
+    key_projs = ", ".join(
+        f"{resolve(on)} AS {k}" for on, k in zip(on_exprs, keys)
+    )
+    part = ", ".join(resolve(on) for on in on_exprs)
+    win_order = ", ".join(
+        f"{resolve(e)} {d} NULLS {n}" for e, d, n in order_items
+    )
+    outer_order = ", ".join(
+        f"{k} {d} NULLS {n}"
+        for k, (_e, d, n) in zip(keys, order_items)
+    )
+    inner = (
+        f"SELECT {select_list}, {key_projs}, ROW_NUMBER() OVER "
+        f"(PARTITION BY {part} ORDER BY {win_order}) AS __don_rn {body}"
+    )
+    rewritten = (
+        f"SELECT * EXCEPT ({', '.join(keys)}, __don_rn) FROM ({inner}) "
+        f"__don WHERE __don_rn = 1 ORDER BY {outer_order}"
+    )
+    if tail:
+        rewritten += " " + tail
+    return sql[: m.start()] + rewritten
+
+
 def translate_pg_sql(
     sql: str,
     params: Mapping[str, Any] | None = None,
@@ -896,22 +1170,10 @@ def translate_pg_sql(
     # single-quoted literals only
     sql = _normalize_dollar_quotes(sql)
     # DISTINCT ON is a structural PG-ism (needs the ORDER BY context to
-    # rewrite as a row_number window) — regex translation would be
-    # unsound, and Spark's own parse error for it is cryptic; fail with
-    # the rewrite recipe instead
-    probe = _outside_literals(
-        sql,
-        lambda s: re.sub(
-            r"\bDISTINCT\s+ON\s*\(", "\x00DON\x00", s, flags=re.IGNORECASE
-        ),
-    )
-    if "\x00DON\x00" in probe:
-        raise ValueError(
-            "PG DISTINCT ON (...) has no regex-safe Spark translation; "
-            "rewrite as ROW_NUMBER() OVER (PARTITION BY <on-exprs> "
-            "ORDER BY <order>) = 1 (see the distinct_on_latest query for "
-            "the pattern)"
-        )
+    # rewrite as a row_number window) — handled by a masked structural
+    # scan, not regex: the supported single-block shape is rewritten,
+    # anything else raises with the manual recipe
+    sql = _rewrite_distinct_on(sql)
     # naive-literal AT TIME ZONE next — see _ATZ_NAIVE_LITERAL_RE: after
     # typed-literal translation the naive/timestamptz distinction is gone
     out = _sub_skipping_literal_interiors(

@@ -128,6 +128,42 @@ def pg_dialect_like_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pg_dialect_distinct_on",
+    oracle="""
+SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey,
+  CAST(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS DOUBLE)
+    AS bal
+FROM customer
+ORDER BY c_nationkey, bal DESC NULLS FIRST, c_custkey
+""",
+)
+def pg_dialect_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ``SELECT DISTINCT ON`` shipped verbatim, as a reference user
+    would (reference tap_rawpostgresql/client.py:300-304 sends stream SQL
+    straight to PG): the dialect layer structurally rewrites it to the
+    ROW_NUMBER window form (``_rewrite_distinct_on``), injecting PG's
+    null-order defaults (DESC → NULLS FIRST) so the surviving row matches
+    PG when the tiebreak column is NULL. The oracle runs DuckDB's native
+    DISTINCT ON with the null order spelled explicitly (DuckDB's own
+    default, nulls-always-last, diverges from PG on DESC).
+
+    Scale shape: one hash exchange on the ON key; Spark 4's
+    WindowGroupLimit bounds the rank<=1 window map-side."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    tables(spark, sf_dir)
+    return run_sql(
+        spark,
+        "SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, "
+        "(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END)::float8 "
+        "AS bal "
+        "FROM customer "
+        "ORDER BY c_nationkey, bal DESC, c_custkey",
+        pg_dialect=True,
+    )
+
+
+@register(
     "pg_dialect_operators",
     oracle="""
 SELECT event_id,
