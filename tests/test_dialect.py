@@ -447,6 +447,35 @@ def test_to_timestamp_to_date_pg_format(spark):
     assert translate_pg_sql(sql) == sql
 
 
+def test_cast_deeply_nested_operand():
+    """Round-6 sqlsmith finds: `::` on an operand with arbitrary paren
+    nesting (the old regex admitted one level) and LIKE/regex operators
+    with a string-literal left operand (`'x' ~~ 'p'`)."""
+    from youcruit_tap_rawpostgresql_spark.plans.dialect import translate_pg_sql
+
+    out = translate_pg_sql(
+        "SELECT sum((CASE WHEN (nullif(a, 3) IS NOT NULL) THEN b "
+        "ELSE c END))::int8 AS s"
+    )
+    assert out == (
+        "SELECT CAST(sum((CASE WHEN (nullif(a, 3) IS NOT NULL) THEN b "
+        "ELSE c END)) AS bigint) AS s"
+    )
+    assert translate_pg_sql("SELECT ('BUILD' ~~ '%a%') AS x") == (
+        "SELECT ('BUILD' LIKE '%a%') AS x"
+    )
+    # named bind parameter keeps its marker through the cast
+    assert translate_pg_sql("SELECT :p::int8 AS v", bind=False) == (
+        "SELECT CAST(:p AS bigint) AS v"
+    )
+    # `::`-looking text inside literals is data on BOTH sides
+    assert translate_pg_sql("SELECT 'a::int8' AS v") == "SELECT 'a::int8' AS v"
+    assert (
+        translate_pg_sql("SELECT x || '::int8' AS v")
+        == "SELECT x || '::int8' AS v"
+    )
+
+
 def test_pg_function_renames():
     """strpos/array_to_string/starts_with/jsonb_* → the Spark builtins
     with identical arity and semantics; string_to_array's literal

@@ -1,0 +1,188 @@
+"""Grammar-driven differential fuzzing of the PG dialect layer — a
+deterministic mini-sqlsmith.
+
+test_dialect_differential.py executes a HAND-PICKED corpus on both
+engines; this module closes the gap sqlsmith closes for real databases:
+RANDOM well-typed queries, generated from a small typed grammar over the
+fixture tables, each executed as-written by DuckDB (proxying PG, with
+the PG null-order pragma) and as-translated by Spark, value-compared
+order-insensitively. A fixed seed makes every run identical — a failure
+reproduces by index, and the corpus only changes when the grammar does.
+
+The grammar deliberately generates the PG-isms the dialect layer
+translates (``::`` casts, ``~~``/ILIKE, strpos/starts_with/
+string_to_array/array_to_string, dollar-quoted literals, DISTINCT ON,
+nullif/CASE) and deliberately AVOIDS the documented engine deltas
+(integer ``/``, unanchored ``~``, SIMILAR TO, float-producing
+expressions — normalize() compares floats by exact repr, so the grammar
+stays in int/string/bool/array-of-string territory where all three
+engines are bit-identical).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+# reuse the executable-parity harness + fixtures (sview_g/duck_g are
+# session-scoped shims defined there)
+from tests.test_dialect_differential import (  # noqa: F401
+    assert_differential,
+    duck_g,
+    sview_g,
+    _duck_session,
+)
+
+_TABLES = {
+    "nation": {
+        "int": ["n_nationkey", "n_regionkey"],
+        "str": ["n_name"],
+        "key": "n_nationkey",
+    },
+    "customer": {
+        "int": ["c_custkey", "c_nationkey"],
+        "str": ["c_name", "c_mktsegment"],
+        "key": "c_custkey",
+    },
+}
+
+_WORDS = ["ASIA", "BUILD", "auto", "Express", "steel", "%", "a e", ""]
+_LIKE_PATS = ["A%", "%a%", "%ER", "C_%", "%e%a%"]
+
+
+def _gen_int(r: random.Random, t: dict, d: int) -> str:
+    if d <= 0:
+        return r.choice(t["int"] + [str(r.randint(0, 9))])
+    pick = r.randrange(8)
+    a = _gen_int(r, t, d - 1)
+    if pick == 0:
+        return f"({a} + {_gen_int(r, t, d - 1)})"
+    if pick == 1:
+        return f"({a} - {_gen_int(r, t, d - 1)})"
+    if pick == 2:
+        return f"({a} * {r.randint(0, 3)})"
+    if pick == 3:
+        return f"abs({a})"
+    if pick == 4:
+        return f"length({_gen_str(r, t, d - 1)})"
+    if pick == 5:
+        return f"strpos({_gen_str(r, t, d - 1)}, '{r.choice('AEIOaeio ')}')"
+    if pick == 6:
+        return f"({a})::{r.choice(['int4', 'int8', 'bigint'])}"
+    return (
+        f"(CASE WHEN {_gen_bool(r, t, d - 1)} THEN {a} "
+        f"ELSE {_gen_int(r, t, d - 1)} END)"
+    )
+
+
+def _str_lit(r: random.Random) -> str:
+    w = r.choice(_WORDS)
+    if r.randrange(4) == 0 and "$" not in w:
+        tag = r.choice(["", "q", "x1"])
+        return f"${tag}${w}${tag}$"
+    return "'" + w.replace("'", "''") + "'"
+
+
+def _gen_str(r: random.Random, t: dict, d: int) -> str:
+    if d <= 0:
+        return r.choice(t["str"]) if r.randrange(3) else _str_lit(r)
+    pick = r.randrange(8)
+    a = _gen_str(r, t, d - 1)
+    if pick == 0:
+        return f"upper({a})"
+    if pick == 1:
+        return f"lower({a})"
+    if pick == 2:
+        return f"({a} || {_gen_str(r, t, d - 1)})"
+    if pick == 3:
+        return f"substr({a}, {r.randint(1, 4)}, {r.randint(0, 6)})"
+    if pick == 4:
+        return f"split_part({a}, '{r.choice([' ', 'a', '#'])}', {r.randint(1, 3)})"
+    if pick == 5:
+        return f"replace({a}, '{r.choice(['a', 'E', ' '])}', '{r.choice(['_', '', 'xy'])}')"
+    if pick == 6:
+        return f"left({a}, {r.randint(0, 5)})"
+    return f"({_gen_int(r, t, d - 1)})::text"
+
+
+def _gen_bool(r: random.Random, t: dict, d: int) -> str:
+    pick = r.randrange(7 if d > 0 else 5)
+    if pick == 0:
+        op = r.choice(["=", "<", ">", "<=", ">=", "<>"])
+        return f"({_gen_int(r, t, d - 1)} {op} {_gen_int(r, t, d - 1)})"
+    if pick == 1:
+        op = r.choice(["ILIKE", "~~", "LIKE", "NOT LIKE"])
+        return f"({_gen_str(r, t, d - 1)} {op} '{r.choice(_LIKE_PATS)}')"
+    if pick == 2:
+        return f"starts_with({_gen_str(r, t, d - 1)}, '{r.choice('ACES')}')"
+    if pick == 3:
+        return (
+            f"(nullif({_gen_int(r, t, d - 1)}, {r.randint(0, 5)}) "
+            f"IS {r.choice(['NULL', 'NOT NULL'])})"
+        )
+    if pick == 4:
+        items = ", ".join(_str_lit(r) for _ in range(r.randint(1, 3)))
+        return f"({_gen_str(r, t, d - 1)} IN ({items}))"
+    if pick == 5:
+        return f"({_gen_bool(r, t, d - 1)} AND {_gen_bool(r, t, d - 1)})"
+    return f"(NOT {_gen_bool(r, t, d - 1)})"
+
+
+def gen_query(i: int) -> str:
+    """Deterministic query #i (the seed folds in the index)."""
+    r = random.Random(20260815 * 1000 + i)
+    tname = r.choice(list(_TABLES))
+    t = _TABLES[tname]
+    shape = r.randrange(4)
+    if shape == 0:  # projection (+ optional filter)
+        exprs = [
+            f"{g(r, t, r.randint(1, 2))} AS e{k}"
+            for k, g in enumerate(
+                r.choices([_gen_int, _gen_str, _gen_bool], k=r.randint(2, 4))
+            )
+        ]
+        sql = f"SELECT {t['key']}, {', '.join(exprs)} FROM {tname}"
+        if r.randrange(2):
+            sql += f" WHERE {_gen_bool(r, t, 2)}"
+        return sql
+    if shape == 1:  # grouped aggregation (int-exact aggregates only)
+        g = _gen_str(r, t, r.randint(1, 2))
+        sql = (
+            # sum is ::int8-cast: DuckDB's sum(int) is HUGEINT, which
+            # pandas renders as float — a harness artifact, not a delta
+            f"SELECT {g} AS grp, count(*) AS n, "
+            f"sum({_gen_int(r, t, 1)})::int8 AS s, "
+            f"min({_gen_int(r, t, 1)}) AS mn, "
+            f"max({_gen_str(r, t, 1)}) AS mx "
+            f"FROM {tname}"
+        )
+        if r.randrange(2):
+            sql += f" WHERE {_gen_bool(r, t, 1)}"
+        sql += " GROUP BY grp"
+        if r.randrange(3) == 0:
+            sql += f" HAVING count(*) > {r.randint(0, 2)}"
+        return sql
+    if shape == 2:  # DISTINCT ON through the structural rewrite
+        on = _gen_str(r, t, r.randint(1, 2))
+        return (
+            f"SELECT DISTINCT ON ({on}) {on} AS g, {t['key']} AS k, "
+            f"{_gen_int(r, t, 1)} AS v FROM {tname} "
+            f"ORDER BY {on}{' DESC' if r.randrange(2) else ''}, {t['key']}"
+        )
+    # string_to_array/array_to_string round-trip (array-typed output)
+    s = _gen_str(r, t, 1)
+    delim = r.choice([" ", "a", "#", ". "])
+    return (
+        f"SELECT {t['key']}, string_to_array({s}, '{delim}') AS parts, "
+        f"array_to_string(string_to_array({s}, '{delim}'), '|') AS rejoin "
+        f"FROM {tname}"
+    )
+
+
+N_CASES = 120
+
+
+@pytest.mark.parametrize("i", range(N_CASES))
+def test_sqlsmith_differential(sview_g, duck_g, i):
+    assert_differential(sview_g, duck_g, gen_query(i))

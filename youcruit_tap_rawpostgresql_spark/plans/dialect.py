@@ -81,21 +81,6 @@ _TYPE_NAME = (
     r"[a-zA-Z_]\w*)(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"
 )
 
-# operand for `operand::type`: quoted literal, number, function call,
-# parenthesized expr, or dotted identifier. Parenthesized/function
-# operands admit ONE nested paren level so a chained
-# `(x::numeric(12,2))::float8` — whose inner cast has already been
-# rewritten to CAST(...) by the time the outer :: is scanned — still
-# matches (round-6 differential-execution finding).
-_CAST_OPERAND = (
-    r"('(?:[^']|'')*'"  # string literal
-    r"|\d+(?:\.\d+)?"  # number
-    r"|[a-zA-Z_][\w.]*\((?:[^()]|\([^()]*\))*\)"  # function call
-    r"|\((?:[^()]|\([^()]*\))*\)"  # parenthesized expr
-    r"|[a-zA-Z_][\w.]*)"  # identifier
-)
-_CAST_RE = re.compile(_CAST_OPERAND + r"\s*::\s*(" + _TYPE_NAME + r")")
-
 _TYPED_LITERAL_RE = re.compile(
     r"\b(timestamptz|timestamp|date|time|uuid|interval)\s+('(?:[^']|'')*')",
     re.IGNORECASE,
@@ -208,18 +193,93 @@ def _sub_skipping_literal_interiors(pattern: re.Pattern, repl, sql: str) -> str:
     return pattern.sub(guarded, sql)
 
 
+_DCOLON_RE = re.compile(r"::")
+_TYPE_AT_RE = re.compile(r"\s*(" + _TYPE_NAME + r")")
+
+
 def _translate_casts(sql: str) -> str:
-    # repeat to handle chained casts like x::text::int; matches beginning
-    # inside string literals ('foo::bar') are data, not casts
-    prev = None
-    while prev != sql:
-        prev = sql
-        sql = _sub_skipping_literal_interiors(
-            _CAST_RE,
-            lambda m: f"CAST({m.group(1)} AS {_rename_type(m.group(2))})",
-            sql,
-        )
-    return sql
+    """``operand::type`` → ``CAST(operand AS type)`` via a masked
+    structural scan: the operand is found by walking BACKWARD from the
+    ``::`` (balanced parens on the literal-blanked mask, then an
+    adjacent callee identifier, a whole string literal, or an
+    identifier/number/``:param`` token), so arbitrarily nested operands
+    work — ``sum((CASE WHEN p THEN a ELSE b END))::int8`` was missed by
+    the bounded-depth regex this replaces (round-6 sqlsmith finding).
+    Left-to-right with restart handles chained casts (``x::text::int``
+    — the rewritten ``CAST(...)`` becomes the next operand)."""
+    while True:
+        mask = _masked(sql)
+        spans = _opaque_spans(sql)
+        pos = 0
+        changed = False
+        while True:
+            m = _DCOLON_RE.search(mask, pos)
+            if m is None:
+                break
+            tm = _TYPE_AT_RE.match(sql, m.end())
+            if tm and any(
+                tm.start(1) < b and a < tm.end(1) for _k, a, b in spans
+            ):
+                tm = None  # "type" text actually inside a literal/comment
+            j = m.start() - 1
+            while j >= 0 and sql[j] in " \t\n\r":
+                j -= 1
+            start = None
+            if j >= 0 and tm is not None:
+                lit = next(
+                    (
+                        (k, a, b)
+                        for k, a, b in spans
+                        if a <= j < b and k == "lit"
+                    ),
+                    None,
+                )
+                if lit is not None:
+                    start = lit[1]  # 'literal'::type
+                elif mask[j] == ")":
+                    depth, k = 0, j
+                    while k >= 0:
+                        if mask[k] == ")":
+                            depth += 1
+                        elif mask[k] == "(":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        k -= 1
+                    if k >= 0 and depth == 0:
+                        start = k
+                        i2 = k - 1  # adjacent callee: f(x)::t
+                        while i2 >= 0 and (
+                            sql[i2].isalnum() or sql[i2] in "_."
+                        ):
+                            i2 -= 1
+                        if i2 < k - 1:
+                            start = i2 + 1
+                elif sql[j].isalnum() or sql[j] in "_.":
+                    i2 = j
+                    while i2 >= 0 and (sql[i2].isalnum() or sql[i2] in "_."):
+                        i2 -= 1
+                    start = i2 + 1
+                    # a :param operand keeps its marker (single colon)
+                    if (
+                        i2 >= 0
+                        and sql[i2] == ":"
+                        and (i2 == 0 or sql[i2 - 1] != ":")
+                    ):
+                        start = i2
+            if start is None or tm is None:
+                pos = m.end()
+                continue
+            operand = sql[start : m.start()].rstrip()
+            sql = (
+                sql[:start]
+                + f"CAST({operand} AS {_rename_type(tm.group(1))})"
+                + sql[tm.end() :]
+            )
+            changed = True
+            break  # string changed: re-mask and rescan from the top
+        if not changed:
+            return sql
 
 
 def _translate_typed_literals(sql: str) -> str:
@@ -358,17 +418,23 @@ _JSON_OPERAND = r"([a-zA-Z_][\w.]*|\([^()]*\))"
 # (both map to the extracted-text form: this engine models json as string)
 _JSON_EXTRACT_RE = re.compile(_JSON_OPERAND + r"\s*->>?\s*'((?:[^']|'')*)'")
 
+# LIKE/regex-op left operand: also admits a string LITERAL ('x' ~~ 'p'
+# is legal PG and showed up untranslated in the round-6 sqlsmith run —
+# the literal-interior guard still applies since the match contains the
+# literal entirely)
+_MATCH_OPERAND = r"([a-zA-Z_][\w.]*|\([^()]*\)|" + _STR_LIT + r")"
+
 # expr ~~ 'pat' (PG spelling of LIKE), ~~* (ILIKE), !~~, !~~* — must be
 # rewritten BEFORE the single-~ regex ops so `~~` never half-matches as
 # `~`. Found by differential execution (round 6): `~~` reached Spark
 # untranslated and failed to parse.
 _LIKE_OP_RE = re.compile(
-    _JSON_OPERAND + r"\s*(!?~~\*?)\s*(" + _STR_LIT + r")"
+    _MATCH_OPERAND + r"\s*(!?~~\*?)\s*(" + _STR_LIT + r")"
 )
 
 # expr ~ 'pat' (case-sensitive match), ~* (insensitive), !~, !~*
 _REGEX_OP_RE = re.compile(
-    _JSON_OPERAND + r"\s*(!?~(?!~)\*?)\s*(" + _STR_LIT + r")"
+    _MATCH_OPERAND + r"\s*(!?~(?!~)\*?)\s*(" + _STR_LIT + r")"
 )
 
 # array_length(arr, 1) → size(arr)  (PG's dim argument; Spark arrays are 1-D)
