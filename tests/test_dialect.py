@@ -69,6 +69,25 @@ def test_string_agg_with_order_by():
     )
 
 
+def test_string_agg_nested_call_args():
+    # args/sort key with nested calls, parens, and commas — the shape the
+    # pre-round-6 paren-free regex missed (sqlsmith v2 catch): the inline
+    # ORDER BY must still move to WITHIN GROUP
+    out = translate_pg_sql(
+        "SELECT string_agg(left(name, 2), '|' "
+        "ORDER BY coalesce(rank, 0), id) AS s FROM t"
+    )
+    assert out == (
+        "SELECT listagg(left(name, 2), '|') "
+        "WITHIN GROUP (ORDER BY coalesce(rank, 0), id) AS s FROM t"
+    )
+
+
+def test_string_agg_order_by_in_literal_stays_text():
+    out = translate_pg_sql("SELECT string_agg(name, ' ORDER BY x ') AS s FROM t")
+    assert out == "SELECT listagg(name, ' ORDER BY x ') AS s FROM t"
+
+
 def test_unnest_translation():
     out = translate_pg_sql("SELECT unnest(tags) AS tag FROM t")
     assert out == "SELECT explode(tags) AS tag FROM t"

@@ -186,3 +186,151 @@ N_CASES = 120
 @pytest.mark.parametrize("i", range(N_CASES))
 def test_sqlsmith_differential(sview_g, duck_g, i):
     assert_differential(sview_g, duck_g, gen_query(i))
+
+
+# --- grammar v2: joins, windows, subqueries, set ops, rollup, limit ----
+# A SEPARATE generator so the v1 corpus stays bit-identical (its doc
+# promise: "the corpus only changes when the grammar does"). v2 adds the
+# multi-relation shapes v1 lacks. Determinism rules: every LIMIT is
+# preceded by a total order (unique key tiebreak); row_number/rank
+# windows ORDER BY the unique key; window/rollup integer sums are
+# ::int8-cast (DuckDB HUGEINT → pandas float is a harness artifact).
+
+_TABLES_V2 = dict(
+    _TABLES,
+    supplier={
+        "int": ["s_suppkey", "s_nationkey"],
+        "str": ["s_name"],
+        "key": "s_suppkey",
+    },
+)
+
+# inner-join pair: customer ⋈ nation on nationkey (supplier ⋈ nation too)
+_JOIN_PAIRS = [
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _merged(a: str, b: str) -> dict:
+    ta, tb = _TABLES_V2[a], _TABLES_V2[b]
+    return {
+        "int": ta["int"] + tb["int"],
+        "str": ta["str"] + tb["str"],
+        "key": ta["key"],
+    }
+
+
+def gen_query_v2(i: int) -> str:
+    r = random.Random(20260815 * 2000 + i)
+    shape = r.randrange(6)
+    if shape == 0:  # two-table equi-join (INNER or LEFT) + mixed exprs
+        left, lk, right, rk = r.choice(_JOIN_PAIRS)
+        t = _merged(left, right)
+        kind = r.choice(["JOIN", "LEFT JOIN"])
+        # LEFT JOIN can null the right side's ints; coalesce keeps the
+        # column integer-typed in pandas on both engines
+        exprs = []
+        for k in range(r.randint(2, 3)):
+            g = r.choice([_gen_int, _gen_str, _gen_bool])
+            e = g(r, t, r.randint(1, 2))
+            if kind == "LEFT JOIN":
+                if g is _gen_int:
+                    e = f"coalesce({e}, -1)"
+                elif g is _gen_str:
+                    e = f"coalesce({e}, '<null>')"
+                else:
+                    e = f"coalesce({e}, false)"
+            exprs.append(f"{e} AS e{k}")
+        sql = (
+            f"SELECT {t['key']}, {', '.join(exprs)} "
+            f"FROM {left} {kind} {right} ON {lk} = {rk}"
+        )
+        if r.randrange(2):
+            # filter on the LEFT table only (keeps LEFT JOIN semantics
+            # meaningful and null-free)
+            sql += f" WHERE {_gen_bool(r, _TABLES_V2[left], 1)}"
+        return sql
+    if shape == 1:  # window functions over a unique-key order
+        tname = r.choice(list(_TABLES_V2))
+        t = _TABLES_V2[tname]
+        part = _gen_int(r, t, 1)
+        fn = r.choice(["row_number()", "rank()", "dense_rank()"])
+        desc = " DESC" if r.randrange(2) else ""
+        win = f"(PARTITION BY ({part}) % 4 ORDER BY {t['key']}{desc})"
+        return (
+            f"SELECT {t['key']}, {fn} OVER {win} AS rn, "
+            f"(sum({_gen_int(r, t, 1)}) OVER {win})::int8 AS rs, "
+            f"(count(*) OVER (PARTITION BY ({part}) % 4))::int8 AS pc "
+            f"FROM {tname}"
+        )
+    if shape == 2:  # IN / NOT IN / EXISTS subquery between the pair
+        left, lk, right, rk = r.choice(_JOIN_PAIRS)
+        tl, tr = _TABLES_V2[left], _TABLES_V2[right]
+        variant = r.randrange(4)
+        if variant == 0:
+            pred = (
+                f"{lk} IN (SELECT {rk} FROM {right} "
+                f"WHERE {_gen_bool(r, tr, 1)})"
+            )
+        elif variant == 3:
+            # PG operator spellings in the correlated predicate
+            op = r.choice(["~~*", "!~~", "~~"])
+            pred = (
+                f"EXISTS (SELECT 1 FROM {right} WHERE {rk} = {lk} "
+                f"AND {r.choice(tr['str'])} {op} '{r.choice(_LIKE_PATS)}')"
+            )
+        elif variant == 1:
+            pred = (
+                f"{lk} NOT IN (SELECT {rk} FROM {right} "
+                f"WHERE {_gen_bool(r, tr, 1)})"
+            )
+        else:
+            pred = (
+                f"EXISTS (SELECT 1 FROM {right} WHERE {rk} = {lk} "
+                f"AND {_gen_bool(r, tr, 1)})"
+            )
+        return (
+            f"SELECT {tl['key']}, {_gen_str(r, tl, 1)} AS e0 "
+            f"FROM {left} WHERE {pred}"
+        )
+    if shape == 3:  # set ops over type-aligned projections
+        (a, b) = r.sample(list(_TABLES_V2), 2)
+        ta, tb = _TABLES_V2[a], _TABLES_V2[b]
+        op = r.choice(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
+        return (
+            f"SELECT ({_gen_int(r, ta, 1)}) % 50 AS v, "
+            f"left({_gen_str(r, ta, 1)}, 3) AS s FROM {a} "
+            f"{op} "
+            f"SELECT ({_gen_int(r, tb, 1)}) % 50 AS v, "
+            f"left({_gen_str(r, tb, 1)}, 3) AS s FROM {b}"
+        )
+    if shape == 4:  # ROLLUP aggregation + ordered string_agg (PG-ism)
+        tname = r.choice(list(_TABLES_V2))
+        t = _TABLES_V2[tname]
+        g = _gen_str(r, t, 1)
+        return (
+            f"SELECT {g} AS grp, count(*) AS n, "
+            f"sum({_gen_int(r, t, 1)})::int8 AS s, "
+            f"string_agg(left({r.choice(t['str'])}, 2), '|' "
+            f"ORDER BY {t['key']}) AS sa "
+            f"FROM {tname} GROUP BY ROLLUP ({g})"
+        )
+    # shape 5: total-ordered LIMIT (unique-key tiebreak → deterministic)
+    tname = r.choice(list(_TABLES_V2))
+    t = _TABLES_V2[tname]
+    e = _gen_int(r, t, r.randint(1, 2))
+    desc = " DESC" if r.randrange(2) else ""
+    return (
+        f"SELECT {t['key']}, ({e}) AS v, {_gen_str(r, t, 1)} AS s "
+        f"FROM {tname} ORDER BY v{desc}, {t['key']} "
+        f"LIMIT {r.randint(1, 40)}"
+    )
+
+
+N_CASES_V2 = 140
+
+
+@pytest.mark.parametrize("i", range(N_CASES_V2))
+def test_sqlsmith_differential_v2(sview_g, duck_g, i):
+    assert_differential(sview_g, duck_g, gen_query_v2(i))

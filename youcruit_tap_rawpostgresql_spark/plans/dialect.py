@@ -381,28 +381,46 @@ def bind_params(
 
 
 # string_agg with inline ORDER BY: PG puts the sort inside the call;
-# Spark's listagg takes it as a WITHIN GROUP clause
-_STRING_AGG_ORDERED_RE = re.compile(
-    r"\bstring_agg\s*\(([^()]+?),\s*('(?:[^']|'')*')\s+ORDER\s+BY\s+([^()]+?)\)",
-    re.IGNORECASE,
-)
+# Spark's listagg takes it as a WITHIN GROUP clause. Structural scan
+# (balanced parens on the literal-blanked mask) — the argument and the
+# sort key may themselves contain calls, parens, and commas, which a
+# paren-free regex silently misses (caught by the sqlsmith v2 grammar:
+# ``string_agg(left(x, 2), '|' ORDER BY k)`` reached Spark as
+# ``listagg(..., '|' ORDER BY k)`` — a parse error).
+_STRING_AGG_OPEN_RE = re.compile(r"\bstring_agg\s*\(", re.IGNORECASE)
+_CALL_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+
+
+def _translate_string_agg(sql: str) -> str:
+    pos = 0
+    while True:
+        mask = _masked(sql)
+        m = _STRING_AGG_OPEN_RE.search(mask, pos)
+        if m is None:
+            return sql
+        open_i = m.end() - 1
+        close_i = _matching_paren(mask, open_i)
+        if close_i < 0:  # unbalanced — leave untouched
+            return sql
+        ob = _top_level_search(
+            _CALL_ORDER_BY_RE, mask, open_i + 1, close_i
+        )
+        if ob is None:
+            sql = sql[: m.start()] + "listagg" + sql[open_i:]
+            pos = m.start() + len("listagg")
+            continue
+        args = sql[open_i + 1 : ob.start()].rstrip()
+        key = sql[ob.end() : close_i].strip()
+        head = f"listagg({args}) WITHIN GROUP (ORDER BY {key})"
+        sql = sql[: m.start()] + head + sql[close_i + 1 :]
+        pos = m.start() + len(head)
 
 
 def _translate_set_functions(sql: str) -> str:
-    sql = _sub_skipping_literal_interiors(
-        _STRING_AGG_ORDERED_RE,
-        lambda m: f"listagg({m.group(1).strip()}, {m.group(2)}) "
-        f"WITHIN GROUP (ORDER BY {m.group(3).strip()})",
-        sql,
-    )
+    sql = _translate_string_agg(sql)
     sql = _outside_literals(
         sql,
-        lambda s: re.sub(
-            r"\bunnest\s*\(",
-            "explode(",
-            re.sub(r"\bstring_agg\s*\(", "listagg(", s, flags=re.IGNORECASE),
-            flags=re.IGNORECASE,
-        ),
+        lambda s: re.sub(r"\bunnest\s*\(", "explode(", s, flags=re.IGNORECASE),
     )
     return sql
 
