@@ -88,6 +88,54 @@ def test_string_agg_order_by_in_literal_stays_text():
     assert out == "SELECT listagg(name, ' ORDER BY x ') AS s FROM t"
 
 
+def test_array_binops():
+    assert translate_pg_sql("SELECT a @> b AS c FROM t") == (
+        "SELECT forall(b, _ae -> array_contains(a, _ae)) AS c FROM t"
+    )
+    assert translate_pg_sql("SELECT a <@ b AS c FROM t") == (
+        "SELECT forall(a, _ae -> array_contains(b, _ae)) AS c FROM t"
+    )
+    assert translate_pg_sql("SELECT tags && ARRAY['x'] AS o FROM t") == (
+        "SELECT arrays_overlap(tags, array('x')) AS o FROM t"
+    )
+    # inside literals the operators are data
+    sql = "SELECT '@>' AS a, 'x && y' AS b"
+    assert translate_pg_sql(sql) == sql
+
+
+def test_quantified_comparisons():
+    assert translate_pg_sql("SELECT 2 = ANY(xs) AS m FROM t") == (
+        "SELECT array_contains(xs, 2) AS m FROM t"
+    )
+    # the FULL arithmetic chain is the comparison's left operand
+    # (precedence: comparison binds looser than +)
+    assert translate_pg_sql("SELECT n + 1 = ANY(xs) AS m FROM t") == (
+        "SELECT array_contains(xs, n + 1) AS m FROM t"
+    )
+    assert translate_pg_sql("SELECT 2 > ANY(xs) AS m FROM t") == (
+        "SELECT exists(xs, _qe -> 2 > _qe) AS m FROM t"
+    )
+    assert translate_pg_sql("SELECT 5 <> ALL(xs) AS n FROM t") == (
+        "SELECT forall(xs, _qe -> 5 <> _qe) AS n FROM t"
+    )
+    assert translate_pg_sql(
+        "SELECT c FROM t WHERE k = ANY(SELECT id FROM u)"
+    ) == "SELECT c FROM t WHERE k IN (SELECT id FROM u)"
+    assert translate_pg_sql(
+        "SELECT c FROM t WHERE k <> ALL(SELECT id FROM u)"
+    ) == "SELECT c FROM t WHERE k NOT IN (SELECT id FROM u)"
+    # aggregate / builtin names that merely contain ANY stay untouched
+    sql = "SELECT any_value(x) AS av FROM t"
+    assert translate_pg_sql(sql) == sql
+
+
+def test_array_position_null_when_absent():
+    # PG returns NULL when the element is absent; Spark returns 0
+    assert translate_pg_sql("SELECT array_position(xs, 'v') AS p FROM t") == (
+        "SELECT nullif(array_position(xs, 'v'), 0) AS p FROM t"
+    )
+
+
 def test_unnest_translation():
     out = translate_pg_sql("SELECT unnest(tags) AS tag FROM t")
     assert out == "SELECT explode(tags) AS tag FROM t"
@@ -176,9 +224,15 @@ def test_spark_lambda_not_mangled_by_json_rule():
 
 
 def test_array_length_epoch_random_strpos():
+    # PG's array_length is NULL for empty arrays (size() says 0);
+    # nested-call operands are handled structurally (round-6 rebuild)
     assert (
         translate_pg_sql("SELECT array_length(xs, 1) AS n")
-        == "SELECT size(xs) AS n"
+        == "SELECT nullif(size(xs), 0) AS n"
+    )
+    assert (
+        translate_pg_sql("SELECT array_length(array_cat(a, b), 1) AS n")
+        == "SELECT nullif(size(concat(a, b)), 0) AS n"
     )
     # fractional seconds preserved (PG returns numeric, not floored
     # whole seconds — round-6 differential-execution finding)

@@ -33,6 +33,13 @@ Known deltas (verified by probing, excluded from the corpus):
   two semantics coincide.
 - double::int8: PG/DuckDB ROUND half away from zero; Spark CAST
   truncates. Corpus applies floor() first, where all engines agree.
+- array_position / array_length(empty): PG returns NULL (absent element /
+  empty array); DuckDB returns 0 for both. The translation follows PG
+  (nullif wraps, pinned in test_dialect.py), so the corpus avoids absent
+  elements and empty arrays.
+- cardinality(): PG/Spark accept arrays; DuckDB's is MAP-only.
+- NULL-element containment (ARRAY[NULL] @> ARRAY[NULL]): engines differ
+  on 3VL edge rules; corpus arrays are NULL-free.
 
 Translation DEFECTS this module found (all fixed in plans/dialect.py,
 pinned in test_dialect.py):
@@ -255,6 +262,34 @@ _CORPUS = {
         FROM orders,
              LATERAL (SELECT o_totalprice * 2 AS v) big
         WHERE o_orderkey < 100
+    """,
+    # PG array operators: DuckDB implements @>/<@/&& and quantified
+    # comparisons natively; Spark gets forall/exists/arrays_overlap
+    # rewrites. (Known deltas kept OUT of the corpus: DuckDB's
+    # array_position/array_length(empty) return 0 where PG returns NULL —
+    # our translation follows PG; and NULL-element containment.)
+    "array_containment_ops": """
+        SELECT n_nationkey,
+               string_to_array(n_name, 'A') @> ARRAY['', 'R'] AS has,
+               ARRAY['', 'R'] <@ string_to_array(n_name, 'A') AS has2,
+               string_to_array(n_name, 'A') && ARRAY['R', 'IC'] AS ovl
+        FROM nation
+    """,
+    "quantified_comparisons_array": """
+        SELECT c_custkey,
+               c_nationkey = ANY(ARRAY[1, 5, 9]) AS m,
+               c_nationkey + 1 = ANY(ARRAY[2, 6]) AS chain,
+               c_nationkey > ANY(ARRAY[20, 22]) AS gt_any,
+               c_nationkey <> ALL(ARRAY[3, 7]) AS ne_all
+        FROM customer WHERE c_custkey <= 200
+    """,
+    "quantified_subquery_forms": """
+        SELECT c_custkey FROM customer
+        WHERE c_nationkey = ANY(SELECT n_nationkey FROM nation
+                                WHERE n_name LIKE 'A%')
+          AND c_custkey <> ALL(SELECT o_custkey FROM orders
+                               WHERE o_orderkey < 50)
+          AND c_custkey <= 300
     """,
 }
 

@@ -334,3 +334,71 @@ N_CASES_V2 = 140
 @pytest.mark.parametrize("i", range(N_CASES_V2))
 def test_sqlsmith_differential_v2(sview_g, duck_g, i):
     assert_differential(sview_g, duck_g, gen_query_v2(i))
+
+
+# --- grammar v3: PG array operators and quantified comparisons ---------
+# Arrays come from string_to_array over name columns (deterministic,
+# null-free); elements compared are strings/ints. Deltas excluded by
+# construction: no NULL elements, no empty-vs-NULL array_length probes
+# (PG NULL vs DuckDB 0 — translation follows PG, pinned in
+# test_dialect.py), no array_position absence probes (same delta).
+
+
+def _gen_arr(r: random.Random, t: dict) -> str:
+    if r.randrange(2):
+        items = ", ".join(_str_lit(r) for _ in range(r.randint(1, 3)))
+        return f"ARRAY[{items}]"
+    col = r.choice(t["str"])
+    return f"string_to_array({col}, '{r.choice(['A', 'e', ' ', '#'])}')"
+
+
+def gen_query_v3(i: int) -> str:
+    r = random.Random(20260815 * 3000 + i)
+    tname = r.choice(list(_TABLES_V2))
+    t = _TABLES_V2[tname]
+    shape = r.randrange(4)
+    if shape == 0:  # containment / overlap binops
+        op = r.choice(["@>", "<@", "&&"])
+        return (
+            f"SELECT {t['key']}, {_gen_arr(r, t)} {op} {_gen_arr(r, t)} AS m "
+            f"FROM {tname}"
+        )
+    if shape == 1:  # quantified comparison over an int array
+        items = ", ".join(str(r.randint(0, 9)) for _ in range(r.randint(1, 4)))
+        kw = r.choice(["ANY", "ALL", "SOME"])
+        op = r.choice(["=", "<>", "<", ">", "<=", ">="])
+        return (
+            f"SELECT {t['key']}, "
+            f"(({_gen_int(r, t, 1)}) % 10) {op} {kw}(ARRAY[{items}]) AS m "
+            f"FROM {tname}"
+        )
+    if shape == 2:  # quantified subquery forms (= ANY → IN, <> ALL → NOT IN)
+        left, lk, right, rk = r.choice(_JOIN_PAIRS)
+        tr = _TABLES_V2[right]
+        form = r.choice(
+            [
+                f"{lk} = ANY(SELECT {rk} FROM {right} "
+                f"WHERE {_gen_bool(r, tr, 1)})",
+                f"{lk} <> ALL(SELECT {rk} FROM {right} "
+                f"WHERE {_gen_bool(r, tr, 1)})",
+            ]
+        )
+        return f"SELECT {_TABLES_V2[left]['key']} FROM {left} WHERE {form}"
+    # shape 3: array ops in a filter + length/concat projections
+    # (array_length, not cardinality: DuckDB's cardinality is MAP-only —
+    # an engine delta; arrays here are non-empty by construction so the
+    # PG empty→NULL vs DuckDB empty→0 delta never fires)
+    arr = _gen_arr(r, t)
+    return (
+        f"SELECT {t['key']}, array_length({arr}, 1) AS card, "
+        f"array_to_string({arr} || ARRAY['z'], '-') AS joined "
+        f"FROM {tname} WHERE {arr} && ARRAY[{_str_lit(r)}, {_str_lit(r)}]"
+    )
+
+
+N_CASES_V3 = 80
+
+
+@pytest.mark.parametrize("i", range(N_CASES_V3))
+def test_sqlsmith_differential_v3(sview_g, duck_g, i):
+    assert_differential(sview_g, duck_g, gen_query_v3(i))

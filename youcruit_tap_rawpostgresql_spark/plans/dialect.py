@@ -455,11 +455,6 @@ _REGEX_OP_RE = re.compile(
     _MATCH_OPERAND + r"\s*(!?~(?!~)\*?)\s*(" + _STR_LIT + r")"
 )
 
-# array_length(arr, 1) → size(arr)  (PG's dim argument; Spark arrays are 1-D)
-_ARRAY_LENGTH_RE = re.compile(
-    r"\barray_length\s*\(([^(),]+),\s*1\s*\)", re.IGNORECASE
-)
-
 # EXTRACT(EPOCH FROM expr) → unix_timestamp(expr); other EXTRACT fields are
 # native in Spark
 _EPOCH_RE = re.compile(r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\s+([^()]+)\)", re.IGNORECASE)
@@ -755,6 +750,7 @@ def _translate_array_ctors(sql: str) -> str:
 
 _PG_FN_RENAMES = [
     ("strpos", "instr"),
+    ("array_cat", "concat"),
     ("array_to_string", "array_join"),
     ("starts_with", "startswith"),
     ("jsonb_array_length", "json_array_length"),
@@ -814,6 +810,330 @@ def _translate_string_to_array(sql: str) -> str:
             return sql
 
 
+# ---------------------------------------------------------------------------
+# PG array operators (@>, <@, &&) and quantified comparisons (ANY/ALL/SOME)
+# ---------------------------------------------------------------------------
+#
+# PG's array surface Spark lacks as syntax (reference contract: arbitrary
+# PG SQL, client.py:300-304):
+#   a @> b          → forall(b, _ae -> array_contains(a, _ae))
+#   a <@ b          → forall(a, _ae -> array_contains(b, _ae))
+#   a && b          → arrays_overlap(a, b)
+#   x =  ANY(arr)   → array_contains(arr, x)      (identical 3VL null rules)
+#   x op ANY(arr)   → exists(arr, _qe -> x op _qe)
+#   x op ALL(arr)   → forall(arr, _qe -> x op _qe)
+#   x =  ANY(SELECT …) → x IN (SELECT …);  x <> ALL(SELECT …) → x NOT IN (…)
+# Operand extraction is structural (masked balanced-paren/bracket walks,
+# the cast scanner's approach) and extends over +-*/%/|| chains so
+# `a + 1 = ANY(arr)` translates the full left expression, not just `1`
+# (precedence: comparison binds looser than arithmetic).
+
+_ARRAY_BINOP_RE = re.compile(r"@>|<@|&&")
+_QUANT_OPEN_RE = re.compile(r"\b(ANY|ALL|SOME)\s*\(", re.IGNORECASE)
+_CMP_TAIL_RE = re.compile(r"(<>|!=|<=|>=|=|<|>)\s*\Z")
+_SUBQUERY_HEAD_RE = re.compile(r"\s*(SELECT|WITH|VALUES|TABLE)\b", re.IGNORECASE)
+# tokens that look identifier-shaped but can never BE an operand
+_NOT_OPERAND_KWS = frozenset(
+    "and or not when then else where on by in is like ilike between select "
+    "from all any some case end distinct as join union intersect except "
+    "having group order limit offset".split()
+)
+
+
+def _matching_bracket(mask: str, open_i: int) -> int:
+    depth = 0
+    for j in range(open_i, len(mask)):
+        if mask[j] == "[":
+            depth += 1
+        elif mask[j] == "]":
+            depth -= 1
+            if depth == 0:
+                return j
+    return -1
+
+
+def _opaque_at(spans, i: int):
+    for kind, a, b in spans:
+        if a <= i < b:
+            return (kind, a, b)
+    return None
+
+
+def _operand_left_span(sql, mask, spans, end_i):
+    """(start, end) of the atomic operand whose last character is the last
+    non-whitespace before ``end_i``; None if nothing operand-shaped."""
+    j = end_i - 1
+    while j >= 0 and sql[j] in " \t\n\r" and _opaque_at(spans, j) is None:
+        j -= 1
+    if j < 0:
+        return None
+    hit = _opaque_at(spans, j)
+    if hit is not None:
+        return (hit[1], j + 1) if hit[0] == "lit" else None
+    end = j + 1
+    if mask[j] in ")]":
+        open_ch, close_ch = ("(", ")") if mask[j] == ")" else ("[", "]")
+        depth, k = 0, j
+        while k >= 0:
+            if mask[k] == close_ch:
+                depth += 1
+            elif mask[k] == open_ch:
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        if k < 0 or depth != 0:
+            return None
+        start = k
+        i2 = k - 1
+        while i2 >= 0 and (mask[i2].isalnum() or mask[i2] in "_."):
+            i2 -= 1
+        if i2 < k - 1 and sql[i2 + 1 : k].lower() not in _NOT_OPERAND_KWS:
+            start = i2 + 1  # attached callee / ARRAY keyword
+        elif start == k and close_ch == "]":
+            base = _operand_left_span(sql, mask, spans, k)  # (expr)[i]
+            if base is not None:
+                start = base[0]
+        return (start, end)
+    if mask[j].isalnum() or mask[j] in "_.":
+        i2 = j
+        while i2 >= 0 and (mask[i2].isalnum() or mask[i2] in "_."):
+            i2 -= 1
+        tok = sql[i2 + 1 : end]
+        if tok.lower() in _NOT_OPERAND_KWS:
+            return None
+        return (i2 + 1, end)
+    return None
+
+
+def _operand_right_span(sql, mask, spans, start_i):
+    """(start, end) of the atomic operand beginning at the first
+    non-whitespace at/after ``start_i``; None if nothing operand-shaped."""
+    n = len(sql)
+    i = start_i
+    while i < n and sql[i] in " \t\n\r" and _opaque_at(spans, i) is None:
+        i += 1
+    if i >= n:
+        return None
+    hit = _opaque_at(spans, i)
+    if hit is not None:
+        return (i, hit[2]) if hit[0] == "lit" else None
+    if mask[i].isalnum() or mask[i] in "_.":
+        j = i
+        while j < n and (mask[j].isalnum() or mask[j] in "_."):
+            j += 1
+        if sql[i:j].lower() in _NOT_OPERAND_KWS:
+            return None
+        k = j
+        while k < n and sql[k] in " \t\n\r":
+            k += 1
+        if k < n and mask[k] == "(":  # attached call
+            close = _matching_paren(mask, k)
+            if close < 0:
+                return None
+            j = close + 1
+        elif k < n and mask[k] == "[":  # ARRAY[...] ctor / subscript
+            close = _matching_bracket(mask, k)
+            if close < 0:
+                return None
+            j = close + 1
+        return (i, j)
+    if mask[i] == "(":
+        close = _matching_paren(mask, i)
+        if close < 0:
+            return None
+        j = close + 1
+        k = j
+        while k < n and sql[k] in " \t\n\r":
+            k += 1
+        if k < n and mask[k] == "[":  # (expr)[i]
+            close2 = _matching_bracket(mask, k)
+            if close2 >= 0:
+                j = close2 + 1
+        return (i, j)
+    if mask[i] in "+-":  # unary sign
+        sub = _operand_right_span(sql, mask, spans, i + 1)
+        if sub is not None:
+            return (i, sub[1])
+    return None
+
+
+def _chain_left_start(sql, mask, spans, end_i):
+    """Start of the full arithmetic/concat chain ending before ``end_i``."""
+    span = _operand_left_span(sql, mask, spans, end_i)
+    if span is None:
+        return None
+    start = span[0]
+    while True:
+        j = start - 1
+        while j >= 0 and sql[j] in " \t\n\r" and _opaque_at(spans, j) is None:
+            j -= 1
+        if j < 0 or _opaque_at(spans, j) is not None:
+            break
+        if j >= 1 and mask[j] == "|" and mask[j - 1] == "|":
+            prev = _operand_left_span(sql, mask, spans, j - 1)
+        elif mask[j] in "+-*/%":
+            prev = _operand_left_span(sql, mask, spans, j)
+            if prev is None and mask[j] in "+-":
+                start = j  # unary sign; keep walking past it
+                continue
+        else:
+            break
+        if prev is None:
+            break
+        start = prev[0]
+    return start
+
+
+def _chain_right_end(sql, mask, spans, start_i):
+    """End of the full arithmetic/concat chain starting at ``start_i``."""
+    span = _operand_right_span(sql, mask, spans, start_i)
+    if span is None:
+        return None
+    end = span[1]
+    n = len(sql)
+    while True:
+        j = end
+        while j < n and sql[j] in " \t\n\r" and _opaque_at(spans, j) is None:
+            j += 1
+        if j >= n or _opaque_at(spans, j) is not None:
+            break
+        if j + 1 < n and mask[j] == "|" and mask[j + 1] == "|":
+            nxt = _operand_right_span(sql, mask, spans, j + 2)
+        elif mask[j] in "+-*/%":
+            nxt = _operand_right_span(sql, mask, spans, j + 1)
+        else:
+            break
+        if nxt is None:
+            break
+        end = nxt[1]
+    return end
+
+
+def _translate_array_binops(sql: str) -> str:
+    pos = 0
+    while True:
+        mask = _masked(sql)
+        spans = _opaque_spans(sql)
+        m = _ARRAY_BINOP_RE.search(mask, pos)
+        if m is None:
+            return sql
+        lhs_start = _chain_left_start(sql, mask, spans, m.start())
+        rhs_end = _chain_right_end(sql, mask, spans, m.end())
+        if lhs_start is None or rhs_end is None:
+            pos = m.end()
+            continue
+        lhs = sql[lhs_start : m.start()].strip()
+        rhs = sql[m.end() : rhs_end].strip()
+        op = m.group(0)
+        if op == "&&":
+            repl = f"arrays_overlap({lhs}, {rhs})"
+        elif op == "@>":
+            repl = f"forall({rhs}, _ae -> array_contains({lhs}, _ae))"
+        else:
+            repl = f"forall({lhs}, _ae -> array_contains({rhs}, _ae))"
+        sql = sql[:lhs_start] + repl + sql[rhs_end:]
+        # rescan from the replacement: the operands may hold nested array
+        # ops (x @> (a @> b)); each rewrite removes one operator token, so
+        # this terminates
+        pos = lhs_start
+
+
+def _translate_quantified_comparisons(sql: str) -> str:
+    pos = 0
+    while True:
+        mask = _masked(sql)
+        spans = _opaque_spans(sql)
+        m = _QUANT_OPEN_RE.search(mask, pos)
+        if m is None:
+            return sql
+        kw = m.group(1).upper()
+        open_i = m.end() - 1
+        close_i = _matching_paren(mask, open_i)
+        cm = _CMP_TAIL_RE.search(mask[: m.start()])
+        if close_i < 0 or cm is None:
+            # no preceding comparison: Spark's any()/some() bool
+            # aggregates, or array_agg-style names — leave untouched
+            pos = m.end()
+            continue
+        op = cm.group(1)
+        lhs_start = _chain_left_start(sql, mask, spans, cm.start(1))
+        if lhs_start is None:
+            pos = m.end()
+            continue
+        lhs = sql[lhs_start : cm.start(1)].strip()
+        inner = sql[open_i + 1 : close_i].strip()
+        if _SUBQUERY_HEAD_RE.match(mask[open_i + 1 : close_i]):
+            if kw in ("ANY", "SOME") and op == "=":
+                repl = f"{lhs} IN ({inner})"
+            elif kw == "ALL" and op in ("<>", "!="):
+                repl = f"{lhs} NOT IN ({inner})"
+            else:
+                raise ValueError(
+                    f"unsupported quantified subquery: {op} {kw}(SELECT …) "
+                    "— Spark has no general quantified-comparison subquery; "
+                    "rewrite with min()/max() over the subquery"
+                )
+        elif kw in ("ANY", "SOME") and op == "=":
+            repl = f"array_contains({inner}, {lhs})"
+        elif kw in ("ANY", "SOME"):
+            repl = f"exists({inner}, _qe -> {lhs} {op} _qe)"
+        else:
+            repl = f"forall({inner}, _qe -> {lhs} {op} _qe)"
+        sql = sql[:lhs_start] + repl + sql[close_i + 1 :]
+        # rescan from the replacement: a subquery/array operand may hold a
+        # nested quantified comparison; each rewrite removes one, so this
+        # terminates
+        pos = lhs_start
+
+
+def _rewrite_calls(sql: str, open_re: re.Pattern, build) -> str:
+    """Structural call rewriter: balanced-paren args on the masked text;
+    ``build(args)`` returns ``(replacement, rescan_offset)`` — the scan
+    resumes ``rescan_offset`` chars into the replacement so rewritten
+    argument text is still scanned — or None to leave the call as-is."""
+    pos = 0
+    while True:
+        mask = _masked(sql)
+        m = open_re.search(mask, pos)
+        if m is None:
+            return sql
+        open_i = m.end() - 1
+        close_i = _matching_paren(mask, open_i)
+        if close_i < 0:
+            pos = m.end()
+            continue
+        built = build(_split_top_level_args(sql[open_i + 1 : close_i]))
+        if built is None:
+            pos = m.end()
+            continue
+        repl, rescan = built
+        sql = sql[: m.start()] + repl + sql[close_i + 1 :]
+        pos = m.start() + rescan
+
+
+_ARRAY_LENGTH_OPEN_RE = re.compile(r"\barray_length\s*\(", re.IGNORECASE)
+_ARRAY_POSITION_OPEN_RE = re.compile(r"\barray_position\s*\(", re.IGNORECASE)
+
+
+def _build_array_length(args):
+    # PG: array_length(a, 1) is NULL for empty arrays (size() says 0) —
+    # nullif restores PG semantics. Known oracle delta: DuckDB returns 0.
+    # Dims other than 1 (multidim arrays) stay untouched → loud failure.
+    if len(args) == 2 and args[1].strip() == "1":
+        head = f"nullif(size({args[0].strip()}"
+        return (head + "), 0)", len(head))
+    return None
+
+
+def _build_array_position(args):
+    # PG returns NULL when absent; Spark (and DuckDB) return 0
+    if len(args) == 2:
+        head = f"nullif(array_position({args[0].strip()}"
+        return (head + f", {args[1].strip()}), 0)", len(head))
+    return None
+
+
 def _translate_operators(sql: str) -> str:
     def similar_repl(m: re.Match) -> str:
         operand, neg, lit = m.group(1), m.group(2), m.group(3)
@@ -828,6 +1148,10 @@ def _translate_operators(sql: str) -> str:
     # pass caught `~` sequences inside literals being rewritten to RLIKE)
     sql = _sub_skipping_literal_interiors(_SIMILAR_TO_RE, similar_repl, sql)
     sql = _translate_array_ctors(sql)
+    sql = _translate_array_binops(sql)
+    sql = _translate_quantified_comparisons(sql)
+    sql = _rewrite_calls(sql, _ARRAY_LENGTH_OPEN_RE, _build_array_length)
+    sql = _rewrite_calls(sql, _ARRAY_POSITION_OPEN_RE, _build_array_position)
     sql = _outside_literals(
         sql,
         lambda s: re.sub(
@@ -902,9 +1226,6 @@ def _translate_operators(sql: str) -> str:
         return f"NOT ({rlike})" if op.startswith("!") else rlike
 
     sql = _sub_skipping_literal_interiors(_REGEX_OP_RE, regex_repl, sql)
-    sql = _sub_skipping_literal_interiors(
-        _ARRAY_LENGTH_RE, lambda m: f"size({m.group(1).strip()})", sql
-    )
     # PG's EXTRACT(EPOCH) keeps fractional seconds (it returns numeric);
     # unix_timestamp() would floor to whole seconds, silently changing
     # sub-second data. Found by differential execution (round 6). The
