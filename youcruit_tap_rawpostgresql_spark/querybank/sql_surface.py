@@ -269,6 +269,54 @@ def pg_dialect_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pg_dialect_arrays",
+    # DuckDB speaks the PG array surface natively (@>, &&, ANY/ALL,
+    # string_to_array), so the oracle is near-verbatim; array_position /
+    # array_length are nullif-compensated to PG's NULL-for-absent/empty
+    # semantics, which the Spark translation implements
+    oracle="""
+SELECT c_custkey,
+  string_to_array(c_name, '0') @> ARRAY['Customer#'] AS has_prefix,
+  string_to_array(c_mktsegment, 'I') && ARRAY['BU', 'LD'] AS ovl,
+  c_nationkey = ANY(ARRAY[1, 5, 9, 13]) AS in_set,
+  c_nationkey <> ALL(ARRAY[0, 24]) AS not_edge,
+  CAST(nullif(array_length(string_to_array(c_name, '0'), 1), 0) AS BIGINT)
+    AS n_parts,
+  CAST(nullif(array_position(
+    ARRAY['AUTOMOBILE', 'BUILDING', 'FURNITURE', 'HOUSEHOLD', 'MACHINERY'],
+    c_mktsegment), 0) AS BIGINT) AS seg_pos
+FROM customer WHERE c_custkey % 7 = 0
+""",
+)
+def pg_dialect_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third PG-dialect end-to-end surface: the array operators a reference
+    user's stream SQL can carry verbatim (client.py:300-304) — containment
+    ``@>``, overlap ``&&``, quantified comparisons ``= ANY`` / ``<> ALL``,
+    ``array_length`` and ``array_position`` with PG's NULL-for-absent
+    semantics. Translated to forall/exists/arrays_overlap/array_contains —
+    all JVM-side columnar higher-order functions, no Python.
+
+    Scale: map-only projection over one pruned scan; the modulo filter is
+    pushed down. Arrays here are tiny per-row values — no shuffle."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    tables(spark, sf_dir)
+    return run_sql(
+        spark,
+        "SELECT c_custkey, "
+        "string_to_array(c_name, '0') @> ARRAY['Customer#'] AS has_prefix, "
+        "string_to_array(c_mktsegment, 'I') && ARRAY['BU', 'LD'] AS ovl, "
+        "c_nationkey = ANY(ARRAY[1, 5, 9, 13]) AS in_set, "
+        "c_nationkey <> ALL(ARRAY[0, 24]) AS not_edge, "
+        "array_length(string_to_array(c_name, '0'), 1)::int8 AS n_parts, "
+        "array_position(ARRAY['AUTOMOBILE', 'BUILDING', 'FURNITURE', "
+        "'HOUSEHOLD', 'MACHINERY'], c_mktsegment)::int8 AS seg_pos "
+        "FROM customer WHERE c_custkey % 7 = 0",
+        pg_dialect=True,
+    )
+
+
+@register(
     "sql_values_lookup",
     oracle="""
 SELECT t.tier, COUNT(*) AS n_orders,
