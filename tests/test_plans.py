@@ -698,3 +698,15 @@ def test_no_hof_pipeline_inside_filters_text_family(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
     assert flagged == []
+
+
+def test_bloom_incremental_dedup_no_big_shuffle_join(plans):
+    # the whole point of the Bloom path: the corpus is never shuffled for
+    # a join — the verify joins broadcast candidate-sized sides, and the
+    # prefilter itself is an Arrow projection over JVM-computed hashes
+    p = plans("dedup_bloom_incremental")
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "ArrowEvalPython" in p or "PythonUDF" in p
