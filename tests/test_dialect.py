@@ -129,6 +129,18 @@ def test_quantified_comparisons():
     assert translate_pg_sql(sql) == sql
 
 
+def test_quantified_subquery_unsupported_forms_raise():
+    # Spark has no general quantified-comparison subquery; anything other
+    # than = ANY / <> ALL must fail loudly with a rewrite hint, never
+    # reach Spark as a parse error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quantified subquery"):
+        translate_pg_sql("SELECT 1 WHERE 2 > ANY(SELECT x FROM t)")
+    with _pytest.raises(ValueError, match="quantified subquery"):
+        translate_pg_sql("SELECT 1 WHERE 2 = ALL(SELECT x FROM t)")
+
+
 def test_array_position_null_when_absent():
     # PG returns NULL when the element is absent; Spark returns 0
     assert translate_pg_sql("SELECT array_position(xs, 'v') AS p FROM t") == (

@@ -494,3 +494,31 @@ def test_ivf_pruned_store_matches_in_memory_ivf(spark):
         for r in REGISTRY["sim_ann_ivf_pruned_store"].fn(spark, sfd).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_bloom_tree_reduce_matches_flat(spark):
+    """The executor-side tree level (input partitions > fan-in) must
+    produce the exact same bitmap as the flat driver OR — and the
+    membership invariant holds: every inserted key's bits are set."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from youcruit_tap_rawpostgresql_spark.querybank import corpus
+
+    vals = spark.range(0, 2000).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("fp")
+    )
+    few = vals.coalesce(2).select(*corpus._bloom_hash_cols("fp"))
+    many = vals.repartition(corpus._BLOOM_TREE_FANIN + 8).select(
+        *corpus._bloom_hash_cols("fp")
+    )
+    flat = corpus._build_bloom(few)
+    treed = corpus._build_bloom(many)
+    assert flat == treed
+    bits = np.frombuffer(treed, dtype=np.uint8)
+    mask = corpus._BLOOM_BITS - 1
+    rows = few.collect()
+    for r in rows[:50]:
+        for h in r:
+            pos = np.int64(h) & mask
+            assert (bits[pos >> 3] >> (pos & 7)) & 1 == 1

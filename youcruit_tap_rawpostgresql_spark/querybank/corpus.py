@@ -689,16 +689,18 @@ def _bloom_hash_cols(col: str):
     ]
 
 
+_BLOOM_TREE_FANIN = 32  # driver never ORs more than this many bitmaps
+
+
 def _build_bloom(ref_hashed: DataFrame) -> bytes:
     """OR-reduce per-partition bitmaps into one Bloom filter.
 
     mapInPandas emits ONE 128 KiB bitmap row per partition (folded across
-    that partition's Arrow batches), so the driver materializes
-    ``n_partitions × m/8`` bytes — at 1000 executors, insert one
-    tree level (repartition the partial bitmaps to ~32 and OR again)
-    before the driver OR; the final reduce is then 32 rows."""
+    that partition's Arrow batches). When the input has more partitions
+    than ``_BLOOM_TREE_FANIN`` (a 1000-executor scan), one executor-side
+    tree level ORs the partials down to ≤32 rows first, so the driver
+    materializes at most ``32 × m/8`` bytes regardless of cluster size."""
     import numpy as np
-    import pandas as pd
 
     mask = _BLOOM_BITS - 1
 
@@ -711,13 +713,33 @@ def _build_bloom(ref_hashed: DataFrame) -> bytes:
             any_rows = True
             for c in pdf.columns:
                 pos = pdf[c].to_numpy(dtype=np.int64) & mask
-                bitmap[pos >> 3] |= np.uint8(1) << (pos & 7).astype(np.uint8)
+                # bitwise_or.AT, not fancy-index |=: buffered assignment
+                # keeps only one write per duplicate byte index, silently
+                # dropping bits → Bloom false negatives (caught by
+                # test_bloom_tree_reduce_matches_flat)
+                np.bitwise_or.at(
+                    bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+                )
         if any_rows:
             yield pd.DataFrame({"bits": [bitmap.tobytes()]})
 
-    parts = ref_hashed.mapInPandas(partial, "bits binary").collect()
+    def combine(batches):
+        bitmap = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            for raw in pdf["bits"]:
+                any_rows = True
+                bitmap |= np.frombuffer(raw, dtype=np.uint8)
+        if any_rows:
+            yield pd.DataFrame({"bits": [bitmap.tobytes()]})
+
+    partials = ref_hashed.mapInPandas(partial, "bits binary")
+    if ref_hashed.rdd.getNumPartitions() > _BLOOM_TREE_FANIN:
+        partials = partials.repartition(_BLOOM_TREE_FANIN).mapInPandas(
+            combine, "bits binary"
+        )
     out = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
-    for row in parts:
+    for row in partials.collect():
         out |= np.frombuffer(row["bits"], dtype=np.uint8)
     return out.tobytes()
 
