@@ -29,6 +29,15 @@ patterns (→ anchored RLIKE with %/_ wildcards converted),
 (``$$…$$`` / ``$tag$…$tag$`` → standard literals), and SQL comments
 (``--``, nesting ``/* */``) treated as opaque spans no rule can rewrite.
 
+Array operators and quantifiers (round 6, structural operand scans):
+``@>``/``<@`` containment (→ ``forall`` + ``array_contains``), ``&&``
+overlap (→ ``arrays_overlap``), ``x = ANY(arr)`` (→ ``array_contains``),
+``x op ANY/SOME/ALL(arr)`` (→ ``exists``/``forall`` lambdas),
+``= ANY(SELECT …)`` → ``IN``, ``<> ALL(SELECT …)`` → ``NOT IN`` (other
+quantified subqueries raise with a rewrite hint), ``array_position`` and
+``array_length`` nullif-wrapped to PG's NULL-for-absent/empty semantics,
+``array_cat`` → ``concat``.
+
 No translation needed (native Spark syntax): ``ilike`` (3.3+),
 ``position(x IN y)``, ``substring(x FROM n FOR l)``, ``split_part``,
 ``left``/``right``, ``date_part``, ``IS [NOT] DISTINCT FROM``. PG deltas
