@@ -129,6 +129,30 @@ def test_quantified_comparisons():
     assert translate_pg_sql(sql) == sql
 
 
+def test_quantified_pattern_matches():
+    # PG allows any binary operator with ANY/ALL — including the LIKE and
+    # regex families (DuckDB can't even parse these, so they're pinned at
+    # string level and execute-verified in test_operators-style suites)
+    assert translate_pg_sql(
+        "SELECT name LIKE ANY(ARRAY['%a%','b%']) AS m FROM t"
+    ) == "SELECT exists(array('%a%','b%'), _qe -> name LIKE _qe) AS m FROM t"
+    assert translate_pg_sql("SELECT name ILIKE ANY(pats) AS m FROM t") == (
+        "SELECT exists(pats, _qe -> ilike(name, _qe)) AS m FROM t"
+    )
+    assert translate_pg_sql("SELECT name NOT LIKE ALL(pats) AS m FROM t") == (
+        "SELECT forall(pats, _qe -> NOT (name LIKE _qe)) AS m FROM t"
+    )
+    assert translate_pg_sql("SELECT name ~~* ANY(pats) AS m FROM t") == (
+        "SELECT exists(pats, _qe -> ilike(name, _qe)) AS m FROM t"
+    )
+    assert translate_pg_sql("SELECT name ~* ANY(pats) AS m FROM t") == (
+        "SELECT exists(pats, _qe -> name RLIKE concat('(?i)', _qe)) AS m FROM t"
+    )
+    assert translate_pg_sql("SELECT name !~ ALL(pats) AS m FROM t") == (
+        "SELECT forall(pats, _qe -> NOT (name RLIKE _qe)) AS m FROM t"
+    )
+
+
 def test_quantified_subquery_unsupported_forms_raise():
     # Spark has no general quantified-comparison subquery; anything other
     # than = ANY / <> ALL must fail loudly with a rewrite hint, never

@@ -340,6 +340,46 @@ def test_fuzz_string_literal_values_match(sview_g, duck_g, s):
     assert_differential(sview_g, duck_g, f"SELECT {lit} AS v")
 
 
+# PG's quantified pattern matches (LIKE/ILIKE/~ ANY/ALL over arrays) are
+# outside DuckDB's parser ("Unsupported comparison ~~ for ANY/ALL"), so
+# they can't be oracled differentially; instead each translated form is
+# execute-verified on Spark against its hand-expanded OR/AND equivalent.
+_QUANT_PATTERN_PAIRS = [
+    (
+        "SELECT c_name, c_name LIKE ANY(ARRAY['Customer#00000001%', '%5']) AS m "
+        "FROM customer WHERE c_custkey <= 100",
+        "SELECT c_name, c_name LIKE 'Customer#00000001%' OR c_name LIKE '%5' AS m "
+        "FROM customer WHERE c_custkey <= 100",
+    ),
+    (
+        "SELECT c_name, c_name ILIKE ANY(ARRAY['CUSTOMER#%9']) AS m "
+        "FROM customer WHERE c_custkey <= 100",
+        "SELECT c_name, c_name ILIKE 'CUSTOMER#%9' AS m "
+        "FROM customer WHERE c_custkey <= 100",
+    ),
+    (
+        "SELECT c_name, c_name NOT LIKE ALL(ARRAY['%1%', '%2%']) AS m "
+        "FROM customer WHERE c_custkey <= 100",
+        "SELECT c_name, c_name NOT LIKE '%1%' AND c_name NOT LIKE '%2%' AS m "
+        "FROM customer WHERE c_custkey <= 100",
+    ),
+    (
+        "SELECT c_name, c_name ~* ANY(ARRAY['^customer', '99$']) AS m "
+        "FROM customer WHERE c_custkey <= 100",
+        "SELECT c_name, c_name RLIKE '(?i)^customer' OR c_name RLIKE '(?i)99$' AS m "
+        "FROM customer WHERE c_custkey <= 100",
+    ),
+]
+
+
+@pytest.mark.parametrize("i", range(len(_QUANT_PATTERN_PAIRS)))
+def test_quantified_pattern_matches_execute(sview, i):
+    pg, expanded = _QUANT_PATTERN_PAIRS[i]
+    got = sorted(map(tuple, sview.sql(translate_pg_sql(pg)).collect()))
+    want = sorted(map(tuple, sview.sql(expanded).collect()))
+    assert got == want
+
+
 # hypothesis forbids function-scoped fixtures inside @given; expose the
 # module fixtures through injectable session-scoped shims
 @pytest.fixture(scope="session")

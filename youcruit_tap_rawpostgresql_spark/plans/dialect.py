@@ -839,7 +839,17 @@ def _translate_string_to_array(sql: str) -> str:
 
 _ARRAY_BINOP_RE = re.compile(r"@>|<@|&&")
 _QUANT_OPEN_RE = re.compile(r"\b(ANY|ALL|SOME)\s*\(", re.IGNORECASE)
-_CMP_TAIL_RE = re.compile(r"(<>|!=|<=|>=|=|<|>)\s*\Z")
+# comparison / pattern-match operator immediately before ANY/ALL/SOME:
+# plain comparisons, [NOT] [I]LIKE, the ~~ LIKE spellings, and the
+# ~ regex-match family (all legal PG quantified-comparison operators)
+_CMP_TAIL_RE = re.compile(
+    r"(?:(?P<cmp><>|!=|<=|>=|=|<|>)"
+    r"|(?P<notkw>NOT\s+)?(?P<likekw>ILIKE|LIKE)"
+    r"|(?P<likeop>!?~~\*?)"
+    r"|(?P<reop>!?~(?<!~~)\*?)"
+    r")\s*\Z",
+    re.IGNORECASE,
+)
 _SUBQUERY_HEAD_RE = re.compile(r"\s*(SELECT|WITH|VALUES|TABLE)\b", re.IGNORECASE)
 # tokens that look identifier-shaped but can never BE an operand
 _NOT_OPERAND_KWS = frozenset(
@@ -1048,6 +1058,30 @@ def _translate_array_binops(sql: str) -> str:
         pos = lhs_start
 
 
+def _quant_predicate(lhs: str, cm: re.Match) -> str:
+    """Lambda body for one element ``_qe`` under the matched operator:
+    plain comparisons, [NOT] [I]LIKE, ``~~`` LIKE spellings, and the
+    ``~`` regex family (case-insensitive variants prepend ``(?i)``)."""
+    if cm.group("cmp"):
+        return f"{lhs} {cm.group('cmp')} _qe"
+    if cm.group("likekw"):
+        kwu = cm.group("likekw").upper()
+        body = (
+            f"ilike({lhs}, _qe)" if kwu == "ILIKE" else f"{lhs} LIKE _qe"
+        )
+        return f"NOT ({body})" if cm.group("notkw") else body
+    if cm.group("likeop"):
+        op = cm.group("likeop")
+        body = (
+            f"ilike({lhs}, _qe)" if op.endswith("*") else f"{lhs} LIKE _qe"
+        )
+        return f"NOT ({body})" if op.startswith("!") else body
+    op = cm.group("reop")
+    pat = "concat('(?i)', _qe)" if op.endswith("*") else "_qe"
+    body = f"{lhs} RLIKE {pat}"
+    return f"NOT ({body})" if op.startswith("!") else body
+
+
 def _translate_quantified_comparisons(sql: str) -> str:
     pos = 0
     while True:
@@ -1065,12 +1099,13 @@ def _translate_quantified_comparisons(sql: str) -> str:
             # aggregates, or array_agg-style names — leave untouched
             pos = m.end()
             continue
-        op = cm.group(1)
-        lhs_start = _chain_left_start(sql, mask, spans, cm.start(1))
+        op = cm.group("cmp")
+        op_start = cm.start()
+        lhs_start = _chain_left_start(sql, mask, spans, op_start)
         if lhs_start is None:
             pos = m.end()
             continue
-        lhs = sql[lhs_start : cm.start(1)].strip()
+        lhs = sql[lhs_start:op_start].strip()
         inner = sql[open_i + 1 : close_i].strip()
         if _SUBQUERY_HEAD_RE.match(mask[open_i + 1 : close_i]):
             if kw in ("ANY", "SOME") and op == "=":
@@ -1078,17 +1113,18 @@ def _translate_quantified_comparisons(sql: str) -> str:
             elif kw == "ALL" and op in ("<>", "!="):
                 repl = f"{lhs} NOT IN ({inner})"
             else:
+                shown = op or cm.group(0).strip()
                 raise ValueError(
-                    f"unsupported quantified subquery: {op} {kw}(SELECT …) "
-                    "— Spark has no general quantified-comparison subquery; "
-                    "rewrite with min()/max() over the subquery"
+                    f"unsupported quantified subquery: {shown} {kw}(SELECT …)"
+                    " — Spark has no general quantified-comparison subquery;"
+                    " rewrite with min()/max() over the subquery"
                 )
-        elif kw in ("ANY", "SOME") and op == "=":
+        elif op is not None and kw in ("ANY", "SOME") and op == "=":
             repl = f"array_contains({inner}, {lhs})"
-        elif kw in ("ANY", "SOME"):
-            repl = f"exists({inner}, _qe -> {lhs} {op} _qe)"
         else:
-            repl = f"forall({inner}, _qe -> {lhs} {op} _qe)"
+            body = _quant_predicate(lhs, cm)
+            hof = "exists" if kw in ("ANY", "SOME") else "forall"
+            repl = f"{hof}({inner}, _qe -> {body})"
         sql = sql[:lhs_start] + repl + sql[close_i + 1 :]
         # rescan from the replacement: a subquery/array operand may hold a
         # nested quantified comparison; each rewrite removes one, so this
