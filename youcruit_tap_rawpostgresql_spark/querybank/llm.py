@@ -623,6 +623,96 @@ def minhash_lsh_pairs(
     )
 
 
+@register(
+    "dedup_minhash_incremental",
+    # integer match count (0..12) drives the threshold and tie-breaks, so
+    # no float comparison crosses engines; the division to a jaccard
+    # estimate happens once at the end, identically in both
+    oracle=f"""
+WITH hs AS (
+  SELECT doc_id, list_transform(list_distinct({O_SHINGLES}), s -> {O_HASH.format(x='s')}) AS h
+  FROM (SELECT doc_id, {O_TOKS} AS t FROM documents)
+), sig AS (
+  SELECT doc_id, {_o_minhash_list()} AS mh FROM hs WHERE len(h) > 0
+), bands AS (
+  {_o_lsh_bands()}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS ref_doc,
+    CAST(len(list_filter(generate_series(1, {_N_MINHASH}), i -> a.mh[i] = b.mh[i])) AS BIGINT) AS n_eq
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+  WHERE a.doc_id <> b.doc_id
+), best AS (
+  SELECT batch_doc, ref_doc, n_eq,
+    MAX(n_eq) OVER (PARTITION BY batch_doc) AS mx
+  FROM cand WHERE n_eq >= {_N_MINHASH // 2}
+)
+SELECT batch_doc, MIN(ref_doc) AS match_ref,
+  CAST(MAX(mx) AS DOUBLE) / {_N_MINHASH} AS best_est
+FROM best WHERE n_eq = mx GROUP BY batch_doc
+""",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup quarantine: new-batch docs (doc_id % 3 = 0)
+    whose MinHash signature LSH-collides with an already-ingested doc and
+    agrees on ≥ half the hash slots (est. Jaccard ≥ 0.5) — the near-dup
+    complement of `dedup_bloom_incremental`'s exact membership check.
+    Reports each flagged batch doc with its best lake match (tie-broken
+    to the lowest ref doc_id at the max match count — deterministic).
+
+    Scale: at 100 TB the lake side is a PRECOMPUTED signature store
+    (signatures are written once at ingest, the nightly batch only
+    computes its own); candidates come from the same (band_idx, band_key)
+    equi-join as `dedup_minhash_lsh` — only colliding docs ever meet, and
+    the adversarial mega-bucket cap of `minhash_lsh_pairs` applies
+    unchanged if boilerplate floods a bucket."""
+    sig = _minhash_sig_df(spark, sf_dir)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at("mh", band * _ROWS_PER_BAND + i + 1).cast(
+                        "string"
+                    )
+                    for i in range(_ROWS_PER_BAND)
+                ],
+            )
+            for band in range(_N_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "mh", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    batch = bands.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("batch_doc"),
+        F.col("mh").alias("mh_a"),
+        "band_idx",
+        "band_key",
+    )
+    ref = bands.filter(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").alias("ref_doc"),
+        F.col("mh").alias("mh_b"),
+        "band_idx",
+        "band_key",
+    )
+    n_eq = F.size(
+        F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)
+    ).cast("bigint")
+    cand = (
+        batch.join(ref, ["band_idx", "band_key"])
+        .select("batch_doc", "ref_doc", n_eq.alias("n_eq"))
+        .filter(F.col("n_eq") >= _N_MINHASH // 2)
+    )
+    best = F.max(F.struct(F.col("n_eq"), (-F.col("ref_doc")).alias("neg")))
+    return cand.groupBy("batch_doc").agg(best.alias("b")).select(
+        "batch_doc",
+        (-F.col("b.neg")).alias("match_ref"),
+        (F.col("b.n_eq").cast("double") / _N_MINHASH).alias("best_est"),
+    )
+
+
 def _o_simhash() -> str:
     terms = []
     for j in range(16):
