@@ -402,3 +402,51 @@ N_CASES_V3 = 80
 @pytest.mark.parametrize("i", range(N_CASES_V3))
 def test_sqlsmith_differential_v3(sview_g, duck_g, i):
     assert_differential(sview_g, duck_g, gen_query_v3(i))
+
+
+# --- grammar v4: quantified pattern matches, Spark self-consistency ----
+# PG allows LIKE/ILIKE/~ with ANY/ALL; DuckDB cannot parse those forms
+# ("Unsupported comparison ~~ for ANY/ALL"), so instead of a DuckDB
+# oracle each generated case is executed TWICE on Spark: the translated
+# quantified form vs its hand-expandable OR/AND equivalent — same rows
+# required. This pins the exists/forall lowering semantics (including
+# NOT and case-insensitive variants) on real data.
+
+_V4_OPS = [
+    ("LIKE", "{x} LIKE {p}"),
+    ("NOT LIKE", "{x} NOT LIKE {p}"),
+    ("ILIKE", "{x} ILIKE {p}"),
+    ("~~", "{x} LIKE {p}"),
+    ("!~~*", "NOT ({x} ILIKE {p})"),
+]
+
+
+def gen_query_v4(i: int):
+    r = random.Random(20260815 * 4000 + i)
+    tname = r.choice(list(_TABLES_V2))
+    t = _TABLES_V2[tname]
+    col = r.choice(t["str"])
+    op, expand = r.choice(_V4_OPS)
+    kw = r.choice(["ANY", "ALL"])
+    pats = [f"'{r.choice(_LIKE_PATS)}'" for _ in range(r.randint(1, 3))]
+    quant = (
+        f"SELECT {t['key']}, {col} {op} {kw}(ARRAY[{', '.join(pats)}]) AS m "
+        f"FROM {tname}"
+    )
+    joiner = " OR " if kw == "ANY" else " AND "
+    expanded = joiner.join(expand.format(x=col, p=p) for p in pats)
+    plain = f"SELECT {t['key']}, {expanded} AS m FROM {tname}"
+    return quant, plain
+
+
+N_CASES_V4 = 40
+
+
+@pytest.mark.parametrize("i", range(N_CASES_V4))
+def test_sqlsmith_quantified_patterns_v4(sview_g, i):
+    from youcruit_tap_rawpostgresql_spark.plans.dialect import translate_pg_sql
+
+    quant, plain = gen_query_v4(i)
+    got = sorted(map(tuple, sview_g.sql(translate_pg_sql(quant)).collect()))
+    want = sorted(map(tuple, sview_g.sql(plain).collect()))
+    assert got == want, f"\n  quant: {quant}\n  plain: {plain}"
