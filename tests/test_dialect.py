@@ -224,6 +224,26 @@ def test_like_operator_spellings():
     )
 
 
+def test_match_op_call_lhs():
+    """Match-op LHS can be a function call — including the CAST(...) the
+    ::cast rewrite itself produces (round-6 extended fuzz campaign,
+    v2#837: `(col)::text ~~ 'p'` became `CAST((col) AS string) ~~ 'p'`
+    whose call LHS matched no operand alternative, so `~~` survived to
+    Spark and failed to parse). Nesting up to two paren levels."""
+    assert (
+        translate_pg_sql("SELECT (n_regionkey)::text ~~ '%ER' AS e0 FROM nation")
+        == "SELECT CAST((n_regionkey) AS string) LIKE '%ER' AS e0 FROM nation"
+    )
+    assert (
+        translate_pg_sql("SELECT left(name, 2) !~~* 'c%' FROM t")
+        == "SELECT NOT (left(name, 2) ILIKE 'c%') FROM t"
+    )
+    assert (
+        translate_pg_sql("SELECT coalesce(nullif(name, ''), 'x') ~ '^A' FROM t")
+        == "SELECT coalesce(nullif(name, ''), 'x') RLIKE '^A' FROM t"
+    )
+
+
 def test_regexp_replace_flags_and_generate_series():
     """PG's 4-arg regexp_replace flags form and generate_series (round-6
     differential-execution findings: 'g' would be read as Spark's integer

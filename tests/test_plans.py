@@ -710,3 +710,27 @@ def test_bloom_incremental_dedup_no_big_shuffle_join(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
     assert "ArrowEvalPython" in p or "PythonUDF" in p
+
+
+def test_dsir_weights_broadcast_topk_bounded(plans):
+    """dsir_importance_select: the 8192-bucket weight table must reach the
+    per-doc scoring join as a BROADCAST (DSIR's fixed feature space is the
+    whole point — the weight side never grows with the corpus), and the
+    final top-100 must be a TakeOrderedAndProject, never a global sort."""
+    p = plans("dsir_importance_select")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_int8_topk_streams_corpus_once(plans):
+    """sim_cosine_int8_topk mirrors the bounded sim_cosine_topk kernel:
+    quantized query matrix in the task closure, corpus through ONE fused
+    MapInPandas, no join of any kind; the ranking Window sits above the
+    bounded survivor set (above MapInPandas in top-down order)."""
+    p = plans("sim_cosine_int8_topk")
+    assert "MapInPandas" in p
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert p.index("Window") < p.index("MapInPandas")

@@ -1,0 +1,117 @@
+"""Extended differential fuzz campaign over the PG dialect layer.
+
+The pytest modules (`tests/test_dialect_sqlsmith.py`) pin a FIXED corpus
+(seeds 0..N per grammar) so CI stays fast and deterministic. This tool
+drives the same generators over much larger seed ranges offline — the
+long-tail hunt a real sqlsmith run does. Any failure reproduces in the
+test file by adding its index to the parametrize range.
+
+Usage:
+    python tools/fuzz_campaign.py [--v1 1000] [--v2 1000] [--v3 600] [--v4 400]
+
+Each case is executed as-written by DuckDB (PG null-order pragma) and
+as-translated by Spark, value-compared order-insensitively (v4 compares
+Spark-vs-Spark: quantified form vs expanded OR/AND form). Prints one
+line per failure with the grammar, index, and SQL; exits nonzero if any
+case fails.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+from tests.test_dialect_differential import (  # noqa: E402
+    SF_DIR,
+    _pg_faithful_duck,
+    assert_differential,
+)
+from tests.test_dialect_sqlsmith import (  # noqa: E402
+    N_CASES,
+    N_CASES_V2,
+    N_CASES_V3,
+    N_CASES_V4,
+    gen_query,
+    gen_query_v2,
+    gen_query_v3,
+    gen_query_v4,
+)
+from youcruit_tap_rawpostgresql_spark.plans.dialect import (  # noqa: E402
+    translate_pg_sql,
+)
+from youcruit_tap_rawpostgresql_spark.querybank.registry import (  # noqa: E402
+    tables,
+)
+from youcruit_tap_rawpostgresql_spark.session import get_session  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--v1", type=int, default=1000)
+    ap.add_argument("--v2", type=int, default=1000)
+    ap.add_argument("--v3", type=int, default=600)
+    ap.add_argument("--v4", type=int, default=400)
+    args = ap.parse_args()
+
+    spark = get_session(app_name="fuzz-campaign")
+    tables(spark, SF_DIR)
+    duck = _pg_faithful_duck()
+
+    failures = 0
+    t0 = time.time()
+
+    # differential grammars: CI covers [0, N_CASES*); sweep the tail above.
+    for name, gen, lo, hi in (
+        ("v1", gen_query, N_CASES, args.v1),
+        ("v2", gen_query_v2, N_CASES_V2, args.v2),
+        ("v3", gen_query_v3, N_CASES_V3, args.v3),
+    ):
+        ran = 0
+        for i in range(lo, hi):
+            sql = gen(i)
+            try:
+                assert_differential(spark, duck, sql)
+            except AssertionError as e:
+                failures += 1
+                print(f"FAIL {name}#{i}: {sql}\n  {e}", flush=True)
+            except Exception as e:  # engine error = also a finding
+                failures += 1
+                print(f"ERROR {name}#{i}: {sql}\n  {type(e).__name__}: {e}",
+                      flush=True)
+            ran += 1
+        print(f"[{name}] {ran} cases ({lo}..{hi}), "
+              f"{failures} cumulative failures, {time.time()-t0:.0f}s",
+              flush=True)
+
+    # v4: Spark self-consistency (quantified vs expanded pattern match)
+    ran = 0
+    for i in range(N_CASES_V4, args.v4):
+        quant, plain = gen_query_v4(i)
+        try:
+            got = sorted(map(tuple, spark.sql(translate_pg_sql(quant)).collect()))
+            want = sorted(map(tuple, spark.sql(plain).collect()))
+            if got != want:
+                failures += 1
+                print(f"FAIL v4#{i}: {quant}\n  vs {plain}", flush=True)
+        except Exception as e:
+            failures += 1
+            print(f"ERROR v4#{i}: {quant}\n  {type(e).__name__}: {e}",
+                  flush=True)
+        ran += 1
+    print(f"[v4] {ran} cases, {failures} cumulative failures, "
+          f"{time.time()-t0:.0f}s", flush=True)
+
+    total = (args.v1 - N_CASES) + (args.v2 - N_CASES_V2) + \
+        (args.v3 - N_CASES_V3) + (args.v4 - N_CASES_V4)
+    print(f"== fuzz campaign: {total} cases, {failures} failures ==",
+          flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -448,8 +448,17 @@ _JSON_EXTRACT_RE = re.compile(_JSON_OPERAND + r"\s*->>?\s*'((?:[^']|'')*)'")
 # LIKE/regex-op left operand: also admits a string LITERAL ('x' ~~ 'p'
 # is legal PG and showed up untranslated in the round-6 sqlsmith run —
 # the literal-interior guard still applies since the match contains the
-# literal entirely)
-_MATCH_OPERAND = r"([a-zA-Z_][\w.]*|\([^()]*\)|" + _STR_LIT + r")"
+# literal entirely) and a FUNCTION-CALL form with up to two levels of
+# nested parens (`CAST((x) AS string) ~~ 'p'` — the ::cast rewrite runs
+# first and produces exactly that shape; found by the round-6 extended
+# fuzz campaign, v2#837: the call LHS matched nothing, `~~` survived to
+# Spark, and the query failed to parse)
+_CALL_OPERAND = (
+    r"[a-zA-Z_][\w.]*\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
+)
+_MATCH_OPERAND = (
+    r"(" + _CALL_OPERAND + r"|[a-zA-Z_][\w.]*|\([^()]*\)|" + _STR_LIT + r")"
+)
 
 # expr ~~ 'pat' (PG spelling of LIKE), ~~* (ILIKE), !~~, !~~* — must be
 # rewritten BEFORE the single-~ regex ops so `~~` never half-matches as

@@ -1498,3 +1498,129 @@ def exact_cosine_topk(
     return survivors.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+@register(
+    "sim_cosine_int8_topk",
+    oracle="""
+WITH qz AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE) /
+      list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))))
+      * 127.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv,
+    list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS nn
+  FROM qz
+),
+c AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+    CAST(list_reduce(list_transform(generate_series(1, len(q.qv)),
+           i -> q.qv[i] * e.qv[i]), (a, b) -> a + b) AS DOUBLE)
+      / (sqrt(CAST(q.nn AS DOUBLE)) * sqrt(CAST(e.nn AS DOUBLE))) AS cos
+  FROM n q JOIN n e ON q.vec_id % 50 = 0 AND q.vec_id <> e.vec_id
+  WHERE q.nn > 0 AND e.nn > 0
+),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank
+  FROM c
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine_q, rank
+FROM r WHERE rank <= 3
+""",
+)
+def sim_cosine_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k retrieval over int8-QUANTIZED vectors — the serving-path twin
+    of ``embed_quantize_int8``: quantize once (4× less scan bandwidth than
+    float32, 32× less than float64), score with INTEGER dot products, and
+    rank by the quantized cosine. Demonstrates end-to-end that the
+    compressed storage path returns deterministic, oracle-checkable
+    results: integer dots are exact in int64, so raw-cos ties are
+    impossible to mis-order across engines (no float fold-order pinning
+    needed, unlike the float32 kernel in sim_cosine_topk).
+
+    Scale: same bounded-kernel shape as sim_cosine_topk — the quantized
+    query matrix rides the task closure, the corpus streams once through
+    mapInPandas with per-batch top-k partial reduction, and only
+    batches·|Q|·k survivor rows reach the final ranking window. At 100 TB
+    the quantized corpus would be materialized once (embed_quantize_int8)
+    and scanned as int8 parquet; here quantization is fused into the
+    scoring pass to keep the case self-contained."""
+    import numpy as np
+    import pandas as pd
+
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import spread
+
+    k = 3
+    e = tables(spark, sf_dir)["embeddings"]
+    q_rows = sorted(
+        bounded_collect(
+            e.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding")
+        ),
+        key=lambda r: r["vec_id"],
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+
+    def _quantize(mat: "np.ndarray") -> "np.ndarray":
+        # float32 → float64 widening is exact; per-vector symmetric scale,
+        # floor — the same IEEE ops DuckDB's CAST/ /, *, floor perform
+        m = np.max(np.abs(mat), axis=1, keepdims=True)
+        m[m == 0.0] = 1.0  # all-zero vector: quantizes to zeros either way
+        return np.floor((mat / m) * 127.0).astype(np.int64)
+
+    Q = _quantize(np.array([list(r["embedding"]) for r in q_rows],
+                           dtype=np.float64))
+    nq = (Q * Q).sum(axis=1)  # int64, exact
+
+    def score_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nid = pdf["vec_id"].to_numpy()
+            perm = np.argsort(nid, kind="stable")
+            nid = nid[perm]
+            B = _quantize(
+                np.array(pdf["embedding"].tolist(), dtype=np.float64)[perm]
+            )
+            nb = (B * B).sum(axis=1)
+            d = Q @ B.T  # int64 matmul: exact
+            n = np.sqrt(nq.astype(np.float64))[:, None] * np.sqrt(
+                nb.astype(np.float64)
+            )[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = d.astype(np.float64) / n
+            key = np.where(
+                (nid[None, :] == q_ids[:, None]) | (n == 0), -np.inf, cos
+            )
+            kk = min(k, B.shape[0])
+            top = np.argsort(-key, axis=1, kind="stable")[:, :kk]
+            sel_key = np.take_along_axis(key, top, axis=1).reshape(-1)
+            mask = np.isfinite(sel_key)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, kk)[mask],
+                    "neighbor_id": nid[top.reshape(-1)][mask],
+                    "cos": np.take_along_axis(cos, top, axis=1).reshape(-1)[
+                        mask
+                    ],
+                }
+            )
+
+    survivors = spread(e.select("vec_id", "embedding")).mapInPandas(
+        score_topk, "query_id long, neighbor_id long, cos double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine_q"),
+            "rank",
+        )
+    )

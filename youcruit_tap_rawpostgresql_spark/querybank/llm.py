@@ -1856,3 +1856,101 @@ def source_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dotp / (nrm("ca") * nrm("cb")), 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Targeted data selection (DSIR-style importance scoring)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 8192
+
+
+@register(
+    "dsir_importance_select",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, lang, {O_TOKS} AS t FROM documents
+),
+big AS (
+  SELECT doc_id, lang,
+    CAST('0x' || substr(md5(bg), 1, 15) AS BIGINT) % {_DSIR_BUCKETS} AS f
+  FROM (
+    SELECT doc_id, lang,
+      unnest(list_transform(generate_series(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1])) AS bg
+    FROM toks WHERE len(t) >= 2
+  )
+),
+cnt AS (
+  SELECT f, COUNT(*) AS s_cnt, COUNT(*) FILTER (WHERE lang = 'en') AS t_cnt
+  FROM big GROUP BY f
+),
+tot AS (SELECT SUM(s_cnt) AS s_tot, SUM(t_cnt) AS t_tot FROM cnt),
+w AS (
+  SELECT f,
+    t_cnt * (SELECT s_tot FROM tot) - s_cnt * (SELECT t_tot FROM tot) AS wt
+  FROM cnt
+)
+SELECT b.doc_id, CAST(SUM(w.wt) AS BIGINT) AS dsir_score
+FROM big b JOIN w USING (f)
+GROUP BY b.doc_id
+ORDER BY dsir_score DESC, b.doc_id
+LIMIT 100
+""",
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style targeted data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hash document bigrams
+    into a FIXED feature space (8192 buckets), contrast each feature's
+    frequency in a target domain (here: docs declared ``lang = 'en'``)
+    against the whole corpus, and score every document by the summed
+    contrast of its bigram occurrences. Top-100 by score = the docs most
+    target-like. The production DSIR weight is the log-likelihood ratio
+    log(p_target(f)/p_source(f)); this case uses the cross-multiplied
+    integer form ``t_cnt·S − s_cnt·T`` (same sign, same relative ordering
+    intent) so the oracle comparison stays integer-exact across engines —
+    at real scale you'd switch to float log-ratios and drop the oracle
+    exactness requirement.
+
+    Scale: the feature space is FIXED at 8192 buckets regardless of corpus
+    size (that is DSIR's own trick), so the weight table always broadcasts;
+    per-doc scoring is one exploded equi-join against the broadcast weights
+    + one groupBy(doc_id). Two shuffles total (feature counts, per-doc sum),
+    both keyed on high-cardinality uniform keys. The final top-100 is a
+    TakeOrderedAndProject, never a global sort. int64 headroom: weights are
+    bounded by total-bigram-count², so past ~3e9 bigram occurrences switch
+    the weight to the float log-ratio."""
+    d = tables(spark, sf_dir)["documents"]
+    t = tokens("text")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + F.lit(1))
+        ),
+    )
+    exploded = (
+        d.filter(F.size(t) >= 2)
+        .select("doc_id", "lang", F.explode(bigrams).alias("bg"))
+        .select(
+            "doc_id", "lang", (hash64(F.col("bg")) % _DSIR_BUCKETS).alias("f")
+        )
+    )
+    cnt = exploded.groupBy("f").agg(
+        F.count(F.lit(1)).alias("s_cnt"),
+        F.count_if(F.col("lang") == "en").alias("t_cnt"),
+    )
+    tot = cnt.agg(
+        F.sum("s_cnt").alias("s_tot"), F.sum("t_cnt").alias("t_tot")
+    )
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "f",
+        (F.col("t_cnt") * F.col("s_tot") - F.col("s_cnt") * F.col("t_tot"))
+        .alias("wt"),
+    )
+    return (
+        exploded.join(F.broadcast(w), "f")
+        .groupBy("doc_id")
+        .agg(F.sum("wt").alias("dsir_score"))
+        .orderBy(F.col("dsir_score").desc(), "doc_id")
+        .limit(100)
+    )
