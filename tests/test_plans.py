@@ -724,6 +724,27 @@ def test_dsir_weights_broadcast_topk_bounded(plans):
     assert "TakeOrderedAndProject" in p
 
 
+def test_dsir_single_corpus_pass(spark):
+    """The feature-count branch must REUSE the docfeat exchange — one
+    corpus scan + explode + md5-hash, not two (the first cut exploded per
+    branch: 122 s at sf1; the shared shape is 8.7 s, 3.4×/decade). Same
+    n>=1 canonicalization guard as text_tfidf_topk; AQE hides
+    ReusedExchange until runtime, so assert on the non-adaptive plan."""
+    from youcruit_tap_rawpostgresql_spark.querybank import REGISTRY
+
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["dsir_importance_select"].fn(
+            spark, "/root/testdata/sf0.001"
+        )
+        p = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert "ReusedExchange" in p
+    assert p.count("FileScan") == 1
+
+
 def test_int8_topk_streams_corpus_once(plans):
     """sim_cosine_int8_topk mirrors the bounded sim_cosine_topk kernel:
     quantized query matrix in the task closure, corpus through ONE fused

@@ -1913,13 +1913,20 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactness requirement.
 
     Scale: the feature space is FIXED at 8192 buckets regardless of corpus
-    size (that is DSIR's own trick), so the weight table always broadcasts;
-    per-doc scoring is one exploded equi-join against the broadcast weights
-    + one groupBy(doc_id). Two shuffles total (feature counts, per-doc sum),
-    both keyed on high-cardinality uniform keys. The final top-100 is a
-    TakeOrderedAndProject, never a global sort. int64 headroom: weights are
-    bounded by total-bigram-count², so past ~3e9 bigram occurrences switch
-    the weight to the float log-ratio."""
+    size (that is DSIR's own trick), so the weight table always broadcasts.
+    The corpus is exploded+hashed ONCE into per-doc feature counts
+    (``docfeat``, one (doc_id, f) exchange with map-side partial agg); the
+    per-feature totals derive from docfeat (NOT a second corpus pass — the
+    tfidf shared-exchange pattern, plan-pinned) and broadcast back onto it
+    for per-doc scoring. Exactly two shuffles touch corpus-sized data,
+    both keyed on high-cardinality uniform keys; the final top-100 is a
+    TakeOrderedAndProject, never a global sort. (The first cut exploded
+    the corpus separately per branch — the round-6 four-decade sweep
+    measured it super-linear, 122 s at sf1; this shape is 8.6 s.)
+    int64 headroom: weights are bounded by total-bigram-count², so past
+    ~3e9 bigram occurrences switch the weight to the float log-ratio."""
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import spread
+
     d = tables(spark, sf_dir)["documents"]
     t = tokens("text")
     bigrams = F.transform(
@@ -1928,16 +1935,29 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.element_at(t, i), F.element_at(t, i + F.lit(1))
         ),
     )
-    exploded = (
-        d.filter(F.size(t) >= 2)
+    # spread(): the md5 feature hash runs pre-exchange; a single-split
+    # parquet input would serialize it (round-5 census class)
+    docfeat = (
+        spread(d.filter(F.size(t) >= 2))
         .select("doc_id", "lang", F.explode(bigrams).alias("bg"))
         .select(
             "doc_id", "lang", (hash64(F.col("bg")) % _DSIR_BUCKETS).alias("f")
         )
+        .groupBy("doc_id", "lang", "f")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    cnt = exploded.groupBy("f").agg(
-        F.count(F.lit(1)).alias("s_cnt"),
-        F.count_if(F.col("lang") == "en").alias("t_cnt"),
+    # trivially-true n >= 1 keeps the count aggregate in this subtree so
+    # it canonicalizes equal to the scoring branch's docfeat and the
+    # corpus exchange is REUSED (see text_tfidf_topk for the measured
+    # why); without it this branch re-scans + re-hashes the corpus
+    cnt = (
+        docfeat.filter(F.col("n") >= 1)
+        .groupBy("f")
+        .agg(
+            F.sum("n").alias("s_cnt"),
+            F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0))
+            .alias("t_cnt"),
+        )
     )
     tot = cnt.agg(
         F.sum("s_cnt").alias("s_tot"), F.sum("t_cnt").alias("t_tot")
@@ -1948,9 +1968,9 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("wt"),
     )
     return (
-        exploded.join(F.broadcast(w), "f")
+        docfeat.join(F.broadcast(w), "f")
         .groupBy("doc_id")
-        .agg(F.sum("wt").alias("dsir_score"))
+        .agg(F.sum(F.col("n") * F.col("wt")).alias("dsir_score"))
         .orderBy(F.col("dsir_score").desc(), "doc_id")
         .limit(100)
     )
