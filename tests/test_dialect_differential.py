@@ -291,6 +291,17 @@ _CORPUS = {
                                WHERE o_orderkey < 50)
           AND c_custkey <= 300
     """,
+    # round-6 extended fuzz campaign (v2#837): match-op LHS that is a
+    # function call — including the CAST the ::cast rewrite produces.
+    # (stays in the ~~ LIKE family: DuckDB's single-~ is full-match, a
+    # documented engine delta this corpus avoids)
+    "cast_lhs_match_ops": """
+        SELECT c_custkey,
+               (c_nationkey)::text ~~ '%5' AS cast_like,
+               left(c_name, 10) ~~* 'customer#0%' AS call_ilike,
+               coalesce(nullif(c_mktsegment, ''), 'x') !~~ 'B%' AS nested_not_like
+        FROM customer WHERE c_custkey <= 200
+    """,
 }
 
 

@@ -1867,6 +1867,7 @@ _DSIR_BUCKETS = 8192
 
 @register(
     "dsir_importance_select",
+    headline=True,
     oracle=rf"""
 WITH toks AS (
   SELECT doc_id, lang, {O_TOKS} AS t FROM documents
