@@ -244,6 +244,64 @@ def test_match_op_call_lhs():
     )
 
 
+def test_match_op_keyword_before_paren_lhs_not_swallowed():
+    """A SQL keyword preceding a parenthesized match-op LHS must never be
+    swallowed as a callee (round-6 advisory: the call-LHS operand form
+    admitted `AND (b)` as a call, emitting `NOT (AND (b) RLIKE 'p')` —
+    unparseable; and after a keyword guard alone, the scan resumed
+    mid-keyword and accepted `ND (b)`)."""
+    assert (
+        translate_pg_sql("SELECT * FROM t WHERE x AND (b) !~ 'p'")
+        == "SELECT * FROM t WHERE x AND NOT ((b) RLIKE 'p')"
+    )
+    assert (
+        translate_pg_sql("SELECT CASE WHEN (x) !~~ 'p' THEN 1 END FROM t")
+        == "SELECT CASE WHEN NOT ((x) LIKE 'p') THEN 1 END FROM t"
+    )
+    assert (
+        translate_pg_sql("SELECT a FROM t WHERE b OR (c) ~~* 'q%'")
+        == "SELECT a FROM t WHERE b OR (c) ILIKE 'q%'"
+    )
+    # whitespace-call form still accepted for a genuine (non-keyword) callee
+    assert (
+        translate_pg_sql("SELECT coalesce (x, 'y') ~ 'p' FROM t")
+        == "SELECT coalesce (x, 'y') RLIKE 'p' FROM t"
+    )
+
+
+def test_quantified_literal_lhs_not_mangled_by_json_rewrite():
+    """String-literal LHS in a quantified comparison: the generated lambda
+    `_qe -> 'a' <> _qe` used to be eaten by the JSON -> rewrite into
+    `get_json_object(_qe, '$.a') <> _qe` (round-6 advisory). The literal
+    LHS is parenthesized so the lambda arrow survives."""
+    assert (
+        translate_pg_sql("SELECT * FROM t WHERE 'a' <> ANY(arr)")
+        == "SELECT * FROM t WHERE exists(arr, _qe -> ('a') <> _qe)"
+    )
+    assert (
+        translate_pg_sql("SELECT * FROM t WHERE 'a%' !~~ ALL(arr)")
+        == "SELECT * FROM t WHERE forall(arr, _qe -> NOT (('a%') LIKE _qe))"
+    )
+    assert (
+        translate_pg_sql("SELECT 'x' LIKE ANY(pats) AS m FROM t")
+        == "SELECT exists(pats, _qe -> ('x') LIKE _qe) AS m FROM t"
+    )
+
+
+def test_identifier_ending_in_like_before_any_not_rewritten():
+    """`x_like ANY(arr)` (invalid PG, fuzz-reachable) must pass through
+    untouched — the LIKE alternative in the quantified-comparison tail
+    now word-boundary-anchors so partial identifier tails never match
+    (round-6 advisory)."""
+    sql = "SELECT * FROM t WHERE x_like ANY(arr)"
+    assert translate_pg_sql(sql) == sql
+    # the genuine keyword form still translates
+    assert (
+        translate_pg_sql("SELECT * FROM t WHERE x LIKE ANY(arr)")
+        == "SELECT * FROM t WHERE exists(arr, _qe -> x LIKE _qe)"
+    )
+
+
 def test_regexp_replace_flags_and_generate_series():
     """PG's 4-arg regexp_replace flags form and generate_series (round-6
     differential-execution findings: 'g' would be read as Spark's integer

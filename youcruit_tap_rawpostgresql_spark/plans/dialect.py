@@ -452,12 +452,28 @@ _JSON_EXTRACT_RE = re.compile(_JSON_OPERAND + r"\s*->>?\s*'((?:[^']|'')*)'")
 # nested parens (`CAST((x) AS string) ~~ 'p'` — the ::cast rewrite runs
 # first and produces exactly that shape; found by the round-6 extended
 # fuzz campaign, v2#837: the call LHS matched nothing, `~~` survived to
-# Spark, and the query failed to parse)
-_CALL_OPERAND = (
-    r"[a-zA-Z_][\w.]*\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
+# Spark, and the query failed to parse).  The callee must NOT be a SQL
+# keyword: without the guard, `... AND (b) !~ 'p'` swallowed `AND` as a
+# callee and emitted `NOT (AND (b) RLIKE 'p')` — unparseable (round-6
+# advisory).  The keyword list mirrors _NOT_OPERAND_KWS below.
+_CALL_KW_GUARD = (
+    r"(?!(?i:and|or|not|when|then|else|where|on|by|in|is|like|ilike|"
+    r"between|select|from|all|any|some|case|end|distinct|as|join|union|"
+    r"intersect|except|having|group|order|limit|offset)\s*\()"
 )
+_CALL_OPERAND = (
+    _CALL_KW_GUARD
+    + r"[a-zA-Z_][\w.]*\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
+)
+# (?<![\w.]): never start an operand mid-identifier — after the keyword
+# guard rejects `AND (b)`, the scan must not resume one char later and
+# accept `ND (b)` as a call (round-6 advisory regression shape).
 _MATCH_OPERAND = (
-    r"(" + _CALL_OPERAND + r"|[a-zA-Z_][\w.]*|\([^()]*\)|" + _STR_LIT + r")"
+    r"(?<![\w.])("
+    + _CALL_OPERAND
+    + r"|[a-zA-Z_][\w.]*|\([^()]*\)|"
+    + _STR_LIT
+    + r")"
 )
 
 # expr ~~ 'pat' (PG spelling of LIKE), ~~* (ILIKE), !~~, !~~* — must be
@@ -853,7 +869,10 @@ _QUANT_OPEN_RE = re.compile(r"\b(ANY|ALL|SOME)\s*\(", re.IGNORECASE)
 # ~ regex-match family (all legal PG quantified-comparison operators)
 _CMP_TAIL_RE = re.compile(
     r"(?:(?P<cmp><>|!=|<=|>=|=|<|>)"
-    r"|(?P<notkw>NOT\s+)?(?P<likekw>ILIKE|LIKE)"
+    # \b anchors: without them an identifier ending in 'like' before
+    # ANY( ('x_like ANY(arr)') silently matched as a LIKE quantified
+    # comparison instead of failing loudly (round-6 advisory)
+    r"|(?P<notkw>\bNOT\s+)?\b(?P<likekw>ILIKE|LIKE)"
     r"|(?P<likeop>!?~~\*?)"
     r"|(?P<reop>!?~(?<!~~)\*?)"
     r")\s*\Z",
@@ -1071,6 +1090,12 @@ def _quant_predicate(lhs: str, cm: re.Match) -> str:
     """Lambda body for one element ``_qe`` under the matched operator:
     plain comparisons, [NOT] [I]LIKE, ``~~`` LIKE spellings, and the
     ``~`` regex family (case-insensitive variants prepend ``(?i)``)."""
+    if lhs.startswith("'"):
+        # A literal LHS makes the generated lambda read "_qe -> 'a' ...",
+        # which the later JSON -> rewrite mistakes for a json-extract and
+        # mangles into get_json_object(_qe, '$.a') — eating the lambda
+        # arrow (round-6 advisory).  Parenthesizing breaks that match.
+        lhs = f"({lhs})"
     if cm.group("cmp"):
         return f"{lhs} {cm.group('cmp')} _qe"
     if cm.group("likekw"):
