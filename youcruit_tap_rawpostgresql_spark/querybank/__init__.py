@@ -44,36 +44,40 @@ _PINS = [
     "dedup_minhash_lsh", "sim_cosine_topk", "sim_ann_ivf_pq",
     "text_tfidf_topk", "kmeans_embed_lloyd", "stream_stateful_sessionize",
 ]
-_ROTATION_R06 = [
-    # 40 slots, all never driver-checked in r02-r05 (see ROTATION.md)
+_ROTATION_R07 = [
+    # 40 slots, all never driver-checked in r02-r06 (see ROTATION.md).
+    # Round-6 judge directive 2: the six round-6-born/churned cases are
+    # promoted (dsir, int8 topk, LSH threshold twin, the two incremental
+    # dedup ops, DISTINCT ON), plus the round-7-born int8_recall_eval.
+    # round-6-born / churned code first
+    "dsir_importance_select", "sim_cosine_int8_topk",
+    "sim_cosine_threshold_lsh", "dedup_bloom_incremental",
+    "dedup_minhash_incremental", "pg_dialect_distinct_on",
+    "int8_recall_eval",
+    # deferred from the original r06 plan
+    "subquery_in", "join_asof", "sql_lateral_column_alias",
+    "set_union_by_name", "win_named_window", "scalar_bitwise",
+    # PG dialect / ANN / joins / tap formats
+    "pg_dialect_like_epoch", "pg_dialect_arrays", "sim_ann_ivf",
+    "sim_ann_pq_adc", "join_range_binned", "tap_orc_export_roundtrip",
     # relational / TPC-H
-    "q7_nation_volume", "q10_returned_items", "q12_shipmode_buckets",
-    "q14_promo_ratio", "q18_large_orders", "q19_disjunctive_predicates",
-    "q20_qualified_suppliers",
-    # SQL surface: subqueries, pivot/unpivot clauses, aggregates
-    "subquery_scalar", "sql_pivot_clause", "sql_unpivot_clause",
-    "agg_mode_per_group", "agg_listagg_ordered",
-    # scalars + PG dialect
-    "scalar_conditional", "scalar_array", "pg_dialect_strings",
-    # round-5 rebuilt kernels (judge r6 directive: churned code needs
-    # driver-grade rows most)
-    "knn_label_vote", "er_blocked_fuzzy_join", "sim_cosine_threshold",
-    "text_langid_ngram_profile", "text_boilerplate_fraction",
-    "text_ngram_topk",
-    # tap-level
-    "tap_table_checksum", "tap_integrity_audit",
-    "tap_batch_reingest_source", "tap_schema_evolution_read",
-    "tap_corrupt_record_ingest",
-    # dedup / text / ANN (biased toward round-5 rebuilt kernels)
-    "dedup_keep_best", "dedup_minhash_eval", "dedup_span_windows",
-    "dedup_cascade_report", "text_bigram_logprob", "text_ngram_novelty",
-    "sim_ann_ivf_pruned_store", "pq_recall_eval", "hybrid_rrf_fusion",
-    # streaming / ETL / multimodal / pipeline
-    "stream_stream_join", "stream_upsert_latest",
-    "multimodal_frame_sample", "funnel_ordered_steps",
-    "pipeline_resumable_cascade",
+    "q11_important_stock", "q13_order_distribution", "q15_top_supplier",
+    "q16_supplier_variety",
+    # aggregates
+    "agg_group_by_all", "agg_grouping_marker", "agg_percentile_disc",
+    "agg_bit_flags",
+    # scalars
+    "scalar_string_extras", "scalar_datetime_extras",
+    # SQL surface / table functions
+    "sql_values_lookup", "sql_named_params", "tablefunc_json_elements",
+    "tablefunc_sequence", "tablefunc_explode_outer",
+    # streaming
+    "stream_session_window", "stream_sliding_window",
+    "stream_ewma_stateful",
+    # dedup / sampling / text
+    "dedup_semantic_cluster", "sample_hash_split", "text_doc_frequency",
 ]
-_PREFIX = _PINS + _ROTATION_R06
+_PREFIX = _PINS + _ROTATION_R07
 assert len(_PREFIX) == 50, f"driver window is 50 entries, prefix has {len(_PREFIX)}"
 _missing = [n for n in _PREFIX if n not in REGISTRY]
 assert not _missing, f"prefix names not in REGISTRY: {_missing}"
@@ -82,4 +86,4 @@ _reordered = {k: REGISTRY[k] for k in _PREFIX}
 _reordered.update(_rest)
 REGISTRY.clear()
 REGISTRY.update(_reordered)
-del _PREFIX, _missing, _rest, _reordered, _PINS, _ROTATION_R06
+del _PREFIX, _missing, _rest, _reordered, _PINS, _ROTATION_R07

@@ -61,7 +61,7 @@ def write_batch_files(
     spec: StreamSpec,
     batch: BatchSinkConfig,
     tap_name: str = "tap-rawpostgresql-spark",
-    exact_rotation: bool = False,
+    exact_rotation: bool | None = None,
 ) -> list[BatchManifest]:
     """Write ``df`` as gzip JSONL batch files; return manifests.
 
@@ -69,8 +69,12 @@ def write_batch_files(
     globally exact every ``batch_size`` rows (reference-equivalent; use for
     small exports only). Default keeps task parallelism: each task rotates
     at ``batch_size``, so files are ≤ batch_size rows (acceptable drift
-    documented in SURVEY.md §3 Q3).
+    documented in SURVEY.md §3 Q3). ``None`` (the default) defers to
+    ``batch.exact_rotation``, so the reference-parity mode is reachable
+    from CONFIG (``batch_config.exact_rotation``), not just code.
     """
+    if exact_rotation is None:
+        exact_rotation = batch.exact_rotation
     parsed = urlparse(batch.root if "://" in batch.root else f"file://{batch.root}")
     sync_id = f"{tap_name}--{spec.name}-{_uuid.uuid4()}"
     out_dir = os.path.join(batch.root, sync_id)

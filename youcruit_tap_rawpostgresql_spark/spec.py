@@ -48,6 +48,10 @@ class BatchSinkConfig:
 
     ``root`` is any Hadoop-FS URI (file://, s3a://, ...); ``prefix`` prepends
     output file names; ``batch_size`` rotates files every N records.
+    ``exact_rotation=True`` opts into the reference's single-writer
+    globally-exact rotation (every file exactly batch_size rows except the
+    last) via coalesce(1) — for small exports only; the default keeps
+    per-task rotation and full write parallelism (SURVEY.md §3 Q3).
     """
 
     root: str
@@ -55,6 +59,7 @@ class BatchSinkConfig:
     batch_size: int = 100_000  # reference default, tap.py:114-120
     encoding_format: str = "jsonl"
     encoding_compression: str = "gzip"
+    exact_rotation: bool = False
 
 
 @dataclass
@@ -197,6 +202,7 @@ class TapConfig:
                 batch_size=raw.get("batch_size", 100_000),
                 encoding_format=enc.get("format", "jsonl"),
                 encoding_compression=enc.get("compression", "gzip"),
+                exact_rotation=bool(b.get("exact_rotation", False)),
             )
         jdbc = raw.get("jdbc")
         if jdbc is None and raw.get("host") and raw.get("username"):
