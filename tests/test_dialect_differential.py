@@ -302,6 +302,28 @@ _CORPUS = {
                coalesce(nullif(c_mktsegment, ''), 'x') !~~ 'B%' AS nested_not_like
         FROM customer WHERE c_custkey <= 200
     """,
+    # round-6 advisory: a keyword before a parenthesized match-op LHS must
+    # not be swallowed as a callee (`AND (b) !~~ 'p'` once became
+    # `NOT (AND (b) LIKE 'p')`), in WHERE-conjunction and CASE-WHEN
+    # positions. (stays in the ~~ family: single-~ is an engine delta)
+    "keyword_before_paren_match_lhs": """
+        SELECT c_custkey,
+               CASE WHEN (c_mktsegment) !~~ 'B%' THEN 1 ELSE 0 END AS cw
+        FROM customer
+        WHERE c_custkey <= 200 AND (c_name) ~~ '%5'
+    """,
+    # round-6 advisory: string-literal LHS in quantified comparisons —
+    # the generated lambda `_qe -> 'a' <> _qe` was mangled by the JSON ->
+    # rewrite into get_json_object(_qe, '$.a'), eating the arrow. (The
+    # LIKE-family quantifiers with a literal LHS are pinned string-level
+    # in test_dialect.py — DuckDB has no `~~ ANY/ALL` to oracle them.)
+    "literal_lhs_quantified": """
+        SELECT c_custkey,
+               'BUILDING' <> ANY(ARRAY[c_mktsegment, 'x']) AS ne_any,
+               'F' < ALL(ARRAY[c_mktsegment, 'Z']) AS lt_all,
+               'AUTOMOBILE' = ANY(ARRAY[c_mktsegment]) AS eq_any
+        FROM customer WHERE c_custkey <= 200
+    """,
 }
 
 

@@ -155,3 +155,39 @@ def test_documented_case_count_matches_registry():
                 f"{name} cites case counts {sorted(cited)} "
                 f"but the registry has {n}"
             )
+
+
+def test_verification_doc_is_current_round():
+    """VERIFICATION.md must be headed with the CURRENT round and its
+    oracle-sweep row must cite the CURRENT registry size (round-6 judge
+    directive 3: the doc sat at 'round-5 state' through round 6, so the
+    round's own full-sweep evidence lived only in commit messages). The
+    current round comes from PROGRESS.jsonl (driver-written)."""
+    import json
+    import re
+    from pathlib import Path
+
+    from youcruit_tap_rawpostgresql_spark.querybank import REGISTRY
+
+    root = Path(__file__).resolve().parent.parent
+    last = [
+        json.loads(line)
+        for line in (root / "PROGRESS.jsonl").read_text().splitlines()
+        if line.strip()
+    ][-1]
+    round_n = last["round"]
+    doc = (root / "VERIFICATION.md").read_text()
+    header = doc.splitlines()[0]
+    m = re.search(r"round-(\d+)", header)
+    assert m, f"VERIFICATION.md header has no round marker: {header!r}"
+    assert int(m.group(1)) == round_n, (
+        f"VERIFICATION.md is headed round-{m.group(1)} but the driver "
+        f"says round {round_n} — regenerate it"
+    )
+    n = len(REGISTRY)
+    sweep = re.search(r"Oracle sweep[^\n]*\n?[^|]*\|[^|]*\|([^|]*)\|", doc)
+    assert sweep is not None, "VERIFICATION.md lost its oracle-sweep row"
+    assert re.search(rf"\b{n}\s*/\s*{n}\b", sweep.group(1)), (
+        f"oracle-sweep row must cite the current registry size {n}/{n}: "
+        f"{sweep.group(1).strip()!r}"
+    )
