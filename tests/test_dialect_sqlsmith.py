@@ -450,3 +450,82 @@ def test_sqlsmith_quantified_patterns_v4(sview_g, i):
     got = sorted(map(tuple, sview_g.sql(translate_pg_sql(quant)).collect()))
     want = sorted(map(tuple, sview_g.sql(plain).collect()))
     assert got == want, f"\n  quant: {quant}\n  plain: {plain}"
+
+
+# --- grammar v5: adversarial match-op LHS shapes in boolean contexts ---
+# Both round-6 advisory defects (a keyword before a parenthesized LHS
+# swallowed as a callee; a string-literal LHS mangled downstream) lived
+# in a class no earlier grammar generated: the ~~-family ops with a
+# NON-COLUMN left operand, sitting inside a larger boolean expression
+# (AND/OR chains, CASE WHEN, NOT). v5 generates exactly that cross
+# product. DuckDB parses the ~~ operator family natively, so unlike v4
+# these run against the real DuckDB oracle.
+
+
+def _gen_match_lhs(r: random.Random, t: dict) -> str:
+    col = r.choice(t["str"])
+    return r.choice(
+        [
+            col,  # bare column
+            f"({col})",  # parenthesized
+            f"upper({col})",  # call
+            f"upper ({col})",  # call with whitespace before (
+            f"({col})::text",  # paren + cast (the v2#837 shape)
+            f"coalesce(nullif({col}, ''), 'x')",  # nested call
+            f"'{r.choice(_WORDS[:5])}'",  # string literal LHS
+            f"left({col}, {r.randint(1, 6)})",
+        ]
+    )
+
+
+def _gen_match_pred(r: random.Random, t: dict) -> str:
+    op = r.choice(["~~", "~~*", "!~~", "!~~*"])
+    return f"{_gen_match_lhs(r, t)} {op} '{r.choice(_LIKE_PATS)}'"
+
+
+def gen_query_v5(i: int) -> str:
+    r = random.Random(20260815 * 5000 + i)
+    tname = r.choice(list(_TABLES_V2))
+    t = _TABLES_V2[tname]
+    shape = r.randrange(4)
+    if shape == 0:  # keyword-adjacent: AND/OR directly before the LHS
+        joiner = r.choice(["AND", "OR"])
+        return (
+            f"SELECT {t['key']} FROM {tname} "
+            f"WHERE {_gen_bool(r, t, 1)} {joiner} {_gen_match_pred(r, t)}"
+        )
+    if shape == 1:  # CASE WHEN <match> THEN ... (WHEN before the LHS)
+        return (
+            f"SELECT {t['key']}, "
+            f"CASE WHEN {_gen_match_pred(r, t)} THEN 1 "
+            f"WHEN {_gen_match_pred(r, t)} THEN 2 ELSE 0 END AS m "
+            f"FROM {tname}"
+        )
+    if shape == 2:  # NOT before the predicate; projection position too
+        return (
+            f"SELECT {t['key']}, ({_gen_match_pred(r, t)}) AS a, "
+            f"(NOT ({_gen_match_pred(r, t)})) AS b "
+            f"FROM {tname} WHERE NOT ({_gen_match_pred(r, t)}) "
+            f"OR {t['key']} % 3 = 0"
+        )
+    # shape 3: literal-LHS quantified comparison (the JSON-arrow-rewrite
+    # hazard) — plain comparison quantifiers only (DuckDB has no ~~ ANY)
+    op = r.choice(["=", "<>", "<", ">", "<=", ">="])
+    kw = r.choice(["ANY", "ALL"])
+    col = r.choice(t["str"])
+    items = ", ".join(
+        [f"'{r.choice(_WORDS[:5])}'", col] + [f"left({col}, 2)"][: r.randint(0, 1)]
+    )
+    return (
+        f"SELECT {t['key']}, "
+        f"'{r.choice(_WORDS[:5])}' {op} {kw}(ARRAY[{items}]) AS m "
+        f"FROM {tname} WHERE {_gen_bool(r, t, 1)}"
+    )
+
+
+N_CASES_V5 = 60
+
+
+@pytest.mark.parametrize("i", range(N_CASES_V5))
+def test_sqlsmith_differential_v5(sview_g, duck_g, i):
+    assert_differential(sview_g, duck_g, gen_query_v5(i))
