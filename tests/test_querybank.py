@@ -185,7 +185,7 @@ def test_verification_doc_is_current_round():
         f"says round {round_n} — regenerate it"
     )
     n = len(REGISTRY)
-    sweep = re.search(r"Oracle sweep[^\n]*\n?[^|]*\|[^|]*\|([^|]*)\|", doc)
+    sweep = re.search(r"^\| Oracle sweep[^|]*\|[^|]*\|([^|]*)\|", doc, re.M)
     assert sweep is not None, "VERIFICATION.md lost its oracle-sweep row"
     assert re.search(rf"\b{n}\s*/\s*{n}\b", sweep.group(1)), (
         f"oracle-sweep row must cite the current registry size {n}/{n}: "

@@ -74,8 +74,10 @@ _ROTATION_R07 = [
     # streaming
     "stream_session_window", "stream_sliding_window",
     "stream_ewma_stateful",
-    # dedup / sampling / text
-    "dedup_semantic_cluster", "sample_hash_split", "text_doc_frequency",
+    # dedup / sampling / streaming-LSH (stream_minhash_quarantine is
+    # round-7-born: churned/new code gets driver rows first)
+    "dedup_semantic_cluster", "sample_hash_split",
+    "stream_minhash_quarantine",
 ]
 _PREFIX = _PINS + _ROTATION_R07
 assert len(_PREFIX) == 50, f"driver window is 50 entries, prefix has {len(_PREFIX)}"

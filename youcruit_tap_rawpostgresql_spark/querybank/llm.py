@@ -317,29 +317,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + 12-element MinHash signature over distinct 3-word shingles.
-
-    MinHash is a strictly per-document computation, so it runs as one
-    Arrow-batched ``mapInPandas`` pass: no explode, no per-shingle rows, no
-    groupBy shuffle — the only shuffle is the repartition of the raw docs
-    (a single parquet file would otherwise serialize everything into one
-    task; on a real multi-file dataset even that disappears). The pure
-    expression formulation (explode → md5 → 12 min-aggs) is ~4× slower
-    here: higher-order-function lambdas evaluate interpreted per element,
-    and the signature agg shuffles one row per shingle.
+def minhash_map_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, mh): the per-document MinHash kernel as
+    one Arrow-batched ``mapInPandas`` pass — stateless, so it runs
+    unchanged on a BATCH frame (`_minhash_sig_df`) or a STREAMING one
+    (`stream_minhash_quarantine`'s per-micro-batch signature compute).
 
     Bit-parity with the oracle: tokens = split on ``\\s+`` of lowercased
-    space-trimmed text (str.strip(' ') — SQL trim() removes spaces only), shingle set = distinct 3-grams (min is
-    order-invariant), hash = first 15 hex chars of md5 (hashlib == Spark
-    ``md5`` == DuckDB ``md5``), and the universal-hash chain
-    ``(a*(h%P)+b) % P`` stays below 2^62 so int64 arithmetic is exact in
-    every engine. Cached because the LSH query self-joins the signatures."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _SIG_CACHE:
-        return _SIG_CACHE[key]
-    d = tables(spark, sf_dir)["documents"]
-    n_part = spark.sparkContext.defaultParallelism
+    space-trimmed text (str.strip(' ') — SQL trim() removes spaces only),
+    shingle set = distinct 3-grams (min is order-invariant), hash = first
+    15 hex chars of md5 (hashlib == Spark ``md5`` == DuckDB ``md5``), and
+    the universal-hash chain ``(a*(h%P)+b) % P`` stays below 2^62 so
+    int64 arithmetic is exact in every engine."""
     params = list(_MH_PARAMS)
     p = MERSENNE_P
     out_schema = T.StructType(
@@ -383,12 +372,27 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sigs.append(mh.tolist())
             yield pd.DataFrame({"doc_id": ids, "mh": sigs})
 
-    sig = (
-        d.repartition(n_part, "doc_id")
-        .select("doc_id", "text")
-        .mapInPandas(compute, out_schema)
-        .cache()
-    )
+    return docs.select("doc_id", "text").mapInPandas(compute, out_schema)
+
+
+def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + 12-element MinHash signature over distinct 3-word shingles.
+
+    MinHash is a strictly per-document computation, so it runs as one
+    Arrow-batched ``mapInPandas`` pass (`minhash_map_signatures`): no
+    explode, no per-shingle rows, no groupBy shuffle — the only shuffle is
+    the repartition of the raw docs (a single parquet file would otherwise
+    serialize everything into one task; on a real multi-file dataset even
+    that disappears). The pure expression formulation (explode → md5 → 12
+    min-aggs) is ~4× slower here: higher-order-function lambdas evaluate
+    interpreted per element, and the signature agg shuffles one row per
+    shingle. Cached because the LSH query self-joins the signatures."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SIG_CACHE:
+        return _SIG_CACHE[key]
+    d = tables(spark, sf_dir)["documents"]
+    n_part = spark.sparkContext.defaultParallelism
+    sig = minhash_map_signatures(d.repartition(n_part, "doc_id")).cache()
     # Snapshot the SOURCE file list BEFORE the cache hides it: a cached
     # InMemoryRelation returns inputFiles() == (), which (correctly) makes
     # the probe refuse to memoize — but here immutability is a property of
@@ -501,6 +505,27 @@ _PROBE_MEMO: dict[tuple, bool] = {}
 _PROBE_MEMO_MAX = 64
 
 
+def lsh_band_keys():
+    """The banded LSH key array over an ``mh`` signature column: one
+    comma-joined string per band of ``_ROWS_PER_BAND`` consecutive hash
+    slots — shared by the self-join, incremental, and streaming LSH
+    paths so their bucket spaces are identical by construction."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at("mh", band * _ROWS_PER_BAND + i + 1).cast(
+                        "string"
+                    )
+                    for i in range(_ROWS_PER_BAND)
+                ],
+            )
+            for band in range(_N_BANDS)
+        ]
+    )
+
+
 def _probe_oversized_buckets(sig, band_keys, bucket_cap: int) -> bool:
     """One cheap aggregate decides the cap plan: map-side partial counts
     per (band_idx, band_key); only the per-key counts cross the exchange;
@@ -575,18 +600,7 @@ def minhash_lsh_pairs(
     to the old always-window plan (hash-ranked retention is per-bucket
     and partitioning-independent). ``bucket_cap=None`` disables both
     probe and cap."""
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ",",
-                *[
-                    F.element_at("mh", band * _ROWS_PER_BAND + i + 1).cast("string")
-                    for i in range(_ROWS_PER_BAND)
-                ],
-            )
-            for band in range(_N_BANDS)
-        ]
-    )
+    band_keys = lsh_band_keys()
     has_oversized = (
         _probe_oversized_buckets(sig, band_keys, bucket_cap)
         if bucket_cap is not None
@@ -643,12 +657,12 @@ def minhash_lsh_pairs(
     )
 
 
-@register(
-    "dedup_minhash_incremental",
-    # integer match count (0..12) drives the threshold and tie-breaks, so
-    # no float comparison crosses engines; the division to a jaccard
-    # estimate happens once at the end, identically in both
-    oracle=f"""
+# shared by the batch incremental case and its streaming twin (identical
+# output contract: best lake match per new-batch doc). Integer match
+# count (0..12) drives the threshold and tie-breaks, so no float
+# comparison crosses engines; the division to a jaccard estimate happens
+# once at the end, identically in both.
+_O_MINHASH_INCREMENTAL = f"""
 WITH hs AS (
   SELECT doc_id, list_transform(list_distinct({O_SHINGLES}), s -> {O_HASH.format(x='s')}) AS h
   FROM (SELECT doc_id, {O_TOKS} AS t FROM documents)
@@ -671,8 +685,10 @@ WITH hs AS (
 SELECT batch_doc, MIN(ref_doc) AS match_ref,
   CAST(MAX(mx) AS DOUBLE) / {_N_MINHASH} AS best_est
 FROM best WHERE n_eq = mx GROUP BY batch_doc
-""",
-)
+"""
+
+
+@register("dedup_minhash_incremental", oracle=_O_MINHASH_INCREMENTAL)
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup quarantine: new-batch docs (doc_id % 3 = 0)
     whose MinHash signature LSH-collides with an already-ingested doc and
@@ -688,22 +704,8 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the adversarial mega-bucket cap of `minhash_lsh_pairs` applies
     unchanged if boilerplate floods a bucket."""
     sig = _minhash_sig_df(spark, sf_dir)
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ",",
-                *[
-                    F.element_at("mh", band * _ROWS_PER_BAND + i + 1).cast(
-                        "string"
-                    )
-                    for i in range(_ROWS_PER_BAND)
-                ],
-            )
-            for band in range(_N_BANDS)
-        ]
-    )
     bands = sig.select(
-        "doc_id", "mh", F.posexplode(band_keys).alias("band_idx", "band_key")
+        "doc_id", "mh", F.posexplode(lsh_band_keys()).alias("band_idx", "band_key")
     )
     batch = bands.filter(F.col("doc_id") % 3 == 0).select(
         F.col("doc_id").alias("batch_doc"),
@@ -731,6 +733,85 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("b.neg")).alias("match_ref"),
         (F.col("b.n_eq").cast("double") / _N_MINHASH).alias("best_est"),
     )
+
+
+@register("stream_minhash_quarantine", oracle=_O_MINHASH_INCREMENTAL)
+def stream_minhash_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of `dedup_minhash_incremental`: new documents
+    arrive as a stream (readStream over the documents fixture, new-batch
+    slice doc_id % 3 = 0), each micro-batch computes its own MinHash
+    signatures (the shared `minhash_map_signatures` kernel — stateless
+    mapInPandas runs unchanged on a streaming frame), bands them, and
+    STREAM-STATIC joins against the precomputed lake signature store on
+    (band_idx, band_key) — the join mode a continuous-ingest quarantine
+    actually runs: the stream side is unbounded, the lake store is a
+    batch table refreshed per micro-batch. Candidates (match count ≥
+    half the slots) land in the sink; the best-match-per-doc report is a
+    batch aggregation over the drained sink, so the output contract (and
+    oracle) is IDENTICAL to the batch incremental case.
+
+    Scale: stream-static inner joins keep NO stream state (each
+    micro-batch probes the static side and emits); the static side is
+    the (band, key)-bucketed signature store, so each probe is a hash
+    equi-join touching only colliding buckets. At 100 TB the store is a
+    bucketed table and the per-batch cost is O(batch × collisions),
+    independent of lake size."""
+    import os
+    import uuid as _uuid
+
+    from youcruit_tap_rawpostgresql_spark.streaming.incremental_stream import (
+        drain_memory_sink,
+        open_file_stream,
+        scoped_stream_partitions,
+    )
+
+    lake = (
+        _minhash_sig_df(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 != 0)
+        .select(
+            F.col("doc_id").alias("ref_doc"),
+            F.col("mh").alias("mh_b"),
+            F.posexplode(lsh_band_keys()).alias("band_idx", "band_key"),
+        )
+    )
+    stream_docs = open_file_stream(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    ).filter(F.col("doc_id") % 3 == 0)
+    batch_bands = minhash_map_signatures(stream_docs).select(
+        F.col("doc_id").alias("batch_doc"),
+        F.col("mh").alias("mh_a"),
+        F.posexplode(lsh_band_keys()).alias("band_idx", "band_key"),
+    )
+    n_eq = F.size(
+        F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)
+    ).cast("bigint")
+    cand = (
+        batch_bands.join(lake, ["band_idx", "band_key"])
+        .select("batch_doc", "ref_doc", n_eq.alias("n_eq"))
+        .filter(F.col("n_eq") >= _N_MINHASH // 2)
+    )
+    sink_name = f"stream_quarantine_{_uuid.uuid4().hex[:8]}"
+    with scoped_stream_partitions(spark):
+        q = (
+            cand.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    best = F.max(F.struct(F.col("n_eq"), (-F.col("ref_doc")).alias("neg")))
+    out = (
+        spark.table(sink_name)
+        .groupBy("batch_doc")
+        .agg(best.alias("b"))
+        .select(
+            "batch_doc",
+            (-F.col("b.neg")).alias("match_ref"),
+            (F.col("b.n_eq").cast("double") / _N_MINHASH).alias("best_est"),
+        )
+    )
+    return drain_memory_sink(spark, sink_name, out)
 
 
 def _o_simhash() -> str:
