@@ -267,6 +267,21 @@ def test_match_op_keyword_before_paren_lhs_not_swallowed():
         translate_pg_sql("SELECT coalesce (x, 'y') ~ 'p' FROM t")
         == "SELECT coalesce (x, 'y') RLIKE 'p' FROM t"
     )
+    # NO-SPACE keyword-before-paren (round-7 self-review: the first fix's
+    # blanket lookbehind blocked the paren alternative here, leaving the
+    # PG-only operator untranslated — `WHEN(x) ~~ 'p'` kept its `~~`)
+    assert (
+        translate_pg_sql("SELECT CASE WHEN(x) ~~ 'B%' THEN 1 END FROM t")
+        == "SELECT CASE WHEN(x) LIKE 'B%' THEN 1 END FROM t"
+    )
+    assert (
+        translate_pg_sql("SELECT * FROM t WHERE x AND(b) !~~* 'q%'")
+        == "SELECT * FROM t WHERE x AND NOT ((b) ILIKE 'q%')"
+    )
+    assert (
+        translate_pg_sql("SELECT * FROM t WHERE NOT(x) ~ 'p'")
+        == "SELECT * FROM t WHERE NOT(x) RLIKE 'p'"
+    )
 
 
 def test_quantified_literal_lhs_not_mangled_by_json_rewrite():

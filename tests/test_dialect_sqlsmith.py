@@ -488,17 +488,24 @@ def gen_query_v5(i: int) -> str:
     tname = r.choice(list(_TABLES_V2))
     t = _TABLES_V2[tname]
     shape = r.randrange(4)
-    if shape == 0:  # keyword-adjacent: AND/OR directly before the LHS
+    if shape == 0:  # keyword-adjacent: AND/OR directly before the LHS —
+        # sometimes with NO space (WHEN(x)/AND(b) are valid PG; a blanket
+        # mid-identifier lookbehind once broke exactly this, round-7
+        # self-review), no-space only before a paren LHS
         joiner = r.choice(["AND", "OR"])
+        pred = _gen_match_pred(r, t)
+        sep = "" if pred.startswith("(") and r.randrange(3) == 0 else " "
         return (
             f"SELECT {t['key']} FROM {tname} "
-            f"WHERE {_gen_bool(r, t, 1)} {joiner} {_gen_match_pred(r, t)}"
+            f"WHERE {_gen_bool(r, t, 1)} {joiner}{sep}{pred}"
         )
     if shape == 1:  # CASE WHEN <match> THEN ... (WHEN before the LHS)
+        p1, p2 = _gen_match_pred(r, t), _gen_match_pred(r, t)
+        sep = "" if p1.startswith("(") and r.randrange(3) == 0 else " "
         return (
             f"SELECT {t['key']}, "
-            f"CASE WHEN {_gen_match_pred(r, t)} THEN 1 "
-            f"WHEN {_gen_match_pred(r, t)} THEN 2 ELSE 0 END AS m "
+            f"CASE WHEN{sep}{p1} THEN 1 "
+            f"WHEN {p2} THEN 2 ELSE 0 END AS m "
             f"FROM {tname}"
         )
     if shape == 2:  # NOT before the predicate; projection position too

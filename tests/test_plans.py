@@ -763,8 +763,18 @@ def test_dsir_int64_headroom_guard_fails_loudly(spark, monkeypatch):
         REGISTRY["dsir_importance_select"].fn(
             spark, "/root/testdata/sf0.001"
         ).collect()
-    # restored bound: the same call succeeds and the guard costs nothing
+    # the per-DOC score guard (round-7 self-review: Σ n·wt can pass the
+    # weight guard yet overflow int64; the sum runs in decimal and the
+    # int64 range is asserted before the cast) — shrink its bound so the
+    # fixture's real scores trip it
     monkeypatch.setattr(llm, "_DSIR_INT64_MAX_OCC", 3_000_000_000)
+    monkeypatch.setattr(llm, "_DSIR_SCORE_I64_MAX", 10)
+    with pytest.raises(Exception, match="per-doc score"):
+        REGISTRY["dsir_importance_select"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    # restored bounds: the same call succeeds and the guards cost nothing
+    monkeypatch.setattr(llm, "_DSIR_SCORE_I64_MAX", (1 << 63) - 1)
     rows = REGISTRY["dsir_importance_select"].fn(
         spark, "/root/testdata/sf0.001"
     ).collect()

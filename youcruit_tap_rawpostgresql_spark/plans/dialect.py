@@ -262,7 +262,14 @@ def _translate_casts(sql: str) -> str:
                             sql[i2].isalnum() or sql[i2] in "_."
                         ):
                             i2 -= 1
-                        if i2 < k - 1:
+                        # keyword guard (round-7 self-review, the same
+                        # class as the match-op advisory): WHEN(x)::text
+                        # must cast (x), not swallow WHEN as a callee
+                        if (
+                            i2 < k - 1
+                            and sql[i2 + 1 : k].lower()
+                            not in _NOT_OPERAND_KWS
+                        ):
                             start = i2 + 1
                 elif sql[j].isalnum() or sql[j] in "_.":
                     i2 = j
@@ -280,8 +287,16 @@ def _translate_casts(sql: str) -> str:
                 pos = m.end()
                 continue
             operand = sql[start : m.start()].rstrip()
+            # keep a separator when the text before the operand ends in a
+            # word char (`WHEN(x)::t` → `WHEN CAST(...)`, not `WHENCAST`)
+            sep = (
+                " "
+                if start > 0 and (sql[start - 1].isalnum() or sql[start - 1] in "_.")
+                else ""
+            )
             sql = (
                 sql[:start]
+                + sep
                 + f"CAST({operand} AS {_rename_type(tm.group(1))})"
                 + sql[tm.end() :]
             )
@@ -465,13 +480,19 @@ _CALL_OPERAND = (
     _CALL_KW_GUARD
     + r"[a-zA-Z_][\w.]*\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
 )
-# (?<![\w.]): never start an operand mid-identifier — after the keyword
-# guard rejects `AND (b)`, the scan must not resume one char later and
-# accept `ND (b)` as a call (round-6 advisory regression shape).
+# (?<![\w.]) on the CALL and IDENTIFIER alternatives only: never start
+# those mid-identifier — after the keyword guard rejects `AND (b)`, the
+# scan must not resume one char later and accept `ND (b)` as a call
+# (round-6 advisory regression shape). The paren and string-literal
+# alternatives must NOT carry the lookbehind: `WHEN(x) ~~ 'p'` (no
+# space) needs `(x)` to match even though `(` is preceded by the
+# keyword's last letter (round-7 self-review finding).
 _MATCH_OPERAND = (
-    r"(?<![\w.])("
+    r"("
+    + r"(?<![\w.])"
     + _CALL_OPERAND
-    + r"|[a-zA-Z_][\w.]*|\([^()]*\)|"
+    + r"|(?<![\w.])[a-zA-Z_][\w.]*"
+    + r"|\([^()]*\)|"
     + _STR_LIT
     + r")"
 )
@@ -1289,11 +1310,20 @@ def _translate_operators(sql: str) -> str:
         sql,
     )
 
+    def _not_sep(m: re.Match) -> str:
+        # a negated rewrite prepends "NOT" — keep a separator when the
+        # match starts right after a word char (`AND(b) !~~* 'q%'` must
+        # become `AND NOT (...)`, not `ANDNOT (...)`; the no-space
+        # keyword-call shape, round-7 self-review)
+        i = m.start()
+        prev = m.string[i - 1] if i > 0 else ""
+        return " " if (prev.isalnum() or prev in "_.") else ""
+
     def like_repl(m: re.Match) -> str:
         operand, op, pat = m.group(1), m.group(2), m.group(3)
         kw = "ILIKE" if "*" in op else "LIKE"  # Spark has native ILIKE
         expr = f"{operand} {kw} {pat}"
-        return f"NOT ({expr})" if op.startswith("!") else expr
+        return f"{_not_sep(m)}NOT ({expr})" if op.startswith("!") else expr
 
     sql = _sub_skipping_literal_interiors(_LIKE_OP_RE, like_repl, sql)
 
@@ -1302,7 +1332,7 @@ def _translate_operators(sql: str) -> str:
         if "*" in op:  # case-insensitive: prepend the (?i) flag to the pattern
             pat = "'(?i)" + pat[1:]
         rlike = f"{operand} RLIKE {pat}"
-        return f"NOT ({rlike})" if op.startswith("!") else rlike
+        return f"{_not_sep(m)}NOT ({rlike})" if op.startswith("!") else rlike
 
     sql = _sub_skipping_literal_interiors(_REGEX_OP_RE, regex_repl, sql)
     # PG's EXTRACT(EPOCH) keeps fractional seconds (it returns numeric);

@@ -1969,6 +1969,12 @@ _DSIR_BUCKETS = 8192
 # must stay ≤ ~3.03e9 for S² < 2^63. Enforced at runtime (see the guard
 # in dsir_importance_select); past it, switch to float log-ratios.
 _DSIR_INT64_MAX_OCC = 3_000_000_000
+# …and the per-DOC score Σ n·wt can overflow int64 even inside that
+# envelope (round-7 self-review: s_tot = 3e9 passes the weight guard,
+# yet a doc with ~1e4 occurrences of a |wt|≈9e15 bucket sums past 2^63).
+# The scoring sum therefore runs in DECIMAL (exact far beyond int64) and
+# this bound is asserted on the decimal BEFORE the cast back to long.
+_DSIR_SCORE_I64_MAX = (1 << 63) - 1
 
 
 @register(
@@ -2035,7 +2041,10 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     That bound is ENFORCED (round-6 judge directive 5): an assert_true
     on s_tot rides inside the weight expression itself — evaluated on
     the 8192 feature rows only, zero extra jobs, un-prunable because it
-    produces the wt value — and fails loudly with the remedy."""
+    produces the wt value — and fails loudly with the remedy. The
+    per-DOC score Σ n·wt gets its own guard (round-7 self-review: it can
+    overflow int64 even inside the weight envelope): the sum runs in
+    decimal and the int64 range is asserted before the cast back."""
     from youcruit_tap_rawpostgresql_spark.querybank.helpers import spread
 
     d = tables(spark, sf_dir)["documents"]
@@ -2095,10 +2104,39 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_cnt") * F.col("s_tot") - F.col("s_cnt") * F.col("t_tot"),
         ).alias("wt"),
     )
+    # The per-doc sum runs in DECIMAL (exact to 38 digits, an order past
+    # int64) and the int64 range is asserted on the decimal before the
+    # cast back — inside the weight guard's envelope a large doc can
+    # still push Σ n·wt past 2^63, which non-ANSI int64 would silently
+    # wrap while the oracle (HUGEINT sum) fails loudly on its CAST
+    # (round-7 self-review). A decimal-sum overflow returns NULL, which
+    # assert_true also rejects — every overflow path is loud.
+    score_dec = F.sum(
+        F.col("n").cast("decimal(20,0)") * F.col("wt").cast("decimal(20,0)")
+    )
+    score_ok = F.assert_true(
+        F.abs(F.col("_sd"))
+        <= F.lit(_DSIR_SCORE_I64_MAX).cast("decimal(38,0)"),
+        F.concat(
+            F.lit("dsir_importance_select: per-doc score "),
+            F.col("_sd").cast("string"),
+            F.lit(
+                " exceeds int64; switch the weight to the float "
+                "log-likelihood ratio log(p_target(f)/p_source(f)) and "
+                "drop the integer-exact oracle requirement"
+            ),
+        ),
+    )
     return (
         docfeat.join(F.broadcast(w), "f")
         .groupBy("doc_id")
-        .agg(F.sum(F.col("n") * F.col("wt")).alias("dsir_score"))
+        .agg(score_dec.alias("_sd"))
+        .select(
+            "doc_id",
+            F.when(score_ok.isNull(), F.col("_sd").cast("long")).alias(
+                "dsir_score"
+            ),
+        )
         .orderBy(F.col("dsir_score").desc(), "doc_id")
         .limit(100)
     )
