@@ -282,6 +282,39 @@ def test_match_op_keyword_before_paren_lhs_not_swallowed():
         translate_pg_sql("SELECT * FROM t WHERE NOT(x) ~ 'p'")
         == "SELECT * FROM t WHERE NOT(x) RLIKE 'p'"
     )
+    # …and the SAME no-space class in every other word-leading rewrite
+    # (round-7 self-review: quantified → array_contains, JSON ->, cast
+    # callee, and parenthesized-call LHS all fused or mistranslated)
+    assert (
+        translate_pg_sql("SELECT * FROM t WHERE a AND(x) = ANY(arr)")
+        == "SELECT * FROM t WHERE a AND array_contains(arr, (x))"
+    )
+    assert (
+        translate_pg_sql("SELECT CASE WHEN(j) ->> 'k' = 'v' THEN 1 END FROM t")
+        == "SELECT CASE WHEN get_json_object((j), '$.k') = 'v' THEN 1 END FROM t"
+    )
+    assert (
+        translate_pg_sql("SELECT * FROM t WHERE a AND(x) @> ARRAY['q']")
+        == "SELECT * FROM t WHERE a AND forall(array('q'), "
+        "_ae -> array_contains((x), _ae))"
+    )
+    assert (
+        translate_pg_sql("SELECT sum (x)::int8 FROM t")
+        == "SELECT CAST(sum (x) AS bigint) FROM t"
+    )
+    assert (
+        translate_pg_sql("SELECT * FROM t WHERE x AND(b)::text ~~ 'p'")
+        == "SELECT * FROM t WHERE x AND CAST((b) AS string) LIKE 'p'"
+    )
+    # parenthesized CALL as the match-op LHS (one nesting level)
+    assert (
+        translate_pg_sql("SELECT * FROM t WHERE (f(b)) ~~ 'p'")
+        == "SELECT * FROM t WHERE (f(b)) LIKE 'p'"
+    )
+    assert (
+        translate_pg_sql("SELECT * FROM t WHERE a AND (f(b)) !~ 'p'")
+        == "SELECT * FROM t WHERE a AND NOT ((f(b)) RLIKE 'p')"
+    )
 
 
 def test_quantified_literal_lhs_not_mangled_by_json_rewrite():

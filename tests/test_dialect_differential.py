@@ -324,6 +324,17 @@ _CORPUS = {
                'AUTOMOBILE' = ANY(ARRAY[c_mktsegment]) AS eq_any
         FROM customer WHERE c_custkey <= 200
     """,
+    # round-7 self-review: NO-SPACE keyword before an operand of the
+    # word-leading rewrites (quantified → array_contains, JSON ->>,
+    # ::cast callee) — each used to fuse tokens or swallow the keyword
+    "keyword_nospace_rewrites": """
+        SELECT e.event_id AS id,
+               CASE WHEN(e.props) ->> 'k' IS NOT NULL THEN 1 ELSE 0 END AS j,
+               CASE WHEN(e.event_id) = ANY(ARRAY[1, 2, 3, 40]) THEN 1
+                    ELSE 0 END AS q,
+               CASE WHEN(e.event_id)::text ~~ '4%' THEN 1 ELSE 0 END AS c
+        FROM events e WHERE e.event_id < 50 AND(e.event_id) <> 13
+    """,
 }
 
 

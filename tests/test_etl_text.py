@@ -431,11 +431,19 @@ def test_lsh_probe_verdict_memoized(spark, tmp_path):
     spark.range(50, 100).write.mode("append").parquet(path)
     llm.minhash_lsh_pairs(sig_of(spark.read.parquet(path)), bucket_cap=16).count()
     assert len(llm._PROBE_MEMO) == 3
-    # KNOWN LIMITATION (documented, not a target behavior): an IN-PLACE
-    # overwrite of the same file paths keeps the same snapshot key, so
-    # the memo would serve the pre-overwrite verdict. Data-lake writers
-    # never mutate files in place (overwrite = new part files); callers
-    # that do must clear llm._PROBE_MEMO.
+
+    # IN-PLACE overwrite of the same path (round-7 self-review: was a
+    # documented KNOWN LIMITATION): for local files the snapshot carries
+    # (size, mtime_ns), so bumping a part file's mtime changes the key
+    # and the probe re-fires instead of serving a stale verdict
+    import glob as _glob
+    import os as _os
+
+    part = _glob.glob(_os.path.join(path, "part-*.parquet"))[0]
+    st = _os.stat(part)
+    _os.utime(part, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    llm.minhash_lsh_pairs(sig_of(spark.read.parquet(path)), bucket_cap=16).count()
+    assert len(llm._PROBE_MEMO) == 4
 
     # non-file-backed plans are probed every time, never memoized
     llm._PROBE_MEMO.clear()

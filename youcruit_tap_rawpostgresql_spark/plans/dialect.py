@@ -257,7 +257,14 @@ def _translate_casts(sql: str) -> str:
                         k -= 1
                     if k >= 0 and depth == 0:
                         start = k
-                        i2 = k - 1  # adjacent callee: f(x)::t
+                        # adjacent callee: f(x)::t — SQL allows space
+                        # between name and paren (`sum (x)::int8`), so
+                        # skip it before scanning the identifier
+                        # (round-7 self-review)
+                        ce = k - 1
+                        while ce >= 0 and sql[ce] in " \t\n\r":
+                            ce -= 1
+                        i2 = ce
                         while i2 >= 0 and (
                             sql[i2].isalnum() or sql[i2] in "_."
                         ):
@@ -266,8 +273,8 @@ def _translate_casts(sql: str) -> str:
                         # class as the match-op advisory): WHEN(x)::text
                         # must cast (x), not swallow WHEN as a callee
                         if (
-                            i2 < k - 1
-                            and sql[i2 + 1 : k].lower()
+                            i2 < ce
+                            and sql[i2 + 1 : ce + 1].lower()
                             not in _NOT_OPERAND_KWS
                         ):
                             start = i2 + 1
@@ -487,12 +494,16 @@ _CALL_OPERAND = (
 # alternatives must NOT carry the lookbehind: `WHEN(x) ~~ 'p'` (no
 # space) needs `(x)` to match even though `(` is preceded by the
 # keyword's last letter (round-7 self-review finding).
+# the bare-paren alternative admits ONE nesting level so a parenthesized
+# call LHS still matches — `(f(b)) ~~ 'p'` previously fell through every
+# alternative and the PG-only operator survived to Spark (round-7
+# self-review)
 _MATCH_OPERAND = (
     r"("
     + r"(?<![\w.])"
     + _CALL_OPERAND
     + r"|(?<![\w.])[a-zA-Z_][\w.]*"
-    + r"|\([^()]*\)|"
+    + r"|\((?:[^()]|\([^()]*\))*\)|"
     + _STR_LIT
     + r")"
 )
@@ -908,6 +919,16 @@ _NOT_OPERAND_KWS = frozenset(
 )
 
 
+def _sep_if_word_before(text: str, i: int) -> str:
+    """\" \" when ``text[i-1]`` is an identifier char, else \"\" — every
+    rewrite whose replacement may START with a word char must prepend
+    this at its splice point, or an unspaced keyword fuses with it
+    (`AND(x) = ANY(arr)` → `ANDarray_contains(...)`, `WHEN(j) -> 'k'` →
+    `WHENget_json_object(...)`; round-7 self-review)."""
+    prev = text[i - 1] if i > 0 else ""
+    return " " if (prev.isalnum() or prev in "_.") else ""
+
+
 def _matching_bracket(mask: str, open_i: int) -> int:
     depth = 0
     for j in range(open_i, len(mask)):
@@ -1100,6 +1121,7 @@ def _translate_array_binops(sql: str) -> str:
             repl = f"forall({rhs}, _ae -> array_contains({lhs}, _ae))"
         else:
             repl = f"forall({lhs}, _ae -> array_contains({rhs}, _ae))"
+        repl = _sep_if_word_before(sql, lhs_start) + repl
         sql = sql[:lhs_start] + repl + sql[rhs_end:]
         # rescan from the replacement: the operands may hold nested array
         # ops (x @> (a @> b)); each rewrite removes one operator token, so
@@ -1180,6 +1202,7 @@ def _translate_quantified_comparisons(sql: str) -> str:
             body = _quant_predicate(lhs, cm)
             hof = "exists" if kw in ("ANY", "SOME") else "forall"
             repl = f"{hof}({inner}, _qe -> {body})"
+        repl = _sep_if_word_before(sql, lhs_start) + repl
         sql = sql[:lhs_start] + repl + sql[close_i + 1 :]
         # rescan from the replacement: a subquery/array operand may hold a
         # nested quantified comparison; each rewrite removes one, so this
@@ -1280,12 +1303,16 @@ def _translate_operators(sql: str) -> str:
     # the single-key -> rule
     def path_repl(m: re.Match) -> str:
         keys = [k.strip() for k in m.group(2).split(",") if k.strip()]
-        return f"get_json_object({m.group(1)}, '$.{'.'.join(keys)}')"
+        sep = _sep_if_word_before(m.string, m.start())
+        return f"{sep}get_json_object({m.group(1)}, '$.{'.'.join(keys)}')"
 
     sql = _sub_skipping_literal_interiors(_JSON_PATH_RE, path_repl, sql)
     sql = _sub_skipping_literal_interiors(
         _JSON_EXTRACT_RE,
-        lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')",
+        lambda m: (
+            f"{_sep_if_word_before(m.string, m.start())}"
+            f"get_json_object({m.group(1)}, '$.{m.group(2)}')"
+        ),
         sql,
     )
 
@@ -1315,9 +1342,7 @@ def _translate_operators(sql: str) -> str:
         # match starts right after a word char (`AND(b) !~~* 'q%'` must
         # become `AND NOT (...)`, not `ANDNOT (...)`; the no-space
         # keyword-call shape, round-7 self-review)
-        i = m.start()
-        prev = m.string[i - 1] if i > 0 else ""
-        return " " if (prev.isalnum() or prev in "_.") else ""
+        return _sep_if_word_before(m.string, m.start())
 
     def like_repl(m: re.Match) -> str:
         operand, op, pat = m.group(1), m.group(2), m.group(3)

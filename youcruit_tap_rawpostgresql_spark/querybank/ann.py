@@ -513,6 +513,43 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# shared by every recall eval (LSH / PQ-ADC / int8): the exact
+# brute-force top-3 oracle CTE and the recall-counts tail — one text,
+# three gates, no drift (round-7 self-review: three verbatim copies)
+_O_EXACT_TOP3_CTE = f"""exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        ROUND({_O_DOT_PAIR.format(a='q.embedding', b='e.embedding')}
+          / ({_O_NORM.format(a='q.embedding')} * {_O_NORM.format(a='e.embedding')}), 6)
+        DESC, e.vec_id) AS rank
+    FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+    WHERE q.vec_id % 50 = 0) WHERE rank <= 3
+)"""
+
+
+def _o_recall_tail(approx: str) -> str:
+    """Final SELECT of a recall eval: hits of ``approx`` against exact."""
+    return f"""SELECT COUNT(DISTINCT exact.query_id) AS n_queries,
+  COUNT({approx}.neighbor_id) AS n_hits,
+  COUNT(*) AS n_possible
+FROM exact LEFT JOIN {approx}
+  ON exact.query_id = {approx}.query_id AND exact.neighbor_id = {approx}.neighbor_id"""
+
+
+def _recall_counts(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """(n_queries, n_hits, n_possible) of ``approx`` hits within the
+    exact top-k — the Spark side of every recall gate."""
+    hit = approx.withColumn("hit", F.lit(1))
+    joined = exact.join(hit, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("hit").alias("n_hits"),
+        F.count(F.lit(1)).alias("n_possible"),
+    )
+
+
 @register(
     "ann_recall_eval",
     # recall@3 of the LSH path against exact brute force. The lsh CTE must
@@ -538,21 +575,8 @@ WITH sigs AS (
       ROW_NUMBER() OVER (PARTITION BY query_id
                          ORDER BY cos DESC, neighbor_id) AS rank
     FROM cand) WHERE rank <= 3
-), exact AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        ROUND({_O_DOT_PAIR.format(a='q.embedding', b='e.embedding')}
-          / ({_O_NORM.format(a='q.embedding')} * {_O_NORM.format(a='e.embedding')}), 6)
-        DESC, e.vec_id) AS rank
-    FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
-    WHERE q.vec_id % 50 = 0) WHERE rank <= 3
-)
-SELECT COUNT(DISTINCT exact.query_id) AS n_queries,
-  COUNT(lsh.neighbor_id) AS n_hits,
-  COUNT(*) AS n_possible
-FROM exact LEFT JOIN lsh
-  ON exact.query_id = lsh.query_id AND exact.neighbor_id = lsh.neighbor_id
+), {_O_EXACT_TOP3_CTE}
+{_o_recall_tail('lsh')}
 """,
 )
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,13 +598,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = exact_cosine_topk(spark, e, mod=50, k=3).select(
         "query_id", "neighbor_id"
     )
-    hit = lsh.withColumn("hit", F.lit(1))
-    joined = exact.join(hit, ["query_id", "neighbor_id"], "left")
-    return joined.agg(
-        F.countDistinct("query_id").alias("n_queries"),
-        F.count("hit").alias("n_hits"),
-        F.count(F.lit(1)).alias("n_possible"),
-    )
+    return _recall_counts(exact, lsh)
 
 
 _O_PAIR_COS = (
@@ -940,21 +958,8 @@ WITH codes AS (
                          ORDER BY {_o_pq_adc_score()} DESC, n.vec_id) AS rank
     FROM embeddings q JOIN codes n ON q.vec_id <> n.vec_id
     WHERE q.vec_id % 50 = 0) WHERE rank <= 3
-), exact AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        ROUND({_O_DOT_PAIR.format(a='q.embedding', b='e.embedding')}
-          / ({_O_NORM.format(a='q.embedding')} * {_O_NORM.format(a='e.embedding')}), 6)
-        DESC, e.vec_id) AS rank
-    FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
-    WHERE q.vec_id % 50 = 0) WHERE rank <= 3
-)
-SELECT COUNT(DISTINCT exact.query_id) AS n_queries,
-  COUNT(adc.neighbor_id) AS n_hits,
-  COUNT(*) AS n_possible
-FROM exact LEFT JOIN adc
-  ON exact.query_id = adc.query_id AND exact.neighbor_id = adc.neighbor_id
+), {_O_EXACT_TOP3_CTE}
+{_o_recall_tail('adc')}
 """,
 )
 def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -975,13 +980,7 @@ def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = exact_cosine_topk(spark, e, mod=50, k=3).select(
         "query_id", "neighbor_id"
     )
-    hit = adc.withColumn("hit", F.lit(1))
-    joined = exact.join(hit, ["query_id", "neighbor_id"], "left")
-    return joined.agg(
-        F.countDistinct("query_id").alias("n_queries"),
-        F.count("hit").alias("n_hits"),
-        F.count(F.lit(1)).alias("n_possible"),
-    )
+    return _recall_counts(exact, adc)
 
 
 @register(
@@ -1637,21 +1636,8 @@ def sim_cosine_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_O_INT8_TOPK_CTES},
 i8 AS (
   SELECT query_id, neighbor_id FROM r WHERE rank <= 3
-), exact AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        ROUND({_O_DOT_PAIR.format(a='q.embedding', b='e.embedding')}
-          / ({_O_NORM.format(a='q.embedding')} * {_O_NORM.format(a='e.embedding')}), 6)
-        DESC, e.vec_id) AS rank
-    FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
-    WHERE q.vec_id % 50 = 0) WHERE rank <= 3
-)
-SELECT COUNT(DISTINCT exact.query_id) AS n_queries,
-  COUNT(i8.neighbor_id) AS n_hits,
-  COUNT(*) AS n_possible
-FROM exact LEFT JOIN i8
-  ON exact.query_id = i8.query_id AND exact.neighbor_id = i8.neighbor_id
+), {_O_EXACT_TOP3_CTE}
+{_o_recall_tail('i8')}
 """,
 )
 def int8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1676,10 +1662,4 @@ def int8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = exact_cosine_topk(spark, e, mod=50, k=3).select(
         "query_id", "neighbor_id"
     )
-    hit = i8.withColumn("hit", F.lit(1))
-    joined = exact.join(hit, ["query_id", "neighbor_id"], "left")
-    return joined.agg(
-        F.countDistinct("query_id").alias("n_queries"),
-        F.count("hit").alias("n_hits"),
-        F.count(F.lit(1)).alias("n_possible"),
-    )
+    return _recall_counts(exact, i8)
