@@ -133,7 +133,11 @@ def pii_scan_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth = docs.select(
         "doc_id",
         F.concat(
-            F.substring("text", 1, 20),
+            # digit-strip the real-text prefix: a 13+ digit run in the
+            # document's own first 20 chars would be extracted as the
+            # FIRST regex match while the oracle always scores the
+            # synthesized number (round-7 self-review latent divergence)
+            F.regexp_replace(F.substring("text", 1, 20), r"\d", ""),
             F.lit(" card "),
             F.lpad(
                 ((F.col("doc_id") * F.lit(2654435761) + F.lit(12345))
@@ -167,7 +171,9 @@ def pii_scan_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH raw AS (
   SELECT doc_id,
-    CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END AS host_seg,
+    coalesce(nullif(regexp_replace(
+      CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END,
+      '[^A-Za-z0-9-]', '-', 'g'), ''), 'x') AS host_seg,
     lang, doc_id % 50 AS page
   FROM documents
 ), canon AS (
@@ -195,13 +201,30 @@ def url_normalize_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup groupBy shuffles one canonical string per doc — the standard
     first-pass dedup on a crawl frontier before any content fetch."""
     docs = tables(spark, sf_dir)["documents"]
+    # sanitize the host label BEFORE parse_url sees it: java.net.URI
+    # rejects '_'/space/etc. in a reg-name (NULL host, or a thrown
+    # INVALID_URL under ANSI), while the oracle's plain string concat
+    # would sail on — mirrored sanitize on both sides keeps arbitrary
+    # `source` values safe (round-7 self-review; fixtures are src0-19,
+    # so this is a latent-robustness fix, not an on-fixture bug)
+    host_seg = F.coalesce(
+        F.nullif(
+            F.regexp_replace(
+                F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(
+                    F.col("source")
+                ),
+                "[^A-Za-z0-9-]",
+                "-",
+            ),
+            F.lit(""),
+        ),
+        F.lit("x"),
+    )
     raw = docs.select(
         "doc_id",
         F.concat(
             F.lit("https://"),
-            F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(
-                F.col("source")
-            ),
+            host_seg,
             F.lit(".Example.com/"),
             F.col("lang"),
             F.lit("/"),
@@ -376,8 +399,13 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = cpc.join(cp, "p").select(
         "p", "c", F.log(F.col("cp").cast("double") / F.col("cpc")).alias("lp")
     )
+    # no broadcast HINT: the model table grows with the corpus's distinct
+    # bigrams, and a forced broadcast of an unbounded side dies at the
+    # 8 GB limit exactly at scale (round-7 self-review). Unhinted, AQE
+    # broadcasts while the model fits its threshold and falls back to a
+    # shuffle join when it doesn't — both correct.
     per = (
-        big.join(F.broadcast(lp), ["p", "c"])
+        big.join(lp, ["p", "c"])
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "lp"))).alias("arr"))
     )
@@ -438,26 +466,31 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-key exchange; the key is an md5 of the text/fingerprint, so
     constant-width bytes cross the wire, never the documents). The three
     count pairs are 1-row aggregates unioned into the report."""
+    from pyspark import StorageLevel
+
     from youcruit_tap_rawpostgresql_spark.functions.text_funcs import (
         doc_fingerprint,
+    )
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import (
+        keep_first_per_key,
     )
 
     d0 = tables(spark, sf_dir)["documents"].select("doc_id", "text")
 
-    def keep_first(df: DataFrame, key) -> DataFrame:
-        w = W.partitionBy(key).orderBy("doc_id")
-        return (
-            df.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .drop("_r")
-        )
-
-    s1 = keep_first(d0, F.md5("text"))
+    # s1/s2 each feed MULTIPLE report branches (own count, next stage's
+    # input count, and the downstream stage lineage) — persist so the
+    # base scan and each stage's window run once, not once per branch
+    # (round-7 self-review: ~6 scans of documents for a 3-row report)
+    s1 = keep_first_per_key(d0, F.md5("text")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     norm_key = F.md5(
         F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     )
-    s2 = keep_first(s1, norm_key)
-    s3 = keep_first(s2, doc_fingerprint("text"))
+    s2 = keep_first_per_key(s1, norm_key).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    s3 = keep_first_per_key(s2, doc_fingerprint("text"))
 
     def stage_row(no: int, name: str, fin: DataFrame, fout: DataFrame):
         return (
@@ -553,6 +586,7 @@ def pipeline_resumable_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes only its downstream cone."""
     import shutil
     import tempfile
+    import uuid as _uuid
 
     from youcruit_tap_rawpostgresql_spark.functions.text_funcs import (
         doc_fingerprint,
@@ -561,36 +595,52 @@ def pipeline_resumable_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         MaterializedPipeline,
         Stage,
     )
-
-    def keep_first(df: DataFrame, key) -> DataFrame:
-        w = W.partitionBy(key).orderBy("doc_id")
-        return (
-            df.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .drop("_r")
-        )
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import (
+        keep_first_per_key,
+    )
 
     def extract(sp, inputs):
         return tables(sp, sf_dir)["documents"].select("doc_id", "text")
 
     def exact(sp, inputs):
-        return keep_first(inputs["extract"], F.md5("text"))
+        return keep_first_per_key(inputs["extract"], F.md5("text"))
 
     def fingerprint(sp, inputs):
-        return keep_first(inputs["exact"], doc_fingerprint("text"))
+        return keep_first_per_key(inputs["exact"], doc_fingerprint("text"))
 
     stages = [
         Stage("extract", extract),
         Stage("exact", exact, deps=("extract",)),
         Stage("fingerprint", fingerprint, deps=("exact",)),
     ]
-    root = tempfile.mkdtemp(prefix="spark_graft_pipeline_")
+    # Artifact root: a driver-local tempdir only works in LOCAL mode — on
+    # a real cluster executors would write their parquet parts to their
+    # own /tmp (round-7 self-review). Deployments set
+    # `spark_graft.pipeline.root` to a shared-FS URI; such roots are
+    # durable by design and are NOT cleaned up here.
+    conf_root = spark.conf.get("spark_graft.pipeline.root", "")
+    if conf_root:
+        root = conf_root.rstrip("/") + "/case_" + _uuid.uuid4().hex[:12]
+        cleanup_local = None
+    else:
+        root = tempfile.mkdtemp(prefix="spark_graft_pipeline_")
+        cleanup_local = root
     try:
         p = MaterializedPipeline(spark, root, stages)
         first = p.run()
-        assert not any(r.skipped for r in first.values())
+        # explicit raises, not bare asserts: `python -O` strips asserts
+        # and the case's whole point is checking that resume works
+        if any(r.skipped for r in first.values()):
+            raise RuntimeError(
+                "pipeline_resumable_cascade: first run served a stage "
+                "from a pre-existing artifact — the case root is dirty"
+            )
         second = p.run()  # resume: every artifact reused
-        assert all(r.skipped for r in second.values())
+        if not all(r.skipped for r in second.values()):
+            raise RuntimeError(
+                "pipeline_resumable_cascade: second run recomputed a "
+                "stage — artifact resume is broken"
+            )
         report = (
             p.read("extract")
             .agg(F.count(F.lit(1)).alias("n_raw"))
@@ -605,7 +655,8 @@ def pipeline_resumable_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = report.collect()
         return spark.createDataFrame(rows, report.schema)
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        if cleanup_local:
+            shutil.rmtree(cleanup_local, ignore_errors=True)
 
 
 @register(
@@ -674,15 +725,30 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Incremental dedup against an already-ingested corpus (Bloom prefilter)
 # ---------------------------------------------------------------------------
 
-_BLOOM_BITS = 1 << 20  # 128 KiB bitmap; power of 2 so mod is a mask
+_BLOOM_BITS = 1 << 20  # FLOOR bitmap size (128 KiB); power of 2 → mod is a mask
+_BLOOM_BITS_MAX = 1 << 27  # 16 MiB cap per partial bitmap / broadcast copy
 _BLOOM_K = 5  # hash functions (xxhash64 with k seed columns)
+
+
+def _bloom_bits_for(n_ref: int) -> int:
+    """Bitmap size for ``n_ref`` reference keys: ≥10 bits/key (FPR ≈1%
+    at k=5), next power of two, floored at ``_BLOOM_BITS`` and capped at
+    ``_BLOOM_BITS_MAX``. Without sizing, a fixed bitmap SATURATES at the
+    scale the operator exists for — P(bit set) → 1, every batch row
+    becomes a 'candidate', and the broadcast-verify step balloons to the
+    whole batch (round-7 self-review). Past the cap the FPR degrades
+    gracefully (still exact output — the verify join removes false
+    positives); a deployment beyond ~10^8 keys shards the filter by
+    fingerprint prefix instead of growing one bitmap."""
+    bits = _BLOOM_BITS
+    while bits < min(10 * max(n_ref, 1), _BLOOM_BITS_MAX):
+        bits <<= 1
+    return bits
 
 
 def _bloom_hash_cols(col: str):
     """k JVM-side xxhash64 values (seed folded in as a literal column) —
     Python never re-hashes text; bit positions derive from these."""
-    import pyspark.sql.functions as F  # noqa: PLC0415
-
     return [
         F.xxhash64(F.lit(i), F.col(col)).alias(f"_bh{i}")
         for i in range(_BLOOM_K)
@@ -692,20 +758,21 @@ def _bloom_hash_cols(col: str):
 _BLOOM_TREE_FANIN = 32  # driver never ORs more than this many bitmaps
 
 
-def _build_bloom(ref_hashed: DataFrame) -> bytes:
-    """OR-reduce per-partition bitmaps into one Bloom filter.
+def _build_bloom(ref_hashed: DataFrame, bits: int = _BLOOM_BITS) -> bytes:
+    """OR-reduce per-partition bitmaps into one ``bits``-wide Bloom filter.
 
-    mapInPandas emits ONE 128 KiB bitmap row per partition (folded across
-    that partition's Arrow batches). When the input has more partitions
-    than ``_BLOOM_TREE_FANIN`` (a 1000-executor scan), one executor-side
-    tree level ORs the partials down to ≤32 rows first, so the driver
-    materializes at most ``32 × m/8`` bytes regardless of cluster size."""
+    mapInPandas emits ONE bits/8-byte bitmap row per partition (folded
+    across that partition's Arrow batches). When the input has more
+    partitions than ``_BLOOM_TREE_FANIN`` (a 1000-executor scan), one
+    executor-side tree level ORs the partials down to ≤32 rows first, so
+    the driver materializes at most ``32 × bits/8`` bytes regardless of
+    cluster size."""
     import numpy as np
 
-    mask = _BLOOM_BITS - 1
+    mask = bits - 1
 
     def partial(batches):
-        bitmap = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+        bitmap = np.zeros(bits // 8, dtype=np.uint8)
         any_rows = False
         for pdf in batches:
             if not len(pdf):
@@ -724,7 +791,7 @@ def _build_bloom(ref_hashed: DataFrame) -> bytes:
             yield pd.DataFrame({"bits": [bitmap.tobytes()]})
 
     def combine(batches):
-        bitmap = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+        bitmap = np.zeros(bits // 8, dtype=np.uint8)
         any_rows = False
         for pdf in batches:
             for raw in pdf["bits"]:
@@ -738,7 +805,7 @@ def _build_bloom(ref_hashed: DataFrame) -> bytes:
         partials = partials.repartition(_BLOOM_TREE_FANIN).mapInPandas(
             combine, "bits binary"
         )
-    out = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    out = np.zeros(bits // 8, dtype=np.uint8)
     for row in partials.collect():
         out |= np.frombuffer(row["bits"], dtype=np.uint8)
     return out.tobytes()
@@ -791,13 +858,18 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = d.filter(F.col("doc_id") % 3 != 0)
     batch = d.filter(F.col("doc_id") % 3 == 0)
 
-    bloom = _build_bloom(ref.select(*_bloom_hash_cols("fp")))
+    # size the bitmap to the corpus BEFORE building (count() prunes to a
+    # doc_id scan — negligible next to the fingerprint pass); a fixed
+    # bitmap saturates at exactly the scale this operator exists for
+    n_bits = _bloom_bits_for(ref.count())
+    bloom = _build_bloom(ref.select(*_bloom_hash_cols("fp")), bits=n_bits)
 
     import numpy as np
     import pandas as pd
+    from pyspark import StorageLevel
     from pyspark.sql.functions import pandas_udf
 
-    mask = _BLOOM_BITS - 1
+    mask = n_bits - 1
 
     # explicit arity: pandas_udf's type-hint inference rejects *args
     @pandas_udf("boolean")
@@ -812,14 +884,21 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             hit &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
         return pd.Series(hit)
 
-    hashed = batch.select(
-        "doc_id", "source", "fp", *_bloom_hash_cols("fp")
-    )
     hcols = [F.col(f"_bh{i}") for i in range(_BLOOM_K)]
-    candidates = hashed.filter(maybe_seen(*hcols)).select(
+    # ONE batch pass: the scan + fingerprint + Arrow prefilter run once
+    # and both branches (plus the verify join's probe side) read the
+    # persisted flags — previously the fresh/candidates/verified branches
+    # each re-evaluated the whole chain, 3 passes (round-7 self-review)
+    flagged = (
+        batch.select("doc_id", "source", "fp", *_bloom_hash_cols("fp"))
+        .withColumn("_seen", maybe_seen(*hcols))
+        .select("doc_id", "source", "fp", "_seen")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    candidates = flagged.filter(F.col("_seen")).select(
         "doc_id", "source", "fp"
     )
-    fresh = hashed.filter(~maybe_seen(*hcols)).select("doc_id", "source")
+    fresh = flagged.filter(~F.col("_seen")).select("doc_id", "source")
 
     present = ref.join(
         F.broadcast(candidates.select("fp").distinct()), "fp", "semi"

@@ -97,6 +97,22 @@ def sessionized(e, *cols: str):
 O_REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
 
 
+def keep_first_per_key(df, key, order_col: str = "doc_id"):
+    """Window dedup: keep the lowest-``order_col`` row per ``key`` — the
+    shared stage primitive of the dedup cascades (previously duplicated
+    verbatim in dedup_cascade_report and pipeline_resumable_cascade;
+    round-7 self-review). WindowGroupLimit bounds the per-key exchange."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy(key).orderBy(order_col)
+    return (
+        df.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+
+
 def spread(df):
     """Repartition a small single-split input across cores before heavy
     per-row work (interpreted higher-order functions, Python kernels,
