@@ -139,9 +139,17 @@ FROM hit h JOIN tot t ON h.doc_id = t.doc_id
 def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: per training doc, how many of its
     distinct 3-gram shingles also appear in the held-out set (source src0).
-    Scale: the eval shingle set is small by construction → broadcast join
-    (no shuffle of the training fan-out); at 100 TB swap the broadcast for
-    a bloom filter built from the same distinct-shingle set."""
+
+    Scale: NO broadcast hint on the eval side — it is 1/20 of the corpus
+    here and grows linearly with it, so a forced broadcast dies at the
+    8 GB limit exactly at scale (round-7 review; same class as the
+    bigram-LM join). AQE broadcasts while the eval set fits its
+    threshold and shuffles when it doesn't; at 100 TB the practical form
+    is a Bloom filter built from the same distinct-shingle set. The
+    total and shared counts come from ONE pass over the training fan-out
+    (left-join + conditional count), not two separate aggregations, and
+    the src0 / non-src0 branches each scan only their partition-pruned
+    slice."""
     t = tables(spark, sf_dir)
     sh = (
         t["documents"]
@@ -152,19 +160,27 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_distinct(word_shingles(F.col("t")))).alias("shingle"),
         )
     )
-    eval_sh = sh.filter(F.col("source") == "src0").select("shingle").distinct()
-    train = sh.filter(F.col("source") != "src0").select("doc_id", "shingle")
-    tot = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    hit = (
-        train.join(F.broadcast(eval_sh), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
+    eval_sh = (
+        sh.filter(F.col("source") == "src0")
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    return hit.join(tot, "doc_id").select(
-        "doc_id",
-        "n_shingles",
-        "n_shared",
-        (F.col("n_shared") / F.col("n_shingles")).alias("contamination"),
+    train = sh.filter(F.col("source") != "src0").select("doc_id", "shingle")
+    return (
+        train.join(eval_sh, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            (F.col("n_shared") / F.col("n_shingles")).alias("contamination"),
+        )
     )
 
 
@@ -211,11 +227,12 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("src_num") >= 10)
         .join(corpus, "fingerprint", "left_anti")
     )
-    w = W.partitionBy("fingerprint").orderBy("doc_id")
-    return (
-        fresh.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "source", "fingerprint")
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import (
+        keep_first_per_key,
+    )
+
+    return keep_first_per_key(fresh, "fingerprint").select(
+        "doc_id", "source", "fingerprint"
     )
 
 
@@ -386,7 +403,7 @@ SELECT doc_id, source FROM (
 )
 def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain sampling cap (data governance: no source may contribute
-    more than 10 documents; the fixture has 25 per source, so the cap binds). The pick order is the portable hash of doc_id —
+    more than 10 documents; the sf0.1 fixture has 250 per source, so the cap binds. The pick order is the portable hash of doc_id —
     a deterministic pseudo-random sample, stable across runs and engines,
     unlike rand()-based sampling.
 
@@ -1147,7 +1164,7 @@ _FH_DIM = 16  # hashed-feature dimensionality
     "feature_hashing",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  SELECT doc_id, unnest({O_TOKS}) AS tok
   FROM documents WHERE doc_id % 10 = 0
 ), hashed AS (
   SELECT doc_id,
@@ -1178,8 +1195,11 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass — explode + two-level groupBy with map-side partial counts;
     feature width is a constant, independent of corpus growth."""
     docs = tables(spark, sf_dir)["documents"]
+    # shared token identity (module contract): the raw case-sensitive
+    # single-space split disagreed with every other text operator's
+    # token counts for the same document (round-7 review)
     toks = docs.filter(F.col("doc_id") % 10 == 0).select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        "doc_id", F.explode(tokens("text")).alias("tok")
     )
     slots = toks.select(
         "doc_id", (hash64(F.col("tok")) % _FH_DIM).alias("slot")
@@ -1253,22 +1273,33 @@ _NEG_K = 3  # negatives per anchor
 
 @register(
     "sample_negative_pairs",
+    # draws are uniform RANKS in [1, n] mapped to doc_ids through the
+    # hash-order dense numbering (dense_id_map / ids_dense_assign's
+    # oracle mirror) — a modulo over RAW doc_ids silently loses every
+    # draw landing in an id gap (round-7 review: measured 49.7% of
+    # draws lost at sf1, and half the corpus never drawable)
     oracle=f"""
 WITH n AS (
   SELECT COUNT(*) AS total FROM documents
+), ranks AS (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (
+      ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+               doc_id) AS dense_id
+  FROM documents
 ), cand AS (
   SELECT d.doc_id AS anchor_id, d.source AS anchor_source,
     CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':neg:' ||
-         CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % n.total AS neg_id
+         CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % n.total + 1 AS neg_rank
   FROM documents d
   CROSS JOIN n
   CROSS JOIN (SELECT unnest(generate_series(1, {_NEG_K})) AS i)
 )
-SELECT c.anchor_id, c.neg_id,
-  (c.anchor_source = d2.source) AS same_source
+SELECT c.anchor_id, r.doc_id AS neg_id,
+  (c.anchor_source = r.source) AS same_source
 FROM cand c
-JOIN documents d2 ON d2.doc_id = c.neg_id
-WHERE c.neg_id <> c.anchor_id
+JOIN ranks r ON r.dense_id = c.neg_rank
+WHERE r.doc_id <> c.anchor_id
 """,
 )
 def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1279,13 +1310,26 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FLAGGED (hard-negative vs false-negative triage) rather than
     silently kept.
 
-    Scale: the draw is a per-row hash expression; resolving negatives is
-    ONE equi-join on the drawn id — no shuffle of the corpus beyond the
-    join, and the fan-out is the constant k. Contiguous ids come free
-    here; production uses the dense-id assignment case
-    (`ids_dense_assign`) first."""
+    The draw is a uniform rank in [1, n] resolved through the dense-id
+    bijection (``dense_id_map`` — the ids_dense_assign two-phase shape),
+    NOT a modulo over raw doc_ids: ids are sparse in real corpora (and
+    in this repo's own sf1/sf10 derivatives), where the raw-modulo form
+    measured 49.7% of draws landing in id gaps — half the negatives
+    silently dropped and half the corpus never sampled (round-7 review).
+
+    Scale: the rank map is the two-phase per-shard enumeration (no
+    global sort); the draw is a per-row hash expression; resolving
+    negatives is ONE equi-join on the drawn rank with constant fan-out
+    k."""
     docs = tables(spark, sf_dir)["documents"]
-    total = docs.count()
+    from youcruit_tap_rawpostgresql_spark.querybank.scale import dense_id_map
+
+    rank_map, total = dense_id_map(docs.select("doc_id", "source"), "doc_id")
+    ranks = rank_map.join(
+        docs.select("doc_id", F.col("source").alias("neg_source")), "doc_id"
+    ).select(
+        F.col("doc_id").alias("neg_id"), "dense_id", "neg_source"
+    )
     cand = docs.select(
         F.col("doc_id").alias("anchor_id"),
         F.col("source").alias("anchor_source"),
@@ -1300,17 +1344,21 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                         )
                         % F.lit(total)
+                        + 1
                     )
                     for i in range(1, _NEG_K + 1)
                 ]
             )
-        ).alias("neg_id"),
-    ).filter(F.col("neg_id") != F.col("anchor_id"))
-    d2 = docs.select(
-        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
+        ).alias("neg_rank"),
     )
-    return cand.join(d2, "neg_id").select(
-        "anchor_id",
-        "neg_id",
-        (F.col("anchor_source") == F.col("neg_source")).alias("same_source"),
+    return (
+        cand.join(ranks, cand["neg_rank"] == ranks["dense_id"])
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "neg_id",
+            (F.col("anchor_source") == F.col("neg_source")).alias(
+                "same_source"
+            ),
+        )
     )

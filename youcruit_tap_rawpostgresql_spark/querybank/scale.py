@@ -115,6 +115,48 @@ def scalar_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dense_id_map(df: DataFrame, id_col: str = "doc_id", n_shards: int = 8):
+    """(``(id_col, dense_id)`` frame, total count): dense global ids
+    (1..N, no gaps) in hash order WITHOUT a global sort — the two-phase
+    enumeration shared by `ids_dense_assign` and any op that needs a
+    bijection onto a contiguous rank space (`sample_negative_pairs`
+    draws uniform ranks through it).
+
+    Scale: the textbook ROW_NUMBER() OVER (ORDER BY …) collapses to ONE
+    partition. Here: shard by hash range (the hash is uniform, so shards
+    balance), rank within each shard, then add per-shard prefix offsets
+    (shard counts are a driver-sized list). Same numbering, but the heavy
+    rank runs per-shard in parallel."""
+    h = hash64(F.col(id_col).cast("string"))
+    # uniform hash → range-shard by top bits: shard = h * n >> 60 would
+    # need bit ops on 60-bit values; modulo of the high half is simpler
+    # and equally deterministic. Ranking key within and across shards is
+    # (h, id), and shards are ordered by hash RANGE, so concatenating
+    # shard ranks in shard order reproduces the global (h, id) order.
+    shard = F.floor(h / F.lit((1 << 60) // n_shards)).cast("int").alias("shard")
+    base = df.select(id_col, h.alias("h"), shard)
+    wsh = W.partitionBy("shard").orderBy("h", id_col)
+    ranked = base.withColumn("shard_rank", F.row_number().over(wsh))
+    counts = {
+        r["shard"]: r["cnt"]
+        for r in base.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for s in sorted(counts):
+        offsets[s] = acc
+        acc += counts[s]
+    off = F.create_map(
+        *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+    )
+    mapped = ranked.select(
+        id_col,
+        (F.col("shard_rank").cast("bigint") + off[F.col("shard")]).alias(
+            "dense_id"
+        ),
+    )
+    return mapped, acc
+
+
 @register(
     "ids_dense_assign",
     # the oracle is the single-sort definition; the engine computes the
@@ -129,41 +171,11 @@ FROM documents
 )
 def ids_dense_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense global id assignment (1..N, no gaps) in hash order — the
-    renumbering step before packing/sharding — WITHOUT a global sort.
-
-    Scale: the textbook ROW_NUMBER() OVER (ORDER BY …) collapses to ONE
-    partition. Here: shard by hash range (the hash is uniform, so shards
-    balance), rank within each shard, then add per-shard prefix offsets
-    (shard counts are a driver-sized list). Same numbering, but the heavy
-    rank runs per-shard in parallel — the standard two-phase global
-    enumeration on a cluster."""
+    renumbering step before packing/sharding — WITHOUT a global sort
+    (see ``dense_id_map`` for the two-phase shape and scale story)."""
     d = tables(spark, sf_dir)["documents"]
-    n_shards = 8
-    h = hash64(F.col("doc_id").cast("string"))
-    # uniform hash → range-shard by top bits: shard = h * n >> 60 would
-    # need bit ops on 60-bit values; modulo of the high half is simpler
-    # and equally deterministic. Ranking key within and across shards is
-    # (h, doc_id), and shards are ordered by hash RANGE, so concatenating
-    # shard ranks in shard order reproduces the global (h, doc_id) order.
-    shard = F.floor(h / F.lit((1 << 60) // n_shards)).cast("int").alias("shard")
-    base = d.select("doc_id", h.alias("h"), shard)
-    wsh = W.partitionBy("shard").orderBy("h", "doc_id")
-    ranked = base.withColumn("shard_rank", F.row_number().over(wsh))
-    counts = {
-        r["shard"]: r["cnt"]
-        for r in base.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    offsets, acc = {}, 0
-    for s in sorted(counts):
-        offsets[s] = acc
-        acc += counts[s]
-    off = F.create_map(
-        *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
-    )
-    return ranked.select(
-        "doc_id",
-        (F.col("shard_rank").cast("bigint") + off[F.col("shard")]).alias("dense_id"),
-    )
+    mapped, _total = dense_id_map(d, "doc_id")
+    return mapped
 
 
 @register(
