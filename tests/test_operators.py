@@ -666,3 +666,46 @@ def test_env_config_keeps_string_settings_verbatim(monkeypatch):
     assert cfg["host"] == "007"
     assert cfg["port"] == 5432
     assert cfg["streams"] == [{"name": "s"}]
+
+
+def test_persist_leak_bounded_across_invocations(spark):
+    """Round-8 advisory: operators that persist intermediates must not
+    accumulate cached RDDs across repeated invocations in a long-lived
+    session. dedup_cascade_report releases its stage caches after
+    collecting the 3-row report; dedup_bloom_incremental's flagged frame
+    is persist_scoped (one live copy per tag, the previous invocation's
+    cache dropped)."""
+    from youcruit_tap_rawpostgresql_spark.querybank import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    # warm once (fills persist_scoped's single slot and any lazy state)
+    REGISTRY["dedup_cascade_report"].fn(spark, sf).collect()
+    REGISTRY["dedup_bloom_incremental"].fn(spark, sf).collect()
+    base = n_cached()
+    for _ in range(3):
+        REGISTRY["dedup_cascade_report"].fn(spark, sf).collect()
+        REGISTRY["dedup_bloom_incremental"].fn(spark, sf).collect()
+    assert n_cached() <= base  # no growth — the leak class is closed
+
+
+def test_persist_scoped_drops_previous(spark):
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import (
+        _LIVE_PERSISTS,
+        persist_scoped,
+    )
+
+    a = persist_scoped("t.x", spark.range(10))
+    a.count()
+    assert a.storageLevel.useMemory
+    b = persist_scoped("t.x", spark.range(20))
+    b.count()
+    # the previous frame under the tag was unpersisted; the new one is live
+    assert not a.storageLevel.useMemory
+    assert b.storageLevel.useMemory
+    assert _LIVE_PERSISTS["t.x"] is b
+    b.unpersist()
+    del _LIVE_PERSISTS["t.x"]

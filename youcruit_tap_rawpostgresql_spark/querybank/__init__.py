@@ -44,42 +44,40 @@ _PINS = [
     "dedup_minhash_lsh", "sim_cosine_topk", "sim_ann_ivf_pq",
     "text_tfidf_topk", "kmeans_embed_lloyd", "stream_stateful_sessionize",
 ]
-_ROTATION_R07 = [
-    # 40 slots, all never driver-checked in r02-r06 (see ROTATION.md).
-    # Round-6 judge directive 2: the six round-6-born/churned cases are
-    # promoted (dsir, int8 topk, LSH threshold twin, the two incremental
-    # dedup ops, DISTINCT ON), plus the round-7-born int8_recall_eval.
-    # round-6-born / churned code first
-    "dsir_importance_select", "sim_cosine_int8_topk",
-    "sim_cosine_threshold_lsh", "dedup_bloom_incremental",
-    "dedup_minhash_incremental", "pg_dialect_distinct_on",
-    "int8_recall_eval",
-    # deferred from the original r06 plan
-    "subquery_in", "join_asof", "sql_lateral_column_alias",
-    "set_union_by_name", "win_named_window", "scalar_bitwise",
-    # PG dialect / ANN / joins / tap formats
-    "pg_dialect_like_epoch", "pg_dialect_arrays", "sim_ann_ivf",
-    "sim_ann_pq_adc", "join_range_binned", "tap_orc_export_roundtrip",
-    # relational / TPC-H
-    "q11_important_stock", "q13_order_distribution", "q15_top_supplier",
-    "q16_supplier_variety",
-    # aggregates
-    "agg_group_by_all", "agg_grouping_marker", "agg_percentile_disc",
-    "agg_bit_flags",
-    # scalars
-    "scalar_string_extras", "scalar_datetime_extras",
-    # SQL surface / table functions
-    "sql_values_lookup", "sql_named_params", "tablefunc_json_elements",
-    "tablefunc_sequence", "tablefunc_explode_outer",
-    # streaming
-    "stream_session_window", "stream_sliding_window",
-    "stream_ewma_stateful",
-    # dedup / sampling / streaming-LSH (stream_minhash_quarantine is
-    # round-7-born: churned/new code gets driver rows first)
-    "dedup_semantic_cluster", "sample_hash_split",
-    "stream_minhash_quarantine",
+_ROTATION_R08 = [
+    # 40 slots, all never driver-checked in r02-r07 (see ROTATION.md;
+    # verified against the CORRECTNESS_r02-r07 union of 199). Round-7
+    # judge directives 3+8: the pre-planned r08 window, with all five
+    # bench headliners still lacking driver rows included
+    # (dedup_paragraph_exact, sketch_hll_mergeable, text_unigram_logprob,
+    # variant_json_extract, cohort_retention).
+    # the six dropped from the r07 plan + text_doc_frequency go first
+    "dedup_paragraph_exact", "sample_stratified", "scalar_map_lambda",
+    "text_chunk_windows", "graph_bfs_hops", "sketch_hll_mergeable",
+    "text_doc_frequency",
+    # dedup family spread
+    "dedup_minhash_signatures", "dedup_incremental_ingest",
+    "dedup_exact_stats", "dedup_canonical_map", "url_normalize_dedupe",
+    # multimodal
+    "multimodal_resize", "multimodal_audio_energy",
+    "multimodal_byte_histogram", "multimodal_frame_embed_cluster",
+    # sampling / splits
+    "sample_quality_top_half", "sample_cap_per_source",
+    "sample_mixture_epochs", "split_leakage_audit",
+    "sample_split_by_component",
+    # embeddings
+    "embed_pq_codes", "embed_matryoshka_eval", "embed_power_iteration",
+    "embed_random_projection",
+    # text analysis
+    "text_unigram_logprob", "text_repetition", "text_inverted_index",
+    "bpe_first_merges", "text_quality_logit",
+    # modern-SQL / ETL / graph / skew spread
+    "variant_json_extract", "cohort_retention", "pii_mask_hash",
+    "pii_scan_luhn", "feature_hashing", "agg_salted_skew",
+    "join_salted_skew", "graph_label_propagation", "ts_ohlc_daily",
+    "profile_numeric_columns",
 ]
-_PREFIX = _PINS + _ROTATION_R07
+_PREFIX = _PINS + _ROTATION_R08
 assert len(_PREFIX) == 50, f"driver window is 50 entries, prefix has {len(_PREFIX)}"
 _missing = [n for n in _PREFIX if n not in REGISTRY]
 assert not _missing, f"prefix names not in REGISTRY: {_missing}"
@@ -88,4 +86,4 @@ _reordered = {k: REGISTRY[k] for k in _PREFIX}
 _reordered.update(_rest)
 REGISTRY.clear()
 REGISTRY.update(_reordered)
-del _PREFIX, _missing, _rest, _reordered, _PINS, _ROTATION_R07
+del _PREFIX, _missing, _rest, _reordered, _PINS, _ROTATION_R08

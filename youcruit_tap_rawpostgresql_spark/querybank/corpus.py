@@ -504,11 +504,20 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return (
+    report = (
         stage_row(1, "exact", d0, s1)
         .unionByName(stage_row(2, "normalized", s1, s2))
         .unionByName(stage_row(3, "token_bag", s2, s3))
     )
+    # the report is 3 rows by construction — collect it, release the
+    # stage caches, and hand back a local frame (round-8 advisory: the
+    # persists otherwise accumulate across long-lived sessions)
+    try:
+        rows = report.collect()
+    finally:
+        s1.unpersist(blocking=False)
+        s2.unpersist(blocking=False)
+    return spark.createDataFrame(rows, report.schema)
 
 
 @register(
@@ -866,10 +875,18 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
     import pandas as pd
-    from pyspark import StorageLevel
     from pyspark.sql.functions import pandas_udf
 
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import (
+        persist_scoped,
+    )
+
     mask = n_bits - 1
+    # ship the bitmap as a Spark BROADCAST, not a closure capture: a
+    # closure-captured bitmap travels inside every pickled task command
+    # (at the 16 MiB cap that bloats each stage submission), a broadcast
+    # ships once per executor (round-8 advisory)
+    bc_bloom = spark.sparkContext.broadcast(bloom)
 
     # explicit arity: pandas_udf's type-hint inference rejects *args
     @pandas_udf("boolean")
@@ -877,7 +894,7 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         h0: pd.Series, h1: pd.Series, h2: pd.Series, h3: pd.Series,
         h4: pd.Series,
     ) -> pd.Series:
-        bits = np.frombuffer(bloom, dtype=np.uint8)
+        bits = np.frombuffer(bc_bloom.value, dtype=np.uint8)
         hit = np.ones(len(h0), dtype=bool)
         for h in (h0, h1, h2, h3, h4):
             pos = h.to_numpy(dtype=np.int64) & mask
@@ -888,12 +905,14 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE batch pass: the scan + fingerprint + Arrow prefilter run once
     # and both branches (plus the verify join's probe side) read the
     # persisted flags — previously the fresh/candidates/verified branches
-    # each re-evaluated the whole chain, 3 passes (round-7 self-review)
-    flagged = (
+    # each re-evaluated the whole chain, 3 passes (round-7 self-review).
+    # persist_scoped bounds the cache to one live copy across repeated
+    # invocations in a long-lived session (round-8 advisory)
+    flagged = persist_scoped(
+        "dedup_bloom_incremental.flagged",
         batch.select("doc_id", "source", "fp", *_bloom_hash_cols("fp"))
         .withColumn("_seen", maybe_seen(*hcols))
-        .select("doc_id", "source", "fp", "_seen")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("doc_id", "source", "fp", "_seen"),
     )
     candidates = flagged.filter(F.col("_seen")).select(
         "doc_id", "source", "fp"

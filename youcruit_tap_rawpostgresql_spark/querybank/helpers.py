@@ -131,3 +131,28 @@ def spread(df):
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df
+
+
+_LIVE_PERSISTS: dict = {}
+
+
+def persist_scoped(tag: str, df):
+    """Persist ``df`` (MEMORY_AND_DISK), first unpersisting whatever frame
+    was last persisted under ``tag`` — bounds executor-cache growth across
+    long-lived sessions (bench loops, oracle sweeps) to ONE live copy per
+    operator instead of one per invocation (round-8 advisory: persists
+    with no unpersist accumulate across the sessions the repo's own
+    harnesses reuse). Dropping the previous copy is always CORRECT:
+    unpersist only discards cached partitions — a stale handle that is
+    re-collected recomputes from lineage."""
+    from pyspark import StorageLevel
+
+    prev = _LIVE_PERSISTS.pop(tag, None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # a stopped/replaced session invalidates old handles
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_PERSISTS[tag] = out
+    return out

@@ -639,14 +639,18 @@ def minhash_lsh_pairs(
         "doc_id", "mh", F.posexplode(band_keys).alias("band_idx", "band_key")
     )
     if bucket_cap is not None and has_oversized:
-        from pyspark import StorageLevel
+        from youcruit_tap_rawpostgresql_spark.querybank.helpers import (
+            persist_scoped,
+        )
 
-        oversized = (
+        # scoped: one live cached copy across repeated invocations in a
+        # long-lived session (round-8 advisory leak class)
+        oversized = persist_scoped(
+            "lsh_candidates.oversized",
             bands.groupBy("band_idx", "band_key")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > bucket_cap)
-            .select("band_idx", "band_key")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .select("band_idx", "band_key"),
         )
         w = W.partitionBy("band_idx", "band_key").orderBy(
             F.xxhash64("doc_id"), F.col("doc_id")

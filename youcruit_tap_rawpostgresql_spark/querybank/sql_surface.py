@@ -240,7 +240,8 @@ def recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id,
   strftime(ts, '%Y-%m-%d %H:%M') AS ts_fmt,
   json_extract_string(props, '$.k') AS k_text,
-  regexp_extract(event_type, '^[a-z]+', 0) AS word,
+  CASE WHEN regexp_matches(event_type, '^[a-z]+')
+       THEN regexp_extract(event_type, '^[a-z]+', 0) END AS word,
   CAST(position('i' IN event_type) AS BIGINT) AS i_pos
 FROM events WHERE event_id % 20 = 0
 """,
