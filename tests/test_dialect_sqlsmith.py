@@ -536,3 +536,96 @@ N_CASES_V5 = 60
 @pytest.mark.parametrize("i", range(N_CASES_V5))
 def test_sqlsmith_differential_v5(sview_g, duck_g, i):
     assert_differential(sview_g, duck_g, gen_query_v5(i))
+
+
+# --- grammar v6: quantifier/match rewrites COMPOSED with JSON arrows and
+# set-returning rewrites (round-8 judge directive 7). The two rewrite
+# families that have interacted badly before are the quantifier expansion
+# (which EMITS lambda text like `_qe -> 'lit' <> _qe` — an arrow followed
+# by a string literal, exactly the surface the JSON `->` rule matches) and
+# the JSON arrow rules themselves. v6 crosses them in one query, plus
+# unnest/string_to_array set-returning shapes feeding match ops and
+# quantifiers downstream. DuckDB runs every shape natively (JSON arrows
+# auto-cast from VARCHAR; unnest in SELECT), so these are true
+# differential cases.
+
+# #>> is NOT here: DuckDB's parser rejects it (PG-only surface) — that
+# path is pinned with PG-derived literals in test_pg_pinned.py instead
+_V6_JSON = ["props ->> 'k'", "props ->> 'z'"]  # z: absent in every row
+
+
+def gen_query_v6(i: int) -> str:
+    r = random.Random(20260815 * 6000 + i)
+    shape = r.randrange(5)
+    je = r.choice(_V6_JSON)
+    if shape == 0:
+        # literal-LHS quantifier over an array built FROM a JSON
+        # extraction — the expansion's `_qe -> '<lit>'` text sits right
+        # next to a real JSON arrow in the same statement. The quantifier
+        # array uses the ALWAYS-PRESENT key: over a NULL array DuckDB
+        # returns false where PG (and this engine) return NULL — a proxy
+        # deviation, found building this grammar and verified directly
+        # (`SELECT '' < ANY(string_to_array(NULL, '9'))` → DuckDB false)
+        op = r.choice(["=", "<>", "<", ">"])
+        kw = r.choice(["ANY", "ALL"])
+        lit = r.choice(["1", "42", "6", ""])
+        sep = r.choice(["0", "1", "5", "9"])
+        arr_src = "props ->> 'k'"
+        return (
+            f"SELECT event_id, {je} AS jv, "
+            f"('{lit}' {op} {kw}(string_to_array({arr_src}, '{sep}'))) AS q "
+            f"FROM events WHERE event_id < 300"
+        )
+    if shape == 1:
+        # JSON extraction as a ~~-family LHS inside boolean chains — the
+        # v5 keyword-adjacency class crossed with the JSON rewrite
+        pat = r.choice(["1%", "%9", "%", "4_", "_2%"])
+        mop = r.choice(["~~", "!~~", "~~*"])
+        joiner = r.choice(["AND", "OR"])
+        pred = f"({je}) {mop} '{pat}'"
+        sep = "" if r.randrange(3) == 0 else " "
+        return (
+            f"SELECT event_id FROM events "
+            f"WHERE event_id < 400 {joiner}{sep}{pred}"
+        )
+    if shape == 2:
+        # set-returning unnest over string_to_array, match/quantifier on
+        # the exploded value downstream (generator output feeds rewrites)
+        seps = r.choice(["0", "e", "#", " "])
+        inner = (
+            f"SELECT c_custkey, unnest(string_to_array(c_name, '{seps}')) AS x "
+            f"FROM customer WHERE c_custkey < 80"
+        )
+        if r.randrange(2):
+            cond = f"x ~~ '%{r.choice('123r')}%'"
+        else:
+            cond = f"x = ANY(ARRAY['a', 'r', left(x, 1)])"
+        return f"SELECT c_custkey, x FROM ({inner}) t WHERE {cond}"
+    if shape == 3:
+        # JSON value cast to int, then an int quantifier — arrow rewrite
+        # output nested inside the quantifier rewrite's operand
+        kw = r.choice(["ANY", "ALL"])
+        op = r.choice(["=", "<>", ">"])
+        items = ", ".join(str(r.randint(0, 99)) for _ in range(3))
+        return (
+            f"SELECT event_id, "
+            f"(({je})::int8 {op} {kw}(ARRAY[{items}])) AS m "
+            f"FROM events WHERE event_id < 300"
+        )
+    # shape 4: generate_series SRF + quantifier + JSON filter in one query
+    lit = r.choice(["click", "view", "x"])
+    mop = r.choice(["~~", "!~~"])
+    return (
+        f"SELECT u, event_id, ('{lit}' <> ALL(ARRAY[event_type, 'y'])) AS q "
+        f"FROM (SELECT unnest(generate_series(1, 3)) AS u, event_id, "
+        f"event_type, props FROM events WHERE event_id < 60) t "
+        f"WHERE (props ->> 'k') {mop} '{r.choice(['9%', '%1', '%'])}'"
+    )
+
+
+N_CASES_V6 = 60
+
+
+@pytest.mark.parametrize("i", range(N_CASES_V6))
+def test_sqlsmith_differential_v6(sview_g, duck_g, i):
+    assert_differential(sview_g, duck_g, gen_query_v6(i))

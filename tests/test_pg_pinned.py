@@ -261,3 +261,20 @@ def test_json_path_extraction_pins(spark):
     ).first()
     assert row["ab"] == "2"  # PG: #>> '{a,b}' -> text '2'
     assert row["k"] == "v"
+
+
+def test_quantifier_null_array_pins(spark):
+    """PG: a quantified comparison over a NULL array yields NULL. DuckDB
+    returns false here (proxy deviation found building fuzz grammar v6,
+    verified directly), so this is pinned against PG semantics — the
+    engine's exists/forall rewrite gets it right for free (higher-order
+    functions propagate NULL input arrays)."""
+    row = one(
+        spark,
+        "('' < ANY(string_to_array(CAST(NULL AS STRING), '9'))) IS NULL AS any_null, "
+        "('a' = ALL(string_to_array(CAST(NULL AS STRING), 'x'))) IS NULL AS all_null, "
+        "(5 = ANY(ARRAY[1, 5, 9])) AS any_hit",
+    )
+    assert row["any_null"] is True
+    assert row["all_null"] is True
+    assert row["any_hit"] is True

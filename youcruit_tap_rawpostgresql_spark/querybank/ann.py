@@ -514,6 +514,17 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# The evals' FIXED query sample: vec_id % 50 == 0 AND vec_id below this
+# cap. Without the cap the query count grows linearly with the corpus and
+# every eval's exact side goes quadratic — the round-8 five-decade sweep
+# measured int8_recall_eval at 110×/decade at the sf10 step (≈4000 queries
+# × 200k corpus). With it the sample converges to ~400 queries at sf1 and
+# stays CONSTANT as the corpus grows — exactly how production recall is
+# estimated (a fixed sampled query set against the full index), so eval
+# cost is O(corpus) per decade. All fixture SFs ≤ 0.1 have every vec_id
+# under the cap, so driver-scale results are unchanged.
+_RECALL_QID_CAP = 100_000
+
 # shared by every recall eval (LSH / PQ-ADC / int8): the exact
 # brute-force top-3 oracle CTE and the recall-counts tail — one text,
 # three gates, no drift (round-7 self-review: three verbatim copies)
@@ -525,7 +536,8 @@ _O_EXACT_TOP3_CTE = f"""exact AS (
           / ({_O_NORM.format(a='q.embedding')} * {_O_NORM.format(a='e.embedding')}), 6)
         DESC, e.vec_id) AS rank
     FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
-    WHERE q.vec_id % 50 = 0) WHERE rank <= 3
+    WHERE q.vec_id % 50 = 0 AND q.vec_id < {_RECALL_QID_CAP})
+  WHERE rank <= 3
 )"""
 
 
@@ -564,7 +576,7 @@ WITH sigs AS (
   FROM embeddings
 ), q AS (
   SELECT vec_id AS query_id, embedding AS q_emb, sig, nrm AS q_nrm
-  FROM sigs WHERE vec_id % 50 = 0
+  FROM sigs WHERE vec_id % 50 = 0 AND vec_id < {_RECALL_QID_CAP}
 ), cand AS (
   SELECT q.query_id, s.vec_id AS neighbor_id,
     {_O_DOT_PAIR.format(a='q.q_emb', b='s.embedding')} / (q.q_nrm * s.nrm) AS cos
@@ -592,12 +604,15 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t["embeddings"]
     lsh = (
         sim_ann_lsh(spark, sf_dir)
-        .filter(F.col("query_id") % 50 == 0)
+        .filter(
+            (F.col("query_id") % 50 == 0)
+            & (F.col("query_id") < _RECALL_QID_CAP)
+        )
         .select("query_id", "neighbor_id")
     )
-    exact = exact_cosine_topk(spark, e, mod=50, k=3).select(
-        "query_id", "neighbor_id"
-    )
+    exact = exact_cosine_topk(
+        spark, e, mod=50, k=3, max_qid=_RECALL_QID_CAP
+    ).select("query_id", "neighbor_id")
     return _recall_counts(exact, lsh)
 
 
@@ -957,7 +972,7 @@ WITH codes AS (
       ROW_NUMBER() OVER (PARTITION BY q.vec_id
                          ORDER BY {_o_pq_adc_score()} DESC, n.vec_id) AS rank
     FROM embeddings q JOIN codes n ON q.vec_id <> n.vec_id
-    WHERE q.vec_id % 50 = 0) WHERE rank <= 3
+    WHERE q.vec_id % 50 = 0 AND q.vec_id < {_RECALL_QID_CAP}) WHERE rank <= 3
 ), {_O_EXACT_TOP3_CTE}
 {_o_recall_tail('adc')}
 """,
@@ -975,11 +990,12 @@ def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t["embeddings"]
     adc = (
         sim_ann_pq_adc(spark, sf_dir)
+        .filter(F.col("query_id") < _RECALL_QID_CAP)
         .select("query_id", "neighbor_id")
     )
-    exact = exact_cosine_topk(spark, e, mod=50, k=3).select(
-        "query_id", "neighbor_id"
-    )
+    exact = exact_cosine_topk(
+        spark, e, mod=50, k=3, max_qid=_RECALL_QID_CAP
+    ).select("query_id", "neighbor_id")
     return _recall_counts(exact, adc)
 
 
@@ -1184,7 +1200,7 @@ _MRL_HALF = _DIM // 2
     oracle=f"""
 WITH q AS (
   SELECT vec_id, embedding, list_slice(embedding, 1, {_MRL_HALF}) AS half
-  FROM embeddings WHERE vec_id % 50 = 0
+  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < {_RECALL_QID_CAP}
 ), e AS (
   SELECT vec_id, embedding, list_slice(embedding, 1, {_MRL_HALF}) AS half
   FROM embeddings
@@ -1238,13 +1254,16 @@ def embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-window pair-join form measured ~37 s at sf1, this is ~2 s); the
     half slice is a per-row projection inside its pass."""
     e = tables(spark, sf_dir)["embeddings"]
-    top_f = exact_cosine_topk(spark, e, mod=50, k=1, rounded=False).select(
+    top_f = exact_cosine_topk(
+        spark, e, mod=50, k=1, rounded=False, max_qid=_RECALL_QID_CAP
+    ).select(
         "query_id",
         F.col("neighbor_id").alias("top1_full"),
         F.round("cos", 6).alias("cos_full_top"),
     )
     top_h = exact_cosine_topk(
-        spark, e, mod=50, k=1, dims=_MRL_HALF, rounded=False
+        spark, e, mod=50, k=1, dims=_MRL_HALF, rounded=False,
+        max_qid=_RECALL_QID_CAP,
     ).select(
         "query_id",
         F.col("neighbor_id").alias("top1_half"),
@@ -1418,6 +1437,7 @@ def exact_cosine_topk(
     k: int,
     dims: int | None = None,
     rounded: bool = True,
+    max_qid: int | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k of every ``vec_id % mod == 0`` query
     against the whole corpus — the ground-truth side shared by the recall
@@ -1431,8 +1451,10 @@ def exact_cosine_topk(
     at ~37 s per eval (16M pair rows, each Arrow-shipping two
     embeddings); the kernel form is ~1-2 s. ``rounded`` selects the
     comparator (6dp HALF_UP like F.round, or raw cos); ``dims`` truncates
-    vectors (matryoshka resolutions). Returns (query_id, neighbor_id,
-    cos RAW, rank)."""
+    vectors (matryoshka resolutions); ``max_qid`` bounds the query sample
+    (``_RECALL_QID_CAP`` — without it #queries ∝ corpus and the whole
+    pass goes quadratic; round-8 sf10 catch). Returns (query_id,
+    neighbor_id, cos RAW, rank)."""
     import numpy as np
     import pandas as pd
 
@@ -1441,10 +1463,11 @@ def exact_cosine_topk(
     sel = (
         F.col("embedding") if dims is None else F.slice("embedding", 1, dims)
     ).alias("emb")
+    q_pred = F.col("vec_id") % mod == 0
+    if max_qid is not None:
+        q_pred = q_pred & (F.col("vec_id") < max_qid)
     q_rows = sorted(
-        bounded_collect(
-            e.filter(F.col("vec_id") % mod == 0).select("vec_id", sel)
-        ),
+        bounded_collect(e.filter(q_pred).select("vec_id", sel)),
         key=lambda r: r["vec_id"],
     )
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
@@ -1501,7 +1524,10 @@ def exact_cosine_topk(
 
 # int8-quantized top-3 CTE chain, shared by the serving case and its
 # recall gate (the gate must rank with the IDENTICAL quantized comparator)
-_O_INT8_TOPK_CTES = """qz AS (
+def _o_int8_topk_ctes(qpred: str = "q.vec_id % 50 = 0") -> str:
+    """int8 scoring CTEs; ``qpred`` picks the query sample (the recall
+    eval adds the ``_RECALL_QID_CAP`` bound, the serving case does not)."""
+    return f"""qz AS (
   SELECT vec_id,
     list_transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE) /
       list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))))
@@ -1518,7 +1544,7 @@ c AS (
     CAST(list_reduce(list_transform(generate_series(1, len(q.qv)),
            i -> q.qv[i] * e.qv[i]), (a, b) -> a + b) AS DOUBLE)
       / (sqrt(CAST(q.nn AS DOUBLE)) * sqrt(CAST(e.nn AS DOUBLE))) AS cos
-  FROM n q JOIN n e ON q.vec_id % 50 = 0 AND q.vec_id <> e.vec_id
+  FROM n q JOIN n e ON {qpred} AND q.vec_id <> e.vec_id
   WHERE q.nn > 0 AND e.nn > 0
 ),
 r AS (
@@ -1527,6 +1553,9 @@ r AS (
                        ORDER BY cos DESC, neighbor_id) AS rank
   FROM c
 )"""
+
+
+_O_INT8_TOPK_CTES = _o_int8_topk_ctes()
 
 
 @register(
@@ -1554,17 +1583,32 @@ def sim_cosine_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quantized corpus would be materialized once (embed_quantize_int8)
     and scanned as int8 parquet; here quantization is fused into the
     scoring pass to keep the case self-contained."""
+    e = tables(spark, sf_dir)["embeddings"]
+    return int8_cosine_topk_kernel(spark, e, mod=50, k=3)
+
+
+def int8_cosine_topk_kernel(
+    spark: SparkSession,
+    e: DataFrame,
+    mod: int,
+    k: int,
+    max_qid: int | None = None,
+) -> DataFrame:
+    """The int8 scoring kernel behind ``sim_cosine_int8_topk`` — shared
+    with ``int8_recall_eval``, which passes ``max_qid=_RECALL_QID_CAP`` so
+    the eval's query sample stays FIXED as the corpus grows (round-8
+    decade catch: uncapped, #queries ∝ corpus made the eval quadratic —
+    110×/decade at sf10)."""
     import numpy as np
     import pandas as pd
 
     from youcruit_tap_rawpostgresql_spark.querybank.helpers import spread
 
-    k = 3
-    e = tables(spark, sf_dir)["embeddings"]
+    q_pred = F.col("vec_id") % mod == 0
+    if max_qid is not None:
+        q_pred = q_pred & (F.col("vec_id") < max_qid)
     q_rows = sorted(
-        bounded_collect(
-            e.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding")
-        ),
+        bounded_collect(e.filter(q_pred).select("vec_id", "embedding")),
         key=lambda r: r["vec_id"],
     )
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
@@ -1633,7 +1677,7 @@ def sim_cosine_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "int8_recall_eval",
     oracle=f"""
-WITH {_O_INT8_TOPK_CTES},
+WITH {_o_int8_topk_ctes(f"q.vec_id % 50 = 0 AND q.vec_id < {_RECALL_QID_CAP}")},
 i8 AS (
   SELECT query_id, neighbor_id FROM r WHERE rank <= 3
 ), {_O_EXACT_TOP3_CTE}
@@ -1649,17 +1693,18 @@ def int8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     set: LSH has ann_recall_eval, PQ codes have pq_recall_eval, IVF is
     oracle-exact; int8 now has this.
 
-    Scale: both sides restrict to the query sample (vec_id % 50); the
-    exact side exists only for evaluation, exactly like production recall
-    estimation over a sampled slice — at 100 TB this runs on a few
-    thousand sampled queries while the serving path uses the quantized
-    corpus."""
+    Scale: both sides restrict to the FIXED query sample (vec_id % 50
+    under ``_RECALL_QID_CAP``) — uncapped, the sample grew with the
+    corpus and the round-8 five-decade sweep measured the eval at
+    110×/decade at sf10; capped it is O(corpus) per decade, exactly like
+    production recall estimation (a constant sampled query set against
+    the whole index)."""
     t = tables(spark, sf_dir)
     e = t["embeddings"]
-    i8 = sim_cosine_int8_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    )
-    exact = exact_cosine_topk(spark, e, mod=50, k=3).select(
-        "query_id", "neighbor_id"
-    )
+    i8 = int8_cosine_topk_kernel(
+        spark, e, mod=50, k=3, max_qid=_RECALL_QID_CAP
+    ).select("query_id", "neighbor_id")
+    exact = exact_cosine_topk(
+        spark, e, mod=50, k=3, max_qid=_RECALL_QID_CAP
+    ).select("query_id", "neighbor_id")
     return _recall_counts(exact, i8)

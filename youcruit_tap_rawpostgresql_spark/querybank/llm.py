@@ -779,9 +779,15 @@ def stream_minhash_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band_idx, band_key) — the join mode a continuous-ingest quarantine
     actually runs: the stream side is unbounded, the lake store is a
     batch table refreshed per micro-batch. Candidates (match count ≥
-    half the slots) land in the sink; the best-match-per-doc report is a
-    batch aggregation over the drained sink, so the output contract (and
-    oracle) is IDENTICAL to the batch incremental case.
+    half the slots) land in a checkpointed PARQUET sink — the
+    distributed production shape; a memory sink collected every
+    micro-batch's band-multiplied pairs onto the driver and blew
+    maxResultSize at sf10 (round-8 decade-sweep catch) — and the
+    best-match-per-doc report is a batch aggregation over the sink
+    files, so the output contract (and oracle) is IDENTICAL to the
+    batch incremental case. Sink-choice equivalence is pinned:
+    tests/test_operators.py::
+    test_stream_quarantine_file_sink_equals_memory_sink.
 
     Scale: stream-static inner joins keep NO stream state (each
     micro-batch probes the static side and emits); the static side is
@@ -789,13 +795,55 @@ def stream_minhash_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join touching only colliding buckets. At 100 TB the store is a
     bucketed table and the per-batch cost is O(batch × collisions),
     independent of lake size."""
-    import os
-    import uuid as _uuid
+    import shutil
+    import tempfile
 
     from youcruit_tap_rawpostgresql_spark.streaming.incremental_stream import (
-        drain_memory_sink,
-        open_file_stream,
         scoped_stream_partitions,
+    )
+
+    # FILE sink, not a memory sink: candidate pairs are band-multiplied
+    # near-dup matches, and a memory sink collects every micro-batch's
+    # pairs onto the driver — at sf10 that exceeded
+    # spark.driver.maxResultSize (>1 GiB of task results; round-8 decade
+    # sweep catch). The parquet sink keeps the pair volume distributed;
+    # only the dup-rate-bounded per-doc report is ever collected.
+    cand = quarantine_candidate_stream(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="stream_quarantine_")
+    try:
+        with scoped_stream_partitions(spark):
+            q = (
+                cand.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", f"{work}/out")
+                .option("checkpointLocation", f"{work}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        # explicit schema: a zero-candidate run leaves no data files to
+        # infer from, and must drain to an empty report, not an error
+        drained = spark.read.schema(cand.schema).parquet(f"{work}/out")
+        report = quarantine_report(drained)
+        # the report is one row per quarantined batch doc (dup-rate
+        # bounded) — materialize it so the sink dir can be removed
+        rows = report.collect()
+        return spark.createDataFrame(rows, report.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def quarantine_candidate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine's STREAMING candidate pipeline (shared by the memory-
+    sink registry case and the file-sink equality test — the same plan must
+    produce identical results through either sink): per-micro-batch MinHash
+    signatures, banded, stream-static joined against the lake signature
+    store, thresholded at half the slots. Append-mode safe: stream-static
+    inner joins emit rows as they match, no result ever retracts."""
+    import os
+
+    from youcruit_tap_rawpostgresql_spark.streaming.incremental_stream import (
+        open_file_stream,
     )
 
     lake = (
@@ -818,25 +866,19 @@ def stream_minhash_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_eq = F.size(
         F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)
     ).cast("bigint")
-    cand = (
+    return (
         batch_bands.join(lake, ["band_idx", "band_key"])
         .select("batch_doc", "ref_doc", n_eq.alias("n_eq"))
         .filter(F.col("n_eq") >= _N_MINHASH // 2)
     )
-    sink_name = f"stream_quarantine_{_uuid.uuid4().hex[:8]}"
-    with scoped_stream_partitions(spark):
-        q = (
-            cand.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(sink_name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+
+
+def quarantine_report(cand_rows: DataFrame) -> DataFrame:
+    """Best-match-per-doc report over drained candidate rows (batch side —
+    identical whichever sink the streaming query wrote to)."""
     best = F.max(F.struct(F.col("n_eq"), (-F.col("ref_doc")).alias("neg")))
-    out = (
-        spark.table(sink_name)
-        .groupBy("batch_doc")
+    return (
+        cand_rows.groupBy("batch_doc")
         .agg(best.alias("b"))
         .select(
             "batch_doc",
@@ -844,7 +886,6 @@ def stream_minhash_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b.n_eq").cast("double") / _N_MINHASH).alias("best_est"),
         )
     )
-    return drain_memory_sink(spark, sink_name, out)
 
 
 def _o_simhash() -> str:
