@@ -494,6 +494,9 @@ def test_regex_capture_group_index_classifier():
     assert _regex_capture_group_index("'[^]]('") == 1
     assert _regex_capture_group_index("'(?:a)(b)'") == 1
     assert _regex_capture_group_index("'it''s (a)'") == 1  # doubled quote
+    # escaped ']' inside a class does not close it (round-8 self-review):
+    # text '[\\]()]' decodes to value [\]()] — one class, zero groups
+    assert _regex_capture_group_index(r"'[\\]()]'") == 0
 
 
 def test_array_constructor_translates():

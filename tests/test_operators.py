@@ -668,7 +668,7 @@ def test_env_config_keeps_string_settings_verbatim(monkeypatch):
     assert cfg["streams"] == [{"name": "s"}]
 
 
-def test_persist_leak_bounded_across_invocations(spark):
+def test_persist_leak_bounded_across_invocations(spark, sf_dir):
     """Round-8 advisory: operators that persist intermediates must not
     accumulate cached RDDs across repeated invocations in a long-lived
     session. dedup_cascade_report releases its stage caches after
@@ -677,18 +677,27 @@ def test_persist_leak_bounded_across_invocations(spark):
     cache dropped)."""
     from youcruit_tap_rawpostgresql_spark.querybank import REGISTRY
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
 
     def n_cached() -> int:
         return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
-    # warm once (fills persist_scoped's single slot and any lazy state)
-    REGISTRY["dedup_cascade_report"].fn(spark, sf).collect()
-    REGISTRY["dedup_bloom_incremental"].fn(spark, sf).collect()
+    # warm once (fills persist_scoped's single slot and any lazy state);
+    # the sample spans the converted families: collect-report, Bloom
+    # broadcast, LSH signatures, iterative graph edges (round-8: the
+    # whole per-invocation cache class moved to persist_scoped)
+    cases = [
+        "dedup_cascade_report",
+        "dedup_bloom_incremental",
+        "sim_ann_lsh",
+        "graph_pagerank_trade",
+    ]
+    for c in cases:
+        REGISTRY[c].fn(spark, sf).collect()
     base = n_cached()
-    for _ in range(3):
-        REGISTRY["dedup_cascade_report"].fn(spark, sf).collect()
-        REGISTRY["dedup_bloom_incremental"].fn(spark, sf).collect()
+    for _ in range(2):
+        for c in cases:
+            REGISTRY[c].fn(spark, sf).collect()
     assert n_cached() <= base  # no growth — the leak class is closed
 
 
@@ -709,6 +718,25 @@ def test_persist_scoped_drops_previous(spark):
     assert _LIVE_PERSISTS["t.x"] is b
     b.unpersist()
     del _LIVE_PERSISTS["t.x"]
+
+
+def test_broadcast_scoped_destroys_previous(spark):
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import (
+        _LIVE_BROADCASTS,
+        broadcast_scoped,
+    )
+
+    a = broadcast_scoped("t.b", spark, b"x" * 1024)
+    b = broadcast_scoped("t.b", spark, b"y" * 1024)
+    assert _LIVE_BROADCASTS["t.b"] is b
+    assert b.value[:1] == b"y"
+    # the previous broadcast was destroyed — its value is gone
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        a.value  # noqa: B018 - destroyed broadcast must not resolve
+    b.destroy()
+    del _LIVE_BROADCASTS["t.b"]
 
 
 def test_stream_quarantine_file_sink_equals_memory_sink(spark, sf_dir, tmp_path):

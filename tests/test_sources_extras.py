@@ -749,3 +749,54 @@ def test_versioned_delete_keys_and_erasure(spark, sf_dir, tmp_path):
     deleted = versioned.vacuum(root, keep_last=1)
     assert deleted, "pre-delete files should be reclaimed"
     assert versioned.read_version(spark, root).count() == cust.count() - n_doomed
+
+
+def test_versioned_upsert_rejects_null_keys(spark, tmp_path):
+    """Round-8 self-review: NULL key values never match the anti-join, so
+    a NULL-key row would re-append on every re-sync (idempotence break),
+    and an all-NULL span would defeat pruning — both rejected loudly
+    before any commit, for single and composite keys."""
+    import pytest
+
+    from youcruit_tap_rawpostgresql_spark.sources import versioned
+
+    root = str(tmp_path / "vt")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    versioned.commit_snapshot(base, root, mode="overwrite", stats_columns=["k"])
+
+    bad = spark.createDataFrame([(None, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="NULL in a key column"):
+        versioned.upsert_snapshot_pruned(spark, bad, root, "k")
+    with pytest.raises(ValueError, match="NULL in a key column"):
+        versioned.upsert_snapshot(spark, bad, root, "k")
+    # composite: NULL in ONE of the key columns is just as fatal
+    base2 = spark.createDataFrame(
+        [(1, "a", "v")], "k1 long, k2 string, v string"
+    )
+    root2 = str(tmp_path / "vt2")
+    versioned.commit_snapshot(
+        base2, root2, mode="overwrite", stats_columns=["k1", "k2"]
+    )
+    bad2 = spark.createDataFrame(
+        [(2, None, "w")], "k1 long, k2 string, v string"
+    )
+    with pytest.raises(ValueError, match="NULL in a key column"):
+        versioned.upsert_snapshot_pruned(spark, bad2, root2, ["k1", "k2"])
+    # the table is untouched: still exactly the base version
+    assert versioned.current_version(root) == 0
+    assert versioned.current_version(root2) == 0
+
+
+def test_versioned_delete_all_null_keys_is_noop(spark, tmp_path):
+    """delete_keys with an all-NULL key set: NULL matches nothing, so the
+    correct commit is a carry-all no-op — NOT a full-table rewrite (the
+    vacuous-all() hazard the round-8 self-review caught)."""
+    from youcruit_tap_rawpostgresql_spark.sources import versioned
+
+    root = str(tmp_path / "vt")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    versioned.commit_snapshot(base, root, mode="overwrite", stats_columns=["k"])
+    nulls = spark.createDataFrame([(None,)], "k long")
+    version, n_rewritten = versioned.delete_keys(spark, root, "k", nulls)
+    assert n_rewritten == 0  # no file was rewritten
+    assert versioned.read_version(spark, root, version).count() == 2

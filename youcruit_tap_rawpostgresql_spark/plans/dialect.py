@@ -630,14 +630,17 @@ def _regex_capture_group_index(sql_literal: str) -> int:
             i += 2
             continue
         if c == "[":
-            # bracket class: ']' is literal immediately after '[' or '[^'
+            # bracket class: ']' is literal immediately after '[' or '[^',
+            # and a backslash-escaped ']' does not close the class (the
+            # round-8 self-review found the unskipped escape misclassified
+            # '[\]()]' — class-literal parens — as a capture group)
             j = i + 1
             if j < n and body[j] == "^":
                 j += 1
             if j < n and body[j] == "]":
                 j += 1
             while j < n and body[j] != "]":
-                j += 1
+                j += 2 if body[j] == "\\" else 1
             i = j + 1
             continue
         if c == "(" and (i + 1 >= n or body[i + 1] != "?"):

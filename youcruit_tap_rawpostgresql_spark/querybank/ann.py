@@ -22,6 +22,7 @@ from pyspark.sql.window import Window as W
 
 from youcruit_tap_rawpostgresql_spark.functions.vectors import cosine_pairs
 from youcruit_tap_rawpostgresql_spark.querybank.helpers import EMB_DIM as _DIM
+from youcruit_tap_rawpostgresql_spark.querybank.helpers import persist_scoped
 from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
 
 _N_PLANES = 6
@@ -176,7 +177,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE's skew-join splitting covers pathological buckets."""
     e = tables(spark, sf_dir)["embeddings"]
     n_part = spark.sparkContext.defaultParallelism
-    sigs = lsh_signatures(e.repartition(n_part, "vec_id")).cache()
+    sigs = persist_scoped(
+        "sim_ann_lsh.sigs", lsh_signatures(e.repartition(n_part, "vec_id"))
+    )
     q = sigs.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -252,7 +255,10 @@ def sim_cosine_threshold_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pathological buckets."""
     e = tables(spark, sf_dir)["embeddings"]
     n_part = spark.sparkContext.defaultParallelism
-    sigs = lsh_signatures(e.repartition(n_part, "vec_id")).cache()
+    sigs = persist_scoped(
+        "dedup_lsh_bucket.sigs",
+        lsh_signatures(e.repartition(n_part, "vec_id")),
+    )
     a = sigs.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "sig"
     )
@@ -424,7 +430,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tuned by nprobe; the oracle recomputes the identical IVF algorithm, so
     this checks the real scale path, not brute force."""
     e = tables(spark, sf_dir)["embeddings"]
-    ranked = ivf_rank_cells(spark, sf_dir).cache()
+    ranked = persist_scoped("sim_ann_ivf.ranked", ivf_rank_cells(spark, sf_dir))
     assign = (
         ranked.filter(F.col("crank") == 1)
         .join(e, "vec_id")
@@ -671,8 +677,8 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("cent_id").alias("cell"))
         .join(e, "vec_id")
         .select("vec_id", "cell", "embedding")
-        .cache()
     )
+    assign = persist_scoped("ivf_partition_assign", assign)
     a = assign.select(
         F.col("cell"),
         F.col("vec_id").alias("a_id"),
@@ -898,13 +904,25 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF cell pruning for the full IVF-PQ index. Bit-exact with the
     oracle: table entries use the same sequential per-dim fold, scores
     the same subspace-order adds."""
+    return pq_adc_topk_kernel(spark, sf_dir)
+
+
+def pq_adc_topk_kernel(
+    spark: SparkSession, sf_dir: str, max_qid: int | None = None
+) -> DataFrame:
+    """The ADC scoring kernel behind ``sim_ann_pq_adc`` — shared with
+    ``pq_recall_eval``, which passes ``max_qid=_RECALL_QID_CAP`` so the
+    eval computes the ADC side only for the FIXED query sample (round-8
+    self-review: a post-hoc filter on the serving case's output could not
+    push below mapInPandas, leaving the eval #queries × corpus)."""
     import numpy as np
     import pandas as pd
 
     e = tables(spark, sf_dir)["embeddings"]
-    q_rows = bounded_collect(
-        e.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding")
-    )
+    q_pred = F.col("vec_id") % 50 == 0
+    if max_qid is not None:
+        q_pred = q_pred & (F.col("vec_id") < max_qid)
+    q_rows = bounded_collect(e.filter(q_pred).select("vec_id", "embedding"))
     luts = pq_query_luts(q_rows)
     q_ids = np.array(sorted(luts), dtype=np.int64)
     LUT = np.stack([luts[int(q)] for q in q_ids])  # |Q|×M×K
@@ -988,11 +1006,9 @@ def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall estimation."""
     t = tables(spark, sf_dir)
     e = t["embeddings"]
-    adc = (
-        sim_ann_pq_adc(spark, sf_dir)
-        .filter(F.col("query_id") < _RECALL_QID_CAP)
-        .select("query_id", "neighbor_id")
-    )
+    adc = pq_adc_topk_kernel(
+        spark, sf_dir, max_qid=_RECALL_QID_CAP
+    ).select("query_id", "neighbor_id")
     exact = exact_cosine_topk(
         spark, e, mod=50, k=3, max_qid=_RECALL_QID_CAP
     ).select("query_id", "neighbor_id")
@@ -1040,7 +1056,10 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature, so a (query, neighbor) pair meets on at most one probe."""
     e = tables(spark, sf_dir)["embeddings"]
     n_part = spark.sparkContext.defaultParallelism
-    sigs = lsh_signatures(e.repartition(n_part, "vec_id")).cache()
+    sigs = persist_scoped(
+        "sim_ann_lsh_multiprobe.sigs",
+        lsh_signatures(e.repartition(n_part, "vec_id")),
+    )
     probes = (
         sigs.filter(F.col("vec_id") % 25 == 0)
         .select(
@@ -1134,7 +1153,7 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = tables(spark, sf_dir)["embeddings"]
-    ranked = ivf_rank_cells(spark, sf_dir).cache()
+    ranked = persist_scoped("sim_ann_ivf_pq.ranked", ivf_rank_cells(spark, sf_dir))
     assign = ranked.filter(F.col("crank") == 1).select(
         F.col("vec_id").alias("neighbor_id"), F.col("cent_id").alias("cell")
     )

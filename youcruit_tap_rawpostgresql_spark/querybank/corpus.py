@@ -878,6 +878,7 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     from youcruit_tap_rawpostgresql_spark.querybank.helpers import (
+        broadcast_scoped,
         persist_scoped,
     )
 
@@ -885,8 +886,9 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ship the bitmap as a Spark BROADCAST, not a closure capture: a
     # closure-captured bitmap travels inside every pickled task command
     # (at the 16 MiB cap that bloats each stage submission), a broadcast
-    # ships once per executor (round-8 advisory)
-    bc_bloom = spark.sparkContext.broadcast(bloom)
+    # ships once per executor (round-8 advisory). Scoped: the previous
+    # invocation's bitmap is destroyed, so repeated runs hold ONE copy
+    bc_bloom = broadcast_scoped("dedup_bloom_incremental.bitmap", spark, bloom)
 
     # explicit arity: pandas_udf's type-hint inference rejects *args
     @pandas_udf("boolean")

@@ -26,6 +26,7 @@ from youcruit_tap_rawpostgresql_spark.querybank.helpers import (
     iso_ts,
     sessionized,
 )
+from youcruit_tap_rawpostgresql_spark.querybank.helpers import persist_scoped
 from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
 
 _D1 = "1998-01-01"
@@ -1029,7 +1030,10 @@ def session_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = sessionized(e, "user_id", "event_type")
     # cache: marginals, the session total, and the pair join all derive
     # from this one distinct set
-    types = s.select("user_id", "session_seq", "event_type").distinct().cache()
+    types = persist_scoped(
+        "session_type_cooccurrence.types",
+        s.select("user_id", "session_seq", "event_type").distinct(),
+    )
     # lazy broadcast total instead of an eager driver-side count() that
     # paid a full extra sessionization job at plan-construction time
     n_total_df = (

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from youcruit_tap_rawpostgresql_spark.querybank.helpers import persist_scoped
 from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
 
 # edge weight floor = |lineitem| / _W_FRAC: scale-relative so the graph has
@@ -120,7 +121,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (src, dst, outdeg) is static across iterations and edge-sized (tiny);
     # without the cache every iteration's lineage re-runs the fact-table
     # star join — 3× the scan cost for identical rows
-    ed = e.join(deg, "src").cache()
+    ed = persist_scoped("graph_pagerank.edges", e.join(deg, "src"))
     ranks = n.select(
         F.col("n_nationkey").alias("node"), F.lit(_ONE).cast("bigint").alias("r")
     )
@@ -186,10 +187,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
         )
         .distinct()
-        # three self-join branches below — cache the (tiny) edge list or
-        # the fact-table star join runs three times
-        .cache()
     )
+    # three self-join branches below — scope-persist the (tiny) edge list
+    # or the fact-table star join runs three times
+    e = persist_scoped("graph_triangle_count.edges", e)
     e1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     e3 = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
@@ -232,7 +233,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     path enumeration the oracle does (paths ≤ cap, exponential in branching)
     is exactly what the engine avoids."""
     t = tables(spark, sf_dir)
-    edges = _trade_edges(t).cache()
+    edges = persist_scoped("graph_bfs.edges", _trade_edges(t))
     reached = spark.createDataFrame([(0, 0)], "node int, hops int")
     frontier = reached
     for i in range(1, _BFS_CAP + 1):
@@ -282,8 +283,8 @@ def graph_shortest_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         _trade_edges(t, keep_weight=True)
         .select("src", "dst", (1 + F.col("w") % 7).cast("bigint").alias("cost"))
-        .cache()
     )
+    edges = persist_scoped("graph_shortest_cost.edges", edges)
     dist = spark.createDataFrame([(0, 0)], "node int, d long")
     for _ in range(_SP_ROUNDS):
         relaxed = (
@@ -351,8 +352,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
         )
         .distinct()
-        .cache()
     )
+    ue = persist_scoped("graph_label_propagation.edges", ue)
     both = ue.unionByName(
         ue.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
     )
@@ -418,8 +419,8 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
         )
         .distinct()
-        .cache()
     )
+    ue = persist_scoped("graph_link_prediction.edges", ue)
     bi = ue.unionByName(
         ue.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
     ).select(F.col("lo").alias("a"), F.col("hi").alias("b"))

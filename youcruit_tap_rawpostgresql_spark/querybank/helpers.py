@@ -156,3 +156,29 @@ def persist_scoped(tag: str, df):
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
     _LIVE_PERSISTS[tag] = out
     return out
+
+
+_LIVE_BROADCASTS: dict = {}
+
+
+def broadcast_scoped(tag: str, spark, value):
+    """Broadcast ``value``, destroying whatever broadcast was last made
+    under ``tag`` — the broadcast analogue of ``persist_scoped`` (round-8
+    self-review): each invocation of an operator that broadcasts a
+    multi-MB structure (the sized Bloom bitmap) would otherwise leave the
+    previous copy on executors and the driver's broadcast dir until GC
+    happens to collect the old closure. Trade-off (unlike unpersist,
+    which recomputes): a STALE result handle from a previous invocation
+    would fail loudly on re-execution after its broadcast is destroyed —
+    acceptable for operator-internal broadcasts whose results are
+    collected per invocation (the only usage), and strictly better than
+    unbounded accumulation in the long-lived bench/sweep sessions."""
+    prev = _LIVE_BROADCASTS.pop(tag, None)
+    if prev is not None:
+        try:
+            prev.destroy()
+        except Exception:
+            pass  # a stopped/replaced session invalidates old handles
+    bc = spark.sparkContext.broadcast(value)
+    _LIVE_BROADCASTS[tag] = bc
+    return bc

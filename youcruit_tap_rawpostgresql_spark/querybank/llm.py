@@ -795,6 +795,7 @@ def stream_minhash_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join touching only colliding buckets. At 100 TB the store is a
     bucketed table and the per-batch cost is O(batch × collisions),
     independent of lake size."""
+    import os
     import shutil
     import tempfile
 
@@ -809,7 +810,18 @@ def stream_minhash_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sweep catch). The parquet sink keeps the pair volume distributed;
     # only the dup-rate-bounded per-doc report is ever collected.
     cand = quarantine_candidate_stream(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="stream_quarantine_")
+    # sink + checkpoint live under spark.ytrs.stream.workdir when set (a
+    # SHARED filesystem path — required on a real cluster, where a
+    # driver-local /tmp is not visible to executors); the tempfile
+    # default serves local[k] runs, which is every harness execution here
+    base = spark.conf.get("spark.ytrs.stream.workdir", None)
+    if base:
+        import uuid as _uuid
+
+        work = os.path.join(base, f"stream_quarantine_{_uuid.uuid4().hex[:8]}")
+        os.makedirs(work, exist_ok=True)
+    else:
+        work = tempfile.mkdtemp(prefix="stream_quarantine_")
     try:
         with scoped_stream_partitions(spark):
             q = (
@@ -834,12 +846,13 @@ def stream_minhash_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def quarantine_candidate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The quarantine's STREAMING candidate pipeline (shared by the memory-
-    sink registry case and the file-sink equality test — the same plan must
-    produce identical results through either sink): per-micro-batch MinHash
-    signatures, banded, stream-static joined against the lake signature
-    store, thresholded at half the slots. Append-mode safe: stream-static
-    inner joins emit rows as they match, no result ever retracts."""
+    """The quarantine's STREAMING candidate pipeline (shared by the
+    FILE-sink registry case and the MEMORY-sink side of the sink-equality
+    test — the same plan must produce identical results through either
+    sink): per-micro-batch MinHash signatures, banded, stream-static
+    joined against the lake signature store, thresholded at half the
+    slots. Append-mode safe: stream-static inner joins emit rows as they
+    match, no result ever retracts."""
     import os
 
     from youcruit_tap_rawpostgresql_spark.streaming.incremental_stream import (

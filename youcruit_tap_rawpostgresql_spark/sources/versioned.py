@@ -322,9 +322,25 @@ def _keys(key: "str | list[str]") -> list[str]:
 
 
 def _check_unique_keys(updates: DataFrame, key: "str | list[str]") -> None:
+    """Reject updates that would corrupt MERGE semantics: duplicate keys,
+    or NULL in any key column. NULL keys never match an anti-join, so a
+    NULL-key row would re-append on every bookmark-reset re-sync (silent
+    idempotence break) — and an all-NULL key span would defeat statistics
+    pruning entirely (round-8 self-review; primary keys are non-null by
+    contract, so this fails loudly instead of guessing)."""
     from pyspark.sql import functions as F
 
     keys = _keys(key)
+    null_pred = None
+    for k in keys:
+        c = F.col(k).isNull()
+        null_pred = c if null_pred is None else (null_pred | c)
+    if updates.filter(null_pred).limit(1).collect():
+        raise ValueError(
+            f"upsert updates carry NULL in a key column ({', '.join(keys)})"
+            " — primary keys are non-null by contract; filter or repair"
+            " the extract first"
+        )
     dup = (
         updates.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n"))
@@ -431,6 +447,30 @@ def _pruned_rewrite(
         for i, k in enumerate(keys)
         if span[f"__lo{i}"] is not None
     }
+    if not bounds:
+        # EVERY key column is all-NULL: the anti-join can match nothing,
+        # so the correct result is a carry-all no-op — without this guard
+        # the empty dict's vacuous all() would mark every file overlapping
+        # and rewrite the whole table for nothing (round-8 self-review).
+        # Upserts never reach here (NULL keys are rejected up front); the
+        # delete path treats a NULL key set as deleting no rows.
+        if merge_df is not None:
+            raise ValueError(
+                "upsert reached the pruned rewrite with an all-NULL key "
+                "span — NULL keys must be rejected before commit"
+            )
+        return (
+            commit_snapshot(
+                _empty_frame(spark, man),
+                root,
+                mode="append",
+                op=op + "-noop",
+                expected_base=base,
+                extra=extra,
+            ),
+            0,
+            len(man["files"]),
+        )
     hit, miss = prune_files_bounds(root, base, bounds)
     if hit:
         touched = spark.read.option("mergeSchema", "true").parquet(*hit)
