@@ -433,15 +433,34 @@ def test_json_path_operators():
 
 
 def test_to_char_token_mapping():
+    import pytest
+
     assert (
         translate_pg_sql("SELECT to_char(ts, 'YYYY-MM-DD HH24:MI:SS') FROM e")
         == "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss') FROM e"
     )
-    # unknown tokens pass through; HH12 maps independently of HH24
+    # separators pass through; HH12 maps independently of HH24
     assert (
         translate_pg_sql("SELECT to_char(ts, 'DD/HH12') FROM e")
         == "SELECT date_format(ts, 'dd/hh') FROM e"
     )
+    # PG quoted literal text → JDK quoted (SQL-doubled) — letters inside
+    # quotes are DATA, never pattern letters
+    assert (
+        translate_pg_sql("""SELECT to_char(ts, 'YYYY"T"HH24') FROM e""")
+        == "SELECT date_format(ts, 'yyyy''T''HH') FROM e"
+    )
+    # round-8: tokens JDK cannot render faithfully raise at TRANSLATION
+    # time instead of silently mistranslating (PG D = day-of-week
+    # Sunday=1; JDK D = day-of-YEAR) or exploding inside a task
+    with pytest.raises(ValueError, match="'Month'"):
+        translate_pg_sql("SELECT to_char(ts, 'Month DD') FROM e")
+    with pytest.raises(ValueError, match="'D'"):
+        translate_pg_sql("SELECT to_char(ts, 'D') FROM e")
+    with pytest.raises(ValueError, match="'THH'"):
+        # a bare letter run that is no PG token at all (greedy run: the
+        # unmapped T swallows up to the next non-letter boundary)
+        translate_pg_sql("SELECT to_char(ts, 'YYYYTHH24') FROM e")
 
 
 def test_substring_regex_form():

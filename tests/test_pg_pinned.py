@@ -278,3 +278,36 @@ def test_quantifier_null_array_pins(spark):
     assert row["any_null"] is True
     assert row["all_null"] is True
     assert row["any_hit"] is True
+
+
+def test_to_char_name_tokens_and_quoted_literals(spark):
+    """Round-8 to_char rework: Mon/Dy/DDD/AM/Q map to faithful JDK
+    equivalents, "quoted" text passes as literal data, and unmappable PG
+    tokens (Month — PG blank-pads to 9 chars; D — PG day-of-week where
+    JDK means day-of-year) raise at translation time. Expected values
+    hand-derived from PG (2024-03-07 is a Thursday, day-of-year 067)."""
+    import pytest
+
+    row = one(
+        spark,
+        "to_char(timestamp '2024-03-07 16:05:09', 'Mon DD') AS mon, "
+        "to_char(timestamp '2024-03-07 16:05:09', 'Dy') AS dy, "
+        "to_char(timestamp '2024-03-07 16:05:09', 'DDD') AS doy, "
+        "to_char(timestamp '2024-03-07 16:05:09', 'HH12 AM') AS ampm, "
+        "to_char(timestamp '2024-03-07 16:05:09', 'Q') AS q, "
+        "to_char(timestamp '2024-03-07 16:05:09', 'YYYY\"T\"HH24:MI') AS lit",
+    )
+    assert row["mon"] == "Mar 07"
+    assert row["dy"] == "Thu"
+    assert row["doy"] == "067"
+    assert row["ampm"] == "04 PM"
+    assert row["q"] == "1"
+    assert row["lit"] == "2024T16:05"
+    with pytest.raises(ValueError, match="no faithful"):
+        translate_pg_sql("SELECT to_char(ts, 'Month') FROM events")
+    # parse direction shares the vocabulary
+    row2 = one(
+        spark,
+        "CAST(to_date('Mar 07 2024', 'Mon DD YYYY') AS STRING) AS d",
+    )
+    assert row2["d"] == "2024-03-07"

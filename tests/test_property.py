@@ -181,12 +181,27 @@ def test_greedy_pack_invariants(toks):
 
 
 @given(st.from_regex(r"[A-Za-z: /.-]{0,20}", fullmatch=True))
-def test_to_char_unknown_tokens_pass_through(fmt):
-    """to_char translation maps the known PG tokens and leaves everything
-    else byte-for-byte; the call always becomes date_format."""
-    out = translate_pg_sql(f"SELECT to_char(ts, '{fmt}') FROM e")
-    assert "to_char" not in out.lower() or "date_format" in out
+def test_to_char_tokens_map_or_raise(fmt):
+    """to_char translation (round-8 rework): every letter run must be a
+    faithfully-mappable PG token — then the call becomes date_format with
+    only mapped tokens, quoted spans, and separators in the pattern — or
+    the translation raises naming the token. It never passes a bare
+    letter through (all letters are reserved JDK pattern letters, so
+    pass-through was either a runtime error or a silent mistranslation)."""
+    try:
+        out = translate_pg_sql(f"SELECT to_char(ts, '{fmt}') FROM e")
+    except ValueError as e:
+        assert "to_char format token" in str(e) or "quoted literal" in str(e)
+        return
     assert out.startswith("SELECT date_format(ts, '")
+    # the emitted pattern contains no unmapped letters: strip known JDK
+    # outputs and separators, nothing alphabetic may remain
+    pat = out[len("SELECT date_format(ts, '"):out.rindex("'")]
+    residue = pat
+    for jdk in ("yyyy", "yy", "MMM", "MM", "mm", "EEE", "HH", "hh",
+                "DDD", "dd", "ss", "SSSSSS", "SSS", "a", "Q"):
+        residue = residue.replace(jdk, "")
+    assert not any(c.isalpha() for c in residue), (fmt, out)
 
 
 @given(st.lists(st.integers(min_value=1, max_value=127), min_size=1, max_size=80))

@@ -564,21 +564,122 @@ _TO_TS_RE = re.compile(
     r"\b(to_timestamp|to_date)\s*\(([^(),]+),\s*'((?:[^']|'')*)'\s*\)",
     re.IGNORECASE,
 )
+# PG format token → JDK DateTimeFormatter pattern. ``None`` marks tokens
+# PG defines but JDK cannot render faithfully (padding or numbering
+# differs): translating those silently would produce WRONG output (PG
+# blank-pads Month/Day to 9 chars; PG D is Sunday=1 day-of-week where JDK
+# D is day-of-year; PG W/WW week numbering differs from JDK's), so they
+# raise at TRANSLATION time — and so does any unrecognized letter run,
+# which JDK would otherwise reject at runtime deep inside a task (or
+# worse, reinterpret: every A-Za-z letter is a reserved JDK pattern
+# letter, never a literal). Round-8: the old table passed unknown tokens
+# through verbatim, exactly that silent-wrongness class.
 _TO_CHAR_TOKENS = [
     ("YYYY", "yyyy"),
+    ("Month", None),
+    ("MONTH", None),
+    ("month", None),
     ("HH24", "HH"),
     ("HH12", "hh"),
-    ("HH", "hh"),  # PG bare HH is 12-hour (= HH12); Spark's HH is 24-hour
+    ("DDD", "DDD"),
+    ("Day", None),
+    ("DAY", None),
+    ("day", None),
+    ("Mon", "MMM"),
+    ("MON", None),  # PG renders 'MAR' (upper); JDK MMM gives 'Mar'
+    ("mon", None),
+    ("Dy", "EEE"),
+    ("DY", None),
+    ("dy", None),
+    ("US", "SSSSSS"),
     ("MS", "SSS"),
+    ("AM", "a"),
+    ("PM", "a"),
+    ("am", None),  # PG renders lowercase; JDK 'a' is uppercase
+    ("pm", None),
+    ("HH", "hh"),  # PG bare HH is 12-hour (= HH12); Spark's HH is 24-hour
     ("YY", "yy"),
     ("DD", "dd"),
     ("MI", "mm"),
     ("SS", "ss"),
     ("MM", "MM"),
+    ("TZ", None),
+    ("IW", None),
+    ("WW", None),
+    ("CC", None),
+    ("RM", None),
+    ("Q", "Q"),
+    ("W", None),
+    ("J", None),
+    ("D", None),  # PG: day of week Sunday=1; JDK D: day of YEAR
+    # PG numeric tokens are case-insensitive — the lowercase forms mean
+    # the same field (so PG 'mm' is MONTH, never JDK minutes), and the
+    # common JDK-looking pattern 'yyyy-MM-dd' stays a fixed point because
+    # every token in it coincides across the two vocabularies
+    ("yyyy", "yyyy"),
+    ("hh24", "HH"),
+    ("hh12", "hh"),
+    ("ddd", "DDD"),
+    ("us", "SSSSSS"),
+    ("ms", "SSS"),
+    ("yy", "yy"),
+    ("mm", "MM"),
+    ("dd", "dd"),
+    ("hh", "hh"),
+    ("mi", "mm"),
+    ("ss", "ss"),
+    ("tz", None),
+    ("iw", None),
+    ("ww", None),
+    ("cc", None),
+    ("rm", None),
+    ("q", "Q"),
+    ("w", None),
+    ("j", None),
+    ("d", None),
 ]
+_TO_CHAR_MAP = dict(_TO_CHAR_TOKENS)
 _TO_CHAR_TOKEN_RE = re.compile(
     "|".join(tok for tok, _ in sorted(_TO_CHAR_TOKENS, key=lambda t: -len(t[0])))
 )
+
+
+def _to_char_fmt(fmt: str) -> str:
+    """Translate a PG to_char/to_timestamp format string to a JDK
+    pattern: known tokens map (longest-first), ``"quoted text"`` becomes
+    JDK ``'quoted text'``, non-letter separators pass verbatim, and
+    anything else — an unmappable PG token or a bare letter run — raises
+    with the offending token named (a silent mistranslation of a format
+    string corrupts every output row)."""
+    out: list[str] = []
+    i, n = 0, len(fmt)
+    while i < n:
+        c = fmt[i]
+        if c == '"':  # PG quoted literal → JDK quoted literal
+            j = fmt.find('"', i + 1)
+            if j == -1:
+                raise ValueError(f"unterminated quoted literal in to_char format: {fmt!r}")
+            body = fmt[i + 1 : j].replace("'", "''")
+            out.append(f"'{body}'")
+            i = j + 1
+            continue
+        if not c.isalpha():
+            out.append(c)
+            i += 1
+            continue
+        m = _TO_CHAR_TOKEN_RE.match(fmt, i)
+        mapped = _TO_CHAR_MAP.get(m.group(0)) if m else None
+        if m and mapped is not None:
+            out.append(mapped)
+            i = m.end()
+            continue
+        tok = m.group(0) if m else re.match(r"[A-Za-z]+", fmt[i:]).group(0)
+        raise ValueError(
+            f"to_char format token {tok!r} has no faithful Spark/JDK "
+            f"equivalent (in {fmt!r}) — quote literal text as \"...\", or "
+            "compute the field explicitly (extract/date_part)"
+        )
+    return "".join(out)
 
 # substring(x FROM 'pattern'): PG's regex form. PG returns the text matched
 # by the FIRST PARENTHESIZED SUBEXPRESSION when the pattern contains one,
@@ -1400,17 +1501,15 @@ def _translate_operators(sql: str) -> str:
     )
 
     def to_char_repl(m: re.Match) -> str:
-        fmt = _TO_CHAR_TOKEN_RE.sub(
-            lambda t: dict(_TO_CHAR_TOKENS)[t.group(0)], m.group(2)
-        )
+        # the JDK pattern's own single quotes (quoted-literal spans) must
+        # be SQL-doubled to survive Spark's literal parser
+        fmt = _to_char_fmt(m.group(2)).replace("'", "''")
         return f"date_format({m.group(1).strip()}, '{fmt}')"
 
     sql = _sub_skipping_literal_interiors(_TO_CHAR_RE, to_char_repl, sql)
 
     def to_ts_repl(m: re.Match) -> str:
-        fmt = _TO_CHAR_TOKEN_RE.sub(
-            lambda t: dict(_TO_CHAR_TOKENS)[t.group(0)], m.group(3)
-        )
+        fmt = _to_char_fmt(m.group(3)).replace("'", "''")
         return f"{m.group(1).lower()}({m.group(2).strip()}, '{fmt}')"
 
     sql = _sub_skipping_literal_interiors(_TO_TS_RE, to_ts_repl, sql)
