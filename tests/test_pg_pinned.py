@@ -311,3 +311,27 @@ def test_to_char_name_tokens_and_quoted_literals(spark):
         "CAST(to_date('Mar 07 2024', 'Mon DD YYYY') AS STRING) AS d",
     )
     assert row2["d"] == "2024-03-07"
+
+
+def test_trgm_similarity_pg_docs_literal(spark):
+    """pg_trgm similarity() as a registered SQL UDF (plans/executor.py):
+    the PostgreSQL documentation's own example pins it —
+    similarity('word', 'two words') = 0.363636... (4 shared trigrams of
+    an 11-trigram union). NULL propagates; trigram-free inputs give 0."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import (
+        ensure_pg_functions,
+    )
+
+    ensure_pg_functions(spark)
+    row = spark.sql(
+        translate_pg_sql(
+            "SELECT round(similarity('word', 'two words'), 8) AS s, "
+            "similarity(NULL, 'x') AS n, "
+            "similarity('', '') AS z, "
+            "similarity('cat', 'cat') AS eq"
+        )
+    ).first()
+    assert row["s"] == 0.36363636  # PG docs §F.35 example value
+    assert row["n"] is None
+    assert row["z"] == 0.0
+    assert row["eq"] == 1.0

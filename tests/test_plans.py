@@ -791,3 +791,14 @@ def test_int8_topk_streams_corpus_once(plans):
     assert "Join" not in p
     assert "CartesianProduct" not in p
     assert p.index("Window") < p.index("MapInPandas")
+
+
+def test_trgm_similarity_sql_udf_stays_jvm_side(plans):
+    """similarity() is a SQL scalar UDF — it must INLINE into the plan as
+    JVM expressions (higher-order array functions), never cross a Python
+    boundary and never join: one scan, map-only projection."""
+    p = plans("pg_dialect_trgm_similarity")
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "Join" not in p
+    assert "Exchange" not in p  # map-only: no shuffle at all

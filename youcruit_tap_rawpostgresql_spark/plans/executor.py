@@ -16,6 +16,49 @@ from youcruit_tap_rawpostgresql_spark.plans.dialect import translate_pg_sql
 from youcruit_tap_rawpostgresql_spark.spec import SpecError, StreamSpec
 
 
+# PG extension functions with no Spark builtin, registered as SQL scalar
+# UDFs (JVM-side, codegen-friendly — Spark 4 SQL UDFs) so reference SQL
+# carrying them runs verbatim. pg_trgm's similarity(): per-word trigram
+# sets (lowercase, alnum word split, two leading + one trailing space per
+# word, exactly pg_trgm's extraction) and |A∩B|/|A∪B|; NULL input → NULL,
+# no trigrams → 0 like PG. The PG docs literal pins it:
+# similarity('word', 'two words') = 0.36363636 (tests/test_pg_pinned.py).
+# The % match OPERATOR is NOT rewritten (indistinguishable from modulo
+# without type analysis) — write similarity(a, b) >= 0.3 explicitly.
+_PG_FUNCTION_DDL = (
+    """
+CREATE OR REPLACE TEMPORARY FUNCTION trgm_set(s STRING) RETURNS ARRAY<STRING>
+RETURN array_distinct(flatten(transform(
+  filter(split(lower(s), '[^a-z0-9]+'), w -> w != ''),
+  w -> transform(sequence(1, length(concat('  ', w, ' ')) - 2),
+                 i -> substring(concat('  ', w, ' '), i, 3)))))
+""",
+    """
+CREATE OR REPLACE TEMPORARY FUNCTION similarity(a STRING, b STRING)
+RETURNS DOUBLE
+RETURN CASE WHEN a IS NULL OR b IS NULL THEN CAST(NULL AS DOUBLE)
+  ELSE coalesce(
+    CAST(size(array_intersect(trgm_set(a), trgm_set(b))) AS DOUBLE)
+      / nullif(CAST(size(array_union(trgm_set(a), trgm_set(b))) AS DOUBLE),
+               0.0),
+    0.0) END
+""",
+)
+
+_PG_FUNCTIONS_READY: set[str] = set()
+
+
+def ensure_pg_functions(spark: SparkSession) -> None:
+    """Register the PG-extension SQL UDFs once per SparkSession (keyed by
+    applicationId — temporary functions are session-scoped)."""
+    key = spark.sparkContext.applicationId
+    if key in _PG_FUNCTIONS_READY:
+        return
+    for ddl in _PG_FUNCTION_DDL:
+        spark.sql(ddl)
+    _PG_FUNCTIONS_READY.add(key)
+
+
 def run_sql(
     spark: SparkSession,
     sql: str,
@@ -32,6 +75,8 @@ def run_sql(
     for engines/paths without parameterized SQL."""
     if not sql or not sql.strip():
         raise SpecError("sql must not be empty")  # reference client.py:255-258
+    if pg_dialect:
+        ensure_pg_functions(spark)
     text = translate_pg_sql(sql, bind=False) if pg_dialect else sql
     if params:
         return spark.sql(text, args=dict(params))

@@ -45,12 +45,19 @@ _PINS = [
     "text_tfidf_topk", "kmeans_embed_lloyd", "stream_stateful_sessionize",
 ]
 _ROTATION_R08 = [
-    # 40 slots, all never driver-checked in r02-r07 (see ROTATION.md;
-    # verified against the CORRECTNESS_r02-r07 union of 199). Round-7
+    # 40 slots (see ROTATION.md; 37 first-timers verified against the
+    # CORRECTNESS_r02-r07 union of 199 + 3 round-8-born/churned cases —
+    # new code needs driver rows most, the r06/r07 precedent). Round-7
     # judge directives 3+8: the pre-planned r08 window, with all five
     # bench headliners still lacking driver rows included
     # (dedup_paragraph_exact, sketch_hll_mergeable, text_unigram_logprob,
     # variant_json_extract, cohort_retention).
+    # round-8-born / round-8-rewritten first: the verbatim pg_trgm
+    # similarity() SQL-UDF case; the quarantine's memory->parquet sink
+    # rewrite; the recall eval's fixed-query-sample cap (both r07 rows
+    # predate this round's rewrites)
+    "pg_dialect_trgm_similarity", "stream_minhash_quarantine",
+    "int8_recall_eval",
     # the six dropped from the r07 plan + text_doc_frequency go first
     "dedup_paragraph_exact", "sample_stratified", "scalar_map_lambda",
     "text_chunk_windows", "graph_bfs_hops", "sketch_hll_mergeable",
@@ -71,11 +78,12 @@ _ROTATION_R08 = [
     # text analysis
     "text_unigram_logprob", "text_repetition", "text_inverted_index",
     "bpe_first_merges", "text_quality_logit",
-    # modern-SQL / ETL / graph / skew spread
+    # modern-SQL / ETL / graph / skew spread (feature_hashing,
+    # ts_ohlc_daily, profile_numeric_columns rolled to r09 to make room
+    # for the three round-8 cases above)
     "variant_json_extract", "cohort_retention", "pii_mask_hash",
-    "pii_scan_luhn", "feature_hashing", "agg_salted_skew",
-    "join_salted_skew", "graph_label_propagation", "ts_ohlc_daily",
-    "profile_numeric_columns",
+    "pii_scan_luhn", "agg_salted_skew",
+    "join_salted_skew", "graph_label_propagation",
 ]
 _PREFIX = _PINS + _ROTATION_R08
 assert len(_PREFIX) == 50, f"driver window is 50 entries, prefix has {len(_PREFIX)}"

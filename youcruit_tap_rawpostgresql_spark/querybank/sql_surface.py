@@ -666,3 +666,57 @@ def pg_dialect_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM events WHERE event_id % 25 = 0",
         pg_dialect=True,
     )
+
+
+# DuckDB mirror of the registered trgm_set SQL UDF (plans/executor.py):
+# per-word trigram extraction exactly as pg_trgm does it — lowercase,
+# alnum word split, two leading + one trailing space per word
+_O_TRGM = (
+    "list_distinct(flatten(list_transform("
+    "list_filter(string_split_regex(lower({s}), '[^a-z0-9]+'), w -> w <> ''),"
+    " w -> list_transform(generate_series(1, length('  ' || w || ' ') - 2),"
+    " i -> ('  ' || w || ' ')[i:(i+2)]))))"
+)
+
+
+@register(
+    "pg_dialect_trgm_similarity",
+    oracle=f"""
+WITH g AS (
+  SELECT p_partkey,
+    {_O_TRGM.format(s='p_name')} AS ta,
+    {_O_TRGM.format(s='p_type')} AS tb
+  FROM part WHERE p_partkey % 9 = 0
+), s AS (
+  SELECT p_partkey,
+    coalesce(CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+      / nullif(CAST(len(list_distinct(list_concat(ta, tb))) AS DOUBLE), 0.0),
+      0.0) AS sim
+  FROM g
+)
+SELECT p_partkey, sim, sim >= 0.3 AS is_similar FROM s
+""",
+)
+def pg_dialect_trgm_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pg_trgm's ``similarity()`` accepted VERBATIM (round-8): reference
+    config SQL carrying the function runs through ``run_sql`` against the
+    SQL scalar UDF registered per session (``plans/executor.py`` — full
+    pg_trgm extraction: per-WORD trigram sets, unlike the whole-string
+    approximation ``scalar_trgm_similarity`` demonstrates expression-side).
+    Exact across engines: set sizes are integers, one IEEE division. The
+    PG docs literal similarity('word','two words') = 0.36363636 is pinned
+    in tests/test_pg_pinned.py.
+
+    Scale: a SQL UDF inlines into the plan (JVM expressions, no Python
+    boundary) — map-only per-row work here; trigram JOINs explode the
+    same sets into an inverted index (er_blocked_fuzzy_join)."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    tables(spark, sf_dir)
+    return run_sql(
+        spark,
+        "SELECT p_partkey, similarity(p_name, p_type) AS sim, "
+        "similarity(p_name, p_type) >= 0.3 AS is_similar "
+        "FROM part WHERE p_partkey % 9 = 0",
+        pg_dialect=True,
+    )
