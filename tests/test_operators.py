@@ -720,7 +720,11 @@ def test_persist_scoped_drops_previous(spark):
     del _LIVE_PERSISTS["t.x"]
 
 
-def test_broadcast_scoped_destroys_previous(spark):
+def test_broadcast_scoped_unpersists_previous(spark):
+    """broadcast_scoped frees executor copies of the replaced broadcast
+    but stays RECOMPUTE-CORRECT (round-8 self-review: destroy() would
+    make a stale lazy result from a prior invocation fail on
+    re-execution; unpersist re-ships from the driver instead)."""
     from youcruit_tap_rawpostgresql_spark.querybank.helpers import (
         _LIVE_BROADCASTS,
         broadcast_scoped,
@@ -730,12 +734,10 @@ def test_broadcast_scoped_destroys_previous(spark):
     b = broadcast_scoped("t.b", spark, b"y" * 1024)
     assert _LIVE_BROADCASTS["t.b"] is b
     assert b.value[:1] == b"y"
-    # the previous broadcast was destroyed — its value is gone
-    import pytest as _pytest
-
-    with _pytest.raises(Exception):
-        a.value  # noqa: B018 - destroyed broadcast must not resolve
-    b.destroy()
+    # the replaced broadcast still resolves (driver copy retained) — a
+    # stale plan that re-executes re-broadcasts rather than crashing
+    assert a.value[:1] == b"x"
+    b.unpersist()
     del _LIVE_BROADCASTS["t.b"]
 
 

@@ -303,8 +303,18 @@ def test_to_char_name_tokens_and_quoted_literals(spark):
     assert row["ampm"] == "04 PM"
     assert row["q"] == "1"
     assert row["lit"] == "2024T16:05"
+    # apostrophe INSIDE a quoted literal survives both escaping layers
+    # (round-8 self-review caught a double-escape rendering it''s)
+    apos = one(
+        spark,
+        "to_char(timestamp '2024-03-07 16:05:09', 'YYYY\"it''s\"MM') AS x",
+    )
+    assert apos["x"] == "2024it's03"
     with pytest.raises(ValueError, match="no faithful"):
         translate_pg_sql("SELECT to_char(ts, 'Month') FROM events")
+    with pytest.raises(ValueError, match="'SSSS'"):
+        # seconds-past-midnight must not silently decompose into SS+SS
+        translate_pg_sql("SELECT to_char(ts, 'SSSS') FROM events")
     # parse direction shares the vocabulary
     row2 = one(
         spark,

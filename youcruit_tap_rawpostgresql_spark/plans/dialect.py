@@ -553,7 +553,10 @@ _EPOCH_RE = re.compile(r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\s+([^()]+)\)", re.IGNOREC
 _JSON_PATH_RE = re.compile(_JSON_OPERAND + r"\s*#>>?\s*'\{([^{}']*)\}'")
 
 # to_char(expr, 'fmt'): PG format tokens → Spark/JDK date_format patterns.
-# Longest-first so HH24 wins over HH; unknown tokens pass through verbatim.
+# Longest-first so HH24 wins over HH; see _to_char_fmt — unmappable or
+# unknown tokens RAISE at translation time (round-8; pass-through was a
+# runtime error or silent mistranslation, every letter being a reserved
+# JDK pattern letter).
 _TO_CHAR_RE = re.compile(
     r"\bto_char\s*\(([^(),]+),\s*'((?:[^']|'')*)'\s*\)", re.IGNORECASE
 )
@@ -591,6 +594,8 @@ _TO_CHAR_TOKENS = [
     ("Dy", "EEE"),
     ("DY", None),
     ("dy", None),
+    ("SSSSS", None),  # seconds past midnight — would decompose SS+SS
+    ("SSSS", None),
     ("US", "SSSSSS"),
     ("MS", "SSS"),
     ("AM", "a"),
@@ -620,6 +625,8 @@ _TO_CHAR_TOKENS = [
     ("hh24", "HH"),
     ("hh12", "hh"),
     ("ddd", "DDD"),
+    ("sssss", None),
+    ("ssss", None),
     ("us", "SSSSSS"),
     ("ms", "SSS"),
     ("yy", "yy"),
@@ -659,7 +666,11 @@ def _to_char_fmt(fmt: str) -> str:
             j = fmt.find('"', i + 1)
             if j == -1:
                 raise ValueError(f"unterminated quoted literal in to_char format: {fmt!r}")
-            body = fmt[i + 1 : j].replace("'", "''")
+            # the body is SQL-TEXT level (callers SQL-double the whole
+            # pattern afterward; Spark's decode then halves it back), so
+            # pass it through — doubling here double-escaped apostrophes
+            # ("it''s" rendered it''s; round-8 self-review, executed)
+            body = fmt[i + 1 : j]
             out.append(f"'{body}'")
             i = j + 1
             continue
@@ -673,7 +684,8 @@ def _to_char_fmt(fmt: str) -> str:
             out.append(mapped)
             i = m.end()
             continue
-        tok = m.group(0) if m else re.match(r"[A-Za-z]+", fmt[i:]).group(0)
+        run = re.match(r"[A-Za-z]+", fmt[i:])
+        tok = m.group(0) if m else (run.group(0) if run else c)
         raise ValueError(
             f"to_char format token {tok!r} has no faithful Spark/JDK "
             f"equivalent (in {fmt!r}) — quote literal text as \"...\", or "

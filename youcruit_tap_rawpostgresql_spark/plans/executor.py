@@ -8,6 +8,7 @@ semantics follow ``client.py:260-298``.
 
 from __future__ import annotations
 
+import weakref as _weakref
 from typing import Any, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,18 +46,21 @@ RETURN CASE WHEN a IS NULL OR b IS NULL THEN CAST(NULL AS DOUBLE)
 """,
 )
 
-_PG_FUNCTIONS_READY: set[str] = set()
+_PG_FUNCTIONS_READY: "_weakref.WeakSet" = _weakref.WeakSet()
 
 
 def ensure_pg_functions(spark: SparkSession) -> None:
-    """Register the PG-extension SQL UDFs once per SparkSession (keyed by
-    applicationId — temporary functions are session-scoped)."""
-    key = spark.sparkContext.applicationId
-    if key in _PG_FUNCTIONS_READY:
+    """Register the PG-extension SQL UDFs once per SparkSession. The memo
+    is a WeakSet of session OBJECTS, not applicationId: temporary
+    functions are session-scoped, and ``spark.newSession()`` shares the
+    applicationId but not the function registry (round-8 self-review —
+    an id-keyed memo would skip registration on the second session and
+    similarity() would fail analysis there)."""
+    if spark in _PG_FUNCTIONS_READY:
         return
     for ddl in _PG_FUNCTION_DDL:
         spark.sql(ddl)
-    _PG_FUNCTIONS_READY.add(key)
+    _PG_FUNCTIONS_READY.add(spark)
 
 
 def run_sql(

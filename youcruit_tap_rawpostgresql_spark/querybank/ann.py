@@ -256,7 +256,7 @@ def sim_cosine_threshold_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tables(spark, sf_dir)["embeddings"]
     n_part = spark.sparkContext.defaultParallelism
     sigs = persist_scoped(
-        "dedup_lsh_bucket.sigs",
+        "sim_cosine_threshold_lsh.sigs",
         lsh_signatures(e.repartition(n_part, "vec_id")),
     )
     a = sigs.select(
@@ -678,7 +678,7 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e, "vec_id")
         .select("vec_id", "cell", "embedding")
     )
-    assign = persist_scoped("ivf_partition_assign", assign)
+    assign = persist_scoped("dedup_semantic_cluster.assign", assign)
     a = assign.select(
         F.col("cell"),
         F.col("vec_id").alias("a_id"),

@@ -1031,7 +1031,7 @@ def session_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache: marginals, the session total, and the pair join all derive
     # from this one distinct set
     types = persist_scoped(
-        "session_type_cooccurrence.types",
+        "session_type_lift.types",
         s.select("user_id", "session_seq", "event_type").distinct(),
     )
     # lazy broadcast total instead of an eager driver-side count() that

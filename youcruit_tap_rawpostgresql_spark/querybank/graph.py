@@ -121,7 +121,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (src, dst, outdeg) is static across iterations and edge-sized (tiny);
     # without the cache every iteration's lineage re-runs the fact-table
     # star join — 3× the scan cost for identical rows
-    ed = persist_scoped("graph_pagerank.edges", e.join(deg, "src"))
+    ed = persist_scoped("graph_pagerank_trade.edges", e.join(deg, "src"))
     ranks = n.select(
         F.col("n_nationkey").alias("node"), F.lit(_ONE).cast("bigint").alias("r")
     )
@@ -233,7 +233,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     path enumeration the oracle does (paths ≤ cap, exponential in branching)
     is exactly what the engine avoids."""
     t = tables(spark, sf_dir)
-    edges = persist_scoped("graph_bfs.edges", _trade_edges(t))
+    edges = persist_scoped("graph_bfs_hops.edges", _trade_edges(t))
     reached = spark.createDataFrame([(0, 0)], "node int, hops int")
     frontier = reached
     for i in range(1, _BFS_CAP + 1):

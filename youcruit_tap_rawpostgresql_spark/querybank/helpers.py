@@ -162,21 +162,21 @@ _LIVE_BROADCASTS: dict = {}
 
 
 def broadcast_scoped(tag: str, spark, value):
-    """Broadcast ``value``, destroying whatever broadcast was last made
+    """Broadcast ``value``, unpersisting whatever broadcast was last made
     under ``tag`` — the broadcast analogue of ``persist_scoped`` (round-8
     self-review): each invocation of an operator that broadcasts a
     multi-MB structure (the sized Bloom bitmap) would otherwise leave the
-    previous copy on executors and the driver's broadcast dir until GC
-    happens to collect the old closure. Trade-off (unlike unpersist,
-    which recomputes): a STALE result handle from a previous invocation
-    would fail loudly on re-execution after its broadcast is destroyed —
-    acceptable for operator-internal broadcasts whose results are
-    collected per invocation (the only usage), and strictly better than
-    unbounded accumulation in the long-lived bench/sweep sessions."""
+    previous copy on every executor until GC happens to collect the old
+    closure. ``unpersist`` (NOT ``destroy``) keeps this recompute-correct
+    like persist_scoped: executor blocks are freed deterministically, but
+    the driver retains the value, so a stale result handle from a prior
+    invocation that is re-executed simply re-ships the broadcast instead
+    of failing; the driver-side copy itself is reclaimed by Spark's
+    ContextCleaner once the old closure is garbage collected."""
     prev = _LIVE_BROADCASTS.pop(tag, None)
     if prev is not None:
         try:
-            prev.destroy()
+            prev.unpersist(blocking=False)
         except Exception:
             pass  # a stopped/replaced session invalidates old handles
     bc = spark.sparkContext.broadcast(value)

@@ -270,9 +270,31 @@ def tap_jdbc_live_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youcruit_tap_rawpostgresql_spark.spec import TapConfig
     from youcruit_tap_rawpostgresql_spark.tap import SparkTap
 
+    # the path is SESSION-scoped (applicationId): embedded Derby allows
+    # exactly one JVM per database directory, so a path shared across
+    # JVMs makes concurrently running harnesses (a sweep + pytest, two
+    # sweeps at one SF) fail each other with lock errors — a real
+    # collision hit in round 8. Seeding is per-session anyway
+    # (_DERBY_SEEDED is keyed by applicationId), so nothing is lost.
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_derby")
+    app_id = spark.sparkContext.applicationId
+    # bound the accumulation: session dirs are never reused after their
+    # JVM exits, so prune SIBLING app dirs past a grace period (mirrors
+    # the batch-sink orphan sweep; grace covers any long-running
+    # concurrent harness whose dir must not be yanked mid-query)
+    import shutil
+    import time as _time
+
+    try:
+        for d in os.listdir(base):
+            p = os.path.join(base, d)
+            if d != app_id and _time.time() - os.path.getmtime(p) > 6 * 3600:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
     db = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_derby",
+        base,
+        app_id,
         os.path.basename(sf_dir.rstrip("/")) or "sf",
         "db",
     )

@@ -335,20 +335,27 @@ def _check_unique_keys(updates: DataFrame, key: "str | list[str]") -> None:
     for k in keys:
         c = F.col(k).isNull()
         null_pred = c if null_pred is None else (null_pred | c)
-    if updates.filter(null_pred).limit(1).collect():
+    # ONE validation job on the happy path (round-8 self-review: the
+    # first cut ran a NULL-probe job plus the duplicate job — an extra
+    # full scan per production sync): group once, then fold both checks
+    # into a single 1-row aggregate. groupBy keeps NULL key groups, so
+    # the null flag rides the same exchange. Detail lookups (which key
+    # offended) run only on the failure path.
+    grouped = updates.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    probe = grouped.agg(
+        F.max("n").alias("max_n"),
+        F.max(F.when(null_pred, True).otherwise(False)).alias("has_null"),
+    ).first()
+    if probe["max_n"] is None:  # empty updates — nothing to validate
+        return
+    if probe["has_null"]:
         raise ValueError(
             f"upsert updates carry NULL in a key column ({', '.join(keys)})"
             " — primary keys are non-null by contract; filter or repair"
             " the extract first"
         )
-    dup = (
-        updates.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-        .limit(1)
-        .collect()
-    )
-    if dup:
+    if probe["max_n"] > 1:
+        dup = grouped.filter(F.col("n") > 1).limit(1).collect()
         kv = ", ".join(f"{k}={dup[0][k]!r}" for k in keys)
         raise ValueError(
             f"upsert updates carry {dup[0]['n']} rows for key ({kv}) — "
