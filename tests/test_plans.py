@@ -802,3 +802,15 @@ def test_trgm_similarity_sql_udf_stays_jvm_side(plans):
     assert "ArrowEvalPython" not in p
     assert "Join" not in p
     assert "Exchange" not in p  # map-only: no shuffle at all
+
+
+def test_boilerplate_fraction_broadcast_common_set(plans):
+    """text_boilerplate_fraction (round-8 sf10 rework): the ≥5% common
+    set is bounded by 20 × avg distinct bigrams per DOC (corpus-size
+    independent), so the per-doc scoring must consume it as a BROADCAST —
+    a sort-merge join-back of every pair row was the 10.87×/decade
+    shape."""
+    p = plans("text_boilerplate_fraction")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p

@@ -478,38 +478,56 @@ def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal for template/boilerplate text — distinct from text_repetition's
     WITHIN-document redundancy and text_ngram_topk's global list).
 
-    Scale: bigram document-frequency is a vocabulary-sized aggregate; the
-    corpus explodes and shuffles twice (df count, df join-back) with
-    partial aggregation absorbing the per-doc distinct fan-out map-side.
-    The 5% threshold is the integer compare df·20 ≥ N — no float in the
-    cut. Round-5 census fixes: docs spread across cores before the
-    interpreted bigram HOF work, and the df aggregate + join-back key on
-    ``xxhash64(bg)`` (grouping identical to the oracle's text grouping
-    short of a 64-bit collision) so constant-width bytes shuffle instead
-    of bigram strings: 12.8 s → ~1 s at sf0.1."""
+    Scale: bigram document-frequency is a vocabulary-sized aggregate with
+    map-side partials; the ≥5% COMMON set it yields is bounded by
+    20 × (average distinct bigrams per document) — a function of document
+    LENGTH, not corpus size (Σ_d |bigrams_d| / (N/20)) — so it broadcasts
+    at any N and the per-doc scoring is a map-side lookup, never a second
+    corpus-wide shuffle. The 5% threshold is the integer compare
+    df·20 ≥ N — no float in the cut. Round-5 census fixes retained: docs
+    spread across cores before the interpreted bigram HOF work; df keys
+    on ``xxhash64(bg)`` (grouping identical to the oracle's text grouping
+    short of a 64-bit collision) so constant-width bytes shuffle. Round-8
+    sf10 rework: the first shape JOINED every pair row back to the df
+    table (a second full corpus shuffle) and re-ran the interpreted
+    bigram explode for each join branch — 10.87×/decade at the sf10 step;
+    the broadcast form with a scope-persisted single explode is one
+    corpus pass + two bounded shuffles, re-measured 6.88×/decade (59.5 → 25.8 s at sf10), inside the token-linear band."""
     from youcruit_tap_rawpostgresql_spark.functions.text_funcs import (
         tokens,
         word_shingles,
     )
-    from youcruit_tap_rawpostgresql_spark.querybank.helpers import spread
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import (
+        persist_scoped,
+        spread,
+    )
 
     raw = tables(spark, sf_dir)["documents"]
     n_total = raw.count()  # metadata count on the unspread table
     docs = spread(raw)
-    pairs = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles(tokens("text"), 2))).alias("bg"),
-    ).select("doc_id", F.xxhash64("bg").alias("bg"))
-    dfc = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("df"))
-    common = F.col("df") * 20 >= F.lit(n_total)
+    # persist: the df aggregate AND the scoring pass both read the
+    # exploded pairs — without it the interpreted shingle HOF runs twice
+    pairs = persist_scoped(
+        "text_boilerplate_fraction.pairs",
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles(tokens("text"), 2))).alias("bg"),
+        ).select("doc_id", F.xxhash64("bg").alias("bg")),
+    )
+    common_set = (
+        pairs.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") * 20 >= F.lit(n_total))
+        .select("bg", F.lit(1).alias("_common"))
+    )
     return (
-        pairs.join(dfc, "bg")
+        pairs.join(F.broadcast(common_set), "bg", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.count(F.when(common, 1)).alias("n_common"),
+            F.count(F.col("_common")).alias("n_common"),
             (
-                F.count(F.when(common, 1)).cast("double") / F.count(F.lit(1))
+                F.count(F.col("_common")).cast("double") / F.count(F.lit(1))
             ).alias("boilerplate_ratio"),
         )
     )
