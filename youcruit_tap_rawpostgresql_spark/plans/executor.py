@@ -20,9 +20,13 @@ from youcruit_tap_rawpostgresql_spark.spec import SpecError, StreamSpec
 # PG extension functions with no Spark builtin, registered as SQL scalar
 # UDFs (JVM-side, codegen-friendly — Spark 4 SQL UDFs) so reference SQL
 # carrying them runs verbatim. pg_trgm's similarity(): per-word trigram
-# sets (lowercase, alnum word split, two leading + one trailing space per
-# word, exactly pg_trgm's extraction) and |A∩B|/|A∪B|; NULL input → NULL,
-# no trigrams → 0 like PG. The PG docs literal pins it:
+# sets (lowercase, word split, two leading + one trailing space per word,
+# pg_trgm's extraction scheme) and |A∩B|/|A∪B|; NULL input → NULL,
+# no trigrams → 0 like PG. KNOWN DELTA (round-8 advisory, also in the
+# plans/dialect.py header): the word split is ASCII-only ([^a-z0-9]+),
+# matching a C-locale PG; pg_trgm under a real locale keeps non-ASCII
+# alphanumerics, so similarity('café', …) diverges from a UTF-8 PG.
+# The PG docs literal pins it:
 # similarity('word', 'two words') = 0.36363636 (tests/test_pg_pinned.py).
 # The % match OPERATOR is NOT rewritten (indistinguishable from modulo
 # without type analysis) — write similarity(a, b) >= 0.3 explicitly.

@@ -410,6 +410,15 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached mapInPandas would be computed by BOTH scan stages (no exchange
     # to reuse downstream of a Python op)
     sig.count()
+    # evict entries from OTHER applications on insert — same
+    # single-live-application discipline as _COMPONENTS_CACHE
+    # (round-8 advisory)
+    for stale in [k for k in _SIG_CACHE if k[0] != key[0]]:
+        old = _SIG_CACHE.pop(stale)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # a stopped session already invalidated the handle
     _SIG_CACHE[key] = sig
     return sig
 
@@ -1276,6 +1285,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("component_id")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # evict entries from OTHER applications on insert (round-8 advisory):
+    # a restarted session in one process would otherwise accumulate
+    # persisted-DataFrame handles keyed by dead applicationIds forever —
+    # the single-live-application discipline persist_scoped established
+    for stale in [k for k in _COMPONENTS_CACHE if k[0] != key[0]]:
+        old = _COMPONENTS_CACHE.pop(stale)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # a stopped session already invalidated the handle
     _COMPONENTS_CACHE[key] = out
     return out
 

@@ -285,10 +285,32 @@ def tap_jdbc_live_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import time as _time
 
+    def _newest_mtime(root: str) -> float:
+        """Liveness gauge for a sibling app dir: the newest mtime ANYWHERE
+        under it. Derby writes land in nested db files (db.lck, log/*) and
+        do NOT refresh the top-level dir's mtime — gauging on the top dir
+        alone could rmtree a LIVE database out from under a >6h concurrent
+        harness, reintroducing the lock-corruption class this prune fixed
+        (round-8 advisory)."""
+        newest = 0.0
+        try:
+            newest = os.path.getmtime(root)
+        except OSError:
+            pass
+        for dirpath, _dirs, files in os.walk(root):
+            for name in files + [""]:
+                try:
+                    m = os.path.getmtime(os.path.join(dirpath, name))
+                except OSError:
+                    continue
+                if m > newest:
+                    newest = m
+        return newest
+
     try:
         for d in os.listdir(base):
             p = os.path.join(base, d)
-            if d != app_id and _time.time() - os.path.getmtime(p) > 6 * 3600:
+            if d != app_id and _time.time() - _newest_mtime(p) > 6 * 3600:
                 shutil.rmtree(p, ignore_errors=True)
     except OSError:
         pass
