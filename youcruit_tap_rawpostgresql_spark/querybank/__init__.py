@@ -44,48 +44,41 @@ _PINS = [
     "dedup_minhash_lsh", "sim_cosine_topk", "sim_ann_ivf_pq",
     "text_tfidf_topk", "kmeans_embed_lloyd", "stream_stateful_sessionize",
 ]
-_ROTATION_R08 = [
-    # 40 slots (see ROTATION.md; 37 first-timers verified against the
-    # CORRECTNESS_r02-r07 union of 199 + 3 round-8-born/churned cases —
-    # new code needs driver rows most, the r06/r07 precedent). Round-7
-    # judge directives 3+8: the pre-planned r08 window, with all five
-    # bench headliners still lacking driver rows included
-    # (dedup_paragraph_exact, sketch_hll_mergeable, text_unigram_logprob,
-    # variant_json_extract, cohort_retention).
-    # round-8-born / round-8-rewritten first: the verbatim pg_trgm
-    # similarity() SQL-UDF case; the quarantine's memory->parquet sink
-    # rewrite; the recall eval's fixed-query-sample cap (both r07 rows
-    # predate this round's rewrites)
-    "pg_dialect_trgm_similarity", "stream_minhash_quarantine",
-    "int8_recall_eval",
-    # the six dropped from the r07 plan + text_doc_frequency go first
-    "dedup_paragraph_exact", "sample_stratified", "scalar_map_lambda",
-    "text_chunk_windows", "graph_bfs_hops", "sketch_hll_mergeable",
-    "text_doc_frequency",
-    # dedup family spread
-    "dedup_minhash_signatures", "dedup_incremental_ingest",
-    "dedup_exact_stats", "dedup_canonical_map", "url_normalize_dedupe",
-    # multimodal
-    "multimodal_resize", "multimodal_audio_energy",
-    "multimodal_byte_histogram", "multimodal_frame_embed_cluster",
-    # sampling / splits
-    "sample_quality_top_half", "sample_cap_per_source",
-    "sample_mixture_epochs", "split_leakage_audit",
-    "sample_split_by_component",
-    # embeddings
-    "embed_pq_codes", "embed_matryoshka_eval", "embed_power_iteration",
-    "embed_random_projection",
-    # text analysis
-    "text_unigram_logprob", "text_repetition", "text_inverted_index",
-    "bpe_first_merges", "text_quality_logit",
-    # modern-SQL / ETL / graph / skew spread (feature_hashing,
-    # ts_ohlc_daily, profile_numeric_columns rolled to r09 to make room
-    # for the three round-8 cases above)
-    "variant_json_extract", "cohort_retention", "pii_mask_hash",
-    "pii_scan_luhn", "agg_salted_skew",
-    "join_salted_skew", "graph_label_propagation",
+_ROTATION_R09 = [
+    # 40 slots (see ROTATION.md): 2 round-9-born cases first (new code
+    # needs driver rows most — the r06/r07/r08 precedent) + 38
+    # first-timers from the pre-planned r09 window, verified against the
+    # CORRECTNESS_r02-r08 union of 237. Five behavioral/warehouse names
+    # roll to r10 to fit (recsys_item_cooccurrence, markov_transitions,
+    # dau_wau_rolling, scd2_point_in_time_join, cumulative_unique_users).
+    # round-9-born: the two new dialect surfaces (round-9 judge
+    # directives 1+2 — string-window clipping and numeric to_char)
+    "pg_dialect_string_windows", "pg_dialect_to_char_numeric",
+    # rolled from r08 (displaced once already — they go first)
+    "feature_hashing", "ts_ohlc_daily", "profile_numeric_columns",
+    # scalar/SQL surface
+    "json_struct_agg", "scalar_xml_extract", "scalar_trgm_similarity",
+    "scalar_collation_ci", "scalar_csv_roundtrip", "scalar_zorder_key",
+    "sql_identifier_clause", "sql_session_variable",
+    "sql_execute_immediate",
+    # embeddings / serving
+    "embed_centroid_per_source", "source_centroid_similarity",
+    "cluster_quality_profile", "sketch_topk_approx",
+    # grouped-map / UDTF
+    "udtf_long_tokens", "grouped_map_topk",
+    # stats / profile
+    "profile_outlier_iqr", "stats_gini_coefficient", "stats_theil_index",
+    "profile_winsorize", "profile_mad", "hist_width_bucket",
+    "stats_chisq_cells", "ab_test_ttest", "ols_regr_slope",
+    # time series
+    "ts_autocorr_lag1", "ts_seasonal_anomaly", "ts_resample_gapfill",
+    "ts_ewma_final", "ts_time_weighted_avg", "ts_holt_linear",
+    "ts_cusum_alerts",
+    # sampling
+    "sample_weighted_reservoir", "sample_balanced_classes",
+    "sample_negative_pairs", "sample_temperature_quota",
 ]
-_PREFIX = _PINS + _ROTATION_R08
+_PREFIX = _PINS + _ROTATION_R09
 assert len(_PREFIX) == 50, f"driver window is 50 entries, prefix has {len(_PREFIX)}"
 _missing = [n for n in _PREFIX if n not in REGISTRY]
 assert not _missing, f"prefix names not in REGISTRY: {_missing}"
@@ -94,4 +87,4 @@ _reordered = {k: REGISTRY[k] for k in _PREFIX}
 _reordered.update(_rest)
 REGISTRY.clear()
 REGISTRY.update(_reordered)
-del _PREFIX, _missing, _rest, _reordered, _PINS, _ROTATION_R08
+del _PREFIX, _missing, _rest, _reordered, _PINS, _ROTATION_R09
