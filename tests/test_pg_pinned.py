@@ -517,3 +517,54 @@ def test_escape_string_pattern_combinations(spark):
     assert row["digit"] == "1"   # E'\\d' -> regex \d
     assert row["sim"] == 1
     assert row["sim_no"] == 0
+
+
+# --- round-9 self-review catches, each executed-confirmed then fixed ---------
+
+def test_to_char_numeric_self_review_pins(spark):
+    """(1) Zero/sub-one values under templates with '0' positions LEFT of
+    '9's: every digit position right of the leftmost '0' prints (PG
+    forbids interior blanks right of a forced position — the first cut
+    rendered ' 000  .00'-style holes). (2) FM with a trailing sign strips
+    the padding blank and the 9-position zeros BEFORE the sign. (3) An
+    operand that merely CONTAINS the word interval (timestamp+interval
+    arithmetic — a common PG idiom) is NOT an interval operand."""
+    row = one(
+        spark,
+        "to_char(0, '00099.90') AS z_holes, "
+        "to_char(0.5, '099.9') AS f_holes, "
+        "to_char(1.5, 'FM9.99MI') AS fm_mi_pos, "
+        "to_char(-1.5, 'FM9.99MI') AS fm_mi_neg, "
+        "to_char(485, 'FM999MI') AS fm_mi_int, "
+        "to_char(timestamp '2024-03-07 00:00:00' + interval '1 day', "
+        "'YYYY-MM-DD') AS ts_plus_interval",
+    )
+    assert row["z_holes"] == " 00000.00"   # was ' 000  .00'
+    assert row["f_holes"] == " 000.5"      # was ' 0  .5'
+    assert row["fm_mi_pos"] == "1.5"       # was '1.50 '
+    assert row["fm_mi_neg"] == "1.5-"
+    assert row["fm_mi_int"] == "485"
+    assert row["ts_plus_interval"] == "2024-03-08"
+    # an operand that IS an interval still raises the named error
+    import pytest
+
+    with pytest.raises(ValueError, match="interval"):
+        translate_pg_sql("SELECT to_char(interval '5 hours', 'HH24:MI')")
+
+
+def test_substring_structural_self_review_pins(spark):
+    """(4) PG's regex-form substring with a PARENTHESIZED/call operand —
+    which the dedicated rule's [^()]+? operand pattern cannot match —
+    now routes through the clip builder's structural isolation instead
+    of silently reaching Spark as positional substring with a string
+    offset (NULL for every row). (5) A FROM/FOR inside a comment in the
+    argument is data, not the keyword."""
+    row = one(
+        spark,
+        "substring(lower('AB123CD') FROM 'b([0-9]+)c') AS call_operand, "
+        "substring((('ab123cd')) FROM '[0-9]+') AS paren_operand, "
+        "substring('abcde' /* FOR three */ FROM 0 FOR 3) AS commented",
+    )
+    assert row["call_operand"] == "123"
+    assert row["paren_operand"] == "123"
+    assert row["commented"] == "ab"
