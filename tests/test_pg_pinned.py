@@ -563,8 +563,23 @@ def test_substring_structural_self_review_pins(spark):
         spark,
         "substring(lower('AB123CD') FROM 'b([0-9]+)c') AS call_operand, "
         "substring((('ab123cd')) FROM '[0-9]+') AS paren_operand, "
-        "substring('abcde' /* FOR three */ FROM 0 FOR 3) AS commented",
+        "substring('abcde' /* FOR three */ FROM 0 FOR 3) AS commented, "
+        "substring('ab123cd' FROM '[0-9]+' /* note */) AS commented_pat",
     )
     assert row["call_operand"] == "123"
     assert row["paren_operand"] == "123"
     assert row["commented"] == "ab"
+    # a comment riding next to the pattern literal must not defeat the
+    # regex-form classification (second-pass review: it misrouted into
+    # the positional clip — silent NULL)
+    assert row["commented_pat"] == "123"
+    # interval detection is structural, not a word scan: parenthesized
+    # literals and interval arithmetic still raise the NAMED error
+    import pytest
+
+    for bad in (
+        "to_char((interval '5 hours'), 'HH24:MI')",
+        "to_char(interval '1 day' + interval '2 hours', 'HH24:MI')",
+    ):
+        with pytest.raises(ValueError, match="interval"):
+            translate_pg_sql(f"SELECT {bad}")

@@ -144,6 +144,14 @@ def main() -> None:
         passed.append(name)
         print(f"PASS {name} ({len(srecs)} rows)")
 
+    # a requested name that was never RUN (misspelled, or outside a
+    # --first window) must not read as a green gate (round-9
+    # self-review: `--first 50 <name beyond 50>` printed '0 passed,
+    # 0 failed' and exited 0)
+    missing = only - {name for name, _ in registry_items}
+    for name in sorted(missing):
+        print(f"FAIL {name}: not in the checked registry slice")
+        failed.append(name)
     print(
         f"\n== {len(passed)} passed, {len(failed)} failed, "
         f"{len(rows_only)} rows-only =="
