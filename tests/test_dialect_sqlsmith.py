@@ -728,3 +728,96 @@ N_CASES_V7 = 80
 @pytest.mark.parametrize("i", range(N_CASES_V7))
 def test_sqlsmith_differential_v7(sview_g, duck_g, i):
     assert_differential(sview_g, duck_g, gen_query_v7(i))
+
+
+def gen_query_v8(i: int) -> str:
+    """Grammar v8 (round-9 session 2): the scalar-function rewrites DuckDB
+    CAN arbitrate — one-arg log (DuckDB log = PG's base 10), two-arg
+    ltrim/rtrim trim-sets (DuckDB follows PG's (str, set) order), one-arg
+    numeric trunc, and substr window clipping at start >= 0 (DuckDB
+    matches PG there; negative starts are pin-only — DuckDB counts them
+    from the end). Floats stay exact-comparable: log operands are either
+    powers of 10 (log10 is exact by spec on both engines) or the result
+    is floored after a fixed scale-up. NOT in this grammar (no DuckDB
+    equivalent / DuckDB deviates from PG — pinned instead): initcap,
+    to_hex, date_bin, negative substr starts, two-arg trunc."""
+    r = random.Random(20260815 * 8000 + i)
+    shape = r.randrange(5)
+    t = _TABLES["customer"]
+    if shape == 0:
+        # one-arg log over exact powers of ten, data-driven exponent
+        k = r.randint(1, 6)
+        return (
+            f"SELECT c_custkey, log(power(10, (c_custkey % {k}) + 1)) AS lg "
+            f"FROM customer WHERE c_custkey < 120"
+        )
+    if shape == 1:
+        # one-arg log over arbitrary positive operands, floor-scaled so a
+        # sub-ulp libm disagreement cannot flip the compared value
+        e = r.choice(["c_acctbal - (-2000.0)", "c_custkey + 0.5",
+                      f"{r.randint(2, 9)}.0 + c_nationkey"])
+        # ::int8 — Spark's floor returns BIGINT, DuckDB's a double; the
+        # cast makes the compared value engine-independent
+        return (
+            f"SELECT c_custkey, floor(log({e}) * 1000)::int8 AS lg "
+            f"FROM customer WHERE c_custkey < 150"
+        )
+    if shape == 2:
+        # two-arg ltrim/rtrim: literal and data-driven trim sets,
+        # including sets that cover the whole string (-> '') and nesting
+        fn1, fn2 = r.choice([("ltrim", "rtrim"), ("rtrim", "ltrim")])
+        s = _gen_str(r, t, 1)
+        trimset = r.choice(["'Custo mer#123456789'", "'0#'", "'aeiou'",
+                            "substr(c_name, 1, 2)"])
+        inner = f"{fn2}({s}, '0')" if r.randrange(2) else s
+        return (
+            f"SELECT c_custkey, {fn1}({inner}, {trimset}) AS tr "
+            f"FROM customer WHERE c_custkey < 120"
+        )
+    if shape == 3:
+        # one-arg numeric trunc: decimal and float operands, both signs,
+        # composed through the match-operator family like the v7 catch
+        e = r.choice(["c_acctbal", "-c_acctbal", "c_acctbal / 7",
+                      "c_acctbal::float8"])
+        if r.randrange(2):
+            return (
+                f"SELECT c_custkey, trunc({e}) AS tr FROM customer "
+                f"WHERE c_custkey < 150"
+            )
+        # LHS kept shallow: _MATCH_OPERAND admits one nested paren level
+        # by design (documented limitation), so no extra wrapping parens.
+        # Pattern anchored on BOTH ends: DuckDB's ~ is full-match where
+        # PG's is partial — anchored patterns behave identically.
+        return (
+            f"SELECT c_custkey FROM customer WHERE c_custkey < 150 "
+            f"AND trunc({e})::text ~ '^-?[0-9.]+$'"
+        )
+    # shape 4: substr clipping at start >= 0 (zero and modulo-expression
+    # starts), including substr as the ltrim operand — composition of the
+    # two new rewrites
+    s = _gen_str(r, t, 1)
+    form = r.randrange(3)
+    if form == 0:
+        return (
+            f"SELECT c_custkey, substr({s}, 0, {r.randint(0, 8)}) AS w "
+            f"FROM customer WHERE c_custkey < 120"
+        )
+    if form == 1:
+        return (
+            f"SELECT c_custkey, "
+            f"substr({s}, (c_custkey % 4), {r.randint(1, 6)}) AS w "
+            f"FROM customer WHERE c_custkey < 120"
+        )
+    return (
+        f"SELECT c_custkey, "
+        f"ltrim(substr({s}, 0, 6), 'C usto') AS w "
+        f"FROM customer WHERE c_custkey < 120"
+    )
+
+
+N_CASES_V8 = 80
+
+
+@pytest.mark.parametrize("i", range(N_CASES_V8))
+def test_sqlsmith_differential_v8(sview_g, duck_g, i):
+    assert_differential(sview_g, duck_g, gen_query_v8(i))

@@ -583,3 +583,160 @@ def test_substring_structural_self_review_pins(spark):
     ):
         with pytest.raises(ValueError, match="interval"):
             translate_pg_sql(f"SELECT {bad}")
+
+
+# --- round-9 session-2 scalar family -----------------------------------------
+# Each pin hand-derived from documented PostgreSQL semantics (docs §9.3
+# math functions, §9.4 string functions, §9.9 date_bin). These were all
+# SILENT wrong answers (log/initcap/substr/ltrim/rtrim) or loud gaps
+# (trunc/to_hex/date_bin) before the round-9 session-2 rewrites.
+
+def test_log_base10_pins(spark):
+    """PG one-arg log() is BASE 10 (docs §9.3: 'log ... base 10
+    logarithm'); Spark's log() is ln — log(100) was silently 4.605."""
+    row = one(
+        spark,
+        "log(100.0) AS lg, log(2.0, 64.0) AS lb, ln(exp(1.0)) AS nat",
+    )
+    assert row["lg"] == 2.0       # PG: log(100) -> 2
+    assert abs(row["lb"] - 6.0) < 1e-12   # two-arg: same meaning both engines
+    assert abs(row["nat"] - 1.0) < 1e-12  # ln untouched
+
+
+def test_initcap_word_boundary_pins(spark):
+    """PG initcap: 'Words are sequences of alphanumeric characters
+    separated by non-alphanumeric characters' — a letter is uppercased
+    iff it follows a non-alnum. Spark's initcap splits on whitespace
+    only, so 'hello-world' was silently 'Hello-world'."""
+    row = one(
+        spark,
+        "initcap('hello-world foo_bar') AS hyphen, "
+        "initcap('123abc x2y') AS digits, "
+        "initcap('hi THOMAS') AS pgdoc, "
+        "initcap('café zone-a') AS uni, "
+        "initcap('') AS empty, "
+        "initcap(NULL) AS isnull",
+    )
+    assert row["hyphen"] == "Hello-World Foo_Bar"
+    # '1' follows start-of-string but upper('1') is '1'; 'a' follows an
+    # alnum so it stays lower — PG: '123abc'. '2' does not break a word.
+    assert row["digits"] == "123abc X2y"
+    assert row["pgdoc"] == "Hi Thomas"   # PG docs example
+    assert row["uni"] == "Café Zone-A"   # UTF-8-locale PG (\p{L}\p{N})
+    assert row["empty"] == ""
+    assert row["isnull"] is None
+
+
+def test_substr_alias_clip_pins(spark):
+    """substr() is PG's alias of substring() — the window clips must
+    cover it too: substr('abcde', 0, 3) is 'ab' in PG (window [0,2]
+    clipped), 'abc' in raw Spark (0 treated as 1)."""
+    row = one(
+        spark,
+        "substr('abcde', 0, 3) AS zero, "
+        "substr('abcde', -1, 3) AS neg, "
+        "substr('abcde', 2) AS plain, "
+        "substr('abcde', -2) AS negstart, "
+        "substr('abcde', 2, 2) AS mid",
+    )
+    assert row["zero"] == "ab"       # PG: positions 0..2 clipped to 1..2
+    assert row["neg"] == "a"         # PG: positions -1..1 clipped to 1..1
+    assert row["plain"] == "bcde"
+    assert row["negstart"] == "abcde"  # no length: clip start to 1
+    assert row["mid"] == "bc"        # positive literal: pass-through
+
+
+def test_trim_set_argument_order_pins(spark):
+    """Spark's legacy two-arg ltrim/rtrim take (trimStr, str) — REVERSED
+    from PG's (str, set) — so PG's ltrim('xyxabcxy','xy') silently
+    trimmed the wrong string (returned ''). Now TRIM(LEADING/TRAILING)."""
+    row = one(
+        spark,
+        "ltrim('xyxabcxy', 'xy') AS l, "
+        "rtrim('xyxabcxy', 'xy') AS r, "
+        "btrim('xyxabcxy', 'xy') AS b, "
+        "ltrim('  pad') AS l1, "
+        "ltrim(ltrim('xyabc', 'x'), 'y') AS nested",
+    )
+    assert row["l"] == "abcxy"   # PG docs: ltrim('zzzytest','xyz') -> 'test'
+    assert row["r"] == "xyxabc"
+    assert row["b"] == "abc"     # Spark btrim arg order already matches PG
+    assert row["l1"] == "pad"    # one-arg untouched
+    assert row["nested"] == "abc"
+
+
+def test_numeric_trunc_pins(spark):
+    """PG trunc(numeric[, s]) truncates toward zero; Spark's trunc is
+    date-only (was a loud WRONG_NUM_ARGS). The x - x % 10^-s rewrite is
+    sign-correct and scale-literal-exact."""
+    row = one(
+        spark,
+        "trunc(42.8) AS a, trunc(-42.8) AS b, "
+        "trunc(42.4382, 2) AS c, trunc(42.4382, -1) AS d, "
+        "trunc(-3.77::float8) AS e",
+    )
+    assert float(row["a"]) == 42.0   # PG docs: trunc(42.8) -> 42
+    assert float(row["b"]) == -42.0  # PG docs: trunc(-42.8) -> -42
+    assert float(row["c"]) == 42.43  # PG docs: trunc(42.4382, 2) -> 42.43
+    assert float(row["d"]) == 40.0   # negative scale: tens
+    assert row["e"] == -3.0
+    # Spark's own date-form trunc passes through untouched
+    row2 = one(spark, "trunc(date '2020-02-15', 'MM') AS m")
+    assert str(row2["m"]) == "2020-02-01"
+
+
+def test_to_hex_pins(spark):
+    """PG to_hex renders lowercase; Spark only has UPPERCASE hex().
+    Known delta (documented in the dialect header): negative INT4 is
+    32-bit two's complement in PG, 64-bit here — int8 operands agree."""
+    row = one(
+        spark,
+        "to_hex(2147483647) AS maxint, to_hex(255) AS ff, "
+        "to_hex(CAST(-1 AS bigint)) AS neg8",
+    )
+    assert row["maxint"] == "7fffffff"  # PG docs example
+    assert row["ff"] == "ff"
+    assert row["neg8"] == "ffffffffffffffff"  # PG int8 rendering
+
+
+def test_date_bin_pins(spark):
+    """PG 14 date_bin(stride, source, origin): floor-aligned binning
+    into origin-anchored stride intervals (docs §9.9.3); bins BEFORE the
+    origin land on the correct lower boundary (floor, not truncation
+    toward zero — pmod gives exactly that)."""
+    row = one(
+        spark,
+        # PG docs example
+        "date_bin('15 minutes', timestamp '2020-02-11 15:44:17', "
+        "timestamp '2001-01-01') AS pgdoc, "
+        # origin offset shifts the grid
+        "date_bin(interval '1 hour', timestamp '2020-02-11 15:44:17', "
+        "timestamp '2001-01-01 00:30:00') AS shifted, "
+        # source BEFORE origin: floor alignment
+        "date_bin('15 minutes'::interval, timestamp '2000-12-31 23:50:00', "
+        "timestamp '2001-01-01') AS before, "
+        # compound stride
+        "date_bin('2 hours 30 minutes', timestamp '2020-02-11 15:44:17', "
+        "timestamp '2001-01-01') AS compound",
+    )
+    assert str(row["pgdoc"]) == "2020-02-11 15:30:00"
+    assert str(row["shifted"]) == "2020-02-11 15:30:00"
+    assert str(row["before"]) == "2000-12-31 23:45:00"
+    assert str(row["compound"]) == "2020-02-11 15:00:00"
+
+
+def test_date_bin_named_errors():
+    """PG's own restrictions surface as NAMED translation errors, not
+    raw Spark analysis failures."""
+    import pytest
+
+    with pytest.raises(ValueError, match="months or years"):
+        translate_pg_sql(
+            "SELECT date_bin('1 month', timestamp '2020-01-01', "
+            "timestamp '2001-01-01')"
+        )
+    with pytest.raises(ValueError, match="greater than zero"):
+        translate_pg_sql(
+            "SELECT date_bin('0 minutes', timestamp '2020-01-01', "
+            "timestamp '2001-01-01')"
+        )

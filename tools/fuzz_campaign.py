@@ -9,7 +9,7 @@ test file by adding its index to the parametrize range.
 Usage:
     python tools/fuzz_campaign.py [--v1 1000] [--v2 1000] [--v3 600]
                                   [--v4 400] [--v5 600] [--v6 600]
-                                  [--v7 600]
+                                  [--v7 600] [--v8 600]
 
 Each case is executed as-written by DuckDB (PG null-order pragma) and
 as-translated by Spark, value-compared order-insensitively (v4 compares
@@ -41,6 +41,7 @@ from tests.test_dialect_sqlsmith import (  # noqa: E402
     N_CASES_V5,
     N_CASES_V6,
     N_CASES_V7,
+    N_CASES_V8,
     gen_query,
     gen_query_v2,
     gen_query_v3,
@@ -48,6 +49,7 @@ from tests.test_dialect_sqlsmith import (  # noqa: E402
     gen_query_v5,
     gen_query_v6,
     gen_query_v7,
+    gen_query_v8,
 )
 from youcruit_tap_rawpostgresql_spark.plans.dialect import (  # noqa: E402
     translate_pg_sql,
@@ -67,6 +69,7 @@ def main() -> int:
     ap.add_argument("--v5", type=int, default=600)
     ap.add_argument("--v6", type=int, default=600)
     ap.add_argument("--v7", type=int, default=600)
+    ap.add_argument("--v8", type=int, default=600)
     args = ap.parse_args()
 
     spark = get_session(app_name="fuzz-campaign")
@@ -84,6 +87,7 @@ def main() -> int:
         ("v5", gen_query_v5, N_CASES_V5, args.v5),
         ("v6", gen_query_v6, N_CASES_V6, args.v6),
         ("v7", gen_query_v7, N_CASES_V7, args.v7),
+        ("v8", gen_query_v8, N_CASES_V8, args.v8),
     ):
         ran = 0
         for i in range(lo, hi):
@@ -123,7 +127,7 @@ def main() -> int:
     total = (args.v1 - N_CASES) + (args.v2 - N_CASES_V2) + \
         (args.v3 - N_CASES_V3) + (args.v4 - N_CASES_V4) + \
         (args.v5 - N_CASES_V5) + (args.v6 - N_CASES_V6) + \
-        (args.v7 - N_CASES_V7)
+        (args.v7 - N_CASES_V7) + (args.v8 - N_CASES_V8)
     print(f"== fuzz campaign: {total} cases, {failures} failures ==",
           flush=True)
     return 1 if failures else 0

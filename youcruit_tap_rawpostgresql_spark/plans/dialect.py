@@ -73,6 +73,20 @@ float8 inputs round HALF_UP (PG rounds binary floats half-even — exact
 judge directive 5) compose ``extract(YEAROFWEEK/WEEK/DAYOFWEEK_ISO)``
 expressions concatenated with the ``date_format`` segments.
 
+Scalar-function family (round-9 session 2 — each found by executing PG
+shapes against the engine; details at the builder block): one-arg ``log``
+→ ``log10`` (PG log is base 10, Spark's is ln — silent 4.605-for-2),
+``initcap`` → split-on-non-alnum capitalize (PG starts words at ANY
+non-alphanumeric; Spark at whitespace only — silent 'Hello-world'),
+``substr`` routed through the same window clips as ``substring`` (the
+alias was silently Spark-semantics for non-positive starts), two-arg
+``ltrim``/``rtrim`` → ``TRIM(LEADING/TRAILING set FROM x)`` (Spark's
+legacy two-arg forms REVERSE the argument order — silent wrong-string
+trim), numeric ``trunc(x[, s])`` → ``x - x % 10^-s`` (Spark trunc is
+date-only), ``to_hex`` → ``lower(hex(…))``, and literal-stride
+``date_bin`` → pmod-based micros binning (month/year strides raise PG's
+own error).
+
 No translation needed (native Spark syntax): ``ilike`` (3.3+),
 ``position(x IN y)``, ``split_part``, positive-literal-argument
 ``left``/``right``/``substring`` (see above for the clipped rewrite),
@@ -81,9 +95,13 @@ intentionally NOT auto-rewritten because they need type/context analysis a
 regex cannot do safely: integer ``/`` (PG truncates, Spark is fractional —
 write ``div`` explicitly), default NULL sort order (PG: NULLS LAST on
 ASC; Spark: NULLS FIRST — write explicit ``NULLS FIRST/LAST``), numeric
-``^`` (PG exponentiation vs Spark bitwise XOR — write ``power()``), and
-array subscripts (PG ``a[i]`` is 1-based, Spark's ``[i]`` is 0-based —
-write ``element_at`` which is 1-based in both).
+``^`` (PG exponentiation vs Spark bitwise XOR — write ``power()``), array
+subscripts (PG ``a[i]`` is 1-based, Spark's ``[i]`` is 0-based — write
+``element_at`` which is 1-based in both), ``round`` over ``float8``
+(PG rounds binary floats half-even, Spark HALF_UP — ``round(2.5::float8)``
+is 2 in PG, 3.0 here; numeric/decimal operands agree), and two-arg
+``log(b, x)`` (same meaning, but PG computes in numeric — ``log(10,1000)``
+is exactly 3 in PG, 2.9999999999999996 in Spark's doubles).
 
 Translation paths with NO DuckDB equivalent (which the differential fuzzer
 therefore cannot arbitrate) are pinned with hand-derived PG literals in
@@ -1274,6 +1292,209 @@ def _build_substring_clip(args):
     )
     return (repl, head)
 
+
+# ---------------------------------------------------------------------------
+# Round-9 session-2 scalar-function family (each a silent wrong-answer or a
+# loud gap found by executing PG shapes against the engine this round):
+#
+# - log(x): PG's one-arg log is BASE 10; Spark's is natural log (ln) —
+#   log(100) silently returned 4.605 (DuckDB follows PG, so grammar v8
+#   arbitrates this). Two-arg log(b, x) has the same meaning in both but PG
+#   computes in numeric (log(10,1000)=3 exactly) where Spark uses doubles
+#   (2.9999999999999996) — precision-only, documented, not rewritten.
+# - initcap(x): PG starts a new word after ANY non-alphanumeric (isalnum
+#   under the locale); Spark splits on whitespace only —
+#   initcap('hello-world') was silently 'Hello-world' (PG: 'Hello-World').
+#   Rewritten to a split-on-lookbehind + per-piece capitalize expression
+#   (\p{L}\p{N} word classes = UTF-8-locale PG). No DuckDB initcap →
+#   pinned, not fuzz-arbitrable.
+# - substr(x, n[, l]): PG's alias of substring — the round-9 clip rewrites
+#   only matched the substring spelling, so substr(x, 0, 3) silently kept
+#   Spark semantics ('abc'; PG clips to 'ab'). Routed through the same
+#   clip builder (comma forms only: PG's substr has no keyword form, and a
+#   string-literal start is a PG type error, not the regex form).
+# - ltrim/rtrim(x, set): Spark's legacy two-arg forms take (trimStr, str) —
+#   the REVERSED order — so PG's ltrim('xyxabcxy','xy') silently trimmed
+#   the wrong string ('' instead of 'abcxy'). Rewritten to the unambiguous
+#   TRIM(LEADING/TRAILING set FROM x) syntax. One-arg forms and btrim
+#   (Spark argument order matches PG) pass through.
+# - trunc(x[, s]): Spark's trunc is date-only — PG numeric truncation was a
+#   loud WRONG_NUM_ARGS/DATATYPE_MISMATCH. Rewritten to x - x % 10^-s
+#   (truncation toward zero for either sign; s an integer literal,
+#   possibly negative — the modulus becomes a translation-time exact
+#   decimal literal). A string-literal second argument is Spark's own
+#   date-trunc form and passes through untouched.
+# - to_hex(n): no Spark to_hex; hex() exists but renders UPPERCASE —
+#   rewritten to lower(hex(n)). Known delta: PG renders negative INT4 in
+#   32-bit two's complement ('ffffffff'); Spark's hex is 64-bit
+#   ('ffffffffffffffff'). int8 operands and all non-negative values agree.
+# - date_bin(stride, source, origin): PG 14 time-series binning, absent in
+#   Spark. For a LITERAL stride (interval '...' / '...'::interval / bare
+#   string — the forms PG SQL uses) the stride is parsed to microseconds
+#   at translation time and the call becomes pmod-based integer binning on
+#   unix_micros (floor alignment — bins before the origin land on the
+#   correct boundary, matching PG). Month/year strides raise PG's own
+#   error; a non-literal stride stays untouched (loud UNRESOLVED_ROUTINE).
+#
+# The trunc/date_bin rewrites duplicate operand TEXT (2-3 copies) like the
+# string-window clips above — same documented caveat: nondeterministic
+# operands (rand()) evaluate per copy; deep same-call nesting grows text.
+_LOG_OPEN_RE = re.compile(r"\blog\s*\(", re.IGNORECASE)
+_INITCAP_OPEN_RE = re.compile(r"\binitcap\s*\(", re.IGNORECASE)
+_SUBSTR_OPEN_RE = re.compile(r"\bsubstr\s*\(", re.IGNORECASE)
+_LTRIM_OPEN_RE = re.compile(r"\bltrim\s*\(", re.IGNORECASE)
+_RTRIM_OPEN_RE = re.compile(r"\brtrim\s*\(", re.IGNORECASE)
+_TRUNC_OPEN_RE = re.compile(r"\btrunc\s*\(", re.IGNORECASE)
+_TO_HEX_OPEN_RE = re.compile(r"\bto_hex\s*\(", re.IGNORECASE)
+_DATE_BIN_OPEN_RE = re.compile(r"\bdate_bin\s*\(", re.IGNORECASE)
+_SIGNED_INT_RE = re.compile(r"[+-]?[0-9]+\Z")
+
+# PG initcap: a character is uppercased iff it follows a non-alphanumeric
+# (or starts the string), lowercased otherwise. Split AFTER every
+# non-alnum (zero-width lookbehind keeps the delimiter in its piece), then
+# capitalize each piece's head and lowercase its tail — upper() of a digit
+# or delimiter is the identity, so pieces starting with non-letters come
+# out exactly like PG ('123abc' → '123abc', not '123ABC').
+# The pattern reaches Spark's backslash-escaping literal parser, hence \\p.
+_INITCAP_SPLIT_LIT = r"'(?<=[^\\p{L}\\p{N}])'"
+
+
+def _build_log10(args):
+    if len(args) != 1:
+        return None  # two-arg log(b, x): same semantics in Spark
+    head = "log10("
+    return (f"{head}{args[0].strip()})", len(head))
+
+
+def _build_initcap(args):
+    if len(args) != 1:
+        return None
+    head = "array_join(transform(split("
+    repl = (
+        f"{head}{args[0].strip()}, {_INITCAP_SPLIT_LIT}), "
+        f"w -> concat(upper(substring(w, 1, 1)), lower(substring(w, 2)))), '')"
+    )
+    return (repl, len(head))
+
+
+def _build_substr_clip(args):
+    # comma forms only; a string-literal start is a PG type error for
+    # substr (only substring has the regex form) — leave it loud.
+    if len(args) not in (2, 3):
+        return None
+    if re.fullmatch(_STR_LIT, _strip_comments(args[1])):
+        return None
+    return _build_substring_clip(args)
+
+
+def _build_ltrim(args):
+    if len(args) != 2:
+        return None
+    head = "trim(LEADING "
+    return (f"{head}{args[1].strip()} FROM {args[0].strip()})", len(head))
+
+
+def _build_rtrim(args):
+    if len(args) != 2:
+        return None
+    head = "trim(TRAILING "
+    return (f"{head}{args[1].strip()} FROM {args[0].strip()})", len(head))
+
+
+def _trunc_modulus_literal(s: int) -> str:
+    if s >= 1:
+        return "0." + "0" * (s - 1) + "1"
+    return "1" + "0" * (-s)
+
+
+def _build_trunc(args):
+    if len(args) == 1:
+        x = args[0].strip()
+        return (f"(({x}) - (({x}) % 1))", 0)
+    if len(args) == 2:
+        s = _strip_comments(args[1]).strip()
+        if not _SIGNED_INT_RE.fullmatch(s):
+            return None  # Spark's own trunc(date, 'fmt') or non-literal s
+        x = args[0].strip()
+        mod = _trunc_modulus_literal(int(s))
+        return (f"(({x}) - (({x}) % {mod}))", 0)
+    return None
+
+
+def _build_to_hex(args):
+    if len(args) != 1:
+        return None
+    head = "lower(hex("
+    return (f"{head}{args[0].strip()}))", len(head))
+
+
+_DATE_BIN_UNIT_US = {
+    "us": 1, "microsecond": 1, "microseconds": 1,
+    "ms": 1_000, "millisecond": 1_000, "milliseconds": 1_000,
+    "s": 1_000_000, "sec": 1_000_000, "secs": 1_000_000,
+    "second": 1_000_000, "seconds": 1_000_000,
+    "min": 60_000_000, "mins": 60_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "h": 3_600_000_000, "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "d": 86_400_000_000, "day": 86_400_000_000, "days": 86_400_000_000,
+    "week": 604_800_000_000, "weeks": 604_800_000_000,
+}
+_DATE_BIN_MONTHISH = {
+    "mon", "mons", "month", "months", "y", "yr", "yrs", "year", "years",
+    "decade", "decades", "century", "centuries", "millennium", "millenniums",
+}
+
+
+def _date_bin_stride_micros(stride: str) -> int | None:
+    """Microseconds of a LITERAL stride operand, or None when the operand
+    is not a literal this parser understands (→ call left untouched).
+    Accepts ``interval '...'``, ``'...'::interval`` (which the earlier
+    cast rule has already rewritten to ``CAST('...' AS interval)`` by the
+    time the structural rewrites run), and a bare string literal (PG
+    coerces it). Month-bearing strides raise PG's error."""
+    s = stride.strip()
+    m = re.fullmatch(
+        r"(?:INTERVAL\s+)?(" + _STR_LIT + r")(?:\s*::\s*interval)?"
+        r"|CAST\s*\(\s*(" + _STR_LIT + r")\s+AS\s+interval\s*\)",
+        s,
+        re.IGNORECASE,
+    )
+    if m is None:
+        return None
+    body = (m.group(1) or m.group(2))[1:-1].replace("''", "'").strip().lower()
+    total, matched_any = 0, False
+    for num, unit in re.findall(r"([+-]?[0-9]+)\s*([a-z]+)", body):
+        if unit in _DATE_BIN_MONTHISH:
+            raise ValueError(
+                "date_bin: timestamps cannot be binned into intervals "
+                "containing months or years (PG's own restriction)"
+            )
+        if unit not in _DATE_BIN_UNIT_US:
+            return None
+        total += int(num) * _DATE_BIN_UNIT_US[unit]
+        matched_any = True
+    if not matched_any or re.sub(r"[+-]?[0-9]+\s*[a-z]+\s*", "", body).strip():
+        return None  # unparsed residue — leave the call untouched (loud)
+    if total <= 0:
+        raise ValueError("date_bin: stride must be greater than zero")
+    return total
+
+
+def _build_date_bin(args):
+    if len(args) != 3:
+        return None
+    us = _date_bin_stride_micros(_strip_comments(args[0]))
+    if us is None:
+        return None
+    src, origin = args[1].strip(), args[2].strip()
+    diff = f"unix_micros(CAST({src} AS TIMESTAMP)) - unix_micros(CAST({origin} AS TIMESTAMP))"
+    repl = (
+        f"timestamp_micros(unix_micros(CAST({origin} AS TIMESTAMP)) + "
+        f"(({diff}) - pmod({diff}, {us})))"
+    )
+    return (repl, 0)
+
+
 # substring(x FROM 'pattern'): PG's regex form. PG returns the text matched
 # by the FIRST PARENTHESIZED SUBEXPRESSION when the pattern contains one,
 # else the whole match — and NULL when the pattern does not match at all
@@ -2168,8 +2389,19 @@ def _translate_operators(sql: str) -> str:
     sql = _rewrite_calls(sql, _TO_TIMESTAMP_OPEN_RE, _build_to_timestamp)
     sql = _rewrite_calls(sql, _TO_DATE_OPEN_RE, _build_to_date)
     sql = _rewrite_calls(sql, _SUBSTRING_OPEN_RE, _build_substring_clip)
+    sql = _rewrite_calls(sql, _SUBSTR_OPEN_RE, _build_substr_clip)
     sql = _rewrite_calls(sql, _LEFT_OPEN_RE, _build_left)
     sql = _rewrite_calls(sql, _RIGHT_OPEN_RE, _build_right)
+    # round-9 session-2 scalar family (see the builder block's comment):
+    # log base, initcap word boundaries, trim-set argument order, numeric
+    # trunc, to_hex, date_bin — each found by executing PG shapes.
+    sql = _rewrite_calls(sql, _LOG_OPEN_RE, _build_log10)
+    sql = _rewrite_calls(sql, _INITCAP_OPEN_RE, _build_initcap)
+    sql = _rewrite_calls(sql, _LTRIM_OPEN_RE, _build_ltrim)
+    sql = _rewrite_calls(sql, _RTRIM_OPEN_RE, _build_rtrim)
+    sql = _rewrite_calls(sql, _TRUNC_OPEN_RE, _build_trunc)
+    sql = _rewrite_calls(sql, _TO_HEX_OPEN_RE, _build_to_hex)
+    sql = _rewrite_calls(sql, _DATE_BIN_OPEN_RE, _build_date_bin)
     # PG's EXTRACT(EPOCH) keeps fractional seconds (it returns numeric);
     # unix_timestamp() would floor to whole seconds, silently changing
     # sub-second data. Found by differential execution (round 6). The
