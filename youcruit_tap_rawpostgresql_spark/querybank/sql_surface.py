@@ -822,3 +822,79 @@ def pg_dialect_trgm_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM part WHERE p_partkey % 9 = 0",
         pg_dialect=True,
     )
+
+
+@register(
+    "pg_dialect_scalar_functions",
+    # Oracle notes, per column: DuckDB's log IS base 10 (matches PG) and
+    # the operands are exact powers of ten, so lg compares exactly;
+    # DuckDB has native one-arg trunc and two-arg ltrim/rtrim/substr
+    # with PG's argument order; two-arg trunc does NOT exist in DuckDB —
+    # hand-encoded as x - x % 10^-s on the same DECIMAL cast (exact
+    # decimal arithmetic both engines, surfaced as DOUBLE to erase scale
+    # rendering differences); initcap does not exist — for this data
+    # (one letter-run head + digits) PG initcap is exactly
+    # ucfirst(lower()); to_hex exists but renders UPPERCASE (PG is
+    # lowercase); date_bin does not exist — hand-encoded as
+    # origin + floor-div(diff) * stride on epoch microseconds (all
+    # diffs are >= 0 here, so // truncation == floor).
+    # o_orderpriority separators are exactly '-' and ' ' ('4-NOT
+    # SPECIFIED') — PG initcap is emulated by a nested split-ucfirst
+    # over both separators (upper() of the digit head is the identity).
+    oracle="""
+SELECT o_orderkey,
+  log(power(10, o_orderkey % 6 + 1)) AS lg,
+  array_to_string(list_transform(string_split(lower(o_orderpriority), ' '),
+    w -> array_to_string(list_transform(string_split(w, '-'),
+         p -> upper(p[1]) || p[2:]), '-')), ' ') AS prio_cap,
+  ltrim(o_orderpriority, '123456789-') AS prio_word,
+  rtrim(o_orderpriority, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS prio_head,
+  CAST(trunc(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS t0,
+  CAST(CAST(o_totalprice AS DECIMAL(12,2))
+       - CAST(o_totalprice AS DECIMAL(12,2)) % 0.1 AS DOUBLE) AS t1,
+  CAST(CAST(o_totalprice AS DECIMAL(12,2))
+       - CAST(o_totalprice AS DECIMAL(12,2)) % 100 AS DOUBLE) AS tneg2,
+  substr(o_orderpriority, 0, 3) AS prio2,
+  lower(to_hex(o_orderkey)) AS okey_hex,
+  make_timestamp(epoch_us(TIMESTAMP '1992-01-01')
+    + (epoch_us(CAST(o_orderdate AS TIMESTAMP))
+       - epoch_us(TIMESTAMP '1992-01-01'))
+      // 129600000000 * 129600000000) AS obin
+FROM orders WHERE o_orderkey % 13 = 0
+""",
+)
+def pg_dialect_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 session-2 scalar-function family end-to-end on the
+    delegated-SQL contract (reference ``client.py:300-304`` ships user SQL
+    verbatim — any function PG accepts is surface): one-arg ``log`` (PG
+    base 10, was silently ln), ``initcap`` (PG words break at ANY
+    non-alphanumeric — ``o_clerk``'s ``#`` boundary), two-arg
+    ``ltrim``/``rtrim`` (Spark's legacy forms REVERSE the argument order —
+    was a silent wrong-string trim), numeric ``trunc`` at three scales
+    (was a loud date-only error), ``substr`` window clipping at start 0
+    (the alias bypassed the round-9 clips), lowercase ``to_hex``, and PG 14
+    ``date_bin`` with a 36-hour stride (bins deliberately NOT day-aligned).
+
+    Scale: map-only projection over one pruned parquet scan; the modulo
+    filter pushes down; every rewrite stays a whole-stage-codegen JVM
+    expression — no Python boundary, no shuffle."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    tables(spark, sf_dir)
+    return run_sql(
+        spark,
+        "SELECT o_orderkey, "
+        "log(power(10, o_orderkey % 6 + 1)) AS lg, "
+        "initcap(lower(o_orderpriority)) AS prio_cap, "
+        "ltrim(o_orderpriority, '123456789-') AS prio_word, "
+        "rtrim(o_orderpriority, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS prio_head, "
+        "CAST(trunc(o_totalprice::numeric(12,2)) AS DOUBLE) AS t0, "
+        "CAST(trunc(o_totalprice::numeric(12,2), 1) AS DOUBLE) AS t1, "
+        "CAST(trunc(o_totalprice::numeric(12,2), -2) AS DOUBLE) AS tneg2, "
+        "substr(o_orderpriority, 0, 3) AS prio2, "
+        "to_hex(o_orderkey) AS okey_hex, "
+        "date_bin('36 hours', o_orderdate::timestamp, "
+        "timestamp '1992-01-01') AS obin "
+        "FROM orders WHERE o_orderkey % 13 = 0",
+        pg_dialect=True,
+    )
