@@ -740,9 +740,13 @@ def gen_query_v8(i: int) -> str:
     powers of 10 (log10 is exact by spec on both engines) or the result
     is floored after a fixed scale-up. NOT in this grammar (no DuckDB
     equivalent / DuckDB deviates from PG — pinned instead): initcap,
-    to_hex, date_bin, negative substr starts, two-arg trunc."""
+    to_hex, date_bin, negative substr starts, two-arg trunc, and unnest
+    WITH ORDINALITY (DuckDB: 'not implemented'). Shapes 5-6 (same
+    session, second batch): array_agg with null preservation / inline
+    ORDER BY (DuckDB keeps nulls and honors the inline sort under the
+    harness's PG null-order pragma) and the regexp_split family."""
     r = random.Random(20260815 * 8000 + i)
-    shape = r.randrange(5)
+    shape = r.randrange(7)
     t = _TABLES["customer"]
     if shape == 0:
         # one-arg log over exact powers of ten, data-driven exponent
@@ -791,6 +795,49 @@ def gen_query_v8(i: int) -> str:
         return (
             f"SELECT c_custkey FROM customer WHERE c_custkey < 150 "
             f"AND trunc({e})::text ~ '^-?[0-9.]+$'"
+        )
+    if shape == 5:
+        # array_agg: null-preserving collect (Spark's native array_agg
+        # DROPS nulls — the rewrite must keep them), inline ORDER BY in
+        # both directions with PG null placement, DISTINCT composition
+        # ::float8 — pandas materializes a Spark array<bigint> holding
+        # NULLs as floats, so the compared element type must be float on
+        # BOTH engines for the normalizer to agree
+        null_if = f"nullif(c_nationkey, {r.randint(0, 24)})::float8"
+        form = r.randrange(3)
+        if form == 0:
+            return (
+                f"SELECT c_mktsegment, "
+                f"array_agg({null_if} ORDER BY c_custkey) AS v "
+                f"FROM customer WHERE c_custkey < 150 GROUP BY c_mktsegment"
+            )
+        if form == 1:
+            d = r.choice(["ASC", "DESC"])
+            return (
+                f"SELECT array_agg({null_if} ORDER BY {null_if} {d}) AS v "
+                f"FROM customer WHERE c_custkey < 100"
+            )
+        # DISTINCT requires key == expr (PG's restriction, enforced by
+        # the translation as a named error) — same modulus on both sides
+        k = r.randint(2, 9)
+        return (
+            f"SELECT array_agg(DISTINCT c_nationkey % {k} "
+            f"ORDER BY c_nationkey % {k}) AS v "
+            f"FROM customer WHERE c_custkey < 150"
+        )
+    if shape == 6:
+        # regexp_split family: array form projected, table form via the
+        # set-returning position; patterns with quantifiers and classes
+        pat = r.choice(["[0-9]+", "[#]", "0+", "e|r"])
+        if r.randrange(2):
+            return (
+                f"SELECT c_custkey, "
+                f"regexp_split_to_array(c_name, '{pat}') AS v "
+                f"FROM customer WHERE c_custkey < 120"
+            )
+        return (
+            f"SELECT regexp_split_to_table(c_name, '{pat}') AS v "
+            f"FROM customer WHERE c_custkey < 40"
         )
     # shape 4: substr clipping at start >= 0 (zero and modulo-expression
     # starts), including substr as the ltrim operand — composition of the

@@ -740,3 +740,89 @@ def test_date_bin_named_errors():
             "SELECT date_bin('0 minutes', timestamp '2020-01-01', "
             "timestamp '2001-01-01')"
         )
+
+
+def test_array_agg_pg_semantics_pins(spark):
+    """PG array_agg KEEPS nulls (docs §9.21: 'input values, including
+    nulls, concatenated into an array') — Spark's native array_agg
+    silently drops them; inline ORDER BY with PG's default null
+    placement (NULLS LAST ascending, FIRST descending); DISTINCT keeps
+    one null. DuckDB arbitrates most of this (grammar v8 shapes 5-6);
+    pinned here too because the null-keeping rewrite is the load-bearing
+    part."""
+    row = one(
+        spark,
+        "array_agg(x) AS keep_nulls, "
+        "array_agg(x ORDER BY x) AS asc_nulls_last, "
+        "array_agg(x ORDER BY x DESC) AS desc_nulls_first, "
+        "array_agg(DISTINCT x) AS distinct_one_null "
+        "FROM VALUES (1), (NULL), (2), (1) t(x)",
+    )
+    assert row["keep_nulls"] == [1, None, 2, 1]
+    assert row["asc_nulls_last"] == [1, 1, 2, None]
+    assert row["desc_nulls_first"] == [None, 2, 1, 1]
+    assert sorted(v for v in row["distinct_one_null"] if v is not None) == [1, 2]
+    assert None in row["distinct_one_null"]
+
+
+def test_array_agg_named_errors():
+    import pytest
+
+    with pytest.raises(ValueError, match="multi-key"):
+        translate_pg_sql("SELECT array_agg(x ORDER BY a, b) FROM t")
+    with pytest.raises(ValueError, match="aggregated expression"):
+        translate_pg_sql("SELECT array_agg(DISTINCT x ORDER BY y) FROM t")
+    with pytest.raises(ValueError, match="NULLS"):
+        translate_pg_sql(
+            "SELECT array_agg(x ORDER BY x ASC NULLS FIRST) FROM t"
+        )
+
+
+def test_unnest_with_ordinality_pins(spark):
+    """PG's WITH ORDINALITY (docs §7.2.1.4): 1-based bigint counter
+    column; default column names unnest/ordinality; works correlated
+    (lateral) and standalone. DuckDB: 'WITH ORDINALITY not implemented'
+    — pin-only."""
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT u.v, u.o FROM unnest(ARRAY['a','b','c']) "
+            "WITH ORDINALITY AS u(v, o) ORDER BY u.o"
+        )
+    ).collect()
+    assert [(r["v"], r["o"]) for r in rows] == [("a", 1), ("b", 2), ("c", 3)]
+    # default names + bare AS alias
+    row = spark.sql(
+        translate_pg_sql(
+            "SELECT t.unnest, t.ordinality FROM unnest(ARRAY[9]) "
+            "WITH ORDINALITY AS t"
+        )
+    ).first()
+    assert (row["unnest"], row["ordinality"]) == (9, 1)
+    # correlated (lateral) use — the idiom PG users actually write
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT t.id, u.v, u.o FROM VALUES (7, ARRAY['p','q']) "
+            "t(id, arr), unnest(t.arr) WITH ORDINALITY AS u(v, o) "
+            "WHERE u.o = 2"
+        )
+    ).collect()
+    assert [(r["id"], r["v"], r["o"]) for r in rows] == [(7, "q", 2)]
+
+
+def test_regexp_split_pins(spark):
+    """PG regexp_split_to_array/to_table keep empty fields (only
+    zero-length MATCHES are ignored) — Spark's split with its default
+    limit -1 agrees; also fuzz-arbitrated (DuckDB has both)."""
+    row = one(
+        spark,
+        "regexp_split_to_array('a1b22c', '[0-9]+') AS arr, "
+        "regexp_split_to_array('ab1', '[0-9]') AS trailing_empty",
+    )
+    assert row["arr"] == ["a", "b", "c"]
+    assert row["trailing_empty"] == ["ab", ""]
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT regexp_split_to_table('x-y-z', '-') AS t"
+        )
+    ).collect()
+    assert [r["t"] for r in rows] == ["x", "y", "z"]

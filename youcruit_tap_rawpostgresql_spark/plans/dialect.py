@@ -87,6 +87,21 @@ date-only), ``to_hex`` → ``lower(hex(…))``, and literal-stride
 ``date_bin`` → pmod-based micros binning (month/year strides raise PG's
 own error).
 
+Aggregate / set-returning family (round-9 session 2, second batch):
+``array_agg`` restores THREE PG behaviours Spark silently changes — nulls
+are KEPT (collect_list drops them; rewritten via null-safe named_struct
+collection), inline ``ORDER BY key [ASC|DESC]`` (Spark: parse error;
+rewritten to a struct array_sort with a comparator), and PG's default
+null placement (LAST ascending / FIRST descending); ``DISTINCT``
+composes, and PG's own restrictions surface as the same named errors PG
+raises (DISTINCT with a different sort key, which DuckDB silently
+accepts and computes differently — a grammar-v8 differential catch).
+``unnest(x) WITH ORDINALITY [AS a(c1, c2)]`` → a LATERAL posexplode
+subquery (1-based BIGINT counter, PG default column names, correlated
+or standalone). ``regexp_split_to_array``/``regexp_split_to_table`` →
+``split``/``explode(split)`` (both keep empty fields; the 3-arg flags
+forms stay loud).
+
 No translation needed (native Spark syntax): ``ilike`` (3.3+),
 ``position(x IN y)``, ``split_part``, positive-literal-argument
 ``left``/``right``/``substring`` (see above for the clipped rewrite),
@@ -99,9 +114,12 @@ ASC; Spark: NULLS FIRST — write explicit ``NULLS FIRST/LAST``), numeric
 subscripts (PG ``a[i]`` is 1-based, Spark's ``[i]`` is 0-based — write
 ``element_at`` which is 1-based in both), ``round`` over ``float8``
 (PG rounds binary floats half-even, Spark HALF_UP — ``round(2.5::float8)``
-is 2 in PG, 3.0 here; numeric/decimal operands agree), and two-arg
+is 2 in PG, 3.0 here; numeric/decimal operands agree), two-arg
 ``log(b, x)`` (same meaning, but PG computes in numeric — ``log(10,1000)``
-is exactly 3 in PG, 2.9999999999999996 in Spark's doubles).
+is exactly 3 in PG, 2.9999999999999996 in Spark's doubles), and
+``date - date`` (PG: INTEGER days; Spark: a day-time INTERVAL — write
+``datediff`` explicitly; the ``-`` operator's meaning depends on operand
+types a text scan cannot see).
 
 Translation paths with NO DuckDB equivalent (which the differential fuzzer
 therefore cannot arbitrate) are pinned with hand-derived PG literals in
@@ -529,8 +547,251 @@ def _translate_string_agg(sql: str) -> str:
         pos = m.start() + len(head)
 
 
+# array_agg (round-9 session 2): THREE PG deltas in one function.
+# (1) Spark's array_agg/collect_list silently DROPS nulls; PG keeps them
+#     (array_agg over (1, NULL, 2) is {1,NULL,2}) — restored by collecting
+#     non-null named_structs and projecting the field back out.
+# (2) PG puts ORDER BY inside the call; Spark has no ordered array agg at
+#     all (parse error) — restored by array_sort over (key, value) structs
+#     with a comparator.
+# (3) PG's default null ordering is NULLS LAST ascending / FIRST
+#     descending (Spark's sort_array is the opposite) — the comparator
+#     encodes PG's rule; explicit NULLS FIRST/LAST override it.
+# DISTINCT composes (array_distinct keeps one null, like PG's DISTINCT);
+# DISTINCT + ORDER BY follows PG's own restriction (the sort key must be
+# the aggregated expression) by sorting the distinct values directly.
+# A trailing FILTER (...) and/or OVER (...) clause belongs to the inner
+# collect_list, not the wrapping transform — relocated structurally.
+# Known deltas: multi-key ORDER BY raises a named error (a struct
+# comparator per key is possible but unneeded until someone asks);
+# ORDER BY inside a window-function use keeps PG's own behaviour of
+# rejecting it (PG: "aggregate ORDER BY is not implemented for window
+# functions") — here it surfaces as the relocated OVER failing analysis.
+_ARRAY_AGG_OPEN_RE = re.compile(r"\barray_agg\s*\(", re.IGNORECASE)
+_AGG_TAIL_RE = re.compile(
+    r"\s*(?:FILTER\s*\(|OVER\s*(?:\(|[a-zA-Z_]))", re.IGNORECASE
+)
+_PG_NULLCMP_ASC = (
+    "CASE WHEN {a} IS NULL AND {b} IS NULL THEN 0 "
+    "WHEN {a} IS NULL THEN 1 WHEN {b} IS NULL THEN -1 "
+    "WHEN {a} < {b} THEN -1 WHEN {a} > {b} THEN 1 ELSE 0 END"
+)
+_PG_NULLCMP_DESC = (
+    "CASE WHEN {a} IS NULL AND {b} IS NULL THEN 0 "
+    "WHEN {a} IS NULL THEN -1 WHEN {b} IS NULL THEN 1 "
+    "WHEN {a} < {b} THEN 1 WHEN {a} > {b} THEN -1 ELSE 0 END"
+)
+
+
+def _split_sort_spec(spec: str) -> tuple[str, bool]:
+    """``key [ASC|DESC] [NULLS FIRST|LAST]`` → (key, asc_with_pg_nulls).
+    Explicit NULLS FIRST/LAST is folded into the comparator choice:
+    ASC+NULLS LAST == the ASC comparator, DESC+NULLS FIRST == DESC;
+    the two off-default combinations raise (rare; comparator variants
+    can be added when someone actually writes them)."""
+    s = spec.strip()
+    nulls = None
+    m = re.search(r"\bNULLS\s+(FIRST|LAST)\s*\Z", s, re.IGNORECASE)
+    if m:
+        nulls = m.group(1).upper()
+        s = s[: m.start()].rstrip()
+    asc = True
+    m = re.search(r"\b(ASC|DESC)\s*\Z", s, re.IGNORECASE)
+    if m:
+        asc = m.group(1).upper() == "ASC"
+        s = s[: m.start()].rstrip()
+    if nulls is not None and (nulls == "FIRST") == asc:
+        raise ValueError(
+            "array_agg ORDER BY with off-default NULLS "
+            f"{nulls} is not supported (PG default: NULLS LAST on ASC, "
+            "FIRST on DESC — matched by this translation)"
+        )
+    return s, asc
+
+
+def _agg_tail_span(mask: str, start: int) -> int:
+    """End index (exclusive) of the trailing FILTER/OVER clauses starting
+    at ``start`` — 0, 1 or 2 clauses in PG's order FILTER-then-OVER."""
+    i = start
+    for _ in range(2):
+        m = _AGG_TAIL_RE.match(mask, i)
+        if m is None:
+            return i
+        if mask[m.end() - 1] == "(":
+            close = _matching_paren(mask, m.end() - 1)
+            if close < 0:
+                return i
+            i = close + 1
+        else:  # OVER windowname
+            m2 = re.match(r"\s*OVER\s*([a-zA-Z_][\w]*)", mask[i:], re.IGNORECASE)
+            i = i + m2.end()
+    return i
+
+
+def _translate_array_agg(sql: str) -> str:
+    pos = 0
+    while True:
+        mask = _masked(sql)
+        m = _ARRAY_AGG_OPEN_RE.search(mask, pos)
+        if m is None:
+            return sql
+        open_i = m.end() - 1
+        close_i = _matching_paren(mask, open_i)
+        if close_i < 0:
+            return sql
+        tail_end = _agg_tail_span(mask, close_i + 1)
+        tail = sql[close_i + 1 : tail_end]
+        inner = sql[open_i + 1 : close_i]
+        distinct = False
+        dm = re.match(r"\s*DISTINCT\b", inner, re.IGNORECASE)
+        if dm:
+            distinct = True
+            inner = inner[dm.end():]
+        ob = _top_level_search(
+            _CALL_ORDER_BY_RE, _masked(inner), 0, len(inner)
+        )
+        if ob is None:
+            expr = inner.strip()
+            vals = (
+                f"transform(collect_list(named_struct('v', {expr})){tail}, "
+                f"s -> s.v)"
+            )
+            repl = f"array_distinct({vals})" if distinct else vals
+        else:
+            expr = inner[: ob.start()].strip()
+            spec = inner[ob.end():]
+            if _top_level_search(re.compile(","), _masked(spec), 0, len(spec)):
+                raise ValueError(
+                    "array_agg with a multi-key ORDER BY is not supported "
+                    "(single sort key only)"
+                )
+            key, asc = _split_sort_spec(spec)
+            cmp_t = _PG_NULLCMP_ASC if asc else _PG_NULLCMP_DESC
+            if distinct:
+                # PG's own restriction: DISTINCT requires the sort key to
+                # be the aggregated expression — sort the values directly.
+                # A DIFFERENT key raises in PG ("ORDER BY expressions must
+                # appear in argument list"); mirror that instead of
+                # silently sorting by the wrong thing (grammar-v8 catch:
+                # DuckDB accepts the shape and returns something else
+                # entirely, so the differential harness flagged it).
+                if re.sub(r"\s+", "", key).lower() != re.sub(
+                    r"\s+", "", expr
+                ).lower():
+                    raise ValueError(
+                        "array_agg(DISTINCT x ORDER BY k): in an aggregate "
+                        "with DISTINCT, the ORDER BY expression must be the "
+                        "aggregated expression itself (PG's own restriction)"
+                    )
+                cmp_expr = cmp_t.format(a="a", b="b")
+                repl = (
+                    f"array_sort(array_distinct(transform("
+                    f"collect_list(named_struct('v', {expr})){tail}, "
+                    f"s -> s.v)), (a, b) -> {cmp_expr})"
+                )
+            else:
+                cmp_expr = cmp_t.format(a="a.k", b="b.k")
+                repl = (
+                    f"transform(array_sort(collect_list("
+                    f"named_struct('k', {key}, 'v', {expr})){tail}, "
+                    f"(a, b) -> {cmp_expr}), s -> s.v)"
+                )
+        sql = sql[: m.start()] + repl + sql[tail_end:]
+        pos = m.start() + len(repl)
+
+
+# unnest(x) WITH ORDINALITY [AS alias(c1, c2)] (round-9 session 2): PG's
+# 1-based row-numbered unnest — previously an unconditional parse error
+# (the plain-unnest explode rename left WITH ORDINALITY behind). Rewritten
+# to a LATERAL posexplode subquery; LATERAL is valid in Spark whether or
+# not the array expression is correlated (probed both). Default column
+# names follow PG (value column 'unnest', counter 'ordinality'); the
+# counter is cast to BIGINT like PG's.
+_UNNEST_ORD_OPEN_RE = re.compile(r"\bunnest\s*\(", re.IGNORECASE)
+_ORD_KW_RE = re.compile(r"\s*WITH\s+ORDINALITY", re.IGNORECASE)
+# alias forms, tried in order: [AS] alias(c1, c2) — the common one —
+# then AS alias (explicit AS only: a bare following word could be a
+# keyword like WHERE/JOIN, which must not be swallowed as an alias)
+_ORD_ALIAS_COLS_RE = re.compile(
+    r"\s*(?:AS\s+)?([a-zA-Z_]\w*)\s*"
+    r"\(\s*([a-zA-Z_]\w*)\s*,\s*([a-zA-Z_]\w*)\s*\)",
+    re.IGNORECASE,
+)
+_ORD_ALIAS_BARE_RE = re.compile(r"\s*AS\s+([a-zA-Z_]\w*)", re.IGNORECASE)
+
+
+def _translate_unnest_ordinality(sql: str) -> str:
+    pos = 0
+    while True:
+        mask = _masked(sql)
+        m = _UNNEST_ORD_OPEN_RE.search(mask, pos)
+        if m is None:
+            return sql
+        open_i = m.end() - 1
+        close_i = _matching_paren(mask, open_i)
+        if close_i < 0:
+            return sql
+        km = _ORD_KW_RE.match(mask, close_i + 1)
+        if km is None:
+            pos = close_i + 1
+            continue
+        alias, c1, c2 = "pg_unnest", "unnest", "ordinality"
+        end = km.end()
+        am = _ORD_ALIAS_COLS_RE.match(mask, end)
+        if am:
+            alias, c1, c2 = am.group(1), am.group(2), am.group(3)
+            end = am.end()
+        else:
+            am = _ORD_ALIAS_BARE_RE.match(mask, end)
+            if am:
+                alias = am.group(1)
+                end = am.end()
+        arr = sql[open_i + 1 : close_i]
+        repl = (
+            f"LATERAL (SELECT col AS {c1}, CAST(pos + 1 AS BIGINT) AS {c2} "
+            f"FROM posexplode({arr})) AS {alias}"
+        )
+        sql = sql[: m.start()] + repl + sql[end:]
+        pos = m.start() + len(repl)
+
+
+def _build_regexp_split_to_array(args):
+    if len(args) != 2:
+        return None  # 3-arg flags form stays loud
+    head = "split("
+    return (f"{head}{args[0].strip()}, {args[1].strip()})", len(head))
+
+
+def _build_regexp_split_to_table(args):
+    if len(args) != 2:
+        return None
+    head = "explode(split("
+    return (f"{head}{args[0].strip()}, {args[1].strip()}))", len(head))
+
+
+_REGEXP_SPLIT_ARRAY_OPEN_RE = re.compile(
+    r"\bregexp_split_to_array\s*\(", re.IGNORECASE
+)
+_REGEXP_SPLIT_TABLE_OPEN_RE = re.compile(
+    r"\bregexp_split_to_table\s*\(", re.IGNORECASE
+)
+
+
 def _translate_set_functions(sql: str) -> str:
     sql = _translate_string_agg(sql)
+    sql = _translate_array_agg(sql)
+    # ordinality BEFORE the plain-unnest rename (which would otherwise
+    # leave a dangling WITH ORDINALITY behind an explode())
+    sql = _translate_unnest_ordinality(sql)
+    # PG's regexp split family: both sides are regex splits (PG keeps
+    # trailing empty fields; so does Spark's split with its default
+    # limit of -1). The 3-arg flags forms stay untouched (loud).
+    sql = _rewrite_calls(
+        sql, _REGEXP_SPLIT_ARRAY_OPEN_RE, _build_regexp_split_to_array
+    )
+    sql = _rewrite_calls(
+        sql, _REGEXP_SPLIT_TABLE_OPEN_RE, _build_regexp_split_to_table
+    )
     sql = _outside_literals(
         sql,
         lambda s: re.sub(r"\bunnest\s*\(", "explode(", s, flags=re.IGNORECASE),
