@@ -744,9 +744,12 @@ def gen_query_v8(i: int) -> str:
     WITH ORDINALITY (DuckDB: 'not implemented'). Shapes 5-6 (same
     session, second batch): array_agg with null preservation / inline
     ORDER BY (DuckDB keeps nulls and honors the inline sort under the
-    harness's PG null-order pragma) and the regexp_split family."""
+    harness's PG null-order pragma) and the regexp_split family. Shapes
+    7-8 (third batch): OFFSET/FETCH clause reordering (PG: OFFSET m ROWS
+    FETCH FIRST n ROWS ONLY; Spark: LIMIT n OFFSET m) and the
+    year-derived EXTRACT fields (CENTURY/DECADE/MILLENNIUM)."""
     r = random.Random(20260815 * 8000 + i)
-    shape = r.randrange(7)
+    shape = r.randrange(9)
     t = _TABLES["customer"]
     if shape == 0:
         # one-arg log over exact powers of ten, data-driven exponent
@@ -838,6 +841,34 @@ def gen_query_v8(i: int) -> str:
         return (
             f"SELECT regexp_split_to_table(c_name, '{pat}') AS v "
             f"FROM customer WHERE c_custkey < 40"
+        )
+    if shape == 7:
+        # OFFSET/FETCH spellings: bare FETCH, countless FETCH (defaults
+        # to 1), OFFSET-then-FETCH (reversed into LIMIT..OFFSET), and
+        # bare OFFSET n ROWS — always under a total ORDER BY so the
+        # selected rows are deterministic on both engines
+        form = r.randrange(4)
+        n, m_ = r.randint(1, 8), r.randint(0, 5)
+        base = "SELECT c_custkey FROM customer ORDER BY c_custkey"
+        if form == 0:
+            return f"{base} FETCH FIRST {n} ROWS ONLY"
+        if form == 1:
+            return f"{base} FETCH NEXT ROW ONLY"
+        if form == 2:
+            return f"{base} OFFSET {m_} ROWS FETCH FIRST {n} ROWS ONLY"
+        return (
+            f"SELECT c_custkey FROM customer WHERE c_custkey < 30 "
+            f"ORDER BY c_custkey OFFSET {m_} ROWS"
+        )
+    if shape == 8:
+        # year-derived EXTRACT fields over the orders date column
+        fld = r.choice(["CENTURY", "DECADE", "MILLENNIUM"])
+        src = r.choice(
+            ["o_orderdate", "o_orderdate + INTERVAL '400 days'"]
+        )
+        return (
+            f"SELECT o_orderkey, EXTRACT({fld} FROM {src}) AS f "
+            f"FROM orders WHERE o_orderkey < 200"
         )
     # shape 4: substr clipping at start >= 0 (zero and modulo-expression
     # starts), including substr as the ltrim operand — composition of the

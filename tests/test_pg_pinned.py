@@ -826,3 +826,56 @@ def test_regexp_split_pins(spark):
         )
     ).collect()
     assert [r["t"] for r in rows] == ["x", "y", "z"]
+
+
+def test_clause_forms_pins(spark):
+    """ANSI/PG OFFSET-FETCH (PG order: OFFSET m ROWS FETCH FIRST n ROWS
+    ONLY; Spark spells it LIMIT n OFFSET m — clause order REVERSED) and
+    TABLESAMPLE BERNOULLI/SYSTEM(p) → (p PERCENT). FETCH defaults to one
+    row when the count is omitted. WITH TIES raises a named error
+    carrying the rank() recipe. Also fuzz-arbitrated (grammar v8 shape 7)
+    except TABLESAMPLE (nondeterministic — pinned as parse+run only)."""
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT x FROM VALUES (1),(2),(3),(4) t(x) ORDER BY x "
+            "OFFSET 1 ROWS FETCH FIRST 2 ROWS ONLY"
+        )
+    ).collect()
+    assert [r["x"] for r in rows] == [2, 3]
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT x FROM VALUES (1),(2) t(x) ORDER BY x "
+            "FETCH NEXT ROW ONLY"
+        )
+    ).collect()
+    assert [r["x"] for r in rows] == [1]
+    import pytest
+
+    with pytest.raises(ValueError, match="WITH TIES"):
+        translate_pg_sql("SELECT x FROM t ORDER BY x FETCH FIRST 2 ROWS WITH TIES")
+
+
+def test_tablesample_and_extract_yearfields(spark, sf_dir):
+    from youcruit_tap_rawpostgresql_spark.querybank.registry import tables
+
+    tables(spark, sf_dir)
+    n_all = spark.sql("SELECT count(*) AS n FROM customer").first()["n"]
+    n = spark.sql(
+        translate_pg_sql(
+            "SELECT count(*) AS n FROM customer TABLESAMPLE BERNOULLI(50)"
+        )
+    ).first()["n"]
+    assert 0 <= n <= n_all
+    # year-derived EXTRACT fields: PG docs values (century 21 begins
+    # 2001-01-01; decade is year/10; millennium 3 begins 2001)
+    row = one(
+        spark,
+        "EXTRACT(CENTURY FROM DATE '2001-01-01') AS c21, "
+        "EXTRACT(CENTURY FROM DATE '2000-12-31') AS c20, "
+        "EXTRACT(DECADE FROM DATE '1999-06-01') AS d, "
+        "EXTRACT(MILLENNIUM FROM DATE '2001-01-01') AS m3, "
+        "date_part('decade', DATE '2026-08-15') AS dp",
+    )
+    assert (row["c21"], row["c20"], row["d"], row["m3"], row["dp"]) == (
+        21, 20, 199, 3, 202,
+    )

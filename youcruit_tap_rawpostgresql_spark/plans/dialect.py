@@ -868,6 +868,20 @@ _REGEX_OP_RE = re.compile(
 # native in Spark
 _EPOCH_RE = re.compile(r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\s+([^()]+)\)", re.IGNORECASE)
 
+# EXTRACT(CENTURY/DECADE/MILLENNIUM FROM expr) — PG year-derived fields
+# Spark's EXTRACT rejects (INVALID_EXTRACT_FIELD). date_part('century', x)
+# is the same surface in PG's other spelling.
+_EXTRACT_YEARFIELD_RE = re.compile(
+    r"\bEXTRACT\s*\(\s*(CENTURY|DECADE|MILLENNIUM)\s+FROM\s+([^()]+)\)"
+    r"|\bdate_part\s*\(\s*'(?i:(CENTURY|DECADE|MILLENNIUM))'\s*,\s*([^()]+)\)",
+    re.IGNORECASE,
+)
+_YEARFIELD_EXPRS = {
+    "CENTURY": "(CAST(floor((extract(YEAR FROM {x}) - 1) / 100) AS BIGINT) + 1)",
+    "DECADE": "CAST(floor(extract(YEAR FROM {x}) / 10) AS BIGINT)",
+    "MILLENNIUM": "(CAST(floor((extract(YEAR FROM {x}) - 1) / 1000) AS BIGINT) + 1)",
+}
+
 # col #>> '{a,b}' / col #> '{a,b}' → get_json_object(col, '$.a.b')
 # (path-array form of -> / ->>; this engine models json as string, so both
 # collapse to text extraction like ->/->> do)
@@ -2674,6 +2688,19 @@ def _translate_operators(sql: str) -> str:
         ),
         sql,
     )
+    # PG's year-derived EXTRACT fields Spark lacks (round-9 session 2):
+    # CENTURY/MILLENNIUM count from year 1 (century 21 starts 2001-01-01),
+    # DECADE is year/10 floored. AD years only — PG's BC numbering
+    # (century -1 precedes 1) is not modeled; DuckDB agrees with PG on AD
+    # dates, so grammar v8 arbitrates these. Same [^()]+ operand
+    # limitation as EPOCH above (documented there).
+    sql = _sub_skipping_literal_interiors(
+        _EXTRACT_YEARFIELD_RE,
+        lambda m: _YEARFIELD_EXPRS[(m.group(1) or m.group(3)).upper()].format(
+            x=(m.group(2) or m.group(4)).strip()
+        ),
+        sql,
+    )
     sql = _outside_literals(
         sql,
         lambda s: re.sub(
@@ -2682,6 +2709,62 @@ def _translate_operators(sql: str) -> str:
             re.sub(r"\brandom\s*\(\s*\)", "rand()", s, flags=re.IGNORECASE),
             flags=re.IGNORECASE,
         ),
+    )
+    sql = _translate_clause_forms(sql)
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# clause-level PG/ANSI forms Spark spells differently (round-9 session 2)
+# ---------------------------------------------------------------------------
+
+# PG/ANSI: OFFSET m [ROWS] FETCH FIRST|NEXT [n] ROWS ONLY. Spark: LIMIT n
+# OFFSET m — REVERSED clause order and no ROWS keyword. Literal counts
+# only (PG allows expressions there; those stay loud). WITH TIES needs
+# the ORDER BY context a clause rename cannot see — named error with the
+# rank() recipe (the topk_with_ties querybank case demonstrates it).
+_FETCH_TIES_RE = re.compile(
+    r"\bFETCH\s+(?:FIRST|NEXT)\s+(?:\d+\s+)?ROWS?\s+WITH\s+TIES",
+    re.IGNORECASE,
+)
+_OFFSET_FETCH_RE = re.compile(
+    r"(?:\bOFFSET\s+(\d+)\s+ROWS?\s+)?"
+    r"\bFETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+ONLY",
+    re.IGNORECASE,
+)
+_OFFSET_ROWS_RE = re.compile(r"\bOFFSET\s+(\d+)\s+ROWS?\b", re.IGNORECASE)
+# PG TABLESAMPLE BERNOULLI(p) is row-level sampling — exactly Spark's
+# (p PERCENT). SYSTEM(p) is PG's block-level variant; Spark has no block
+# sampling, so it maps to the row-level one (same expected fraction,
+# lower variance — a strictly better sample; documented delta). The
+# REPEATABLE(seed) suffix is valid Spark and passes through (seeds
+# produce different samples per engine, as they do across PG versions).
+_TABLESAMPLE_RE = re.compile(
+    r"\bTABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*"
+    r"\(\s*([0-9]+(?:\.[0-9]+)?)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _translate_clause_forms(sql: str) -> str:
+    if _FETCH_TIES_RE.search(_masked(sql)):
+        raise ValueError(
+            "FETCH ... WITH TIES is not translatable as a clause rename: "
+            "rewrite with a rank() window — SELECT ... FROM (SELECT ..., "
+            "rank() OVER (ORDER BY <sort keys>) AS r FROM ...) WHERE "
+            "r <= n (see the topk_with_ties querybank case)"
+        )
+
+    def fetch_repl(m: re.Match) -> str:
+        n = m.group(2) or "1"
+        return f"LIMIT {n} OFFSET {m.group(1)}" if m.group(1) else f"LIMIT {n}"
+
+    sql = _sub_skipping_literal_interiors(_OFFSET_FETCH_RE, fetch_repl, sql)
+    sql = _sub_skipping_literal_interiors(
+        _OFFSET_ROWS_RE, lambda m: f"OFFSET {m.group(1)}", sql
+    )
+    sql = _sub_skipping_literal_interiors(
+        _TABLESAMPLE_RE, lambda m: f"TABLESAMPLE ({m.group(1)} PERCENT)", sql
     )
     return sql
 
