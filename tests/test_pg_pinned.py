@@ -879,3 +879,19 @@ def test_tablesample_and_extract_yearfields(spark, sf_dir):
     assert (row["c21"], row["c20"], row["d"], row["m3"], row["dp"]) == (
         21, 20, 199, 3, 202,
     )
+
+
+def test_to_number_pins(spark):
+    """Spark's native to_number accepts PG's 9/0/G/D/S templates as-is
+    (the PG docs example pins that); the one divergent token is L (PG:
+    locale currency symbol; Spark spells it $) — rewritten in literal
+    templates."""
+    row = one(
+        spark,
+        "to_number('12,454.8-', '99G999D9S') AS pgdoc, "
+        "to_number('$1,234.56', 'L9G999D99') AS cur, "
+        "to_number(' 123', '999') AS pad",
+    )
+    assert str(row["pgdoc"]) == "-12454.8"
+    assert str(row["cur"]) == "1234.56"
+    assert str(row["pad"]) == "123"

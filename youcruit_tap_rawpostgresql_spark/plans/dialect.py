@@ -83,9 +83,11 @@ alias was silently Spark-semantics for non-positive starts), two-arg
 ``ltrim``/``rtrim`` → ``TRIM(LEADING/TRAILING set FROM x)`` (Spark's
 legacy two-arg forms REVERSE the argument order — silent wrong-string
 trim), numeric ``trunc(x[, s])`` → ``x - x % 10^-s`` (Spark trunc is
-date-only), ``to_hex`` → ``lower(hex(…))``, and literal-stride
+date-only), ``to_hex`` → ``lower(hex(…))``, literal-stride
 ``date_bin`` → pmod-based micros binning (month/year strides raise PG's
-own error).
+own error), and ``to_number`` templates with ``L`` → ``$`` (Spark's
+native to_number already understands PG's 9/0/G/D/S/MI tokens — probed
+with the PG docs example).
 
 Aggregate / set-returning family (round-9 session 2, second batch):
 ``array_agg`` restores THREE PG behaviours Spark silently changes — nulls
@@ -1703,6 +1705,28 @@ def _build_to_hex(args):
     return (f"{head}{args[0].strip()}))", len(head))
 
 
+def _build_to_number(args):
+    """Spark's native to_number understands PG's 9/0/G/D/S/MI/PR tokens
+    directly (probed: PG docs example '12,454.8-' / '99G999D9S' parses
+    identically) — the ONE divergent token is ``L`` (PG: locale currency;
+    Spark spells it ``$``). Rewrite L→$ inside a literal template;
+    templates with double-quoted spans (PG quoting, rare in to_number)
+    stay untouched (loud)."""
+    if len(args) != 2:
+        return None
+    fmt = _strip_comments(args[1])
+    if not re.fullmatch(_STR_LIT, fmt) or '"' in fmt:
+        return None
+    if "l" not in fmt.lower():
+        return None
+    new_fmt = re.sub(r"[lL]", "$", fmt)
+    head = "to_number("
+    return (f"{head}{args[0].strip()}, {new_fmt})", len(head))
+
+
+_TO_NUMBER_OPEN_RE = re.compile(r"\bto_number\s*\(", re.IGNORECASE)
+
+
 _DATE_BIN_UNIT_US = {
     "us": 1, "microsecond": 1, "microseconds": 1,
     "ms": 1_000, "millisecond": 1_000, "milliseconds": 1_000,
@@ -2676,6 +2700,7 @@ def _translate_operators(sql: str) -> str:
     sql = _rewrite_calls(sql, _RTRIM_OPEN_RE, _build_rtrim)
     sql = _rewrite_calls(sql, _TRUNC_OPEN_RE, _build_trunc)
     sql = _rewrite_calls(sql, _TO_HEX_OPEN_RE, _build_to_hex)
+    sql = _rewrite_calls(sql, _TO_NUMBER_OPEN_RE, _build_to_number)
     sql = _rewrite_calls(sql, _DATE_BIN_OPEN_RE, _build_date_bin)
     # PG's EXTRACT(EPOCH) keeps fractional seconds (it returns numeric);
     # unix_timestamp() would floor to whole seconds, silently changing
