@@ -113,10 +113,10 @@ def test_quantified_comparisons():
         "SELECT array_contains(xs, n + 1) AS m FROM t"
     )
     assert translate_pg_sql("SELECT 2 > ANY(xs) AS m FROM t") == (
-        "SELECT exists(xs, _qe -> 2 > _qe) AS m FROM t"
+        "SELECT exists(xs, _qe -> (2) > _qe) AS m FROM t"
     )
     assert translate_pg_sql("SELECT 5 <> ALL(xs) AS n FROM t") == (
-        "SELECT forall(xs, _qe -> 5 <> _qe) AS n FROM t"
+        "SELECT forall(xs, _qe -> (5) <> _qe) AS n FROM t"
     )
     assert translate_pg_sql(
         "SELECT c FROM t WHERE k = ANY(SELECT id FROM u)"
@@ -135,21 +135,21 @@ def test_quantified_pattern_matches():
     # string level and execute-verified in test_operators-style suites)
     assert translate_pg_sql(
         "SELECT name LIKE ANY(ARRAY['%a%','b%']) AS m FROM t"
-    ) == "SELECT exists(array('%a%','b%'), _qe -> name LIKE _qe) AS m FROM t"
+    ) == "SELECT exists(array('%a%','b%'), _qe -> (name) LIKE _qe) AS m FROM t"
     assert translate_pg_sql("SELECT name ILIKE ANY(pats) AS m FROM t") == (
-        "SELECT exists(pats, _qe -> ilike(name, _qe)) AS m FROM t"
+        "SELECT exists(pats, _qe -> ilike((name), _qe)) AS m FROM t"
     )
     assert translate_pg_sql("SELECT name NOT LIKE ALL(pats) AS m FROM t") == (
-        "SELECT forall(pats, _qe -> NOT (name LIKE _qe)) AS m FROM t"
+        "SELECT forall(pats, _qe -> NOT ((name) LIKE _qe)) AS m FROM t"
     )
     assert translate_pg_sql("SELECT name ~~* ANY(pats) AS m FROM t") == (
-        "SELECT exists(pats, _qe -> ilike(name, _qe)) AS m FROM t"
+        "SELECT exists(pats, _qe -> ilike((name), _qe)) AS m FROM t"
     )
     assert translate_pg_sql("SELECT name ~* ANY(pats) AS m FROM t") == (
-        "SELECT exists(pats, _qe -> name RLIKE concat('(?i)', _qe)) AS m FROM t"
+        "SELECT exists(pats, _qe -> (name) RLIKE concat('(?i)', _qe)) AS m FROM t"
     )
     assert translate_pg_sql("SELECT name !~ ALL(pats) AS m FROM t") == (
-        "SELECT forall(pats, _qe -> NOT (name RLIKE _qe)) AS m FROM t"
+        "SELECT forall(pats, _qe -> NOT ((name) RLIKE _qe)) AS m FROM t"
     )
 
 
@@ -318,10 +318,12 @@ def test_match_op_keyword_before_paren_lhs_not_swallowed():
 
 
 def test_quantified_literal_lhs_not_mangled_by_json_rewrite():
-    """String-literal LHS in a quantified comparison: the generated lambda
-    `_qe -> 'a' <> _qe` used to be eaten by the JSON -> rewrite into
-    `get_json_object(_qe, '$.a') <> _qe` (round-6 advisory). The literal
-    LHS is parenthesized so the lambda arrow survives."""
+    """String-literal LHS in a quantified comparison: an unparenthesized
+    generated lambda (``_qe -> 'a' <> _qe`` before round 6) was eaten by
+    the JSON -> rewrite into ``get_json_object(_qe, '$.a') <> _qe``
+    (round-6 advisory). The LHS is parenthesized — since round-9
+    session 2 unconditionally, guarding the integer-index arrow rule
+    too — so the lambda arrow survives."""
     assert (
         translate_pg_sql("SELECT * FROM t WHERE 'a' <> ANY(arr)")
         == "SELECT * FROM t WHERE exists(arr, _qe -> ('a') <> _qe)"
@@ -346,7 +348,7 @@ def test_identifier_ending_in_like_before_any_not_rewritten():
     # the genuine keyword form still translates
     assert (
         translate_pg_sql("SELECT * FROM t WHERE x LIKE ANY(arr)")
-        == "SELECT * FROM t WHERE exists(arr, _qe -> x LIKE _qe)"
+        == "SELECT * FROM t WHERE exists(arr, _qe -> (x) LIKE _qe)"
     )
 
 

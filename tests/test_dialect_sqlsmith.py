@@ -747,9 +747,11 @@ def gen_query_v8(i: int) -> str:
     harness's PG null-order pragma) and the regexp_split family. Shapes
     7-8 (third batch): OFFSET/FETCH clause reordering (PG: OFFSET m ROWS
     FETCH FIRST n ROWS ONLY; Spark: LIMIT n OFFSET m) and the
-    year-derived EXTRACT fields (CENTURY/DECADE/MILLENNIUM)."""
+    year-derived EXTRACT fields (CENTURY/DECADE/MILLENNIUM). Shape 9
+    (fourth batch): integer-index json arrows and CHAINED arrows over a
+    synthesized json-array column (DuckDB runs both natively)."""
     r = random.Random(20260815 * 8000 + i)
-    shape = r.randrange(9)
+    shape = r.randrange(10)
     t = _TABLES["customer"]
     if shape == 0:
         # one-arg log over exact powers of ten, data-driven exponent
@@ -869,6 +871,24 @@ def gen_query_v8(i: int) -> str:
         return (
             f"SELECT o_orderkey, EXTRACT({fld} FROM {src}) AS f "
             f"FROM orders WHERE o_orderkey < 200"
+        )
+    if shape == 9:
+        # integer-index and chained json arrows over a synthesized
+        # array/object column (events.props values are scalars, so the
+        # array is built from event_id — identical json text on both
+        # engines). Index occasionally out of range (-> NULL on both).
+        idx = r.randint(0, 3)
+        if r.randrange(2):
+            return (
+                f"SELECT event_id, j ->> {idx} AS v FROM (SELECT event_id, "
+                f"concat('[', event_id, ',', event_id + 1, ',', "
+                f"event_id + 2, ']') AS j FROM events) "
+                f"WHERE event_id < 250"
+            )
+        return (
+            f"SELECT event_id, j -> 'a' ->> {idx} AS v FROM "
+            f"(SELECT event_id, concat('{{\"a\":[', event_id, ',', "
+            f"event_id + 1, ']}}') AS j FROM events) WHERE event_id < 250"
         )
     # shape 4: substr clipping at start >= 0 (zero and modulo-expression
     # starts), including substr as the ltrim operand — composition of the

@@ -895,3 +895,42 @@ def test_to_number_pins(spark):
     assert str(row["pgdoc"]) == "-12454.8"
     assert str(row["cur"]) == "1234.56"
     assert str(row["pad"]) == "123"
+
+
+def test_json_srf_and_index_arrow_pins(spark):
+    """PG json set-returning functions produce one ROW per key/element —
+    the old jsonb_object_keys rename returned one ARRAY (silent
+    structural delta, fixed round-9 session 2); integer-index arrows and
+    CHAINED arrows previously died in Spark's parser. Elements follow
+    the module-wide json→text collapse (dialect header)."""
+    rows = spark.sql(
+        translate_pg_sql(
+            """SELECT jsonb_object_keys(j) AS k
+               FROM (SELECT '{"a":1,"b":2}' AS j)"""
+        )
+    ).collect()
+    assert sorted(r["k"] for r in rows) == ["a", "b"]  # 2 ROWS, not 1 array
+    rows = spark.sql(
+        translate_pg_sql(
+            """SELECT json_array_elements_text(j) AS e
+               FROM (SELECT '[1, null, "x"]' AS j)"""
+        )
+    ).collect()
+    assert [r["e"] for r in rows] == ["1", None, "x"]  # PG: null elem -> NULL
+    row = spark.sql(
+        translate_pg_sql(
+            """SELECT j ->> 1 AS idx, j -> 'missing' AS miss,
+                      j2 -> 'k' ->> 0 AS chain,
+                      j2 -> 'k' -> 1 ->> 0 AS deep
+               FROM (SELECT '[5,6,7]' AS j,
+                            '{"k":[[10],[20,30]]}' AS j2)"""
+        )
+    ).first()
+    assert row["idx"] == "6"
+    assert row["miss"] is None
+    assert row["chain"] == "[10]"
+    assert row["deep"] == "20"
+    import pytest
+
+    with pytest.raises(ValueError, match="NEGATIVE"):
+        translate_pg_sql("SELECT j ->> -1 FROM t")

@@ -102,7 +102,17 @@ accepts and computes differently — a grammar-v8 differential catch).
 subquery (1-based BIGINT counter, PG default column names, correlated
 or standalone). ``regexp_split_to_array``/``regexp_split_to_table`` →
 ``split``/``explode(split)`` (both keep empty fields; the 3-arg flags
-forms stay loud).
+forms stay loud). PG's json SET-RETURNING functions explode properly:
+``json/jsonb_object_keys`` → ``explode(json_object_keys(…))`` (the old
+straight rename silently returned ONE ARRAY row where PG returns one
+row per key) and ``json/jsonb_array_elements[_text]`` →
+``explode(from_json(…, 'array<string>'))`` (elements follow the
+module-wide json→text collapse; PG null elements → NULL, nested
+objects → their json text). Integer-index arrows ``x -> n``/``x ->> n``
+map to the ``$[n]`` path, arrows CHAIN (``j -> 'a' ->> 0``; up to
+three — the operand scan admits our own get_json_object output two
+paren levels deep), and a NEGATIVE index (PG 13+: from the end) raises
+a named error — JsonPath has no equivalent.
 
 No translation needed (native Spark syntax): ``ilike`` (3.3+),
 ``position(x IN y)``, ``split_part``, positive-literal-argument
@@ -806,23 +816,12 @@ def _translate_set_functions(sql: str) -> str:
 # ---------------------------------------------------------------------------
 
 _STR_LIT = r"'(?:[^']|'')*'"
-_JSON_OPERAND = r"([a-zA-Z_][\w.]*|\([^()]*\))"
-
-# col ->> 'key' / col -> 'key'  → get_json_object(col, '$.key')
-# (both map to the extracted-text form: this engine models json as string)
-_JSON_EXTRACT_RE = re.compile(_JSON_OPERAND + r"\s*->>?\s*'((?:[^']|'')*)'")
-
-# LIKE/regex-op left operand: also admits a string LITERAL ('x' ~~ 'p'
-# is legal PG and showed up untranslated in the round-6 sqlsmith run —
-# the literal-interior guard still applies since the match contains the
-# literal entirely) and a FUNCTION-CALL form with up to two levels of
-# nested parens (`CAST((x) AS string) ~~ 'p'` — the ::cast rewrite runs
-# first and produces exactly that shape; found by the round-6 extended
-# fuzz campaign, v2#837: the call LHS matched nothing, `~~` survived to
-# Spark, and the query failed to parse).  The callee must NOT be a SQL
-# keyword: without the guard, `... AND (b) !~ 'p'` swallowed `AND` as a
-# callee and emitted `NOT (AND (b) RLIKE 'p')` — unparseable (round-6
-# advisory).  The keyword list mirrors _NOT_OPERAND_KWS below.
+# Call-operand building blocks, shared by the match-op and json-arrow
+# operand scans (moved above the json rules in round-9 session 2 — the
+# json operand now uses them too). The callee must NOT be a SQL keyword:
+# without the guard, `... AND (b) !~ 'p'` swallowed `AND` as a callee and
+# emitted `NOT (AND (b) RLIKE 'p')` — unparseable (round-6 advisory).
+# The keyword list mirrors _NOT_OPERAND_KWS below.
 _CALL_KW_GUARD = (
     r"(?!(?i:and|or|not|when|then|else|where|on|by|in|is|like|ilike|"
     r"between|select|from|all|any|some|case|end|distinct|as|join|union|"
@@ -832,6 +831,62 @@ _CALL_OPERAND = (
     _CALL_KW_GUARD
     + r"[a-zA-Z_][\w.]*\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
 )
+
+# Structured like _MATCH_OPERAND (round-9 session-2 rework): a CALL
+# branch FIRST (keyword-guarded and lookbehind-anchored, so
+# `AND(b) ->> 'k'` still lets the unguarded paren branch take `(b)`),
+# then a bare identifier, then the UNGUARDED paren group. Without the
+# call branch, the idx rule scanning the string rule's own output
+# `get_json_object(j, '$.k') ->> 0` took `(j, '$.k')` as its operand and
+# ate the call head (round-9 session-2 catch). The call branch also lets
+# arrows chain off any call LHS; _JSON_CHAIN_* below iterates the
+# leftover arrows to fixpoint.
+_JSON_OPERAND = (
+    r"("
+    + r"(?<![\w.])"
+    + _CALL_OPERAND
+    + r"|(?<![\w.])[a-zA-Z_][\w.]*"
+    + r"|\([^()]*\)"
+    + r")"
+)
+
+# col ->> 'key' / col -> 'key'  → get_json_object(col, '$.key')
+# (both map to the extracted-text form: this engine models json as string)
+_JSON_EXTRACT_RE = re.compile(_JSON_OPERAND + r"\s*->>?\s*'((?:[^']|'')*)'")
+
+# x -> n / x ->> n with an INTEGER index: PG's json array element access
+# (previously a loud parse error — the rule above only admits string-key
+# RHS). Non-negative indexes map to the $[n] path; NEGATIVE indexes
+# (PG 13+: count from the end) have no JsonPath equivalent in Spark's
+# get_json_object — named error, not silence.
+_JSON_EXTRACT_IDX_RE = re.compile(_JSON_OPERAND + r"\s*->>?\s*(\d+)\b")
+_JSON_EXTRACT_NEG_IDX_RE = re.compile(_JSON_OPERAND + r"\s*->>?\s*-\d+\b")
+
+# CHAINED arrows (round-9 session 2): `j -> 'a' ->> 'b'` — the base rules
+# above rewrite only the LEFTMOST arrow (their operand admits identifiers
+# and paren groups, not calls), leaving `get_json_object(j, '$.a') ->>
+# 'b'` to die in Spark's parser. These operands key on OUR OWN output
+# (literal get_json_object( prefix, up to two nested paren levels —
+# chains of 3 arrows; deeper chains stay loud), so they cannot misfire on
+# lambda arrows, and iterate to fixpoint below.
+_JSON_CHAIN_OPERAND = (
+    r"(get_json_object\s*\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\))"
+)
+_JSON_CHAIN_STR_RE = re.compile(
+    _JSON_CHAIN_OPERAND + r"\s*->>?\s*'((?:[^']|'')*)'"
+)
+_JSON_CHAIN_IDX_RE = re.compile(_JSON_CHAIN_OPERAND + r"\s*->>?\s*(\d+)\b")
+
+# LIKE/regex-op left operand: also admits a string LITERAL ('x' ~~ 'p'
+# is legal PG and showed up untranslated in the round-6 sqlsmith run —
+# the literal-interior guard still applies since the match contains the
+# literal entirely) and a FUNCTION-CALL form with up to two levels of
+# nested parens (`CAST((x) AS string) ~~ 'p'` — the ::cast rewrite runs
+# first and produces exactly that shape; found by the round-6 extended
+# fuzz campaign, v2#837: the call LHS matched nothing, `~~` survived to
+# Spark, and the query failed to parse).  The callee keyword guard and
+# call shape (_CALL_KW_GUARD / _CALL_OPERAND) are defined above the json
+# rules, which share them since round-9 session 2.
 # (?<![\w.]) on the CALL and IDENTIFIER alternatives only: never start
 # those mid-identifier — after the keyword guard rejects `AND (b)`, the
 # scan must not resume one char later and accept `ND (b)` as a call
@@ -1727,6 +1782,39 @@ def _build_to_number(args):
 _TO_NUMBER_OPEN_RE = re.compile(r"\bto_number\s*\(", re.IGNORECASE)
 
 
+# PG's json SET-RETURNING functions (round-9 session 2): these return one
+# ROW per key/element. The old straight rename jsonb_object_keys →
+# json_object_keys was a SILENT structural delta — Spark's
+# json_object_keys returns ONE ARRAY, so 'SELECT jsonb_object_keys(j)'
+# produced 1 row of ['a','b'] where PG produces 2 rows. Both PG spellings
+# (json_/jsonb_) now explode. Elements follow the module-wide json→text
+# collapse (header): the _text variants are exact; the json variants
+# differ only in that PG keeps quotes around string elements. A
+# FROM-position 'AS k' aliases the TABLE here (column stays Spark's
+# 'col'/'key'), where PG also names the column — select-list usage (the
+# common form) is exact; FROM usage may need AS t(k).
+_JSON_OBJECT_KEYS_OPEN_RE = re.compile(
+    r"\bjsonb?_object_keys\s*\(", re.IGNORECASE
+)
+_JSON_ARRAY_ELEMENTS_OPEN_RE = re.compile(
+    r"\bjsonb?_array_elements(?:_text)?\s*\(", re.IGNORECASE
+)
+
+
+def _build_json_object_keys(args):
+    if len(args) != 1:
+        return None
+    head = "explode(json_object_keys("
+    return (f"{head}{args[0].strip()}))", len(head))
+
+
+def _build_json_array_elements(args):
+    if len(args) != 1:
+        return None
+    head = "explode(from_json("
+    return (f"{head}{args[0].strip()}, 'array<string>'))", len(head))
+
+
 _DATE_BIN_UNIT_US = {
     "us": 1, "microsecond": 1, "microseconds": 1,
     "ms": 1_000, "millisecond": 1_000, "milliseconds": 1_000,
@@ -2121,7 +2209,6 @@ _PG_FN_RENAMES = [
     ("array_to_string", "array_join"),
     ("starts_with", "startswith"),
     ("jsonb_array_length", "json_array_length"),
-    ("jsonb_object_keys", "json_object_keys"),
 ]
 
 _STRING_TO_ARRAY_OPEN_RE = re.compile(r"\bstring_to_array\s*\(", re.IGNORECASE)
@@ -2434,11 +2521,14 @@ def _quant_predicate(lhs: str, cm: re.Match) -> str:
     """Lambda body for one element ``_qe`` under the matched operator:
     plain comparisons, [NOT] [I]LIKE, ``~~`` LIKE spellings, and the
     ``~`` regex family (case-insensitive variants prepend ``(?i)``)."""
-    if lhs.startswith("'"):
-        # A literal LHS makes the generated lambda read "_qe -> 'a' ...",
-        # which the later JSON -> rewrite mistakes for a json-extract and
-        # mangles into get_json_object(_qe, '$.a') — eating the lambda
-        # arrow (round-6 advisory).  Parenthesizing breaks that match.
+    if not (lhs.startswith("(") and lhs.endswith(")")):
+        # The generated lambda reads "_qe -> <lhs> ...": a string-literal
+        # LHS made the later JSON -> rewrite mistake it for a json-extract
+        # and mangle it into get_json_object(_qe, '$.a') — eating the
+        # lambda arrow (round-6 advisory) — and the round-9 integer-index
+        # arrow rule would do the same to a NUMERIC LHS ("_qe -> 0 =
+        # _qe"). Parenthesizing unconditionally breaks both matches (the
+        # arrow rules require a quote or digit right after the arrow).
         lhs = f"({lhs})"
     if cm.group("cmp"):
         return f"{lhs} {cm.group('cmp')} _qe"
@@ -2623,6 +2713,36 @@ def _translate_operators(sql: str) -> str:
         ),
         sql,
     )
+    if _JSON_EXTRACT_NEG_IDX_RE.search(_masked(sql)):
+        raise ValueError(
+            "json -> / ->> with a NEGATIVE array index (PG 13+: counts "
+            "from the end) has no JsonPath equivalent in Spark's "
+            "get_json_object — index from the start, or explode the array"
+        )
+    sql = _sub_skipping_literal_interiors(
+        _JSON_EXTRACT_IDX_RE,
+        lambda m: (
+            f"{_sep_if_word_before(m.string, m.start())}"
+            f"get_json_object({m.group(1)}, '$[{m.group(2)}]')"
+        ),
+        sql,
+    )
+    # chained arrows: each pass consumes one more arrow whose operand is
+    # the previous pass's get_json_object output (see _JSON_CHAIN_OPERAND)
+    while True:
+        chained = _sub_skipping_literal_interiors(
+            _JSON_CHAIN_STR_RE,
+            lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')",
+            sql,
+        )
+        chained = _sub_skipping_literal_interiors(
+            _JSON_CHAIN_IDX_RE,
+            lambda m: f"get_json_object({m.group(1)}, '$[{m.group(2)}]')",
+            chained,
+        )
+        if chained == sql:
+            break
+        sql = chained
 
     # (to_char/to_timestamp/to_date and the substring/left/right clips
     # run LAST in this function — their CASE-guarded replacements nest
@@ -2702,6 +2822,12 @@ def _translate_operators(sql: str) -> str:
     sql = _rewrite_calls(sql, _TO_HEX_OPEN_RE, _build_to_hex)
     sql = _rewrite_calls(sql, _TO_NUMBER_OPEN_RE, _build_to_number)
     sql = _rewrite_calls(sql, _DATE_BIN_OPEN_RE, _build_date_bin)
+    sql = _rewrite_calls(
+        sql, _JSON_OBJECT_KEYS_OPEN_RE, _build_json_object_keys
+    )
+    sql = _rewrite_calls(
+        sql, _JSON_ARRAY_ELEMENTS_OPEN_RE, _build_json_array_elements
+    )
     # PG's EXTRACT(EPOCH) keeps fractional seconds (it returns numeric);
     # unix_timestamp() would floor to whole seconds, silently changing
     # sub-second data. Found by differential execution (round 6). The
