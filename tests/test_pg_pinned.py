@@ -934,3 +934,34 @@ def test_json_srf_and_index_arrow_pins(spark):
 
     with pytest.raises(ValueError, match="NEGATIVE"):
         translate_pg_sql("SELECT j ->> -1 FROM t")
+
+
+def test_row_ctor_array_fns_timezone_pins(spark):
+    """Fifth probe batch: ROW(...) constructors (-> struct; PG row-value
+    comparison semantics carry over), array_prepend's REVERSED Spark
+    argument order, array_upper/lower dim-1 (NULL for empty arrays, like
+    PG), and timezone(zone, ts) — PG's function spelling of AT TIME
+    ZONE, routed through the same documented ATZ reading paths."""
+    row = one(
+        spark,
+        "ROW(1, 'a') = ROW(1, 'a') AS req, "
+        "ROW(1, 2) < ROW(1, 3) AS rlt, "
+        "array_prepend(0, ARRAY[1,2]) AS pre, "
+        "array_upper(ARRAY[4,5,6], 1) AS up, "
+        "array_upper(ARRAY[4,5,6], 1) IS NOT NULL AS up_nn, "
+        "array_lower(ARRAY[4,5,6], 1) AS lo, "
+        "CAST(timezone('America/New_York', "
+        "TIMESTAMP '2024-01-15 12:00:00') AS STRING) AS ny",
+    )
+    assert row["req"] is True
+    assert row["rlt"] is True
+    assert row["pre"] == [0, 1, 2]
+    assert (row["up"], row["lo"]) == (3, 1)
+    assert row["up_nn"] is True
+    assert row["ny"] == "2024-01-15 17:00:00"  # noon NY winter == 17:00 UTC
+    # empty arrays: PG returns NULL bounds
+    row = one(
+        spark,
+        "array_upper(array(), 1) AS up0, array_lower(array(), 1) AS lo0",
+    )
+    assert row["up0"] is None and row["lo0"] is None

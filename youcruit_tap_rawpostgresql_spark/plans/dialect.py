@@ -1760,6 +1760,62 @@ def _build_to_hex(args):
     return (f"{head}{args[0].strip()}))", len(head))
 
 
+def _build_array_prepend(args):
+    # PG: array_prepend(elem, arr); Spark 3.5+: array_prepend(arr, elem)
+    # — REVERSED argument order (loud DATATYPE_MISMATCH for most operand
+    # types, silent for array-of-array elements). Swap.
+    if len(args) != 2:
+        return None
+    head = "array_prepend("
+    return (f"{head}{args[1].strip()}, {args[0].strip()})", len(head))
+
+
+def _build_array_upper(args):
+    # PG array_upper(a, 1): last index (== length, 1-based), NULL for an
+    # empty array. Dims other than 1 stay untouched (loud).
+    if len(args) != 2 or _strip_comments(args[1]) != "1":
+        return None
+    head = "nullif(size("
+    return (f"{head}{args[0].strip()}), 0)", len(head))
+
+
+def _build_array_lower(args):
+    # PG array_lower(a, 1): 1 for any non-empty array, NULL when empty.
+    if len(args) != 2 or _strip_comments(args[1]) != "1":
+        return None
+    x = args[0].strip()
+    return (f"(CASE WHEN size({x}) > 0 THEN 1 END)", 0)
+
+
+_ARRAY_PREPEND_OPEN_RE = re.compile(r"\barray_prepend\s*\(", re.IGNORECASE)
+_ARRAY_UPPER_OPEN_RE = re.compile(r"\barray_upper\s*\(", re.IGNORECASE)
+_ARRAY_LOWER_OPEN_RE = re.compile(r"\barray_lower\s*\(", re.IGNORECASE)
+
+# ROW(a, b, …) constructor → struct(a, b, …): PG row-value comparisons
+# work on Spark structs (probed: struct equality/ordering). \bROW\s*\(
+# cannot touch ROW_NUMBER( (the paren must follow ROW directly) or the
+# ROWS frame keyword (no paren).
+_ROW_CTOR_OPEN_RE = re.compile(r"\bROW\s*\(", re.IGNORECASE)
+
+
+def _build_row_ctor(args):
+    head = "struct("
+    return (f"{head}{', '.join(a.strip() for a in args)})", len(head))
+
+
+# timezone(zone, ts) — PG's FUNCTION spelling of AT TIME ZONE. Rewritten
+# to the operator form EARLY in translate_pg_sql (before the AT TIME
+# ZONE rules run) so both operand readings (naive literal vs instant)
+# take the documented ATZ paths.
+_TIMEZONE_FN_OPEN_RE = re.compile(r"\btimezone\s*\(", re.IGNORECASE)
+
+
+def _build_timezone_fn(args):
+    if len(args) != 2:
+        return None
+    return (f"({args[1].strip()} AT TIME ZONE {args[0].strip()})", 0)
+
+
 def _build_to_number(args):
     """Spark's native to_number understands PG's 9/0/G/D/S/MI/PR tokens
     directly (probed: PG docs example '12,454.8-' / '99G999D9S' parses
@@ -2828,6 +2884,10 @@ def _translate_operators(sql: str) -> str:
     sql = _rewrite_calls(
         sql, _JSON_ARRAY_ELEMENTS_OPEN_RE, _build_json_array_elements
     )
+    sql = _rewrite_calls(sql, _ARRAY_PREPEND_OPEN_RE, _build_array_prepend)
+    sql = _rewrite_calls(sql, _ARRAY_UPPER_OPEN_RE, _build_array_upper)
+    sql = _rewrite_calls(sql, _ARRAY_LOWER_OPEN_RE, _build_array_lower)
+    sql = _rewrite_calls(sql, _ROW_CTOR_OPEN_RE, _build_row_ctor)
     # PG's EXTRACT(EPOCH) keeps fractional seconds (it returns numeric);
     # unix_timestamp() would floor to whole seconds, silently changing
     # sub-second data. Found by differential execution (round 6). The
@@ -3242,6 +3302,10 @@ def translate_pg_sql(
     # dollar-quoted strings first: every later pass assumes standard
     # single-quoted literals only
     sql = _normalize_dollar_quotes(sql)
+    # timezone(zone, ts) → (ts AT TIME ZONE zone) BEFORE the AT TIME ZONE
+    # rules below, so PG's function spelling takes the same documented
+    # naive-literal/instant reading paths as the operator spelling
+    sql = _rewrite_calls(sql, _TIMEZONE_FN_OPEN_RE, _build_timezone_fn)
     # DISTINCT ON is a structural PG-ism (needs the ORDER BY context to
     # rewrite as a row_number window) — handled by a masked structural
     # scan, not regex: the supported single-block shape is rewritten,

@@ -898,3 +898,55 @@ def pg_dialect_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM orders WHERE o_orderkey % 13 = 0",
         pg_dialect=True,
     )
+
+
+@register(
+    "pg_dialect_agg_order_semantics",
+    # DuckDB runs PG's inline aggregate ORDER BY natively and keeps
+    # nulls in array_agg, so the oracle is near-verbatim; elements cast
+    # to DOUBLE on both engines because pandas materializes a Spark
+    # array<bigint> holding NULLs as floats (normalizer type parity).
+    # The sort key (o_orderkey) is non-null, so no null-ordering pragma
+    # dependence on the oracle side.
+    oracle="""
+SELECT o_orderpriority,
+  array_agg(CAST(nullif(o_orderkey % 7, 3) AS DOUBLE)
+            ORDER BY o_orderkey) AS keys_ordered,
+  array_agg(DISTINCT o_orderkey % 5 ORDER BY o_orderkey % 5) AS residues,
+  min(EXTRACT(CENTURY FROM o_orderdate)) AS first_century,
+  max(EXTRACT(DECADE FROM o_orderdate)) AS last_decade,
+  count(*) AS n
+FROM orders WHERE o_orderkey % 97 = 0
+GROUP BY o_orderpriority
+""",
+)
+def pg_dialect_agg_order_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 session-2 aggregate family end-to-end on the
+    delegated-SQL contract: ``array_agg`` with PG's null KEEPING (Spark's
+    native array_agg silently drops nulls — the ``nullif`` lane exercises
+    exactly that), inline ``ORDER BY`` inside the aggregate (a Spark
+    parse error before), ``DISTINCT`` with its sorted form, and the
+    year-derived ``EXTRACT`` fields Spark rejects
+    (``INVALID_EXTRACT_FIELD``), composed under GROUP BY.
+
+    Scale: one pruned scan, partial-aggregatable count/min/max; the
+    collect_list lanes shuffle grouped rows once (inherent to ordered
+    array aggregation — PG pays the same sort) and sort per group in
+    memory, array sizes bounded by the group's row count."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    tables(spark, sf_dir)
+    return run_sql(
+        spark,
+        "SELECT o_orderpriority, "
+        "array_agg(nullif(o_orderkey % 7, 3)::float8 "
+        "ORDER BY o_orderkey) AS keys_ordered, "
+        "array_agg(DISTINCT o_orderkey % 5 ORDER BY o_orderkey % 5) "
+        "AS residues, "
+        "min(EXTRACT(CENTURY FROM o_orderdate)) AS first_century, "
+        "max(EXTRACT(DECADE FROM o_orderdate)) AS last_decade, "
+        "count(*) AS n "
+        "FROM orders WHERE o_orderkey % 97 = 0 "
+        "GROUP BY o_orderpriority",
+        pg_dialect=True,
+    )
