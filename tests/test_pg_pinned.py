@@ -965,3 +965,35 @@ def test_row_ctor_array_fns_timezone_pins(spark):
         "array_upper(array(), 1) AS up0, array_lower(array(), 1) AS lo0",
     )
     assert row["up0"] is None and row["lo0"] is None
+
+
+def test_timestamp_family_and_null_postfix_pins(spark):
+    """Sixth probe batch: PG's other current-time spellings map to
+    current_timestamp() (transaction/statement_timestamp ARE now() at
+    statement granularity; clock_timestamp's per-call advance is a
+    documented delta — Spark has no per-row wall clock), bare
+    localtimestamp gains Spark's () call form, the nonstandard postfix
+    null tests (ISNULL/NOTNULL) become standard ones while the isnull()
+    FUNCTION passes through, num_nonnulls/num_nulls become per-argument
+    CASE sums (PG's variadic form has no common-type constraint an
+    array() would impose), and literal-template format() with %s/%%
+    becomes format_string (PG's %I/%L quoting raises a named error)."""
+    row = one(
+        spark,
+        "transaction_timestamp() IS NOT NULL AS a, "
+        "clock_timestamp() = statement_timestamp() AS b, "
+        "localtimestamp IS NOT NULL AS c, "
+        "1 ISNULL AS d, NULL NOTNULL AS e, isnull(NULL) AS f, "
+        "num_nonnulls(1, NULL, 'a') AS g, num_nulls(1, NULL, NULL) AS h, "
+        "format('Hello %s #%s, 100%%', 'World', 1) AS i",
+    )
+    assert row["a"] is True
+    assert row["b"] is True  # engine: one statement instant (delta noted)
+    assert row["c"] is True
+    assert row["d"] is False and row["e"] is False and row["f"] is True
+    assert (row["g"], row["h"]) == (2, 2)
+    assert row["i"] == "Hello World #1, 100%"
+    import pytest
+
+    with pytest.raises(ValueError, match="%I"):
+        translate_pg_sql("SELECT format('%I', 'col')")

@@ -1816,6 +1816,68 @@ def _build_timezone_fn(args):
     return (f"({args[1].strip()} AT TIME ZONE {args[0].strip()})", 0)
 
 
+_POSTFIX_NULL_RE = re.compile(r"\b(ISNULL|NOTNULL)\b(?!\s*\()", re.IGNORECASE)
+
+
+def _rewrite_postfix_null_tests(s: str) -> str:
+    def repl(m: re.Match) -> str:
+        before = s[: m.start()].rstrip()
+        if before.endswith(".") or re.search(r"\bAS\Z", before, re.IGNORECASE):
+            return m.group(0)  # identifier position: alias / qualified name
+        return "IS NULL" if m.group(1).upper() == "ISNULL" else "IS NOT NULL"
+
+    return _POSTFIX_NULL_RE.sub(repl, s)
+
+
+def _build_num_nonnulls(args):
+    # PG variadic: count of non-null arguments. Per-argument CASE sum —
+    # an array() of the args would demand a common type PG doesn't.
+    if not args:
+        return None
+    terms = " + ".join(
+        f"(CASE WHEN ({a.strip()}) IS NULL THEN 0 ELSE 1 END)" for a in args
+    )
+    return (f"({terms})", 0)
+
+
+def _build_num_nulls(args):
+    if not args:
+        return None
+    terms = " + ".join(
+        f"(CASE WHEN ({a.strip()}) IS NULL THEN 1 ELSE 0 END)" for a in args
+    )
+    return (f"({terms})", 0)
+
+
+_NUM_NONNULLS_OPEN_RE = re.compile(r"\bnum_nonnulls\s*\(", re.IGNORECASE)
+_NUM_NULLS_OPEN_RE = re.compile(r"\bnum_nulls\s*\(", re.IGNORECASE)
+
+
+def _build_pg_format(args):
+    """PG format() → Spark format_string for literal templates using
+    only %s and %% (the common logging/concat shape). %I (identifier
+    quoting) and %L (literal quoting) have no Spark builtin — named
+    error; non-literal templates stay untouched (loud)."""
+    if len(args) < 1:
+        return None
+    fmt = _strip_comments(args[0])
+    if not re.fullmatch(_STR_LIT, fmt):
+        return None
+    body = fmt[1:-1]
+    specs = re.findall(r"%.?", body)
+    if any(s not in ("%s", "%%") for s in specs):
+        raise ValueError(
+            "format(): only %s and %% conversions are supported (PG's %I/"
+            "%L identifier/literal quoting has no Spark equivalent)"
+        )
+    head = "format_string("
+    rest = "".join(f", {a.strip()}" for a in args[1:])
+    return (f"{head}{fmt}{rest})", len(head))
+
+
+_PG_FORMAT_OPEN_RE = re.compile(r"\bformat\s*\(", re.IGNORECASE)
+
+
 def _build_to_number(args):
     """Spark's native to_number understands PG's 9/0/G/D/S/MI/PR tokens
     directly (probed: PG docs example '12,454.8-' / '99G999D9S' parses
@@ -2888,6 +2950,9 @@ def _translate_operators(sql: str) -> str:
     sql = _rewrite_calls(sql, _ARRAY_UPPER_OPEN_RE, _build_array_upper)
     sql = _rewrite_calls(sql, _ARRAY_LOWER_OPEN_RE, _build_array_lower)
     sql = _rewrite_calls(sql, _ROW_CTOR_OPEN_RE, _build_row_ctor)
+    sql = _rewrite_calls(sql, _NUM_NONNULLS_OPEN_RE, _build_num_nonnulls)
+    sql = _rewrite_calls(sql, _NUM_NULLS_OPEN_RE, _build_num_nulls)
+    sql = _rewrite_calls(sql, _PG_FORMAT_OPEN_RE, _build_pg_format)
     # PG's EXTRACT(EPOCH) keeps fractional seconds (it returns numeric);
     # unix_timestamp() would floor to whole seconds, silently changing
     # sub-second data. Found by differential execution (round 6). The
@@ -3328,6 +3393,37 @@ def translate_pg_sql(
             r"\bnow\s*\(\s*\)", "current_timestamp()", s, flags=re.IGNORECASE
         ),
     )
+    # PG's other current-time spellings (round-9 session 2, sixth batch):
+    # transaction_timestamp() and statement_timestamp() ARE now() at this
+    # engine's statement granularity; clock_timestamp() maps to the same
+    # query-constant instant — documented delta: PG's advances during
+    # statement execution, Spark has no per-row wall clock. Bare
+    # localtimestamp (no parens — PG's spelling) needs Spark's ()
+    # call form.
+    out = _outside_literals(
+        out,
+        lambda s: re.sub(
+            r"\b(?:transaction|statement|clock)_timestamp\s*\(\s*\)",
+            "current_timestamp()",
+            s,
+            flags=re.IGNORECASE,
+        ),
+    )
+    out = _outside_literals(
+        out,
+        lambda s: re.sub(
+            r"\blocaltimestamp\b(?!\s*\()",
+            "localtimestamp()",
+            s,
+            flags=re.IGNORECASE,
+        ),
+    )
+    # PG's postfix null tests: `x ISNULL` / `x NOTNULL` (nonstandard but
+    # documented PG spellings). The function form isnull(x) is valid
+    # Spark (no-paren lookahead), and ISNULL/NOTNULL are NON-RESERVED in
+    # PG — `AS isnull` and `t.notnull` are legal names, so a match whose
+    # preceding token is AS or a dot is an identifier, not the operator.
+    out = _outside_literals(out, _rewrite_postfix_null_tests)
     out = _translate_set_functions(out)
     out = _translate_operators(out)
     out = _translate_regexp_replace_flags(out)
