@@ -997,3 +997,27 @@ def test_timestamp_family_and_null_postfix_pins(spark):
 
     with pytest.raises(ValueError, match="%I"):
         translate_pg_sql("SELECT format('%I', 'col')")
+
+
+def test_concat_null_skipping_and_bare_numeric_cast_pins(spark):
+    """Seventh probe batch, the two silent deltas: PG's concat() is
+    variadic-any -> text and SKIPS NULL arguments (docs §9.4: "NULL
+    arguments are ignored") where Spark's concat returns NULL on any
+    NULL; and a bare ``::numeric`` cast keeps arbitrary precision in PG
+    where Spark's bare DECIMAL is DECIMAL(10,0) — the probe shape
+    ``round(corr(..)::numeric, 4)`` silently returned 1 for 0.9934."""
+    row = one(
+        spark,
+        "concat('a', NULL, 'b') AS ab, "
+        "concat(NULL, NULL) AS empty, "
+        "concat('x', 1, NULL, 2.5) AS mixed, "
+        "concat('d', date '2024-01-15') AS dt, "
+        "0.9934::numeric AS bare, "
+        "round((5.0/5.0332)::numeric, 4) AS corrish",
+    )
+    assert row["ab"] == "ab"          # PG: concat('a', NULL, 'b') -> ab
+    assert row["empty"] == ""         # all-NULL -> empty string, not NULL
+    assert row["mixed"] == "x12.5"
+    assert row["dt"] == "d2024-01-15"
+    assert float(row["bare"]) == 0.9934
+    assert abs(float(row["corrish"]) - 0.9934) < 5e-5

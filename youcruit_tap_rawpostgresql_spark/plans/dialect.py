@@ -89,6 +89,18 @@ own error), and ``to_number`` templates with ``L`` → ``$`` (Spark's
 native to_number already understands PG's 9/0/G/D/S/MI tokens — probed
 with the PG docs example).
 
+Round-9 session-3 probe batch: ``concat(...)`` → ``concat_ws('',
+CAST(.. AS STRING)..)`` (PG's concat SKIPS NULL arguments — variadic-any
+→ text; Spark's returns NULL on any NULL argument — silent). Known
+deltas: non-scalar concat operands render via Spark's CAST (arrays show
+``[1, 2]`` where PG shows ``{1,2}``) and extreme doubles render in
+Spark's scientific form (``1.0E20`` vs PG ``1e+20``). Bare
+(unconstrained) ``::numeric``/``::decimal`` casts → ``decimal(38,18)``
+(Spark's bare DECIMAL is DECIMAL(10,0) — it silently TRUNCATED every
+fractional digit; PG's numeric is arbitrary-precision). Known delta:
+values with |x| ≥ 1e20 overflow the 38-digit bound where PG is
+unbounded.
+
 Aggregate / set-returning family (round-9 session 2, second batch):
 ``array_agg`` restores THREE PG behaviours Spark silently changes — nulls
 are KEPT (collect_list drops them; rewritten via null-safe named_struct
@@ -212,6 +224,14 @@ _PARAM_RE = re.compile(r"(?<![:\w]):([a-zA-Z_]\w*)")
 
 def _rename_type(pg_type: str) -> str:
     key = pg_type.strip().lower()
+    # Bare (unconstrained) numeric/decimal: PG keeps arbitrary precision,
+    # but Spark's bare DECIMAL is DECIMAL(10,0) — a cast that silently
+    # TRUNCATES every fractional digit (round-9 probe: round(x::numeric, 4)
+    # returned 1 for x=0.9934). Map to Spark's widest sensible default,
+    # DECIMAL(38,18). Known delta (documented in the module header): values
+    # with |x| >= 1e20 overflow to NULL where PG's numeric is unbounded.
+    if key in ("numeric", "decimal", "dec"):
+        return "decimal(38,18)"
     if key in _PG_TYPE_RENAMES:
         return _PG_TYPE_RENAMES[key]
     # parameterized types: rename the base name, keep the parameters
@@ -2766,6 +2786,25 @@ def _build_array_position(args):
     return None
 
 
+_CONCAT_OPEN_RE = re.compile(r"\bconcat\s*\(", re.IGNORECASE)
+
+
+def _build_concat(args):
+    # PG concat(variadic "any"): each argument renders as text, NULLs are
+    # SKIPPED (concat('a', NULL, 'b') = 'ab'; all-NULL = ''); Spark's
+    # concat returns NULL on any NULL argument. concat_ws('') has PG's
+    # skip-NULL rule; the casts make every argument a string (Spark's
+    # concat_ws accepts only strings/arrays of strings). Known deltas
+    # (module header): non-scalar operands render via Spark's CAST — an
+    # array argument shows '[1, 2]' where PG shows '{1,2}' — and extreme
+    # doubles render in Spark's scientific form ('1.0E20' vs PG '1e+20').
+    if not args or (len(args) == 1 and not args[0].strip()):
+        return None
+    head = "concat_ws('', "
+    body = ", ".join(f"CAST({a.strip()} AS STRING)" for a in args)
+    return (head + body + ")", len(head))
+
+
 def _translate_operators(sql: str) -> str:
     def similar_repl(m: re.Match) -> str:
         operand, neg, lit = m.group(1), m.group(2), m.group(3)
@@ -2786,6 +2825,15 @@ def _translate_operators(sql: str) -> str:
     # match STARTING inside a string literal is data (the round-4 fuzz
     # pass caught `~` sequences inside literals being rewritten to RLIKE)
     sql = _sub_skipping_literal_interiors(_SIMILAR_TO_RE, similar_repl, sql)
+    # concat() FIRST among the call rewrites: PG's concat is variadic-any
+    # → text and SKIPS NULL arguments; Spark's concat returns NULL when
+    # ANY argument is NULL (round-9 probe: concat('a', NULL, 'b') was
+    # silently NULL). Rewritten to concat_ws('', CAST(.. AS STRING)..).
+    # Running before the quantified-comparison rule and the array_cat
+    # rename matters: both EMIT concat(...) whose NULL semantics must
+    # stay Spark's (a NULL regex flag-concat must yield NULL, and
+    # array_cat concatenates arrays, not text).
+    sql = _rewrite_calls(sql, _CONCAT_OPEN_RE, _build_concat)
     sql = _translate_array_ctors(sql)
     sql = _translate_array_binops(sql)
     sql = _translate_quantified_comparisons(sql)
