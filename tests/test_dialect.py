@@ -858,3 +858,147 @@ def test_distinct_on_unsupported_shapes_raise_with_recipe():
     ]:
         with pytest.raises(ValueError, match="ROW_NUMBER"):
             translate_pg_sql(bad)
+
+
+# ---------------------------------------------------------------------------
+# round-9 session-4: operator/function batch (translation-level)
+# ---------------------------------------------------------------------------
+
+
+def test_power_hash_prefix_translations():
+    from youcruit_tap_rawpostgresql_spark.plans.dialect import (
+        translate_pg_sql as t,
+    )
+
+    assert t("SELECT 2 ^ 3") == "SELECT power(2, 3)"
+    assert t("SELECT 2 ^ 3 ^ 2") == "SELECT power(power(2, 3), 2)"
+    assert t("SELECT -2 ^ 2") == "SELECT power(-2, 2)"  # UMINUS binds tighter
+    assert t("SELECT a - 2 ^ 2 FROM t") == "SELECT a - power(2, 2) FROM t"
+    assert t("SELECT f(x) ^ (y + 1) FROM t") == "SELECT power(f(x), (y + 1)) FROM t"
+    assert t("SELECT 17 # 5") == "SELECT (17 ^ 5)"
+    assert t("SELECT a # b # c FROM t") == "SELECT ((a ^ b) ^ c) FROM t"
+    assert t("SELECT |/ 25.0") == "SELECT sqrt(25.0)"
+    assert t("SELECT ||/ 27.0") == "SELECT cbrt(27.0)"
+    assert t("SELECT |/ |/ 16") == "SELECT sqrt(sqrt(16))"
+    assert t("SELECT @ -5.5") == "SELECT abs(-5.5)"
+    # operators inside literals are data
+    assert t("SELECT '2 ^ 3 # @' AS s") == "SELECT '2 ^ 3 # @' AS s"
+    # json #> consumed by the path rule, never by the xor rule
+    assert "get_json_object" in t("SELECT j #>> '{a,b}' FROM t")
+    # a ^ with unscannable operands raises (silence would XOR)
+    with pytest.raises(ValueError, match="exponentiation"):
+        t("SELECT CASE WHEN p THEN 1 END ^ 2 FROM t")
+
+
+def test_between_symmetric_and_overlaps_translations():
+    from youcruit_tap_rawpostgresql_spark.plans.dialect import (
+        translate_pg_sql as t,
+    )
+
+    out = t("SELECT x BETWEEN SYMMETRIC a AND b FROM t")
+    assert out == (
+        "SELECT ((x) >= (a) AND (x) <= (b) OR "
+        "(x) >= (b) AND (x) <= (a)) FROM t"
+    )
+    out = t("SELECT x NOT BETWEEN SYMMETRIC a AND b FROM t")
+    assert out.startswith("SELECT NOT ((x)")
+    assert t("SELECT x BETWEEN ASYMMETRIC 1 AND 2 FROM t") == (
+        "SELECT x BETWEEN 1 AND 2 FROM t"
+    )
+    # bounds with ^ still capture whole chains (ordering: ^ first)
+    out = t("SELECT x BETWEEN SYMMETRIC 2 ^ 2 AND 3 ^ 2 FROM t")
+    assert "power(2, 2)" in out and "power(3, 2)" in out
+    out = t("SELECT (a, b) OVERLAPS (c, d) FROM t")
+    assert out == (
+        "SELECT ((least(a, b) < greatest(c, d) AND "
+        "least(c, d) < greatest(a, b)) OR least(a, b) = least(c, d)) FROM t"
+    )
+    with pytest.raises(ValueError, match="OVERLAPS"):
+        t("SELECT a OVERLAPS b FROM t")
+
+
+def test_encode_decode_quote_regexp_translations():
+    from youcruit_tap_rawpostgresql_spark.plans.dialect import (
+        translate_pg_sql as t,
+    )
+
+    assert t("SELECT encode(p, 'hex') FROM t") == "SELECT lower(hex(p)) FROM t"
+    assert t("SELECT decode(s, 'hex') FROM t") == "SELECT unhex(s) FROM t"
+    # Spark's own charset encode passes through untouched
+    assert t("SELECT encode(s, 'UTF-8') FROM t") == (
+        "SELECT encode(s, 'UTF-8') FROM t"
+    )
+    assert "base64(p)" in t("SELECT encode(p, 'base64') FROM t")
+    assert "unbase64" in t("SELECT decode(s, 'base64') FROM t")
+    with pytest.raises(ValueError, match="escape"):
+        t("SELECT decode(s, 'escape') FROM t")
+    # quoting family builds NULL-propagating CASE expressions
+    assert "CASE WHEN instr" in t("SELECT quote_literal(x) FROM t")
+    assert "'NULL'" in t("SELECT quote_nullable(x) FROM t")
+    assert "RLIKE '^[a-z_][a-z0-9_]*$'" in t("SELECT quote_ident(x) FROM t")
+    # regexp_match: group count drives the array shape
+    out = t("SELECT regexp_match(s, 'a(b)(c)') FROM t")
+    assert out.count("regexp_extract") == 2 and "RLIKE" in out
+    out = t("SELECT regexp_match(s, 'abc') FROM t")
+    assert "regexp_extract(s, 'abc', 0)" in out
+    # non-literal pattern: group count unknowable -> untouched (loud)
+    assert t("SELECT regexp_match(s, p) FROM t") == (
+        "SELECT regexp_match(s, p) FROM t"
+    )
+    # regexp_matches is set-returning: explode forms
+    assert t("SELECT regexp_matches(s, 'a(b)', 'g') FROM t").startswith(
+        "SELECT explode(transform(regexp_extract_all"
+    )
+    assert "zip_with" in t("SELECT regexp_matches(s, '(a)(b)', 'g') FROM t")
+    with pytest.raises(ValueError, match="3 capture groups"):
+        t("SELECT regexp_matches(s, '(a)(b)(c)(d)', 'g') FROM t")
+
+
+def test_bit_literal_and_char_cast_translations():
+    from youcruit_tap_rawpostgresql_spark.plans.dialect import (
+        translate_pg_sql as t,
+    )
+
+    assert t("SELECT x'1E'::int") == "SELECT CAST(30 AS int)"
+    assert t("SELECT X'FFFFFFFF'::int") == "SELECT CAST(-1 AS int)"
+    assert t("SELECT b'1001'::bigint") == "SELECT CAST(9 AS bigint)"
+    assert t("SELECT x'1E'::text") == "SELECT '00011110'"
+    assert t("SELECT 'abcdef'::varchar(3)") == (
+        "SELECT substring(CAST('abcdef' AS STRING), 1, 3)"
+    )
+    assert t("SELECT x::char FROM t") == (
+        "SELECT substring(CAST(x AS STRING), 1, 1) FROM t"
+    )
+    assert t("SELECT '1 day'::interval") == "SELECT INTERVAL '1 day'"
+    assert t("SELECT '90 minutes'::interval::text") == (
+        "SELECT CAST(INTERVAL '90 minutes' AS string)"
+    )
+    assert t("SELECT E'ab'::text") == "SELECT CAST('ab' AS string)"
+    assert t("SELECT date '2001-01-01'::text") == (
+        "SELECT CAST(DATE '2001-01-01' AS string)"
+    )
+    # a plain identifier before a literal is NOT a typed-literal prefix
+    assert t("SELECT mycol::text FROM t") == (
+        "SELECT CAST(mycol AS string) FROM t"
+    )
+
+
+def test_make_interval_translations():
+    from youcruit_tap_rawpostgresql_spark.plans.dialect import (
+        translate_pg_sql as t,
+    )
+
+    assert t("SELECT make_interval(days => 10)") == (
+        "SELECT make_dt_interval(10, 0, 0, 0)"
+    )
+    assert t("SELECT make_interval(1, 2)") == "SELECT make_ym_interval(1, 2)"
+    assert t("SELECT make_interval(0, 0, 2, 1)") == (
+        "SELECT make_dt_interval(((1) + 7 * (2)), 0, 0, 0)"
+    )
+    assert t("SELECT make_interval()") == (
+        "SELECT make_dt_interval(0, 0, 0, 0)"
+    )
+    with pytest.raises(ValueError, match="no parameter"):
+        t("SELECT make_interval(dayz => 10)")
+    with pytest.raises(ValueError, match="positional argument after"):
+        t("SELECT make_interval(years => 1, 2)")

@@ -919,3 +919,93 @@ N_CASES_V8 = 80
 @pytest.mark.parametrize("i", range(N_CASES_V8))
 def test_sqlsmith_differential_v8(sview_g, duck_g, i):
     assert_differential(sview_g, duck_g, gen_query_v8(i))
+
+
+# --- grammar v9: PG arithmetic operators DuckDB also speaks (round-9
+# session 4). The session-4 probe found ^ passing through to Spark's
+# bitwise XOR — a silent wrong answer this harness COULD have arbitrated
+# (DuckDB's ^ is exponentiation with PG's exact precedence: probed
+# -2 ^ 2 = 4 (UMINUS tighter), 2 ^ 3 ^ 2 = 64 (left-assoc),
+# 2 * 3 ^ 2 = 18 (^ above *)) except that no earlier grammar emitted the
+# operator at all. v9 emits ^ and prefix @ (DuckDB: abs) directly and
+# inside the v7 rewrite contexts (string-window counts). Bases/exponents
+# are chosen so every power is an exactly-representable integral double
+# (both engines compute in doubles; integral results are
+# repr-identical). NOT here (DuckDB deviates from PG or errors — pinned
+# in test_pg_pinned.py instead): # (parser error), |/ ||/ (no such
+# functions), BETWEEN SYMMETRIC / OVERLAPS (errors), bit-string literal
+# casts (x'1E' lexes as a blob), encode/decode (binder error),
+# varchar(n) cast truncation (DuckDB ignores the length), regexp_match
+# family (DuckDB's regexp_matches returns boolean), make_interval.
+
+def gen_query_v9(i: int) -> str:
+    r = random.Random(20260816 * 9000 + i)
+    shape = r.randrange(5)
+    if shape == 0:
+        # integral powers, chains and precedence mixes over data-driven
+        # bases (all results exact integers in double)
+        b = f"(c_nationkey % {r.randint(2, 9)})"
+        e = r.randint(0, 5)
+        form = r.randrange(3)
+        if form == 0:
+            expr = f"{b} ^ {e}"
+        elif form == 1:
+            expr = f"{b} ^ 2 ^ {r.randint(0, 2)}"  # left-assoc chain
+        else:
+            expr = f"{r.randint(2, 5)} * {b} ^ {e}"  # ^ binds above *
+        return (
+            f"SELECT c_custkey, {expr} AS p "
+            f"FROM customer WHERE c_custkey < 150"
+        )
+    if shape == 1:
+        # unary minus binds tighter than ^ on both engines: (-b)^e
+        b = f"(c_nationkey % {r.randint(2, 7)} + 1)"
+        e = r.randint(1, 4)
+        return (
+            f"SELECT c_custkey, -{b} ^ {e} AS p "
+            f"FROM customer WHERE c_custkey < 150"
+        )
+    if shape == 2:
+        # prefix @ over ints and decimals, nested and parenthesized
+        expr = r.choice(
+            [
+                f"@ (c_nationkey - {r.randint(5, 20)})",
+                "@ c_acctbal",
+                "@ (c_acctbal * -1)",
+                f"@ (@ (c_nationkey - {r.randint(3, 9)}) - 4)",
+            ]
+        )
+        return (
+            f"SELECT c_custkey, {expr} AS a "
+            f"FROM customer WHERE c_custkey < 150"
+        )
+    if shape == 3:
+        # composition with the v7 string-window clips: @-computed and
+        # ^-computed counts (swinging negative) as left/right arguments
+        fn = r.choice(["left", "right"])
+        cnt = r.choice(
+            [
+                f"@ (c_nationkey - {r.randint(2, 6)})",
+                f"(c_nationkey % 3) - @ (c_nationkey - {r.randint(8, 14)})",
+            ]
+        )
+        return (
+            f"SELECT c_custkey, {fn}(c_name, {cnt}) AS w "
+            f"FROM customer WHERE c_custkey < 120"
+        )
+    # shape 4: ^ inside WHERE predicates (integral, cast to int8 so the
+    # compared column type matches) alongside a ~-family rewrite
+    k = r.randint(2, 4)
+    return (
+        f"SELECT c_custkey FROM customer WHERE c_custkey < 150 "
+        f"AND ((c_nationkey % {k}) ^ 2)::int8 % 2 = 0 "
+        f"AND c_name ~ '^[A-Za-z#_ 0-9]+$'"
+    )
+
+
+N_CASES_V9 = 80
+
+
+@pytest.mark.parametrize("i", range(N_CASES_V9))
+def test_sqlsmith_differential_v9(sview_g, duck_g, i):
+    assert_differential(sview_g, duck_g, gen_query_v9(i))

@@ -1021,3 +1021,242 @@ def test_concat_null_skipping_and_bare_numeric_cast_pins(spark):
     assert row["dt"] == "d2024-01-15"
     assert float(row["bare"]) == 0.9934
     assert abs(float(row["corrish"]) - 0.9934) < 5e-5
+
+
+# --- round-9 session-4 probe batch: arithmetic operators, bit literals, ----
+# --- quoting/encode families, OVERLAPS, BETWEEN SYMMETRIC -------------------
+
+
+def test_power_operator_pins(spark):
+    """PG ``^`` is exponentiation (docs §9.3: 2 ^ 3 -> 8) and
+    LEFT-associative (docs: "unlike typical practice"); unary minus binds
+    TIGHTER (gram.y UMINUS above '^'), so -2 ^ 2 = 4. Spark's ``^`` is
+    bitwise XOR — before the rewrite 2 ^ 3 silently returned 1. Known
+    delta (module header): power() computes in doubles where PG's
+    numeric ^ numeric is exact."""
+    row = one(
+        spark,
+        "2 ^ 3 AS a, 2 ^ 3 ^ 2 AS b, -2 ^ 2 AS c, "
+        "2 * 3 ^ 2 AS d, 2 ^ -1 AS e, |/ 25.0 AS f, ||/ 27.0 AS g, "
+        "@ -5.5 AS h, @ 5.5 AS i, 17 # 5 AS j, 91 & 15 AS k, 32 | 3 AS l",
+    )
+    assert row["a"] == 8.0      # PG docs: 2 ^ 3 -> 8
+    assert row["b"] == 64.0     # left-assoc: (2^3)^2
+    assert row["c"] == 4.0      # (-2)^2 — UMINUS binds tighter than ^
+    assert row["d"] == 18.0     # ^ binds tighter than *
+    assert row["e"] == 0.5
+    assert row["f"] == 5.0      # PG docs: |/ 25.0 -> 5
+    assert row["g"] == 3.0      # PG docs: ||/ 27.0 -> 3
+    assert float(row["h"]) == 5.5 and float(row["i"]) == 5.5  # @ = abs
+    assert row["j"] == 20       # PG #: bitwise XOR (10001 xor 00101)
+    assert row["k"] == 11 and row["l"] == 35  # & | identical in Spark
+
+
+def test_bit_string_literal_cast_pins(spark):
+    """PG bit-string literals: x'1E' is bit(8) '00011110' (4 bits per
+    hex digit, leading zeros kept); casts to int reinterpret the bits
+    (two's complement at exact width: x'FFFFFFFF'::int = -1), casts to
+    text render the bit string. Before the fix the ``::`` rewrite left
+    the prefix dangling (`x CAST('1E' AS int)` — corruption)."""
+    row = one(
+        spark,
+        "x'1E'::int AS a, b'1001'::int AS b, x'FFFFFFFF'::int AS c, "
+        "x'1E'::text AS d, b'101'::text AS e, x''::int AS f, "
+        "x'1E'::bigint AS g",
+    )
+    assert row["a"] == 30 and row["b"] == 9
+    assert row["c"] == -1           # 32 ones reinterpret as -1
+    assert row["d"] == "00011110"   # bit(8) rendering, leading zeros kept
+    assert row["e"] == "101"
+    assert row["f"] == 0
+    assert row["g"] == 30
+    import pytest
+
+    with pytest.raises(ValueError, match="does not fit"):
+        translate_pg_sql("SELECT x'FFFFFFFFFF'::int")
+    with pytest.raises(ValueError, match="not supported"):
+        translate_pg_sql("SELECT x'1E'::float8")
+
+
+def test_between_symmetric_pins(spark):
+    """PG expands BETWEEN SYMMETRIC as (x >= lo AND x <= hi) OR
+    (x >= hi AND x <= lo) (gram.y) — including its three-valued-logic
+    behavior with NULL bounds, which a least/greatest normalization
+    would get wrong (5 BETWEEN SYMMETRIC NULL AND 3 is NULL in PG, but
+    least/greatest would skip the NULL and say false)."""
+    row = one(
+        spark,
+        "3 BETWEEN SYMMETRIC 5 AND 1 AS a, "
+        "0 BETWEEN SYMMETRIC 5 AND 1 AS b, "
+        "3 BETWEEN SYMMETRIC 1 AND 5 AS c, "
+        "3 NOT BETWEEN SYMMETRIC 5 AND 1 AS d, "
+        "2 BETWEEN SYMMETRIC NULL AND 3 AS e, "
+        "5 BETWEEN SYMMETRIC NULL AND 3 AS f, "
+        "2 BETWEEN ASYMMETRIC 1 AND 3 AS g",
+    )
+    assert row["a"] is True and row["b"] is False and row["c"] is True
+    assert row["d"] is False
+    assert row["e"] is None and row["f"] is None
+    assert row["g"] is True
+
+
+def test_overlaps_pins(spark):
+    """The four shapes PG's docs (§9.9.1) fix: plain overlap; ADJACENT
+    half-open periods do NOT overlap; a zero-length instant at a
+    period's START does; the (start, interval-length) second form."""
+    row = one(
+        spark,
+        "(DATE '2001-02-16', DATE '2001-12-21') OVERLAPS "
+        "(DATE '2001-10-30', DATE '2002-10-30') AS a, "
+        "(DATE '2001-10-29', DATE '2001-10-30') OVERLAPS "
+        "(DATE '2001-10-30', DATE '2001-10-31') AS b, "
+        "(DATE '2001-10-30', DATE '2001-10-30') OVERLAPS "
+        "(DATE '2001-10-30', DATE '2001-10-31') AS c, "
+        "(DATE '2001-10-30', DATE '2001-10-30') OVERLAPS "
+        "(DATE '2001-10-30', DATE '2001-10-30') AS d, "
+        "(DATE '2001-12-21', DATE '2001-02-16') OVERLAPS "
+        "(DATE '2001-10-30', DATE '2002-10-30') AS e, "
+        "(DATE '2001-02-16', INTERVAL '100 days') OVERLAPS "
+        "(DATE '2001-01-01', DATE '2001-02-17') AS f",
+    )
+    assert row["a"] is True    # PG docs example -> true
+    assert row["b"] is False   # adjacent: half-open, no shared instant
+    assert row["c"] is True    # instant at the other period's start
+    assert row["d"] is True    # two equal instants share a time point
+    assert row["e"] is True    # pair order normalizes (earlier = start)
+    assert row["f"] is True    # (start, interval) second-element form
+
+
+def test_encode_decode_pins(spark):
+    """PG encode/decode (docs §9.5): hex is LOWERCASE; base64 is
+    MIME-wrapped at 76 chars (newline only when more output follows —
+    encode.c); decode ignores embedded whitespace in base64."""
+    row = one(
+        spark,
+        "encode('abc'::bytea, 'hex') AS a, "
+        "decode('616263', 'hex')::text AS b, "
+        "encode('abc'::bytea, 'base64') AS c, "
+        "decode('YW' || chr(10) || 'Jj', 'base64')::text AS d, "
+        "length(encode(repeat('x', 60)::bytea, 'base64')) AS e, "
+        "instr(encode(repeat('x', 60)::bytea, 'base64'), "
+        "chr(13)) AS f",
+    )
+    assert row["a"] == "616263"
+    assert row["b"] == "abc"
+    assert row["c"] == "YWJj"
+    assert row["d"] == "abc"
+    # 60 bytes -> 80 base64 chars -> one wrap newline after char 76
+    # (PG wraps with bare LF; Spark's MIME CRLF is converted)
+    assert row["e"] == 81
+    assert row["f"] == 0  # no carriage returns survive
+    import pytest
+
+    with pytest.raises(ValueError, match="escape"):
+        translate_pg_sql("SELECT encode(x, 'escape') FROM t")
+
+
+def test_quote_family_pins(spark):
+    """PG quote_literal doubles quotes, and doubles backslashes with an
+    E prefix when any are present (quote.c); quote_nullable renders NULL
+    as the word NULL; quote_ident quotes unless already a safe
+    lower-case identifier. Known delta (module header): PG also quotes
+    reserved keywords."""
+    row = one(
+        spark,
+        "quote_literal('O''Reilly') AS a, "
+        "quote_literal(42) AS b, "
+        "quote_literal('a' || chr(92) || 'b') AS c, "
+        "quote_nullable(NULL) AS d, quote_nullable('x') AS e, "
+        "quote_ident('foo') AS f, quote_ident('Foo bar') AS g, "
+        "quote_ident('a\"b') AS h",
+    )
+    assert row["a"] == "'O''Reilly'"
+    assert row["b"] == "'42'"
+    assert row["c"] == "E'a\\\\b'"  # PG: backslash doubles + E prefix
+    assert row["d"] == "NULL" and row["e"] == "'x'"
+    assert row["f"] == "foo"
+    assert row["g"] == '"Foo bar"'
+    assert row["h"] == '"a""b"'
+
+
+def test_regexp_match_and_matches_pins(spark):
+    """PG regexp_match (docs §9.7.3): text[] of the first match's capture
+    groups (whole match when the pattern has none), NULL when no match;
+    regexp_matches is SET-RETURNING — 0-or-1 rows without 'g', one row
+    per match with it."""
+    row = one(
+        spark,
+        "regexp_match('foobarbequebaz', 'bar(beque)') AS a, "
+        "regexp_match('foobarbequebaz', 'barbeque') AS b, "
+        "regexp_match('foobarbequebaz', 'qqq') AS c, "
+        "regexp_match('ABC', 'a(b)c', 'i') AS d",
+    )
+    assert row["a"] == ["beque"]   # PG docs example
+    assert row["b"] == ["barbeque"]
+    assert row["c"] is None
+    assert row["d"] == ["B"]
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT regexp_matches('foobarbequebazilbarfbonk', "
+            "'(b[^b]+)(b[^b]+)', 'g') AS m"
+        )
+    ).collect()
+    # PG docs example: two rows, each an array of the two groups
+    assert [r["m"] for r in rows] == [["bar", "beque"], ["bazil", "barf"]]
+    rows = spark.sql(
+        translate_pg_sql("SELECT regexp_matches('nope', 'x(y)') AS m")
+    ).collect()
+    assert rows == []
+    import pytest
+
+    with pytest.raises(ValueError, match="'g' flag"):
+        translate_pg_sql("SELECT regexp_match('x', 'y', 'g')")
+
+
+def test_interval_construction_pins(spark):
+    """::interval over a literal becomes an INTERVAL literal;
+    make_interval routes on which parts are used (Spark's own
+    make_interval builds a CalendarIntervalType that cannot round-trip
+    through PySpark); mixed year-month + day-time raises, as do age()
+    and justify_* (PG's mixed interval type has no Spark equivalent)."""
+    row = one(
+        spark,
+        "('90 minutes'::interval = INTERVAL '1 hour 30 minutes') AS a, "
+        "(make_interval(days => 10) = INTERVAL '10 days') AS b, "
+        "(make_interval(1, 2) = INTERVAL '1 year 2 months') AS c, "
+        "(make_interval(0, 0, 1, 1) = INTERVAL '8 days') AS d, "
+        "(make_interval(hours => 1, mins => 30) "
+        " = INTERVAL '90 minutes') AS e",
+    )
+    assert all(row[c] is True for c in "abcde")
+    import pytest
+
+    with pytest.raises(ValueError, match="mixing year-month"):
+        translate_pg_sql("SELECT make_interval(1, 0, 0, 5)")
+    with pytest.raises(ValueError, match="age"):
+        translate_pg_sql("SELECT age(a, b) FROM t")
+    with pytest.raises(ValueError, match="justify"):
+        translate_pg_sql("SELECT justify_days(x) FROM t")
+    with pytest.raises(ValueError, match="non-literal"):
+        translate_pg_sql("SELECT col::interval FROM t")
+
+
+def test_varchar_char_param_cast_pins(spark):
+    """PG varchar(n)/char(n) casts TRUNCATE; Spark's cast "simply treats
+    them as string" (CharVarcharUtils) and the old rename also emitted
+    the non-type string(10) — both silent. Now a substring window; bare
+    char/character is PG's char(1). PG strips trailing blanks on
+    char→text ('a'::char(3) || 'x' is 'ax'), which truncate-only
+    matches."""
+    row = one(
+        spark,
+        "'abcdef'::varchar(3) AS a, "
+        "'abcdef'::character varying(4) AS b, "
+        "'ab'::char AS c, 'abc'::character varying AS d, "
+        "length('a'::char(3) || 'x') AS e",
+    )
+    assert row["a"] == "abc"   # PG: varchar(n) cast truncates
+    assert row["b"] == "abcd"
+    assert row["c"] == "a"     # PG: bare char is char(1)
+    assert row["d"] == "abc"
+    assert row["e"] == 2       # PG: char→text strips the blank pad

@@ -126,15 +126,58 @@ three — the operand scan admits our own get_json_object output two
 paren levels deep), and a NEGATIVE index (PG 13+: from the end) raises
 a named error — JsonPath has no equivalent.
 
+Arithmetic/predicate operator spellings (round-9 session 4 — each
+classified by executing the PG shape on Spark first): ``a ^ b`` is PG
+EXPONENTIATION → ``power(a, b)`` (Spark's ``^`` is bitwise XOR — ``2 ^
+3`` silently returned 1; left-associative and tighter than ``*`` like
+PG, unary minus tighter still: ``-2 ^ 2`` = 4; PG's XOR is ``#``, which
+now maps to Spark's ``^``); prefix ``|/``/``||/``/``@`` → sqrt/cbrt/abs;
+``BETWEEN SYMMETRIC`` expands to PG's own gram.y OR-form (exact 3VL,
+NULL bounds included; ``ASYMMETRIC`` just drops); ``(s1,e1) OVERLAPS
+(s2,e2)`` → the SQL-spec predicate over least/greatest-normalized
+bounds (half-open periods, instant-at-start overlaps; an INTERVAL
+literal second element becomes start + interval). Bit-string literals
+``x'1E'``/``b'1001'`` under ``::`` FOLD at translation time (int: two's
+complement at exact width, x'FFFFFFFF'::int = -1; text: the bit
+rendering '00011110'; other targets raise). ``::varchar(n)``/
+``::char(n)`` → truncating substring (Spark's cast "simply treats them
+as string"); bare ``::char`` is PG's char(1). ``'lit'::interval`` →
+``INTERVAL 'lit'`` (non-literal operands raise: Spark's bare
+CalendarIntervalType cannot round-trip through PySpark); typed-literal
+keywords (``DATE '…'``, our own ``INTERVAL`` output) join the cast
+operand instead of dangling, and E''/x''/b'' prefixes no longer corrupt
+under ``::`` (three literal-corruption fixes, session-4 probes).
+Function batch: ``encode``/``decode`` 'hex' (lowercase like PG) and
+'base64' (PG's LF-wrapped MIME form; 'escape' raises);
+``quote_literal``/``quote_nullable`` (quote.c semantics: quote doubling,
+backslash doubling + E prefix) and ``quote_ident``; ``regexp_match``
+(first-match group array, NULL on no match) and set-returning
+``regexp_matches`` (0-or-1 rows, or one row per match with 'g', ≤3
+groups); ``make_interval`` (positional/named args routed to
+make_ym_interval/make_dt_interval; mixed parts raise, like ``age()``
+and ``justify_*`` which PG's mixed interval type makes untranslatable).
+Known deltas from this batch: ``^`` computes in doubles (PG numeric ^
+numeric is exact — same class as two-arg log); ``quote_ident`` does not
+carry PG's reserved-keyword list (keyword inputs come back unquoted);
+``regexp_match``/``regexp_matches`` render non-participating groups as
+``''`` (PG NULL — the substring-FROM delta class); OVERLAPS with NULL
+endpoints returns NULL where the spec formula can occasionally decide;
+``interval → text`` renders in Spark's INTERVAL '…' spelling, not PG's
+'01:30:00'; ``char(n)`` truncates without blank-padding (invisible in
+text contexts — PG strips the pad on char→text); PG binds ``::`` inside
+a typed literal (``date 'x'::text`` is still a DATE there) where this
+engine casts the constructed value — renderings agree.
+
 No translation needed (native Spark syntax): ``ilike`` (3.3+),
 ``position(x IN y)``, ``split_part``, positive-literal-argument
 ``left``/``right``/``substring`` (see above for the clipped rewrite),
-``date_part``, ``IS [NOT] DISTINCT FROM``. PG deltas
+``date_part``, ``IS [NOT] DISTINCT FROM``, ``&``/``|``/``<<``/``>>``
+bitwise ops, ``overlay(x PLACING y FROM n [FOR l])``, ``width_bucket``,
+``make_date``/``make_timestamp``, ``div(a, b)``, ``getbit``. PG deltas
 intentionally NOT auto-rewritten because they need type/context analysis a
 regex cannot do safely: integer ``/`` (PG truncates, Spark is fractional —
 write ``div`` explicitly), default NULL sort order (PG: NULLS LAST on
-ASC; Spark: NULLS FIRST — write explicit ``NULLS FIRST/LAST``), numeric
-``^`` (PG exponentiation vs Spark bitwise XOR — write ``power()``), array
+ASC; Spark: NULLS FIRST — write explicit ``NULLS FIRST/LAST``), array
 subscripts (PG ``a[i]`` is 1-based, Spark's ``[i]`` is 0-based — write
 ``element_at`` which is 1-based in both), ``round`` over ``float8``
 (PG rounds binary floats half-even, Spark HALF_UP — ``round(2.5::float8)``
@@ -205,12 +248,18 @@ _PG_TYPE_RENAMES = {
     "numeric": "decimal",
     "serial": "int",
     "bigserial": "bigint",
+    # bare character/char is char(1) in PG (truncates to one char);
+    # Spark's bare CHAR is a parse error (DATATYPE_MISSING_SIZE)
+    "character varying": "string",
+    "character": "char(1)",
+    "char": "char(1)",
 }
 
 # single-word type names, plus the known multiword PG types (an open-ended
 # "words with spaces" pattern would swallow trailing `AS alias` clauses)
 _TYPE_NAME = (
     r"(?:double\s+precision|timestamp\s+with(?:out)?\s+time\s+zone|"
+    r"character\s+varying|"
     r"[a-zA-Z_]\w*)(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"
 )
 
@@ -234,10 +283,22 @@ def _rename_type(pg_type: str) -> str:
         return "decimal(38,18)"
     if key in _PG_TYPE_RENAMES:
         return _PG_TYPE_RENAMES[key]
-    # parameterized types: rename the base name, keep the parameters
+    # parameterized types: rename the base name, keep the parameters.
+    # varchar(n)/char(n) are NATIVE Spark parameterized types (truncate /
+    # blank-pad on cast, like PG) — the bare-name rename to `string`
+    # must not fire for them: `string(10)` is not a Spark type and the
+    # old rewrite emitted exactly that (round-9 session-4 probe).
     m = re.match(r"([a-zA-Z_][\w ]*?)\s*(\(\s*\d+\s*(?:,\s*\d+\s*)?\))\s*$", key)
     if m:
-        base = _PG_TYPE_RENAMES.get(m.group(1).strip(), m.group(1).strip())
+        base = m.group(1).strip()
+        if base in ("varchar", "char"):
+            pass  # keep Spark's native parameterized form
+        elif base == "character":
+            base = "char"
+        elif re.fullmatch(r"character\s+varying", base):
+            base = "varchar"
+        else:
+            base = _PG_TYPE_RENAMES.get(base, base)
         return f"{base}{m.group(2).replace(' ', '')}"
     return pg_type.strip()
 
@@ -337,6 +398,62 @@ def _sub_skipping_literal_interiors(pattern: re.Pattern, repl, sql: str) -> str:
 _DCOLON_RE = re.compile(r"::")
 _TYPE_AT_RE = re.compile(r"\s*(" + _TYPE_NAME + r")")
 
+# PG integer widths for bit-string → integer casts (two's complement at
+# exact width, PG's reinterpretation rule: x'FFFFFFFF'::int = -1)
+_BIT_INT_WIDTHS = {
+    "smallint": 16,
+    "int2": 16,
+    "int": 32,
+    "integer": 32,
+    "int4": 32,
+    "bigint": 64,
+    "int8": 64,
+}
+_BIT_TEXT_TYPES = frozenset(("text", "varchar", "char", "character", "string"))
+
+
+def _bit_literal_cast(operand: str, pg_type: str) -> str:
+    """Fold a PG bit-string literal cast to a constant at translation time.
+
+    ``x'1E'`` is PG ``bit(8) '00011110'`` (4 bits per hex digit, leading
+    zeros kept); ``b'1001'`` is ``bit(4)``. Spark's ``X'..'`` literal is
+    BINARY — a different type with different cast rules — so the PG cast
+    is computed here instead: integer targets reinterpret the bits
+    (two's complement when the string is exactly the target's width,
+    PG's rule — ``x'FFFFFFFF'::int`` is -1; wider raises like PG's
+    "integer out of range"), text targets render the bit string. Other
+    target types raise a named error rather than silently changing type."""
+    body = operand[2:-1]
+    if operand[0] in "xX":
+        if not re.fullmatch(r"[0-9A-Fa-f]*", body):
+            raise ValueError(
+                f"invalid hexadecimal bit-string literal {operand!r}"
+            )
+        bits = "".join(f"{int(c, 16):04b}" for c in body)
+    else:
+        if not re.fullmatch(r"[01]*", body):
+            raise ValueError(f"invalid bit-string literal {operand!r}")
+        bits = body
+    key = pg_type.strip().lower()
+    if key in _BIT_INT_WIDTHS:
+        width = _BIT_INT_WIDTHS[key]
+        if len(bits) > width:
+            raise ValueError(
+                f"bit string {operand!r} ({len(bits)} bits) does not fit "
+                f"{pg_type} ({width} bits) — PG raises 'out of range' here"
+            )
+        val = int(bits, 2) if bits else 0
+        if bits and len(bits) == width and bits[0] == "1":
+            val -= 1 << width  # PG reinterprets the sign bit
+        return f"CAST({val} AS {_rename_type(pg_type)})"
+    if key in _BIT_TEXT_TYPES or key.split("(")[0] in _BIT_TEXT_TYPES:
+        return f"'{bits}'"
+    raise ValueError(
+        f"bit-string literal cast {operand}::{pg_type} is not supported: "
+        "only integer and text targets are translatable (Spark has no "
+        "bit-string type)"
+    )
+
 
 def _translate_casts(sql: str) -> str:
     """``operand::type`` → ``CAST(operand AS type)`` via a masked
@@ -377,6 +494,51 @@ def _translate_casts(sql: str) -> str:
                 )
                 if lit is not None:
                     start = lit[1]  # 'literal'::type
+                    # bit-string literal prefix: x'1E' / b'1001' — the
+                    # prefix letter is part of the LITERAL in PG's lexer,
+                    # not a separate token. Without this the rewrite left
+                    # the prefix dangling (`x'1E'::int` → `x CAST('1E'
+                    # AS int)` — silent corruption, round-9 session-4
+                    # probe). E'' prefixes never reach here (the cast
+                    # pass runs after typed literals, before the operator
+                    # pass drops them) — but an attached e/E is NOT a bit
+                    # prefix, so only x/b qualify.
+                    p = start - 1
+                    if (
+                        p >= 0
+                        and sql[p] in "xXbB"
+                        and (
+                            p == 0
+                            or not (sql[p - 1].isalnum() or sql[p - 1] in "_.")
+                        )
+                    ):
+                        start = p
+                    else:
+                        # typed-literal keyword prefix: DATE '…'::text /
+                        # INTERVAL '…'::text (the latter is also this
+                        # pass's own ::interval output on chained casts)
+                        # — the keyword is part of the literal, not a
+                        # separate operand; without this it dangled
+                        # (`DATE CAST('…' AS string)` — round-9
+                        # session-4 probe). Known delta (module header):
+                        # PG binds :: tighter than the typed-literal
+                        # keyword, so PG's `date 'x'::text` is still a
+                        # DATE; the values render identically.
+                        ke = start - 1
+                        while ke >= 0 and sql[ke] in " \t\n\r":
+                            ke -= 1
+                        ks = ke
+                        while ks >= 0 and (sql[ks].isalnum() or sql[ks] == "_"):
+                            ks -= 1
+                        if ks < ke and sql[ks + 1 : ke + 1].lower() in (
+                            "interval",
+                            "date",
+                            "timestamp",
+                            "timestamptz",
+                            "time",
+                            "uuid",
+                        ):
+                            start = ks + 1
                 elif mask[j] == ")":
                     depth, k = 0, j
                     while k >= 0:
@@ -433,12 +595,51 @@ def _translate_casts(sql: str) -> str:
                 if start > 0 and (sql[start - 1].isalnum() or sql[start - 1] in "_.")
                 else ""
             )
-            sql = (
-                sql[:start]
-                + sep
-                + f"CAST({operand} AS {_rename_type(tm.group(1))})"
-                + sql[tm.end() :]
+            cm = re.fullmatch(
+                r"(?:(varchar|character\s+varying|char|character)"
+                r"\s*\(\s*(\d+)\s*\)|(char|character))",
+                tm.group(1).strip(),
+                re.IGNORECASE,
             )
+            if operand[:1] in ("x", "X", "b", "B") and operand[1:2] == "'":
+                # PG bit-string literal: value and width are known at
+                # translation time, so the PG cast folds to a constant
+                # (int family: two's-complement at exact width; text:
+                # the bit-string rendering) — see _bit_literal_cast
+                repl = _bit_literal_cast(operand, tm.group(1))
+            elif cm is not None:
+                # PG's varchar(n)/char(n) casts TRUNCATE to n chars (and
+                # bare char/character is char(1)); Spark's cast "simply
+                # treats them as string" (CharVarcharUtils warning) — a
+                # silent non-truncation. Emitted as a substring window.
+                # Known delta (module header): PG char(n) also
+                # blank-pads, but the padding is invisible in text
+                # contexts (PG strips trailing blanks on char→text, so
+                # 'a'::char(3) || 'x' is 'ax') — truncate-only matches
+                # the observable text behavior.
+                n = cm.group(2) or "1"
+                repl = f"substring(CAST({operand} AS STRING), 1, {n})"
+            elif tm.group(1).strip().lower() == "interval":
+                # Spark's bare CalendarIntervalType cannot round-trip
+                # through PySpark (CalendarIntervalType.fromInternal is
+                # NOT_IMPLEMENTED — a runtime crash deep in collect, not
+                # a parse error). A literal operand becomes an INTERVAL
+                # literal (Spark picks the year-month or day-time type
+                # from the units; PG's mixed '1 year 1 day' stays loud
+                # in Spark's parser); anything else cannot be typed.
+                if re.fullmatch(_STR_LIT, operand):
+                    repl = f"INTERVAL {operand}"
+                else:
+                    raise ValueError(
+                        "::interval over a non-literal operand is not "
+                        "translatable: Spark's bare interval type cannot "
+                        "be returned to Python — cast to a concrete "
+                        "INTERVAL DAY TO SECOND / YEAR TO MONTH type, or "
+                        "use make_dt_interval()/make_ym_interval()"
+                    )
+            else:
+                repl = f"CAST({operand} AS {_rename_type(tm.group(1))})"
+            sql = sql[:start] + sep + repl + sql[tm.end() :]
             changed = True
             break  # string changed: re-mask and rescan from the top
         if not changed:
@@ -824,6 +1025,11 @@ def _translate_set_functions(sql: str) -> str:
     sql = _rewrite_calls(
         sql, _REGEXP_SPLIT_TABLE_OPEN_RE, _build_regexp_split_to_table
     )
+    # regexp_matches is set-returning too (0-or-1 rows without 'g', one
+    # row per match with it) — rewritten here with the other SRFs; the
+    # scalar regexp_match runs with the function batch in
+    # _translate_operators
+    sql = _rewrite_calls(sql, _REGEXP_MATCHES_OPEN_RE, _build_regexp_matches)
     sql = _outside_literals(
         sql,
         lambda s: re.sub(r"\bunnest\s*\(", "explode(", s, flags=re.IGNORECASE),
@@ -2032,19 +2238,14 @@ _SUBSTRING_REGEX_RE = re.compile(
 )
 
 
-def _regex_capture_group_index(sql_literal: str) -> int:
-    """Group index PG's regex-form substring extracts: 1 when the pattern
-    VALUE contains a capturing group — an unescaped ``(`` outside a
-    bracket class not followed by ``?`` (all of PG ARE's ``(?:`` ``(?=``
-    ``(?!`` ``(?<=`` ``(?<!`` forms are non-capturing) — else 0 (whole
-    match).
-
-    ``sql_literal`` includes its quotes and is the TEXT Spark will parse,
-    so it is first decoded the way Spark's literal parser will (``''`` →
+def _decode_literal_value(sql_literal: str) -> str:
+    """Decode a quoted SQL literal the way Spark's parser will (``''`` →
     ``'``; backslash consumes the next char — the module-wide policy:
     literals pass through verbatim and the E-prefix drops because Spark
-    already backslash-escapes). The decoded value is what the regex
-    engine sees; only then does regex-level escaping apply."""
+    already backslash-escapes). ``\\\\`` keeps a VALUE backslash (a
+    regex escape for the group scanners below); any other ``\\x``
+    collapses to ``x`` — named escapes (\\n, \\t) decode to control
+    chars in Spark, but none of those are regex-structural."""
     text = sql_literal[1:-1]
     value: list[str] = []
     i, n = 0, len(text)
@@ -2054,15 +2255,19 @@ def _regex_capture_group_index(sql_literal: str) -> int:
             value.append("'")
             i += 2
         elif c == "\\" and i + 1 < n:
-            # \\ keeps a VALUE backslash (a regex escape below); any other
-            # \x collapses to x — named escapes (\n, \t) decode to control
-            # chars in Spark, but none of those are regex-structural
             value.append("\\" if text[i + 1] == "\\" else text[i + 1])
             i += 2
         else:
             value.append(c)
             i += 1
-    body = "".join(value)
+    return "".join(value)
+
+
+def _count_capture_groups(body: str) -> int:
+    """Number of capturing groups in a DECODED regex value — unescaped
+    ``(`` outside a bracket class not followed by ``?`` (all of PG ARE's
+    ``(?:`` ``(?=`` ``(?!`` ``(?<=`` ``(?<!`` forms are non-capturing)."""
+    count = 0
     i, n = 0, len(body)
     while i < n:
         c = body[i]
@@ -2084,9 +2289,20 @@ def _regex_capture_group_index(sql_literal: str) -> int:
             i = j + 1
             continue
         if c == "(" and (i + 1 >= n or body[i + 1] != "?"):
-            return 1
+            count += 1
         i += 1
-    return 0
+    return count
+
+
+def _regex_capture_group_index(sql_literal: str) -> int:
+    """Group index PG's regex-form substring extracts: 1 when the pattern
+    VALUE contains a capturing group, else 0 (whole match).
+
+    ``sql_literal`` includes its quotes and is the TEXT Spark will parse,
+    so it is first decoded the way Spark's literal parser will. The
+    decoded value is what the regex engine sees; only then does
+    regex-level escaping apply."""
+    return 1 if _count_capture_groups(_decode_literal_value(sql_literal)) else 0
 
 
 # expr [NOT] SIMILAR TO 'pat': SQL regex — % and _ are wildcards, the rest
@@ -2739,6 +2955,257 @@ def _translate_quantified_comparisons(sql: str) -> str:
         pos = lhs_start
 
 
+# ---------------------------------------------------------------------------
+# PG arithmetic/predicate operators Spark spells differently (round-9
+# session 4 — each classified by executing the PG shape on Spark first:
+# ^ was a SILENT wrong answer, the rest were loud parse errors)
+# ---------------------------------------------------------------------------
+
+
+def _include_unary_sign(sql, mask, spans, start):
+    """Extend an operand span leftward over a UNARY +/-: PG's unary minus
+    binds TIGHTER than ``^`` (gram.y: UMINUS above '^'), so ``-2 ^ 2``
+    is ``(-2)^2 = 4``. The sign is unary exactly when nothing
+    operand-shaped precedes it."""
+    j = start - 1
+    while j >= 0 and sql[j] in " \t\n\r" and _opaque_at(spans, j) is None:
+        j -= 1
+    if (
+        j >= 0
+        and _opaque_at(spans, j) is None
+        and mask[j] in "+-"
+        and _operand_left_span(sql, mask, spans, j) is None
+    ):
+        return j
+    return start
+
+
+def _translate_power_ops(sql: str) -> str:
+    """PG ``a ^ b`` is EXPONENTIATION (PG's XOR is ``#``); Spark's ``^``
+    is bitwise XOR — ``2 ^ 3`` silently returned 1 (round-9 session-4
+    probe; DuckDB agrees with PG, so grammar v9 arbitrates this).
+    Left-associative like PG (``2 ^ 3 ^ 2`` = 64 — gram.y %left '^');
+    operands are atomic (PG: ^ binds tighter than */%, looser than unary
+    minus). Known delta: power() computes in doubles where PG's
+    numeric ^ numeric is exact (same class as two-arg log, module
+    header). A ^ whose operands cannot be scanned RAISES — leaving it
+    would silently XOR."""
+    pos = 0
+    while True:
+        mask = _masked(sql)
+        spans = _opaque_spans(sql)
+        i = mask.find("^", pos)
+        if i < 0:
+            return sql
+        lspan = _operand_left_span(sql, mask, spans, i)
+        rspan = _operand_right_span(sql, mask, spans, i + 1)
+        if lspan is None or rspan is None:
+            raise ValueError(
+                "cannot scan the operands of ^ (PG exponentiation; "
+                "Spark's ^ is bitwise XOR, a silent wrong answer): "
+                "write power(a, b) explicitly"
+            )
+        lstart = _include_unary_sign(sql, mask, spans, lspan[0])
+        lhs = sql[lstart:i].strip()
+        rhs = sql[rspan[0] : rspan[1]].strip()
+        repl = _sep_if_word_before(sql, lstart) + f"power({lhs}, {rhs})"
+        sql = sql[:lstart] + repl + sql[rspan[1] :]
+        pos = lstart
+
+
+def _translate_hash_xor(sql: str) -> str:
+    """PG ``a # b`` (bitwise XOR; PG has no ``^`` XOR) → Spark
+    ``(a ^ b)``. Runs AFTER the json ``#>``/``#>>`` rules and after
+    ^→power, so the emitted ^ is Spark's XOR and is never re-rewritten.
+    ``#`` followed by ``>``/``-`` (jsonb path ops) or doubled (``##``,
+    PG geometric) stays untouched (loud), as does a ``#`` with no left
+    operand (PG's prefix geometric form). Operands are full arithmetic
+    CHAINS: PG puts user/misc operators BELOW binary +- (docs §4.1.6
+    "any other operator"), so ``a # b + c`` is ``a # (b + c)`` — the
+    session-4 grammar-v9 run caught the atomic-operand first cut
+    computing ``(a # b) + c``."""
+    pos = 0
+    while True:
+        mask = _masked(sql)
+        spans = _opaque_spans(sql)
+        i = mask.find("#", pos)
+        if i < 0:
+            return sql
+        if mask[i + 1 : i + 2] in (">", "-", "#") or mask[i - 1 : i] == "#":
+            pos = i + 2
+            continue
+        lstart = _chain_left_start(sql, mask, spans, i)
+        rend = _chain_right_end(sql, mask, spans, i + 1)
+        if lstart is None or rend is None:
+            pos = i + 1
+            continue
+        lhs = sql[lstart:i].strip()
+        rhs = sql[i + 1 : rend].strip()
+        repl = _sep_if_word_before(sql, lstart) + f"({lhs} ^ {rhs})"
+        sql = sql[:lstart] + repl + sql[rend:]
+        pos = lstart
+
+
+_PREFIX_MATH_OPS = [("||/", "cbrt"), ("|/", "sqrt"), ("@", "abs")]
+
+
+def _translate_prefix_math_ops(sql: str) -> str:
+    """PG's prefix math operators: ``|/ x`` (square root), ``||/ x``
+    (cube root), ``@ x`` (absolute value) → sqrt/cbrt/abs. Only PREFIX
+    positions rewrite (nothing operand-shaped directly left — a binary
+    ``a @ b`` has no PG numeric meaning and stays loud); ``@>``/``<@``/
+    ``@@`` are excluded. The operand is the full arithmetic CHAIN to
+    the right: PG's prefix misc operators bind BELOW binary +-*/%
+    (docs §4.1.6), so ``@ a - 4`` is ``@(a - 4)`` — DuckDB agrees;
+    the session-4 grammar-v9 run caught the atomic first cut computing
+    ``abs(a) - 4``. Right-to-left so nested forms (``|/ |/ 16``)
+    resolve innermost-first."""
+    for op, fn in _PREFIX_MATH_OPS:
+        while True:
+            mask = _masked(sql)
+            spans = _opaque_spans(sql)
+            changed = False
+            i = mask.rfind(op)
+            while i >= 0:
+                ok = True
+                if op == "|/" and i > 0 and mask[i - 1] == "|":
+                    ok = False  # part of ||/
+                if op == "@" and (
+                    mask[i + 1 : i + 2] in (">", "@")
+                    or mask[i - 1 : i] in ("<", "@")
+                ):
+                    ok = False
+                if ok and _operand_left_span(sql, mask, spans, i) is None:
+                    rend = _chain_right_end(sql, mask, spans, i + len(op))
+                    if rend is not None:
+                        rhs = sql[i + len(op) : rend].strip()
+                        repl = _sep_if_word_before(sql, i) + f"{fn}({rhs})"
+                        sql = sql[:i] + repl + sql[rend:]
+                        changed = True
+                        break
+                i = mask.rfind(op, 0, i)
+            if not changed:
+                break
+    return sql
+
+
+_BETWEEN_SYM_RE = re.compile(
+    r"\b(NOT\s+)?BETWEEN\s+(SYMMETRIC|ASYMMETRIC)\b", re.IGNORECASE
+)
+_BETWEEN_AND_RE = re.compile(r"\s*AND\b", re.IGNORECASE)
+
+
+def _translate_between_symmetric(sql: str) -> str:
+    """PG BETWEEN SYMMETRIC has no bound-order requirement. PG itself
+    expands it as ``(x >= lo AND x <= hi) OR (x >= hi AND x <= lo)``
+    (gram.y), which is what this emits — an exact three-valued-logic
+    match, including NULL bounds (a least/greatest normalization would
+    NOT be: Spark's least skips NULLs, PG's comparisons propagate them).
+    BETWEEN ASYMMETRIC is plain BETWEEN (keyword dropped). Known caveat
+    (same class as the string-window clips): operands are duplicated in
+    TEXT, so nondeterministic expressions there are unsupported."""
+    while True:
+        mask = _masked(sql)
+        spans = _opaque_spans(sql)
+        m = _BETWEEN_SYM_RE.search(mask)
+        if m is None:
+            return sql
+        neg = m.group(1) or ""
+        if m.group(2).upper() == "ASYMMETRIC":
+            sql = sql[: m.start()] + f"{neg}BETWEEN " + sql[m.end() :].lstrip()
+            continue
+        x_start = _chain_left_start(sql, mask, spans, m.start())
+        lo_end = _chain_right_end(sql, mask, spans, m.end())
+        if x_start is None or lo_end is None:
+            raise ValueError(
+                "cannot scan the operands of BETWEEN SYMMETRIC — "
+                "rewrite as (x >= least(a,b) AND x <= greatest(a,b))"
+            )
+        am = _BETWEEN_AND_RE.match(mask, lo_end)
+        hi_end = (
+            _chain_right_end(sql, mask, spans, am.end()) if am else None
+        )
+        if hi_end is None:
+            raise ValueError(
+                "cannot scan the upper bound of BETWEEN SYMMETRIC — "
+                "rewrite as (x >= least(a,b) AND x <= greatest(a,b))"
+            )
+        x = sql[x_start : m.start()].strip()
+        lo = sql[m.end() : lo_end].strip()
+        hi = sql[am.end() : hi_end].strip()
+        core = (
+            f"(({x}) >= ({lo}) AND ({x}) <= ({hi}) OR "
+            f"({x}) >= ({hi}) AND ({x}) <= ({lo}))"
+        )
+        if neg:
+            core = "NOT " + core
+        sql = (
+            sql[:x_start]
+            + _sep_if_word_before(sql, x_start)
+            + core
+            + sql[hi_end:]
+        )
+
+
+_OVERLAPS_RE = re.compile(r"\bOVERLAPS\b", re.IGNORECASE)
+
+
+def _translate_overlaps(sql: str) -> str:
+    """``(s1, e1) OVERLAPS (s2, e2)`` (SQL-spec predicate; Spark has no
+    OVERLAPS) → the spec formula over normalized bounds: each pair takes
+    its earlier value as the start, periods are half-open
+    [start, end), and a zero-length period is an instant that overlaps
+    when it equals the other period's start. With si = least, ei =
+    greatest per pair: ``(s1 < e2 AND s2 < e1) OR s1 = s2`` — verified
+    against the PG docs' examples (adjacent periods do NOT overlap; a
+    point at a period's start does; at its end does not). An INTERVAL
+    literal second element becomes start + interval (PG's
+    (start, length) form). Known deltas: NULL endpoints return NULL
+    where the spec formula can occasionally still decide; operands are
+    duplicated in TEXT (nondeterministic expressions unsupported)."""
+    while True:
+        mask = _masked(sql)
+        spans = _opaque_spans(sql)
+        m = _OVERLAPS_RE.search(mask)
+        if m is None:
+            return sql
+        lspan = _operand_left_span(sql, mask, spans, m.start())
+        rspan = _operand_right_span(sql, mask, spans, m.end())
+        if (
+            lspan is None
+            or rspan is None
+            or sql[lspan[0]] != "("
+            or sql[rspan[0]] != "("
+        ):
+            raise ValueError(
+                "OVERLAPS needs parenthesized (start, end) row operands "
+                "on both sides — rewrite as s1 < e2 AND s2 < e1"
+            )
+
+        def pair(span):
+            args = _split_top_level_args(sql[span[0] + 1 : span[1] - 1])
+            if len(args) != 2:
+                raise ValueError(
+                    "OVERLAPS operands must be (start, end) pairs"
+                )
+            a, b = args[0].strip(), args[1].strip()
+            if re.match(r"INTERVAL\b", b, re.IGNORECASE):
+                b = f"(({a}) + {b})"
+            return a, b
+
+        a1, b1 = pair(lspan)
+        a2, b2 = pair(rspan)
+        s1, e1 = f"least({a1}, {b1})", f"greatest({a1}, {b1})"
+        s2, e2 = f"least({a2}, {b2})", f"greatest({a2}, {b2})"
+        repl = f"(({s1} < {e2} AND {s2} < {e1}) OR {s1} = {s2})"
+        sql = (
+            sql[: lspan[0]]
+            + _sep_if_word_before(sql, lspan[0])
+            + repl
+            + sql[rspan[1] :]
+        )
+
+
 def _rewrite_calls(sql: str, open_re: re.Pattern, build) -> str:
     """Structural call rewriter: balanced-paren args on the masked text;
     ``build(args)`` returns ``(replacement, rescan_offset)`` — the scan
@@ -2803,6 +3270,317 @@ def _build_concat(args):
     head = "concat_ws('', "
     body = ", ".join(f"CAST({a.strip()} AS STRING)" for a in args)
     return (head + body + ")", len(head))
+
+
+# ---------------------------------------------------------------------------
+# PG binary/quoting/regex-match functions (round-9 session 4)
+# ---------------------------------------------------------------------------
+
+_ENCODE_OPEN_RE = re.compile(r"\bencode\s*\(", re.IGNORECASE)
+_DECODE_OPEN_RE = re.compile(r"\bdecode\s*\(", re.IGNORECASE)
+_QUOTE_LITERAL_OPEN_RE = re.compile(r"\bquote_literal\s*\(", re.IGNORECASE)
+_QUOTE_NULLABLE_OPEN_RE = re.compile(r"\bquote_nullable\s*\(", re.IGNORECASE)
+_QUOTE_IDENT_OPEN_RE = re.compile(r"\bquote_ident\s*\(", re.IGNORECASE)
+_REGEXP_MATCH_OPEN_RE = re.compile(r"\bregexp_match\s*\(", re.IGNORECASE)
+_REGEXP_MATCHES_OPEN_RE = re.compile(r"\bregexp_matches\s*\(", re.IGNORECASE)
+_MAKE_INTERVAL_OPEN_RE = re.compile(r"\bmake_interval\s*\(", re.IGNORECASE)
+
+
+def _build_encode(args):
+    """PG encode(bytea, fmt): 'hex' → lower(hex(..)) (PG hex is
+    lowercase); 'base64' → base64 re-wrapped MIME-style (PG inserts a
+    newline every 76 output chars, but only when more output follows —
+    encode.c); 'escape' raises (PG's octal-escape rendering has no Spark
+    builtin). Spark's own encode(str, charset) — a different function
+    that happens to share the name — passes through for real charsets."""
+    if len(args) != 2:
+        return None
+    fmt = _strip_comments(args[1]).strip().lower()
+    x = args[0].strip()
+    if fmt == "'hex'":
+        head = "lower(hex("
+        return (f"{head}{x}))", len(head))
+    if fmt == "'base64'":
+        # Spark's base64() already MIME-wraps at 76 chars, but with CRLF
+        # (commons-codec); PG wraps with bare LF (encode.c) — convert
+        head = "replace(base64("
+        return (head + x + "), '\\r\\n', '\\n')", len(head))
+    if fmt == "'escape'":
+        raise ValueError(
+            "encode(..., 'escape') (PG octal-escape rendering) has no "
+            "Spark equivalent — use 'hex' or 'base64'"
+        )
+    return None
+
+
+def _build_decode(args):
+    """PG decode(text, fmt) → bytea: 'hex' → unhex; 'base64' → unbase64
+    with embedded CR/LF stripped first (PG ignores whitespace in base64
+    input — its own encode inserts newlines)."""
+    if len(args) != 2:
+        return None
+    fmt = _strip_comments(args[1]).strip().lower()
+    x = args[0].strip()
+    if fmt == "'hex'":
+        head = "unhex("
+        return (f"{head}{x})", len(head))
+    if fmt == "'base64'":
+        head = "unbase64(replace(replace("
+        return (f"{head}{x}, '\\n', ''), '\\r', ''))", len(head))
+    if fmt == "'escape'":
+        raise ValueError(
+            "decode(..., 'escape') (PG octal-escape parsing) has no "
+            "Spark equivalent — use 'hex' or 'base64'"
+        )
+    return None
+
+
+def _quote_literal_expr(x: str) -> str:
+    """The quote_literal rendering PG's quote.c implements: single
+    quotes doubled; when the value contains a backslash, backslashes are
+    doubled too and the result gets an E prefix (so it reads back
+    identically under any standard_conforming_strings setting)."""
+    s = f"CAST({x} AS STRING)"
+    q = f"replace({s}, '''', '''''')"
+    qbs = f"replace(replace({s}, '\\\\', '\\\\\\\\'), '''', '''''')"
+    return (
+        f"(CASE WHEN instr({s}, '\\\\') > 0 "
+        f"THEN concat('E''', {qbs}, '''') "
+        f"ELSE concat('''', {q}, '''') END)"
+    )
+
+
+def _build_quote_literal(args):
+    # NULL input → NULL, like PG (every branch is NULL-propagating)
+    if len(args) != 1:
+        return None
+    return (_quote_literal_expr(args[0].strip()), 0)
+
+
+def _build_quote_nullable(args):
+    if len(args) != 1:
+        return None
+    x = args[0].strip()
+    return (
+        f"(CASE WHEN ({x}) IS NULL THEN 'NULL' "
+        f"ELSE {_quote_literal_expr(x)} END)",
+        0,
+    )
+
+
+def _build_quote_ident(args):
+    """PG quote_ident: quoted unless the value is already a safe
+    lower-case identifier. Known delta (documented in the module
+    header): PG also quotes its ~400 reserved keywords
+    (quote_ident('select') = '"select"'); a translation-time rewrite
+    cannot carry that list, so keyword inputs come back unquoted."""
+    if len(args) != 1:
+        return None
+    s = f"CAST({args[0].strip()} AS STRING)"
+    return (
+        f"(CASE WHEN {s} RLIKE '^[a-z_][a-z0-9_]*$' THEN {s} "
+        f"ELSE concat('\"', replace({s}, '\"', '\"\"'), '\"') END)",
+        0,
+    )
+
+
+def _regexp_match_array(x: str, pat: str) -> str:
+    """The text[] PG's regexp_match returns for one match: the capture
+    groups when the pattern has any, else the whole match. Known delta
+    (same class as substring-FROM-regex, module header): a group that
+    exists but does not participate gives PG NULL, this '' —
+    regexp_extract has no participation test."""
+    k = _count_capture_groups(_decode_literal_value(pat))
+    if k == 0:
+        return f"array(regexp_extract({x}, {pat}, 0))"
+    groups = ", ".join(
+        f"regexp_extract({x}, {pat}, {g})" for g in range(1, k + 1)
+    )
+    return f"array({groups})"
+
+
+def _regexp_match_flags(args, fn_name: str):
+    """Validate/apply a literal flags argument; returns the (possibly
+    (?i)-prefixed) pattern and whether 'g' was given. Non-literal
+    pattern or flags → None (stays loud: the group count is
+    unknowable at translation time)."""
+    pat = args[1].strip()
+    if not re.fullmatch(_STR_LIT, pat):
+        return None
+    glob = False
+    if len(args) == 3:
+        flags = _strip_comments(args[2]).strip()
+        if not re.fullmatch(_STR_LIT, flags):
+            return None
+        fv = flags[1:-1]
+        if not set(fv) <= {"g", "i"}:
+            raise ValueError(
+                f"{fn_name} flags {flags} not supported (only 'i'/'g')"
+            )
+        glob = "g" in fv
+        if "i" in fv:
+            pat = "'(?i)" + pat[1:]
+    return pat, glob
+
+
+def _build_regexp_match(args):
+    """PG regexp_match(x, pat[, flags]): text[] of the FIRST match's
+    groups (whole match if no groups), NULL when no match. The 'g' flag
+    is an error in PG too (use regexp_matches)."""
+    if len(args) not in (2, 3):
+        return None
+    got = _regexp_match_flags(args, "regexp_match")
+    if got is None:
+        return None
+    pat, glob = got
+    if glob:
+        raise ValueError(
+            "regexp_match does not support the 'g' flag (PG raises here "
+            "too) — use regexp_matches(..., 'g')"
+        )
+    x = args[0].strip()
+    arr = _regexp_match_array(x, pat)
+    return (f"(CASE WHEN {x} RLIKE {pat} THEN {arr} END)", 0)
+
+
+def _build_regexp_matches(args):
+    """PG regexp_matches(x, pat[, flags]) — SET-RETURNING: without 'g',
+    0 or 1 rows (the first match's group array); with 'g', one row per
+    match. Translated to explode() compositions over
+    regexp_extract_all; >3 capture groups with 'g' raise (the zip_with
+    chain stops there)."""
+    if len(args) not in (2, 3):
+        return None
+    got = _regexp_match_flags(args, "regexp_matches")
+    if got is None:
+        return None
+    pat, glob = got
+    x = args[0].strip()
+    if not glob:
+        arr = _regexp_match_array(x, pat)
+        return (
+            f"explode(filter(array(CASE WHEN {x} RLIKE {pat} "
+            f"THEN {arr} END), _rm -> _rm IS NOT NULL))",
+            0,
+        )
+    k = _count_capture_groups(_decode_literal_value(pat))
+    ex = [f"regexp_extract_all({x}, {pat}, {g})" for g in range(1, k + 1)]
+    if k == 0:
+        body = (
+            f"explode(transform(regexp_extract_all({x}, {pat}, 0), "
+            f"_rm -> array(_rm)))"
+        )
+    elif k == 1:
+        body = f"explode(transform({ex[0]}, _rm -> array(_rm)))"
+    elif k == 2:
+        body = (
+            f"explode(zip_with({ex[0]}, {ex[1]}, "
+            f"(_ra, _rb) -> array(_ra, _rb)))"
+        )
+    elif k == 3:
+        body = (
+            f"explode(zip_with(zip_with({ex[0]}, {ex[1]}, "
+            f"(_ra, _rb) -> array(_ra, _rb)), {ex[2]}, "
+            f"(_rab, _rc) -> concat(_rab, array(_rc))))"
+        )
+    else:
+        raise ValueError(
+            "regexp_matches(..., 'g') with more than 3 capture groups "
+            "is not translatable — split the pattern"
+        )
+    return (body, 0)
+
+
+_MI_PARAMS = ["years", "months", "weeks", "days", "hours", "mins", "secs"]
+
+
+def _build_make_interval(args):
+    """PG make_interval(years, months, weeks, days, hours, mins, secs —
+    positional and/or name => value): Spark has the same builtin but its
+    CalendarIntervalType cannot round-trip through PySpark (fromInternal
+    is NOT_IMPLEMENTED — a runtime crash, not a parse error). Routed on
+    which parts are used: year-month only → make_ym_interval, day-time
+    only → make_dt_interval (weeks fold into days); BOTH → named error
+    (no single Spark interval type holds a mixed interval)."""
+    if len(args) == 1 and not args[0].strip():
+        args = []
+    vals: dict = {}
+    named_seen = False
+    for idx, a in enumerate(args):
+        a = a.strip()
+        nm = re.match(r"([a-zA-Z_]+)\s*=>\s*(.+)\Z", a, re.DOTALL)
+        if nm:
+            named_seen = True
+            name = nm.group(1).lower()
+            if name not in _MI_PARAMS:
+                raise ValueError(
+                    f"make_interval has no parameter {name!r} "
+                    f"(PG: {', '.join(_MI_PARAMS)})"
+                )
+            vals[name] = nm.group(2).strip()
+        else:
+            if named_seen:
+                raise ValueError(
+                    "positional argument after named argument in "
+                    "make_interval"
+                )
+            if idx >= len(_MI_PARAMS):
+                return None
+            vals[_MI_PARAMS[idx]] = a
+
+    def used(name: str) -> bool:
+        v = vals.get(name)
+        return v is not None and re.fullmatch(r"0(?:\.0*)?", v) is None
+
+    ym = [p for p in ("years", "months") if used(p)]
+    dt = [p for p in ("weeks", "days", "hours", "mins", "secs") if used(p)]
+    if ym and dt:
+        raise ValueError(
+            "make_interval mixing year-month and day-time parts has no "
+            "single Spark interval type — split into make_ym_interval + "
+            "make_dt_interval"
+        )
+    if ym:
+        return (
+            f"make_ym_interval({vals.get('years', '0')}, "
+            f"{vals.get('months', '0')})",
+            0,
+        )
+    days = vals.get("days", "0")
+    if used("weeks"):
+        days = f"(({days}) + 7 * ({vals['weeks']}))"
+    return (
+        f"make_dt_interval({days}, {vals.get('hours', '0')}, "
+        f"{vals.get('mins', '0')}, {vals.get('secs', '0')})",
+        0,
+    )
+
+
+def _named_error_builder(msg: str):
+    def build(args):
+        raise ValueError(msg)
+
+    return build
+
+
+# interval-valued PG functions with no faithful Spark composition: age()
+# returns PG's symbolic years/months/days interval (a MIXED interval no
+# single Spark type holds; DuckDB's age() returns plain day counts —
+# probed, so even the oracle disagrees with PG here) and the justify_*
+# family re-bins day-time into month/day fields the same way.
+_NAMED_ERROR_CALLS = [
+    (
+        re.compile(r"\bage\s*\(", re.IGNORECASE),
+        "age() returns PG's mixed years/months/days interval, which no "
+        "Spark interval type represents — use datediff()/months_between()"
+        " for a concrete unit",
+    ),
+    (
+        re.compile(r"\bjustify_(?:days|hours|interval)\s*\(", re.IGNORECASE),
+        "justify_days/hours/interval re-bin into PG's mixed interval "
+        "type, which Spark lacks — compute concrete units instead",
+    ),
+]
 
 
 def _translate_operators(sql: str) -> str:
@@ -2910,6 +3688,19 @@ def _translate_operators(sql: str) -> str:
             break
         sql = chained
 
+    # PG arithmetic/predicate operator spellings (round-9 session 4):
+    # ^ is PG exponentiation (Spark's ^ is XOR — a SILENT 1-for-8),
+    # # is PG's XOR (after the #>/#>> json rules above), |/ ||/ @ are
+    # prefix sqrt/cbrt/abs, BETWEEN SYMMETRIC expands to PG's own OR
+    # form, OVERLAPS to the SQL-spec predicate. ^→power runs FIRST: the
+    # BETWEEN/OVERLAPS chain scans don't speak ^, so an unrewritten
+    # 2^2 bound would truncate their operand capture.
+    sql = _translate_power_ops(sql)
+    sql = _translate_hash_xor(sql)
+    sql = _translate_prefix_math_ops(sql)
+    sql = _translate_between_symmetric(sql)
+    sql = _translate_overlaps(sql)
+
     # (to_char/to_timestamp/to_date and the substring/left/right clips
     # run LAST in this function — their CASE-guarded replacements nest
     # parens deeper than _MATCH_OPERAND admits, so they must not run
@@ -3001,6 +3792,20 @@ def _translate_operators(sql: str) -> str:
     sql = _rewrite_calls(sql, _NUM_NONNULLS_OPEN_RE, _build_num_nonnulls)
     sql = _rewrite_calls(sql, _NUM_NULLS_OPEN_RE, _build_num_nulls)
     sql = _rewrite_calls(sql, _PG_FORMAT_OPEN_RE, _build_pg_format)
+    # round-9 session-4 function batch: bytea encode/decode, the SQL
+    # quoting family, single-match regexp_match, interval construction
+    # (regexp_matches — set-returning — runs with the other SRFs in
+    # _translate_set_functions); age()/justify_* raise named errors.
+    sql = _rewrite_calls(sql, _ENCODE_OPEN_RE, _build_encode)
+    sql = _rewrite_calls(sql, _DECODE_OPEN_RE, _build_decode)
+    sql = _rewrite_calls(sql, _QUOTE_LITERAL_OPEN_RE, _build_quote_literal)
+    sql = _rewrite_calls(sql, _QUOTE_NULLABLE_OPEN_RE, _build_quote_nullable)
+    sql = _rewrite_calls(sql, _QUOTE_IDENT_OPEN_RE, _build_quote_ident)
+    sql = _rewrite_calls(sql, _REGEXP_MATCH_OPEN_RE, _build_regexp_match)
+    sql = _rewrite_calls(sql, _MAKE_INTERVAL_OPEN_RE, _build_make_interval)
+    for _ne_re, _ne_msg in _NAMED_ERROR_CALLS:
+        if _ne_re.search(_masked(sql)):
+            raise ValueError(_ne_msg)
     # PG's EXTRACT(EPOCH) keeps fractional seconds (it returns numeric);
     # unix_timestamp() would floor to whole seconds, silently changing
     # sub-second data. Found by differential execution (round 6). The
@@ -3415,6 +4220,15 @@ def translate_pg_sql(
     # dollar-quoted strings first: every later pass assumes standard
     # single-quoted literals only
     sql = _normalize_dollar_quotes(sql)
+    # E'...' prefixes drop BEFORE the cast pass: Spark's literal parser
+    # already processes backslash escapes, and the cast rewrite's
+    # backward operand walk sees only the quoted literal — `E'ab'::text`
+    # left the prefix dangling (`E CAST('ab' AS string)` — silent
+    # corruption, round-9 session-4 probe; the round-8 fix moved the
+    # drop to the head of the OPERATOR pass, which still ran after
+    # casts). The drop is idempotent; the operator-pass call stays as a
+    # defensive second pass for callers that enter it directly.
+    sql = _drop_escape_string_prefixes(sql)
     # timezone(zone, ts) → (ts AT TIME ZONE zone) BEFORE the AT TIME ZONE
     # rules below, so PG's function spelling takes the same documented
     # naive-literal/instant reading paths as the operator spelling
