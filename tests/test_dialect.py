@@ -1002,3 +1002,51 @@ def test_make_interval_translations():
         t("SELECT make_interval(dayz => 10)")
     with pytest.raises(ValueError, match="positional argument after"):
         t("SELECT make_interval(years => 1, 2)")
+
+
+def test_generate_series_translations():
+    from youcruit_tap_rawpostgresql_spark.plans.dialect import (
+        translate_pg_sql as t,
+    )
+
+    # set-returning: select-list position explodes (the old straight
+    # sequence() rename returned ONE ARRAY row — silent shape change)
+    assert t("SELECT generate_series(1, 5)") == (
+        "SELECT explode(sequence(1, 5))"
+    )
+    # already-exploded composition keeps exactly one explode
+    assert t("SELECT unnest(generate_series(1, 3))") == (
+        "SELECT explode(sequence(1, 3))"
+    )
+    # FROM position: Spark's table-function form; PG's bare alias names
+    # the column too, and the default name is generate_series
+    assert t("SELECT g FROM generate_series(1, 5) AS g") == (
+        "SELECT g FROM explode(sequence(1, 5)) AS g(g)"
+    )
+    assert t("SELECT n FROM generate_series(1, 5) t(n)") == (
+        "SELECT n FROM explode(sequence(1, 5)) AS t(n)"
+    )
+    assert t(
+        "SELECT * FROM generate_series(1, 3) WHERE generate_series > 1"
+    ) == (
+        "SELECT * FROM explode(sequence(1, 3)) "
+        "AS generate_series(generate_series) WHERE generate_series > 1"
+    )
+
+
+def test_date_part_spelling_translations():
+    from youcruit_tap_rawpostgresql_spark.plans.dialect import (
+        translate_pg_sql as t,
+    )
+
+    assert t("SELECT date_part('dow', ts) FROM events") == (
+        "SELECT (dayofweek(ts) - 1) FROM events"
+    )
+    assert t("SELECT date_part('isodow', ts) FROM events") == (
+        "SELECT (weekday(ts) + 1) FROM events"
+    )
+    assert "unix_micros" in t("SELECT date_part('epoch', ts) FROM events")
+    # untranslated fields Spark shares pass through
+    assert t("SELECT date_part('hour', ts) FROM events") == (
+        "SELECT date_part('hour', ts) FROM events"
+    )

@@ -940,7 +940,36 @@ def test_sqlsmith_differential_v8(sview_g, duck_g, i):
 
 def gen_query_v9(i: int) -> str:
     r = random.Random(20260816 * 9000 + i)
-    shape = r.randrange(5)
+    shape = r.randrange(7)
+    if shape == 6:
+        # FROM-position generate_series: PG/DuckDB are set-returning
+        # there (one row per element); the old sequence() rename
+        # returned one array row. The select-list position is pin-only:
+        # DuckDB returns a LIST there, deviating from PG's rows.
+        # explicit column aliases only: PG's bare table alias names the
+        # column too, but DuckDB's does not (g stays a struct there) —
+        # the bare form is pinned in test_pg_pinned.py instead
+        a, step = r.randint(-3, 3), r.choice([1, 2, 3])
+        b = a + r.randint(0, 12)
+        if r.randrange(2):
+            return (
+                f"SELECT g * 2 AS d FROM "
+                f"generate_series({a}, {b}, {step}) AS t(g)"
+            )
+        return (
+            f"SELECT n FROM generate_series({a}, {b}) t(n) "
+            f"WHERE n % 2 = 0"
+        )
+        # date_part spellings of the translated EXTRACT fields — the
+        # session-4 probe found date_part('dow') passing through to
+        # Spark's Sunday=1 numbering (PG/DuckDB: Sunday=0, a silent
+        # off-by-one) while only the EXTRACT spelling was rewritten
+        fld = r.choice(["dow", "isodow", "epoch"])
+        src = r.choice(["o_orderdate", "o_orderdate + INTERVAL '1 day'"])
+        return (
+            f"SELECT o_orderkey, date_part('{fld}', {src})::int8 AS f "
+            f"FROM orders WHERE o_orderkey < 200"
+        )
     if shape == 0:
         # integral powers, chains and precedence mixes over data-driven
         # bases (all results exact integers in double)

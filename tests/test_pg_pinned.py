@@ -1260,3 +1260,116 @@ def test_varchar_char_param_cast_pins(spark):
     assert row["c"] == "a"     # PG: bare char is char(1)
     assert row["d"] == "abc"
     assert row["e"] == 2       # PG: char→text strips the blank pad
+
+
+def test_date_part_spelling_pins(spark):
+    """date_part('field', x) is the same PG surface as EXTRACT(field
+    FROM x) — but only the EXTRACT spelling was translated: Spark's
+    date_part('dow') resolves to DAYOFWEEK, a SILENT Sunday=1-for-0
+    off-by-one (round-9 session-4 probe; 2026-08-16 is a Sunday)."""
+    row = one(
+        spark,
+        "date_part('dow', DATE '2026-08-16') AS a, "
+        "date_part('isodow', DATE '2026-08-16') AS b, "
+        "date_part('dow', DATE '2026-08-17') AS c, "
+        "date_part('epoch', TIMESTAMP '2001-02-16 20:38:40.12') AS d, "
+        "EXTRACT(DOW FROM DATE '2026-08-16') AS e",
+    )
+    assert row["a"] == 0 and row["e"] == 0   # PG: Sunday = 0
+    assert row["b"] == 7                      # PG ISO: Sunday = 7
+    assert row["c"] == 1                      # Monday = 1
+    assert abs(row["d"] - 982355920.12) < 1e-6  # PG docs §9.9.1 example
+
+
+def test_generate_series_set_returning_pins(spark):
+    """PG generate_series is SET-RETURNING: one ROW per element. The old
+    straight rename to sequence() returned ONE ARRAY row — a silent
+    shape difference whenever the call was not already wrapped in
+    unnest(). Both engines' series are stop-inclusive. Known delta
+    (docstring): a descending series without a negative step is empty
+    in PG but raises in Spark's sequence."""
+    rows = spark.sql(translate_pg_sql("SELECT generate_series(2, 4) AS g")).collect()
+    assert [r["g"] for r in rows] == [2, 3, 4]
+    rows = spark.sql(
+        translate_pg_sql("SELECT g FROM generate_series(1, 7, 3) AS g")
+    ).collect()
+    assert [r["g"] for r in rows] == [1, 4, 7]
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT n, n * 2 AS d FROM generate_series(1, 3) t(n)"
+        )
+    ).collect()
+    assert [(r["n"], r["d"]) for r in rows] == [(1, 2), (2, 4), (3, 6)]
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT * FROM generate_series(1, 3) WHERE generate_series > 1"
+        )
+    ).collect()
+    assert [r[0] for r in rows] == [2, 3]
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT generate_series::date AS d FROM generate_series("
+            "DATE '2024-01-01', DATE '2024-01-03', INTERVAL '1 day')"
+        )
+    ).collect()
+    assert str(rows[0]["d"]) == "2024-01-01" and len(rows) == 3
+    # the wrapped composition keeps exactly one explode
+    rows = spark.sql(
+        translate_pg_sql("SELECT unnest(generate_series(5, 6)) AS u")
+    ).collect()
+    assert [r["u"] for r in rows] == [5, 6]
+
+
+def test_json_construction_pins(spark):
+    """PG's json construction family rendered through Spark's to_json.
+    Known delta (module header): PG puts spaces after separators
+    (json_build_object: '{"a" : 1}'; jsonb: '{"a": 1}'); Spark renders
+    compact — the STRUCTURE is exact (keys, order, quoting, null
+    spelling), matching jsonb/DuckDB modulo whitespace."""
+    row = one(
+        spark,
+        "json_build_object('a', 1, 'b', 'x') AS o, "
+        "jsonb_build_object('n', NULL) AS onull, "
+        "json_build_array(1, 'x', NULL, true) AS arr, "
+        "json_build_array() AS empty, "
+        "row_to_json(ROW(1, 'z')) AS rj, "
+        "to_json('abc'::text) AS tj_str, "
+        "to_json(42) AS tj_num, "
+        "to_json(NULL::int) AS tj_null",
+    )
+    assert row["o"] == '{"a":1,"b":"x"}'
+    assert row["onull"] == '{"n":null}'
+    assert row["arr"] == '[1,"x",null,true]'
+    assert row["empty"] == "[]"
+    assert row["rj"] == '{"f1":1,"f2":"z"}'  # PG: anonymous fields f1..fN
+    assert row["tj_str"] == '"abc"'
+    assert row["tj_num"] == "42"
+    assert row["tj_null"] is None  # PG: to_json(NULL) is SQL NULL
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT json_agg(v ORDER BY v DESC) AS ja FROM "
+            "(SELECT explode(sequence(1, 3)) AS v)"
+        )
+    ).collect()
+    assert rows[0]["ja"] == "[3,2,1]"
+    # arrows extract from the constructed text
+    row = one(spark, "json_build_object('a', 7) ->> 'a' AS v")
+    assert row["v"] == "7"
+    import pytest
+
+    with pytest.raises(ValueError, match="non-literal key"):
+        translate_pg_sql("SELECT json_build_object(k, v) FROM t")
+    with pytest.raises(ValueError, match="ARRAY\\(SELECT"):
+        translate_pg_sql("SELECT ARRAY(SELECT x FROM t)")
+
+
+def test_row_comparison_native_pins(spark):
+    """PG row-value comparisons are native Spark syntax (lexicographic).
+    Known delta (module header): a NULL field inside a row comparison —
+    PG's pairwise SQL semantics yield NULL, Spark orders NULL smallest."""
+    row = one(
+        spark,
+        "(1, 2) < (1, 3) AS a, (2, 0) < (1, 9) AS b, "
+        "((1, 'b') > (1, 'a')) AS c",
+    )
+    assert row["a"] is True and row["b"] is False and row["c"] is True

@@ -9,7 +9,7 @@ test file by adding its index to the parametrize range.
 Usage:
     python tools/fuzz_campaign.py [--v1 1000] [--v2 1000] [--v3 600]
                                   [--v4 400] [--v5 600] [--v6 600]
-                                  [--v7 600] [--v8 600]
+                                  [--v7 600] [--v8 600] [--v9 600]
 
 Each case is executed as-written by DuckDB (PG null-order pragma) and
 as-translated by Spark, value-compared order-insensitively (v4 compares
@@ -42,6 +42,7 @@ from tests.test_dialect_sqlsmith import (  # noqa: E402
     N_CASES_V6,
     N_CASES_V7,
     N_CASES_V8,
+    N_CASES_V9,
     gen_query,
     gen_query_v2,
     gen_query_v3,
@@ -50,6 +51,7 @@ from tests.test_dialect_sqlsmith import (  # noqa: E402
     gen_query_v6,
     gen_query_v7,
     gen_query_v8,
+    gen_query_v9,
 )
 from youcruit_tap_rawpostgresql_spark.plans.dialect import (  # noqa: E402
     translate_pg_sql,
@@ -70,6 +72,7 @@ def main() -> int:
     ap.add_argument("--v6", type=int, default=600)
     ap.add_argument("--v7", type=int, default=600)
     ap.add_argument("--v8", type=int, default=600)
+    ap.add_argument("--v9", type=int, default=600)
     args = ap.parse_args()
 
     spark = get_session(app_name="fuzz-campaign")
@@ -88,6 +91,7 @@ def main() -> int:
         ("v6", gen_query_v6, N_CASES_V6, args.v6),
         ("v7", gen_query_v7, N_CASES_V7, args.v7),
         ("v8", gen_query_v8, N_CASES_V8, args.v8),
+        ("v9", gen_query_v9, N_CASES_V9, args.v9),
     ):
         ran = 0
         for i in range(lo, hi):
@@ -127,7 +131,8 @@ def main() -> int:
     total = (args.v1 - N_CASES) + (args.v2 - N_CASES_V2) + \
         (args.v3 - N_CASES_V3) + (args.v4 - N_CASES_V4) + \
         (args.v5 - N_CASES_V5) + (args.v6 - N_CASES_V6) + \
-        (args.v7 - N_CASES_V7) + (args.v8 - N_CASES_V8)
+        (args.v7 - N_CASES_V7) + (args.v8 - N_CASES_V8) + \
+        (args.v9 - N_CASES_V9)
     print(f"== fuzz campaign: {total} cases, {failures} failures ==",
           flush=True)
     return 1 if failures else 0

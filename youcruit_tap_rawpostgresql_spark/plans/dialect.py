@@ -168,12 +168,44 @@ text contexts — PG strips the pad on char→text); PG binds ``::`` inside
 a typed literal (``date 'x'::text`` is still a DATE there) where this
 engine casts the constructed value — renderings agree.
 
+Set-returning / construction (round-9 session 4, second batch):
+``generate_series`` is set-returning — the old straight rename to
+``sequence()`` returned ONE ARRAY row wherever the call was not wrapped
+in ``unnest()`` (silent shape change). Now: FROM/JOIN position →
+Spark's ``explode(sequence(...))`` table function with PG's
+alias-names-the-column rule and ``generate_series`` default name;
+select-list position → ``explode(sequence(...))``; the
+``unnest(generate_series(...))`` composition keeps one explode. The
+``date_part('field', x)`` spelling now takes the same DOW/ISODOW/EPOCH
+rewrites as EXTRACT (``date_part('dow')`` was a SILENT Sunday=1-for-0).
+The json construction family renders through ``to_json`` with
+``ignoreNullFields=false`` (Spark silently drops null fields; PG keeps
+them): ``json[b]_build_object`` (literal keys → named_struct;
+expression keys raise), ``json[b]_build_array`` (heterogeneous
+per-element rendering), ``json[b]_agg`` (→ to_json over the PG-faithful
+array_agg rewrite: nulls kept, inline ORDER BY), ``row_to_json``
+(anonymous ROW → PG's f1..fN names; a table alias → struct(t.*)), and
+``to_json``/``to_jsonb`` over any type (1-element-array rendering;
+NULL → SQL NULL). ``ARRAY(SELECT ...)`` raises with the array_agg
+scalar-subquery recipe. Known deltas: PG renders spaces after json
+separators (``{"a" : 1}`` / jsonb ``{"a": 1}`` / ``[1, 2]``) where
+Spark and DuckDB both render compact — structure, order, quoting and
+null spelling are exact; ``json_agg`` of ZERO rows renders ``[]`` where
+PG returns NULL; a descending ``generate_series`` without a negative
+step is empty in PG but raises in Spark's sequence.
+
 No translation needed (native Spark syntax): ``ilike`` (3.3+),
 ``position(x IN y)``, ``split_part``, positive-literal-argument
 ``left``/``right``/``substring`` (see above for the clipped rewrite),
-``date_part``, ``IS [NOT] DISTINCT FROM``, ``&``/``|``/``<<``/``>>``
+``date_part`` (non-DOW/EPOCH fields), ``IS [NOT] DISTINCT FROM``,
+``&``/``|``/``<<``/``>>``
 bitwise ops, ``overlay(x PLACING y FROM n [FOR l])``, ``width_bucket``,
-``make_date``/``make_timestamp``, ``div(a, b)``, ``getbit``. PG deltas
+``make_date``/``make_timestamp``, ``div(a, b)``, ``getbit``,
+``to_timestamp(epoch_numeric)`` (Spark 4 shares PG's reading),
+row-value comparisons ``(a, b) < (c, d)`` (lexicographic in both;
+known delta: a NULL field yields NULL in PG's pairwise semantics where
+Spark orders NULL smallest), and window RANGE frames with INTERVAL
+offsets. PG deltas
 intentionally NOT auto-rewritten because they need type/context analysis a
 regex cannot do safely: integer ``/`` (PG truncates, Spark is fractional —
 write ``div`` explicitly), default NULL sort order (PG: NULLS LAST on
@@ -1010,8 +1042,40 @@ _REGEXP_SPLIT_TABLE_OPEN_RE = re.compile(
 )
 
 
+_JSON_AGG_OPEN_RE = re.compile(r"\bjsonb?_agg\s*\(", re.IGNORECASE)
+
+
+def _translate_json_agg(sql: str) -> str:
+    """PG json[b]_agg(x [ORDER BY k]) → to_json(array_agg(...)): the
+    inner array_agg then takes the SAME translation pass as PG's
+    array_agg (nulls KEPT, inline ORDER BY honored, PG default null
+    placement) — so must run BEFORE it. Rendering delta documented at
+    the json-construction block."""
+    pos = 0
+    while True:
+        mask = _masked(sql)
+        m = _JSON_AGG_OPEN_RE.search(mask, pos)
+        if m is None:
+            return sql
+        open_i = m.end() - 1
+        close_i = _matching_paren(mask, open_i)
+        if close_i < 0:
+            pos = m.end()
+            continue
+        inner = sql[open_i + 1 : close_i]
+        sql = (
+            sql[: m.start()]
+            + "to_json(array_agg("
+            + inner
+            + "), map('ignoreNullFields', 'false'))"
+            + sql[close_i + 1 :]
+        )
+        pos = m.start() + len("to_json(")
+
+
 def _translate_set_functions(sql: str) -> str:
     sql = _translate_string_agg(sql)
+    sql = _translate_json_agg(sql)
     sql = _translate_array_agg(sql)
     # ordinality BEFORE the plain-unnest rename (which would otherwise
     # leave a dangling WITH ORDINALITY behind an explode())
@@ -1149,7 +1213,13 @@ _REGEX_OP_RE = re.compile(
 
 # EXTRACT(EPOCH FROM expr) → unix_timestamp(expr); other EXTRACT fields are
 # native in Spark
-_EPOCH_RE = re.compile(r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\s+([^()]+)\)", re.IGNORECASE)
+_EPOCH_RE = re.compile(
+    r"\bEXTRACT\s*\(\s*EPOCH\s+FROM\s+([^()]+)\)"
+    # date_part('epoch', x) is the same PG surface; Spark's date_part
+    # has no epoch field (INVALID_EXTRACT_FIELD — round-9 session 4)
+    r"|\bdate_part\s*\(\s*'(?i:EPOCH)'\s*,\s*([^()]+)\)",
+    re.IGNORECASE,
+)
 
 # EXTRACT(CENTURY/DECADE/MILLENNIUM FROM expr) — PG year-derived fields
 # Spark's EXTRACT rejects (INVALID_EXTRACT_FIELD). date_part('century', x)
@@ -3491,6 +3561,119 @@ def _build_regexp_matches(args):
     return (body, 0)
 
 
+# --- PG json construction family (round-9 session 4) -----------------------
+# The engine models json as TEXT (module-wide collapse); construction
+# renders through Spark's to_json. Known rendering delta (documented in
+# the module header): PG puts spaces after separators
+# (json_build_object: '{"a" : 1}', jsonb: '{"a": 1}', json_agg:
+# '[1, 2]'); Spark and DuckDB both render compact ('{"a":1}', '[1,2]'),
+# so oracles arbitrate structure exactly and PG differs only in
+# whitespace.
+
+_JSON_BUILD_OBJECT_OPEN_RE = re.compile(
+    r"\bjsonb?_build_object\s*\(", re.IGNORECASE
+)
+_JSON_BUILD_ARRAY_OPEN_RE = re.compile(
+    r"\bjsonb?_build_array\s*\(", re.IGNORECASE
+)
+_ROW_TO_JSON_OPEN_RE = re.compile(r"\brow_to_json\s*\(", re.IGNORECASE)
+_TO_JSON_OPEN_RE = re.compile(r"\bto_jsonb?\s*\(", re.IGNORECASE)
+_ARRAY_SUBQUERY_RE = re.compile(r"\bARRAY\s*\(\s*SELECT\b", re.IGNORECASE)
+
+
+def _json_render_scalar(x: str) -> str:
+    """Render ANY single value as its json text: Spark's to_json only
+    accepts complex types, so the value rides through a 1-element array
+    whose brackets are stripped. NULL input → SQL NULL (PG's to_json)."""
+    arr = f"to_json(array({x}))"
+    return (
+        f"(CASE WHEN ({x}) IS NOT NULL "
+        f"THEN substr({arr}, 2, length({arr}) - 2) END)"
+    )
+
+
+def _build_json_build_object(args):
+    """PG json[b]_build_object(k1, v1, ...) → to_json(named_struct(...)).
+    Keys must be literals (named_struct field names are) — expression
+    keys raise. Duplicate literal keys: PG json keeps both, jsonb keeps
+    the last; named_struct keeps both (the json reading)."""
+    if not args or len(args) % 2:
+        if args and args != [""]:
+            raise ValueError(
+                "json_build_object needs an even number of arguments"
+            )
+        return None
+    pairs = []
+    for k, v in zip(args[::2], args[1::2]):
+        k = _strip_comments(k).strip()
+        if not re.fullmatch(_STR_LIT, k):
+            raise ValueError(
+                "json_build_object with a non-literal key is not "
+                "translatable (named_struct field names are literals) — "
+                "use map-typed construction or literal keys"
+            )
+        pairs.append(f"{k}, {v.strip()}")
+    # ignoreNullFields=false: PG keeps null values ('{"n" : null}');
+    # Spark's to_json silently DROPS null struct fields by default
+    head = "to_json(named_struct("
+    return (
+        head + ", ".join(pairs) + "), map('ignoreNullFields', 'false'))",
+        len(head),
+    )
+
+
+def _build_json_build_array(args):
+    """PG json[b]_build_array(variadic "any") → a concat of per-element
+    json renderings (Spark arrays are homogeneous, PG's aren't). NULL
+    elements render as json null, like PG."""
+    if len(args) == 1 and not args[0].strip():
+        return ("'[]'", 0)
+    parts = []
+    for a in args:
+        x = a.strip()
+        arr = f"to_json(array({x}))"
+        # element rendering: strip the wrapper brackets; a NULL element
+        # renders '[null]' → 'null' (PG keeps it as json null)
+        parts.append(f"substr({arr}, 2, length({arr}) - 2)")
+    return ("concat('[', concat_ws(',', " + ", ".join(parts) + "), ']')", 0)
+
+
+def _build_row_to_json(args):
+    """PG row_to_json: a table alias renders with its column names
+    (→ to_json(struct(t.*))); an anonymous ROW(...) (matched directly —
+    this pass runs BEFORE the ROW→struct rewrite) renders with PG's
+    f1..fN field names (→ named_struct)."""
+    if len(args) != 1:
+        return None
+    x = args[0].strip()
+    sm = re.fullmatch(
+        r"(?:ROW|struct)\s*\((.*)\)\s*", x, re.IGNORECASE | re.DOTALL
+    )
+    opts = "map('ignoreNullFields', 'false')"  # PG keeps null fields
+    if sm:
+        inner = _split_top_level_args(sm.group(1))
+        fields = ", ".join(
+            f"'f{n}', {a.strip()}" for n, a in enumerate(inner, 1)
+        )
+        head = "to_json(named_struct("
+        return (f"{head}{fields}), {opts})", len(head))
+    if re.fullmatch(r"[a-zA-Z_][\w.]*", x):
+        return (f"to_json(struct({x}.*), {opts})", 0)
+    return (f"to_json({x}, {opts})", 0)
+
+
+def _build_to_json(args):
+    """PG to_json/to_jsonb over ANY value. Complex operands would work
+    under Spark's to_json directly, but the operand type is unknowable
+    here — the scalar-safe 1-element-array rendering covers both. The
+    rescan offset skips the WHOLE emission (it contains to_json itself,
+    which must not recurse)."""
+    if len(args) != 1:
+        return None
+    repl = _json_render_scalar(args[0].strip())
+    return (repl, len(repl))
+
+
 _MI_PARAMS = ["years", "months", "weeks", "days", "hours", "mins", "secs"]
 
 
@@ -3803,6 +3986,12 @@ def _translate_operators(sql: str) -> str:
     sql = _rewrite_calls(sql, _QUOTE_IDENT_OPEN_RE, _build_quote_ident)
     sql = _rewrite_calls(sql, _REGEXP_MATCH_OPEN_RE, _build_regexp_match)
     sql = _rewrite_calls(sql, _MAKE_INTERVAL_OPEN_RE, _build_make_interval)
+    if _ARRAY_SUBQUERY_RE.search(_masked(sql)):
+        raise ValueError(
+            "ARRAY(SELECT ...) subquery constructor is not translatable "
+            "— use a scalar subquery over the translated array_agg: "
+            "(SELECT array_agg(x ORDER BY k) FROM ...)"
+        )
     for _ne_re, _ne_msg in _NAMED_ERROR_CALLS:
         if _ne_re.search(_masked(sql)):
             raise ValueError(_ne_msg)
@@ -3813,7 +4002,8 @@ def _translate_operators(sql: str) -> str:
     sql = _sub_skipping_literal_interiors(
         _EPOCH_RE,
         lambda m: (
-            f"(unix_micros(CAST({m.group(1).strip()} AS TIMESTAMP)) / 1e6)"
+            f"(unix_micros(CAST({(m.group(1) or m.group(2)).strip()}"
+            f" AS TIMESTAMP)) / 1e6)"
         ),
         sql,
     )
@@ -3951,14 +4141,25 @@ _ATZ_NAIVE_LITERAL_RE = re.compile(
 )
 _DOW_OPERAND = r"((?:[^()']|'(?:[^']|'')*'|\([^()]*\))+?)"
 _DOW_RE = re.compile(
-    r"\bEXTRACT\s*\(\s*DOW\s+FROM\s+" + _DOW_OPERAND + r"\s*\)",
+    r"\bEXTRACT\s*\(\s*DOW\s+FROM\s+" + _DOW_OPERAND + r"\s*\)"
+    r"|\bdate_part\s*\(\s*'(?i:DOW)'\s*,\s*" + _DOW_OPERAND + r"\s*\)",
     re.IGNORECASE,
 )
 _ISODOW_RE = re.compile(
-    r"\bEXTRACT\s*\(\s*ISODOW\s+FROM\s+" + _DOW_OPERAND + r"\s*\)",
+    r"\bEXTRACT\s*\(\s*ISODOW\s+FROM\s+" + _DOW_OPERAND + r"\s*\)"
+    r"|\bdate_part\s*\(\s*'(?i:ISODOW)'\s*,\s*" + _DOW_OPERAND + r"\s*\)",
     re.IGNORECASE,
 )
-_DOW_LEFTOVER_RE = re.compile(r"\bEXTRACT\s*\(\s*(DOW|ISODOW)\b", re.IGNORECASE)
+# PG's two field spellings are the same surface: date_part('dow', x) ==
+# EXTRACT(DOW FROM x). Spark's date_part('dow') resolves to DAYOFWEEK
+# (Sunday=1) — a SILENT off-by-one against PG's Sunday=0 that the
+# EXTRACT-only first cut left in place (round-9 session-4 probe); its
+# 'isodow'/'epoch' raise INVALID_EXTRACT_FIELD (loud).
+_DOW_LEFTOVER_RE = re.compile(
+    r"\bEXTRACT\s*\(\s*(DOW|ISODOW)\b"
+    r"|\bdate_part\s*\(\s*'(?i:DOW|ISODOW)'",
+    re.IGNORECASE,
+)
 
 
 def _translate_timezone_dow(sql: str) -> str:
@@ -3982,10 +4183,14 @@ def _translate_timezone_dow(sql: str) -> str:
     # DOW/ISODOW FIRST: ATZ rewriting inside an EXTRACT would otherwise
     # produce a nested call the DOW pattern can't see
     sql = _sub_skipping_literal_interiors(
-        _DOW_RE, lambda m: f"(dayofweek({m.group(1)}) - 1)", sql
+        _DOW_RE,
+        lambda m: f"(dayofweek({m.group(1) or m.group(2)}) - 1)",
+        sql,
     )
     sql = _sub_skipping_literal_interiors(
-        _ISODOW_RE, lambda m: f"(weekday({m.group(1)}) + 1)", sql
+        _ISODOW_RE,
+        lambda m: f"(weekday({m.group(1) or m.group(2)}) + 1)",
+        sql,
     )
     # Spark parses DOW natively with Sunday=1 (PG: Sunday=0) — an operand
     # our pattern can't capture must fail LOUDLY, never shift weekdays by
@@ -4008,6 +4213,87 @@ def _translate_timezone_dow(sql: str) -> str:
             sql,
         )
     return sql
+
+
+# PG generate_series is SET-RETURNING: sequence() alone returns ONE ARRAY
+# row where PG returns one row per element — the straight rename this
+# replaces was a silent shape difference whenever the call was not
+# already wrapped in unnest()/explode() (round-9 session-4 probe).
+_GS_FROM_RE = re.compile(r"\b(FROM|JOIN)\s+generate_series\s*\(", re.IGNORECASE)
+_GS_ANY_RE = re.compile(r"\bgenerate_series\s*\(", re.IGNORECASE)
+_GS_ALIAS_RE = re.compile(
+    r"\s*(?:AS\s+)?([a-zA-Z_]\w*)(?:\s*\(\s*([a-zA-Z_]\w*)\s*\))?",
+    re.IGNORECASE,
+)
+_GS_NOT_ALIAS_KWS = frozenset(
+    "where group order on using left right inner cross join limit offset "
+    "union intersect except having qualify lateral natural full as and or "
+    "not when then else select from window fetch tablesample".split()
+)
+
+
+def _translate_generate_series(sql: str) -> str:
+    """PG ``generate_series(a, b[, step])`` → Spark. Both engines'
+    sequences are inclusive of the stop bound (ints and
+    timestamp+interval), but PG's call is set-returning:
+
+    - ``FROM/JOIN generate_series(...) [AS] a[(c)]`` → ``FROM
+      explode(sequence(...)) AS a(c)`` (Spark's table-function form);
+      PG's default table AND column name is ``generate_series``, and a
+      bare alias names both.
+    - anywhere else: ``explode(sequence(...))`` — unless the call is
+      already wrapped in ``explode(`` (the ``unnest(generate_series(…))``
+      composition the corpus writes; unnest→explode renamed earlier), in
+      which case plain ``sequence(...)`` keeps one explode.
+
+    A descending series without a negative step (PG: empty set; Spark
+    sequence: raises) is a documented delta — PG's empty-set reading
+    needs runtime sign analysis."""
+    while True:
+        mask = _masked(sql)
+        m = _GS_FROM_RE.search(mask)
+        if m is None:
+            break
+        open_i = m.end() - 1
+        close_i = _matching_paren(mask, open_i)
+        if close_i < 0:
+            break
+        args = sql[open_i + 1 : close_i]
+        alias, col, tail = "generate_series", "generate_series", 0
+        am = _GS_ALIAS_RE.match(sql, close_i + 1)
+        if am and am.group(1).lower() not in _GS_NOT_ALIAS_KWS:
+            alias = am.group(1)
+            col = am.group(2) or alias
+            tail = am.end() - (close_i + 1)
+        repl = f"{m.group(1)} explode(sequence({args})) AS {alias}({col})"
+        sql = sql[: m.start()] + repl + sql[close_i + 1 + tail :]
+    pos = 0
+    while True:
+        mask = _masked(sql)
+        m = _GS_ANY_RE.search(mask, pos)
+        if m is None:
+            return sql
+        open_i = m.end() - 1
+        close_i = _matching_paren(mask, open_i)
+        if close_i < 0:
+            pos = m.end()
+            continue
+        inner = sql[open_i + 1 : close_i]
+        before = sql[: m.start()].rstrip().lower()
+        if before.endswith(" as"):
+            # the FROM pass's own default alias text —
+            # `AS generate_series(generate_series)` — is a NAME here
+            pos = m.end()
+            continue
+        if before.endswith("explode("):
+            head = "sequence("
+            sql = sql[: m.start()] + head + inner + ")" + sql[close_i + 1 :]
+        else:
+            head = "explode(sequence("
+            sql = (
+                sql[: m.start()] + head + inner + "))" + sql[close_i + 1 :]
+            )
+        pos = m.start() + len(head)
 
 
 def _masked(sql: str) -> str:
@@ -4286,17 +4572,24 @@ def translate_pg_sql(
     # PG — `AS isnull` and `t.notnull` are legal names, so a match whose
     # preceding token is AS or a dot is an identifier, not the operator.
     out = _outside_literals(out, _rewrite_postfix_null_tests)
+    # json construction family BEFORE the set functions: json_agg's
+    # rewrite (inside _translate_set_functions) EMITS to_json(...) text
+    # that the to_json pass must never re-wrap; running user-written
+    # to_json/json_build_* here (casts are already translated) keeps
+    # one pass each, and the json arrows in the operator pass accept
+    # the emitted to_json(...) calls as operands
+    out = _rewrite_calls(out, _TO_JSON_OPEN_RE, _build_to_json)
+    out = _rewrite_calls(
+        out, _JSON_BUILD_OBJECT_OPEN_RE, _build_json_build_object
+    )
+    out = _rewrite_calls(
+        out, _JSON_BUILD_ARRAY_OPEN_RE, _build_json_build_array
+    )
+    out = _rewrite_calls(out, _ROW_TO_JSON_OPEN_RE, _build_row_to_json)
     out = _translate_set_functions(out)
     out = _translate_operators(out)
     out = _translate_regexp_replace_flags(out)
-    # PG generate_series(a, b[, step]) ≈ Spark sequence(a, b[, step]) —
-    # both inclusive of the stop bound (ints and timestamp+interval)
-    out = _outside_literals(
-        out,
-        lambda s: re.sub(
-            r"\bgenerate_series\s*\(", "sequence(", s, flags=re.IGNORECASE
-        ),
-    )
+    out = _translate_generate_series(out)
     out = _translate_timezone_dow(out)
     if bind and (params is not None or _PARAM_RE.search(out)):
         out = bind_params(out, params)

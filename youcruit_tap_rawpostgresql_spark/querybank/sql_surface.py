@@ -950,3 +950,110 @@ def pg_dialect_agg_order_semantics(spark: SparkSession, sf_dir: str) -> DataFram
         "GROUP BY o_orderpriority",
         pg_dialect=True,
     )
+
+
+@register(
+    "pg_dialect_operator_math",
+    # Oracle notes, per column: DuckDB's ^ IS exponentiation with PG's
+    # precedence (probed: -2 ^ 2 = 4, 2 ^ 3 ^ 2 = 64) and @ is abs, so
+    # both run near-verbatim; # is a DuckDB parser error — hand-encoded
+    # as xor(); |/ does not exist — sqrt() (IEEE sqrt is correctly
+    # rounded, so doubles compare exactly); BETWEEN SYMMETRIC is a
+    # DuckDB "not implemented" — hand-encoded as PG's own gram.y OR
+    # expansion; OVERLAPS does not exist — hand-encoded as the SQL-spec
+    # predicate (s1 < e2 AND s2 < e1, both pairs already ordered here).
+    oracle="""
+SELECT o_orderkey,
+  (o_orderkey % 7) ^ 2 AS pow7,
+  2 ^ (o_orderkey % 5) AS pow2,
+  @ (o_custkey - 1000) AS absdiff,
+  sqrt(o_orderkey % 100 * 4 + 1) AS sq,
+  xor(o_orderkey % 64, 21) AS xo,
+  (o_totalprice >= 200000 AND o_totalprice <= 100000)
+    OR (o_totalprice >= 100000 AND o_totalprice <= 200000) AS in_band,
+  (o_orderdate < DATE '1995-03-01'
+    AND DATE '1995-01-01' < o_orderdate + INTERVAL 30 DAY)
+    OR o_orderdate = DATE '1995-01-01' AS ovl
+FROM orders WHERE o_orderkey % 11 = 0
+""",
+)
+def pg_dialect_operator_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 session-4 operator family end-to-end on the
+    delegated-SQL contract (reference ``client.py:300-304`` ships user
+    SQL verbatim — any operator PG accepts is surface): ``^``
+    exponentiation (was SILENTLY Spark's bitwise XOR — 1-for-8), ``#``
+    XOR, prefix ``@`` absolute value and ``|/`` square root (were loud
+    parse errors), ``BETWEEN SYMMETRIC`` (PG's bound-order-free form,
+    expanded exactly as PG's grammar does), and the SQL-spec ``OVERLAPS``
+    period predicate with an INTERVAL-length second element.
+
+    Scale: map-only projection over one pruned parquet scan; the modulo
+    filter pushes down; every rewrite is a whole-stage-codegen JVM
+    expression — no Python boundary, no shuffle."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    tables(spark, sf_dir)
+    return run_sql(
+        spark,
+        "SELECT o_orderkey, "
+        "(o_orderkey % 7) ^ 2 AS pow7, "
+        "2 ^ (o_orderkey % 5) AS pow2, "
+        "@ (o_custkey - 1000) AS absdiff, "
+        "|/ (o_orderkey % 100 * 4 + 1) AS sq, "
+        "(o_orderkey % 64) # 21 AS xo, "
+        "o_totalprice BETWEEN SYMMETRIC 200000 AND 100000 AS in_band, "
+        "(o_orderdate, o_orderdate + INTERVAL '30 days') OVERLAPS "
+        "(DATE '1995-01-01', DATE '1995-03-01') AS ovl "
+        "FROM orders WHERE o_orderkey % 11 = 0",
+        pg_dialect=True,
+    )
+
+
+@register(
+    "pg_dialect_quoting_encode",
+    # Oracle notes: DuckDB has NO quote_literal/quote_ident/
+    # quote_nullable/encode/decode — each hand-encoded (quote doubling;
+    # the anchored identifier test via DuckDB's boolean regexp_matches;
+    # hex via lower(hex()), DuckDB's hex renders uppercase); PG's
+    # regexp_match returns text[] — DuckDB's regexp_extract group 1
+    # wrapped in a list literal (every c_name matches, so the NULL
+    # no-match branch is not exercised here — it is pinned in
+    # tests/test_pg_pinned.py instead).
+    oracle="""
+SELECT c_custkey,
+  '''' || replace(c_name, '''', '''''') || '''' AS ql,
+  CASE WHEN regexp_matches(lower(c_mktsegment), '^[a-z_][a-z0-9_]*$')
+       THEN lower(c_mktsegment)
+       ELSE '"' || replace(lower(c_mktsegment), '"', '""') || '"' END AS qi,
+  CASE WHEN nullif(c_nationkey, 3) IS NULL THEN 'NULL'
+       ELSE '''' || CAST(nullif(c_nationkey, 3) AS VARCHAR) || '''' END AS qn,
+  lower(hex(c_name)) AS hx,
+  c_name AS roundtrip,
+  [regexp_extract(c_name, 'Customer#([0-9]+)', 1)] AS grp
+FROM customer WHERE c_custkey % 7 = 0
+""",
+)
+def pg_dialect_quoting_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 session-4 quoting/binary/regex-match functions on the
+    delegated-SQL contract: quote_literal/quote_ident/quote_nullable
+    (PG quote.c semantics), encode/decode 'hex' round-trip (PG's
+    lowercase hex), and regexp_match's first-match capture array — all
+    were loud UNRESOLVED_ROUTINE/charset errors before this round.
+
+    Scale: map-only projection, pushed-down modulo filter, all JVM
+    expressions (the CASE rewrites inline into whole-stage codegen)."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    tables(spark, sf_dir)
+    return run_sql(
+        spark,
+        "SELECT c_custkey, "
+        "quote_literal(c_name) AS ql, "
+        "quote_ident(lower(c_mktsegment)) AS qi, "
+        "quote_nullable(nullif(c_nationkey, 3)) AS qn, "
+        "encode(c_name::bytea, 'hex') AS hx, "
+        "decode(encode(c_name::bytea, 'hex'), 'hex')::text AS roundtrip, "
+        "regexp_match(c_name, 'Customer#([0-9]+)') AS grp "
+        "FROM customer WHERE c_custkey % 7 = 0",
+        pg_dialect=True,
+    )
