@@ -1373,3 +1373,53 @@ def test_row_comparison_native_pins(spark):
         "((1, 'b') > (1, 'a')) AS c",
     )
     assert row["a"] is True and row["b"] is False and row["c"] is True
+
+
+def test_lateral_srf_sha_window_filter_pins(spark):
+    """Third session-4 batch: PG's implicit-LATERAL FROM idiom
+    (``FROM t, unnest(t.arr) AS u`` — a table-valued explode cannot see
+    sibling columns), sha2-family bytea returns, and aggregate FILTER
+    over a WINDOW (Spark: "not supported yet"; rewritten as the
+    NULL-skipping CASE equivalent for NULL-skipping aggregates)."""
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT k, u FROM (SELECT 2 AS k, ARRAY[7, 8] AS arr) s, "
+            "unnest(s.arr) AS u"
+        )
+    ).collect()
+    assert [(r["k"], r["u"]) for r in rows] == [(2, 7), (2, 8)]
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT k, g FROM (SELECT 3 AS k) s, "
+            "generate_series(1, s.k) AS g WHERE g < 3"
+        )
+    ).collect()
+    assert [(r["k"], r["g"]) for r in rows] == [(3, 1), (3, 2)]
+    row = one(
+        spark,
+        # PG: sha256('abc') = \xba7816bf8f01cfea414140de5dae2223"
+        # b00361a396177a9cb410ff61f20015ad (docs §9.5 example)
+        "encode(sha256('abc'::bytea), 'hex') AS h",
+    )
+    assert row["h"] == (
+        "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+    )
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT x, count(*) FILTER (WHERE x > 1) OVER () AS c, "
+            "sum(x) FILTER (WHERE x <> 2) OVER () AS s "
+            "FROM (SELECT explode(sequence(1, 3)) AS x)"
+        )
+    ).collect()
+    assert sorted((r["x"], r["c"], r["s"]) for r in rows) == [
+        (1, 2, 4),
+        (2, 2, 4),
+        (3, 2, 4),
+    ]
+    import pytest
+
+    with pytest.raises(ValueError, match="NULL-skipping"):
+        translate_pg_sql(
+            "SELECT array_agg(x) FILTER (WHERE y) OVER (PARTITION BY k) "
+            "FROM t"
+        )

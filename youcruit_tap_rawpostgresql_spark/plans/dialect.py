@@ -194,6 +194,18 @@ null spelling are exact; ``json_agg`` of ZERO rows renders ``[]`` where
 PG returns NULL; a descending ``generate_series`` without a negative
 step is empty in PG but raises in Spark's sequence.
 
+Third session-4 batch: comma/CROSS JOIN set-returning calls in a FROM
+list (PG's implicit-LATERAL idiom ``FROM t, unnest(t.arr) AS u``) →
+``LATERAL VIEW explode`` (a table-valued explode cannot see sibling
+columns; a FROM-clause comma is distinguished from a select-list comma
+by the nearest same-depth clause keyword); ``sha224/256/384/512`` →
+``unhex(sha2(x, n))`` (PG returns bytea; Spark's sha2 returns hex
+text); aggregate ``FILTER`` over a WINDOW → the NULL-skipping CASE
+equivalent for NULL-skipping aggregates (count/sum/avg/min/max/stddev/
+variance/bool_and/bool_or/every — Spark: "not supported yet";
+null-KEEPING aggregates raise a named error since the CASE rewrite
+would change their result). Plain aggregate FILTER stays native.
+
 No translation needed (native Spark syntax): ``ilike`` (3.3+),
 ``position(x IN y)``, ``split_part``, positive-literal-argument
 ``left``/``right``/``substring`` (see above for the clipped rewrite),
@@ -1080,6 +1092,10 @@ def _translate_set_functions(sql: str) -> str:
     # ordinality BEFORE the plain-unnest rename (which would otherwise
     # leave a dangling WITH ORDINALITY behind an explode())
     sql = _translate_unnest_ordinality(sql)
+    # comma/CROSS JOIN SRFs in a FROM list → LATERAL VIEW, before the
+    # plain rename turns them into table-valued explode() calls that
+    # cannot see sibling columns
+    sql = _translate_lateral_srf(sql)
     # PG's regexp split family: both sides are regex splits (PG keeps
     # trailing empty fields; so does Spark's split with its default
     # limit of -1). The 3-arg flags forms stay untouched (loud).
@@ -3674,6 +3690,99 @@ def _build_to_json(args):
     return (repl, len(repl))
 
 
+# PG sha224/sha256/sha384/sha512 return BYTEA; Spark has only sha2(x, n)
+# returning a HEX STRING — unhex restores the type (md5/sha1 keep PG's
+# hex-text returns and pass through).
+_SHA_OPEN_RE = re.compile(r"\bsha(224|256|384|512)\s*\(", re.IGNORECASE)
+
+
+def _translate_sha_family(sql: str) -> str:
+    pos = 0
+    while True:
+        mask = _masked(sql)
+        m = _SHA_OPEN_RE.search(mask, pos)
+        if m is None:
+            return sql
+        open_i = m.end() - 1
+        close_i = _matching_paren(mask, open_i)
+        if close_i < 0:
+            pos = m.end()
+            continue
+        inner = sql[open_i + 1 : close_i]
+        head = "unhex(sha2("
+        sql = (
+            sql[: m.start()]
+            + head
+            + inner
+            + f", {m.group(1)}))"
+            + sql[close_i + 1 :]
+        )
+        pos = m.start() + len(head)
+
+
+# Aggregate FILTER over a WINDOW: native Spark for plain aggregates,
+# but "Window aggregate function with filter predicate is not supported
+# yet" — rewritten as the NULL-skipping CASE equivalent for aggregates
+# that ignore NULLs. Whitelisted: a CASE rewrite would CHANGE semantics
+# for null-keeping aggregates (this engine's array_agg keeps nulls).
+_WINFILTER_AGGS = frozenset(
+    "count sum avg min max stddev stddev_samp stddev_pop variance "
+    "var_samp var_pop bool_and bool_or every".split()
+)
+_FILTER_OVER_RE = re.compile(
+    r"\bFILTER\s*\(\s*WHERE\b", re.IGNORECASE
+)
+
+
+def _translate_window_filter(sql: str) -> str:
+    pos = 0
+    while True:
+        mask = _masked(sql)
+        spans = _opaque_spans(sql)
+        m = _FILTER_OVER_RE.search(mask, pos)
+        if m is None:
+            return sql
+        fopen = mask.index("(", m.start())
+        fclose = _matching_paren(mask, fopen)
+        if fclose < 0:
+            pos = m.end()
+            continue
+        after = re.match(r"\s*OVER\b", mask[fclose + 1 :])
+        if after is None:
+            pos = m.end()
+            continue  # plain aggregate FILTER: native Spark
+        lspan = _operand_left_span(sql, mask, spans, m.start())
+        call = sql[lspan[0] : lspan[1]] if lspan else ""
+        cm = re.match(
+            r"([a-zA-Z_]\w*)\s*\((.*)\)\s*\Z", call, re.DOTALL
+        )
+        if not lspan or not cm or cm.group(1).lower() not in _WINFILTER_AGGS:
+            raise ValueError(
+                "FILTER over a window is not supported by Spark and only "
+                "NULL-skipping aggregates can be rewritten "
+                f"({', '.join(sorted(_WINFILTER_AGGS))}) — move the "
+                "predicate into a CASE expression explicitly"
+            )
+        name = cm.group(1).lower()
+        arg = cm.group(2).strip()
+        pred = re.sub(
+            r"^\s*WHERE\b",
+            "",
+            sql[fopen + 1 : fclose],
+            flags=re.IGNORECASE,
+        ).strip()
+        distinct = ""
+        dm = re.match(r"DISTINCT\b\s*", arg, re.IGNORECASE)
+        if dm:
+            distinct = "DISTINCT "
+            arg = arg[dm.end() :].strip()
+        if name == "count" and arg == "*":
+            arg = "1"
+        repl = f"{name}({distinct}CASE WHEN ({pred}) THEN {arg} END)"
+        sql = sql[: lspan[0]] + repl + sql[fclose + 1 :]
+        pos = lspan[0] + len(repl)
+
+
 _MI_PARAMS = ["years", "months", "weeks", "days", "hours", "mins", "secs"]
 
 
@@ -3883,6 +3992,8 @@ def _translate_operators(sql: str) -> str:
     sql = _translate_prefix_math_ops(sql)
     sql = _translate_between_symmetric(sql)
     sql = _translate_overlaps(sql)
+    sql = _translate_sha_family(sql)
+    sql = _translate_window_filter(sql)
 
     # (to_char/to_timestamp/to_date and the substring/left/right clips
     # run LAST in this function — their CASE-guarded replacements nest
@@ -4213,6 +4324,80 @@ def _translate_timezone_dow(sql: str) -> str:
             sql,
         )
     return sql
+
+
+_LATERAL_SRF_RE = re.compile(
+    r"(,|\bCROSS\s+JOIN\b)\s*(?:LATERAL\s+)?"
+    r"(unnest|generate_series)\s*\(",
+    re.IGNORECASE,
+)
+_CLAUSE_KW_RE = re.compile(
+    r"\b(SELECT|FROM|WHERE|GROUP|ORDER|HAVING|WINDOW|LIMIT|OFFSET|"
+    r"UNION|INTERSECT|EXCEPT|VALUES|ON|USING|SET)\b",
+    re.IGNORECASE,
+)
+
+
+def _in_from_clause(mask: str, pos: int) -> bool:
+    """True when ``pos`` sits in a FROM clause: the nearest preceding
+    clause keyword at the SAME paren depth is FROM (or a join's
+    ON/USING — a comma there continues the from-list). A comma in a
+    SELECT list reports SELECT instead."""
+    depth = 0
+    depths = []
+    for ch in mask[:pos]:
+        depths.append(depth)
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+    at = depth
+    last = None
+    for m in _CLAUSE_KW_RE.finditer(mask, 0, pos):
+        if depths[m.start()] == at:
+            last = m.group(1).upper()
+    return last in ("FROM", "ON", "USING")
+
+
+def _translate_lateral_srf(sql: str) -> str:
+    """Comma- and CROSS JOIN-positioned set-returning calls in a FROM
+    list — PG's implicit-LATERAL idiom ``FROM t, unnest(t.arr) AS u`` —
+    become Spark LATERAL VIEW clauses: a table-valued ``explode()``
+    cannot see sibling columns (UNRESOLVED_COLUMN, round-9 session-4
+    probe), and a bare table alias would not name the column. PG's bare
+    alias names the output column for a single-column SRF; the default
+    name is the function's own. Runs BEFORE the unnest→explode rename
+    and the generate_series passes (which keep handling the
+    FROM-position and select-list forms)."""
+    while True:
+        mask = _masked(sql)
+        m = None
+        for cand in _LATERAL_SRF_RE.finditer(mask):
+            if cand.group(1) != "," or _in_from_clause(mask, cand.start()):
+                m = cand
+                break
+        if m is None:
+            return sql
+        fn = m.group(2).lower()
+        open_i = m.end() - 1
+        close_i = _matching_paren(mask, open_i)
+        if close_i < 0:
+            return sql
+        args = sql[open_i + 1 : close_i]
+        if fn == "unnest" and len(_split_top_level_args(args)) != 1:
+            raise ValueError(
+                "multi-argument unnest in FROM (PG zips the arrays) is "
+                "not translatable — use arrays_zip + explode"
+            )
+        alias, col, tail = fn, fn, 0
+        am = _GS_ALIAS_RE.match(sql, close_i + 1)
+        if am and am.group(1).lower() not in _GS_NOT_ALIAS_KWS:
+            alias = am.group(1)
+            col = am.group(2) or alias
+            tail = am.end() - (close_i + 1)
+        inner = args if fn == "unnest" else f"sequence({args})"
+        repl = f" LATERAL VIEW explode({inner}) {alias} AS {col}"
+        sql = sql[: m.start()] + repl + sql[close_i + 1 + tail :]
 
 
 # PG generate_series is SET-RETURNING: sequence() alone returns ONE ARRAY
