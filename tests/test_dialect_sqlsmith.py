@@ -940,8 +940,20 @@ def test_sqlsmith_differential_v8(sview_g, duck_g, i):
 
 def gen_query_v9(i: int) -> str:
     r = random.Random(20260816 * 9000 + i)
-    shape = r.randrange(7)
-    if shape == 6:
+    shape = r.randrange(8)
+    if shape == 7:
+        # PG array slices a[lo:hi] (1-based, clipping, omittable
+        # bounds) — DuckDB matches PG on every probed shape including
+        # lo=0 clipping, hi past the end, and empty hi<lo windows
+        lo = r.choice(["", "0", "1", "2", "3", "(c_custkey % 4)"])
+        hi = r.choice(["", "2", "3", "5", "9"])
+        if not lo and not hi:
+            lo = "2"
+        return (
+            f"SELECT c_custkey, "
+            f"(string_to_array(c_name, '0'))[{lo}:{hi}] AS s "
+            f"FROM customer WHERE c_custkey < 120"
+        )
         # FROM-position generate_series: PG/DuckDB are set-returning
         # there (one row per element); the old sequence() rename
         # returned one array row. The select-list position is pin-only:

@@ -1423,3 +1423,23 @@ def test_lateral_srf_sha_window_filter_pins(spark):
             "SELECT array_agg(x) FILTER (WHERE y) OVER (PARTITION BY k) "
             "FROM t"
         )
+
+
+def test_array_slice_pins(spark):
+    """PG array slices (1-based, bound-clipping, omittable bounds) —
+    a syntax Spark's parser rejects outright; rewritten to slice()."""
+    row = one(
+        spark,
+        "(ARRAY[1,2,3,4])[2:3] AS a, "
+        "(ARRAY[1,2,3,4])[0:2] AS b, "
+        "(ARRAY[1,2,3,4])[3:9] AS c, "
+        "(ARRAY[1,2,3,4])[2:] AS d, "
+        "(ARRAY[1,2,3,4])[:2] AS e, "
+        "(ARRAY[1,2,3,4])[4:2] AS f",
+    )
+    assert row["a"] == [2, 3]
+    assert row["b"] == [1, 2]   # lower bound clips to 1
+    assert row["c"] == [3, 4]   # upper bound clips to the array
+    assert row["d"] == [2, 3, 4]
+    assert row["e"] == [1, 2]
+    assert row["f"] == []       # empty window

@@ -3132,6 +3132,57 @@ def _translate_hash_xor(sql: str) -> str:
         pos = lstart
 
 
+def _translate_array_slices(sql: str) -> str:
+    """PG array slices ``a[lo:hi]`` (1-based, bound-clipping, either
+    bound omittable) → ``slice(a, lo', hi - lo' + 1)`` with
+    ``lo' = greatest(lo, 1)`` and a non-negative length clamp — PG clips
+    out-of-range windows to the array. Spark's ``[i]`` subscript has no
+    colon form, so the syntax is unambiguously PG. Plain subscripts
+    ``a[i]`` stay untouched (module header: 0- vs 1-based needs type
+    context). Known caveat: the operand/bounds duplicate in TEXT
+    (nondeterministic expressions unsupported), like the other clip
+    rewrites."""
+    while True:
+        mask = _masked(sql)
+        spans = _opaque_spans(sql)
+        found = None
+        for bm in re.finditer(r"\[", mask):
+            close = _matching_bracket(mask, bm.start())
+            if close < 0:
+                continue
+            inner = mask[bm.start() + 1 : close]
+            if "[" in inner or ":" not in inner:
+                continue
+            if re.fullmatch(r"\s*:[a-zA-Z_]\w*\s*", inner):
+                # a[:name] is a named-PARAMETER subscript under the
+                # reference's sqlalchemy.text binding, not a slice —
+                # that reading wins (the bind pass handles it)
+                continue
+            lspan = _operand_left_span(sql, mask, spans, bm.start())
+            if lspan is None:
+                continue
+            found = (lspan, bm.start(), close)
+            break
+        if found is None:
+            return sql
+        lspan, open_i, close_i = found
+        arr = sql[lspan[0] : open_i].strip()
+        lo, hi = sql[open_i + 1 : close_i].split(":", 1)
+        lo, hi = lo.strip() or "1", hi.strip()
+        hi = hi if hi else f"size({arr})"
+        lo_c = f"greatest({lo}, 1)"
+        repl = (
+            f"slice({arr}, {lo_c}, "
+            f"greatest(({hi}) - {lo_c} + 1, 0))"
+        )
+        sql = (
+            sql[: lspan[0]]
+            + _sep_if_word_before(sql, lspan[0])
+            + repl
+            + sql[close_i + 1 :]
+        )
+
+
 _PREFIX_MATH_OPS = [("||/", "cbrt"), ("|/", "sqrt"), ("@", "abs")]
 
 
@@ -3994,6 +4045,7 @@ def _translate_operators(sql: str) -> str:
     sql = _translate_overlaps(sql)
     sql = _translate_sha_family(sql)
     sql = _translate_window_filter(sql)
+    sql = _translate_array_slices(sql)
 
     # (to_char/to_timestamp/to_date and the substring/left/right clips
     # run LAST in this function — their CASE-guarded replacements nest
