@@ -1443,3 +1443,23 @@ def test_array_slice_pins(spark):
     assert row["d"] == [2, 3, 4]
     assert row["e"] == [1, 2]
     assert row["f"] == []       # empty window
+
+
+def test_pg_catalog_prefix_and_zoned_date_trunc_pins(spark):
+    """pg_catalog-qualified builtins (every PG builtin's home schema)
+    resolve unqualified; 3-arg date_trunc (PG 12+) truncates in the
+    given zone's wall clock and returns the UTC instant — hand-derived:
+    2001-02-16 20:38 UTC is 07:38 Feb 17 in Sydney (UTC+11, no DST
+    ambiguity), whose day-truncation is Sydney midnight Feb 17 =
+    2001-02-16 13:00 UTC."""
+    row = one(
+        spark,
+        "pg_catalog.concat('a', NULL, 'b') AS c, "
+        "pg_catalog.length('abc') AS l, "
+        "date_trunc('day', TIMESTAMP '2001-02-16 20:38:40', "
+        "'Australia/Sydney') AS z, "
+        "date_trunc('hour', TIMESTAMP '2001-02-16 20:38:40') AS plain",
+    )
+    assert row["c"] == "ab" and row["l"] == 3
+    assert str(row["z"]) == "2001-02-16 13:00:00"
+    assert str(row["plain"]) == "2001-02-16 20:00:00"

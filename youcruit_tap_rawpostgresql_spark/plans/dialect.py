@@ -3834,6 +3834,22 @@ def _translate_window_filter(sql: str) -> str:
         pos = lspan[0] + len(repl)
 
 
+# date_trunc('field', ts, 'zone') (PG 12+): truncate in the zone's wall
+# clock, return the UTC instant — exactly the from/to_utc composition.
+_DATE_TRUNC_OPEN_RE = re.compile(r"\bdate_trunc\s*\(", re.IGNORECASE)
+
+
+def _build_date_trunc_zoned(args):
+    if len(args) != 3:
+        return None  # 2-arg form is native Spark
+    fld, ts, zone = (a.strip() for a in args)
+    head = f"to_utc_timestamp(date_trunc({fld}, "
+    return (
+        f"{head}from_utc_timestamp({ts}, {zone})), {zone})",
+        len(head),
+    )
+
+
 _MI_PARAMS = ["years", "months", "weeks", "days", "hours", "mins", "secs"]
 
 
@@ -4149,6 +4165,7 @@ def _translate_operators(sql: str) -> str:
     sql = _rewrite_calls(sql, _QUOTE_IDENT_OPEN_RE, _build_quote_ident)
     sql = _rewrite_calls(sql, _REGEXP_MATCH_OPEN_RE, _build_regexp_match)
     sql = _rewrite_calls(sql, _MAKE_INTERVAL_OPEN_RE, _build_make_interval)
+    sql = _rewrite_calls(sql, _DATE_TRUNC_OPEN_RE, _build_date_trunc_zoned)
     if _ARRAY_SUBQUERY_RE.search(_masked(sql)):
         raise ValueError(
             "ARRAY(SELECT ...) subquery constructor is not translatable "
@@ -4743,6 +4760,15 @@ def translate_pg_sql(
     # dollar-quoted strings first: every later pass assumes standard
     # single-quoted literals only
     sql = _normalize_dollar_quotes(sql)
+    # pg_catalog. qualification drops: every PG builtin lives there and
+    # qualified spellings (pg_catalog.concat(...)) are valid user SQL;
+    # Spark resolves builtins unqualified only
+    sql = _outside_literals(
+        sql,
+        lambda s: re.sub(
+            r"\bpg_catalog\s*\.\s*(?=[a-zA-Z_])", "", s, flags=re.IGNORECASE
+        ),
+    )
     # E'...' prefixes drop BEFORE the cast pass: Spark's literal parser
     # already processes backslash escapes, and the cast rewrite's
     # backward operand walk sees only the quoted literal — `E'ab'::text`
