@@ -1463,3 +1463,29 @@ def test_pg_catalog_prefix_and_zoned_date_trunc_pins(spark):
     assert row["c"] == "ab" and row["l"] == 3
     assert str(row["z"]) == "2001-02-16 13:00:00"
     assert str(row["plain"]) == "2001-02-16 20:00:00"
+
+
+def test_misc_operator_precedence_pins(spark):
+    """PG precedence at the shared misc-operator level (docs §4.1.6):
+    # and || sit BELOW binary +-*/% and are left-associative with each
+    other and with the prefix ops; ^ binds above them all. The session-4
+    self-review caught the first cut swallowing a following || into a
+    # operand ((a # b) || c, not a # (b || c)) and # consuming a prefix
+    @'s operand."""
+    row = one(
+        spark,
+        "17 # 5 || 'x' AS a, "      # (17 # 5) || 'x'
+        "@ -3 || 'x' AS b, "        # (@ -3) || 'x'
+        "@ (1 - 5) # 2 AS c, "      # (@ -4) # 2
+        # ^ yields double and PG's # is integer-only — PG itself raises
+        # on numeric # int, so the composed shape casts first
+        "(2 ^ 2)::int # 1 AS d, "
+        "1 # 2 + 3 AS e, "          # 1 # (2+3)
+        "1 + 2 # 3 AS f",           # (1+2) # 3
+    )
+    assert row["a"] == "20x"
+    assert row["b"] == "3x"
+    assert row["c"] == 6
+    assert row["d"] == 5
+    assert row["e"] == 4
+    assert row["f"] == 0

@@ -2902,8 +2902,14 @@ def _chain_left_start(sql, mask, spans, end_i):
     return start
 
 
-def _chain_right_end(sql, mask, spans, start_i):
-    """End of the full arithmetic/concat chain starting at ``start_i``."""
+def _chain_right_end(sql, mask, spans, start_i, concat=True):
+    """End of the full arithmetic/concat chain starting at ``start_i``.
+    ``concat=False`` stops at ``||``: PG's ``||`` sits at the SAME
+    precedence as the misc/user operators (#, prefix @ |/ ||/), all
+    left-associative — so the RIGHT operand of one of those must not
+    swallow a following ``||`` (``a # b || c`` is ``(a # b) || c``;
+    round-9 session-4 self-review), while arithmetic (+-*/%) binds
+    tighter and belongs to the operand."""
     span = _operand_right_span(sql, mask, spans, start_i)
     if span is None:
         return None
@@ -2916,6 +2922,8 @@ def _chain_right_end(sql, mask, spans, start_i):
         if j >= n or _opaque_at(spans, j) is not None:
             break
         if j + 1 < n and mask[j] == "|" and mask[j + 1] == "|":
+            if not concat:
+                break
             nxt = _operand_right_span(sql, mask, spans, j + 2)
         elif mask[j] in "+-*/%":
             nxt = _operand_right_span(sql, mask, spans, j + 1)
@@ -3121,7 +3129,7 @@ def _translate_hash_xor(sql: str) -> str:
             pos = i + 2
             continue
         lstart = _chain_left_start(sql, mask, spans, i)
-        rend = _chain_right_end(sql, mask, spans, i + 1)
+        rend = _chain_right_end(sql, mask, spans, i + 1, concat=False)
         if lstart is None or rend is None:
             pos = i + 1
             continue
@@ -3213,7 +3221,9 @@ def _translate_prefix_math_ops(sql: str) -> str:
                 ):
                     ok = False
                 if ok and _operand_left_span(sql, mask, spans, i) is None:
-                    rend = _chain_right_end(sql, mask, spans, i + len(op))
+                    rend = _chain_right_end(
+                        sql, mask, spans, i + len(op), concat=False
+                    )
                     if rend is not None:
                         rhs = sql[i + len(op) : rend].strip()
                         repl = _sep_if_word_before(sql, i) + f"{fn}({rhs})"
@@ -4054,9 +4064,13 @@ def _translate_operators(sql: str) -> str:
     # form, OVERLAPS to the SQL-spec predicate. ^→power runs FIRST: the
     # BETWEEN/OVERLAPS chain scans don't speak ^, so an unrewritten
     # 2^2 bound would truncate their operand capture.
+    # order within the family mirrors PG precedence: ^ binds tightest
+    # (operands of everything below may contain it), prefix ops reduce
+    # before a same-precedence binary # consumes their operand
+    # ((@ a) # b — left associativity at the shared Op level), then #
     sql = _translate_power_ops(sql)
-    sql = _translate_hash_xor(sql)
     sql = _translate_prefix_math_ops(sql)
+    sql = _translate_hash_xor(sql)
     sql = _translate_between_symmetric(sql)
     sql = _translate_overlaps(sql)
     sql = _translate_sha_family(sql)
