@@ -1906,7 +1906,15 @@ def _build_substring_clip(args):
     head = len("substring(")
     if n is not None and re.fullmatch(_STR_LIT, n):
         if l is not None:
-            return None  # substring(x FROM 'pat' FOR esc) — SQL-regex form
+            # SQL99 SIMILAR-based form substring(x FROM 'pat' FOR 'esc')
+            # — %/_ wildcards with #"..#" capture delimiters; no Spark
+            # equivalent, and the pass-through died as a cryptic
+            # CAST_INVALID_INPUT (round-9 session-4 probe)
+            raise ValueError(
+                "substring(x FROM pattern FOR escape) — the SQL99 "
+                "SIMILAR-based form — is not supported: rewrite the "
+                "pattern as a POSIX regex, substring(x FROM '(regex)')"
+            )
         # PG's POSIX-regex form with an operand the dedicated rule's
         # regex could not match (parenthesized/call operands; its
         # pattern is [^()]+?) — previously a SILENT pass-through that
