@@ -65,7 +65,7 @@ def test_string_agg_translation():
 def test_string_agg_with_order_by():
     out = translate_pg_sql("SELECT string_agg(name, ', ' ORDER BY name) AS s FROM t")
     assert (
-        out == "SELECT listagg(name, ', ') WITHIN GROUP (ORDER BY name) AS s FROM t"
+        out == "SELECT listagg(name, ', ') WITHIN GROUP (ORDER BY name NULLS LAST) AS s FROM t"
     )
 
 
@@ -79,7 +79,8 @@ def test_string_agg_nested_call_args():
     )
     assert out == (
         "SELECT listagg(left(name, 2), '|') "
-        "WITHIN GROUP (ORDER BY coalesce(rank, 0), id) AS s FROM t"
+        "WITHIN GROUP (ORDER BY coalesce(rank, 0) NULLS LAST, "
+        "id NULLS LAST) AS s FROM t"
     )
 
 

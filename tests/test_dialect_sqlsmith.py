@@ -940,8 +940,21 @@ def test_sqlsmith_differential_v8(sview_g, duck_g, i):
 
 def gen_query_v9(i: int) -> str:
     r = random.Random(20260816 * 9000 + i)
-    shape = r.randrange(8)
-    if shape == 7:
+    shape = r.randrange(9)
+    if shape == 8:
+        # default NULL placement over NULLABLE sort keys with LIMIT /
+        # OFFSET — the harness pins DuckDB to PG's null order, so it
+        # arbitrates the ORDER BY rewrite end-to-end (before it, bare
+        # ORDER BY over a nullable key was a silent whole-class delta)
+        d = r.choice(["", " DESC", " ASC"])
+        k = r.randint(0, 24)
+        n, off = r.randint(3, 12), r.randint(0, 4)
+        tail = r.choice([f"LIMIT {n}", f"LIMIT {n} OFFSET {off}"])
+        return (
+            f"SELECT c_custkey, nullif(c_nationkey, {k}) AS nk "
+            f"FROM customer WHERE c_custkey < 60 "
+            f"ORDER BY nk{d}, c_custkey {tail}"
+        )
         # PG array slices a[lo:hi] (1-based, clipping, omittable
         # bounds) — DuckDB matches PG on every probed shape including
         # lo=0 clipping, hi past the end, and empty hi<lo windows

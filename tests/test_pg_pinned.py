@@ -1489,3 +1489,41 @@ def test_misc_operator_precedence_pins(spark):
     assert row["d"] == 5
     assert row["e"] == 4
     assert row["f"] == 0
+
+
+def test_order_by_null_placement_pins(spark):
+    """PG sorts NULLs as LARGER than every value (NULLS LAST ascending,
+    NULLS FIRST descending — docs §7.5); Spark's default is the
+    opposite. Every translated sort item without an explicit spec now
+    carries PG's default — this changes LIMIT result sets and window
+    ranks over nullable keys, previously a SILENT whole-class delta the
+    module header just documented."""
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT x FROM (SELECT explode(array(2, NULL, 1)) AS x) t "
+            "ORDER BY x"
+        )
+    ).collect()
+    assert [r["x"] for r in rows] == [1, 2, None]
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT x FROM (SELECT explode(array(2, NULL, 1)) AS x) t "
+            "ORDER BY x DESC LIMIT 2"
+        )
+    ).collect()
+    assert [r["x"] for r in rows] == [None, 2]  # PG: DESC puts NULL first
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT x, rank() OVER (ORDER BY x) AS r "
+            "FROM (SELECT explode(array(5, NULL)) AS x) t ORDER BY r"
+        )
+    ).collect()
+    assert [(r["x"], r["r"]) for r in rows] == [(5, 1), (None, 2)]
+    # explicit specs are preserved verbatim
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT x FROM (SELECT explode(array(2, NULL)) AS x) t "
+            "ORDER BY x ASC NULLS FIRST"
+        )
+    ).collect()
+    assert [r["x"] for r in rows] == [None, 2]

@@ -194,6 +194,15 @@ null spelling are exact; ``json_agg`` of ZERO rows renders ``[]`` where
 PG returns NULL; a descending ``generate_series`` without a negative
 step is empty in PG but raises in Spark's sequence.
 
+Default NULL sort order (round-9 session 4, closing a delta the header
+previously just documented): PG sorts NULLs as LARGER than every value
+— NULLS LAST ascending, NULLS FIRST descending; Spark defaults to the
+opposite, silently changing LIMIT/OFFSET result sets, window ranks and
+frames, and ordered aggregates over nullable keys. Every ORDER BY sort
+item without an explicit NULLS spec (top-level, subqueries, OVER
+windows, WITHIN GROUP) now carries PG's default; explicit specs pass
+through; ``ORDER BY ... USING op`` stays untouched (loud).
+
 Third session-4 batch: comma/CROSS JOIN set-returning calls in a FROM
 list (PG's implicit-LATERAL idiom ``FROM t, unnest(t.arr) AS u``) →
 ``LATERAL VIEW explode`` (a table-valued explode cannot see sibling
@@ -220,8 +229,7 @@ Spark orders NULL smallest), and window RANGE frames with INTERVAL
 offsets. PG deltas
 intentionally NOT auto-rewritten because they need type/context analysis a
 regex cannot do safely: integer ``/`` (PG truncates, Spark is fractional —
-write ``div`` explicitly), default NULL sort order (PG: NULLS LAST on
-ASC; Spark: NULLS FIRST — write explicit ``NULLS FIRST/LAST``), array
+write ``div`` explicitly), array
 subscripts (PG ``a[i]`` is 1-based, Spark's ``[i]`` is 0-based — write
 ``element_at`` which is 1-based in both), ``round`` over ``float8``
 (PG rounds binary floats half-even, Spark HALF_UP — ``round(2.5::float8)``
@@ -4491,6 +4499,105 @@ def _translate_lateral_srf(sql: str) -> str:
         sql = sql[: m.start()] + repl + sql[close_i + 1 + tail :]
 
 
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_SORT_END_KW_RE = re.compile(
+    r"(LIMIT|OFFSET|FETCH|FOR|UNION|INTERSECT|EXCEPT|"
+    r"ROWS|RANGE|GROUPS)\b",
+    re.IGNORECASE,
+)
+_NULLS_SPEC_TAIL_RE = re.compile(r"\bNULLS\s+(?:FIRST|LAST)\s*\Z", re.IGNORECASE)
+_DESC_TAIL_RE = re.compile(r"\bDESC\s*\Z", re.IGNORECASE)
+
+
+def _append_to_code_tail(item: str, suffix: str) -> str:
+    """Insert ``suffix`` after the last CODE character of ``item`` — a
+    trailing line comment must not swallow the appended sort spec."""
+    spans = _opaque_spans(item)
+    k = len(item) - 1
+    while k >= 0:
+        hit = _opaque_at(spans, k)
+        if hit is not None and hit[0] == "comment":
+            k = hit[1] - 1
+            continue
+        if item[k] in " \t\n\r":
+            k -= 1
+            continue
+        break
+    return item[: k + 1] + suffix + item[k + 1 :]
+
+
+def _translate_order_by_nulls(sql: str) -> str:
+    """PG's default NULL placement: NULLS LAST ascending, NULLS FIRST
+    descending (nulls sort as larger than every value); Spark's default
+    is the opposite — a SILENT ordering difference in every ORDER BY
+    over a nullable key (it changes LIMIT/OFFSET result sets, window
+    frames and ranks, and ordered aggregates). Every sort item without
+    an explicit NULLS spec gets PG's default appended. Items using
+    PG's ``USING operator`` stay untouched (loud in Spark's parser).
+    The module header's old stance ("write explicit NULLS FIRST/LAST")
+    is retired — the clause rewrite needs no type analysis."""
+    out = sql
+    n_clauses = len(list(_ORDER_BY_RE.finditer(_masked(out))))
+    # right-to-left, re-masking per clause: appending a NULLS spec to an
+    # inner (nested-subquery) clause shifts every later position, so
+    # each outer clause is located on FRESH text (the rewrite never
+    # adds or removes ORDER BY tokens, so the count is stable)
+    for k in range(n_clauses - 1, -1, -1):
+        mask = _masked(out)
+        m = list(_ORDER_BY_RE.finditer(mask))[k]
+        i = m.end()
+        depth = 0
+        items: list[tuple[int, int]] = []
+        item_start = i
+        end = len(mask)
+        j = i
+        while j < len(mask):
+            ch = mask[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    end = j
+                    break
+                depth -= 1
+            elif ch == ";" and depth == 0:
+                end = j
+                break
+            elif ch == "," and depth == 0:
+                items.append((item_start, j))
+                item_start = j + 1
+            elif depth == 0 and ch.isalpha():
+                km = _SORT_END_KW_RE.match(mask, j)
+                if km and not (
+                    j > 0 and (mask[j - 1].isalnum() or mask[j - 1] == "_")
+                ):
+                    end = j
+                    break
+                while j + 1 < len(mask) and (
+                    mask[j + 1].isalnum() or mask[j + 1] == "_"
+                ):
+                    j += 1
+            j += 1
+        items.append((item_start, end))
+        parts = []
+        for a, b in items:
+            item = out[a:b]
+            core = _strip_comments(item).strip()
+            if (
+                not core
+                or _NULLS_SPEC_TAIL_RE.search(core)
+                or re.search(r"\bUSING\b", core, re.IGNORECASE)
+            ):
+                parts.append(item)
+                continue
+            nulls = (
+                " NULLS FIRST" if _DESC_TAIL_RE.search(core) else " NULLS LAST"
+            )
+            parts.append(_append_to_code_tail(item, nulls))
+        out = out[:i] + ",".join(parts) + out[end:]
+    return out
+
+
 # PG generate_series is SET-RETURNING: sequence() alone returns ONE ARRAY
 # row where PG returns one row per element — the straight rename this
 # replaces was a silent shape difference whenever the call was not
@@ -4875,6 +4982,7 @@ def translate_pg_sql(
     out = _translate_operators(out)
     out = _translate_regexp_replace_flags(out)
     out = _translate_generate_series(out)
+    out = _translate_order_by_nulls(out)
     out = _translate_timezone_dow(out)
     if bind and (params is not None or _PARAM_RE.search(out)):
         out = bind_params(out, params)
