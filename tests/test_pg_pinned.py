@@ -1527,3 +1527,26 @@ def test_order_by_null_placement_pins(spark):
         )
     ).collect()
     assert [r["x"] for r in rows] == [None, 2]
+
+
+def test_string_to_table_pins(spark):
+    """PG 14 string_to_table — string_to_array's row-returning twin
+    (LITERAL delimiter, regex-escaped; empty fields kept), in the
+    select-list, FROM, and implicit-LATERAL positions."""
+    rows = spark.sql(
+        translate_pg_sql("SELECT string_to_table('a.b..c', '.') AS v")
+    ).collect()
+    assert [r["v"] for r in rows] == ["a", "b", "", "c"]
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT v FROM string_to_table('x,y', ',') AS v"
+        )
+    ).collect()
+    assert [r["v"] for r in rows] == ["x", "y"]
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT k, v FROM (SELECT 1 AS k, 'p.q' AS s) t, "
+            "string_to_table(t.s, '.') AS v"
+        )
+    ).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(1, "p"), (1, "q")]

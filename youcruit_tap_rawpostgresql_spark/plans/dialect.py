@@ -1122,6 +1122,11 @@ def _translate_set_functions(sql: str) -> str:
         sql,
         lambda s: re.sub(r"\bunnest\s*\(", "explode(", s, flags=re.IGNORECASE),
     )
+    # set-returning generate_series/string_to_table LAST: the
+    # select-list pass keys on the explode( wrappers the rename above
+    # just produced, and the emitted string_to_array/sequence cores
+    # still take the operator pass's escaping/typing rules downstream
+    sql = _translate_generate_series(sql)
     return sql
 
 
@@ -4427,7 +4432,7 @@ def _translate_timezone_dow(sql: str) -> str:
 
 _LATERAL_SRF_RE = re.compile(
     r"(,|\bCROSS\s+JOIN\b)\s*(?:LATERAL\s+)?"
-    r"(unnest|generate_series)\s*\(",
+    r"(unnest|generate_series|string_to_table)\s*\(",
     re.IGNORECASE,
 )
 _CLAUSE_KW_RE = re.compile(
@@ -4494,7 +4499,7 @@ def _translate_lateral_srf(sql: str) -> str:
             alias = am.group(1)
             col = am.group(2) or alias
             tail = am.end() - (close_i + 1)
-        inner = args if fn == "unnest" else f"sequence({args})"
+        inner = args if fn == "unnest" else _srf_inner(fn, args)
         repl = f" LATERAL VIEW explode({inner}) {alias} AS {col}"
         sql = sql[: m.start()] + repl + sql[close_i + 1 + tail :]
 
@@ -4602,8 +4607,23 @@ def _translate_order_by_nulls(sql: str) -> str:
 # row where PG returns one row per element — the straight rename this
 # replaces was a silent shape difference whenever the call was not
 # already wrapped in unnest()/explode() (round-9 session-4 probe).
-_GS_FROM_RE = re.compile(r"\b(FROM|JOIN)\s+generate_series\s*\(", re.IGNORECASE)
-_GS_ANY_RE = re.compile(r"\bgenerate_series\s*\(", re.IGNORECASE)
+_GS_FROM_RE = re.compile(
+    r"\b(FROM|JOIN)\s+(generate_series|string_to_table)\s*\(", re.IGNORECASE
+)
+_GS_ANY_RE = re.compile(
+    r"\b(generate_series|string_to_table)\s*\(", re.IGNORECASE
+)
+
+
+def _srf_inner(fn: str, args: str) -> str:
+    """The array-valued core of a set-returning call: generate_series
+    rides Spark's sequence(); string_to_table (PG 14) is
+    string_to_array's row-returning twin — the emitted string_to_array
+    takes the regex-escaping literal-delimiter pass later in the
+    pipeline."""
+    if fn.lower() == "generate_series":
+        return f"sequence({args})"
+    return f"string_to_array({args})"
 _GS_ALIAS_RE = re.compile(
     r"\s*(?:AS\s+)?([a-zA-Z_]\w*)(?:\s*\(\s*([a-zA-Z_]\w*)\s*\))?",
     re.IGNORECASE,
@@ -4642,13 +4662,17 @@ def _translate_generate_series(sql: str) -> str:
         if close_i < 0:
             break
         args = sql[open_i + 1 : close_i]
-        alias, col, tail = "generate_series", "generate_series", 0
+        fn = m.group(2).lower()
+        alias, col, tail = fn, fn, 0
         am = _GS_ALIAS_RE.match(sql, close_i + 1)
         if am and am.group(1).lower() not in _GS_NOT_ALIAS_KWS:
             alias = am.group(1)
             col = am.group(2) or alias
             tail = am.end() - (close_i + 1)
-        repl = f"{m.group(1)} explode(sequence({args})) AS {alias}({col})"
+        repl = (
+            f"{m.group(1)} explode({_srf_inner(fn, args)}) "
+            f"AS {alias}({col})"
+        )
         sql = sql[: m.start()] + repl + sql[close_i + 1 + tail :]
     pos = 0
     while True:
@@ -4668,15 +4692,15 @@ def _translate_generate_series(sql: str) -> str:
             # `AS generate_series(generate_series)` — is a NAME here
             pos = m.end()
             continue
+        core = _srf_inner(m.group(1), inner)
         if before.endswith("explode("):
-            head = "sequence("
-            sql = sql[: m.start()] + head + inner + ")" + sql[close_i + 1 :]
+            sql = sql[: m.start()] + core + sql[close_i + 1 :]
+            pos = m.start() + len(core) - len(inner) - 1
         else:
-            head = "explode(sequence("
             sql = (
-                sql[: m.start()] + head + inner + "))" + sql[close_i + 1 :]
+                sql[: m.start()] + "explode(" + core + ")" + sql[close_i + 1 :]
             )
-        pos = m.start() + len(head)
+            pos = m.start() + len("explode(") + len(core) - len(inner) - 1
 
 
 def _masked(sql: str) -> str:
@@ -4981,7 +5005,6 @@ def translate_pg_sql(
     out = _translate_set_functions(out)
     out = _translate_operators(out)
     out = _translate_regexp_replace_flags(out)
-    out = _translate_generate_series(out)
     out = _translate_order_by_nulls(out)
     out = _translate_timezone_dow(out)
     if bind and (params is not None or _PARAM_RE.search(out)):
