@@ -1550,3 +1550,30 @@ def test_string_to_table_pins(spark):
         )
     ).collect()
     assert [(r["k"], r["v"]) for r in rows] == [(1, "p"), (1, "q")]
+
+
+def test_jsonb_existence_and_path_pins(spark):
+    """jsonb ? / ?| / ?& (top-level OBJECT-KEY existence; PG's
+    array-ELEMENT reading is a documented delta — arrays read false)
+    and json[b]_extract_path[_text], the function spelling of #>/#>>
+    (all-digit path elements are array indices)."""
+    row = one(
+        spark,
+        "'{\"a\":1,\"b\":2}' ? 'a' AS a, "
+        "'{\"a\":1}' ? 'z' AS b, "
+        "CAST(NULL AS STRING) ? 'a' AS c, "
+        "'{\"a\":1,\"b\":2}' ?| ARRAY['z','b'] AS d, "
+        "'{\"a\":1,\"b\":2}' ?& ARRAY['a','b'] AS e, "
+        "'{\"a\":1,\"b\":2}' ?& ARRAY['a','z'] AS f, "
+        "jsonb_extract_path('{\"a\":{\"b\":7}}', 'a', 'b') AS g, "
+        "json_extract_path_text('{\"a\":[5,6]}', 'a', '1') AS h",
+    )
+    assert row["a"] is True and row["b"] is False
+    assert row["c"] is None          # PG: NULL json -> NULL
+    assert row["d"] is True and row["e"] is True and row["f"] is False
+    assert row["g"] == "7"
+    assert row["h"] == "6"
+    import pytest
+
+    with pytest.raises(ValueError, match="non-literal path"):
+        translate_pg_sql("SELECT jsonb_extract_path(j, k) FROM t")

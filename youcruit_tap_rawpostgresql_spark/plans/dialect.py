@@ -3881,6 +3881,82 @@ def _build_date_trunc_zoned(args):
     )
 
 
+# --- jsonb existence operators and path functions (round-9 session 4) ------
+# x ? 'k' (top-level key exists), x ?| arr (any), x ?& arr (all) — the
+# OBJECT-KEY reading (PG also matches string ELEMENTS of a top-level
+# array; json_object_keys is NULL there, so arrays read false — a
+# documented delta, the array form needs type introspection text cannot
+# do). NULL json → NULL like PG. These run AFTER the PG-srf
+# json_object_keys rewrite, so the NATIVE Spark json_object_keys they
+# emit is never re-exploded.
+_JSONB_EXISTS_RHS = r"(" + _STR_LIT + r"|(?<![\w.])[a-zA-Z_][\w.]*)"
+_JSONB_EXISTS_ARR_RHS = (
+    r"((?:[a-zA-Z_][\w.]*\s*)?\((?:[^()]|\([^()]*\))*\)|"
+    r"(?<![\w.])[a-zA-Z_][\w.]*)"
+)
+# the LHS mirrors _MATCH_OPERAND (it admits string LITERALS too —
+# '{"a":1}' ? 'a' is legal PG; _JSON_OPERAND does not)
+_JSONB_EXISTS_RE = re.compile(
+    _MATCH_OPERAND + r"\s*\?(?![|&])\s*" + _JSONB_EXISTS_RHS
+)
+_JSONB_EXISTS_ANY_RE = re.compile(
+    _MATCH_OPERAND + r"\s*\?\|\s*" + _JSONB_EXISTS_ARR_RHS
+)
+_JSONB_EXISTS_ALL_RE = re.compile(
+    _MATCH_OPERAND + r"\s*\?&\s*" + _JSONB_EXISTS_ARR_RHS
+)
+
+
+def _jsonb_exists_repl(m: re.Match) -> str:
+    x, k = m.group(1), m.group(2)
+    return (
+        f"(CASE WHEN {x} IS NULL THEN NULL ELSE "
+        f"coalesce(array_contains(json_object_keys({x}), {k}), false) END)"
+    )
+
+
+def _jsonb_exists_quant_repl(quant: str):
+    fn = "exists" if quant == "any" else "forall"
+
+    def repl(m: re.Match) -> str:
+        x, arr = m.group(1), m.group(2)
+        return (
+            f"(CASE WHEN {x} IS NULL THEN NULL ELSE "
+            f"coalesce({fn}({arr}, _jk -> "
+            f"array_contains(json_object_keys({x}), _jk)), false) END)"
+        )
+
+    return repl
+
+
+_JSON_EXTRACT_PATH_OPEN_RE = re.compile(
+    r"\bjsonb?_extract_path(?:_text)?\s*\(", re.IGNORECASE
+)
+
+
+def _build_json_extract_path(args):
+    """PG json[b]_extract_path[_text](j, VARIADIC path) — the function
+    spelling of #>/#>> (both collapse to text extraction under the
+    module-wide json→text model). Path elements must be literals (the
+    JsonPath is built at translation time); all-digit elements are
+    array indices, like the integer-index arrows."""
+    if len(args) < 2:
+        return None
+    x = args[0].strip()
+    path = "$"
+    for a in args[1:]:
+        a = _strip_comments(a).strip()
+        if not re.fullmatch(_STR_LIT, a):
+            raise ValueError(
+                "json_extract_path with a non-literal path element is "
+                "not translatable — chain -> arrows instead"
+            )
+        k = a[1:-1].replace("''", "'")
+        path += f"[{k}]" if k.isdigit() else f".{k}"
+    head = "get_json_object("
+    return (f"{head}{x}, '{path}')", len(head))
+
+
 _MI_PARAMS = ["years", "months", "weeks", "days", "hours", "mins", "secs"]
 
 
@@ -4181,6 +4257,21 @@ def _translate_operators(sql: str) -> str:
     )
     sql = _rewrite_calls(
         sql, _JSON_ARRAY_ELEMENTS_OPEN_RE, _build_json_array_elements
+    )
+    # jsonb existence operators AFTER the srf json_object_keys rewrite
+    # above — their emissions use Spark's NATIVE json_object_keys, which
+    # must not be re-exploded
+    sql = _sub_skipping_literal_interiors(
+        _JSONB_EXISTS_ANY_RE, _jsonb_exists_quant_repl("any"), sql
+    )
+    sql = _sub_skipping_literal_interiors(
+        _JSONB_EXISTS_ALL_RE, _jsonb_exists_quant_repl("all"), sql
+    )
+    sql = _sub_skipping_literal_interiors(
+        _JSONB_EXISTS_RE, _jsonb_exists_repl, sql
+    )
+    sql = _rewrite_calls(
+        sql, _JSON_EXTRACT_PATH_OPEN_RE, _build_json_extract_path
     )
     sql = _rewrite_calls(sql, _ARRAY_PREPEND_OPEN_RE, _build_array_prepend)
     sql = _rewrite_calls(sql, _ARRAY_UPPER_OPEN_RE, _build_array_upper)
