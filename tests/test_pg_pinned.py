@@ -1577,3 +1577,14 @@ def test_jsonb_existence_and_path_pins(spark):
 
     with pytest.raises(ValueError, match="non-literal path"):
         translate_pg_sql("SELECT jsonb_extract_path(j, k) FROM t")
+
+
+def test_starts_with_operator_pins(spark):
+    """PG 11 ``^@`` starts-with operator — must rewrite before the
+    ^-exponentiation scan (whose operand walk died on the '@')."""
+    row = one(
+        spark,
+        "'alphabet' ^@ 'alph' AS a, 'alphabet' ^@ 'bet' AS b, "
+        "starts_with('alphabet', 'alph') AS c",
+    )
+    assert row["a"] is True and row["b"] is False and row["c"] is True

@@ -3095,6 +3095,28 @@ def _include_unary_sign(sql, mask, spans, start):
     return start
 
 
+# x ^@ 'prefix' (PG 11 starts-with) — must rewrite BEFORE ^→power, whose
+# operand scan would otherwise die on the '@' with a misleading
+# exponentiation error (probed)
+_STARTS_WITH_OP_RE = re.compile(
+    _MATCH_OPERAND
+    + r"\s*\^@\s*("
+    + _STR_LIT
+    + r"|(?<![\w.])[a-zA-Z_][\w.]*)"
+)
+
+
+def _translate_starts_with_op(sql: str) -> str:
+    return _sub_skipping_literal_interiors(
+        _STARTS_WITH_OP_RE,
+        lambda m: (
+            f"{_sep_if_word_before(m.string, m.start())}"
+            f"startswith({m.group(1)}, {m.group(2)})"
+        ),
+        sql,
+    )
+
+
 def _translate_power_ops(sql: str) -> str:
     """PG ``a ^ b`` is EXPONENTIATION (PG's XOR is ``#``); Spark's ``^``
     is bitwise XOR — ``2 ^ 3`` silently returned 1 (round-9 session-4
@@ -4161,10 +4183,13 @@ def _translate_operators(sql: str) -> str:
     # form, OVERLAPS to the SQL-spec predicate. ^→power runs FIRST: the
     # BETWEEN/OVERLAPS chain scans don't speak ^, so an unrewritten
     # 2^2 bound would truncate their operand capture.
-    # order within the family mirrors PG precedence: ^ binds tightest
-    # (operands of everything below may contain it), prefix ops reduce
-    # before a same-precedence binary # consumes their operand
-    # ((@ a) # b — left associativity at the shared Op level), then #
+    # order within the family mirrors PG precedence: ^@ starts-with
+    # first (its '@' would wedge the ^ operand scan), then ^ binds
+    # tightest (operands of everything below may contain it), prefix
+    # ops reduce before a same-precedence binary # consumes their
+    # operand ((@ a) # b — left associativity at the shared Op level),
+    # then #
+    sql = _translate_starts_with_op(sql)
     sql = _translate_power_ops(sql)
     sql = _translate_prefix_math_ops(sql)
     sql = _translate_hash_xor(sql)
