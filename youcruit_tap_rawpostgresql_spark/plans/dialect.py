@@ -3098,11 +3098,16 @@ def _include_unary_sign(sql, mask, spans, start):
 # x ^@ 'prefix' (PG 11 starts-with) — must rewrite BEFORE ^→power, whose
 # operand scan would otherwise die on the '@' with a misleading
 # exponentiation error (probed)
+# RHS: literal, full call (the bare-identifier branch must NOT match a
+# callee name and orphan its argument list — caught by probing the
+# call-RHS shape), or identifier not followed by (
 _STARTS_WITH_OP_RE = re.compile(
     _MATCH_OPERAND
     + r"\s*\^@\s*("
     + _STR_LIT
-    + r"|(?<![\w.])[a-zA-Z_][\w.]*)"
+    + r"|(?<![\w.])"
+    + _CALL_OPERAND
+    + r"|(?<![\w.])[a-zA-Z_][\w.]*(?!\s*\())"
 )
 
 
@@ -3134,6 +3139,13 @@ def _translate_power_ops(sql: str) -> str:
         i = mask.find("^", pos)
         if i < 0:
             return sql
+        if mask[i + 1 : i + 2] == "@":
+            # a ^@ starts-with whose operand shape the dedicated rule
+            # could not match (call RHS etc.)
+            raise ValueError(
+                "^@ (starts-with) with an operand shape the rewrite "
+                "cannot scan — call starts_with(string, prefix) instead"
+            )
         lspan = _operand_left_span(sql, mask, spans, i)
         rspan = _operand_right_span(sql, mask, spans, i + 1)
         if lspan is None or rspan is None:
@@ -3911,7 +3923,16 @@ def _build_date_trunc_zoned(args):
 # do). NULL json → NULL like PG. These run AFTER the PG-srf
 # json_object_keys rewrite, so the NATIVE Spark json_object_keys they
 # emit is never re-exploded.
-_JSONB_EXISTS_RHS = r"(" + _STR_LIT + r"|(?<![\w.])[a-zA-Z_][\w.]*)"
+# RHS: literal, full call, or identifier NOT followed by ( — a bare
+# identifier branch matching a callee name would orphan its argument
+# list (the ^@ rule had exactly that corruption, caught by probing)
+_JSONB_EXISTS_RHS = (
+    r"("
+    + _STR_LIT
+    + r"|(?<![\w.])"
+    + _CALL_OPERAND
+    + r"|(?<![\w.])[a-zA-Z_][\w.]*(?!\s*\())"
+)
 _JSONB_EXISTS_ARR_RHS = (
     r"((?:[a-zA-Z_][\w.]*\s*)?\((?:[^()]|\([^()]*\))*\)|"
     r"(?<![\w.])[a-zA-Z_][\w.]*)"
