@@ -1588,3 +1588,22 @@ def test_starts_with_operator_pins(spark):
         "starts_with('alphabet', 'alph') AS c",
     )
     assert row["a"] is True and row["b"] is False and row["c"] is True
+
+
+def test_to_char_adjacent_identical_tokens_pin(spark):
+    """PG 'mmmm' is the month field TWICE ('0808' for August); adjacent
+    identical JDK letters would merge into one longer field ('MMMM' =
+    the month NAME — a silent wrong answer the hypothesis token sweep
+    caught this round). Adjacency now splits into concatenated
+    date_format calls; the parse direction raises."""
+    row = one(
+        spark,
+        "to_char(TIMESTAMP '2024-08-05 07:00:00', 'mmmm') AS a, "
+        "to_char(TIMESTAMP '2024-08-05 07:00:00', 'MMMI') AS b",
+    )
+    assert row["a"] == "0808"
+    assert row["b"] == "0800"  # month then minutes merge-free
+    import pytest
+
+    with pytest.raises(ValueError, match="adjacent identical"):
+        translate_pg_sql("SELECT to_timestamp('0808', 'mmmm')")

@@ -188,20 +188,27 @@ def test_to_char_tokens_map_or_raise(fmt):
     the translation raises naming the token. It never passes a bare
     letter through (all letters are reserved JDK pattern letters, so
     pass-through was either a runtime error or a silent mistranslation)."""
+    import re as _re
+
     try:
         out = translate_pg_sql(f"SELECT to_char(ts, '{fmt}') FROM e")
     except ValueError as e:
         assert "to_char format token" in str(e) or "quoted literal" in str(e)
         return
-    assert out.startswith("SELECT date_format(ts, '")
-    # the emitted pattern contains no unmapped letters: strip known JDK
-    # outputs and separators, nothing alphabetic may remain
-    pat = out[len("SELECT date_format(ts, '"):out.rindex("'")]
-    residue = pat
-    for jdk in ("yyyy", "yy", "MMM", "MM", "mm", "EEE", "HH", "hh",
-                "DDD", "dd", "ss", "SSSSSS", "SSS", "a", "Q"):
-        residue = residue.replace(jdk, "")
-    assert not any(c.isalpha() for c in residue), (fmt, out)
+    # single date_format, or a concat of them — same-letter token
+    # ADJACENCY splits into concatenated calls so the JDK fields cannot
+    # merge (PG 'mmmm' is month twice, JDK 'MMMM' is the month NAME —
+    # the hypothesis sweep caught the merged form as a silent
+    # mistranslation this round)
+    assert out.startswith("SELECT date_format(ts, '") or out.startswith(
+        "SELECT concat(date_format(ts, '"
+    )
+    for pat in _re.findall(r"date_format\(ts, '([^']*)'\)", out):
+        residue = pat
+        for jdk in ("yyyy", "yy", "MMM", "MM", "mm", "EEE", "HH", "hh",
+                    "DDD", "dd", "ss", "SSSSSS", "SSS", "a", "Q"):
+            residue = residue.replace(jdk, "")
+        assert not any(c.isalpha() for c in residue), (fmt, out)
 
 
 @given(st.lists(st.integers(min_value=1, max_value=127), min_size=1, max_size=80))

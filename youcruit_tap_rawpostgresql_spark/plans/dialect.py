@@ -1431,6 +1431,14 @@ def _to_char_fmt_parts(fmt: str) -> list[tuple[str, str]]:
             continue
         mapped = _TO_CHAR_MAP.get(m.group(0)) if m else None
         if m and mapped is not None:
+            # same-letter ADJACENCY: PG 'mmmm' is month twice ('0808'),
+            # but adjacent identical JDK letters merge into ONE longer
+            # field ('MMMM' = full month name — a silent wrong answer,
+            # found by the hypothesis token sweep). Split into separate
+            # parts; _date_to_char_sql renders them as concatenated
+            # date_format calls, and the parse direction raises.
+            if cur and cur[-1] and cur[-1][-1] == mapped[0]:
+                flush()
             cur.append(mapped)
             i = m.end()
             continue
@@ -1456,7 +1464,17 @@ def _to_char_fmt(fmt: str) -> str:
             "for PARSING (to_timestamp/to_date) — they are supported only "
             "in the to_char output direction"
         )
-    return "".join(text for _, text in parts)
+    texts = [text for _, text in parts]
+    for a, b in zip(texts, texts[1:]):
+        # a split marks same-letter token adjacency (see
+        # _to_char_fmt_parts) — joining would merge the JDK fields
+        if a and b and a[-1] == b[0] and a[-1].isalpha():
+            raise ValueError(
+                f"adjacent identical fields in {fmt!r} cannot drive "
+                "PARSING (the JDK pattern would merge them into one "
+                "field) — separate the tokens"
+            )
+    return "".join(texts)
 
 
 def _date_to_char_sql(expr: str, fmt: str) -> str:
