@@ -644,3 +644,40 @@ def test_dollar_in_identifier_is_not_a_quote_opener(head, tail):
     ident = f"{head}${tail}$b"
     out = translate_pg_sql(f"SELECT {ident} FROM t")
     assert ident in out
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.from_regex(r"[a-z_][a-z0-9_]{0,6}", fullmatch=True),
+            st.sampled_from(["", " ASC", " DESC"]),
+            st.sampled_from(["", " NULLS FIRST", " NULLS LAST"]),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.sampled_from(["", " LIMIT 5", " LIMIT 5 OFFSET 2"]),
+)
+@settings(max_examples=150)
+def test_order_by_nulls_rewrite_properties(items, tail):
+    """The ORDER-BY null-placement rewrite (round-9 session 4): after
+    translation, EVERY top-level sort item carries an explicit NULLS
+    spec; explicit input specs are preserved verbatim; PG's defaults
+    (LAST ascending, FIRST descending) fill the rest; and the rewrite
+    is IDEMPOTENT (a second pass changes nothing — everything is
+    explicit after one)."""
+    body = ", ".join(f"{c}{d}{n}" for c, d, n in items)
+    sql = f"SELECT x FROM t ORDER BY {body}{tail}"
+    out = translate_pg_sql(sql)
+    clause = re.search(r"ORDER BY (.*?)(?: LIMIT.*)?$", out).group(1)
+    got = [p.strip() for p in clause.split(",")]
+    assert len(got) == len(items)
+    for (col, d, n), item in zip(items, got):
+        assert item.upper().endswith(("NULLS FIRST", "NULLS LAST")), item
+        if n:  # explicit spec preserved verbatim
+            assert item.upper().endswith(n.strip().upper())
+        elif d == " DESC":
+            assert item.upper().endswith("NULLS FIRST")
+        else:
+            assert item.upper().endswith("NULLS LAST")
+    assert translate_pg_sql(out) .count("NULLS") == out.count("NULLS")
