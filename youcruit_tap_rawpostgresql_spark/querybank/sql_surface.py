@@ -1057,3 +1057,113 @@ def pg_dialect_quoting_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM customer WHERE c_custkey % 7 = 0",
         pg_dialect=True,
     )
+
+
+@register(
+    "pg_dialect_json_construction",
+    # Oracle notes: DuckDB's json_object/json_array/to_json render
+    # COMPACT exactly like Spark's to_json (PG differs only in spaces
+    # after separators — the documented whitespace delta), keep null
+    # values ({"n":null}), and its json_keys/list_contains pair
+    # hand-encodes the ? existence operator; json_extract_string is the
+    # text-path twin of jsonb_extract_path_text. JSON-typed results
+    # cast to VARCHAR so both engines compare as text. json_agg is
+    # hand-encoded as to_json(list(x ORDER BY ...)) — DuckDB's
+    # json_group_array is a macro that rejects inline ORDER BY.
+    oracle="""
+SELECT o_orderpriority,
+  json_object('p', o_orderpriority, 'n', count(*))::VARCHAR AS obj,
+  CAST(min(o_orderkey) AS VARCHAR) AS first_key,
+  json_array(min(o_orderkey), o_orderpriority, NULL)::VARCHAR AS arr,
+  json_object('z', CASE WHEN count(*) < 0 THEN 1 END)::VARCHAR AS keepnull,
+  to_json(o_orderpriority)::VARCHAR AS tj,
+  list_contains(json_keys(json_object('p', o_orderpriority)), 'p') AS haskey,
+  json_extract_string(json_object('k', min(o_orderkey)), '$.k') AS path,
+  to_json(list(o_orderkey % 97 ORDER BY o_orderkey))::VARCHAR AS agg
+FROM orders WHERE o_orderkey % 13 = 0
+GROUP BY o_orderpriority
+""",
+)
+def pg_dialect_json_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 session-4 json construction/existence family on the
+    delegated-SQL contract: json_build_object (null values KEPT —
+    Spark's to_json drops them by default), json_build_array
+    (heterogeneous), to_json over scalars, json_agg with inline ORDER
+    BY (riding the PG-faithful array_agg rewrite), the ? existence
+    operator, and jsonb_extract_path_text — all loud
+    UNRESOLVED_ROUTINE/parse errors before this round.
+
+    Scale: one pruned scan + one hash aggregate on a low-cardinality
+    key; every json rendering is a JVM expression over the aggregated
+    row — no Python boundary, no extra shuffle."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    tables(spark, sf_dir)
+    return run_sql(
+        spark,
+        "SELECT o_orderpriority, "
+        "json_build_object('p', o_orderpriority, 'n', count(*)) AS obj, "
+        "json_build_object('k', min(o_orderkey)) ->> 'k' AS first_key, "
+        "json_build_array(min(o_orderkey), o_orderpriority, NULL) AS arr, "
+        "jsonb_build_object('z', CASE WHEN count(*) < 0 THEN 1 END) "
+        "AS keepnull, "
+        "to_json(o_orderpriority) AS tj, "
+        "json_build_object('p', o_orderpriority) ? 'p' AS haskey, "
+        "jsonb_extract_path_text(json_build_object('k', min(o_orderkey)), "
+        "'k') AS path, "
+        "json_agg(o_orderkey % 97 ORDER BY o_orderkey) AS agg "
+        "FROM orders WHERE o_orderkey % 13 = 0 "
+        "GROUP BY o_orderpriority",
+        pg_dialect=True,
+    )
+
+
+@register(
+    "pg_dialect_srf_ordering",
+    # Oracle notes: DuckDB's FROM-position generate_series rejects
+    # correlated arguments ("does not support lateral join column
+    # parameters" — probed), so the oracle explodes via select-list
+    # unnest in a subquery (windows then compute over the exploded
+    # rows); FILTER over windows is native. PG's default NULL sort
+    # order is hand-encoded (nk DESC NULLS FIRST) since plain DuckDB
+    # defaults to nulls-last on both directions. The LIMIT result set
+    # is deterministic under the full tiebreak.
+    oracle="""
+SELECT c_custkey, g,
+  count(*) FILTER (WHERE g % 2 = 0) OVER (PARTITION BY c_custkey) AS evens,
+  nk
+FROM (
+  SELECT c_custkey, unnest(generate_series(1, (c_custkey % 3) + 1)) AS g,
+         nullif(c_nationkey, 5) AS nk
+  FROM customer WHERE c_custkey % 17 = 0
+) s
+ORDER BY nk DESC NULLS FIRST, c_custkey, g
+LIMIT 40
+""",
+)
+def pg_dialect_srf_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 session-4 composition case: the implicit-LATERAL comma
+    SRF idiom (correlated ``FROM customer, generate_series(1, expr)`` —
+    was UNRESOLVED_COLUMN; now LATERAL VIEW explode), aggregate FILTER
+    over a WINDOW (was "not supported yet"; now the NULL-skipping CASE
+    rewrite), and PG's default NULL sort order deciding a LIMIT result
+    set over a nullable key (was a silent whole-class ordering delta).
+
+    Scale: the lateral explode multiplies rows 1-3× before a
+    keys-partitioned window and a TakeOrderedAndProject — no driver
+    fan-in, one shuffle on the window key, top-k sort."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    tables(spark, sf_dir)
+    return run_sql(
+        spark,
+        "SELECT c_custkey, g, "
+        "count(*) FILTER (WHERE g % 2 = 0) "
+        "OVER (PARTITION BY c_custkey) AS evens, "
+        "nullif(c_nationkey, 5) AS nk "
+        "FROM customer, generate_series(1, (c_custkey % 3) + 1) AS g "
+        "WHERE c_custkey % 17 = 0 "
+        "ORDER BY nk DESC, c_custkey, g "
+        "LIMIT 40",
+        pg_dialect=True,
+    )
