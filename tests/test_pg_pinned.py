@@ -1607,3 +1607,24 @@ def test_to_char_adjacent_identical_tokens_pin(spark):
 
     with pytest.raises(ValueError, match="adjacent identical"):
         translate_pg_sql("SELECT to_timestamp('0808', 'mmmm')")
+
+
+def test_lock_clause_and_materialized_pins(spark):
+    """Result-neutral PG clauses Spark's parser rejects: FOR UPDATE/
+    SHARE row locking (meaningless on snapshot reads) and PG 12's
+    AS [NOT] MATERIALIZED CTE fence — both stripped; FOR inside a
+    substring window and identifiers like share_pct are untouched."""
+    rows = spark.sql(
+        translate_pg_sql(
+            "WITH c AS MATERIALIZED (SELECT explode(sequence(1, 3)) AS x) "
+            "SELECT x FROM c WHERE x > 1 ORDER BY x FOR UPDATE"
+        )
+    ).collect()
+    assert [r["x"] for r in rows] == [2, 3]
+    rows = spark.sql(
+        translate_pg_sql(
+            "WITH c AS NOT MATERIALIZED (SELECT 7 AS x) "
+            "SELECT x FROM c FOR NO KEY UPDATE OF c SKIP LOCKED"
+        )
+    ).collect()
+    assert rows[0]["x"] == 7

@@ -4435,7 +4435,38 @@ _TABLESAMPLE_RE = re.compile(
 )
 
 
+# result-neutral PG clauses Spark's parser rejects (round-9 session 4):
+# AS [NOT] MATERIALIZED is PG 12's CTE optimization fence (no result
+# change — Spark/Catalyst decides inlining itself) and FOR
+# UPDATE/NO KEY UPDATE/SHARE/KEY SHARE row locking is meaningless on a
+# snapshot engine (locks change no SELECT result set; the optional
+# OF ... / NOWAIT / SKIP LOCKED tail goes with it — SKIP LOCKED could
+# change results ONLY under concurrent writers, which a snapshot read
+# never sees).
+_CTE_MATERIALIZED_RE = re.compile(
+    r"\bAS\s+(NOT\s+)?MATERIALIZED\s*\(", re.IGNORECASE
+)
+_FOR_LOCK_RE = re.compile(
+    r"\bFOR\s+(?:NO\s+KEY\s+)?(?:UPDATE|SHARE)\b(?:\s+OF\s+[a-zA-Z_]"
+    r"[\w.]*(?:\s*,\s*[a-zA-Z_][\w.]*)*)?"
+    r"(?:\s+NOWAIT|\s+SKIP\s+LOCKED)?",
+    re.IGNORECASE,
+)
+_FOR_KEY_SHARE_RE = re.compile(
+    r"\bFOR\s+KEY\s+SHARE\b(?:\s+OF\s+[a-zA-Z_][\w.]*)?"
+    r"(?:\s+NOWAIT|\s+SKIP\s+LOCKED)?",
+    re.IGNORECASE,
+)
+
+
 def _translate_clause_forms(sql: str) -> str:
+    sql = _sub_skipping_literal_interiors(
+        _CTE_MATERIALIZED_RE, lambda m: "AS (", sql
+    )
+    sql = _sub_skipping_literal_interiors(
+        _FOR_KEY_SHARE_RE, lambda m: "", sql
+    )
+    sql = _sub_skipping_literal_interiors(_FOR_LOCK_RE, lambda m: "", sql)
     if _FETCH_TIES_RE.search(_masked(sql)):
         raise ValueError(
             "FETCH ... WITH TIES is not translatable as a clause rename: "
