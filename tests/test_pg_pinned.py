@@ -1628,3 +1628,18 @@ def test_lock_clause_and_materialized_pins(spark):
         )
     ).collect()
     assert rows[0]["x"] == 7
+
+
+def test_pg16_numeric_literal_pins(spark):
+    """PG 16 numeric literal spellings: 0x/0o/0b integers fold to their
+    value at translation time, underscore digit separators strip —
+    Spark's lexer rejects all of them (loudly: identifiers cannot start
+    with a digit), and identifiers CONTAINING digit_underscore runs are
+    untouched."""
+    row = one(
+        spark,
+        "1_000_000 AS a, 0x1F AS b, 0o17 AS c, 0b101 AS d, "
+        "1_000.5 AS e",
+    )
+    assert (row["a"], row["b"], row["c"], row["d"]) == (1000000, 31, 15, 5)
+    assert float(row["e"]) == 1000.5

@@ -215,6 +215,23 @@ variance/bool_and/bool_or/every — Spark: "not supported yet";
 null-KEEPING aggregates raise a named error since the CASE rewrite
 would change their result). Plain aggregate FILTER stays native.
 
+Late session-4 batch: jsonb existence operators ``?``/``?|``/``?&``
+(object-key reading via native json_object_keys, after the PG-srf
+rewrite so the emission is never re-exploded; PG's array-ELEMENT
+reading is a documented delta), ``json[b]_extract_path[_text]``
+(translation-time JsonPath; digit elements are indices), PG 11 ``^@``
+starts-with (→ startswith; its '@' previously wedged the ^-scan),
+``string_to_table`` (PG 14 — string_to_array's row-returning twin in
+all three SRF positions), result-neutral clause strips (``FOR
+UPDATE/SHARE`` row locking — meaningless on snapshot reads — and
+PG 12's ``AS [NOT] MATERIALIZED`` CTE fence), PG 16 numeric literal
+spellings (``0x1F``/``0o17``/``0b101`` fold at translation time;
+``1_000_000`` underscore separators strip), and a latent ``to_char``
+adjacency defect (PG ``'mmmm'`` is the month field TWICE; adjacent
+identical JDK letters merged into the month NAME — same-letter
+adjacency now splits into concatenated date_format calls, and the
+parse direction raises).
+
 No translation needed (native Spark syntax): ``ilike`` (3.3+),
 ``position(x IN y)``, ``split_part``, positive-literal-argument
 ``left``/``right``/``substring`` (see above for the clipped rewrite),
@@ -321,6 +338,34 @@ _TYPED_LITERAL_RE = re.compile(
 )
 
 _PARAM_RE = re.compile(r"(?<![:\w]):([a-zA-Z_]\w*)")
+
+# PG 16 numeric literal syntax Spark's lexer rejects (always LOUD —
+# identifiers cannot start with a digit, so 0x1F/1_000_000 resolve as
+# unknown columns): non-decimal 0x/0o/0b integers fold to their value
+# at translation time; underscore digit separators strip. Underscores
+# are valid only BETWEEN digits (PG's rule — the regex encodes it).
+_PG16_NUM_LIT_RE = re.compile(
+    r"(?<![\w.])(?:"
+    r"0[xX][0-9A-Fa-f](?:_?[0-9A-Fa-f])*"
+    r"|0[oO][0-7](?:_?[0-7])*"
+    r"|0[bB][01](?:_?[01])*"
+    r"|\d(?:_?\d)*(?:\.\d(?:_?\d)*)?(?:[eE][+-]?\d(?:_?\d)*)?"
+    r")(?![\w.])"
+)
+
+
+def _rewrite_pg16_numeric_literals(s: str) -> str:
+    def repl(m: re.Match) -> str:
+        text = m.group(0)
+        if "_" not in text and text[:2].lower() not in ("0x", "0o", "0b"):
+            return text  # ordinary literal — common case, untouched
+        body = text.replace("_", "")
+        if body[:2].lower() in ("0x", "0o", "0b"):
+            base = {"x": 16, "o": 8, "b": 2}[body[1].lower()]
+            return str(int(body[2:], base))
+        return body
+
+    return _PG16_NUM_LIT_RE.sub(repl, s)
 
 
 def _rename_type(pg_type: str) -> str:
@@ -5108,6 +5153,9 @@ def translate_pg_sql(
             r"\bpg_catalog\s*\.\s*(?=[a-zA-Z_])", "", s, flags=re.IGNORECASE
         ),
     )
+    # PG 16 numeric literal spellings (0x/0o/0b, underscore separators)
+    # fold before anything else parses numbers
+    sql = _outside_literals(sql, _rewrite_pg16_numeric_literals)
     # E'...' prefixes drop BEFORE the cast pass: Spark's literal parser
     # already processes backslash escapes, and the cast rewrite's
     # backward operand walk sees only the quoted literal — `E'ab'::text`
