@@ -1643,3 +1643,29 @@ def test_pg16_numeric_literal_pins(spark):
     )
     assert (row["a"], row["b"], row["c"], row["d"]) == (1000000, 31, 15, 5)
     assert float(row["e"]) == 1000.5
+
+
+def test_is_json_pins(spark):
+    """PG 16 / SQL:2016 IS [NOT] JSON: validity via get_json_object's
+    NULL-on-invalid contract, with the json literals that extract to
+    SQL NULL ('null'/'true'/'false') special-cased and NULL input
+    returning NULL like PG. Typed suffixes raise a named error."""
+    row = one(
+        spark,
+        "'{\"a\":1}' IS JSON AS a, "
+        "'[1,2]' IS JSON AS b, "
+        "'not json {' IS JSON AS c, "
+        "'null' IS JSON AS d, "
+        "'42' IS JSON AS e, "
+        "'not json' IS NOT JSON AS f, "
+        "CAST(NULL AS STRING) IS JSON AS g",
+    )
+    assert row["a"] is True and row["b"] is True
+    assert row["c"] is False
+    assert row["d"] is True and row["e"] is True
+    assert row["f"] is True
+    assert row["g"] is None
+    import pytest
+
+    with pytest.raises(ValueError, match="type suffix"):
+        translate_pg_sql("SELECT j IS JSON OBJECT FROM t")

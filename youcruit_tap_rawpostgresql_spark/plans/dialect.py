@@ -3158,6 +3158,46 @@ def _include_unary_sign(sql, mask, spans, start):
     return start
 
 
+# x IS [NOT] JSON (PG 16/SQL:2016): validity via get_json_object's
+# NULL-on-invalid contract, with the two spots it disagrees handled —
+# the json literal 'null' (extracts to SQL NULL but IS valid json) and
+# SQL NULL input (PG: NULL result). The typed suffixes (OBJECT/ARRAY/
+# SCALAR, WITH UNIQUE KEYS) raise a named error — faithful typing needs
+# a parser, not an extraction probe.
+_IS_JSON_RE = re.compile(
+    _MATCH_OPERAND + r"\s+IS\s+(NOT\s+)?JSON\b(?!\s+(?:OBJECT|ARRAY|"
+    r"SCALAR|VALUE|WITH))",
+    re.IGNORECASE,
+)
+_IS_JSON_TYPED_RE = re.compile(
+    r"\bIS\s+(?:NOT\s+)?JSON\s+(?:OBJECT|ARRAY|SCALAR|VALUE|"
+    r"WITH\s+UNIQUE)\b",
+    re.IGNORECASE,
+)
+
+
+def _translate_is_json(sql: str) -> str:
+    if _IS_JSON_TYPED_RE.search(_masked(sql)):
+        raise ValueError(
+            "IS JSON with a type suffix (OBJECT/ARRAY/SCALAR/VALUE/"
+            "WITH UNIQUE KEYS) is not translatable — test the shape "
+            "explicitly (e.g. get_json_object(x, '$.k') / json_object_keys)"
+        )
+
+    def repl(m: re.Match) -> str:
+        x, neg = m.group(1), bool(m.group(2))
+        valid = (
+            f"(CASE WHEN {x} IS NULL THEN NULL "
+            f"WHEN trim({x}) IN ('null', 'true', 'false') THEN true "
+            f"ELSE get_json_object({x}, '$') IS NOT NULL END)"
+        )
+        return f"{_sep_if_word_before(m.string, m.start())}" + (
+            f"(NOT {valid})" if neg else valid
+        )
+
+    return _sub_skipping_literal_interiors(_IS_JSON_RE, repl, sql)
+
+
 # x ^@ 'prefix' (PG 11 starts-with) — must rewrite BEFORE ^→power, whose
 # operand scan would otherwise die on the '@' with a misleading
 # exponentiation error (probed)
@@ -4273,6 +4313,7 @@ def _translate_operators(sql: str) -> str:
     # ops reduce before a same-precedence binary # consumes their
     # operand ((@ a) # b — left associativity at the shared Op level),
     # then #
+    sql = _translate_is_json(sql)
     sql = _translate_starts_with_op(sql)
     sql = _translate_power_ops(sql)
     sql = _translate_prefix_math_ops(sql)
