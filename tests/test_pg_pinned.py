@@ -1669,3 +1669,30 @@ def test_is_json_pins(spark):
 
     with pytest.raises(ValueError, match="type suffix"):
         translate_pg_sql("SELECT j IS JSON OBJECT FROM t")
+
+
+def test_srf_with_ordinality_pins(spark):
+    """WITH ORDINALITY over all three array-backed SRFs (the
+    generate_series form CORRUPTED before this — the alias scan took
+    WITH as the table alias); PG's default column names are the
+    function's own + ordinality."""
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT v, n FROM generate_series(4, 6) WITH ORDINALITY "
+            "AS t(v, n)"
+        )
+    ).collect()
+    assert [(r["v"], r["n"]) for r in rows] == [(4, 1), (5, 2), (6, 3)]
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT * FROM generate_series(1, 2) WITH ORDINALITY"
+        )
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, 1), (2, 2)]
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT * FROM string_to_table('a.b', '.') WITH ORDINALITY "
+            "AS t(v, n)"
+        )
+    ).collect()
+    assert [(r["v"], r["n"]) for r in rows] == [("a", 1), ("b", 2)]

@@ -1037,7 +1037,12 @@ def _translate_array_agg(sql: str) -> str:
 # not the array expression is correlated (probed both). Default column
 # names follow PG (value column 'unnest', counter 'ordinality'); the
 # counter is cast to BIGINT like PG's.
-_UNNEST_ORD_OPEN_RE = re.compile(r"\bunnest\s*\(", re.IGNORECASE)
+# all three array-backed SRFs take WITH ORDINALITY (round-9 session 4:
+# generate_series WITH ORDINALITY corrupted — the alias scan took WITH
+# as the alias); PG's default first-column name is the function's own
+_UNNEST_ORD_OPEN_RE = re.compile(
+    r"\b(unnest|generate_series|string_to_table)\s*\(", re.IGNORECASE
+)
 _ORD_KW_RE = re.compile(r"\s*WITH\s+ORDINALITY", re.IGNORECASE)
 # alias forms, tried in order: [AS] alias(c1, c2) — the common one —
 # then AS alias (explicit AS only: a bare following word could be a
@@ -1065,7 +1070,9 @@ def _translate_unnest_ordinality(sql: str) -> str:
         if km is None:
             pos = close_i + 1
             continue
-        alias, c1, c2 = "pg_unnest", "unnest", "ordinality"
+        fn = m.group(1).lower()
+        alias = "pg_unnest" if fn == "unnest" else f"pg_{fn}"
+        c1, c2 = fn, "ordinality"
         end = km.end()
         am = _ORD_ALIAS_COLS_RE.match(mask, end)
         if am:
@@ -1077,6 +1084,8 @@ def _translate_unnest_ordinality(sql: str) -> str:
                 alias = am.group(1)
                 end = am.end()
         arr = sql[open_i + 1 : close_i]
+        if fn != "unnest":
+            arr = _srf_inner(fn, arr)
         repl = (
             f"LATERAL (SELECT col AS {c1}, CAST(pos + 1 AS BIGINT) AS {c2} "
             f"FROM posexplode({arr})) AS {alias}"
