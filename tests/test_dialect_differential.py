@@ -23,16 +23,20 @@ Known deltas (verified by probing, excluded from the corpus):
   test_dialect.py cover their translations.
 - now()/current_timestamp: nondeterministic across engines.
 - Integer '/': PG does integer division; BOTH Spark and DuckDB return
-  double. This is an engine-semantics delta of the whole platform (the
-  oracle agrees with Spark, so registry cases are unaffected); a PG
-  user porting `a/b` on ints must cast. Documented, deliberately not
-  "fixed" — rewriting every `/` would need full expression typing.
+  double, so DuckDB cannot arbitrate it. Since round 10 the dialect
+  rewrites VISIBLY-integer chains (literals, schema-typed columns) to
+  div() — PG-derived pins in test_pg_pinned.py cover those; `/` over
+  columns absent from column_types remains the documented engine delta.
+- double::int8: PG/DuckDB ROUND (numeric half-away, float half-even);
+  Spark CAST truncates. Since round 10 the dialect rewrites casts with
+  VISIBLE fractionality (literals, inner float/numeric casts,
+  schema-typed columns) to round-then-cast — grammar v10 in
+  test_dialect_sqlsmith.py arbitrates that class differentially; an
+  operand with no visible type evidence still truncates (documented).
 - `~` operator: DuckDB's `~` is a FULL regex match ('abc' ~ 'b' is
   false); PG's is a partial (substring) match, which our translation
   follows (RLIKE). The corpus uses ^...$-anchored patterns, where the
   two semantics coincide.
-- double::int8: PG/DuckDB ROUND half away from zero; Spark CAST
-  truncates. Corpus applies floor() first, where all engines agree.
 - array_position / array_length(empty): PG returns NULL (absent element /
   empty array); DuckDB returns 0 for both. The translation follows PG
   (nullif wraps, pinned in test_dialect.py), so the corpus avoids absent

@@ -10,6 +10,7 @@ Usage:
     python tools/fuzz_campaign.py [--v1 1000] [--v2 1000] [--v3 600]
                                   [--v4 400] [--v5 600] [--v6 600]
                                   [--v7 600] [--v8 600] [--v9 600]
+                                  [--v10 600]
 
 Each case is executed as-written by DuckDB (PG null-order pragma) and
 as-translated by Spark, value-compared order-insensitively (v4 compares
@@ -43,6 +44,7 @@ from tests.test_dialect_sqlsmith import (  # noqa: E402
     N_CASES_V7,
     N_CASES_V8,
     N_CASES_V9,
+    N_CASES_V10,
     gen_query,
     gen_query_v2,
     gen_query_v3,
@@ -52,6 +54,7 @@ from tests.test_dialect_sqlsmith import (  # noqa: E402
     gen_query_v7,
     gen_query_v8,
     gen_query_v9,
+    gen_query_v10,
 )
 from youcruit_tap_rawpostgresql_spark.plans.dialect import (  # noqa: E402
     translate_pg_sql,
@@ -73,6 +76,7 @@ def main() -> int:
     ap.add_argument("--v7", type=int, default=600)
     ap.add_argument("--v8", type=int, default=600)
     ap.add_argument("--v9", type=int, default=600)
+    ap.add_argument("--v10", type=int, default=600)
     args = ap.parse_args()
 
     spark = get_session(app_name="fuzz-campaign")
@@ -92,6 +96,7 @@ def main() -> int:
         ("v7", gen_query_v7, N_CASES_V7, args.v7),
         ("v8", gen_query_v8, N_CASES_V8, args.v8),
         ("v9", gen_query_v9, N_CASES_V9, args.v9),
+        ("v10", gen_query_v10, N_CASES_V10, args.v10),
     ):
         ran = 0
         for i in range(lo, hi):

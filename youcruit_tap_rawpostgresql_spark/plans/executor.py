@@ -72,6 +72,7 @@ def run_sql(
     sql: str,
     params: Mapping[str, Any] | None = None,
     pg_dialect: bool = True,
+    column_types: Mapping[str, str] | None = None,
 ) -> DataFrame:
     """Execute a SQL string (optionally PG-dialect) over registered views.
 
@@ -80,12 +81,22 @@ def run_sql(
     surface, and unbound markers fail analysis just like the literal
     binder raised KeyError. Dialect translation is syntax-only here
     (``bind=False``); the literal-substitution binder remains available
-    for engines/paths without parameterized SQL."""
+    for engines/paths without parameterized SQL.
+
+    ``column_types`` (round-10): lowercase column → PG type map (from
+    the declared stream schemas, ``ytrs/spec.py``) enabling the
+    dialect's type-dependent rewrites — integer ``/`` → div,
+    ``date - date`` → datediff, ``::int`` rounding — over plain column
+    refs; see ``translate_pg_sql``."""
     if not sql or not sql.strip():
         raise SpecError("sql must not be empty")  # reference client.py:255-258
     if pg_dialect:
         ensure_pg_functions(spark)
-    text = translate_pg_sql(sql, bind=False) if pg_dialect else sql
+    text = (
+        translate_pg_sql(sql, bind=False, column_types=column_types)
+        if pg_dialect
+        else sql
+    )
     if params:
         return spark.sql(text, args=dict(params))
     return spark.sql(text)
@@ -95,6 +106,20 @@ def run_stream_sql(
     spark: SparkSession,
     spec: StreamSpec,
     params: Mapping[str, Any] | None = None,
+    use_declared_types: bool = True,
 ) -> DataFrame:
-    """Execute a stream's declared SQL with bound parameters."""
-    return run_sql(spark, spec.sql, params=params, pg_dialect=True)
+    """Execute a stream's declared SQL with bound parameters.
+
+    The stream's DECLARED column types feed the dialect's type-dependent
+    rewrites by default (round-10): PG semantics for integer ``/``,
+    ``date - date``, and fractional ``::int`` casts over declared
+    columns — the reference's server applied these from its catalog
+    types; the declared schema is this engine's equivalent. Set
+    ``use_declared_types=False`` for the purely textual translation."""
+    return run_sql(
+        spark,
+        spec.sql,
+        params=params,
+        pg_dialect=True,
+        column_types=spec.column_types if use_declared_types else None,
+    )

@@ -38,47 +38,50 @@ from youcruit_tap_rawpostgresql_spark.querybank import corpus  # noqa: F401,E402
 # which round's window. Names here must exist; a typo fails loudly at
 # import time rather than silently shrinking the checked window.
 _PINS = [
-    # every-round flagships: one per major family
-    "q1_pricing_summary", "q21_sole_late_supplier",
-    "tap_batch_export_roundtrip", "tap_jdbc_live_roundtrip",
-    "dedup_minhash_lsh", "sim_cosine_topk", "sim_ann_ivf_pq",
-    "text_tfidf_topk", "kmeans_embed_lloyd", "stream_stateful_sessionize",
+    # r10: pins trimmed to TWO for one round so the window closes the
+    # ENTIRE never-driver-checked backlog (46 cases + 2 round-10-born =
+    # 48 first-timers). Flagship coverage holds: every dropped pin has
+    # >= 2 prior driver-green rows (r02-r09 union) and its kernel took
+    # no round-10 changes; the two kept pins cover the raw-SQL scan
+    # (q1) and the live JDBC path — the two surfaces the reference tap
+    # IS. Full pin set returns in r11 (see ROTATION.md).
+    "q1_pricing_summary", "tap_jdbc_live_roundtrip",
 ]
-_ROTATION_R09 = [
-    # 40 slots (see ROTATION.md): 2 round-9-born cases first (new code
-    # needs driver rows most — the r06/r07/r08 precedent) + 38
-    # first-timers from the pre-planned r09 window, verified against the
-    # CORRECTNESS_r02-r08 union of 237. Five behavioral/warehouse names
-    # roll to r10 to fit (recsys_item_cooccurrence, markov_transitions,
-    # dau_wau_rolling, scd2_point_in_time_join, cumulative_unique_users).
-    # round-9-born: the two new dialect surfaces (round-9 judge
-    # directives 1+2 — string-window clipping and numeric to_char)
-    "pg_dialect_string_windows", "pg_dialect_to_char_numeric",
-    # rolled from r08 (displaced once already — they go first)
-    "feature_hashing", "ts_ohlc_daily", "profile_numeric_columns",
-    # scalar/SQL surface
-    "json_struct_agg", "scalar_xml_extract", "scalar_trgm_similarity",
-    "scalar_collation_ci", "scalar_csv_roundtrip", "scalar_zorder_key",
-    "sql_identifier_clause", "sql_session_variable",
-    "sql_execute_immediate",
-    # embeddings / serving
-    "embed_centroid_per_source", "source_centroid_similarity",
-    "cluster_quality_profile", "sketch_topk_approx",
-    # grouped-map / UDTF
-    "udtf_long_tokens", "grouped_map_topk",
-    # stats / profile
-    "profile_outlier_iqr", "stats_gini_coefficient", "stats_theil_index",
-    "profile_winsorize", "profile_mad", "hist_width_bucket",
-    "stats_chisq_cells", "ab_test_ttest", "ols_regr_slope",
+_ROTATION_R10 = [
+    # round-10-born first (new code needs driver rows most — the
+    # r06-r09 precedent): the two type-dependent dialect surfaces
+    # (round-10 judge directives 1+3 — cast rounding, typed arithmetic)
+    "pg_dialect_cast_rounding", "pg_dialect_typed_arith",
+    # the six round-9-born dialect families (registered after the r09
+    # window was enacted — never driver-checked)
+    "pg_dialect_scalar_functions", "pg_dialect_agg_order_semantics",
+    "pg_dialect_operator_math", "pg_dialect_quoting_encode",
+    "pg_dialect_json_construction", "pg_dialect_srf_ordering",
+    # behavioral / warehouse (rolled from the r09 pre-plan)
+    "recsys_item_cooccurrence", "markov_transitions", "dau_wau_rolling",
+    "scd2_point_in_time_join", "cumulative_unique_users",
+    # sessions / events / attribution
+    "funnel_latency_quantiles", "user_longest_streak",
+    "user_profile_pivot", "session_type_cooccurrence",
+    "max_concurrent_sessions", "session_type_lift", "user_burstiness",
+    "order_fulfillment_lag", "attribution_first_touch",
+    "attribution_last_touch", "attribution_time_decay",
+    "rfm_segmentation", "event_path_trigrams", "session_entry_exit",
+    "rank_movement_report", "survival_km_fulfillment",
+    "events_json_schema_profile",
     # time series
-    "ts_autocorr_lag1", "ts_seasonal_anomaly", "ts_resample_gapfill",
-    "ts_ewma_final", "ts_time_weighted_avg", "ts_holt_linear",
-    "ts_cusum_alerts",
-    # sampling
-    "sample_weighted_reservoir", "sample_balanced_classes",
-    "sample_negative_pairs", "sample_temperature_quota",
+    "ts_week_over_week", "ts_seasonality_profile",
+    "ts_time_bucket_stride",
+    # text
+    "text_phrase_search", "text_zipf_buckets", "text_oov_rate",
+    "profile_doc_length_hist", "text_halves_overlap",
+    "text_kwic_concordance", "text_token_entropy",
+    # graph / incremental / utility
+    "graph_shortest_cost", "graph_link_prediction",
+    "incr_agg_maintenance", "min_per_group_lookup", "shuffle_shards",
+    "feature_minmax_scale", "ids_dense_assign", "impute_group_median",
 ]
-_PREFIX = _PINS + _ROTATION_R09
+_PREFIX = _PINS + _ROTATION_R10
 assert len(_PREFIX) == 50, f"driver window is 50 entries, prefix has {len(_PREFIX)}"
 _missing = [n for n in _PREFIX if n not in REGISTRY]
 assert not _missing, f"prefix names not in REGISTRY: {_missing}"
@@ -87,4 +90,4 @@ _reordered = {k: REGISTRY[k] for k in _PREFIX}
 _reordered.update(_rest)
 REGISTRY.clear()
 REGISTRY.update(_reordered)
-del _PREFIX, _missing, _rest, _reordered, _PINS, _ROTATION_R09
+del _PREFIX, _missing, _rest, _reordered, _PINS, _ROTATION_R10
