@@ -1911,3 +1911,75 @@ def test_decode_format_dispatch_named_error(spark):
     # recognized charset literals pass through to Spark's native decode
     row = one(spark, "decode(encode('hi', 'utf-8'), 'utf-8') AS v")
     assert row["v"] == "hi"
+
+
+# --- round-10 probe batch 2: PG 15 regexp-family optional args ---------------
+# PG's third argument is START everywhere; Spark's regexp_instr third
+# argument is the capture-GROUP index — regexp_instr('abcabc','b',3) is
+# 5 in PG and was 2 (silent wrong answer) before the rewrite. The other
+# start/flags forms died loud (WRONG_NUM_ARGS). All literals hand-derived
+# from PG 16 semantics.
+
+def test_regexp_family_start_flags_pins(spark):
+    row = one(
+        spark,
+        "regexp_instr('abcabc', 'b', 3) AS a, "
+        "regexp_instr('abcabc', 'z', 3) AS b, "
+        "regexp_count('aAa', 'a', 2) AS c, "
+        "regexp_count('aAa', 'a', 1, 'i') AS d, "
+        "regexp_like('ABC', 'abc', 'i') AS e, "
+        "regexp_substr('abcabc', 'b.', 3) AS f, "
+        "regexp_instr('xaybzb', '[ab]') AS g",
+    )
+    assert row["a"] == 5   # PG: search starts at position 3
+    assert row["b"] == 0   # no match stays 0, not 0 + start - 1
+    assert row["c"] == 1 and row["d"] == 3
+    assert row["e"] is True and row["f"] == "bc"
+    assert row["g"] == 2   # 2-arg form always agreed — pinned anyway
+
+
+def test_regexp_family_untranslatable_named_errors():
+    import pytest
+
+    with pytest.raises(ValueError, match="N-th occurrence"):
+        translate_pg_sql("SELECT regexp_instr('x', 'y', 1, 2)")
+    with pytest.raises(ValueError, match="N-th occurrence"):
+        translate_pg_sql("SELECT regexp_substr('x', 'y', 1, 2)")
+    with pytest.raises(ValueError, match="flags"):
+        translate_pg_sql("SELECT regexp_count('x', 'y', 1, 'g')")
+
+
+# --- round-10 probe batch 2: array || element --------------------------------
+# PG: anyarray || anyelement appends, anyelement || anyarray prepends
+# (PG docs §9.19). The pass-through reached Spark's concat — a loud
+# DATATYPE_MISMATCH — when the array side is a visible ctor/call and the
+# other side a bare literal, the PG reading is recovered.
+
+def test_array_append_prepend_operator_pins(spark):
+    row = one(
+        spark,
+        "ARRAY[1,2] || 3 AS a, "
+        "0 || ARRAY[1,2] AS b, "
+        "ARRAY[1,2] || ARRAY[3] AS c, "
+        "ARRAY['x'] || 'y' AS d, "
+        "ARRAY[1] || 2 || 3 AS e, "
+        "string_to_array('a,b', ',') || 'c' AS f",
+    )
+    assert row["a"] == [1, 2, 3]      # PG docs: ARRAY[1,2] || 3
+    assert row["b"] == [0, 1, 2]      # PG docs: 3 || ARRAY[4,5] shape
+    assert row["c"] == [1, 2, 3]      # array || array stays concat
+    assert row["d"] == ["x", "y"]
+    assert row["e"] == [1, 2, 3]      # left-assoc chain
+    assert row["f"] == ["a", "b", "c"]
+
+
+def test_array_append_op_guards(spark):
+    """Column refs and arithmetic tails stay untouched: their types are
+    invisible, and PG binds +/- tighter than || (`x - 1 || arr` groups
+    the subtraction), so only standalone literals rewrite."""
+    out = translate_pg_sql("SELECT some_col || ARRAY[1] FROM t")
+    assert "array_prepend" not in out
+    out = translate_pg_sql("SELECT x - 1 || ARRAY[1] FROM t")
+    assert "array_prepend" not in out
+    out = translate_pg_sql("SELECT 'lit || x' AS k")
+    assert "array_append" not in out and "|| x" in out

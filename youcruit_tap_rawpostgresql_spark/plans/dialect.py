@@ -3032,6 +3032,166 @@ def _outside_literals(sql: str, fn) -> str:
     )
 
 
+# array-valued callees whose results are VISIBLY arrays — the
+# `array || element` / `element || array` rewrite below keys on them
+_ARRAY_CALLEES = frozenset(
+    (
+        "array",
+        "string_to_array",
+        "regexp_split_to_array",
+        "array_append",
+        "array_prepend",
+        "array_remove",
+        "array_distinct",
+        "array_sort",
+        "sequence",
+        "slice",
+        "split",
+        "collect_list",
+        "collect_set",
+        "array_agg",
+    )
+)
+_NUM_OR_STR_LIT_RE = re.compile(
+    r"[+-]?\d+(?:\.\d*)?(?![\w.])|" + _STR_LIT
+)
+_ARR_CALL_OPEN_RE = re.compile(r"([a-zA-Z_]\w*)\s*\(")
+# tokens a standalone expression can follow — used by the
+# element-||-array rewrite to confirm the literal is not the tail of a
+# larger arithmetic expression (PG binds + and - TIGHTER than ||, so in
+# `x - 1 || arr` the 1 belongs to the subtraction)
+_EXPR_LEAD_KWS = frozenset(
+    (
+        "select",
+        "when",
+        "then",
+        "else",
+        "and",
+        "or",
+        "not",
+        "by",
+        "on",
+        "where",
+        "having",
+        "union",
+        "all",
+        "distinct",
+        "as",
+        "in",
+        "values",
+        "returning",
+        "set",
+    )
+)
+
+
+def _translate_array_append_ops(sql: str) -> str:
+    """PG ``array || element`` → ``array_append``, ``element || array``
+    → ``array_prepend`` (round-10 probe batch: the pass-through reached
+    Spark's concat, a DATATYPE_MISMATCH analysis error — loud, but PG's
+    append/prepend reading is textually recoverable when the array side
+    is VISIBLE). Rewritten only when one side is a call to a known
+    array-valued function (the ARRAY[...] ctor is already ``array(...)``
+    here — this pass runs after it) and the other side is a bare
+    numeric/string literal; array-||-array stays concat (PG and Spark
+    agree), and column refs stay untouched (their types are invisible —
+    the loud analysis error is the honest outcome). Restart loop handles
+    chains: ``array(1,2) || 3 || 4`` folds left-associatively."""
+    while True:
+        mask = _masked(sql)
+        changed = False
+        for m in re.finditer(r"\|\|", mask):
+            # LHS: balanced-paren call with a known array callee?
+            j = m.start() - 1
+            while j >= 0 and sql[j] in " \t\n\r":
+                j -= 1
+            l_arr = None
+            if j >= 0 and mask[j] == ")":
+                depth, k = 0, j
+                while k >= 0:
+                    if mask[k] == ")":
+                        depth += 1
+                    elif mask[k] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k -= 1
+                if k >= 0 and depth == 0:
+                    ce = k - 1
+                    while ce >= 0 and sql[ce] in " \t\n\r":
+                        ce -= 1
+                    i2 = ce
+                    while i2 >= 0 and (sql[i2].isalnum() or sql[i2] == "_"):
+                        i2 -= 1
+                    if (
+                        i2 < ce
+                        and sql[i2 + 1 : ce + 1].lower() in _ARRAY_CALLEES
+                    ):
+                        l_arr = (i2 + 1, j + 1)
+            # RHS: scalar literal / array call?
+            r0 = m.end()
+            while r0 < len(sql) and sql[r0] in " \t\n\r":
+                r0 += 1
+            r_lit = _NUM_OR_STR_LIT_RE.match(sql, r0)
+            r_call = _ARR_CALL_OPEN_RE.match(mask, r0)
+            r_arr = None
+            if r_call and r_call.group(1).lower() in _ARRAY_CALLEES:
+                close = _matching_paren(mask, r_call.end() - 1)
+                if close > 0:
+                    r_arr = (r0, close + 1)
+            if l_arr and r_lit and not r_arr:
+                l_txt = sql[l_arr[0] : l_arr[1]]
+                r_txt = sql[r_lit.start() : r_lit.end()]
+                sql = (
+                    sql[: l_arr[0]]
+                    + f"array_append({l_txt}, {r_txt})"
+                    + sql[r_lit.end() :]
+                )
+                changed = True
+                break
+            if r_arr and not l_arr:
+                # element || array: LHS must be a bare literal ENDING at j
+                l_lit = None
+                for lm in _NUM_OR_STR_LIT_RE.finditer(sql, 0, j + 1):
+                    if lm.end() == j + 1:
+                        l_lit = lm
+                if l_lit is not None and not any(
+                    a <= l_lit.start() < b
+                    for _k2, a, b in _opaque_spans(sql)
+                    if _k2 == "comment"
+                ):
+                    # the literal must stand alone (preceded by a
+                    # non-operand boundary or an expression-leading
+                    # keyword), not be the tail of a larger expression
+                    # like `x - 1 || array(...)` (PG binds - tighter)
+                    p = l_lit.start() - 1
+                    while p >= 0 and sql[p] in " \t\n\r":
+                        p -= 1
+                    ok = p < 0 or sql[p] in "(,=<>"
+                    if not ok and (sql[p].isalnum() or sql[p] == "_"):
+                        ws = p
+                        while ws >= 0 and (sql[ws].isalnum() or sql[ws] == "_"):
+                            ws -= 1
+                        ok = sql[ws + 1 : p + 1].lower() in _EXPR_LEAD_KWS
+                    if ok:
+                        l_txt = sql[l_lit.start() : l_lit.end()]
+                        r_txt = sql[r_arr[0] : r_arr[1]]
+                        sql = (
+                            sql[: l_lit.start()]
+                            # PG argument order (elem, arr): the
+                            # _build_array_prepend rename downstream
+                            # swaps every array_prepend into Spark's
+                            # (arr, elem) order — emitting Spark order
+                            # here got double-swapped
+                            + f"array_prepend({l_txt}, {r_txt})"
+                            + sql[r_arr[1] :]
+                        )
+                        changed = True
+                        break
+        if not changed:
+            return sql
+
+
 def _translate_array_ctors(sql: str) -> str:
     """ARRAY[...] → array(...) via a quote-aware bracket scanner: regex
     cannot pair brackets when element literals contain '[' or ']' (and
@@ -4096,6 +4256,110 @@ def _regexp_match_flags(args, fn_name: str):
     return pat, glob
 
 
+# PG 15 regexp-family argument forms (round-10 probe batch). Spark shares
+# the 2-arg semantics of regexp_count/instr/substr/like exactly (probed),
+# but the OPTIONAL arguments diverge dangerously: PG's third argument is
+# the START position everywhere, while Spark's regexp_instr third
+# argument is the capture-GROUP index — `regexp_instr('abcabc','b',3)`
+# is 5 in PG (search from position 3) and 2 in Spark (report group...),
+# a SILENT wrong answer; the other functions are 2-arg-only in Spark, so
+# their start/flags forms died loud. Start forms rewrite through
+# substr(); instr re-bases the found position with a nullif/coalesce
+# fold so the inner call is computed ONCE (no operand duplication).
+# PG's further arguments (N-th occurrence, endoption, subexpr) have no
+# Spark composition — named errors.
+
+
+def _pg_iflag_pattern(pat: str, flags_text: str, fn_name: str) -> str:
+    """Apply a PG regexp flags argument to a pattern for the functions
+    whose only translatable flag is 'i' ('g' is either PG's own error —
+    regexp_count/instr/substr/like reject it — or meaningless)."""
+    flags = _strip_comments(flags_text).strip()
+    if not re.fullmatch(_STR_LIT, flags):
+        raise ValueError(
+            f"{fn_name}: a non-literal flags argument cannot be "
+            "translated (the flag set must be known at translation time)"
+        )
+    fv = flags[1:-1]
+    if not set(fv) <= {"i"}:
+        raise ValueError(
+            f"{fn_name} flags {flags} not supported (only 'i'; PG itself "
+            "rejects 'g' here)"
+        )
+    if "i" not in fv:
+        return pat
+    if re.fullmatch(_STR_LIT, pat):
+        return "'(?i)" + pat[1:]
+    return f"concat('(?i)', {pat})"
+
+
+def _build_regexp_count_pg(args):
+    if len(args) in (0, 1, 2) or len(args) > 4:
+        return None
+    x, pat = args[0].strip(), args[1].strip()
+    start = args[2].strip()
+    if len(args) == 4:
+        pat = _pg_iflag_pattern(pat, args[3], "regexp_count")
+    return (f"regexp_count(substr({x}, {start}), {pat})", 0)
+
+
+def _build_regexp_instr_pg(args):
+    if len(args) in (0, 1, 2):
+        return None
+    if len(args) > 3:
+        raise ValueError(
+            "regexp_instr with N-th occurrence / endoption / flags / "
+            "subexpr arguments is not translatable — only the "
+            "(string, pattern, start) form maps to Spark"
+        )
+    x, pat, start = (a.strip() for a in args)
+    # Spark's 3rd arg is the capture-GROUP index, NOT the start — the
+    # pass-through was a silent wrong answer. One inner call: nullif
+    # turns no-match 0 into NULL so the re-basing add skips it.
+    return (
+        f"coalesce(nullif(regexp_instr(substr({x}, {start}), {pat}), 0)"
+        f" + ({start}) - 1, 0)",
+        0,
+    )
+
+
+def _build_regexp_substr_pg(args):
+    if len(args) in (0, 1, 2):
+        return None
+    if len(args) > 4:
+        raise ValueError(
+            "regexp_substr with N-th occurrence / subexpr arguments is "
+            "not translatable — only (string, pattern, start[, flags]) "
+            "maps to Spark"
+        )
+    x, pat = args[0].strip(), args[1].strip()
+    start = args[2].strip()
+    if len(args) == 4:
+        # PG's 4th arg is the N-th occurrence (flags is 5th); only the
+        # default N = 1 maps to Spark's first-match regexp_substr
+        n = _strip_comments(args[3]).strip()
+        if n != "1":
+            raise ValueError(
+                "regexp_substr N-th occurrence is not translatable "
+                "(Spark's regexp_substr returns the first match only)"
+            )
+    return (f"regexp_substr(substr({x}, {start}), {pat})", 0)
+
+
+def _build_regexp_like_pg(args):
+    if len(args) != 3:
+        return None
+    x, pat = args[0].strip(), args[1].strip()
+    pat = _pg_iflag_pattern(pat, args[2], "regexp_like")
+    return (f"regexp_like({x}, {pat})", 0)
+
+
+_REGEXP_COUNT_OPEN_RE = re.compile(r"\bregexp_count\s*\(", re.IGNORECASE)
+_REGEXP_INSTR_OPEN_RE = re.compile(r"\bregexp_instr\s*\(", re.IGNORECASE)
+_REGEXP_SUBSTR_OPEN_RE = re.compile(r"\bregexp_substr\s*\(", re.IGNORECASE)
+_REGEXP_LIKE_OPEN_RE = re.compile(r"\bregexp_like\s*\(", re.IGNORECASE)
+
+
 def _build_regexp_match(args):
     """PG regexp_match(x, pat[, flags]): text[] of the FIRST match's
     groups (whole match if no groups), NULL when no match. The 'g' flag
@@ -4641,6 +4905,7 @@ def _translate_operators(sql: str) -> str:
     # array_cat concatenates arrays, not text).
     sql = _rewrite_calls(sql, _CONCAT_OPEN_RE, _build_concat)
     sql = _translate_array_ctors(sql)
+    sql = _translate_array_append_ops(sql)
     sql = _translate_array_binops(sql)
     sql = _translate_quantified_comparisons(sql)
     sql = _rewrite_calls(sql, _ARRAY_LENGTH_OPEN_RE, _build_array_length)
@@ -4857,6 +5122,13 @@ def _translate_operators(sql: str) -> str:
     sql = _rewrite_calls(sql, _QUOTE_NULLABLE_OPEN_RE, _build_quote_nullable)
     sql = _rewrite_calls(sql, _QUOTE_IDENT_OPEN_RE, _build_quote_ident)
     sql = _rewrite_calls(sql, _REGEXP_MATCH_OPEN_RE, _build_regexp_match)
+    # PG 15 regexp-family optional arguments (start/flags) — the
+    # regexp_instr 3-arg form was a SILENT wrong answer before this
+    # (Spark reads the 3rd arg as a capture-group index, PG as start)
+    sql = _rewrite_calls(sql, _REGEXP_COUNT_OPEN_RE, _build_regexp_count_pg)
+    sql = _rewrite_calls(sql, _REGEXP_INSTR_OPEN_RE, _build_regexp_instr_pg)
+    sql = _rewrite_calls(sql, _REGEXP_SUBSTR_OPEN_RE, _build_regexp_substr_pg)
+    sql = _rewrite_calls(sql, _REGEXP_LIKE_OPEN_RE, _build_regexp_like_pg)
     sql = _rewrite_calls(sql, _MAKE_INTERVAL_OPEN_RE, _build_make_interval)
     sql = _rewrite_calls(sql, _DATE_TRUNC_OPEN_RE, _build_date_trunc_zoned)
     if _ARRAY_SUBQUERY_RE.search(_masked(sql)):
