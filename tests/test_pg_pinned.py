@@ -1983,3 +1983,55 @@ def test_array_append_op_guards(spark):
     assert "array_prepend" not in out
     out = translate_pg_sql("SELECT 'lit || x' AS k")
     assert "array_append" not in out and "|| x" in out
+
+
+# --- round-10 probe batch 3: interval epoch + boolean literal casts ----------
+# PG's EXTRACT(EPOCH FROM interval) is the interval's total seconds with
+# FIXED conversions (intervals.c: 1 year = 365.25 d, 1 month = 30 d) —
+# the timestamp-path CAST died with a confusing analysis error. Literal
+# intervals fold at translation time (epoch is linear in every unit, so
+# the fold is exact). PG's parse_bool accepts 'on'/'off' and unique
+# prefixes of true/false/yes/no, which Spark's boolean cast rejects.
+
+def test_interval_epoch_pins(spark):
+    row = one(
+        spark,
+        "EXTRACT(EPOCH FROM INTERVAL '90 minutes') AS a, "
+        "EXTRACT(EPOCH FROM INTERVAL '1 year') AS b, "
+        "EXTRACT(EPOCH FROM INTERVAL '1 mon') AS c, "
+        "EXTRACT(EPOCH FROM INTERVAL '1 day 2:34:56') AS d, "
+        "date_part('epoch', INTERVAL '1.5 hours') AS e, "
+        "EXTRACT(EPOCH FROM INTERVAL '3 days ago') AS f",
+    )
+    assert float(row["a"]) == 5400.0
+    assert float(row["b"]) == 31557600.0   # PG: 365.25 days
+    assert float(row["c"]) == 2592000.0    # PG: 30 days
+    assert float(row["d"]) == 95696.0
+    assert float(row["e"]) == 5400.0
+    assert float(row["f"]) == -259200.0    # 'ago' negates
+
+
+def test_interval_epoch_unrecognized_named_error():
+    import pytest
+
+    with pytest.raises(ValueError, match="interval shape"):
+        translate_pg_sql("SELECT EXTRACT(EPOCH FROM INTERVAL 'garbage')")
+
+
+def test_boolean_literal_cast_pins(spark):
+    row = one(
+        spark,
+        "'on'::boolean AS a, 'off'::boolean AS b, 'tr'::boolean AS c, "
+        "' YES '::boolean AS d, 'of'::boolean AS e, '0'::boolean AS f, "
+        "'t'::boolean AS g, 'n'::boolean AS h",
+    )
+    assert row["a"] is True and row["b"] is False and row["c"] is True
+    assert row["d"] is True and row["e"] is False and row["f"] is False
+    assert row["g"] is True and row["h"] is False
+
+
+def test_boolean_literal_cast_ambiguous_named_error():
+    import pytest
+
+    with pytest.raises(ValueError, match="boolean"):
+        translate_pg_sql("SELECT 'o'::boolean")  # ambiguous, like PG

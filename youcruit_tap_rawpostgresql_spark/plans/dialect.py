@@ -695,6 +695,28 @@ def _int_cast_round_fn(
     return "round" if dec_evidence else None
 
 
+def _pg_bool_literal(operand: str) -> str:
+    """Fold ``'<text>'::boolean`` exactly as PG's parse_bool does
+    (bool.c): case-insensitive, whitespace-trimmed; ``t``/``y`` and any
+    prefix of ``true``/``yes``, ``on``, ``1`` → TRUE; ``f``/``n`` and
+    any prefix of ``false``/``no``, ``off`` (``of`` included — a prefix
+    of off only), ``0`` → FALSE; ``o`` alone is ambiguous and raises,
+    like PG."""
+    v = operand[1:-1].replace("''", "'").strip().lower()
+    if v and ("true".startswith(v) or "yes".startswith(v) or v in ("on", "1")):
+        return "TRUE"
+    if v and (
+        "false".startswith(v)
+        or "no".startswith(v)
+        or v in ("off", "of", "0")
+    ):
+        return "FALSE"
+    raise ValueError(
+        f"invalid input syntax for type boolean: {operand} (PG raises "
+        "here too)"
+    )
+
+
 def _translate_casts(
     sql: str, column_types: Mapping[str, str] | None = None
 ) -> str:
@@ -890,6 +912,14 @@ def _translate_casts(
                 )
                 if rfn:
                     repl = f"CAST({rfn}({operand}) AS {spark_t})"
+                elif spark_t == "boolean" and re.fullmatch(
+                    _STR_LIT, operand
+                ):
+                    # PG's parse_bool accepts more spellings than Spark
+                    # ('on'/'off', unique prefixes of true/false/yes/no
+                    # — round-10 probe batch 3: 'on'::boolean died with
+                    # CAST_INVALID_INPUT); a literal folds exactly
+                    repl = _pg_bool_literal(operand)
                 else:
                     repl = f"CAST({operand} AS {spark_t})"
             sql = sql[:start] + sep + repl + sql[tm.end() :]
@@ -1631,6 +1661,93 @@ _EPOCH_RE = re.compile(
     r"|\bdate_part\s*\(\s*'(?i:EPOCH)'\s*,\s*([^()]+)\)",
     re.IGNORECASE,
 )
+
+# EXTRACT(EPOCH FROM interval) — PG returns the interval's TOTAL seconds
+# using fixed conversions (1 year = 365.25 days = 31557600 s, 1 month =
+# 30 days = 2592000 s — intervals.c); the timestamp-path CAST above dies
+# with a confusing CAST(INTERVAL AS TIMESTAMP) analysis error (round-10
+# probe batch 3). A LITERAL interval operand folds to its constant at
+# translation time — exact, since epoch is linear in every unit — and a
+# non-literal interval can't be told apart from a timestamp expression
+# textually, so it keeps the timestamp path (documented).
+_IVAL_UNIT_SECONDS = {
+    "year": 31557600.0,
+    "month": 2592000.0,
+    "week": 604800.0,
+    "day": 86400.0,
+    "hour": 3600.0,
+    "minute": 60.0,
+    "second": 1.0,
+    "millisecond": 1e-3,
+    "microsecond": 1e-6,
+}
+_IVAL_UNIT_ALIASES = {
+    "y": "year", "yr": "year", "yrs": "year", "years": "year",
+    "mon": "month", "mons": "month", "months": "month",
+    "w": "week", "weeks": "week",
+    "d": "day", "days": "day",
+    "h": "hour", "hr": "hour", "hrs": "hour", "hours": "hour",
+    "m": "minute", "min": "minute", "mins": "minute", "minutes": "minute",
+    "s": "second", "sec": "second", "secs": "second", "seconds": "second",
+    "ms": "millisecond", "milliseconds": "millisecond",
+    "us": "microsecond", "microseconds": "microsecond",
+}
+_IVAL_ITEM_RE = re.compile(
+    r"([+-]?\d+(?:\.\d+)?)\s*([a-zA-Z]+)|([+-]?\d{1,9}):(\d{1,2})(?::(\d{1,2}(?:\.\d+)?))?"
+)
+
+
+def _interval_literal_epoch(body: str) -> float | None:
+    """Total seconds of a PG interval literal body, or None if the text
+    has shapes this parser doesn't cover (the caller raises a named
+    error then — never a silent fall-through)."""
+    total, pos, seen = 0.0, 0, False
+    s = body.strip()
+    if s.lower().endswith("ago"):
+        s, sign = s[:-3].strip(), -1.0
+    else:
+        sign = 1.0
+    while pos < len(s):
+        if s[pos].isspace():
+            pos += 1
+            continue
+        m = _IVAL_ITEM_RE.match(s, pos)
+        if not m:
+            return None
+        if m.group(2) is not None:
+            unit = _IVAL_UNIT_ALIASES.get(
+                m.group(2).lower(), m.group(2).lower()
+            )
+            if unit not in _IVAL_UNIT_SECONDS:
+                return None
+            total += float(m.group(1)) * _IVAL_UNIT_SECONDS[unit]
+        else:
+            hh = float(m.group(3))
+            t = abs(hh) * 3600 + float(m.group(4)) * 60 + float(m.group(5) or 0)
+            total += -t if m.group(3).startswith("-") else t
+        seen = True
+        pos = m.end()
+    return sign * total if seen else None
+
+
+def _epoch_repl(m: re.Match) -> str:
+    operand = (m.group(1) or m.group(2)).strip()
+    im = re.fullmatch(
+        r"INTERVAL\s+'((?:[^']|'')*)'", operand, re.IGNORECASE
+    )
+    if im:
+        secs = _interval_literal_epoch(im.group(1).replace("''", "'"))
+        if secs is None:
+            raise ValueError(
+                f"EXTRACT(EPOCH FROM INTERVAL '{im.group(1)}'): interval "
+                "shape not recognized — spell it as '<n> <unit> ...' "
+                "with optional HH:MM:SS tail"
+            )
+        return repr(secs) if secs != int(secs) else f"{int(secs)}.0"
+    return (
+        f"(unix_micros(CAST({operand} AS TIMESTAMP)) / 1e6)"
+    )
+
 
 # EXTRACT(CENTURY/DECADE/MILLENNIUM FROM expr) — PG year-derived fields
 # Spark's EXTRACT rejects (INVALID_EXTRACT_FIELD). date_part('century', x)
@@ -5144,14 +5261,9 @@ def _translate_operators(sql: str) -> str:
     # unix_timestamp() would floor to whole seconds, silently changing
     # sub-second data. Found by differential execution (round 6). The
     # CAST admits DATE/STRING operands like PG does.
-    sql = _sub_skipping_literal_interiors(
-        _EPOCH_RE,
-        lambda m: (
-            f"(unix_micros(CAST({(m.group(1) or m.group(2)).strip()}"
-            f" AS TIMESTAMP)) / 1e6)"
-        ),
-        sql,
-    )
+    # (a LITERAL interval operand folds to PG's fixed-conversion total
+    # seconds instead — see _epoch_repl / _interval_literal_epoch)
+    sql = _sub_skipping_literal_interiors(_EPOCH_RE, _epoch_repl, sql)
     # PG's year-derived EXTRACT fields Spark lacks (round-9 session 2):
     # CENTURY/MILLENNIUM count from year 1 (century 21 starts 2001-01-01),
     # DECADE is year/10 floored. AD years only — PG's BC numbering
