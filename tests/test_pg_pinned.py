@@ -2035,3 +2035,67 @@ def test_boolean_literal_cast_ambiguous_named_error():
 
     with pytest.raises(ValueError, match="boolean"):
         translate_pg_sql("SELECT 'o'::boolean")  # ambiguous, like PG
+
+
+# --- round-10 probe batch 4: array-ctor casts, agg ORDER BY, intervals -------
+
+def test_array_ctor_cast_pin(spark):
+    """ARRAY[...]::type reaches the cast pass as a normal call now (the
+    ::-operand walk reads balanced parens, so the bracket form was left
+    untranslated and died on Spark's parser). Known delta (module
+    header): Spark renders arrays '[1, 2]' where PG renders '{1,2}'."""
+    row = one(spark, "ARRAY[1,2]::text AS a, ARRAY['x']::text IS NOT NULL AS b")
+    assert row["a"] == "[1, 2]" and row["b"] is True
+
+
+def test_order_insensitive_agg_order_by_strips(spark):
+    """PG allows ORDER BY inside any aggregate; for order-insensitive
+    ones it is meaningless and Spark's parser rejects it — stripped,
+    value-exact. Order-SENSITIVE aggregates keep their structural
+    rewrites (array_agg/string_agg) and window ORDER BYs are outside
+    the call parens (untouched)."""
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT sum(x ORDER BY x) AS s, count(DISTINCT x ORDER BY x) "
+            "AS c, max(x ORDER BY x DESC) AS m "
+            "FROM (VALUES (1),(2),(2)) t(x)"
+        )
+    ).collect()
+    assert rows[0]["s"] == 5 and rows[0]["c"] == 2 and rows[0]["m"] == 2
+    out = translate_pg_sql("SELECT sum(x) OVER (ORDER BY y) FROM t")
+    assert "ORDER BY y" in out  # window clause untouched
+
+
+def test_pg_interval_literal_spellings(spark):
+    """PG interval bodies Spark's parser rejects — abbreviations
+    ('min', 'secs', 'mons'), HH:MM:SS tails, fractional values — now
+    rewrite to make_dt_interval/make_ym_interval with exact Decimal
+    quantities; PG's fractional-month spread (0.5 mon = 15 days) is
+    honored; Spark-safe bodies pass through byte-identical."""
+    import datetime
+
+    row = one(
+        spark,
+        "INTERVAL '90 secs' AS a, INTERVAL '1 day 2:34:56' AS b, "
+        "INTERVAL '1.5 hours' AS c, INTERVAL '0.5 mons' AS d, "
+        "(TIMESTAMP '2020-01-01 00:00:00' + INTERVAL '3 mons') AS e, "
+        "INTERVAL '2 hours 30 min ago' AS f",
+    )
+    assert row["a"] == datetime.timedelta(seconds=90)
+    assert row["b"] == datetime.timedelta(days=1, seconds=9296)
+    assert row["c"] == datetime.timedelta(seconds=5400)
+    assert row["d"] == datetime.timedelta(days=15)  # PG: 0.5 mon spread
+    assert row["e"] == datetime.datetime(2020, 4, 1, 0, 0)
+    assert row["f"] == datetime.timedelta(seconds=-9000)  # 'ago' negates
+    # Spark-safe spelling stays byte-identical (no churn)
+    assert (
+        translate_pg_sql("SELECT INTERVAL '2 hours' AS g")
+        == "SELECT INTERVAL '2 hours' AS g"
+    )
+
+
+def test_pg_interval_mixed_named_error():
+    import pytest
+
+    with pytest.raises(ValueError, match="mixes year-month"):
+        translate_pg_sql("SELECT INTERVAL '1 year 1 day 2 hours'")

@@ -268,6 +268,23 @@ an inner cast, or the declared stream schemas passed as
   interval). ``date ± int`` and ``timestamp - timestamp`` already
   agree and stay untouched.
 
+Round-10 probe batch 4: ``ARRAY[...]::type`` casts translate (the
+``::``-operand walk reads balanced parens — the bracket form was left
+untranslated; rendering delta: Spark casts arrays to ``[1, 2]`` where
+PG renders ``{1,2}``, same note as concat). Order-insensitive
+aggregates (sum/avg/min/max/count/bool_*/stddev*/var*/bit_*) DROP a PG
+``ORDER BY`` inside the call (legal-but-meaningless in PG;
+unparseable in Spark). PG-only INTERVAL literal bodies — unit
+abbreviations ('min', 'secs', 'mons', 'd'), ``HH:MM:SS`` tails,
+fractional quantities, 'ago' — rewrite to make_dt_interval /
+make_ym_interval with exact Decimal quantities (PG's fractional-month
+spread honored: '0.5 mons' = 15 days); mixed year-month + day-time
+raises the named error; Spark-safe bodies pass through byte-identical.
+Literal ``EXTRACT(EPOCH FROM INTERVAL '…')`` folds to PG's
+fixed-conversion total seconds (1 yr = 365.25 d, 1 mon = 30 d).
+``'text'::boolean`` literals fold via PG's parse_bool ('on'/'off',
+unique prefixes of true/false/yes/no).
+
 PG deltas intentionally NOT auto-rewritten (type/context analysis text
 cannot do safely, beyond the visible cases above): array
 subscripts (PG ``a[i]`` is 1-based, Spark's ``[i]`` is 0-based — write
@@ -5975,6 +5992,145 @@ def _rewrite_distinct_on(sql: str) -> str:
     return sql[: m.start()] + rewritten
 
 
+# PG allows an ORDER BY inside ANY aggregate call; for order-INSENSITIVE
+# aggregates it is legal-but-meaningless ('sum(x ORDER BY x)') and
+# Spark's parser rejects it (round-10 probe batch 4 — and the ORDER-BY
+# null-placement pass then injected NULLS LAST into the unparseable
+# clause). Stripping it is value-exact for exactly these aggregates;
+# order-SENSITIVE ones (array_agg, string_agg, json_agg) have their own
+# structural rewrites earlier in the pipeline.
+_ORDER_INSENSITIVE_AGG_OPEN_RE = re.compile(
+    r"\b(?:sum|avg|min|max|count|bool_and|bool_or|every|stddev|"
+    r"stddev_pop|stddev_samp|variance|var_pop|var_samp|bit_and|bit_or|"
+    r"bit_xor)\s*\(",
+    re.IGNORECASE,
+)
+_TOP_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+
+
+def _strip_agg_order_by(sql: str) -> str:
+    pos = 0
+    while True:
+        mask = _masked(sql)
+        m = _ORDER_INSENSITIVE_AGG_OPEN_RE.search(mask, pos)
+        if m is None:
+            return sql
+        close = _matching_paren(mask, m.end() - 1)
+        if close < 0:
+            return sql
+        inner_mask = mask[m.end() : close]
+        ob = _top_level_search(_TOP_ORDER_BY_RE, inner_mask, 0)
+        if ob is None:
+            pos = close + 1
+            continue
+        sql = sql[: m.end() + ob.start()].rstrip() + sql[close:]
+        # restart from the same aggregate (positions shifted)
+
+
+# PG interval literal bodies Spark's parser rejects (round-10 probe
+# batch 4: Spark takes only full-word units and one category — 'min',
+# 'mon', 'secs', 'd', fractional values, and 'HH:MM:SS' tails all die
+# loud): parseable bodies rewrite to make_dt_interval / make_ym_interval
+# (exact — quantities computed in Decimal, seconds carry microsecond
+# precision), mixed year-month + day-time raises the named error the
+# ::interval path already uses, and bodies Spark accepts pass through
+# byte-identical. Runs LAST among the literal passes so the rules that
+# PARSE interval literal text (EPOCH folding, date_bin strides, AT TIME
+# ZONE, typed-literal handling) see the original spelling.
+_INTERVAL_LIT_RE = re.compile(
+    r"\bINTERVAL\s+('(?:[^']|'')*')", re.IGNORECASE
+)
+_SPARK_SAFE_IVAL_BODY_RE = re.compile(
+    r"\s*(?:[+-]?\d+\s+"
+    r"(?:years?|months?|days?|hours?|minutes?|seconds?)\s*)+",
+    re.IGNORECASE,
+)
+_YM_UNITS = frozenset(("year", "month"))
+
+
+def _canonicalize_interval_literal(body: str) -> str | None:
+    """Rewrite a PG-only interval body to a make_*_interval call, or
+    None to leave the literal untouched (already Spark-safe, or not an
+    interval shape this parser knows — the latter stays loud)."""
+    from decimal import Decimal
+
+    if _SPARK_SAFE_IVAL_BODY_RE.fullmatch(body):
+        units = {
+            _IVAL_UNIT_ALIASES.get(w.lower(), w.lower())
+            for w in re.findall(r"[a-zA-Z]+", body)
+        }
+        ym = bool(units & _YM_UNITS)
+        dt = bool(units - _YM_UNITS)
+        if not (ym and dt):
+            return None  # single-category full-word integers: Spark-native
+    s = body.strip()
+    sign = Decimal(1)
+    if s.lower().endswith("ago"):
+        s, sign = s[:-3].strip(), Decimal(-1)
+    months = Decimal(0)
+    dt_us = Decimal(0)
+    pos, seen = 0, False
+    while pos < len(s):
+        if s[pos].isspace():
+            pos += 1
+            continue
+        m = _IVAL_ITEM_RE.match(s, pos)
+        if not m:
+            return None
+        if m.group(2) is not None:
+            unit = _IVAL_UNIT_ALIASES.get(
+                m.group(2).lower(), m.group(2).lower()
+            )
+            if unit not in _IVAL_UNIT_SECONDS:
+                return None
+            q = Decimal(m.group(1))
+            if unit == "year":
+                months += q * 12
+            elif unit == "month":
+                months += q
+            else:
+                dt_us += q * int(_IVAL_UNIT_SECONDS[unit] * 1_000_000)
+        else:
+            hh = Decimal(m.group(3))
+            t = (
+                abs(hh) * 3600 + Decimal(m.group(4)) * 60
+                + Decimal(m.group(5) or 0)
+            ) * 1_000_000
+            dt_us += -t if m.group(3).startswith("-") else t
+        seen = True
+        pos = m.end()
+    if not seen:
+        return None
+    # PG spreads fractional months into days (0.5 mon = 15 days)
+    frac = months - int(months)
+    if frac:
+        months = Decimal(int(months))
+        dt_us += frac * 30 * 86400 * 1_000_000
+    months, dt_us = sign * months, sign * dt_us
+    if months and dt_us:
+        raise ValueError(
+            f"INTERVAL '{body}' mixes year-month and day-time parts, "
+            "which no single Spark interval type holds — split into "
+            "make_ym_interval + make_dt_interval"
+        )
+    if months:
+        return f"make_ym_interval(0, {int(months)})"
+    secs = dt_us / 1_000_000
+    text = format(secs.normalize(), "f")
+    if "." not in text:
+        text += ".0"
+    return f"make_dt_interval(0, 0, 0, {text})"
+
+
+def _translate_interval_literals(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        body = m.group(1)[1:-1].replace("''", "'")
+        out = _canonicalize_interval_literal(body)
+        return m.group(0) if out is None else out
+
+    return _sub_skipping_literal_interiors(_INTERVAL_LIT_RE, repl, sql)
+
+
 def translate_pg_sql(
     sql: str,
     params: Mapping[str, Any] | None = None,
@@ -6040,6 +6196,12 @@ def translate_pg_sql(
         sql,
     )
     out = _translate_typed_literals(out)
+    # ARRAY[...] ctors BEFORE the cast pass: the ::-operand backward walk
+    # reads balanced PARENS, so `ARRAY[1,2]::text` left the cast
+    # untranslated (round-10 probe batch 4 — `array(1,2)::text` then died
+    # on Spark's parser); after this, the operand is a normal call. The
+    # operator pass's own ctor call stays as a no-op second pass.
+    out = _translate_array_ctors(out)
     # spelled CAST(expr AS pgtype) normalizes to ::pgtype so the cast
     # pass's renames / truncation / rounding apply to both spellings
     out = _normalize_spelled_casts(out, column_types)
@@ -6104,7 +6266,14 @@ def translate_pg_sql(
     out = _translate_set_functions(out)
     out = _translate_operators(out)
     out = _translate_regexp_replace_flags(out)
+    # order-insensitive aggregates drop their legal-but-meaningless PG
+    # ORDER BY BEFORE the null-placement pass (which would inject NULLS
+    # LAST into a clause Spark cannot parse at all)
+    out = _strip_agg_order_by(out)
     out = _translate_order_by_nulls(out)
+    # PG-only interval literal bodies LAST: every earlier rule that
+    # parses INTERVAL literal text has consumed its own by now
+    out = _translate_interval_literals(out)
     out = _translate_timezone_dow(out)
     if bind and (params is not None or _PARAM_RE.search(out)):
         out = bind_params(out, params)
