@@ -328,6 +328,34 @@ _CORPUS = {
                'AUTOMOBILE' = ANY(ARRAY[c_mktsegment]) AS eq_any
         FROM customer WHERE c_custkey <= 200
     """,
+    # round-10 probe batches 3+4: interval-literal epoch folding (DuckDB
+    # matches PG's fixed conversions exactly: 1 yr = 31557600 s, 1 mon =
+    # 2592000 s), PG interval spellings Spark's parser rejects ('secs',
+    # HH:MM:SS tails, fractional units → make_dt_interval), ORDER BY
+    # inside order-insensitive aggregates (stripped; DuckDB computes it),
+    # and ARRAY[...]::text casts (both engines render '[1, 2]').
+    "interval_epoch_and_spellings": """
+        SELECT event_id AS id,
+               EXTRACT(EPOCH FROM INTERVAL '90 minutes')::float8 AS e1,
+               EXTRACT(EPOCH FROM INTERVAL '1 mon')::float8 AS e2,
+               EXTRACT(EPOCH FROM INTERVAL '1 year')::float8 AS e3,
+               (ts + INTERVAL '90 secs') AS t1,
+               (ts + INTERVAL '1 day 2:34:56') AS t2,
+               (ts - INTERVAL '1.5 hours') AS t3
+        FROM events WHERE event_id < 20
+    """,
+    "agg_order_by_strip": """
+        SELECT o_orderstatus AS s,
+               (sum((o_totalprice::numeric(12,2) * 100)::int8
+                    ORDER BY o_orderkey))::int8 AS t,
+               count(DISTINCT o_custkey ORDER BY o_custkey) AS c,
+               max(o_orderkey ORDER BY o_orderkey DESC) AS m
+        FROM orders WHERE o_orderkey < 400 GROUP BY o_orderstatus
+    """,
+    "array_ctor_text_cast": """
+        SELECT n_nationkey, ARRAY[n_nationkey, n_regionkey]::text AS a
+        FROM nation
+    """,
     # round-7 self-review: NO-SPACE keyword before an operand of the
     # word-leading rewrites (quantified → array_contains, JSON ->>,
     # ::cast callee) — each used to fuse tokens or swallow the keyword
