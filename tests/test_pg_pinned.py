@@ -2099,3 +2099,39 @@ def test_pg_interval_mixed_named_error():
 
     with pytest.raises(ValueError, match="mixes year-month"):
         translate_pg_sql("SELECT INTERVAL '1 year 1 day 2 hours'")
+
+
+# --- round-10 probe batch 5: COLLATE, frame EXCLUDE, jsonb mutators ----------
+
+def test_collate_c_posix_strips(spark):
+    """PG's byte-order collations "C"/"POSIX" ARE Spark's UTF8_BINARY
+    default — the clause strips (was a raw parse error); any other
+    collation raises named (locale parity is not establishable
+    textually)."""
+    rows = spark.sql(
+        translate_pg_sql(
+            "SELECT name FROM (VALUES ('b'),('A')) t(name) "
+            'ORDER BY name COLLATE "C"'
+        )
+    ).collect()
+    assert [r["name"] for r in rows] == ["A", "b"]  # byte order
+    row = one(spark, "'b' < 'a' COLLATE \"POSIX\" AS c")
+    assert row["c"] is False
+    import pytest
+
+    with pytest.raises(ValueError, match="COLLATE"):
+        translate_pg_sql('SELECT x COLLATE "en_US" FROM t')
+
+
+def test_frame_exclude_and_jsonb_mutators_named_errors():
+    import pytest
+
+    with pytest.raises(ValueError, match="EXCLUDE"):
+        translate_pg_sql(
+            "SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING "
+            "AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t"
+        )
+    with pytest.raises(ValueError, match="jsonb_set"):
+        translate_pg_sql("SELECT jsonb_set(j, '{a}', '1') FROM t")
+    with pytest.raises(ValueError, match="jsonb_set"):
+        translate_pg_sql("SELECT jsonb_strip_nulls(j) FROM t")

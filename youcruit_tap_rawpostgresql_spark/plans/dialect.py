@@ -4986,7 +4986,47 @@ _NAMED_ERROR_CALLS = [
         "(youcruit_tap_rawpostgresql_spark.functions) or pre-compute "
         "upstream",
     ),
+    # round-10 probe batch 5: jsonb mutators previously leaked raw
+    # UNRESOLVED_ROUTINE — Spark has no json mutation builtins under the
+    # string-json model
+    (
+        re.compile(
+            r"\bjsonb?_(?:set|insert|strip_nulls|pretty)\s*\(",
+            re.IGNORECASE,
+        ),
+        "jsonb_set/jsonb_insert/jsonb_strip_nulls/jsonb_pretty mutate "
+        "json values, which Spark's SQL surface cannot do over the "
+        "string-json model — reshape with from_json + named_struct + "
+        "to_json (fixed schema) or a pandas UDF",
+    ),
 ]
+
+# window frame EXCLUDE (PG/SQL:2011) — Spark frames have no exclusion
+# clause; the raw parse error pointed at the wrong token
+_FRAME_EXCLUDE_RE = re.compile(
+    r"\b(?:ROWS|RANGE|GROUPS)\s+BETWEEN\b[^()]*\bEXCLUDE\s+"
+    r"(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)",
+    re.IGNORECASE,
+)
+
+# expr COLLATE "name": PG's per-expression collation. "C"/"POSIX" are
+# plain byte order — exactly Spark's default UTF8_BINARY — so they
+# strip; any other collation raises (Spark 4 has ICU collations but
+# locale-name parity with PG's libc/ICU collations is not establishable
+# textually).
+_COLLATE_RE = re.compile(r"\s+COLLATE\s+\"([^\"]+)\"", re.IGNORECASE)
+
+
+def _collate_repl(m: re.Match) -> str:
+    name = m.group(1)
+    if name in ("C", "POSIX"):
+        return ""
+    raise ValueError(
+        f'COLLATE "{name}" is not translatable: only the byte-order '
+        'collations "C"/"POSIX" (Spark\'s UTF8_BINARY default) map '
+        "exactly — locale collations need Spark's own COLLATE names "
+        "with semantics verified per locale"
+    )
 
 
 def _build_isfinite(args):
@@ -5274,6 +5314,14 @@ def _translate_operators(sql: str) -> str:
     for _ne_re, _ne_msg in _NAMED_ERROR_CALLS:
         if _ne_re.search(_masked(sql)):
             raise ValueError(_ne_msg)
+    if _FRAME_EXCLUDE_RE.search(_masked(sql)):
+        raise ValueError(
+            "window frame EXCLUDE (CURRENT ROW/GROUP/TIES) has no Spark "
+            "equivalent — subtract the excluded rows' contribution "
+            "explicitly (e.g. sum(x) OVER frame - x for EXCLUDE CURRENT "
+            "ROW)"
+        )
+    sql = _sub_skipping_literal_interiors(_COLLATE_RE, _collate_repl, sql)
     # PG's EXTRACT(EPOCH) keeps fractional seconds (it returns numeric);
     # unix_timestamp() would floor to whole seconds, silently changing
     # sub-second data. Found by differential execution (round 6). The
