@@ -137,7 +137,7 @@ def main() -> int:
         (args.v3 - N_CASES_V3) + (args.v4 - N_CASES_V4) + \
         (args.v5 - N_CASES_V5) + (args.v6 - N_CASES_V6) + \
         (args.v7 - N_CASES_V7) + (args.v8 - N_CASES_V8) + \
-        (args.v9 - N_CASES_V9)
+        (args.v9 - N_CASES_V9) + (args.v10 - N_CASES_V10)
     print(f"== fuzz campaign: {total} cases, {failures} failures ==",
           flush=True)
     return 1 if failures else 0
