@@ -2135,3 +2135,38 @@ def test_frame_exclude_and_jsonb_mutators_named_errors():
         translate_pg_sql("SELECT jsonb_set(j, '{a}', '1') FROM t")
     with pytest.raises(ValueError, match="jsonb_set"):
         translate_pg_sql("SELECT jsonb_strip_nulls(j) FROM t")
+
+
+# --- round-10 probe batch 6: degree trig + numeric introspection -------------
+
+def test_degree_trig_pins(spark):
+    """PG's degree-based trig family (sind/cosd/tand/cotd, asind/acosd/
+    atand, atan2d) composes through radians()/degrees() — was a raw
+    UNRESOLVED_ROUTINE. Documented delta: PG special-cases exact values
+    at 30/45/60/90-degree angles (sind(30) IS 0.5); the composition is
+    within 1 ulp there."""
+    import pytest
+
+    row = one(
+        spark,
+        "sind(30) AS a, cosd(60) AS b, tand(45) AS c, asind(0.5) AS d, "
+        "acosd(0.5) AS e, atand(1) AS f, atan2d(1, 1) AS g, cotd(45) AS h",
+    )
+    assert row["a"] == pytest.approx(0.5)
+    assert row["b"] == pytest.approx(0.5)
+    assert row["c"] == pytest.approx(1.0)
+    assert row["d"] == pytest.approx(30.0)
+    assert row["e"] == pytest.approx(60.0)
+    assert row["f"] == 45.0 and row["g"] == 45.0
+    assert row["h"] == pytest.approx(1.0)
+
+
+def test_scale_setseed_named_errors():
+    import pytest
+
+    with pytest.raises(ValueError, match="scale"):
+        translate_pg_sql("SELECT scale(x) FROM t")
+    with pytest.raises(ValueError, match="trim_scale|scale"):
+        translate_pg_sql("SELECT trim_scale(x) FROM t")
+    with pytest.raises(ValueError, match="setseed"):
+        translate_pg_sql("SELECT setseed(0.5)")

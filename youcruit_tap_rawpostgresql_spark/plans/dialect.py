@@ -4986,6 +4986,20 @@ _NAMED_ERROR_CALLS = [
         "(youcruit_tap_rawpostgresql_spark.functions) or pre-compute "
         "upstream",
     ),
+    # round-10 probe batch 6: numeric-introspection and seed functions
+    # with no Spark equivalent previously leaked raw UNRESOLVED_ROUTINE
+    (
+        re.compile(r"\b(?:scale|min_scale|trim_scale)\s*\(", re.IGNORECASE),
+        "scale/min_scale/trim_scale introspect PG's arbitrary-precision "
+        "numeric representation, which Spark's fixed-precision DECIMAL "
+        "does not carry per-value — the declared type's scale is static; "
+        "read it from the schema instead",
+    ),
+    (
+        re.compile(r"\bsetseed\s*\(", re.IGNORECASE),
+        "setseed() has no Spark equivalent (no session RNG state) — "
+        "pass the seed per call: rand(seed)",
+    ),
     # round-10 probe batch 5: jsonb mutators previously leaked raw
     # UNRESOLVED_ROUTINE — Spark has no json mutation builtins under the
     # string-json model
@@ -5027,6 +5041,54 @@ def _collate_repl(m: re.Match) -> str:
         "exactly — locale collations need Spark's own COLLATE names "
         "with semantics verified per locale"
     )
+
+
+# PG degree-based trig (round-10 probe batch 6): Spark has only the
+# radian family, so sind/cosd/... died UNRESOLVED. Composition through
+# radians()/degrees() is exact except at PG's special-cased angles
+# (PG returns sind(30) = 0.5 exactly; sin(radians(30)) is 1 ulp off —
+# documented delta).
+_DEG_TRIG_FWD = {"sind": "sin", "cosd": "cos", "tand": "tan", "cotd": "cot"}
+_DEG_TRIG_INV = {"asind": "asin", "acosd": "acos", "atand": "atan"}
+
+
+def _build_deg_trig(name: str):
+    if name in _DEG_TRIG_FWD:
+        fn = _DEG_TRIG_FWD[name]
+
+        def build(args):
+            if len(args) != 1:
+                return None
+            head = f"{fn}(radians("
+            return (f"{head}{args[0].strip()}))", len(head))
+
+    elif name == "atan2d":
+
+        def build(args):
+            if len(args) != 2:
+                return None
+            head = "degrees(atan2("
+            return (
+                f"{head}{args[0].strip()}, {args[1].strip()}))",
+                len(head),
+            )
+
+    else:
+        fn = _DEG_TRIG_INV[name]
+
+        def build(args):
+            if len(args) != 1:
+                return None
+            head = f"degrees({fn}("
+            return (f"{head}{args[0].strip()}))", len(head))
+
+    return build
+
+
+_DEG_TRIG_OPENS = [
+    (re.compile(rf"\b{n}\s*\(", re.IGNORECASE), _build_deg_trig(n))
+    for n in list(_DEG_TRIG_FWD) + list(_DEG_TRIG_INV) + ["atan2d"]
+]
 
 
 def _build_isfinite(args):
@@ -5286,6 +5348,8 @@ def _translate_operators(sql: str) -> str:
     sql = _rewrite_calls(sql, _NUM_NULLS_OPEN_RE, _build_num_nulls)
     sql = _rewrite_calls(sql, _PG_FORMAT_OPEN_RE, _build_pg_format)
     sql = _rewrite_calls(sql, _ISFINITE_OPEN_RE, _build_isfinite)
+    for _dt_re, _dt_build in _DEG_TRIG_OPENS:
+        sql = _rewrite_calls(sql, _dt_re, _dt_build)
     # round-9 session-4 function batch: bytea encode/decode, the SQL
     # quoting family, single-match regexp_match, interval construction
     # (regexp_matches — set-returning — runs with the other SRFs in
