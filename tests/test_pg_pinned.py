@@ -2170,3 +2170,65 @@ def test_scale_setseed_named_errors():
         translate_pg_sql("SELECT trim_scale(x) FROM t")
     with pytest.raises(ValueError, match="setseed"):
         translate_pg_sql("SELECT setseed(0.5)")
+
+
+# --- round-10 probe batch 7: string_to_array forms, AT LOCAL, PG16 fns -------
+
+def test_string_to_array_null_delim_and_nullstr_pins(spark):
+    """PG: a NULL delimiter splits into individual characters
+    (string_to_array('abc', NULL) = {a,b,c}); the 3-arg form maps
+    elements equal to the null string to NULL. Both were untranslated
+    (UNRESOLVED_ROUTINE). Note: DuckDB deviates from PG on the NULL
+    delimiter (returns the whole string), so these are pins."""
+    row = one(
+        spark,
+        "string_to_array('abc', NULL) AS a, "
+        "string_to_array('a,b,,c', ',', '') AS b, "
+        "string_to_array('x-y', '-', 'y') AS c",
+    )
+    assert row["a"] == ["a", "b", "c"]
+    assert row["b"] == ["a", "b", None, "c"]
+    assert row["c"] == ["x", None]
+
+
+def test_at_local_pins(spark):
+    """PG 16 AT LOCAL == AT TIME ZONE <session zone>; under this
+    engine's pinned-UTC sessions it is the identity reading."""
+    import datetime
+
+    row = one(spark, "TIMESTAMP '2020-01-01 00:00:00' AT LOCAL AS c")
+    assert row["c"] == datetime.datetime(2020, 1, 1, 0, 0)
+
+
+def test_pg16_fn_pins(spark):
+    """array_fill 1-D -> array_repeat; date_add/date_subtract with an
+    interval second argument -> +/- operators (Spark's same-named
+    date_add(date, int) made the interval form DATATYPE_MISMATCH);
+    unicode() -> ascii() (Spark's ascii returns full code points)."""
+    import datetime
+
+    row = one(
+        spark,
+        "array_fill(7, ARRAY[3]) AS e, "
+        "date_add(DATE '2020-01-01', INTERVAL '1 day') AS g, "
+        "date_subtract(TIMESTAMP '2020-01-02 00:00:00', "
+        "INTERVAL '90 min') AS h, "
+        "unicode('A') AS u",
+    )
+    assert row["e"] == [7, 7, 7]
+    assert row["g"] == datetime.date(2020, 1, 2)
+    assert row["h"] == datetime.datetime(2020, 1, 1, 22, 30)
+    assert row["u"] == 65
+
+
+def test_batch7_named_errors():
+    import pytest
+
+    with pytest.raises(ValueError, match="parse_ident"):
+        translate_pg_sql("SELECT parse_ident('a.b')")
+    with pytest.raises(ValueError, match="one-dimensional"):
+        translate_pg_sql("SELECT array_fill(7, ARRAY[2,3])")
+    with pytest.raises(ValueError, match="timezone"):
+        translate_pg_sql(
+            "SELECT date_add(ts, INTERVAL '1 day', 'UTC') FROM t"
+        )

@@ -3414,13 +3414,31 @@ def _translate_string_to_array(sql: str) -> str:
                 if close_i > 0
                 else []
             )
-            if len(args) == 2 and _STR_LIT_ONLY_RE.fullmatch(args[1]):
+            lit = None
+            if len(args) in (2, 3) and _STR_LIT_ONLY_RE.fullmatch(args[1]):
                 delim = args[1].strip()[1:-1].replace("''", "'")
                 escaped = "".join(
                     ch if ch.isalnum() or ch == " " else "\\\\" + ch
                     for ch in delim
                 )
                 lit = "'" + escaped.replace("'", "''") + "'"
+            elif len(args) in (2, 3) and args[1].strip().upper() == "NULL":
+                # PG: a NULL delimiter splits into individual CHARACTERS
+                # (round-10 probe batch 7 — was left untranslated; note
+                # DuckDB deviates here, returning the whole string)
+                lit = "''"
+            if lit is not None and len(args) == 3:
+                # 3-arg null-string form: elements equal to the null
+                # string become NULL (PG) — expressible as a nullif map
+                ns = args[2].strip()
+                out.append(sql[i : m.start()])
+                out.append(
+                    f"transform(split({args[0].strip()}, {lit}), "
+                    f"_se -> nullif(_se, {ns}))"
+                )
+                changed = True
+                i = close_i + 1
+            elif lit is not None:
                 out.append(sql[i : m.start()])
                 out.append(f"split({args[0].strip()}, {lit})")
                 changed = True
@@ -5000,6 +5018,12 @@ _NAMED_ERROR_CALLS = [
         "setseed() has no Spark equivalent (no session RNG state) — "
         "pass the seed per call: rand(seed)",
     ),
+    (
+        re.compile(r"\bparse_ident\s*\(", re.IGNORECASE),
+        "parse_ident() honors PG's quoted-identifier rules, which a "
+        "text split cannot — for unquoted dotted names use "
+        "split(x, '\\\\.')",
+    ),
     # round-10 probe batch 5: jsonb mutators previously leaked raw
     # UNRESOLVED_ROUTINE — Spark has no json mutation builtins under the
     # string-json model
@@ -5089,6 +5113,62 @@ _DEG_TRIG_OPENS = [
     (re.compile(rf"\b{n}\s*\(", re.IGNORECASE), _build_deg_trig(n))
     for n in list(_DEG_TRIG_FWD) + list(_DEG_TRIG_INV) + ["atan2d"]
 ]
+
+
+def _build_array_fill(args):
+    """PG array_fill(elem, ARRAY[n]) — the ONE-dimensional form is
+    Spark's array_repeat; multi-dimensional arrays have no Spark type
+    (named error). Runs after the ctor pass, so the dims argument is
+    already ``array(...)`` text."""
+    if len(args) != 2:
+        return None
+    dims = args[1].strip()
+    dm = re.fullmatch(r"array\s*\(\s*(\d+)\s*\)", dims, re.IGNORECASE)
+    if not dm:
+        raise ValueError(
+            "array_fill: only the one-dimensional literal form "
+            "array_fill(elem, ARRAY[n]) is translatable (Spark has no "
+            "multi-dimensional arrays) — nest array_repeat calls for "
+            "fixed depths"
+        )
+    head = "array_repeat("
+    return (f"{head}{args[0].strip()}, {dm.group(1)})", len(head))
+
+
+_ARRAY_FILL_OPEN_RE = re.compile(r"\barray_fill\s*\(", re.IGNORECASE)
+
+
+def _build_date_addsub(name: str):
+    """PG 16 date_add/date_subtract(ts, interval[, tz]) — Spark's
+    date_add(date, int) shares the NAME with different arguments, so
+    the interval form died DATATYPE_MISMATCH. An interval-shaped second
+    argument rewrites to the +/- operator (identical semantics); the
+    int form passes through (both engines agree). The 3-arg tz form
+    raises (zone-aware arithmetic needs the session-zone model)."""
+    op = "+" if name == "date_add" else "-"
+
+    def build(args):
+        if len(args) == 3:
+            raise ValueError(
+                f"{name}(ts, interval, timezone) is not translatable — "
+                "convert with AT TIME ZONE first, then add the interval"
+            )
+        if len(args) != 2:
+            return None
+        b = args[1].strip()
+        if not re.match(
+            r"INTERVAL\b|make_dt_interval\s*\(|make_ym_interval\s*\(",
+            b,
+            re.IGNORECASE,
+        ):
+            return None  # int form: Spark-native
+        return (f"(({args[0].strip()}) {op} {b})", 0)
+
+    return build
+
+
+_DATE_ADD_OPEN_RE = re.compile(r"\bdate_add\s*\(", re.IGNORECASE)
+_DATE_SUBTRACT_OPEN_RE = re.compile(r"\bdate_subtract\s*\(", re.IGNORECASE)
 
 
 def _build_isfinite(args):
@@ -5350,6 +5430,19 @@ def _translate_operators(sql: str) -> str:
     sql = _rewrite_calls(sql, _ISFINITE_OPEN_RE, _build_isfinite)
     for _dt_re, _dt_build in _DEG_TRIG_OPENS:
         sql = _rewrite_calls(sql, _dt_re, _dt_build)
+    sql = _rewrite_calls(sql, _ARRAY_FILL_OPEN_RE, _build_array_fill)
+    sql = _rewrite_calls(sql, _DATE_ADD_OPEN_RE, _build_date_addsub("date_add"))
+    sql = _rewrite_calls(
+        sql, _DATE_SUBTRACT_OPEN_RE, _build_date_addsub("date_subtract")
+    )
+    # PG unicode(s) is the first character's code point — exactly what
+    # Spark's ascii() computes (probed: ascii('€') = 8364)
+    sql = _outside_literals(
+        sql,
+        lambda s: re.sub(
+            r"\bunicode\s*\(", "ascii(", s, flags=re.IGNORECASE
+        ),
+    )
     # round-9 session-4 function batch: bytea encode/decode, the SQL
     # quoting family, single-match regexp_match, interval construction
     # (regexp_matches — set-returning — runs with the other SRFs in
@@ -5560,6 +5653,10 @@ _ATZ_NAIVE_LITERAL_RE = re.compile(
     r"\b(TIMESTAMP|DATE)\s+('(?:[^']|'')*')\s+AT\s+TIME\s+ZONE\s+('(?:[^']|'')*')",
     re.IGNORECASE,
 )
+# PG 16: x AT LOCAL == x AT TIME ZONE <session zone>
+_ATL_RE = re.compile(
+    r"(" + _ATZ_OPERAND + r")\s+AT\s+LOCAL\b", re.IGNORECASE
+)
 _DOW_OPERAND = r"((?:[^()']|'(?:[^']|'')*'|\([^()]*\))+?)"
 _DOW_RE = re.compile(
     r"\bEXTRACT\s*\(\s*DOW\s+FROM\s+" + _DOW_OPERAND + r"\s*\)"
@@ -5633,6 +5730,15 @@ def _translate_timezone_dow(sql: str) -> str:
             lambda m: f"from_utc_timestamp({m.group(1)}, {m.group(2)})",
             sql,
         )
+    # PG 16's AT LOCAL is AT TIME ZONE <current session zone> (round-10
+    # probe batch 7 — was a raw parse error); under this engine's
+    # pinned-UTC sessions it is the identity reading, and the
+    # composition stays correct for any session zone
+    sql = _sub_skipping_literal_interiors(
+        _ATL_RE,
+        lambda m: f"from_utc_timestamp({m.group(1)}, current_timezone())",
+        sql,
+    )
     return sql
 
 
