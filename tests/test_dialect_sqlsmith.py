@@ -1165,6 +1165,89 @@ def test_sqlsmith_differential_v10(sview_g, duck_g, i):
     assert_differential(sview_g, duck_g, gen_query_v10(i))
 
 
+# --- grammar v11: the round-10 probe-batch translations composed
+# (interval spellings Spark rejects, epoch-of-interval folding, ORDER BY
+# inside order-insensitive aggregates, unicode(), fractional casts in
+# timestamp arithmetic). DuckDB matches PG on every emitted shape
+# (probed: '36 hours 15 min 30 secs' arithmetic, epoch with week/day
+# mixes, ordered avg/bool_and, unicode('€') = 8364). NOT here (DuckDB
+# deviates or lacks): string_to_array(x, NULL) (DuckDB returns the whole
+# string), degree trig (absent), AT LOCAL (absent) — pinned instead.
+
+def gen_query_v11(i: int) -> str:
+    r = random.Random(20260816 * 11000 + i)
+    shape = r.randrange(5)
+    if shape == 0:
+        # PG-only interval spellings in timestamp arithmetic (single
+        # day-time category; fractional quantities included)
+        parts = []
+        for unit, hi in (("days", 6), ("hours", 40), ("min", 200), ("secs", 500)):
+            if r.randrange(2):
+                parts.append(f"{r.randint(1, hi)} {unit}")
+        if not parts:
+            parts = [f"{r.randint(1, 90)} min"]
+        if r.randrange(3) == 0:
+            parts.append(f"{r.randint(1, 9)}.{r.choice(['5', '25'])} hours")
+        body = " ".join(parts)
+        op = r.choice(["+", "-"])
+        return (
+            f"SELECT event_id AS id, (ts {op} INTERVAL '{body}') AS t "
+            f"FROM events WHERE event_id < 25"
+        )
+    if shape == 1:
+        # epoch of interval: exact fixed conversions on both engines
+        body = r.choice(
+            [
+                f"{r.randint(1, 9)} weeks {r.randint(1, 6)} days",
+                f"{r.randint(1, 48)} hours {r.randint(1, 59)} min",
+                f"{r.randint(1, 11)} mons",
+                f"{r.randint(1, 5)} years",
+                f"{r.randint(1, 500)} secs",
+            ]
+        )
+        return f"SELECT EXTRACT(EPOCH FROM INTERVAL '{body}')::float8 AS e"
+    if shape == 2:
+        # ORDER BY inside order-insensitive aggregates, with GROUP BY
+        agg = r.choice(
+            [
+                "(sum((o_totalprice::numeric(12,2) * 100)::int8 "
+                "ORDER BY o_orderkey))::int8",
+                "count(o_custkey ORDER BY o_custkey DESC)",
+                "max(o_orderkey ORDER BY o_orderkey)",
+                "min(o_orderkey ORDER BY o_orderkey DESC)",
+                "count(DISTINCT o_orderstatus ORDER BY o_orderstatus)",
+            ]
+        )
+        k = r.randint(200, 600)
+        return (
+            f"SELECT o_orderstatus AS s, {agg} AS v "
+            f"FROM orders WHERE o_orderkey < {k} GROUP BY o_orderstatus"
+        )
+    if shape == 3:
+        # unicode() rename over data-driven strings
+        return (
+            f"SELECT c_custkey, unicode(c_name) AS u, "
+            f"unicode(right(c_name, {r.randint(1, 3)})) AS v "
+            f"FROM customer WHERE c_custkey < 80"
+        )
+    # shape 4: fractional casts composed with interval arithmetic
+    frac = f"{r.randint(0, 9)}.{r.choice(['5', '25', '75'])}"
+    return (
+        f"SELECT event_id AS id, "
+        f"(ts + INTERVAL '{r.randint(1, 120)} min') AS t, "
+        f"(({frac})::numeric(6,2))::int AS v "
+        f"FROM events WHERE event_id < 25"
+    )
+
+
+N_CASES_V11 = 80
+
+
+@pytest.mark.parametrize("i", range(N_CASES_V11))
+def test_sqlsmith_differential_v11(sview_g, duck_g, i):
+    assert_differential(sview_g, duck_g, gen_query_v11(i))
+
+
 def test_v10_column_types_float_route(sview_g, duck_g):
     """The schema-aware flag (translate_pg_sql(column_types=...)) routes
     a float-typed column's int cast through bround (half-even), matching

@@ -10,7 +10,7 @@ Usage:
     python tools/fuzz_campaign.py [--v1 1000] [--v2 1000] [--v3 600]
                                   [--v4 400] [--v5 600] [--v6 600]
                                   [--v7 600] [--v8 600] [--v9 600]
-                                  [--v10 600]
+                                  [--v10 600] [--v11 600]
 
 Each case is executed as-written by DuckDB (PG null-order pragma) and
 as-translated by Spark, value-compared order-insensitively (v4 compares
@@ -45,6 +45,7 @@ from tests.test_dialect_sqlsmith import (  # noqa: E402
     N_CASES_V8,
     N_CASES_V9,
     N_CASES_V10,
+    N_CASES_V11,
     gen_query,
     gen_query_v2,
     gen_query_v3,
@@ -55,6 +56,7 @@ from tests.test_dialect_sqlsmith import (  # noqa: E402
     gen_query_v8,
     gen_query_v9,
     gen_query_v10,
+    gen_query_v11,
 )
 from youcruit_tap_rawpostgresql_spark.plans.dialect import (  # noqa: E402
     translate_pg_sql,
@@ -77,6 +79,7 @@ def main() -> int:
     ap.add_argument("--v8", type=int, default=600)
     ap.add_argument("--v9", type=int, default=600)
     ap.add_argument("--v10", type=int, default=600)
+    ap.add_argument("--v11", type=int, default=600)
     args = ap.parse_args()
 
     spark = get_session(app_name="fuzz-campaign")
@@ -97,6 +100,7 @@ def main() -> int:
         ("v8", gen_query_v8, N_CASES_V8, args.v8),
         ("v9", gen_query_v9, N_CASES_V9, args.v9),
         ("v10", gen_query_v10, N_CASES_V10, args.v10),
+        ("v11", gen_query_v11, N_CASES_V11, args.v11),
     ):
         ran = 0
         for i in range(lo, hi):
@@ -133,11 +137,19 @@ def main() -> int:
     print(f"[v4] {ran} cases, {failures} cumulative failures, "
           f"{time.time()-t0:.0f}s", flush=True)
 
-    total = (args.v1 - N_CASES) + (args.v2 - N_CASES_V2) + \
-        (args.v3 - N_CASES_V3) + (args.v4 - N_CASES_V4) + \
-        (args.v5 - N_CASES_V5) + (args.v6 - N_CASES_V6) + \
-        (args.v7 - N_CASES_V7) + (args.v8 - N_CASES_V8) + \
-        (args.v9 - N_CASES_V9) + (args.v10 - N_CASES_V10)
+    # max(0, ...) per grammar: an arg below the CI count runs zero cases
+    # (range is empty), so it must not subtract from the total
+    total = sum(
+        max(0, hi - lo)
+        for hi, lo in (
+            (args.v1, N_CASES), (args.v2, N_CASES_V2),
+            (args.v3, N_CASES_V3), (args.v4, N_CASES_V4),
+            (args.v5, N_CASES_V5), (args.v6, N_CASES_V6),
+            (args.v7, N_CASES_V7), (args.v8, N_CASES_V8),
+            (args.v9, N_CASES_V9), (args.v10, N_CASES_V10),
+            (args.v11, N_CASES_V11),
+        )
+    )
     print(f"== fuzz campaign: {total} cases, {failures} failures ==",
           flush=True)
     return 1 if failures else 0
