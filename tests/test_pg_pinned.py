@@ -2232,3 +2232,33 @@ def test_batch7_named_errors():
         translate_pg_sql(
             "SELECT date_add(ts, INTERVAL '1 day', 'UTC') FROM t"
         )
+
+
+# --- round-10 probe batch 8: unsupported-type named errors --------------------
+
+def test_unsupported_pg_types_named_errors():
+    """PG surfaces with no Spark counterpart raise the module's named
+    errors instead of raw unresolved-type/routine errors: money/inet/
+    cidr/geometry casts, full-text search (tsvector/tsquery), bytea bit
+    access, and the TIME-typed localtime/current_time keywords.
+    current_timestamp and ordinary casts are untouched."""
+    import pytest
+
+    with pytest.raises(ValueError, match="money"):
+        translate_pg_sql("SELECT '12.5'::money")
+    with pytest.raises(ValueError, match="inet"):
+        translate_pg_sql("SELECT CAST(x AS inet) FROM t")
+    with pytest.raises(ValueError, match="full-text"):
+        translate_pg_sql(
+            "SELECT to_tsvector('english', body) @@ to_tsquery('cat') "
+            "FROM documents"
+        )
+    with pytest.raises(ValueError, match="get_bit"):
+        translate_pg_sql("SELECT get_bit(b, 0) FROM t")
+    with pytest.raises(ValueError, match="TIME"):
+        translate_pg_sql("SELECT localtime")
+    with pytest.raises(ValueError, match="TIME"):
+        translate_pg_sql("SELECT current_time")
+    assert translate_pg_sql("SELECT current_timestamp") == (
+        "SELECT current_timestamp"
+    )

@@ -409,6 +409,14 @@ def _rewrite_pg16_numeric_literals(s: str) -> str:
 
 def _rename_type(pg_type: str) -> str:
     key = pg_type.strip().lower()
+    if key in _UNSUPPORTED_CAST_TYPES:
+        raise ValueError(
+            f"cast to {pg_type} is not supported: Spark has no "
+            f"{pg_type} type — money maps best to decimal(19,2), "
+            "inet/cidr/macaddr to validated strings, tsvector/tsquery "
+            "to the querybank's text-retrieval operators, geometry to "
+            "struct columns"
+        )
     # Bare (unconstrained) numeric/decimal: PG keeps arbitrary precision,
     # but Spark's bare DECIMAL is DECIMAL(10,0) — a cast that silently
     # TRUNCATES every fractional digit (round-9 probe: round(x::numeric, 4)
@@ -5024,6 +5032,26 @@ _NAMED_ERROR_CALLS = [
         "text split cannot — for unquoted dotted names use "
         "split(x, '\\\\.')",
     ),
+    # round-10 probe batch 8: full-text search and bytea bit access
+    # previously leaked raw UNRESOLVED_ROUTINE / parse errors
+    (
+        re.compile(
+            r"\b(?:to_tsvector|to_tsquery|plainto_tsquery|"
+            r"phraseto_tsquery|websearch_to_tsquery|ts_rank(?:_cd)?|"
+            r"ts_headline)\s*\(",
+            re.IGNORECASE,
+        ),
+        "PG full-text search (tsvector/tsquery) has no Spark "
+        "equivalent — use the engine's text-retrieval operators "
+        "instead: text_bm25_keyword (ranked keyword search), "
+        "text_phrase_search (phrase matching), text_tfidf_topk "
+        "(see the querybank)",
+    ),
+    (
+        re.compile(r"\b(?:get_bit|set_bit|get_byte|set_byte)\s*\(", re.IGNORECASE),
+        "get_bit/set_bit/get_byte/set_byte over bytea have no Spark "
+        "builtin — decompose with substr/unhex/conv or a pandas UDF",
+    ),
     # round-10 probe batch 5: jsonb mutators previously leaked raw
     # UNRESOLVED_ROUTINE — Spark has no json mutation builtins under the
     # string-json model
@@ -5038,6 +5066,29 @@ _NAMED_ERROR_CALLS = [
         "to_json (fixed schema) or a pandas UDF",
     ),
 ]
+
+# PG type names with no Spark counterpart: a bare CAST would die with
+# Spark's unresolved-type parse error pointing at the wrong thing —
+# raise the module's named error instead (round-10 probe batch 8)
+_UNSUPPORTED_CAST_TYPES = frozenset(
+    (
+        "money",
+        "inet",
+        "cidr",
+        "macaddr",
+        "macaddr8",
+        "tsvector",
+        "tsquery",
+        "point",
+        "line",
+        "lseg",
+        "box",
+        "path",
+        "polygon",
+        "circle",
+        "xml",
+    )
+)
 
 # window frame EXCLUDE (PG/SQL:2011) — Spark frames have no exclusion
 # clause; the raw parse error pointed at the wrong token
@@ -6461,6 +6512,19 @@ def translate_pg_sql(
             flags=re.IGNORECASE,
         ),
     )
+    # PG's bare localtime / current_time return the TIME type, which
+    # Spark does not have (round-10 probe batch 8 — the bare word died
+    # as an unresolved column)
+    if re.search(
+        r"\b(?:localtime|current_time)\b(?!\s*\()",
+        _masked(out),
+        re.IGNORECASE,
+    ):
+        raise ValueError(
+            "localtime/current_time return PG's TIME type, which Spark "
+            "lacks — use date_format(now(), 'HH:mm:ss') for the wall "
+            "clock as text, or localtimestamp for a full timestamp"
+        )
     # PG's postfix null tests: `x ISNULL` / `x NOTNULL` (nonstandard but
     # documented PG spellings). The function form isnull(x) is valid
     # Spark (no-paren lookahead), and ISNULL/NOTNULL are NON-RESERVED in
