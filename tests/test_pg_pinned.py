@@ -2262,3 +2262,23 @@ def test_unsupported_pg_types_named_errors():
     assert translate_pg_sql("SELECT current_timestamp") == (
         "SELECT current_timestamp"
     )
+
+
+def test_groups_frame_and_rows_from_named_errors():
+    import pytest
+
+    with pytest.raises(ValueError, match="GROUPS frame"):
+        translate_pg_sql(
+            "SELECT sum(x) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING "
+            "AND CURRENT ROW) FROM t"
+        )
+    with pytest.raises(ValueError, match="ROWS FROM"):
+        translate_pg_sql(
+            "SELECT * FROM ROWS FROM (generate_series(1,2), "
+            "generate_series(1,3)) AS t(a, b)"
+        )
+    # ROWS frames and the bare ROWS n PRECEDING shorthand stay native
+    out = translate_pg_sql(
+        "SELECT sum(x) OVER (ORDER BY x ROWS 1 PRECEDING) FROM t"
+    )
+    assert "ROWS 1 PRECEDING" in out

@@ -5097,6 +5097,14 @@ _FRAME_EXCLUDE_RE = re.compile(
     r"(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)",
     re.IGNORECASE,
 )
+# GROUPS frame mode (PG 11+) — Spark supports ROWS and RANGE only
+_FRAME_GROUPS_RE = re.compile(
+    r"\bGROUPS\s+(?:BETWEEN\b|\d+\s+PRECEDING|UNBOUNDED\s+PRECEDING|"
+    r"CURRENT\s+ROW)",
+    re.IGNORECASE,
+)
+# PG's ROWS FROM(f1(...), f2(...)) zips multiple SRFs positionally
+_ROWS_FROM_RE = re.compile(r"\bROWS\s+FROM\s*\(", re.IGNORECASE)
 
 # expr COLLATE "name": PG's per-expression collation. "C"/"POSIX" are
 # plain byte order — exactly Spark's default UTF8_BINARY — so they
@@ -5528,6 +5536,18 @@ def _translate_operators(sql: str) -> str:
             "equivalent — subtract the excluded rows' contribution "
             "explicitly (e.g. sum(x) OVER frame - x for EXCLUDE CURRENT "
             "ROW)"
+        )
+    if _FRAME_GROUPS_RE.search(_masked(sql)):
+        raise ValueError(
+            "GROUPS frame mode (PG 11) has no Spark equivalent (ROWS "
+            "and RANGE only) — for peer-group frames, RANGE over the "
+            "sort key is usually the intended semantics"
+        )
+    if _ROWS_FROM_RE.search(_masked(sql)):
+        raise ValueError(
+            "ROWS FROM(f1(...), f2(...)) zips set-returning functions "
+            "positionally, which Spark cannot — posexplode each source "
+            "and FULL OUTER JOIN on the ordinal instead"
         )
     sql = _sub_skipping_literal_interiors(_COLLATE_RE, _collate_repl, sql)
     # PG's EXTRACT(EPOCH) keeps fractional seconds (it returns numeric);
