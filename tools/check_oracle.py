@@ -12,6 +12,12 @@ fixed registry order can mask.
 ``--vanilla`` mirrors the driver exactly: a stock SparkSession with no
 engine tuning (default shuffle partitions, broadcast threshold, no UTC
 pin) — catches any correctness dependence on our session configs.
+
+Driver parity rule (round-10 postmortem): any query whose Spark output
+schema contains a top-level ArrayType/MapType/StructType column FAILS
+here loudly — the round driver's pandas canonicalizer crashes on such
+columns (`unhashable type: 'list'`), and this mirror must never be
+kinder than the contract it mirrors.
 """
 
 from __future__ import annotations
@@ -98,12 +104,66 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    verdicts = run_cases(spark, con, registry_items, sf_dir, only=only)
+    passed, failed, rows_only = (
+        verdicts["passed"],
+        verdicts["failed"],
+        verdicts["rows_only"],
+    )
+
+    # a requested name that was never RUN (misspelled, or outside a
+    # --first window) must not read as a green gate (round-9
+    # self-review: `--first 50 <name beyond 50>` printed '0 passed,
+    # 0 failed' and exited 0)
+    missing = only - {name for name, _ in registry_items}
+    for name in sorted(missing):
+        print(f"FAIL {name}: not in the checked registry slice")
+        failed.append(name)
+    print(
+        f"\n== {len(passed)} passed, {len(failed)} failed, "
+        f"{len(rows_only)} rows-only =="
+    )
+    if failed:
+        print("failed:", " ".join(failed))
+        sys.exit(1)
+
+
+def run_cases(spark, con, registry_items, sf_dir="/root/testdata/sf0.001", only=None):
+    """The mirror's case loop, extracted so tests can pin its behavior
+    (notably the complex-output-schema rejection below). Returns
+    ``{"passed": [...], "failed": [...], "rows_only": [...]}``."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     passed, failed, rows_only = [], [], []
     for name, case in registry_items:
         if only and name not in only:
             continue
         try:
-            sdf = case.fn(spark, sf_dir).toPandas()
+            frame = case.fn(spark, sf_dir)
+            # Driver parity (round-10 postmortem): the ROUND DRIVER's
+            # pandas canonicalizer sort_values-crashes on top-level
+            # list/dict columns (`unhashable type: 'list'` → an `err`
+            # row), but this mirror's normalize() used to tuple-ify
+            # them and pass — the mirror said 325/325 while the driver
+            # said 48/50. A mirror must not be kinder than the contract
+            # it mirrors: reject complex top-level output columns LOUDLY
+            # here, before any value comparison. Serialize sequence
+            # outputs with to_json(...) on both engines instead.
+            complex_cols = [
+                f.name
+                for f in frame.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if complex_cols:
+                print(
+                    f"FAIL {name}: top-level complex output columns "
+                    f"{complex_cols} — the round driver's pandas "
+                    "canonicalizer cannot sort list values; wrap them "
+                    "in to_json() on both the Spark and oracle side"
+                )
+                failed.append(name)
+                continue
+            sdf = frame.toPandas()
         except Exception:
             print(f"FAIL {name}: spark error")
             traceback.print_exc()
@@ -143,22 +203,7 @@ def main() -> None:
             continue
         passed.append(name)
         print(f"PASS {name} ({len(srecs)} rows)")
-
-    # a requested name that was never RUN (misspelled, or outside a
-    # --first window) must not read as a green gate (round-9
-    # self-review: `--first 50 <name beyond 50>` printed '0 passed,
-    # 0 failed' and exited 0)
-    missing = only - {name for name, _ in registry_items}
-    for name in sorted(missing):
-        print(f"FAIL {name}: not in the checked registry slice")
-        failed.append(name)
-    print(
-        f"\n== {len(passed)} passed, {len(failed)} failed, "
-        f"{len(rows_only)} rows-only =="
-    )
-    if failed:
-        print("failed:", " ".join(failed))
-        sys.exit(1)
+    return {"passed": passed, "failed": failed, "rows_only": rows_only}
 
 
 if __name__ == "__main__":

@@ -904,15 +904,19 @@ def pg_dialect_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pg_dialect_agg_order_semantics",
     # DuckDB runs PG's inline aggregate ORDER BY natively and keeps
     # nulls in array_agg, so the oracle is near-verbatim; elements cast
-    # to DOUBLE on both engines because pandas materializes a Spark
-    # array<bigint> holding NULLs as floats (normalizer type parity).
+    # to DOUBLE on both engines so the JSON rendering agrees ("4.0" on
+    # both). The array outputs are serialized with to_json — the round
+    # driver's pandas canonicalizer cannot sort top-level list columns
+    # (CORRECTNESS_r10 `err`), and JSON text preserves exactly what the
+    # case pins: element ORDER and PG's KEPT nulls (rendered `null`).
     # The sort key (o_orderkey) is non-null, so no null-ordering pragma
     # dependence on the oracle side.
     oracle="""
 SELECT o_orderpriority,
-  array_agg(CAST(nullif(o_orderkey % 7, 3) AS DOUBLE)
-            ORDER BY o_orderkey) AS keys_ordered,
-  array_agg(DISTINCT o_orderkey % 5 ORDER BY o_orderkey % 5) AS residues,
+  to_json(array_agg(CAST(nullif(o_orderkey % 7, 3) AS DOUBLE)
+            ORDER BY o_orderkey))::VARCHAR AS keys_ordered,
+  to_json(array_agg(DISTINCT o_orderkey % 5
+            ORDER BY o_orderkey % 5))::VARCHAR AS residues,
   min(EXTRACT(CENTURY FROM o_orderdate)) AS first_century,
   max(EXTRACT(DECADE FROM o_orderdate)) AS last_decade,
   count(*) AS n
@@ -927,7 +931,12 @@ def pg_dialect_agg_order_semantics(spark: SparkSession, sf_dir: str) -> DataFram
     exactly that), inline ``ORDER BY`` inside the aggregate (a Spark
     parse error before), ``DISTINCT`` with its sorted form, and the
     year-derived ``EXTRACT`` fields Spark rejects
-    (``INVALID_EXTRACT_FIELD``), composed under GROUP BY.
+    (``INVALID_EXTRACT_FIELD``), composed under GROUP BY. The array
+    results ship as ``to_json`` text (PG's own array→json rendering):
+    element order and kept-nulls — the two semantics this case exists
+    to pin — survive serialization verbatim, and the driver's pandas
+    canonicalizer (which cannot sort raw list columns) gets a plain
+    string column.
 
     Scale: one pruned scan, partial-aggregatable count/min/max; the
     collect_list lanes shuffle grouped rows once (inherent to ordered
@@ -939,9 +948,9 @@ def pg_dialect_agg_order_semantics(spark: SparkSession, sf_dir: str) -> DataFram
     return run_sql(
         spark,
         "SELECT o_orderpriority, "
-        "array_agg(nullif(o_orderkey % 7, 3)::float8 "
-        "ORDER BY o_orderkey) AS keys_ordered, "
-        "array_agg(DISTINCT o_orderkey % 5 ORDER BY o_orderkey % 5) "
+        "to_json(array_agg(nullif(o_orderkey % 7, 3)::float8 "
+        "ORDER BY o_orderkey)) AS keys_ordered, "
+        "to_json(array_agg(DISTINCT o_orderkey % 5 ORDER BY o_orderkey % 5)) "
         "AS residues, "
         "min(EXTRACT(CENTURY FROM o_orderdate)) AS first_century, "
         "max(EXTRACT(DECADE FROM o_orderdate)) AS last_decade, "
@@ -1020,7 +1029,10 @@ def pg_dialect_operator_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regexp_match returns text[] — DuckDB's regexp_extract group 1
     # wrapped in a list literal (every c_name matches, so the NULL
     # no-match branch is not exercised here — it is pinned in
-    # tests/test_pg_pinned.py instead).
+    # tests/test_pg_pinned.py instead). The match array ships as
+    # to_json text: the driver's pandas canonicalizer cannot sort a
+    # top-level list column (CORRECTNESS_r10 `err`), and JSON keeps
+    # the text[] shape visible.
     oracle="""
 SELECT c_custkey,
   '''' || replace(c_name, '''', '''''') || '''' AS ql,
@@ -1031,7 +1043,7 @@ SELECT c_custkey,
        ELSE '''' || CAST(nullif(c_nationkey, 3) AS VARCHAR) || '''' END AS qn,
   lower(hex(c_name)) AS hx,
   c_name AS roundtrip,
-  [regexp_extract(c_name, 'Customer#([0-9]+)', 1)] AS grp
+  to_json([regexp_extract(c_name, 'Customer#([0-9]+)', 1)])::VARCHAR AS grp
 FROM customer WHERE c_custkey % 7 = 0
 """,
 )
@@ -1055,7 +1067,7 @@ def pg_dialect_quoting_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quote_nullable(nullif(c_nationkey, 3)) AS qn, "
         "encode(c_name::bytea, 'hex') AS hx, "
         "decode(encode(c_name::bytea, 'hex'), 'hex')::text AS roundtrip, "
-        "regexp_match(c_name, 'Customer#([0-9]+)') AS grp "
+        "to_json(regexp_match(c_name, 'Customer#([0-9]+)')) AS grp "
         "FROM customer WHERE c_custkey % 7 = 0",
         pg_dialect=True,
     )
