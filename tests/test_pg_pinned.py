@@ -2282,3 +2282,61 @@ def test_groups_frame_and_rows_from_named_errors():
         "SELECT sum(x) OVER (ORDER BY x ROWS 1 PRECEDING) FROM t"
     )
     assert "ROWS 1 PRECEDING" in out
+
+
+# --- round-10 advisor findings (ADVICE.md r11): division/param guards --------
+# PG 16 hand-derived: SELECT 10/4::numeric → 2.5 (:: binds tighter than
+# /, so the cast claims the last term and the division is fractional);
+# SELECT 2/4::float8 → 0.5; a/b/c::numeric is (a int-div b) / c::numeric.
+
+def test_int_division_trailing_cast_shrinks_chain(spark):
+    row = one(
+        spark,
+        "CAST(10/4::numeric AS DOUBLE) AS a, 2/4::float8 AS b, "
+        "CAST(20/4/2::numeric AS DOUBLE) AS c",
+    )
+    assert row["a"] == 2.5  # was div(10,4)::numeric = 2.0 — silent
+    assert row["b"] == 0.5
+    assert row["c"] == 2.5  # PG: div(20,4)=5 then 5/2::numeric
+
+
+def test_bind_param_markers_survive_division_and_date_rewrites():
+    """A ':name' marker is not a column ref: ':qty/2' must not become
+    ':div(qty, 2)' nor ':d1 - d2' become ':datediff(d1, d2)' (both
+    corrupted the typed-parameter surface)."""
+    out = translate_pg_sql(
+        "SELECT * FROM t WHERE qty > :qty/2 AND d > :d1 - d2",
+        bind=False,
+        column_types={"qty": "integer", "d1": "date", "d2": "date"},
+    )
+    assert ":qty/2" in out
+    assert ":d1 - d2" in out
+    # the same shapes WITHOUT the marker still rewrite
+    out = translate_pg_sql(
+        "SELECT qty/2, d1 - d2 FROM t",
+        column_types={"qty": "integer", "d1": "date", "d2": "date"},
+    )
+    assert "div(qty, 2)" in out and "datediff(d1, d2)" in out
+
+
+def test_groups_as_column_name_is_not_a_frame(spark):
+    """GROUPS is unreserved in PG — a column named `groups` in ordinary
+    predicates must not trip the GROUPS-frame path."""
+    out = translate_pg_sql(
+        "SELECT * FROM t WHERE groups BETWEEN 1 AND 5 ORDER BY groups"
+    )
+    assert "BETWEEN 1 AND 5" in out
+
+
+def test_qualified_ref_needs_exact_key_in_multistream_map():
+    """When the column_types map itself carries qualified keys (a merged
+    multi-stream map), a qualified ref resolves exactly or not at all —
+    t1.x must not inherit t2.x's int type and mis-route a div rewrite."""
+    out = translate_pg_sql(
+        "SELECT t1.x/2 FROM t1 JOIN t2 ON true",
+        column_types={"t2.x": "integer", "x": "integer"},
+    )
+    assert "div" not in out
+    # all-unqualified map (single-stream convention): fallback applies
+    out = translate_pg_sql("SELECT t1.x/2 FROM t1", column_types={"x": "int4"})
+    assert "div(t1.x, 2)" in out

@@ -652,12 +652,22 @@ def _column_type(name: str, column_types: Mapping[str, str] | None) -> str | Non
     """Resolve a (possibly qualified) column ref against the declared
     stream schema map (``translate_pg_sql(column_types=...)``): exact
     lowercase key first, then the unqualified last segment. Returns the
-    bare lowercase type name (parameters stripped) or None."""
+    bare lowercase type name (parameters stripped) or None.
+
+    The unqualified fallback for a QUALIFIED ref (``t1.x`` → ``x``) only
+    applies when the map itself is all-unqualified (the single-stream
+    convention: one declared schema, bare column keys). When the caller
+    qualifies ANY key, a qualified ref resolves exactly or not at all —
+    otherwise ``t1.x`` could silently pick up t2's ``x`` type from a
+    merged multi-stream map and mis-route a div/datediff/round rewrite
+    (round-10 advisor finding)."""
     if not column_types:
         return None
     key = name.lower()
     t = column_types.get(key)
     if t is None and "." in key:
+        if any("." in k for k in column_types):
+            return None
         t = column_types.get(key.rsplit(".", 1)[1])
     if t is None:
         return None
@@ -1023,8 +1033,12 @@ def _normalize_spelled_casts(
 
 
 _DATE_LIT_OR_IDENT = r"(?:DATE\s+'[^']*'|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)"
+# ':' in the lookbehind: a ':name' bind-parameter marker is not a column
+# ref — without it ':d1 - d2' rewrote to ':datediff(d1, d2)', corrupting
+# the parameter surface (round-10 advisor finding). '::'-cast operands
+# are excluded by the same character.
 _DATE_SUB_RE = re.compile(
-    rf"(?<![\w.'])({_DATE_LIT_OR_IDENT})\s*-\s*({_DATE_LIT_OR_IDENT})(?![\w.'])",
+    rf"(?<![\w.':])({_DATE_LIT_OR_IDENT})\s*-\s*({_DATE_LIT_OR_IDENT})(?![\w.'])",
     re.IGNORECASE,
 )
 
@@ -1075,24 +1089,46 @@ def _translate_int_division(
     Precedence guards: a neighboring same-or-higher-precedence operator
     (``*``, ``/``, ``%`` before; ``^`` either side — PG binds ``^``
     tighter) re-groups the chain, so those shapes stay untouched
-    (``3 * 10/4`` is PG's ``(3*10)/4``, not ``3 * div(10,4)``)."""
+    (``3 * 10/4`` is PG's ``(3*10)/4``, not ``3 * div(10,4)``). A
+    ``::`` cast on the LAST term binds tighter than ``/`` in PG
+    (``qty/n::numeric`` is ``qty / (n::numeric)`` — the standard
+    fractional-division idiom), so the chain SHRINKS by that term; a
+    ``:name`` bind-parameter marker is not a column ref, so a chain
+    whose first term is immediately preceded by ``:`` is skipped
+    entirely (both round-10 advisor findings — the first was a silent
+    2.0-for-2.5)."""
     mask = _masked(sql)
     out: list[str] = []
     last = 0
     for m in _INT_DIV_CHAIN_RE.finditer(mask):
         if m.start() < last:
             continue
+        if m.start() > 0 and mask[m.start() - 1] == ":":
+            continue  # :param marker, not a column ref
         p = m.start() - 1
         while p >= 0 and mask[p] in " \t\n\r":
             p -= 1
         if p >= 0 and mask[p] in "*/%^":
             continue
-        nx = m.end()
+        start, end = m.start(), m.end()
+        nx = end
         while nx < len(mask) and mask[nx] in " \t\n\r":
             nx += 1
         if nx < len(mask) and mask[nx] == "^":
             continue
-        parts = [t.strip() for t in sql[m.start() : m.end()].split("/")]
+        if nx < len(mask) and mask[nx] == ":":
+            # '::' cast on the final term: that term belongs to the
+            # cast, not the integer chain — shrink by one term (the
+            # cast pass then renders it, and Spark's fractional `/`
+            # against the casted operand matches PG)
+            cut = sql[start:end].rfind("/")
+            if cut < 0:
+                continue
+            end = start + len(sql[start : start + cut].rstrip())
+        seg = sql[start:end]
+        parts = [t.strip() for t in seg.split("/")]
+        if len(parts) < 2:
+            continue
         ok = all(
             re.fullmatch(r"\d+", t)
             or _column_type(t, column_types) in _INT_PG_COL_TYPES
@@ -1103,9 +1139,9 @@ def _translate_int_division(
         expr = parts[0]
         for nxt in parts[1:]:
             expr = f"div({expr}, {nxt})"
-        out.append(sql[last : m.start()])
+        out.append(sql[last:start])
         out.append(expr)
-        last = m.end()
+        last = end
     out.append(sql[last:])
     return "".join(out)
 
@@ -5097,10 +5133,18 @@ _FRAME_EXCLUDE_RE = re.compile(
     r"(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)",
     re.IGNORECASE,
 )
-# GROUPS frame mode (PG 11+) — Spark supports ROWS and RANGE only
+# GROUPS frame mode (PG 11+) — Spark supports ROWS and RANGE only.
+# The grammar after GROUPS must be an actual frame bound: GROUPS is an
+# UNRESERVED keyword, so a column named `groups` in ordinary predicates
+# (`WHERE groups BETWEEN 1 AND 5`) must NOT trip this (round-10 advisor
+# finding — the loose `BETWEEN\b` alternative false-positived there).
+_FRAME_BOUND = (
+    r"(?:UNBOUNDED\s+(?:PRECEDING|FOLLOWING)|CURRENT\s+ROW|"
+    r"\d+\s+(?:PRECEDING|FOLLOWING))"
+)
 _FRAME_GROUPS_RE = re.compile(
-    r"\bGROUPS\s+(?:BETWEEN\b|\d+\s+PRECEDING|UNBOUNDED\s+PRECEDING|"
-    r"CURRENT\s+ROW)",
+    rf"\bGROUPS\s+(?:BETWEEN\s+{_FRAME_BOUND}\s+AND\s+{_FRAME_BOUND}|"
+    rf"{_FRAME_BOUND})",
     re.IGNORECASE,
 )
 # PG's ROWS FROM(f1(...), f2(...)) zips multiple SRFs positionally
