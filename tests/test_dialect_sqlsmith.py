@@ -1266,3 +1266,100 @@ def test_v10_column_types_float_route(sview_g, duck_g):
     s_cols, s_recs = normalize(sview_g.sql(translated).toPandas())
     d_cols, d_recs = normalize(duck_g.execute(pg_sql).df())
     assert s_recs == d_recs  # 98.5 rounds half-even to 98 on both
+
+
+# --- grammar v12: schema-typed columns composed into the round-10
+# directive-4 hop positions (type-preserving calls in /-chains and date
+# subtraction, trailing-cast chain shrink, float-schema int casts
+# through expressions, GROUPS-as-column-name immunity). DuckDB matches
+# PG on every emitted shape (probed: date - date = integer days,
+# double→int cast half-even, int/float8 division IEEE-exact). NOT here
+# (DuckDB deviates from PG): round(float8) ties (DuckDB rounds doubles
+# half-AWAY where PG rints half-even — pinned in test_pg_pinned.py),
+# sum(int)/count(*) truncation (DuckDB's / is always fractional —
+# pinned), ':name' marker immunity (no DuckDB bind-text surface —
+# pinned).
+
+_V12_TYPES = {
+    "o_orderdate": "date",
+    "c_acctbal": "float8",
+    "o_custkey": "int4",
+    "o_orderkey": "int4",
+    "n_nationkey": "int4",
+}
+
+
+def gen_query_v12(i: int):
+    r = random.Random(20260816 * 12000 + i)
+    shape = r.randrange(4)
+    if shape == 0:
+        # date-preserving one hop: min/max/least/greatest/coalesce over
+        # a date-typed column (the fixture stores o_orderdate as
+        # timestamp, so an inner ::date subquery gives all three
+        # engines a true DATE), subtracted → integer days everywhere
+        k = r.randint(100, 900)
+        lit = f"DATE '199{r.randint(2, 8)}-0{r.randint(1, 9)}-15'"
+        if r.randrange(2):
+            expr = r.choice(
+                ["max(d) - min(d)", f"max(d) - {lit}", f"{lit} - min(d)"]
+            )
+            return (
+                f"SELECT g, {expr} AS span FROM "
+                f"(SELECT (o_custkey % 3)::int4 AS g, o_orderdate::date AS d "
+                f"FROM orders WHERE o_orderkey < {k}) t GROUP BY g",
+                {**_V12_TYPES, "d": "date"},
+            )
+        # per-row simple-call hop (one level only — nested calls are
+        # the documented residual and stay untouched)
+        expr = r.choice(
+            [
+                f"least(d, {lit}) - d",
+                f"greatest(d, {lit}) - {lit}",
+                f"coalesce(d, {lit}) - min(d) OVER ()",
+            ]
+        )
+        if "OVER" in expr:
+            expr = f"d - least(d, {lit})"
+        return (
+            f"SELECT o_orderkey AS k, {expr} AS span FROM "
+            f"(SELECT o_orderkey, o_orderdate::date AS d "
+            f"FROM orders WHERE o_orderkey < {k}) t",
+            {**_V12_TYPES, "d": "date"},
+        )
+    if shape == 1:
+        # float-schema column's ::int through an expression, landing on
+        # a deliberate .5 tie — half-even on PG, DuckDB, and bround
+        n = r.randint(0, 200)
+        sign = r.choice(["", "-"])
+        return (
+            f"SELECT c_custkey, ({sign}(c_acctbal * 0 + {n}.5))::int AS v "
+            f"FROM customer WHERE c_custkey < {r.randint(30, 90)}",
+            _V12_TYPES,
+        )
+    if shape == 2:
+        # trailing '::' cast shrinks the /-chain: fractional division
+        # (IEEE-exact int/double on all three engines)
+        d = r.choice([3, 7, 9, 11, 16])
+        return (
+            f"SELECT o_orderkey, (o_orderkey/{d}::float8) AS v "
+            f"FROM orders WHERE o_orderkey < {r.randint(60, 200)}",
+            _V12_TYPES,
+        )
+    # shape 3: GROUPS is unreserved — a column/alias named groups in
+    # ordinary predicates must translate cleanly (advisor finding)
+    lo = r.randint(0, 10)
+    return (
+        f"SELECT * FROM (SELECT n_nationkey AS groups FROM nation) t "
+        f"WHERE groups BETWEEN {lo} AND {lo + r.randint(1, 8)} "
+        f"ORDER BY groups",
+        _V12_TYPES,
+    )
+
+
+N_CASES_V12 = 80
+
+
+@pytest.mark.parametrize("i", range(N_CASES_V12))
+def test_sqlsmith_differential_v12(sview_g, duck_g, i):
+    pg_sql, ct = gen_query_v12(i)
+    assert_differential(sview_g, duck_g, pg_sql, column_types=ct)
