@@ -365,17 +365,19 @@ def test_regexp_replace_flags_and_generate_series():
         translate_pg_sql("SELECT regexp_replace(a, '^c', 'K', 'gi') AS r")
         == "SELECT regexp_replace(a, '(?i)^c', 'K') AS r"
     )
-    # nested: inner flags handled, literals with commas/parens untouched
-    assert (
-        translate_pg_sql(
-            "SELECT regexp_replace(regexp_replace(a, ',', '(', 'g'), 'p', 'q', 'i') AS r"
-        )
-        == "SELECT regexp_replace(regexp_replace(a, ',', '('), '(?i)p', 'q') AS r"
+    # nested: the inner 'g' call stays a plain replace-all; the outer
+    # 'i'-without-g call is FIRST-match in PG, so it compiles to the
+    # round-11 position surgery over the translated inner call
+    nested = translate_pg_sql(
+        "SELECT regexp_replace(regexp_replace(a, ',', '(', 'g'), 'p', 'q', 'i') AS r"
     )
-    # flagless 3-arg form passes through (PG replace-first vs Spark
-    # replace-all is a documented delta, not a rewrite)
-    sql = "SELECT regexp_replace(a, 'x', 'y') AS r"
-    assert translate_pg_sql(sql) == sql
+    assert "regexp_replace(a, ',', '(')" in nested
+    assert "regexp_instr" in nested and "'(?i)p'" in nested
+    # flagless 3-arg form is PG's FIRST-match replace — the round-11
+    # probe batch found the old verbatim pass-through silently replaced
+    # ALL matches; it now compiles to instr/extract position surgery
+    out = translate_pg_sql("SELECT regexp_replace(a, 'x', 'y') AS r")
+    assert "regexp_instr(a, 'x')" in out and "ELSE a END" in out
     assert (
         translate_pg_sql("SELECT unnest(generate_series(1, 5)) AS v")
         == "SELECT explode(sequence(1, 5)) AS v"

@@ -221,6 +221,17 @@ _CORPUS = {
                regexp_replace(event_type, '^C', 'K', 'gi') AS ki
         FROM events WHERE event_id < 30
     """,
+    # round-11 probe batch: PG's FLAGLESS regexp_replace replaces only
+    # the FIRST match (DuckDB agrees) — the old verbatim pass-through
+    # silently replaced all. Backref/backslash replacements are pinned
+    # instead (the two engines' literal conventions diverge there).
+    "regexp_replace_first_only": """
+        SELECT event_id AS id,
+               regexp_replace(event_type, '[aeiou]', '*') AS star1,
+               regexp_replace(event_type, '[a-z]', 'X', 'i') AS x1,
+               regexp_replace(event_type, 'zzz-no-match', 'Y') AS keep
+        FROM events WHERE event_id < 30
+    """,
     "generate_series_unnest": """
         SELECT unnest(generate_series(1, 5)) AS v
     """,

@@ -2131,10 +2131,17 @@ def test_frame_exclude_and_jsonb_mutators_named_errors():
             "SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING "
             "AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t"
         )
-    with pytest.raises(ValueError, match="jsonb_set"):
-        translate_pg_sql("SELECT jsonb_set(j, '{a}', '1') FROM t")
-    with pytest.raises(ValueError, match="jsonb_set"):
+    # round-11: jsonb_set/jsonb_insert/jsonb_strip_nulls are REAL now
+    # (functions/jsonb.py; tests/test_jsonb_mutators.py pins them) —
+    # only jsonb_pretty keeps its named error
+    out = translate_pg_sql("SELECT jsonb_set(j, '{a}', '1') FROM t")
+    assert "jsonb_set(j, '{a}', '1', true)" in out
+    assert (
         translate_pg_sql("SELECT jsonb_strip_nulls(j) FROM t")
+        == "SELECT jsonb_strip_nulls(j) FROM t"
+    )
+    with pytest.raises(ValueError, match="jsonb_pretty"):
+        translate_pg_sql("SELECT jsonb_pretty(j) FROM t")
 
 
 # --- round-10 probe batch 6: degree trig + numeric introspection -------------
@@ -2493,3 +2500,69 @@ def test_groups_frame_single_rank_per_spec():
     assert out.count("dense_rank()") == 2
     assert "__grank_0" in out and "__grank_1" in out
     assert "GROUPS" not in out.upper().replace("__GROUPS_RW", "")
+
+
+# --- round-11 probe batch: regexp_replace full PG surface --------------------
+# Hand-derived from PG 16 (DuckDB agrees on the first-only and 'g'
+# forms and arbitrates them in the differential corpus; backref and
+# start/N forms are pinned here because the engines' literal
+# conventions diverge). Module policy: literals are SPARK-escaped, so a
+# PG backref \1 is spelled '\\1' exactly as a digit class is '\\d'.
+
+def test_regexp_replace_first_match_pins(spark):
+    row = one(
+        spark,
+        "regexp_replace('abcabc', 'b', 'Z') AS first_only, "
+        "regexp_replace('abcabc', 'b', 'Z', 'g') AS all_g, "
+        "regexp_replace('abc', 'x', 'Z') AS nomatch, "
+        "regexp_replace('aBcabc', 'b', 'Z', 'i') AS ci_first, "
+        "regexp_replace(NULL, 'b', 'Z') AS null_src",
+    )
+    assert row["first_only"] == "aZcabc"  # PG: first match only
+    assert row["all_g"] == "aZcaZc"
+    assert row["nomatch"] == "abc"
+    assert row["ci_first"] == "aZcabc"
+    assert row["null_src"] is None
+
+
+def test_regexp_replace_backref_and_dollar_pins(spark):
+    row = one(
+        spark,
+        r"regexp_replace('a1b2', '([a-z])([0-9])', '\\2\\1', 'g') AS sw, "
+        r"regexp_replace('a1b2', '([a-z])([0-9])', '\\&!', 'g') AS whole, "
+        r"regexp_replace('cost: 5', '(\\d)', '$\\1', 'g') AS dollar, "
+        r"regexp_replace('x', 'x', 'a\\\\b') AS litbs",
+    )
+    assert row["sw"] == "1a2b"       # was 'a1b2'→literal digits (silent)
+    assert row["whole"] == "a1!b2!"  # \& = whole match
+    assert row["dollar"] == "cost: $5"  # literal $ must not be a Java ref
+    assert row["litbs"] == "a\\b"
+
+
+def test_regexp_replace_start_n_pins(spark):
+    row = one(
+        spark,
+        "regexp_replace('abcabc', 'b', 'Z', 3) AS from3, "
+        "regexp_replace('abcabc', 'b', 'Z', 3, 0) AS all_from3, "
+        "regexp_replace('abcabc', 'b', 'Z', 1, 1) AS n1, "
+        "regexp_replace('abcabc', 'b', 'Z', 1, 0, 'i') AS n0i",
+    )
+    assert row["from3"] == "abcaZc"   # PG 16 start form: search from pos 3
+    assert row["all_from3"] == "abcaZc"
+    assert row["n1"] == "aZcabc"
+    assert row["n0i"] == "aZcaZc"
+
+
+def test_regexp_replace_named_errors():
+    import pytest
+
+    with pytest.raises(ValueError, match="flags"):
+        translate_pg_sql("SELECT regexp_replace(a, 'b', 'x', 'n')")
+    with pytest.raises(ValueError, match="string literal"):
+        translate_pg_sql("SELECT regexp_replace(a, 'b', col)")
+    with pytest.raises(ValueError, match="backrefs"):
+        translate_pg_sql(r"SELECT regexp_replace(a, 'b', '\\1')")
+    with pytest.raises(ValueError, match="N > 1"):
+        translate_pg_sql("SELECT regexp_replace(a, 'b', 'x', 1, 3)")
+    with pytest.raises(ValueError, match="escape"):
+        translate_pg_sql(r"SELECT regexp_replace(a, 'b', '\\q', 'g')")

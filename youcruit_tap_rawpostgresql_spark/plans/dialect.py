@@ -3296,75 +3296,217 @@ def _split_top_level_args(s: str) -> list[str]:
 _REGEXP_REPLACE_OPEN_RE = re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE)
 
 
-def _translate_regexp_replace_flags(sql: str) -> str:
-    """PG ``regexp_replace(src, pat, rep, 'flags')`` → Spark's 3-arg form
-    (Spark has no flags argument; a literal ``'g'`` there would be read
-    as the integer position parameter). ``g`` simply drops — Spark
-    replaces every match by default — and ``i`` prepends ``(?i)`` to a
-    literal pattern (non-literal patterns get ``concat('(?i)', pat)``).
+def _decode_spark_literal(raw: str) -> str:
+    """Decode the inner text of a ``'…'`` literal to its VALUE chars
+    the way Spark's parser does (module-header policy: string-literal
+    escaping follows SPARK's parser — backslash escapes, unknown
+    escapes drop the backslash, ``''`` is a quote)."""
+    out: list[str] = []
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i]
+        if c == "\\" and i + 1 < n:
+            nxt = raw[i + 1]
+            out.append(
+                {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+                 "0": "\0"}.get(nxt, nxt)
+            )
+            i += 2
+            continue
+        if c == "'" and i + 1 < n and raw[i + 1] == "'":
+            out.append("'")
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
-    Deliberately NOT rewritten: PG's FLAGLESS 3-arg form replaces only
-    the FIRST match while Spark replaces all — making Spark match that
-    would need pattern surgery regex can't do safely; write the 'g' form
-    (the common ETL spelling) for identical semantics. Balanced-paren
-    scan, one outermost call per pass, repeated to fixpoint for nested
-    calls."""
-    while True:
-        out: list[str] = []
-        i, n = 0, len(sql)
-        spans = _opaque_spans(sql)
-        changed = False
-        while i < n:
-            m = _REGEXP_REPLACE_OPEN_RE.search(sql, i)
-            if not m:
-                out.append(sql[i:])
-                break
-            if any(a <= m.start() < b for _, a, b in spans):
-                out.append(sql[i : m.end()])
-                i = m.end()
-                continue
-            depth, j = 1, m.end()
-            while j < n and depth:
-                ch = sql[j]
-                if ch == "'":
-                    k = j + 1
-                    while k < n:
-                        if sql[k] == "'":
-                            if k + 1 < n and sql[k + 1] == "'":
-                                k += 2
-                                continue
-                            break
-                        k += 1
-                    j = k + 1
-                    continue
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                j += 1
-            inner = sql[m.end() : j - 1]
-            args = _split_top_level_args(inner)
-            fm = re.fullmatch(r"\s*'([gi]*)'\s*", args[3]) if len(args) == 4 else None
-            if fm:
-                pat = args[1].strip()
-                if "i" in fm.group(1):
-                    if pat.startswith("'") and pat.endswith("'"):
-                        pat = "'(?i)" + pat[1:]
-                    else:
-                        pat = f"concat('(?i)', {pat})"
-                out.append(sql[i : m.start()])
-                out.append(f"regexp_replace({args[0].strip()}, {pat}, {args[2].strip()})")
-                changed = True
-                i = j
+
+def _pg_replacement_parse(chars: str) -> tuple[str, str, bool]:
+    """Parse PG replacement-string escapes (regexp.c: ``\\n`` =
+    subexpression n, ``\\&`` = whole match, ``\\\\`` = literal
+    backslash). Returns ``(java_chars, plain_chars, has_backref)``:
+    ``java_chars`` is the replacement as Java's Matcher wants it
+    (``$n`` refs, ``\\$``-escaped literal dollars), ``plain_chars`` the
+    literal text when no refs are present. Unknown escapes raise — a
+    silent best-guess here is exactly the wrong-answer class this
+    function exists to kill."""
+    java: list[str] = []
+    plain: list[str] = []
+    has_ref = False
+    i, n = 0, len(chars)
+    while i < n:
+        c = chars[i]
+        if c == "\\":
+            if i + 1 >= n:
+                raise ValueError(
+                    "regexp_replace replacement ends in a lone backslash"
+                )
+            nxt = chars[i + 1]
+            if nxt.isdigit():
+                has_ref = True
+                java.append(f"${nxt}")
+            elif nxt == "&":
+                has_ref = True
+                java.append("$0")
+            elif nxt == "\\":
+                java.append("\\\\")
+                plain.append("\\")
             else:
-                # no flags arg on THIS call: advance just past its opener
-                # so nested regexp_replace calls inside its args still
-                # get scanned
-                out.append(sql[i : m.end()])
-                i = m.end()
-        sql = "".join(out)
-        if not changed:
-            return sql
+                raise ValueError(
+                    f"regexp_replace replacement escape \\{nxt} is not a "
+                    "PG escape (\\1-\\9, \\&, \\\\ only) — not translatable"
+                )
+            i += 2
+            continue
+        if c == "$":
+            java.append("\\$")  # literal $ in PG; Java would read a ref
+        else:
+            java.append(c)
+        plain.append(c)
+        i += 1
+    return "".join(java), "".join(plain), has_ref
+
+
+def _build_regexp_replace_pg(args):
+    """PG's full ``regexp_replace(source, pattern, replacement [, start
+    [, N ]] [, flags ])`` surface → exact Spark (round-11 probe batch:
+    TWO silent wrong-answer classes found by hand probes). (1) PG's
+    replacement escapes are ``\\n``/``\\&`` where Java's are ``$n`` —
+    the old pass shipped them verbatim, so ``'\\1'`` emitted a literal
+    digit. Literal replacements now translate escape-exactly
+    (``$``-escaping included); non-literal replacements raise (their
+    escapes can't be rewritten at plan time). (2) PG replaces only the
+    FIRST match unless ``g`` — the old pass shipped flagless calls
+    verbatim, silently replacing all. First-match-only now compiles to
+    position surgery::
+
+        CASE WHEN instr > 0 THEN concat(substr(s,1,instr-1), rep,
+                                        substr(s, instr + matchlen))
+        ELSE s END
+
+    (regexp_instr/regexp_extract — whole-stage-codegen JVM
+    expressions). PG 16's start/N forms: literal ``start`` offsets the
+    surgery through ``substr``; ``N=0`` means all (PG docs); ``N>1``
+    raises (occurrence walking has no Spark expression). First-match
+    replacement WITH backrefs raises: the surgery inserts plain text
+    (rewrite with 'g' or restructure)."""
+    n = len(args)
+    if n < 3 or n > 6:
+        return None  # not PG's arity — leave for loud analysis
+    src = args[0].strip()
+    pat = args[1].strip()
+    rep = args[2].strip()
+    start, occ, flags = 1, None, ""
+
+    def _flags_of(a: str) -> str:
+        fm = re.fullmatch(r"'([A-Za-z]*)'", a)
+        if not fm:
+            raise ValueError(
+                "regexp_replace flags must be a string literal — a "
+                "non-literal 4th/6th argument would be read as Spark's "
+                "integer position parameter (silently)"
+            )
+        f = fm.group(1).lower()
+        bad = set(f) - {"g", "i"}
+        if bad:
+            raise ValueError(
+                f"regexp_replace flags {''.join(sorted(bad))!r} have no "
+                "Spark translation (g and i only; n/m/s/x newline modes "
+                "differ between regex engines)"
+            )
+        return f
+
+    if n == 4:
+        a3 = args[3].strip()
+        if re.fullmatch(r"\d+", a3):
+            start = int(a3)
+        else:
+            flags = _flags_of(a3)
+    elif n >= 5:
+        a3, a4 = args[3].strip(), args[4].strip()
+        if not re.fullmatch(r"\d+", a3) or not re.fullmatch(r"\d+", a4):
+            raise ValueError(
+                "regexp_replace(start, N) arguments must be integer "
+                "literals for translation — non-literal positions can't "
+                "be verified against Spark's differing signature"
+            )
+        start, occ = int(a3), int(a4)
+        if n == 6:
+            flags = _flags_of(args[5].strip())
+    if start < 1:
+        raise ValueError("regexp_replace start must be >= 1 (PG raises)")
+    if occ is None:
+        occ = 0 if "g" in flags else 1
+    elif "g" in flags and occ != 0:
+        raise ValueError(
+            "regexp_replace with both g and a nonzero N is ambiguous "
+            "(PG treats them as conflicting) — drop one"
+        )
+    if "i" in flags:
+        if pat.startswith("'") and pat.endswith("'"):
+            pat = "'(?i)" + pat[1:]
+        else:
+            pat = f"concat('(?i)', {pat})"
+    if not (rep.startswith("'") and rep.endswith("'")):
+        raise ValueError(
+            "regexp_replace replacement must be a string literal: PG's "
+            "\\n backref escapes need compile-time translation to "
+            "Java's $n (a non-literal replacement would ship PG escapes "
+            "into Java's engine silently)"
+        )
+    # decode the Spark-escaped literal to VALUE chars first (module
+    # policy: literals follow Spark's parser — a backref is spelled
+    # '\\1' exactly as a digit class is spelled '\\d' in the pattern),
+    # then read PG's replacement escapes over the value
+    java_chars, plain_chars, has_ref = _pg_replacement_parse(
+        _decode_spark_literal(rep[1:-1])
+    )
+    if occ == 0:
+        s_expr = src if start == 1 else f"substr({src}, {start})"
+        call = (
+            f"regexp_replace({s_expr}, {pat}, "
+            f"{quote_literal(java_chars)})"
+        )
+        if start == 1:
+            return (call, len("regexp_replace("))
+        text = f"concat(substr({src}, 1, {start - 1}), {call})"
+        return (text, text.index("regexp_replace(") + len("regexp_replace("))
+    if occ > 1:
+        raise ValueError(
+            "regexp_replace N > 1 (replace only the Nth match) has no "
+            "Spark expression — split with regexp_extract_all or "
+            "restructure"
+        )
+    if has_ref:
+        raise ValueError(
+            "first-match regexp_replace with \\n/\\& backrefs is not "
+            "translatable (the first-match rewrite inserts plain text) "
+            "— add the g flag if all matches were intended, or "
+            "restructure"
+        )
+    s_expr = src if start == 1 else f"substr({src}, {start})"
+    pos = f"regexp_instr({s_expr}, {pat})"
+    mlen = f"length(regexp_extract({s_expr}, {pat}, 0))"
+    body = (
+        f"concat(substr({s_expr}, 1, {pos} - 1), "
+        f"{quote_literal(plain_chars)}, substr({s_expr}, {pos} + {mlen}))"
+    )
+    if start > 1:
+        body = f"concat(substr({src}, 1, {start - 1}), {body})"
+    text = (
+        f"CASE WHEN {pat} IS NULL THEN NULL WHEN {pos} > 0 "
+        f"THEN {body} ELSE {src} END"
+    )
+    return (text, 0)
+
+
+def _translate_regexp_replace_flags(sql: str) -> str:
+    """PG ``regexp_replace`` (all arities) → exact Spark; see
+    ``_build_regexp_replace_pg`` for the semantics table."""
+    return _rewrite_calls(
+        sql, _REGEXP_REPLACE_OPEN_RE, _build_regexp_replace_pg
+    )
 
 
 def _outside_literals(sql: str, fn) -> str:
@@ -5830,6 +5972,12 @@ def _translate_operators(sql: str) -> str:
     # regex-form substrings were consumed by the dedicated rule above;
     # the clip builder routes the remaining (parenthesized/call-operand)
     # regex forms itself.
+    # PG regexp_replace BEFORE to_char: the to_char numeric builder
+    # EMITS Spark-native regexp_replace('…', '$1') calls whose $-refs
+    # this pass would mangle as PG literals (round-11 self-review —
+    # the to_char MI pins caught it); user calls are still plain
+    # call-shaped here, after the operand-scanning operator rules
+    sql = _translate_regexp_replace_flags(sql)
     sql = _rewrite_calls(sql, _TO_CHAR_OPEN_RE, _build_to_char)
     sql = _rewrite_calls(sql, _TO_TIMESTAMP_OPEN_RE, _build_to_timestamp)
     sql = _rewrite_calls(sql, _TO_DATE_OPEN_RE, _build_to_date)
@@ -6968,8 +7116,10 @@ def translate_pg_sql(
     out = _rewrite_calls(out, _JSONB_SET_OPEN_RE, _build_jsonb_set)
     out = _rewrite_calls(out, _JSONB_INSERT_OPEN_RE, _build_jsonb_insert)
     out = _translate_set_functions(out)
+    # (regexp_replace translates INSIDE _translate_operators, after the
+    # operand-scanning rules but before to_char's own regexp_replace
+    # emissions — round-11 ordering fix)
     out = _translate_operators(out)
-    out = _translate_regexp_replace_flags(out)
     # order-insensitive aggregates drop their legal-but-meaningless PG
     # ORDER BY BEFORE the null-placement pass (which would inject NULLS
     # LAST into a clause Spark cannot parse at all)
