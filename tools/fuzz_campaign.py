@@ -46,6 +46,7 @@ from tests.test_dialect_sqlsmith import (  # noqa: E402
     N_CASES_V9,
     N_CASES_V10,
     N_CASES_V11,
+    N_CASES_V12,
     gen_query,
     gen_query_v2,
     gen_query_v3,
@@ -57,6 +58,7 @@ from tests.test_dialect_sqlsmith import (  # noqa: E402
     gen_query_v9,
     gen_query_v10,
     gen_query_v11,
+    gen_query_v12,
 )
 from youcruit_tap_rawpostgresql_spark.plans.dialect import (  # noqa: E402
     translate_pg_sql,
@@ -80,6 +82,7 @@ def main() -> int:
     ap.add_argument("--v9", type=int, default=600)
     ap.add_argument("--v10", type=int, default=600)
     ap.add_argument("--v11", type=int, default=600)
+    ap.add_argument("--v12", type=int, default=600)
     args = ap.parse_args()
 
     spark = get_session(app_name="fuzz-campaign")
@@ -119,6 +122,24 @@ def main() -> int:
               f"{failures} cumulative failures, {time.time()-t0:.0f}s",
               flush=True)
 
+    # v12 (round-11): generator returns (pg_sql, column_types) — the
+    # schema-typed hop shapes need the declared-type map
+    ran = 0
+    for i in range(N_CASES_V12, args.v12):
+        sql, ct = gen_query_v12(i)
+        try:
+            assert_differential(spark, duck, sql, column_types=ct)
+        except AssertionError as e:
+            failures += 1
+            print(f"FAIL v12#{i}: {sql}\n  {e}", flush=True)
+        except Exception as e:
+            failures += 1
+            print(f"ERROR v12#{i}: {sql}\n  {type(e).__name__}: {e}",
+                  flush=True)
+        ran += 1
+    print(f"[v12] {ran} cases, {failures} cumulative failures, "
+          f"{time.time()-t0:.0f}s", flush=True)
+
     # v4: Spark self-consistency (quantified vs expanded pattern match)
     ran = 0
     for i in range(N_CASES_V4, args.v4):
@@ -147,7 +168,7 @@ def main() -> int:
             (args.v5, N_CASES_V5), (args.v6, N_CASES_V6),
             (args.v7, N_CASES_V7), (args.v8, N_CASES_V8),
             (args.v9, N_CASES_V9), (args.v10, N_CASES_V10),
-            (args.v11, N_CASES_V11),
+            (args.v11, N_CASES_V11), (args.v12, N_CASES_V12),
         )
     )
     print(f"== fuzz campaign: {total} cases, {failures} failures ==",
