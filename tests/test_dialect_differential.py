@@ -225,6 +225,16 @@ _CORPUS = {
     # the FIRST match (DuckDB agrees) — the old verbatim pass-through
     # silently replaced all. Backref/backslash replacements are pinned
     # instead (the two engines' literal conventions diverge there).
+    # round-11: plain subscripts over known arrays — DuckDB is 1-based
+    # with out-of-range NULL like PG for non-negative indexes (negative
+    # indexes deviate: DuckDB counts from the end — pinned instead)
+    "array_subscript_known_base": """
+        SELECT event_id AS id,
+               string_to_array(event_type, 'i')[1] AS seg1,
+               string_to_array(event_type, 'i')[2] AS seg2,
+               string_to_array(event_type, 'i')[9] AS beyond
+        FROM events WHERE event_id < 30
+    """,
     "regexp_replace_first_only": """
         SELECT event_id AS id,
                regexp_replace(event_type, '[aeiou]', '*') AS star1,

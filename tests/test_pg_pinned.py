@@ -2566,3 +2566,44 @@ def test_regexp_replace_named_errors():
         translate_pg_sql("SELECT regexp_replace(a, 'b', 'x', 1, 3)")
     with pytest.raises(ValueError, match="escape"):
         translate_pg_sql(r"SELECT regexp_replace(a, 'b', '\\q', 'g')")
+
+
+# --- round-11: plain array subscripts over KNOWN arrays ----------------------
+# PG 16 hand-derived: subscripts are 1-based and ANY out-of-range index
+# (0, negative, beyond length) is NULL — Spark's [i] is 0-based and
+# element_at counts negatives from the END, so both were silent-delta
+# shapes when the base type was known. DuckDB agrees on 1-based and
+# out-of-range-NULL for non-negative indexes (differential corpus);
+# negative indexes deviate there (DuckDB counts from the end) — pinned.
+
+def test_array_subscript_known_base_pins(spark):
+    row = one(
+        spark,
+        "string_to_array('a,b,c', ',')[2] AS mid, "
+        "string_to_array('a,b,c', ',')[1] AS first, "
+        "string_to_array('a,b,c', ',')[0] AS zero, "
+        "string_to_array('a,b,c', ',')[-1] AS neg, "
+        "string_to_array('a,b,c', ',')[9] AS beyond, "
+        "(ARRAY[10,20,30])[2] AS ctor",
+    )
+    assert row["mid"] == "b" and row["first"] == "a"
+    assert row["zero"] is None and row["neg"] is None
+    assert row["beyond"] is None
+    assert row["ctor"] == 20
+
+
+def test_array_subscript_schema_and_scope():
+    out = translate_pg_sql(
+        "SELECT tags[1], tags[i] FROM t", column_types={"tags": "text[]"}
+    )
+    assert out.count("try_element_at") == 2
+    # unknown base type: untouched (documented residual)
+    out = translate_pg_sql("SELECT x[1] FROM t")
+    assert "try_element_at" not in out
+    # slices keep their own pass; bind-param subscripts survive
+    out = translate_pg_sql(
+        "SELECT tags[1:2], tags[:p] FROM t",
+        bind=False,
+        column_types={"tags": "text[]"},
+    )
+    assert "slice(" in out and "tags[:p]" in out

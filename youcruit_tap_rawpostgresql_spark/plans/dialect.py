@@ -304,10 +304,17 @@ fixed-conversion total seconds (1 yr = 365.25 d, 1 mon = 30 d).
 ``'text'::boolean`` literals fold via PG's parse_bool ('on'/'off',
 unique prefixes of true/false/yes/no).
 
+Plain array subscripts ``a[i]`` over a KNOWN array base (an
+array-returning call, or a ``type[]``-schema column via
+``column_types``) translate to ``try_element_at`` with PG's 1-based,
+NULL-on-any-out-of-range reading (0, negative, and beyond-length all
+NULL — Spark's ``[i]`` is 0-based and ``element_at`` counts negatives
+from the END, both silent deltas before round 11).
+
 PG deltas intentionally NOT auto-rewritten (type/context analysis text
 cannot do safely, beyond the visible cases above): array
-subscripts (PG ``a[i]`` is 1-based, Spark's ``[i]`` is 0-based — write
-``element_at`` which is 1-based in both), ``round`` over a float
+subscripts over an UNKNOWN base type (write ``element_at``, 1-based in
+both, or declare the column in ``column_types``), ``round`` over a float
 operand whose type is NOT visible (no schema entry, no inner cast —
 stays HALF_UP; visibly-float operands route to ``bround``, see above),
 two-arg ``log(b, x)`` (same meaning, but PG computes in numeric —
@@ -4314,6 +4321,90 @@ def _translate_hash_xor(sql: str) -> str:
         pos = lstart
 
 
+# calls whose result is visibly an array — the one-hop whitelist that
+# lets a plain subscript's base type be known without schema info
+_ARRAY_RETURNING_FNS = frozenset(
+    (
+        "array",
+        "string_to_array",
+        "split",
+        "sequence",
+        "array_distinct",
+        "array_sort",
+        "array_remove",
+        "array_append",
+        "array_prepend",
+        "regexp_split_to_array",
+        "array_repeat",
+        "slice",
+    )
+)
+
+
+def _is_known_array_expr(
+    operand: str, column_types: Mapping[str, str] | None
+) -> bool:
+    op = operand.strip()
+    while op.startswith("(") and op.endswith(")"):
+        op = op[1:-1].strip()
+    m = re.match(r"([A-Za-z_]\w*)\s*\(", op)
+    if m and op.endswith(")"):
+        return m.group(1).lower() in _ARRAY_RETURNING_FNS
+    if _BARE_IDENT_FULL_RE.fullmatch(op):
+        t = _column_type(op, column_types)
+        return bool(t) and (t.endswith("[]") or t.startswith("_"))
+    return False
+
+
+def _translate_array_subscripts(
+    sql: str, column_types: Mapping[str, str] | None = None
+) -> str:
+    """PG plain subscripts ``a[i]`` over a KNOWN array (round-11: the
+    directive-4 visibility rule applied to the last documented
+    subscript residual): PG indexes 1-based and yields NULL for any
+    out-of-range subscript — including 0 and negatives — while Spark's
+    ``[i]`` is 0-based and ``element_at`` counts negatives from the
+    END. Rewritten to ``try_element_at`` (NULL out-of-range in both
+    ANSI modes) with non-positive indexes re-aimed at INT_MAX (always
+    out of range → PG's NULL). The base must be visibly an array: an
+    array-returning call (one hop) or a column the declared schema
+    types ``type[]``/``_type`` — unknown bases stay untouched
+    (documented residual; write element_at explicitly). Slice forms
+    (``:`` inside the brackets) belong to the slice pass; ``[:name]``
+    is a bind-parameter subscript and stays."""
+    while True:
+        mask = _masked(sql)
+        spans = _opaque_spans(sql)
+        found = None
+        for bm in re.finditer(r"\[", mask):
+            close = _matching_bracket(mask, bm.start())
+            if close < 0:
+                continue
+            inner = mask[bm.start() + 1 : close]
+            if "[" in inner or ":" in inner or not inner.strip():
+                continue
+            lspan = _operand_left_span(sql, mask, spans, bm.start())
+            if lspan is None:
+                continue
+            if not _is_known_array_expr(sql[lspan[0] : lspan[1]], column_types):
+                continue
+            found = (lspan, bm.start(), close)
+            break
+        if found is None:
+            return sql
+        (lo, hi), ob, cb = found
+        arr = sql[lo:hi]
+        idx = sql[ob + 1 : cb].strip()
+        if re.fullmatch(r"\d+", idx) and int(idx) >= 1:
+            repl = f"try_element_at({arr}, {idx})"
+        else:
+            repl = (
+                f"try_element_at({arr}, CASE WHEN ({idx}) < 1 "
+                f"THEN 2147483647 ELSE ({idx}) END)"
+            )
+        sql = sql[:lo] + repl + sql[cb + 1 :]
+
+
 def _translate_array_slices(sql: str) -> str:
     """PG array slices ``a[lo:hi]`` (1-based, bound-clipping, either
     bound omittable) → ``slice(a, lo', hi - lo' + 1)`` with
@@ -7045,6 +7136,10 @@ def translate_pg_sql(
     # rounding wrappers IT inserts (round over numeric evidence) are
     # already spelled and this pass sees translated cast text too.
     out = _translate_round_float(out, column_types)
+    # plain array subscripts over KNOWN arrays (array-returning call or
+    # type[]-schema column) → try_element_at with PG's 1-based,
+    # NULL-out-of-range reading; slice forms keep their own pass
+    out = _translate_array_subscripts(out, column_types)
     out = _outside_literals(
         out,
         lambda s: re.sub(
