@@ -172,8 +172,12 @@ def gen_query(i: int) -> str:
             f"{_gen_int(r, t, 1)} AS v FROM {tname} "
             f"ORDER BY {on}{' DESC' if r.randrange(2) else ''}, {t['key']}"
         )
-    # string_to_array/array_to_string round-trip (array-typed output)
-    s = _gen_str(r, t, 1)
+    # string_to_array/array_to_string round-trip (array-typed output).
+    # The input is forced non-empty ('.'-suffixed): PG returns {} for an
+    # EMPTY input where DuckDB returns [''] — a PROXY deviation, so the
+    # empty-input rule (now translated, round-11) is pinned in
+    # test_pg_pinned.py rather than fuzzed here.
+    s = f"concat({_gen_str(r, t, 1)}, '.')"
     delim = r.choice([" ", "a", "#", ". "])
     return (
         f"SELECT {t['key']}, string_to_array({s}, '{delim}') AS parts, "

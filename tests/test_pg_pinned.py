@@ -2607,3 +2607,27 @@ def test_array_subscript_schema_and_scope():
         column_types={"tags": "text[]"},
     )
     assert "slice(" in out and "tags[:p]" in out
+
+
+def test_string_to_array_empty_edges_pins(spark):
+    """PG docs §9.9: empty INPUT yields the empty array (split gives
+    ['']), empty DELIMITER means no split at all (split would explode
+    into characters) — both were silent deltas until round-11 probe
+    batch 3. DuckDB deviates on both, so these are pins."""
+    row = one(
+        spark,
+        "string_to_array('', ',') AS empty_in, "
+        "size(string_to_array('', ',')) AS empty_n, "
+        "string_to_array('abc', '') AS empty_delim, "
+        "string_to_array('', NULL) AS empty_chars",
+    )
+    assert list(row["empty_in"]) == []
+    assert row["empty_n"] == 0
+    assert list(row["empty_delim"]) == ["abc"]
+    assert list(row["empty_chars"]) == []
+    # string_to_table of '' yields ZERO rows in PG (the row-returning
+    # twin rides the same emitted string_to_array core)
+    n = spark.sql(translate_pg_sql(
+        "SELECT string_to_table('', ',') AS v"
+    )).count()
+    assert n == 0

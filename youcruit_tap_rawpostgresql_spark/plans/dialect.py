@@ -3752,7 +3752,14 @@ def _translate_string_to_array(sql: str) -> str:
     is why only the string-literal-delimiter form is translated — a
     column-valued delimiter can't be escaped statically and is left
     untouched to fail loudly). Both engines keep empty fields
-    ('a,,b' → [a, '', b]) and return NULL on NULL input. Operand and
+    ('a,,b' → [a, '', b]) and return NULL on NULL input. Two PG edge
+    rules Spark's split does NOT share (round-11 probe batch 3, both
+    were silent): an EMPTY INPUT string yields the empty array ``{}``
+    (split gives ``['']``) — restored by a length()=0 CASE guard — and
+    an EMPTY DELIMITER means NO split, the whole string as one element
+    (split would explode into characters) — restored by emitting
+    ``array(s)``. DuckDB deviates on both (returns [''] / chars), so
+    these shapes are pinned, not fuzzed. Operand and
     argument splitting are quote- and paren-aware (masked scan +
     _split_top_level_args), so concatenations and nested calls work."""
     while True:
@@ -3785,20 +3792,25 @@ def _translate_string_to_array(sql: str) -> str:
                 # (round-10 probe batch 7 — was left untranslated; note
                 # DuckDB deviates here, returning the whole string)
                 lit = "''"
-            if lit is not None and len(args) == 3:
-                # 3-arg null-string form: elements equal to the null
-                # string become NULL (PG) — expressible as a nullif map
-                ns = args[2].strip()
+            if lit is not None:
+                s0 = args[0].strip()
+                if args[1].strip() == "''":
+                    # empty DELIMITER: PG does not split at all (the
+                    # NULL-delimiter split-to-chars form has args[1] ==
+                    # NULL and keeps the split path with lit = '')
+                    core = f"array({s0})"
+                else:
+                    core = f"split({s0}, {lit})"
+                if len(args) == 3:
+                    # 3-arg null-string form: elements equal to the null
+                    # string become NULL (PG) — a nullif map
+                    ns = args[2].strip()
+                    core = f"transform({core}, _se -> nullif(_se, {ns}))"
                 out.append(sql[i : m.start()])
+                # empty INPUT: PG returns the empty array, split returns ['']
                 out.append(
-                    f"transform(split({args[0].strip()}, {lit}), "
-                    f"_se -> nullif(_se, {ns}))"
+                    f"CASE WHEN length({s0}) = 0 THEN array() ELSE {core} END"
                 )
-                changed = True
-                i = close_i + 1
-            elif lit is not None:
-                out.append(sql[i : m.start()])
-                out.append(f"split({args[0].strip()}, {lit})")
                 changed = True
                 i = close_i + 1
             else:
@@ -4657,6 +4669,27 @@ def _build_array_length(args):
     return None
 
 
+_GENERATE_SUBSCRIPTS_OPEN_RE = re.compile(
+    r"\bgenerate_subscripts\s*\(", re.IGNORECASE
+)
+
+
+def _build_generate_subscripts(args):
+    # PG generate_subscripts(a, 1) yields 1..cardinality as ROWS (zero
+    # rows for an empty array). The indexed-transform lambda gives the
+    # subscript array without a size() guard (round-11 probe batch 3:
+    # sequence(1, 0) would DESCEND in Spark); dims other than 1 and the
+    # reverse flag raise — multi-dim arrays are not modeled.
+    if len(args) == 2 and args[1].strip() == "1":
+        head = f"explode(transform({args[0].strip()}"
+        return (head + ", (__x, __i) -> __i + 1))", len("explode(transform("))
+    raise ValueError(
+        "generate_subscripts: only dim=1 over the 1-D array model is "
+        "translatable (got a different dim or the reverse flag) — "
+        "explode an indexed transform() explicitly for other shapes"
+    )
+
+
 def _build_array_position(args):
     # PG returns NULL when absent; Spark (and DuckDB) return 0
     if len(args) == 2:
@@ -5501,6 +5534,12 @@ _NAMED_ERROR_CALLS = [
         "(see the querybank)",
     ),
     (
+        re.compile(r"\barray_ndims\s*\(", re.IGNORECASE),
+        "array_ndims: this engine models PG arrays as 1-D Spark arrays "
+        "(multi-dim arrays have no Spark counterpart) — the answer is 1 "
+        "for any non-null array here; write it literally",
+    ),
+    (
         re.compile(r"\b(?:get_bit|set_bit|get_byte|set_byte)\s*\(", re.IGNORECASE),
         "get_bit/set_bit/get_byte/set_byte over bytea have no Spark "
         "builtin — decompose with substr/unhex/conv or a pandas UDF",
@@ -5908,6 +5947,9 @@ def _translate_operators(sql: str) -> str:
     sql = _translate_quantified_comparisons(sql)
     sql = _rewrite_calls(sql, _ARRAY_LENGTH_OPEN_RE, _build_array_length)
     sql = _rewrite_calls(sql, _ARRAY_POSITION_OPEN_RE, _build_array_position)
+    sql = _rewrite_calls(
+        sql, _GENERATE_SUBSCRIPTS_OPEN_RE, _build_generate_subscripts
+    )
     sql = _outside_literals(
         sql,
         lambda s: re.sub(
