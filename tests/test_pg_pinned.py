@@ -2631,3 +2631,16 @@ def test_string_to_array_empty_edges_pins(spark):
         "SELECT string_to_table('', ',') AS v"
     )).count()
     assert n == 0
+
+
+def test_array_shuffle_sample_translate(spark):
+    """PG 16 array_shuffle/array_sample → shuffle / slice∘shuffle
+    (round-11 probe batch 4; both were UNRESOLVED_ROUTINE). Random by
+    design, so the pins assert the INVARIANTS: permutation of the
+    input, sample size and membership."""
+    row = spark.sql(translate_pg_sql(
+        "SELECT array_shuffle(ARRAY[1,2,3]) AS s, "
+        "array_sample(ARRAY[1,2,3,4], 2) AS p"
+    )).first()
+    assert sorted(row["s"]) == [1, 2, 3]
+    assert len(row["p"]) == 2 and set(row["p"]) <= {1, 2, 3, 4}

@@ -4672,6 +4672,17 @@ def _build_array_length(args):
 _GENERATE_SUBSCRIPTS_OPEN_RE = re.compile(
     r"\bgenerate_subscripts\s*\(", re.IGNORECASE
 )
+_ARRAY_SAMPLE_OPEN_RE = re.compile(r"\barray_sample\s*\(", re.IGNORECASE)
+
+
+def _build_array_sample(args):
+    # PG 16: n random elements without replacement, random order; n may
+    # exceed cardinality only as an error in PG — slice() clamps
+    # instead (documented softening: loud vs clamp, never wrong values)
+    if len(args) != 2:
+        return None
+    head = f"slice(shuffle({args[0].strip()}"
+    return (head + f"), 1, {args[1].strip()})", len("slice(shuffle("))
 
 
 def _build_generate_subscripts(args):
@@ -6173,6 +6184,18 @@ def _translate_operators(sql: str) -> str:
             r"\bunicode\s*\(", "ascii(", s, flags=re.IGNORECASE
         ),
     )
+    # PG 16 array_shuffle → Spark shuffle (both: uniform random
+    # permutation, nondeterministic by design — rows-only testable);
+    # array_sample(a, n) → slice(shuffle(a), 1, n), PG's
+    # without-replacement random subset in random order (round-11
+    # probe batch 4 — both were UNRESOLVED_ROUTINE)
+    sql = _outside_literals(
+        sql,
+        lambda s: re.sub(
+            r"\barray_shuffle\s*\(", "shuffle(", s, flags=re.IGNORECASE
+        ),
+    )
+    sql = _rewrite_calls(sql, _ARRAY_SAMPLE_OPEN_RE, _build_array_sample)
     # round-9 session-4 function batch: bytea encode/decode, the SQL
     # quoting family, single-match regexp_match, interval construction
     # (regexp_matches — set-returning — runs with the other SRFs in
