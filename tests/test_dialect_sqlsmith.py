@@ -1295,7 +1295,34 @@ _V12_TYPES = {
 
 def gen_query_v12(i: int):
     r = random.Random(20260816 * 12000 + i)
-    shape = r.randrange(4)
+    shape = r.randrange(6)
+    if shape == 4:
+        # round-11 probe-batch-1 family: FLAGLESS regexp_replace is
+        # PG's FIRST-match replace (DuckDB agrees); composed with the
+        # 'g' and 'i' forms in one statement
+        pat = r.choice(["[aeiou]", "e", "[A-Z]", "s.", "c"])
+        rep = r.choice(["*", "X", "", "--"])
+        return (
+            f"SELECT event_id AS id, "
+            f"regexp_replace(event_type, '{pat}', '{rep}') AS first1, "
+            f"regexp_replace(event_type, '{pat}', '{rep}', 'g') AS allg, "
+            f"regexp_replace(event_type, '{pat}', '{rep}', 'i') AS ci1 "
+            f"FROM events WHERE event_id < {r.randint(20, 60)}",
+            _V12_TYPES,
+        )
+    if shape == 5:
+        # round-11 subscript family: 1-based, out-of-range → NULL on
+        # both engines for NON-NEGATIVE indexes (negative deviates:
+        # DuckDB counts from the end — pinned, not fuzzed)
+        idx = r.randint(0, 6)
+        sep = r.choice(["i", "e", "a", "c"])
+        return (
+            f"SELECT c_custkey, "
+            f"string_to_array(c_name, '{sep}')[{idx}] AS seg, "
+            f"string_to_array(c_name, '{sep}')[{r.randint(1, 3)}] AS seg2 "
+            f"FROM customer WHERE c_custkey < {r.randint(30, 80)}",
+            _V12_TYPES,
+        )
     if shape == 0:
         # date-preserving one hop: min/max/least/greatest/coalesce over
         # a date-typed column (the fixture stores o_orderdate as
