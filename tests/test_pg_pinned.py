@@ -2644,3 +2644,24 @@ def test_array_shuffle_sample_translate(spark):
     )).first()
     assert sorted(row["s"]) == [1, 2, 3]
     assert len(row["p"]) == 2 and set(row["p"]) <= {1, 2, 3, 4}
+
+
+def test_session_sequence_named_errors():
+    """Round-11 probe batch 5: PG session/sequence surfaces were raw
+    UNRESOLVED_ROUTINE — each now names its recipe. version()/
+    current_database()/current_schema()/current_user resolve natively
+    in Spark (engine-honest introspection) and stay untouched."""
+    import pytest
+
+    with pytest.raises(ValueError, match="sequences"):
+        translate_pg_sql("SELECT nextval('s')")
+    with pytest.raises(ValueError, match="schema"):
+        translate_pg_sql("SELECT pg_typeof(x) FROM t")
+    with pytest.raises(ValueError, match="introspection"):
+        translate_pg_sql("SELECT pg_sleep(1)")
+    with pytest.raises(ValueError, match="introspection"):
+        translate_pg_sql("SELECT current_setting('x')")
+    out = translate_pg_sql(
+        "SELECT version(), current_database(), current_user"
+    )
+    assert "version()" in out

@@ -5544,6 +5544,35 @@ _NAMED_ERROR_CALLS = [
         "text_phrase_search (phrase matching), text_tfidf_topk "
         "(see the querybank)",
     ),
+    # round-11 probe batch 5: PG session/sequence introspection — all
+    # were raw UNRESOLVED_ROUTINE
+    (
+        re.compile(
+            r"\b(?:nextval|currval|lastval|setval)\s*\(", re.IGNORECASE
+        ),
+        "PG sequences (nextval/currval/lastval/setval) have no Spark "
+        "counterpart — for surrogate ids use the engine's dense-id "
+        "assignment (ids_dense_assign: row_number over a stable sort) "
+        "or monotonically_increasing_id for sparse uniqueness",
+    ),
+    (
+        re.compile(r"\bpg_typeof\s*\(", re.IGNORECASE),
+        "pg_typeof is catalog introspection — read the DataFrame schema "
+        "(df.schema / DESCRIBE) instead; typeof() exists in Spark but "
+        "names Spark types, not PG types",
+    ),
+    (
+        re.compile(
+            r"\b(?:pg_sleep(?:_for|_until)?|txid_current|"
+            r"pg_backend_pid|set_config|current_setting|"
+            r"obj_description|col_description)\s*\(",
+            re.IGNORECASE,
+        ),
+        "PG server-session introspection (pg_sleep/txid_current/"
+        "pg_backend_pid/set_config/current_setting/obj_description) "
+        "has no Spark counterpart — session state lives in spark.conf, "
+        "and there is no per-row sleep in a distributed plan",
+    ),
     (
         re.compile(r"\barray_ndims\s*\(", re.IGNORECASE),
         "array_ndims: this engine models PG arrays as 1-D Spark arrays "
