@@ -225,6 +225,18 @@ _CORPUS = {
     # the FIRST match (DuckDB agrees) — the old verbatim pass-through
     # silently replaced all. Backref/backslash replacements are pinned
     # instead (the two engines' literal conventions diverge there).
+    # round-11 probe batch 6: EXTRACT fields from interval literals —
+    # DuckDB keeps PG's months/days/time storage split, so it agrees
+    # on every INTEGER field (fractional SECOND deviates: DuckDB
+    # truncates where PG keeps the fraction — pinned instead)
+    "extract_interval_fields": """
+        SELECT EXTRACT(HOUR FROM INTERVAL '26 hours') AS h26,
+               EXTRACT(DAY FROM INTERVAL '26 hours') AS d26,
+               EXTRACT(HOUR FROM INTERVAL '3 days 28 hours') AS h328,
+               EXTRACT(MINUTE FROM INTERVAL '90 minutes') AS m90,
+               EXTRACT(MONTH FROM INTERVAL '30 months') AS mo30,
+               EXTRACT(YEAR FROM INTERVAL '30 months') AS y30
+    """,
     # round-11: plain subscripts over known arrays — DuckDB is 1-based
     # with out-of-range NULL like PG for non-negative indexes (negative
     # indexes deviate: DuckDB counts from the end — pinned instead)

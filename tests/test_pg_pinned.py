@@ -2665,3 +2665,41 @@ def test_session_sequence_named_errors():
         "SELECT version(), current_database(), current_user"
     )
     assert "version()" in out
+
+
+# --- round-11 probe batch 6: EXTRACT fields from interval literals -----------
+# PG does NOT normalize an interval's time part into days: interval
+# '26 hours' has HOUR = 26 and DAY = 0, where Spark's day-time interval
+# (a single micros total) reported DAY 1 / HOUR 2 — a silent wrong
+# answer for every unnormalized literal. Literals now FOLD to PG's
+# exact field values at translation (non-literal operands keep Spark's
+# reading, which matches PG for subtraction-born intervals). All
+# literals hand-derived from PG 16; DuckDB agrees on the integer
+# fields (differential corpus) but truncates fractional SECOND.
+
+def test_extract_interval_field_pins(spark):
+    row = one(
+        spark,
+        "EXTRACT(HOUR FROM interval '26 hours') AS h26, "
+        "EXTRACT(DAY FROM interval '26 hours') AS d26, "
+        "EXTRACT(HOUR FROM interval '3 days 28 hours') AS h328, "
+        "EXTRACT(DAY FROM interval '3 days 28 hours') AS d328, "
+        "EXTRACT(MINUTE FROM interval '90 minutes') AS m90, "
+        "EXTRACT(SECOND FROM interval '1 min 30.5 secs') AS s305, "
+        "EXTRACT(YEAR FROM interval '30 months') AS y30, "
+        "EXTRACT(MONTH FROM interval '-30 months') AS mneg, "
+        "EXTRACT(HOUR FROM interval '1.5 days') AS hfrac, "
+        "EXTRACT(MICROSECONDS FROM interval '2.5 secs') AS us25",
+    )
+    assert row["h26"] == 26 and row["d26"] == 0
+    assert row["h328"] == 28 and row["d328"] == 3
+    assert row["m90"] == 30
+    assert float(row["s305"]) == 30.5
+    assert row["y30"] == 2 and row["mneg"] == -6
+    assert row["hfrac"] == 12
+    assert row["us25"] == 2500000
+
+
+def test_extract_interval_field_nonliteral_untouched():
+    out = translate_pg_sql("SELECT EXTRACT(HOUR FROM ts1 - ts2) FROM t")
+    assert "EXTRACT(HOUR FROM ts1 - ts2)" in out

@@ -1963,6 +1963,116 @@ def _interval_literal_epoch(body: str) -> float | None:
     return sign * total if seen else None
 
 
+# EXTRACT(field FROM INTERVAL 'literal') — PG does NOT normalize the
+# time part into days (interval '26 hours' has HOUR = 26, DAY = 0)
+# while Spark's day-time interval is a single micros total (HOUR = 2,
+# DAY = 1): a silent wrong answer for every unnormalized literal
+# (round-11 probe batch 6). Literal operands FOLD to PG's exact field
+# value here; non-literal operands keep Spark's reading, which AGREES
+# with PG for subtraction-born intervals (both split whole days).
+_EXTRACT_IVAL_FIELD_RE = re.compile(
+    r"\bEXTRACT\s*\(\s*(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND|MILLISECONDS?|"
+    r"MICROSECONDS?)S?\s+FROM\s+(INTERVAL\s+'(?:[^']|'')*')\s*\)"
+    r"|\bdate_part\s*\(\s*'(?i:(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND|"
+    r"MILLISECONDS?|MICROSECONDS?))S?'\s*,\s*(INTERVAL\s+'(?:[^']|'')*')"
+    r"\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _pg_interval_fields(body: str):
+    """(months, days, time_us) of a PG interval literal body with PG's
+    storage split (months / days / time kept separate — the field
+    extraction semantics need it), or None if unparseable. PG's
+    spreading rules: fractional months → days (30/mon), fractional
+    days/weeks → time."""
+    from decimal import Decimal
+
+    s = body.strip()
+    sign = 1
+    if s.lower().endswith("ago"):
+        s, sign = s[:-3].strip(), -1
+    months = Decimal(0)
+    days = Decimal(0)
+    us = Decimal(0)
+    pos, seen = 0, False
+    while pos < len(s):
+        if s[pos].isspace():
+            pos += 1
+            continue
+        m = _IVAL_ITEM_RE.match(s, pos)
+        if not m:
+            return None
+        if m.group(2) is not None:
+            unit = _IVAL_UNIT_ALIASES.get(m.group(2).lower(), m.group(2).lower())
+            if unit not in _IVAL_UNIT_SECONDS:
+                return None
+            q = Decimal(m.group(1))
+            if unit == "year":
+                months += q * 12
+            elif unit == "month":
+                months += q
+            elif unit == "week":
+                days += q * 7
+            elif unit == "day":
+                days += q
+            else:
+                us += q * int(_IVAL_UNIT_SECONDS[unit] * 1_000_000)
+        else:
+            hh = Decimal(m.group(3))
+            t = (
+                abs(hh) * 3600 + Decimal(m.group(4)) * 60
+                + Decimal(m.group(5) or 0)
+            ) * 1_000_000
+            us += -t if m.group(3).startswith("-") else t
+        seen = True
+        pos = m.end()
+    if not seen:
+        return None
+    mfrac = months - int(months)
+    if mfrac:
+        months = Decimal(int(months))
+        days += mfrac * 30
+    dfrac = days - int(days)
+    if dfrac:
+        days = Decimal(int(days))
+        us += dfrac * 86400 * 1_000_000
+    return sign * months, sign * days, sign * us
+
+
+def _extract_ival_field_repl(m: re.Match) -> str:
+    field = (m.group(1) or m.group(3)).upper().rstrip("S")
+    operand = (m.group(2) or m.group(4)).strip()
+    body = re.search(r"'((?:[^']|'')*)'", operand).group(1).replace("''", "'")
+    fields = _pg_interval_fields(body)
+    if fields is None:
+        raise ValueError(
+            f"EXTRACT({field} FROM INTERVAL '{body}'): interval shape "
+            "not recognized — spell it as '<n> <unit> ...' with an "
+            "optional HH:MM:SS tail"
+        )
+    months, days, us = fields
+    if field == "YEAR":
+        return str(int(months / 12))
+    if field == "MONTH":
+        return str(int(months) - 12 * int(months / 12))
+    if field == "DAY":
+        return str(int(days))
+    if field == "HOUR":
+        return str(int(us / 3_600_000_000))
+    if field == "MINUTE":
+        return str(int(us / 60_000_000) - 60 * int(us / 3_600_000_000))
+    rem_us = us - 60_000_000 * int(us / 60_000_000)  # sign follows us
+    if field == "MICROSECOND":
+        return str(int(rem_us))
+    if field == "MILLISECOND":
+        q = rem_us / 1000
+        return format(q.normalize(), "f") if q != int(q) else f"{int(q)}.0"
+    # SECOND: numeric with fraction
+    q = rem_us / 1_000_000
+    return format(q.normalize(), "f") if q != int(q) else f"{int(q)}.0"
+
+
 def _epoch_repl(m: re.Match) -> str:
     operand = (m.group(1) or m.group(2)).strip()
     im = re.fullmatch(
@@ -6280,6 +6390,12 @@ def _translate_operators(sql: str) -> str:
     # (a LITERAL interval operand folds to PG's fixed-conversion total
     # seconds instead — see _epoch_repl / _interval_literal_epoch)
     sql = _sub_skipping_literal_interiors(_EPOCH_RE, _epoch_repl, sql)
+    # EXTRACT(non-epoch field FROM INTERVAL 'literal') folds to PG's
+    # UN-normalized field value (hour 26 stays 26 — Spark's day-time
+    # interval would report day 1 hour 2); see _extract_ival_field_repl
+    sql = _sub_skipping_literal_interiors(
+        _EXTRACT_IVAL_FIELD_RE, _extract_ival_field_repl, sql
+    )
     # PG's year-derived EXTRACT fields Spark lacks (round-9 session 2):
     # CENTURY/MILLENNIUM count from year 1 (century 21 starts 2001-01-01),
     # DECADE is year/10 floored. AD years only — PG's BC numbering
