@@ -2703,3 +2703,27 @@ def test_extract_interval_field_pins(spark):
 def test_extract_interval_field_nonliteral_untouched():
     out = translate_pg_sql("SELECT EXTRACT(HOUR FROM ts1 - ts2) FROM t")
     assert "EXTRACT(HOUR FROM ts1 - ts2)" in out
+
+
+def test_date_trunc_yearfields_pins(spark):
+    """Round-11 probe batch 7: Spark's date_trunc returns NULL SILENTLY
+    for PG's decade/century/millennium fields. PG 16 hand-derived:
+    decades start at year%10 == 0 (2026 → 2020-01-01), centuries and
+    millennia at xx01 (century 21 = 2001-2100, so 2000-05-05 truncates
+    to 1901-01-01). DuckDB deviates (centuries at xx00, DATE-typed
+    result) — pins, not fuzz."""
+    import datetime
+
+    row = one(
+        spark,
+        "date_trunc('decade', timestamp '2026-08-16 10:00:00') AS d, "
+        "date_trunc('century', timestamp '2026-08-16 10:00:00') AS c, "
+        "date_trunc('millennium', timestamp '2026-08-16 10:00:00') AS m, "
+        "date_trunc('century', timestamp '2000-05-05 00:00:00') AS c2000, "
+        "date_trunc('month', timestamp '2026-08-16 10:00:00') AS mon",
+    )
+    assert row["d"] == datetime.datetime(2020, 1, 1)
+    assert row["c"] == datetime.datetime(2001, 1, 1)
+    assert row["m"] == datetime.datetime(2001, 1, 1)
+    assert row["c2000"] == datetime.datetime(1901, 1, 1)
+    assert row["mon"] == datetime.datetime(2026, 8, 1)  # native field untouched

@@ -5406,9 +5406,36 @@ def _translate_window_filter(sql: str) -> str:
 _DATE_TRUNC_OPEN_RE = re.compile(r"\bdate_trunc\s*\(", re.IGNORECASE)
 
 
+# PG date_trunc fields Spark's date_trunc does NOT know — it returns
+# NULL for them SILENTLY (round-11 probe batch 7: decade/century/
+# millennium all came back NULL). PG semantics: decades start at
+# year%10 == 0; centuries and millennia at xx01 (century 21 =
+# 2001-2100), same origin convention as the EXTRACT year-field
+# rewrites above. AD years only, like those.
+_DATE_TRUNC_YEARFIELD_EXPRS = {
+    "decade": "(CAST(floor(extract(YEAR FROM {x}) / 10) AS INT) * 10)",
+    "century": "(CAST(floor((extract(YEAR FROM {x}) - 1) / 100) AS INT)"
+    " * 100 + 1)",
+    "millennium": "(CAST(floor((extract(YEAR FROM {x}) - 1) / 1000) AS"
+    " INT) * 1000 + 1)",
+}
+
+
 def _build_date_trunc_zoned(args):
+    if len(args) in (2, 3):
+        fm = re.fullmatch(r"\s*'(\w+)'\s*", args[0])
+        fld_name = fm.group(1).lower() if fm else None
+        if fld_name in _DATE_TRUNC_YEARFIELD_EXPRS:
+            x = args[1].strip()
+            if len(args) == 3:
+                x = f"from_utc_timestamp({x}, {args[2].strip()})"
+            y = _DATE_TRUNC_YEARFIELD_EXPRS[fld_name].format(x=x)
+            out = f"CAST(make_date({y}, 1, 1) AS TIMESTAMP)"
+            if len(args) == 3:
+                out = f"to_utc_timestamp({out}, {args[2].strip()})"
+            return (out, 0)
     if len(args) != 3:
-        return None  # 2-arg form is native Spark
+        return None  # other 2-arg fields are native Spark
     fld, ts, zone = (a.strip() for a in args)
     head = f"to_utc_timestamp(date_trunc({fld}, "
     return (
