@@ -1353,3 +1353,62 @@ def pg_dialect_jsonb_mutators(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM orders WHERE o_orderkey % 41 = 0",
         pg_dialect=True,
     )
+
+
+@register(
+    "pg_dialect_probe_fixes_r11",
+    # Oracle notes: every lane here is a shape where DuckDB agrees with
+    # PG — flagless regexp_replace replaces only the FIRST match,
+    # interval EXTRACT keeps PG's months/days/time storage split
+    # (integer fields), date_trunc('decade') starts at year%10 == 0,
+    # and string subscripts are 1-based with out-of-range NULL. The
+    # PG-only shapes DuckDB deviates on (replacement backrefs,
+    # fractional SECOND, century/millennium origins, empty-input
+    # string_to_array) are pinned in tests/test_pg_pinned.py instead.
+    oracle="""
+SELECT c_custkey,
+  regexp_replace(c_name, '[0-9]', 'X') AS first_x,
+  regexp_replace(c_name, '[0-9]', 'X', 'g') AS all_x,
+  string_to_array(c_name, '#')[2] AS seg2,
+  string_to_array(c_name, '#')[9] AS beyond,
+  EXTRACT(HOUR FROM INTERVAL '26 hours') AS h26,
+  EXTRACT(DAY FROM INTERVAL '26 hours') AS d26,
+  EXTRACT(MONTH FROM INTERVAL '30 months') AS mo30,
+  date_trunc('decade', TIMESTAMP '2026-08-16 00:00:00')::DATE::VARCHAR
+    AS dec_start
+FROM customer WHERE c_custkey % 11 = 0
+""",
+)
+def pg_dialect_probe_fixes_r11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-11 probe-batch silent-delta fixes end-to-end on the
+    delegated-SQL contract (reference ``client.py:300-304`` ships user
+    SQL verbatim): flagless ``regexp_replace`` (PG replaces only the
+    FIRST match — was silently all), 1-based array subscripts with
+    out-of-range NULL (was Spark's 0-based reading), interval
+    ``EXTRACT`` with PG's un-normalized field split (``interval '26
+    hours'`` has HOUR 26 / DAY 0 — was 2/1), and
+    ``date_trunc('decade')`` (was a silent NULL — Spark returns NULL
+    for unknown fields instead of erroring).
+
+    Scale: map-only projection over one pruned scan; the first-match
+    rewrite is regexp_instr/regexp_extract position surgery in
+    whole-stage codegen, the interval/date fields fold to constants at
+    translation time — no Python boundary, no shuffle."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    tables(spark, sf_dir)
+    return run_sql(
+        spark,
+        "SELECT c_custkey, "
+        "regexp_replace(c_name, '[0-9]', 'X') AS first_x, "
+        "regexp_replace(c_name, '[0-9]', 'X', 'g') AS all_x, "
+        "string_to_array(c_name, '#')[2] AS seg2, "
+        "string_to_array(c_name, '#')[9] AS beyond, "
+        "EXTRACT(HOUR FROM INTERVAL '26 hours') AS h26, "
+        "EXTRACT(DAY FROM INTERVAL '26 hours') AS d26, "
+        "EXTRACT(MONTH FROM INTERVAL '30 months') AS mo30, "
+        "date_trunc('decade', TIMESTAMP '2026-08-16 00:00:00')"
+        "::date::text AS dec_start "
+        "FROM customer WHERE c_custkey % 11 = 0",
+        pg_dialect=True,
+    )
