@@ -2727,3 +2727,20 @@ def test_date_trunc_yearfields_pins(spark):
     assert row["m"] == datetime.datetime(2001, 1, 1)
     assert row["c2000"] == datetime.datetime(1901, 1, 1)
     assert row["mon"] == datetime.datetime(2026, 8, 1)  # native field untouched
+
+
+def test_chr_codepoint_pins(spark):
+    """PG chr(n) is the UNICODE code point — Spark's chr wraps modulo
+    256, so chr(8364) silently returned '¬' instead of '€' (round-11
+    probe batch 8). Java's %c formatter is the exact reading,
+    supplementary planes included. DuckDB agrees with PG."""
+    row = one(
+        spark,
+        "chr(8364) AS euro, chr(65) AS a, chr(128512) AS emoji, "
+        "chr(10) AS nl, ascii(chr(8364)) AS rt",
+    )
+    assert row["euro"] == "€"
+    assert row["a"] == "A"
+    assert row["emoji"] == "\U0001F600"
+    assert row["nl"] == "\n"
+    assert row["rt"] == 8364  # chr/ascii round-trip at full code points

@@ -4783,6 +4783,17 @@ _GENERATE_SUBSCRIPTS_OPEN_RE = re.compile(
     r"\bgenerate_subscripts\s*\(", re.IGNORECASE
 )
 _ARRAY_SAMPLE_OPEN_RE = re.compile(r"\barray_sample\s*\(", re.IGNORECASE)
+_CHR_OPEN_RE = re.compile(r"\bchr\s*\(", re.IGNORECASE)
+
+
+def _build_chr_codepoint(args):
+    # PG chr(n) = Unicode code point; Spark's chr is n % 256. Java's
+    # %c formatter IS the code-point reading. The int cast keeps
+    # bigint-typed operands legal for %c.
+    if len(args) != 1:
+        return None
+    head = "format_string('%c', CAST("
+    return (head + f"{args[0].strip()} AS INT))", len(head))
 
 
 def _build_array_sample(args):
@@ -6350,6 +6361,12 @@ def _translate_operators(sql: str) -> str:
             r"\bunicode\s*\(", "ascii(", s, flags=re.IGNORECASE
         ),
     )
+    # PG chr(n) is the UNICODE code point; Spark's chr wraps modulo 256
+    # (chr(8364) was '¬', not '€' — round-11 probe batch 8, silent for
+    # every non-Latin-1 code point). Java's %c formatter takes a code
+    # point, supplementary planes included (probed: 128512 → 😀).
+    # Residual: PG raises on chr(0); Java emits NUL silently.
+    sql = _rewrite_calls(sql, _CHR_OPEN_RE, _build_chr_codepoint)
     # PG 16 array_shuffle → Spark shuffle (both: uniform random
     # permutation, nondeterministic by design — rows-only testable);
     # array_sample(a, n) → slice(shuffle(a), 1, n), PG's
