@@ -2744,3 +2744,81 @@ def test_chr_codepoint_pins(spark):
     assert row["emoji"] == "\U0001F600"
     assert row["nl"] == "\n"
     assert row["rt"] == 8364  # chr/ascii round-trip at full code points
+
+
+def test_chr_null_strict_pin(spark):
+    """PG chr is STRICT (NULL in, NULL out) — the format_string('%c')
+    rewrite alone renders a NULL argument as the 4-char text 'null'
+    (round-11 advisor finding; verified live). The CASE guard restores
+    NULL strictness."""
+    row = one(
+        spark,
+        "chr(NULL) AS n, chr(CASE WHEN 1=2 THEN 65 END) AS expr_null, "
+        "chr(65) AS still_a",
+    )
+    assert row["n"] is None
+    assert row["expr_null"] is None
+    assert row["still_a"] == "A"
+
+
+def test_int_division_inside_failed_chain_pins(spark):
+    """Round-11 advisor finding: `nullif(a/b, 2)/2` matched the whole
+    chain, failed the integral check on the call term, and left the
+    INNER a/b Spark-fractional — PG a=5,b=2 gives nullif(2,2)=NULL
+    while the engine gave nullif(2.5,2)/2 = 1.25. The failure branch
+    now recurses into call interiors; the OUTER `/` stays fractional
+    (documented residual — call result types are invisible)."""
+    ct = {"a": "int4", "b": "int4", "c": "int4"}
+    out = translate_pg_sql("SELECT nullif(a/b, 2)/2 AS r FROM t", column_types=ct)
+    assert "nullif(div(a, b), 2)" in out
+    out2 = translate_pg_sql(
+        "SELECT coalesce(nullif(a/b, 0), a/c)/2 AS r FROM t", column_types=ct
+    )
+    assert "coalesce(nullif(div(a, b), 0), div(a, c))" in out2
+    # live value: a=5, b=2 → PG nullif(5/2=2, 2) IS NULL
+    row = spark.sql(
+        translate_pg_sql(
+            "SELECT nullif(a/b, 2) AS r FROM (SELECT 5 AS a, 2 AS b)",
+            column_types=ct,
+        )
+    ).first()
+    assert row["r"] is None
+    # one-hop success shapes keep their div routing
+    assert "div(abs(a), b)" in translate_pg_sql(
+        "SELECT abs(a)/b FROM t", column_types=ct
+    )
+
+
+def test_round_inner_numeric_cast_reclaims_numeric_pins(spark):
+    """Round-11 advisor finding: an INNER ::numeric cast followed by
+    arithmetic still routed round() to bround — but PG types
+    `ratio::numeric + 1` as numeric (the cast re-types BEFORE the
+    arithmetic; numeric+int is numeric) and rounds half-away. Float
+    evidence is now read from a decimal-cast-neutralized mask; genuine
+    float promotion (`ratio + 1`) keeps the half-even bround route."""
+    ct = {"ratio": "float8"}
+    out = translate_pg_sql(
+        "SELECT round(ratio::numeric + 1) AS r FROM t", column_types=ct
+    )
+    assert "bround" not in out
+    out2 = translate_pg_sql("SELECT round(ratio + 1) AS r FROM t", column_types=ct)
+    assert "bround(ratio + 1)" in out2
+    # live value: ratio=1.5 → 1.5::numeric + 1 = 2.5 → PG round = 3
+    row = spark.sql(
+        translate_pg_sql(
+            "SELECT round(ratio::numeric + 1) AS r "
+            "FROM (SELECT CAST(1.5 AS DOUBLE) AS ratio)",
+            column_types=ct,
+        )
+    ).first()
+    assert int(row["r"]) == 3
+    # int-cast routing shares the neutralizer: (ratio::numeric)::int
+    # rounds half-away (PG numeric→int), not half-even
+    row2 = spark.sql(
+        translate_pg_sql(
+            "SELECT ((ratio::numeric + 1))::int AS r "
+            "FROM (SELECT CAST(1.5 AS DOUBLE) AS ratio)",
+            column_types=ct,
+        )
+    ).first()
+    assert row2["r"] == 3

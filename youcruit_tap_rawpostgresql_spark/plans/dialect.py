@@ -700,6 +700,39 @@ def _column_type(name: str, column_types: Mapping[str, str] | None) -> str | Non
     return re.sub(r"\(.*\)", "", str(t)).strip().lower()
 
 
+_DEC_CAST_SUFFIX_RE = re.compile(
+    r"::\s*(?:numeric|decimal|dec)\b(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?",
+    re.IGNORECASE,
+)
+
+
+def _dec_cast_neutralized(operand: str) -> str:
+    """Masked text of ``operand`` with every subexpression CLAIMED by a
+    decimal cast blanked out. PG re-types the cast's input before any
+    surrounding arithmetic (``ratio::numeric + 1`` is numeric+int even
+    when ratio is float8), so float evidence found inside such a span
+    must not route the enclosing round/cast to the float (half-even)
+    kernel. Handles both spellings: ``CAST(x AS decimal(...))`` (the
+    already-translated form) and ``x::numeric``."""
+    chars = list(_masked(operand))
+    text = "".join(chars)
+    spans = _opaque_spans(operand)
+    for m in re.finditer(r"\bCAST\s*\(", text, re.IGNORECASE):
+        close_i = _matching_paren(text, m.end() - 1)
+        if close_i < 0:
+            continue
+        inner = text[m.end() : close_i]
+        if re.search(r"\bAS\s+(?:decimal|numeric|dec)\b", inner, re.IGNORECASE):
+            for i in range(m.start(), close_i + 1):
+                chars[i] = " "
+    for m in _DEC_CAST_SUFFIX_RE.finditer(text):
+        span = _operand_left_span(operand, text, spans, m.start())
+        start = span[0] if span is not None else m.start()
+        for i in range(start, m.end()):
+            chars[i] = " "
+    return "".join(chars)
+
+
 def _int_cast_round_fn(
     operand: str, column_types: Mapping[str, str] | None = None
 ) -> str | None:
@@ -740,7 +773,11 @@ def _int_cast_round_fn(
         if t in _DEC_PG_COL_TYPES:
             return "round"
         return None
-    if _FLOAT_EXP_LIT_RE.search(cmask) or _FLOAT_CAST_TEXT_RE.search(cmask):
+    # float evidence is read from the DECIMAL-CAST-NEUTRALIZED mask: a
+    # float literal/cast/column inside a ::numeric span is re-typed by
+    # PG before the surrounding arithmetic, so it must not pick bround
+    nmask = _dec_cast_neutralized(core)
+    if _FLOAT_EXP_LIT_RE.search(nmask) or _FLOAT_CAST_TEXT_RE.search(nmask):
         return "bround"
     dec_evidence = bool(
         _FRAC_DEC_LIT_RE.search(cmask) or _DEC_CAST_TEXT_RE.search(cmask)
@@ -748,7 +785,7 @@ def _int_cast_round_fn(
     if column_types:
         kinds = {
             _column_type(t.group(0), column_types)
-            for t in _IDENT_TOKEN_RE.finditer(cmask)
+            for t in _IDENT_TOKEN_RE.finditer(nmask)
         }
         if kinds & _FLOAT_PG_COL_TYPES:
             return "bround"
@@ -775,14 +812,18 @@ def _float_operand_evidence(
     ``CAST(… AS double)`` spelling), or — with the declared stream
     schemas — a float-typed column ref anywhere in it (PG's numeric
     promotion: any float8 input makes +-*/ and least/greatest float8).
-    A trailing decimal cast overrides: the outermost type wins."""
+    A trailing decimal cast overrides: the outermost type wins; an
+    INNER decimal cast neutralizes float evidence within its span
+    (``ratio::numeric + 1`` is numeric+int in PG even when ratio is
+    float8 — the cast re-types before the arithmetic)."""
     cmask = _masked(operand)
     if _TRAILING_DEC_CAST_RE.search(cmask):
         return False
-    if _FLOAT_EXP_LIT_RE.search(cmask) or _FLOAT_CAST_TEXT_RE.search(cmask):
+    nmask = _dec_cast_neutralized(operand)
+    if _FLOAT_EXP_LIT_RE.search(nmask) or _FLOAT_CAST_TEXT_RE.search(nmask):
         return True
     if column_types:
-        for t in _IDENT_TOKEN_RE.finditer(cmask):
+        for t in _IDENT_TOKEN_RE.finditer(nmask):
             if _column_type(t.group(0), column_types) in _FLOAT_PG_COL_TYPES:
                 return True
     return False
@@ -1239,6 +1280,12 @@ def _term_is_integral(
     if fn not in _INT_PRESERVING_FNS and fn != "sum":
         return False
     imask = _masked(inner)
+    # an interior `/` is consumed by the outer chain match and never
+    # rewritten, so it stays Spark-fractional — nullif(a/b, 2)/2 would
+    # silently diverge from PG; leave those shapes as documented
+    # residuals rather than claim them
+    if "/" in imask:
+        return False
     if _FRAC_DEC_LIT_RE.search(imask) or _FLOAT_EXP_LIT_RE.search(imask):
         return False
     if _FLOAT_CAST_TEXT_RE.search(imask) or _DEC_CAST_TEXT_RE.search(imask):
@@ -1251,6 +1298,34 @@ def _term_is_integral(
     # literal-only interiors (sum(1), abs(-3)) are integral iff a digit
     # survived the fractional screens above
     return bool(toks) or bool(re.search(r"\d", imask))
+
+
+def _int_div_in_call_args(
+    seg: str, column_types: Mapping[str, str] | None
+) -> str:
+    """Apply the integer-division rewrite INSIDE the argument lists of
+    the calls in ``seg`` (used when an enclosing ``/``-chain failed the
+    integral check but a call term like ``nullif(a/b, 2)`` still holds
+    a visibly-integer division). Mutually recursive with
+    ``_translate_int_division`` through its failure branch, so nesting
+    resolves at every depth."""
+    mask = _masked(seg)
+    out: list[str] = []
+    last = 0
+    for m in re.finditer(r"[A-Za-z_]\w*\s*\(", mask):
+        if m.start() < last:
+            continue
+        close = _matching_paren(mask, m.end() - 1)
+        if close < 0:
+            continue
+        inner = seg[m.end() : close]
+        new = _translate_int_division(inner, column_types)
+        if new != inner:
+            out.append(seg[last : m.end()])
+            out.append(new)
+            last = close
+    out.append(seg[last:])
+    return "".join(out)
 
 
 def _translate_int_division(
@@ -1307,6 +1382,18 @@ def _translate_int_division(
         if len(parts) < 2:
             continue
         if not all(_term_is_integral(t, column_types) for t in parts):
+            # the failed chain may still hold a complete integer
+            # division INSIDE a call term (nullif(a/b, 2)/2): recurse
+            # into call interiors so the inner `/` keeps PG's
+            # truncating read even though the outer `/` stays
+            # Spark-fractional (documented residual — the call's
+            # result type isn't visible without real inference)
+            seg = sql[start:end]
+            inner = _int_div_in_call_args(seg, column_types)
+            if inner != seg:
+                out.append(sql[last:start])
+                out.append(inner)
+                last = end
             continue
         expr = parts[0]
         for nxt in parts[1:]:
@@ -4789,11 +4876,15 @@ _CHR_OPEN_RE = re.compile(r"\bchr\s*\(", re.IGNORECASE)
 def _build_chr_codepoint(args):
     # PG chr(n) = Unicode code point; Spark's chr is n % 256. Java's
     # %c formatter IS the code-point reading. The int cast keeps
-    # bigint-typed operands legal for %c.
+    # bigint-typed operands legal for %c. PG chr is NULL-strict while
+    # format_string renders a NULL argument as the text 'null' — the
+    # CASE guard (operand duplicated, like the other guards here)
+    # restores NULL-in/NULL-out.
     if len(args) != 1:
         return None
-    head = "format_string('%c', CAST("
-    return (head + f"{args[0].strip()} AS INT))", len(head))
+    a = args[0].strip()
+    head = f"CASE WHEN ({a}) IS NULL THEN NULL ELSE format_string('%c', CAST("
+    return (head + f"{a} AS INT)) END", len("CASE WHEN ("))
 
 
 def _build_array_sample(args):

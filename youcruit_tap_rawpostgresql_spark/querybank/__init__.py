@@ -38,45 +38,38 @@ from youcruit_tap_rawpostgresql_spark.querybank import corpus  # noqa: F401,E402
 # which round's window. Names here must exist; a typo fails loudly at
 # import time rather than silently shrinking the checked window.
 _PINS = [
-    # r11: the full flagship pin set returns after r10's one-round trim
-    # (ROTATION.md) — raw-SQL scan, live JDBC, the sink round-trip, and
-    # the LLM-pipeline flagships
+    # r12: flagship pin set unchanged (ROTATION.md) — raw-SQL scan,
+    # live JDBC, the sink round-trip, and the LLM-pipeline flagships
     "q1_pricing_summary", "q21_sole_late_supplier",
     "tap_batch_export_roundtrip", "tap_jdbc_live_roundtrip",
     "dedup_minhash_lsh", "sim_cosine_topk", "sim_ann_ivf_pq",
     "text_tfidf_topk", "kmeans_embed_lloyd", "stream_stateful_sessionize",
 ]
-_ROTATION_R11 = [
-    # the two r10 `err` rows FIRST (round-10 judge directive 1): their
-    # array outputs now ship as to_json text — these driver rows going
-    # green closes the bank at 325/325 driver-grade
-    "pg_dialect_agg_order_semantics", "pg_dialect_quoting_encode",
-    # round-11-born (new code needs driver rows most): the jsonb
-    # mutator family (directive 5) and the GROUPS-frame rewrite
-    # (directive 6)
-    "pg_dialect_jsonb_mutators", "win_groups_frame",
-    # the rest of the window refreshes the OLDEST driver evidence
-    # (round-10 judge directive 3): 36 of the 49 cases whose only
-    # driver row is r02 — six-plus rounds stale — prioritizing the
-    # dialect-routed and window/aggregate kernels that churned since
-    # (array_agg/string_agg rewrites, ORDER-BY null placement, the
-    # round-9/10 window-frame passes). The 13 deferred-to-r12 cases
-    # are untouched Spark-native join/set-op/sort kernels (see
-    # ROTATION.md).
-    "agg_approx_distinct", "agg_array_agg_distinct", "agg_bool_and_or",
-    "agg_cube", "agg_distinct", "agg_filter_clause", "agg_grouping_sets",
-    "agg_having", "agg_rollup", "agg_share_of_parent", "agg_stats",
-    "agg_string_agg", "agg_weighted_avg", "join_null_safe",
-    "join_range_quantity", "join_theta_pairs", "proj_literals_pg_dialect",
-    "q3_top_orders", "q5_nation_revenue", "set_except_all",
-    "set_intersect_all", "sort_keyset_page", "sort_limit_offset",
-    "subquery_notin_vs_notexists", "tablefunc_regexp_matches",
-    "topk_per_group", "win_agg_over_whole_partition",
-    "win_centered_time_frame", "win_ignore_nulls_locf", "win_lag_lead",
-    "win_last_nth", "win_range_frame", "win_ranking", "win_running_agg",
-    "win_sliding_rows", "win_time_range_frame",
+_ROTATION_R12 = [
+    # round-11 judge directive 1: the late-registered r11 probe-fix
+    # family FIRST (pins + oracle but no driver row yet)
+    "pg_dialect_probe_fixes_r11",
+    # the 13 r02-cohort join/set-op/sort cases deferred from r11
+    # (stable Spark-native kernels; their only driver row is r02)
+    "join_inner", "join_left_outer", "join_right_outer",
+    "join_full_outer", "join_cross", "join_semi", "join_anti",
+    "set_union_all", "set_union_distinct", "set_intersect",
+    "set_except", "sort_limit", "filter_predicates",
+    # the r03–r04 cohort (20 cases, oldest remaining driver evidence)
+    "cdc_snapshot_diff", "dedup_exact", "graph_pagerank_trade",
+    "join_asof_nearest", "multimodal_decode", "pack_greedy_capacity",
+    "scalar_array_lambda", "scalar_datetime", "scalar_json",
+    "scalar_string", "sessionize", "sim_ann_lsh_multiprobe",
+    "tap_conform_schema", "tap_flatten", "tap_full_table_start",
+    "tap_incremental_bookmark", "tap_stream_map", "text_quality",
+    "text_token_stats", "udf_pandas_tokens",
+    # tail slots: r12-born cases land here as the round produces them
+    # (swapping out the r05-cohort refreshes below, newest-first);
+    # until then, next-oldest evidence (r05 cohort) fills the window
+    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
+    "subquery_exists_correlated", "cte_top_supplier", "join_lateral",
 ]
-_PREFIX = _PINS + _ROTATION_R11
+_PREFIX = _PINS + _ROTATION_R12
 assert len(_PREFIX) == 50, f"driver window is 50 entries, prefix has {len(_PREFIX)}"
 _missing = [n for n in _PREFIX if n not in REGISTRY]
 assert not _missing, f"prefix names not in REGISTRY: {_missing}"
@@ -85,4 +78,4 @@ _reordered = {k: REGISTRY[k] for k in _PREFIX}
 _reordered.update(_rest)
 REGISTRY.clear()
 REGISTRY.update(_reordered)
-del _PREFIX, _missing, _rest, _reordered, _PINS, _ROTATION_R11
+del _PREFIX, _missing, _rest, _reordered, _PINS, _ROTATION_R12
