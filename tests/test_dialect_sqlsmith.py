@@ -1394,3 +1394,62 @@ N_CASES_V12 = 80
 def test_sqlsmith_differential_v12(sview_g, duck_g, i):
     pg_sql, ct = gen_query_v12(i)
     assert_differential(sview_g, duck_g, pg_sql, column_types=ct)
+
+
+# --- grammar v13: round-11 judge directive 2 — first-match (flagless)
+# regexp_replace WITH \n backref replacements, composed with 'g'/'i'
+# flags and PG-16 start offsets. Replacements are spelled as E''
+# strings so the SAME text means chars \n on both engines (module
+# policy decodes E-strings exactly; DuckDB's E'' likewise), and DuckDB
+# arbitrates: its regexp_replace is also first-match-by-default with
+# RE2 \n refs. NOT here: \& (DuckDB spells it \0 — pinned), non-E
+# plain-literal backrefs (Spark-escaping policy differs — pinned +
+# the standard_conforming_strings mode).
+
+def gen_query_v13(i: int):
+    r = random.Random(20260816 * 13000 + i)
+    shape = r.randrange(3)
+    pat, rep = r.choice([
+        ("([a-z]+)([0-9]+)", r"<\\2-\\1>"),
+        ("(e)(v)", r"\\2\\1"),
+        ("([aeiou])", r"[\\1\\1]"),
+        ("(s)(.)", r"\\2*\\1"),
+        ("(c)(ustomer)", r"\\2#\\1"),
+    ])
+    if shape == 0:
+        # flagless = first match only, backrefs live
+        return (
+            f"SELECT event_id AS id, "
+            f"regexp_replace(event_type, '{pat}', E'{rep}') AS first1 "
+            f"FROM events WHERE event_id < {r.randint(20, 60)}",
+            None,
+        )
+    if shape == 1:
+        # same replacement under 'g' (the long-standing java-$n route)
+        # and 'i' (case-fold composes with the backref surgery)
+        return (
+            f"SELECT c_custkey, "
+            f"regexp_replace(c_name, '{pat}', E'{rep}', 'g') AS allg, "
+            f"regexp_replace(c_name, '{pat}', E'{rep}', 'i') AS ci1 "
+            f"FROM customer WHERE c_custkey < {r.randint(20, 70)}",
+            None,
+        )
+    # shape 2: PG-16 start offset with backrefs (start is 1-based;
+    # DuckDB has no start param, so anchor parity through substr)
+    start = r.randint(1, 4)
+    return (
+        f"SELECT event_id AS id, "
+        f"substr(event_type, 1, {start - 1}) || "
+        f"regexp_replace(substr(event_type, {start}), '{pat}', E'{rep}') "
+        f"AS v FROM events WHERE event_id < {r.randint(20, 50)}",
+        None,
+    )
+
+
+N_CASES_V13 = 60
+
+
+@pytest.mark.parametrize("i", range(N_CASES_V13))
+def test_sqlsmith_differential_v13(sview_g, duck_g, i):
+    pg_sql, ct = gen_query_v13(i)
+    assert_differential(sview_g, duck_g, pg_sql, column_types=ct)
