@@ -118,8 +118,12 @@ def sview(spark):
     return spark
 
 
-def assert_differential(spark, duck, pg_sql: str, column_types=None) -> None:
-    translated = translate_pg_sql(pg_sql, column_types=column_types)
+def assert_differential(
+    spark, duck, pg_sql: str, column_types=None, scs: bool = False
+) -> None:
+    translated = translate_pg_sql(
+        pg_sql, column_types=column_types, standard_conforming_strings=scs
+    )
     s_cols, s_recs = normalize(spark.sql(translated).toPandas())
     d_cols, d_recs = normalize(duck.execute(pg_sql).df())
     assert [c.lower() for c in s_cols] == [c.lower() for c in d_cols], (

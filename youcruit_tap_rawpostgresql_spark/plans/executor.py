@@ -80,6 +80,7 @@ def run_sql(
     params: Mapping[str, Any] | None = None,
     pg_dialect: bool = True,
     column_types: Mapping[str, str] | None = None,
+    standard_conforming_strings: bool = False,
 ) -> DataFrame:
     """Execute a SQL string (optionally PG-dialect) over registered views.
 
@@ -94,13 +95,22 @@ def run_sql(
     the declared stream schemas, ``ytrs/spec.py``) enabling the
     dialect's type-dependent rewrites — integer ``/`` → div,
     ``date - date`` → datediff, ``::int`` rounding — over plain column
-    refs; see ``translate_pg_sql``."""
+    refs; see ``translate_pg_sql``.
+
+    ``standard_conforming_strings`` (round-12): PG's server-default
+    literal reading — backslashes in plain '…' literals are data; see
+    ``translate_pg_sql``."""
     if not sql or not sql.strip():
         raise SpecError("sql must not be empty")  # reference client.py:255-258
     if pg_dialect:
         ensure_pg_functions(spark)
     text = (
-        translate_pg_sql(sql, bind=False, column_types=column_types)
+        translate_pg_sql(
+            sql,
+            bind=False,
+            column_types=column_types,
+            standard_conforming_strings=standard_conforming_strings,
+        )
         if pg_dialect
         else sql
     )
@@ -114,6 +124,7 @@ def run_stream_sql(
     spec: StreamSpec,
     params: Mapping[str, Any] | None = None,
     use_declared_types: bool = True,
+    standard_conforming_strings: bool = False,
 ) -> DataFrame:
     """Execute a stream's declared SQL with bound parameters.
 
@@ -129,4 +140,5 @@ def run_stream_sql(
         params=params,
         pg_dialect=True,
         column_types=spec.column_types if use_declared_types else None,
+        standard_conforming_strings=standard_conforming_strings,
     )

@@ -165,6 +165,11 @@ class TapConfig:
     stream_map_config: dict = field(default_factory=dict)
     flattening_enabled: bool = False
     flattening_max_depth: int | None = None
+    # PG's server-default literal reading (standard_conforming_strings=on,
+    # since 9.1): backslashes in plain '…' stream SQL literals are data.
+    # Off by default for backward compatibility with config SQL authored
+    # against this engine's historical Spark-escaped literal policy.
+    standard_conforming_strings: bool = False
     # live-source mode: when set, stream SQL is SHIPPED to the source
     # database over JDBC (reference ``client.py:300-304`` — the SQL runs
     # in the source engine's dialect) instead of executing on registered
@@ -232,6 +237,9 @@ class TapConfig:
             stream_map_config=raw.get("stream_map_config", {}),
             flattening_enabled=raw.get("flattening_enabled", False),
             flattening_max_depth=raw.get("flattening_max_depth"),
+            standard_conforming_strings=raw.get(
+                "standard_conforming_strings", False
+            ),
             jdbc=jdbc,
             jdbc_target=raw.get("jdbc_target"),
         )

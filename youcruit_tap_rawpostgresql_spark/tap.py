@@ -183,7 +183,14 @@ class SparkTap:
         if self.config.jdbc is not None:
             df = self._run_jdbc_stream(spec, params)
         else:
-            df = run_stream_sql(self.spark, spec, params=params)
+            df = run_stream_sql(
+                self.spark,
+                spec,
+                params=params,
+                standard_conforming_strings=(
+                    self.config.standard_conforming_strings
+                ),
+            )
         df = conform(df, spec)
         if spec.replication_key and bookmark is not None and not uses_marker:
             df = apply_replication_filter(df, spec, bookmark)
