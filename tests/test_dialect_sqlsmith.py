@@ -1512,3 +1512,56 @@ N_CASES_V14 = 48
 @pytest.mark.parametrize("i", range(N_CASES_V14))
 def test_sqlsmith_differential_v14_scs(sview_g, duck_g, i):
     assert_differential(sview_g, duck_g, gen_query_v14(i), scs=True)
+
+
+# --- grammar v15: round-11 judge directive 4 — NESTED type-preserving
+# calls in integral /-chains and date subtraction. DuckDB arbitration:
+# `//` has PG's truncating semantics... no — DuckDB's `/` is ALWAYS
+# fractional, so int-chain truncation itself is pinned; what DuckDB CAN
+# arbitrate is the date side (date - date = integer days in both) and
+# the NON-routing of re-typing interiors (fractional stays fractional
+# everywhere). Shapes emit both.
+
+def gen_query_v15(i: int):
+    r = random.Random(20260816 * 15000 + i)
+    shape = r.randrange(3)
+    if shape == 0:
+        # nested date-preserving calls → integer days on both engines
+        lit = f"DATE '199{r.randint(2, 8)}-0{r.randint(1, 9)}-15'"
+        expr = r.choice([
+            f"coalesce(max(d), {lit}) - min(d)",
+            f"greatest(min(d), {lit}) - least(min(d), {lit})",
+            f"nullif(least(max(d), {lit}), {lit}) - min(d)",
+        ])
+        return (
+            f"SELECT g, {expr} AS span FROM "
+            f"(SELECT (o_custkey % 3)::int4 AS g, o_orderdate::date AS d "
+            f"FROM orders WHERE o_orderkey < {r.randint(100, 600)}) t "
+            f"GROUP BY g",
+            {"d": "date", "o_custkey": "int4", "o_orderkey": "int4"},
+        )
+    if shape == 1:
+        # re-typing interior (sqrt / float column): chain must NOT
+        # route — fractional division is IEEE-identical on both
+        return (
+            f"SELECT o_orderkey, sqrt(abs(o_orderkey))/{r.choice([2, 4])} "
+            f"AS v FROM orders WHERE o_orderkey < {r.randint(40, 120)}",
+            {"o_orderkey": "int4"},
+        )
+    # shape 2: nested preserving calls with a trailing ::float8 cast —
+    # the cast shrinks the chain, fractional on both engines
+    return (
+        f"SELECT o_orderkey, "
+        f"abs(mod(o_orderkey, {r.randint(3, 9)}))/{r.randint(2, 5)}::float8 "
+        f"AS v FROM orders WHERE o_orderkey < {r.randint(40, 120)}",
+        {"o_orderkey": "int4"},
+    )
+
+
+N_CASES_V15 = 45
+
+
+@pytest.mark.parametrize("i", range(N_CASES_V15))
+def test_sqlsmith_differential_v15(sview_g, duck_g, i):
+    pg_sql, ct = gen_query_v15(i)
+    assert_differential(sview_g, duck_g, pg_sql, column_types=ct)
