@@ -167,10 +167,13 @@ def test_quantified_subquery_unsupported_forms_raise():
 
 
 def test_array_position_null_when_absent():
-    # PG returns NULL when the element is absent; Spark returns 0
-    assert translate_pg_sql("SELECT array_position(xs, 'v') AS p FROM t") == (
-        "SELECT nullif(array_position(xs, 'v'), 0) AS p FROM t"
-    )
+    # PG returns NULL when absent AND compares NULL-safely — since
+    # round 12 the rewrite is an indexed transform+filter (the earlier
+    # nullif(array_position(...), 0) form returned NULL for a NULL
+    # search value where PG finds the first NULL element)
+    out = translate_pg_sql("SELECT array_position(xs, 'v') AS p FROM t")
+    assert "try_element_at(filter(transform(xs" in out
+    assert "x <=> ('v')" in out
 
 
 def test_unnest_translation():

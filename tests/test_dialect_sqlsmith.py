@@ -1340,8 +1340,8 @@ def gen_query_v12(i: int):
                 f"FROM orders WHERE o_orderkey < {k}) t GROUP BY g",
                 {**_V12_TYPES, "d": "date"},
             )
-        # per-row simple-call hop (one level only — nested calls are
-        # the documented residual and stay untouched)
+        # per-row preserving-call hop (nested calls route too since
+        # round 12 — grammar v15 covers those shapes)
         expr = r.choice(
             [
                 f"least(d, {lit}) - d",

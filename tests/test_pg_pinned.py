@@ -3002,3 +3002,119 @@ def test_format_quoting_and_null_pins(spark):
     assert row["num"] == "'42'"
     assert row["stmt"] == 'INSERT INTO "Foo bar" VALUES(\'O\'\'Reilly\')'
     assert row["qual"] == 'schema."Tbl"'
+
+
+# --- round-12 probe batch: array NULL-safety, array-type casts, PG-16
+# surfaces. PG 16 hand-derived where DuckDB deviates or lacks the
+# function (DuckDB array_position returns 0 when absent; no
+# array_remove/trim_array/unistr; '{..}'::int[] cast unsupported).
+
+def test_array_null_safe_family_pins(spark):
+    """PG's array search/mutate functions compare NULL-SAFELY (IS NOT
+    DISTINCT FROM): array_position(a, NULL) finds the first NULL and
+    array_remove(a, NULL) strips NULLs — Spark's native builtins return
+    SQL NULL for a NULL argument (two silent wrong answers, round-12
+    probes)."""
+    row = one(
+        spark,
+        "array_position(ARRAY['a',NULL,'b'], NULL) AS pos_null, "
+        "array_position(ARRAY[1,2,3], 9) AS pos_absent, "
+        "array_position(ARRAY[1,2,3], 2) AS pos_hit, "
+        "array_remove(ARRAY[1,NULL,2], NULL) AS rm_null, "
+        "array_remove(ARRAY[1,NULL,2,1], 1) AS rm_keepnull, "
+        "array_replace(ARRAY[1,NULL,3], NULL, 0) AS repl_null, "
+        "array_positions(ARRAY['a','b','a'], 'a') AS all_pos, "
+        "trim_array(ARRAY[1,2,3,4], 2) AS trimmed, "
+        "trim_array(ARRAY[1,2], 2) AS trimmed_all",
+    )
+    assert row["pos_null"] == 2
+    assert row["pos_absent"] is None
+    assert row["pos_hit"] == 2
+    assert list(row["rm_null"]) == [1, 2]
+    assert list(row["rm_keepnull"]) == [None, 2]
+    assert list(row["repl_null"]) == [1, 0, 3]
+    assert list(row["all_pos"]) == [1, 3]
+    assert list(row["trimmed"]) == [1, 2]
+    assert list(row["trimmed_all"]) == []
+
+
+def test_array_type_cast_pins(spark):
+    """PG array-type casts: ::int[] suffixes previously left the
+    brackets dangling after the CAST (statement corruption, round-12
+    probe); array-input literals ('{1,2}') fold to constructed arrays
+    since Spark cannot cast string → array."""
+    row = one(
+        spark,
+        "cardinality(ARRAY[]::int[]) AS empty_n, "
+        "'{1,2,3}'::int[] AS ints, "
+        "('{a,\"b c\",NULL}'::text[])[2] AS quoted_seg, "
+        "('{a,b}'::text[])[0] AS oob, "
+        "ARRAY[1,2]::bigint[] AS ctor_cast",
+    )
+    assert row["empty_n"] == 0
+    assert list(row["ints"]) == [1, 2, 3]
+    assert row["quoted_seg"] == "b c"
+    assert row["oob"] is None
+    assert list(row["ctor_cast"]) == [1, 2]
+    import pytest
+
+    with pytest.raises(ValueError, match="multidimensional"):
+        translate_pg_sql("SELECT '{{1},{2}}'::int[][]")
+    with pytest.raises(ValueError, match="malformed"):
+        translate_pg_sql("SELECT '{1,}'::int[]")
+
+
+def test_pg16_misc_surface_pins(spark):
+    """Round-12 probe batch: unistr folds at translation time,
+    make_timestamptz is Spark's make_timestamp (UTC-instant model),
+    isoyear maps to YEAROFWEEK, SQL-standard json_array/json_object
+    constructors with ON NULL defaults (ABSENT for arrays, NULL for
+    objects — PG 16 docs), and the SQL99 SIMILAR substring (docs
+    §9.7.2 example)."""
+    row = one(
+        spark,
+        r"unistr('d\\0061t\\+000061') AS uni, "
+        "make_timestamptz(2020, 1, 2, 3, 4, 5.5) AS mts, "
+        "date_part('isoyear', date '2027-01-01') AS iy, "
+        "json_array(1, NULL, 'x') AS ja_absent, "
+        "json_array(1, NULL NULL ON NULL) AS ja_null, "
+        "json_object('a': NULL) AS jo_null, "
+        "json_object('a': NULL ABSENT ON NULL) AS jo_absent, "
+        "substring('foobar' SIMILAR '%#\"o_b#\"%' ESCAPE '#') AS sim, "
+        "substring('foobar' FROM '%#\"o_b#\"%' FOR '#') AS sim99",
+    )
+    assert row["uni"] == "data"
+    assert str(row["mts"]).startswith("2020-01-02 03:04:05.5")
+    assert row["iy"] == 2026
+    assert row["ja_absent"] == '[1,"x"]'
+    assert row["ja_null"] == "[1,null]"
+    assert row["jo_null"] == '{"a":null}'
+    assert row["jo_absent"] == "{}"
+    assert row["sim"] == "oob"
+    assert row["sim99"] == "oob"
+
+
+def test_to_char_v_eeee_pins(spark):
+    """Round-12 (the judge's V/EEEE decision): 9.99EEEE scientific via
+    Java %e (same mantissa rounding and two-digit signed exponent),
+    99V999 implied scale via power-of-ten multiply. PG 16
+    hand-derived."""
+    row = one(
+        spark,
+        "to_char(12345.67, '9.99EEEE') AS e1, "
+        "to_char(-12345.67, '9.99EEEE') AS e2, "
+        "to_char(0.00012, '9.9EEEE') AS e3, "
+        "to_char(12345.67, 'FM9.99EEEE') AS e4, "
+        "to_char(12.34, '99V999') AS v1, "
+        "to_char(0, '9.99EEEE') AS ez",
+    )
+    assert row["e1"] == " 1.23e+04"
+    assert row["e2"] == "-1.23e+04"
+    assert row["e3"] == " 1.2e-04"
+    assert row["e4"] == "1.23e+04"
+    assert row["v1"] == " 12340"
+    assert row["ez"] == " 0.00e+00"
+    import pytest
+
+    with pytest.raises(ValueError, match="'V'"):
+        translate_pg_sql("SELECT to_char(1.5, '9.9V99')")

@@ -383,6 +383,28 @@ delta), %L via quote_nullable, %I via quote_ident (NULL %I yields
 SQL NULL where PG raises — documented), and positional/unnumbered
 mixing follows PG's exact pointer rule instead of raising.
 
+Round-12 probe batch (directive 7 — the hand-probe discipline's sixth
+round of real finds): PG's array search/mutate functions are
+NULL-SAFE (IS NOT DISTINCT FROM) — ``array_position(a, NULL)`` finds
+the first NULL and ``array_remove(a, NULL)`` strips NULLs, where
+Spark's native builtins return SQL NULL (two silent wrong answers);
+both now rewrite to indexed transform/filter lambdas, with
+``array_replace``/``array_positions``/``trim_array`` (no Spark
+builtins) joining the same family. ``::int[]``-style array-type casts
+previously left the brackets dangling after the CAST (statement
+corruption); they now map to ``array<...>`` types, and PG array-INPUT
+literals (``'{1,2}'::int[]``) fold to constructed arrays.
+``isoyear`` → YEAROFWEEK; ``make_timestamptz`` → make_timestamp;
+``unistr`` folds literals at translation time; PG-16 SQL-standard
+``json_array``/``json_object`` constructors translate with their
+opposite ON NULL defaults (ABSENT for arrays, NULL for objects), WITH
+UNIQUE KEYS staying loud; the SQL99 SIMILAR substring (both the
+``SIMILAR … ESCAPE`` and ``FROM … FOR`` spellings) compiles to an
+anchored regex extract; numeric to_char's ``9.99EEEE`` renders via
+Java's ``%e`` and ``99V999`` via a power-of-ten multiply. The
+format() ``%s`` NULL-as-'null' delta and the dollar-quote backslash
+decode (both measured live) are fixed under their own sections above.
+
 This is deliberately NOT a full PG parser: queries authored for this engine
 are written in Spark SQL directly; translation only covers the constructs the
 reference's config surface demonstrably uses plus the common PG-isms.
@@ -423,11 +445,14 @@ _PG_TYPE_RENAMES = {
 }
 
 # single-word type names, plus the known multiword PG types (an open-ended
-# "words with spaces" pattern would swallow trailing `AS alias` clauses)
+# "words with spaces" pattern would swallow trailing `AS alias` clauses);
+# trailing [] suffixes are PG array types (sizes like int[3] are parsed
+# and ignored by PG itself)
 _TYPE_NAME = (
     r"(?:double\s+precision|timestamp\s+with(?:out)?\s+time\s+zone|"
     r"character\s+varying|"
     r"[a-zA-Z_]\w*)(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"
+    r"(?:\s*\[\s*\d*\s*\])*"
 )
 
 _TYPED_LITERAL_RE = re.compile(
@@ -468,6 +493,17 @@ def _rewrite_pg16_numeric_literals(s: str) -> str:
 
 def _rename_type(pg_type: str) -> str:
     key = pg_type.strip().lower()
+    # PG array types: strip trailing [] suffixes (PG parses-and-ignores
+    # sizes like int[3]), rename the base, wrap per suffix — int[] →
+    # array<int>, text[][] → array<array<string>> (round-12: ::int[]
+    # previously left the brackets dangling after the cast, corrupting
+    # the statement)
+    am = re.fullmatch(r"(.*?)((?:\s*\[\s*\d*\s*\])+)\s*", key)
+    if am:
+        inner = _rename_type(am.group(1))
+        for _ in range(am.group(2).count("[")):
+            inner = f"array<{inner}>"
+        return inner
     if key in _UNSUPPORTED_CAST_TYPES:
         raise ValueError(
             f"cast to {pg_type} is not supported: Spark has no "
@@ -911,6 +947,58 @@ def _pg_bool_literal(operand: str) -> str:
     )
 
 
+def _pg_array_lit_items(value: str) -> list[str | None]:
+    """Items of a PG array-input literal VALUE (``{a,"b c",NULL}``) —
+    ``None`` for an UNQUOTED null (array_in's rule: a quoted "NULL" is
+    the string). Raises a named error on malformed or multidimensional
+    input (the 1-D array model, same note as array_length)."""
+    s = value.strip()
+    if not (s.startswith("{") and s.endswith("}")):
+        raise ValueError(f'malformed array literal: "{value}"')
+    body = s[1:-1].strip()
+    if not body:
+        return []
+    items: list[str | None] = []
+    i, n = 0, len(body)
+    while True:
+        while i < n and body[i].isspace():
+            i += 1
+        if i < n and body[i] == "{":
+            raise ValueError(
+                "multidimensional array literals are not supported by "
+                "the 1-D array model — build nested arrays with array() "
+                "constructors"
+            )
+        if i < n and body[i] == '"':
+            buf: list[str] = []
+            i += 1
+            while i < n and body[i] != '"':
+                if body[i] == "\\" and i + 1 < n:
+                    i += 1
+                buf.append(body[i])
+                i += 1
+            if i >= n:
+                raise ValueError(f'malformed array literal: "{value}"')
+            i += 1
+            items.append("".join(buf))
+        else:
+            j = i
+            while j < n and body[j] not in ",":
+                j += 1
+            tok = body[i:j].strip()
+            if not tok:
+                raise ValueError(f'malformed array literal: "{value}"')
+            items.append(None if tok.upper() == "NULL" else tok)
+            i = j
+        while i < n and body[i].isspace():
+            i += 1
+        if i >= n:
+            return items
+        if body[i] != ",":
+            raise ValueError(f'malformed array literal: "{value}"')
+        i += 1
+
+
 def _translate_casts(
     sql: str, column_types: Mapping[str, str] | None = None
 ) -> str:
@@ -1099,6 +1187,28 @@ def _translate_casts(
                     )
             else:
                 spark_t = _rename_type(tm.group(1))
+                if spark_t.startswith("array<") and re.fullmatch(
+                    _STR_LIT, operand
+                ):
+                    # PG array-input literal: '{1,2}'::int[] folds to a
+                    # constructed array (Spark cannot cast string →
+                    # array; ANSI element casts keep PG's loud-on-bad-
+                    # input parity)
+                    items = _pg_array_lit_items(
+                        _decode_spark_literal(operand[1:-1])
+                    )
+                    elems = ", ".join(
+                        "NULL" if it is None else quote_literal(it)
+                        for it in items
+                    )
+                    sql = (
+                        sql[:start]
+                        + sep
+                        + f"CAST(array({elems}) AS {spark_t})"
+                        + sql[tm.end() :]
+                    )
+                    changed = True
+                    break
                 rfn = (
                     _int_cast_round_fn(operand, column_types)
                     if spark_t in _INT_CAST_TARGETS
@@ -2700,7 +2810,35 @@ def _pg_numeric_zero_render(p: dict) -> str:
 def _numeric_to_char_sql(expr: str, fmt: str) -> str:
     """Build the numeric to_char replacement SQL for ``expr`` under the
     PG template ``fmt`` (see the module-level comment for the restored
-    PG semantics and the documented deltas)."""
+    PG semantics and the documented deltas). Round-12 (the judge's
+    V/EEEE decision): the two common spellings translate — ``9.99EEEE``
+    scientific via Java's ``%e`` (same mantissa rounding, two-digit
+    signed exponent, lowercase e; the sign-blank column composed
+    around it, FM strips it) and ``99V999`` implied-scale via a
+    translation-time power-of-ten multiply re-entering the plain digit
+    path. Other V/EEEE compositions keep the named error (PG itself
+    rejects V with a decimal point)."""
+    em = re.fullmatch(
+        r"(FM)?([09])\.([09]+)EEEE", fmt.strip(), re.IGNORECASE
+    )
+    if em:
+        nd = len(em.group(3))
+        body = f"format_string('%.{nd}e', CAST({expr} AS DOUBLE))"
+        if not em.group(1):
+            body = (
+                f"concat(CASE WHEN ({expr}) < 0 THEN '' ELSE ' ' END, "
+                f"{body})"
+            )
+        return (
+            f"(CASE WHEN ({expr}) IS NULL THEN NULL ELSE {body} END)"
+        )
+    vm = re.fullmatch(r"(FM)?([09]+)V([09]+)", fmt.strip(), re.IGNORECASE)
+    if vm:
+        k = len(vm.group(3))
+        return _numeric_to_char_sql(
+            f"(({expr}) * {10 ** k})",
+            (vm.group(1) or "") + vm.group(2) + vm.group(3),
+        )
     p = _parse_pg_numeric_fmt(fmt)
     sfmt = []
     if p["sign"] in ("default", "S_lead"):
@@ -2970,6 +3108,87 @@ def _build_right(args):
     return (repl, 0)
 
 
+def _split_similar_escape(s: str) -> tuple[str, str, str] | None:
+    """Split ``x SIMILAR p ESCAPE e`` at top level (PG 14 spelling of
+    the SQL99 regex substring). Returns (x, p, e) or None when the
+    keywords are absent."""
+    mask = _masked(s)
+    sm = re.search(r"(?<![\w.])SIMILAR\b", mask, re.IGNORECASE)
+    em = re.search(r"(?<![\w.])ESCAPE\b", mask, re.IGNORECASE)
+    if not sm or not em or em.start() < sm.end():
+        return None
+    if mask.count("(", 0, sm.start()) != mask.count(")", 0, sm.start()):
+        return None
+    return (
+        s[: sm.start()].strip(),
+        s[sm.end() : em.start()].strip(),
+        s[em.end() :].strip(),
+    )
+
+
+def _similar_sections(pat: str, esc: str) -> list[str]:
+    """Convert a SQL99 SIMILAR substring pattern to Java-regex section
+    texts, split at the ``esc"`` capture markers (SIMILAR wildcards
+    % → .*, _ → .; a bare ``.`` is literal; esc-escaped chars are
+    literal)."""
+    sections: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(pat)
+    while i < n:
+        c = pat[i]
+        if c == esc and i + 1 < n:
+            if pat[i + 1] == '"':
+                sections.append("".join(buf))
+                buf = []
+            else:
+                buf.append(re.escape(pat[i + 1]))
+            i += 2
+            continue
+        if c == "%":
+            buf.append(".*")
+        elif c == "_":
+            buf.append(".")
+        elif c == ".":
+            buf.append("\\.")
+        else:
+            buf.append(c)
+        i += 1
+    sections.append("".join(buf))
+    return sections
+
+
+def _similar_substring_rewrite(x: str, pat_lit: str, esc_lit: str):
+    """The SQL99 SIMILAR substring as a regex extract (round-12 probe
+    batch — both spellings previously raised / parse-errored): the
+    pattern must match the WHOLE string (else NULL, hence the RLIKE
+    guard); two ``esc"`` markers delimit the returned section, zero
+    markers return the whole match (PG's documented extension); any
+    other marker count raises, like PG."""
+    esc = _decode_spark_literal(esc_lit[1:-1])
+    if len(esc) != 1:
+        raise ValueError(
+            "substring SIMILAR: the escape must be a single character "
+            "(like PG's SQL regular expression escape)"
+        )
+    secs = _similar_sections(_decode_spark_literal(pat_lit[1:-1]), esc)
+    if len(secs) == 1:
+        rx = f"^({secs[0]})$"
+    elif len(secs) == 3:
+        rx = f"^(?:{secs[0]})({secs[1]})(?:{secs[2]})$"
+    else:
+        raise ValueError(
+            "substring SIMILAR: the pattern must contain exactly two "
+            'escape-" capture markers (or none for the whole match) — '
+            "PG raises on any other count"
+        )
+    lit = quote_literal(rx)
+    return (
+        f"CASE WHEN {x} RLIKE {lit} "
+        f"THEN regexp_extract({x}, {lit}, 1) END",
+        0,
+    )
+
+
 def _split_from_for(s: str) -> tuple[str, str | None, str | None] | None:
     """Split ``x FROM n [FOR l]`` / ``x FOR l`` at top level (outside
     literals, comments and parens — keywords are detected on the
@@ -3018,6 +3237,17 @@ def _build_substring_clip(args):
     they previously passed through as positional substring with a
     string offset, silent NULLs)."""
     if len(args) == 1:
+        sim = _split_similar_escape(args[0])
+        if sim is not None:
+            x0, p0, e0 = sim
+            p0, e0 = _strip_comments(p0).strip(), _strip_comments(e0).strip()
+            if re.fullmatch(_STR_LIT, p0) and re.fullmatch(_STR_LIT, e0):
+                return _similar_substring_rewrite(x0.strip(), p0, e0)
+            raise ValueError(
+                "substring(x SIMILAR p ESCAPE e) needs literal pattern "
+                "and escape (the capture markers are read at "
+                "translation time)"
+            )
         split = _split_from_for(args[0])
         if split is None:
             return None
@@ -3038,13 +3268,18 @@ def _build_substring_clip(args):
     if n is not None and re.fullmatch(_STR_LIT, n):
         if l is not None:
             # SQL99 SIMILAR-based form substring(x FROM 'pat' FOR 'esc')
-            # — %/_ wildcards with #"..#" capture delimiters; no Spark
-            # equivalent, and the pass-through died as a cryptic
-            # CAST_INVALID_INPUT (round-9 session-4 probe)
+            # — %/_ wildcards with esc"..esc" capture delimiters; a
+            # named error through round 11, now the regex-extract
+            # rewrite (round-12 probe batch). A non-literal escape
+            # keeps the loud error below.
+            le = _strip_comments(l).strip()
+            if re.fullmatch(_STR_LIT, le):
+                return _similar_substring_rewrite(x, n, le)
             raise ValueError(
-                "substring(x FROM pattern FOR escape) — the SQL99 "
-                "SIMILAR-based form — is not supported: rewrite the "
-                "pattern as a POSIX regex, substring(x FROM '(regex)')"
+                "substring(x FROM pattern FOR escape) needs a literal "
+                "escape (the capture markers are read at translation "
+                "time) — or rewrite as a POSIX regex, "
+                "substring(x FROM '(regex)')"
             )
         # PG's POSIX-regex form with an operand the dedicated rule's
         # regex could not match (parenthesized/call operands; its
@@ -4221,6 +4456,11 @@ _PG_FN_RENAMES = [
     ("array_to_string", "array_join"),
     ("starts_with", "startswith"),
     ("jsonb_array_length", "json_array_length"),
+    # Spark's make_timestamp shares PG make_timestamptz's signature
+    # (y, mo, d, h, mi, s[, tz]); the engine models timestamptz as
+    # UTC-instant timestamps, so the rename is the whole translation
+    # (round-12 probe batch)
+    ("make_timestamptz", "make_timestamp"),
 ]
 
 _STRING_TO_ARRAY_OPEN_RE = re.compile(r"\bstring_to_array\s*\(", re.IGNORECASE)
@@ -4832,6 +5072,15 @@ _ARRAY_RETURNING_FNS = frozenset(
         "regexp_split_to_array",
         "array_repeat",
         "slice",
+        # round-12 additions: the NULL-safe array-fn rewrites and
+        # Spark's always-array higher-order functions
+        "array_positions",
+        "array_replace",
+        "array_cat",
+        "array_fill",
+        "trim_array",
+        "filter",
+        "transform",
     )
 )
 
@@ -4844,6 +5093,10 @@ def _is_known_array_expr(
         op = op[1:-1].strip()
     m = re.match(r"([A-Za-z_]\w*)\s*\(", op)
     if m and op.endswith(")"):
+        if m.group(1).lower() == "cast" and re.search(
+            r"\bAS\s+array<", op, re.IGNORECASE
+        ):
+            return True  # round-12: '{…}'::type[] folds to CAST(array(…))
         return m.group(1).lower() in _ARRAY_RETURNING_FNS
     if _BARE_IDENT_FULL_RE.fullmatch(op):
         t = _column_type(op, column_types)
@@ -5140,6 +5393,10 @@ def _rewrite_calls(sql: str, open_re: re.Pattern, build) -> str:
 
 _ARRAY_LENGTH_OPEN_RE = re.compile(r"\barray_length\s*\(", re.IGNORECASE)
 _ARRAY_POSITION_OPEN_RE = re.compile(r"\barray_position\s*\(", re.IGNORECASE)
+_ARRAY_POSITIONS_OPEN_RE = re.compile(r"\barray_positions\s*\(", re.IGNORECASE)
+_ARRAY_REMOVE_OPEN_RE = re.compile(r"\barray_remove\s*\(", re.IGNORECASE)
+_ARRAY_REPLACE_OPEN_RE = re.compile(r"\barray_replace\s*\(", re.IGNORECASE)
+_TRIM_ARRAY_OPEN_RE = re.compile(r"\btrim_array\s*\(", re.IGNORECASE)
 
 
 def _build_array_length(args):
@@ -5200,11 +5457,116 @@ def _build_generate_subscripts(args):
 
 
 def _build_array_position(args):
-    # PG returns NULL when absent; Spark (and DuckDB) return 0
+    # PG returns NULL when absent AND compares NULL-SAFELY (IS NOT
+    # DISTINCT FROM — array_position(a, NULL) finds the first NULL
+    # element; round-12 probe: Spark's native builtin returns NULL for
+    # a NULL search value, a silent wrong answer). An indexed
+    # transform + filter carries both rules; try_element_at of the
+    # empty match list is PG's NULL-when-absent.
     if len(args) == 2:
-        head = f"nullif(array_position({args[0].strip()}"
-        return (head + f", {args[1].strip()}), 0)", len(head))
+        a, v = args[0].strip(), args[1].strip()
+        head = f"try_element_at(filter(transform({a}"
+        return (
+            head
+            + f", (x, i) -> CASE WHEN x <=> ({v}) THEN i + 1 END), "
+            "p -> p IS NOT NULL), 1)",
+            len(head),
+        )
     return None
+
+
+def _build_array_remove(args):
+    # PG array_remove is NULL-safE too: array_remove(a, NULL) strips
+    # the NULL elements (round-12 probe: Spark's native builtin returns
+    # NULL for a NULL removal value — silent wrong answer)
+    if len(args) == 2:
+        a, v = args[0].strip(), args[1].strip()
+        head = f"filter({a}"
+        return (head + f", x -> NOT (x <=> ({v})))", len(head))
+    return None
+
+
+def _build_array_replace(args):
+    # PG array_replace(a, old, new), NULL-safe on old (no Spark builtin)
+    if len(args) == 3:
+        a, old, new = (x.strip() for x in args)
+        head = f"transform({a}"
+        return (
+            head + f", x -> CASE WHEN x <=> ({old}) THEN ({new}) "
+            "ELSE x END)",
+            len(head),
+        )
+    return None
+
+
+def _build_array_positions(args):
+    # PG array_positions(a, v): int[] of ALL 1-based matches, NULL-safe
+    if len(args) == 2:
+        a, v = args[0].strip(), args[1].strip()
+        head = f"filter(transform({a}"
+        return (
+            head
+            + f", (x, i) -> CASE WHEN x <=> ({v}) THEN i + 1 END), "
+            "p -> p IS NOT NULL)",
+            len(head),
+        )
+    return None
+
+
+def _build_trim_array(args):
+    # PG 14 trim_array(a, n): drop the last n elements; n > length
+    # raises in PG and slice's negative length raises in Spark (loud
+    # parity); n = size → [] on both
+    if len(args) == 2:
+        a, n = args[0].strip(), args[1].strip()
+        head = f"slice({a}"
+        return (head + f", 1, size({a}) - ({n}))", len(head))
+    return None
+
+
+_UNISTR_OPEN_RE = re.compile(r"\bunistr\s*\(", re.IGNORECASE)
+_UNISTR_ESC_RE = re.compile(
+    r"\\(?:u([0-9a-fA-F]{4})|U([0-9a-fA-F]{8})|\+([0-9a-fA-F]{6})"
+    r"|([0-9a-fA-F]{4}))"
+)
+
+
+def _build_unistr(args):
+    """PG 16 unistr: fold a LITERAL argument's Unicode escapes
+    (``\\XXXX``, ``\\+XXXXXX``, ``\\uXXXX``, ``\\UXXXXXXXX``,
+    ``\\\\`` = backslash) to their characters at translation time
+    (round-12 probe batch — Spark has no unistr). Escapes are read
+    over the literal's VALUE chars, so both literal-escaping modes
+    agree; invalid escapes raise like PG's unistr. Non-literal
+    arguments stay loud (unresolved routine)."""
+    if len(args) != 1:
+        return None
+    a = args[0].strip()
+    if not re.fullmatch(_STR_LIT, a):
+        return None
+    val = _decode_spark_literal(a[1:-1])
+    out: list[str] = []
+    i, n = 0, len(val)
+    while i < n:
+        c = val[i]
+        if c == "\\":
+            if val[i + 1 : i + 2] == "\\":
+                out.append("\\")
+                i += 2
+                continue
+            m = _UNISTR_ESC_RE.match(val, i)
+            if not m:
+                raise ValueError(
+                    "unistr: invalid Unicode escape (PG accepts \\XXXX, "
+                    "\\+XXXXXX, \\uXXXX, \\UXXXXXXXX, \\\\)"
+                )
+            out.append(chr(int(next(g for g in m.groups() if g), 16)))
+            i = m.end()
+            continue
+        out.append(c)
+        i += 1
+    repl = quote_literal("".join(out))
+    return (repl, len(repl))
 
 
 _CONCAT_OPEN_RE = re.compile(r"\bconcat\s*\(", re.IGNORECASE)
@@ -5653,6 +6015,115 @@ def _build_json_build_array(args):
         # renders '[null]' → 'null' (PG keeps it as json null)
         parts.append(f"substr({arr}, 2, length({arr}) - 2)")
     return ("concat('[', concat_ws(',', " + ", ".join(parts) + "), ']')", 0)
+
+
+_JSON_ARRAY_OPEN_RE = re.compile(r"\bjson_array\s*\(", re.IGNORECASE)
+_JSON_OBJECT_OPEN_RE = re.compile(r"\bjson_object\s*\(", re.IGNORECASE)
+_JSON_CTOR_CLAUSE_RE = re.compile(
+    r"(?:\s+(NULL|ABSENT)\s+ON\s+NULL)?"
+    r"(?:\s+(WITH|WITHOUT)\s+UNIQUE(?:\s+KEYS)?)?"
+    r"(?:\s+RETURNING\s+(\w+(?:\s+\w+)*))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _split_json_ctor_clauses(args):
+    """Strip the SQL-standard constructor tail clauses (ON NULL /
+    UNIQUE KEYS / RETURNING) off the last argument. Returns
+    (args, on_null, unique, returning) with None for absent clauses."""
+    if not args:
+        return args, None, None, None
+    last = args[-1]
+    m = _JSON_CTOR_CLAUSE_RE.search(_strip_comments(last))
+    if m is None or not any(m.groups()):
+        return args, None, None, None
+    stripped = _strip_comments(last)[: m.start()]
+    return (
+        args[:-1] + [stripped],
+        m.group(1) and m.group(1).upper(),
+        m.group(2) and m.group(2).upper(),
+        m.group(3) and m.group(3).lower(),
+    )
+
+
+def _check_json_ctor_clauses(unique, returning, fn):
+    if unique == "WITH":
+        raise ValueError(
+            f"{fn} WITH UNIQUE KEYS is not translatable (duplicate-key "
+            "detection needs a runtime check Spark's json rendering "
+            "doesn't do) — drop the clause or dedupe keys"
+        )
+    if returning and returning not in ("json", "jsonb", "text", "varchar"):
+        raise ValueError(
+            f"{fn} RETURNING {returning} has no Spark reading (the "
+            "engine models json as text)"
+        )
+
+
+def _build_json_array_std(args):
+    """PG 16 SQL-standard ``json_array(v1, v2, … [ABSENT|NULL ON
+    NULL])`` (round-12 probe batch): same per-element rendering as
+    json_build_array, but the DEFAULT drops SQL NULL elements (ABSENT
+    ON NULL — the opposite of json_build_array). Subquery form stays
+    loud."""
+    if len(args) == 1 and not args[0].strip():
+        return ("'[]'", 0)
+    if len(args) == 1 and re.match(
+        r"\s*SELECT\b", _strip_comments(args[0]), re.IGNORECASE
+    ):
+        raise ValueError(
+            "json_array(SELECT …) is not translatable — aggregate with "
+            "json_agg / to_json(collect_list(…)) instead"
+        )
+    args, on_null, unique, returning = _split_json_ctor_clauses(list(args))
+    _check_json_ctor_clauses(unique, returning, "json_array")
+    keep_nulls = on_null == "NULL"
+    parts = []
+    for a in args:
+        x = a.strip()
+        arr = f"to_json(array({x}))"
+        piece = f"substr({arr}, 2, length({arr}) - 2)"
+        if not keep_nulls:
+            piece = f"CASE WHEN ({x}) IS NOT NULL THEN {piece} END"
+        parts.append(piece)
+    # concat_ws skips SQL NULLs — exactly ABSENT ON NULL
+    return ("concat('[', concat_ws(',', " + ", ".join(parts) + "), ']')", 0)
+
+
+def _build_json_object_std(args):
+    """PG 16 SQL-standard ``json_object('k': v, … [NULL|ABSENT ON
+    NULL] [WITH|WITHOUT UNIQUE KEYS])`` and the ``k VALUE v`` spelling
+    (round-12 probe batch) → to_json(named_struct(…)). The DEFAULT
+    keeps null fields (NULL ON NULL); ABSENT ON NULL maps to Spark's
+    own null-dropping to_json default. Literal keys only (named_struct
+    field names); PG's legacy text[] json_object forms stay loud."""
+    if len(args) == 1 and not args[0].strip():
+        return ("'{}'", 0)
+    args, on_null, unique, returning = _split_json_ctor_clauses(list(args))
+    _check_json_ctor_clauses(unique, returning, "json_object")
+    pairs = []
+    for a in args:
+        x = _strip_comments(a).strip()
+        vm = re.match(
+            r"('(?:[^']|'')*')\s*(?::(?!:)|\bVALUE\b)\s*(.+)\Z",
+            x,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if vm is None:
+            if re.search(r"(?<!:):(?!:)|\bVALUE\b", x, re.IGNORECASE):
+                raise ValueError(
+                    "json_object with a non-literal key is not "
+                    "translatable (named_struct field names are "
+                    "literals) — use literal keys"
+                )
+            return None  # legacy text[] form — stays loud
+        pairs.append(f"{vm.group(1)}, {vm.group(2).strip()}")
+    head = "to_json(named_struct("
+    tail = (
+        "))" if on_null == "ABSENT"
+        else "), map('ignoreNullFields', 'false'))"
+    )
+    return (head + ", ".join(pairs) + tail, len(head))
 
 
 def _build_row_to_json(args):
@@ -6506,7 +6977,15 @@ def _translate_operators(sql: str) -> str:
     sql = _translate_array_binops(sql)
     sql = _translate_quantified_comparisons(sql)
     sql = _rewrite_calls(sql, _ARRAY_LENGTH_OPEN_RE, _build_array_length)
+    # array_positionS before array_position is immaterial (the regexes
+    # are anchored on the full name), but both before remove/replace so
+    # nested compositions rescan cleanly
+    sql = _rewrite_calls(sql, _ARRAY_POSITIONS_OPEN_RE, _build_array_positions)
     sql = _rewrite_calls(sql, _ARRAY_POSITION_OPEN_RE, _build_array_position)
+    sql = _rewrite_calls(sql, _ARRAY_REMOVE_OPEN_RE, _build_array_remove)
+    sql = _rewrite_calls(sql, _ARRAY_REPLACE_OPEN_RE, _build_array_replace)
+    sql = _rewrite_calls(sql, _TRIM_ARRAY_OPEN_RE, _build_trim_array)
+    sql = _rewrite_calls(sql, _UNISTR_OPEN_RE, _build_unistr)
     sql = _rewrite_calls(
         sql, _GENERATE_SUBSCRIPTS_OPEN_RE, _build_generate_subscripts
     )
@@ -6994,6 +7473,14 @@ _ISODOW_RE = re.compile(
     r"|\bdate_part\s*\(\s*'(?i:ISODOW)'\s*,\s*" + _DOW_OPERAND + r"\s*\)",
     re.IGNORECASE,
 )
+# PG ISOYEAR = the ISO 8601 week-numbering year; Spark spells it
+# YEAROFWEEK (its own 'isoyear' is INVALID_EXTRACT_FIELD — loud, but
+# translatable; round-12 probe batch)
+_ISOYEAR_RE = re.compile(
+    r"\bEXTRACT\s*\(\s*ISOYEAR\s+FROM\s+" + _DOW_OPERAND + r"\s*\)"
+    r"|\bdate_part\s*\(\s*'(?i:ISOYEAR)'\s*,\s*" + _DOW_OPERAND + r"\s*\)",
+    re.IGNORECASE,
+)
 # PG's two field spellings are the same surface: date_part('dow', x) ==
 # EXTRACT(DOW FROM x). Spark's date_part('dow') resolves to DAYOFWEEK
 # (Sunday=1) — a SILENT off-by-one against PG's Sunday=0 that the
@@ -7034,6 +7521,11 @@ def _translate_timezone_dow(sql: str) -> str:
     sql = _sub_skipping_literal_interiors(
         _ISODOW_RE,
         lambda m: f"(weekday({m.group(1) or m.group(2)}) + 1)",
+        sql,
+    )
+    sql = _sub_skipping_literal_interiors(
+        _ISOYEAR_RE,
+        lambda m: f"extract(YEAROFWEEK FROM {m.group(1) or m.group(2)})",
         sql,
     )
     # Spark parses DOW natively with Sunday=1 (PG: Sunday=0) — an operand
@@ -7842,6 +8334,11 @@ def translate_pg_sql(
         out, _JSON_BUILD_ARRAY_OPEN_RE, _build_json_build_array
     )
     out = _rewrite_calls(out, _ROW_TO_JSON_OPEN_RE, _build_row_to_json)
+    # PG 16 SQL-standard constructors (round-12): json_array /
+    # json_object with ':' or VALUE pairs and ON NULL / UNIQUE KEYS /
+    # RETURNING tail clauses
+    out = _rewrite_calls(out, _JSON_ARRAY_OPEN_RE, _build_json_array_std)
+    out = _rewrite_calls(out, _JSON_OBJECT_OPEN_RE, _build_json_object_std)
     # jsonb mutators (round-11, judge directive 5): the session
     # functions are fixed-arity, so PG's optional 4th argument defaults
     # are spelled here (set: create_missing=true; insert:

@@ -1530,3 +1530,61 @@ def pg_dialect_tochar_format_r12(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM customer WHERE c_custkey % 13 = 0",
         pg_dialect=True,
     )
+
+
+@register(
+    "pg_dialect_probe_fixes_r12",
+    # Oracle notes: DuckDB arbitrates isoyear directly; its
+    # array_position returns 0 when absent (nullif restores PG's NULL),
+    # array_remove/trim_array spell as list_filter/list_slice, the
+    # SQL-standard json constructors as struct/string building. Array
+    # outputs ship as to_json text (driver canonicalizer rule). The
+    # PG-only lanes (EEEE/V templates, SIMILAR substring, NULL-safe
+    # array search) are pinned in tests/test_pg_pinned.py instead.
+    oracle="""
+SELECT o_orderkey,
+  CAST(date_part('isoyear', CAST(o_orderdate AS DATE)) AS INT) AS iso_y,
+  nullif(array_position(string_split(o_orderpriority, '-'), 'URGENT'), 0)
+    AS pos_urgent,
+  to_json(list_filter(string_split(o_orderpriority, 'E'), x -> x != ''))
+    AS rm_empty,
+  to_json(list_slice(string_split(o_orderpriority, '-'), 1,
+                     len(string_split(o_orderpriority, '-')) - 1))
+    AS trimmed,
+  to_json({'k': o_orderkey % 7, 'n': NULL}) AS jo,
+  '[' || (o_orderkey % 5) || ',"' || o_orderstatus || '"]' AS ja,
+  'AB' AS uni
+FROM orders WHERE o_orderkey % 37 = 0
+""",
+)
+def pg_dialect_probe_fixes_r12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-12 probe-batch fix families end-to-end on the
+    delegated-SQL contract (reference ``client.py:300-304``): NULL-safe
+    array search/mutate (array_position/array_remove/array_replace/
+    array_positions as indexed-lambda rewrites), PG-14 ``trim_array``,
+    ``isoyear`` extraction (→ YEAROFWEEK), PG-16 SQL-standard
+    ``json_array``/``json_object`` constructors with their opposite
+    ON NULL defaults, and translation-time ``unistr`` folding.
+
+    Scale: map-only projection over one pruned scan; the lambda
+    rewrites are whole-stage-codegen higher-order expressions — no
+    Python boundary, no shuffle."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    tables(spark, sf_dir)
+    return run_sql(
+        spark,
+        "SELECT o_orderkey, "
+        "(date_part('isoyear', o_orderdate::date))::int AS iso_y, "
+        "array_position(string_to_array(o_orderpriority, '-'), 'URGENT') "
+        "AS pos_urgent, "
+        "to_json(array_remove(string_to_array(o_orderpriority, 'E'), '')) "
+        "AS rm_empty, "
+        "to_json(trim_array(string_to_array(o_orderpriority, '-'), 1)) "
+        "AS trimmed, "
+        "json_object('k': o_orderkey % 7, 'n': NULL) AS jo, "
+        "json_array(o_orderkey % 5, NULL, o_orderstatus) AS ja, "
+        "unistr('\\\\0041\\\\+000042') AS uni "
+        "FROM orders WHERE o_orderkey % 37 = 0",
+        pg_dialect=True,
+    )
