@@ -3118,3 +3118,19 @@ def test_to_char_v_eeee_pins(spark):
 
     with pytest.raises(ValueError, match="'V'"):
         translate_pg_sql("SELECT to_char(1.5, '9.9V99')")
+
+
+def test_to_timestamp_time_only_defaults_pin(spark):
+    """Round-12 probe: PG defaults MISSING date fields to 0001-01-01
+    (datetime.c's ValidateDate seed) where the JDK parser defaults to
+    the 1970 epoch — a silent 1969-year shift for time-only templates.
+    Dated templates are untouched."""
+    row = one(
+        spark,
+        "to_timestamp('13:05:30.25', 'HH24:MI:SS.MS')::text AS t1, "
+        "to_timestamp('01:05 PM', 'HH12:MI AM')::text AS t2, "
+        "to_timestamp('2026-08-16 13:05', 'YYYY-MM-DD HH24:MI')::text AS dated",
+    )
+    assert row["t1"] == "0001-01-01 13:05:30.25"
+    assert row["t2"] == "0001-01-01 13:05:00"
+    assert row["dated"] == "2026-08-16 13:05:00"

@@ -3056,6 +3056,18 @@ def _make_to_ts_builder(name: str, open_re: re.Pattern):
             return None
         jdk = _to_char_fmt(m.group(1).replace("''", "'")).replace("'", "''")
         repl = f"{name}({expr}, '{jdk}')"
+        # PG defaults MISSING date fields to 0001-01-01 where the JDK
+        # parser defaults to the 1970 epoch — a silent 1969-year shift
+        # for time-only templates (round-12 probe). 719162 days =
+        # 1970-01-01 − 0001-01-01 in the proleptic Gregorian calendar
+        # both engines use.
+        bare = re.sub(r"'[^']*'", "", jdk)
+        if (
+            name == "to_timestamp"
+            and not re.search(r"[yMdDu]", bare)
+            and re.search(r"[Hhmsa]", bare)
+        ):
+            repl = f"({repl} - INTERVAL '719162' DAY)"
         return (repl, len(repl))
 
     return build
