@@ -47,6 +47,9 @@ from tests.test_dialect_sqlsmith import (  # noqa: E402
     N_CASES_V10,
     N_CASES_V11,
     N_CASES_V12,
+    N_CASES_V13,
+    N_CASES_V14,
+    N_CASES_V15,
     gen_query,
     gen_query_v2,
     gen_query_v3,
@@ -59,6 +62,9 @@ from tests.test_dialect_sqlsmith import (  # noqa: E402
     gen_query_v10,
     gen_query_v11,
     gen_query_v12,
+    gen_query_v13,
+    gen_query_v14,
+    gen_query_v15,
 )
 from youcruit_tap_rawpostgresql_spark.plans.dialect import (  # noqa: E402
     translate_pg_sql,
@@ -83,6 +89,9 @@ def main() -> int:
     ap.add_argument("--v10", type=int, default=600)
     ap.add_argument("--v11", type=int, default=600)
     ap.add_argument("--v12", type=int, default=600)
+    ap.add_argument("--v13", type=int, default=400)
+    ap.add_argument("--v14", type=int, default=300)
+    ap.add_argument("--v15", type=int, default=300)
     args = ap.parse_args()
 
     spark = get_session(app_name="fuzz-campaign")
@@ -140,6 +149,31 @@ def main() -> int:
     print(f"[v12] {ran} cases, {failures} cumulative failures, "
           f"{time.time()-t0:.0f}s", flush=True)
 
+    # v13/v15 (round-12): (pg_sql, column_types) generators; v14 runs
+    # under standard_conforming_strings=True
+    for name, gen, lo, hi, scs in (
+        ("v13", gen_query_v13, N_CASES_V13, args.v13, False),
+        ("v14", lambda i: (gen_query_v14(i), None), N_CASES_V14, args.v14, True),
+        ("v15", gen_query_v15, N_CASES_V15, args.v15, False),
+    ):
+        ran = 0
+        for i in range(lo, hi):
+            sql, ct = gen(i)
+            try:
+                assert_differential(
+                    spark, duck, sql, column_types=ct, scs=scs
+                )
+            except AssertionError as e:
+                failures += 1
+                print(f"FAIL {name}#{i}: {sql}\n  {e}", flush=True)
+            except Exception as e:
+                failures += 1
+                print(f"ERROR {name}#{i}: {sql}\n  {type(e).__name__}: {e}",
+                      flush=True)
+            ran += 1
+        print(f"[{name}] {ran} cases, {failures} cumulative failures, "
+              f"{time.time()-t0:.0f}s", flush=True)
+
     # v4: Spark self-consistency (quantified vs expanded pattern match)
     ran = 0
     for i in range(N_CASES_V4, args.v4):
@@ -169,6 +203,8 @@ def main() -> int:
             (args.v7, N_CASES_V7), (args.v8, N_CASES_V8),
             (args.v9, N_CASES_V9), (args.v10, N_CASES_V10),
             (args.v11, N_CASES_V11), (args.v12, N_CASES_V12),
+            (args.v13, N_CASES_V13), (args.v14, N_CASES_V14),
+            (args.v15, N_CASES_V15),
         )
     )
     print(f"== fuzz campaign: {total} cases, {failures} failures ==",
