@@ -3134,3 +3134,29 @@ def test_to_timestamp_time_only_defaults_pin(spark):
     assert row["t1"] == "0001-01-01 13:05:30.25"
     assert row["t2"] == "0001-01-01 13:05:00"
     assert row["dated"] == "2026-08-16 13:05:00"
+
+
+def test_convert_and_bytea_literal_pins(spark):
+    """Round-12 probe batch (second pass): convert_from/convert_to map
+    to Spark's decode/encode with exact Java charset names (unmapped
+    encodings raise — a wrong charset is silent mojibake), and PG's
+    hex bytea INPUT literals ('\\x…'::bytea) fold to unhex — the bare
+    cast took the literal TEXT's utf-8 bytes, silently wrong bytes."""
+    row = one(
+        spark,
+        r"convert_from('\x61e282ac'::bytea, 'UTF8') AS euro, "
+        "convert_from(convert_to('héllo', 'LATIN1'), 'LATIN1') AS round1, "
+        "length(convert_to('a€', 'UTF8')) AS nbytes, "
+        r"md5('\x01'::bytea) AS md5b, "
+        "('abc'::bytea)::text AS plain",
+    )
+    assert row["euro"] == "a€"
+    assert row["round1"] == "héllo"
+    assert row["nbytes"] == 4
+    assert row["md5b"] == "55a54008ad1ba589aa210d2629c1df41"
+    import pytest
+
+    with pytest.raises(ValueError, match="charset"):
+        translate_pg_sql("SELECT convert_from(b, 'EUC_JP') FROM t")
+    with pytest.raises(ValueError, match="escape-format"):
+        translate_pg_sql(r"SELECT '\000abc'::bytea")

@@ -1216,6 +1216,29 @@ def _translate_casts(
                 )
                 if rfn:
                     repl = f"CAST({rfn}({operand}) AS {spark_t})"
+                elif spark_t == "binary" and re.fullmatch(
+                    _STR_LIT, operand
+                ):
+                    # PG bytea INPUT literals: the '\x…' hex form folds
+                    # to unhex (the bare cast took the literal TEXT's
+                    # utf-8 bytes — silent wrong bytes, round-12
+                    # probe); plain text without backslashes is its own
+                    # utf-8 bytes on both engines (native cast);
+                    # octal-escape-format bodies raise.
+                    body = operand[1:-1]
+                    hm = re.fullmatch(
+                        r"\\{1,2}x((?:[0-9a-fA-F]{2})*)", body
+                    )
+                    if hm:
+                        repl = f"unhex('{hm.group(1)}')"
+                    elif "\\" in body:
+                        raise ValueError(
+                            "bytea escape-format literal (octal \\nnn) "
+                            "is not translatable — use the hex form "
+                            "'\\x…'::bytea"
+                        )
+                    else:
+                        repl = f"CAST({operand} AS {spark_t})"
                 elif spark_t == "boolean" and re.fullmatch(
                     _STR_LIT, operand
                 ):
@@ -5536,6 +5559,47 @@ def _build_trim_array(args):
     return None
 
 
+_CONVERT_FROM_OPEN_RE = re.compile(r"\bconvert_from\s*\(", re.IGNORECASE)
+_CONVERT_TO_OPEN_RE = re.compile(r"\bconvert_to\s*\(", re.IGNORECASE)
+# PG encoding names → Java charset names (the ones with exact Java
+# counterparts; anything else raises — a wrong charset is silent
+# mojibake, never acceptable)
+_PG_CHARSETS = {
+    "utf8": "UTF-8",
+    "utf-8": "UTF-8",
+    "latin1": "ISO-8859-1",
+    "iso88591": "ISO-8859-1",
+    "sql_ascii": "US-ASCII",
+    "win1252": "windows-1252",
+}
+
+
+def _make_convert_builder(spark_fn: str):
+    def build(args):
+        # PG convert_from(bytea, enc) / convert_to(text, enc) → Spark
+        # decode/encode with the Java charset name (round-12 probe
+        # batch — the PG spellings were unresolved-routine errors)
+        if len(args) != 2:
+            return None
+        cs = _strip_comments(args[1]).strip()
+        m = re.fullmatch(_STR_LIT, cs)
+        if not m:
+            return None  # non-literal charset: stays loud
+        key = cs[1:-1].replace("''", "'").strip().lower()
+        if key not in _PG_CHARSETS:
+            raise ValueError(
+                f"{spark_fn}: encoding {cs} has no exact Java charset "
+                "mapping (UTF8, LATIN1, SQL_ASCII, WIN1252 translate)"
+            )
+        head = f"{spark_fn}({args[0].strip()}"
+        return (head + f", '{_PG_CHARSETS[key]}')", len(head))
+
+    return build
+
+
+_build_convert_from = _make_convert_builder("decode")
+_build_convert_to = _make_convert_builder("encode")
+
 _UNISTR_OPEN_RE = re.compile(r"\bunistr\s*\(", re.IGNORECASE)
 _UNISTR_ESC_RE = re.compile(
     r"\\(?:u([0-9a-fA-F]{4})|U([0-9a-fA-F]{8})|\+([0-9a-fA-F]{6})"
@@ -6998,6 +7062,8 @@ def _translate_operators(sql: str) -> str:
     sql = _rewrite_calls(sql, _ARRAY_REPLACE_OPEN_RE, _build_array_replace)
     sql = _rewrite_calls(sql, _TRIM_ARRAY_OPEN_RE, _build_trim_array)
     sql = _rewrite_calls(sql, _UNISTR_OPEN_RE, _build_unistr)
+    sql = _rewrite_calls(sql, _CONVERT_FROM_OPEN_RE, _build_convert_from)
+    sql = _rewrite_calls(sql, _CONVERT_TO_OPEN_RE, _build_convert_to)
     sql = _rewrite_calls(
         sql, _GENERATE_SUBSCRIPTS_OPEN_RE, _build_generate_subscripts
     )
