@@ -1553,7 +1553,8 @@ SELECT o_orderkey,
     AS trimmed,
   to_json({'k': o_orderkey % 7, 'n': NULL}) AS jo,
   '[' || (o_orderkey % 5) || ',"' || o_orderstatus || '"]' AS ja,
-  'AB' AS uni
+  'AB' AS uni,
+  decode(from_hex('61e282ac')) AS conv
 FROM orders WHERE o_orderkey % 37 = 0
 """,
 )
@@ -1584,7 +1585,8 @@ def pg_dialect_probe_fixes_r12(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS trimmed, "
         "json_object('k': o_orderkey % 7, 'n': NULL) AS jo, "
         "json_array(o_orderkey % 5, NULL, o_orderstatus) AS ja, "
-        "unistr('\\\\0041\\\\+000042') AS uni "
+        "unistr('\\\\0041\\\\+000042') AS uni, "
+        "convert_from('\\x61e282ac'::bytea, 'UTF8') AS conv "
         "FROM orders WHERE o_orderkey % 37 = 0",
         pg_dialect=True,
     )
