@@ -142,3 +142,44 @@ def test_nested_paths_and_negative_indexes_pins():
     )
     # deep object chain through an array element
     assert S('[{"k":{"v":1}},5]', "{0,k,v}", "2") == '[{"k":{"v":2}},5]'
+
+
+def test_operator_family_kernels():
+    """Round-12: the jsonb operator kernels, every literal PG 16
+    hand-derived (jsonfuncs.c jsonb_concat / jsonb_delete /
+    jsonb_containment)."""
+    from youcruit_tap_rawpostgresql_spark.functions.jsonb import (
+        jsonb_concat_value as C,
+        jsonb_contains_value as CT,
+        jsonb_delete_index_value as DI,
+        jsonb_delete_key_value as DK,
+        jsonb_delete_path_value as DP,
+    )
+
+    assert C('{"a":1}', '{"b":2}') == '{"a":1,"b":2}'
+    assert C('{"a":1}', '{"a":9}') == '{"a":9}'      # right wins
+    assert C('[1,2]', '[3]') == '[1,2,3]'
+    assert C('{"a":1}', '[1]') == '[{"a":1},1]'      # object → 1-elem array
+    assert C('1', '2') == '[1,2]'
+    assert DK('{"a":1,"b":2}', "a") == '{"b":2}'
+    assert DK('["a",1,"b"]', "a") == '[1,"b"]'       # string elements only
+    assert DK('{"a":1}', "z") == '{"a":1}'
+    assert DI('[1,2,3]', 1) == '[1,3]'
+    assert DI('[1,2,3]', -1) == '[1,2]'
+    assert DI('[1,2,3]', 9) == '[1,2,3]'             # out of range: no-op
+    assert DP('{"a":{"b":[1,2]}}', "{a,b,1}") == '{"a":{"b":[1]}}'
+    assert DP('{"a":1}', "{x,y}") == '{"a":1}'       # missing step: no-op
+    assert CT('{"a":{"b":1},"c":2}', '{"a":{}}') is True
+    assert CT('{"a":{"b":1}}', '{"a":{"b":2}}') is False
+    assert CT('[1,2,3]', '[3,1]') is True            # order-insensitive
+    assert CT('[1,2,3]', '1') is True                # top-level exception
+    assert CT('{"a":[1,2]}', '{"a":1}') is False     # …top level ONLY
+    assert CT('{"a":[1,2]}', '{"a":[2]}') is True
+    assert CT('1', 'true') is False                  # bool is not number
+    assert CT('[true]', '[1]') is False
+    import pytest
+
+    with pytest.raises(ValueError):
+        DK("1", "a")
+    with pytest.raises(ValueError):
+        DI('{"a":1}', 0)

@@ -3160,3 +3160,61 @@ def test_convert_and_bytea_literal_pins(spark):
         translate_pg_sql("SELECT convert_from(b, 'EUC_JP') FROM t")
     with pytest.raises(ValueError, match="escape-format"):
         translate_pg_sql(r"SELECT '\000abc'::bytea")
+
+
+def test_jsonb_operator_family_pins(spark):
+    """Round-12 probe batch (third pass): PG's jsonb OPERATORS over the
+    string-json model. `||` was the worst find — with string-modeled
+    json, Spark's || silently TEXT-concatenated ('{"a":1}' || '{"b":2}'
+    gave '{"a":1}{"b":2}'). Fired on visible json evidence only
+    (::json[b] cast, json-producing call, json/jsonb schema column);
+    text || text and arithmetic - are untouched. PG 16 hand-derived."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    row = run_sql(
+        spark,
+        """SELECT
+        ('{"a":1}'::jsonb || '{"b":2}'::jsonb) AS merged,
+        ('{"a":1}'::jsonb || '{"a":9}') AS rightwins,
+        ('[1,2]'::jsonb || '[3]') AS arrcat,
+        ('{"a":1,"b":2}'::jsonb - 'a') AS delkey,
+        ('[1,2,3]'::jsonb - 1) AS delidx,
+        ('{"a":{"b":1},"c":2}'::jsonb #- '{a,b}') AS delpath,
+        ('{"a":{"b":1}}'::jsonb @> '{"a":{}}') AS contains,
+        ('{"a":{}}' <@ '{"a":{"b":1}}'::jsonb) AS contained,
+        (jsonb_build_object('x', 1) || '{"y":2}') AS callev,
+        jsonb_typeof('[1]') AS ty_arr,
+        jsonb_typeof('-1.5e3') AS ty_num,
+        'ab' || 'cd' AS plain_text,
+        5 - 3 AS plain_minus,
+        (ARRAY[1,2] @> ARRAY[1]) AS plain_array
+        """,
+    ).first()
+    assert row["merged"] == '{"a":1,"b":2}'
+    assert row["rightwins"] == '{"a":9}'
+    assert row["arrcat"] == "[1,2,3]"
+    assert row["delkey"] == '{"b":2}'
+    assert row["delidx"] == "[1,3]"
+    assert row["delpath"] == '{"a":{},"c":2}'
+    assert row["contains"] is True
+    assert row["contained"] is True
+    assert row["callev"] == '{"x":1,"y":2}'
+    assert row["ty_arr"] == "array"
+    assert row["ty_num"] == "number"
+    assert row["plain_text"] == "abcd"
+    assert row["plain_minus"] == 2
+    assert row["plain_array"] is True
+    # schema-typed column evidence routes; unknown-typed minus rhs is loud
+    ct = {"props": "jsonb", "n": "int4"}
+    assert "jsonb_concat(props" in translate_pg_sql(
+        "SELECT props || '{}' FROM events", column_types=ct
+    )
+    assert "jsonb_delete_index(props, n)" in translate_pg_sql(
+        "SELECT props - n FROM events", column_types=ct
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="deletion kind"):
+        translate_pg_sql(
+            "SELECT props - unknown_col FROM events", column_types=ct
+        )

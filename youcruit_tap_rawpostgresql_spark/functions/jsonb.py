@@ -27,6 +27,12 @@ Semantics follow PG's jsonfuncs.c setPath contract:
   (PG raises ``cannot replace an existing object key``).
 - **jsonb_strip_nulls(target)**: recursively removes object fields
   with null values; array elements are kept (PG docs §9.16).
+- **operator family (round-12)**: ``jsonb_concat`` (``||`` — object
+  merge, else one-element-array concatenation), ``jsonb_delete_key`` /
+  ``jsonb_delete_index`` / ``jsonb_delete_path`` (``- text``,
+  ``- int``, ``#-``), ``jsonb_contains`` (``@>``/``<@`` with PG's
+  top-level array-contains-scalar exception and json-type-exact
+  scalar equality).
 
 Documented rendering deltas (module-header convention, same as the
 json-construction family): output is COMPACT (no spaces after ``,`` /
@@ -44,6 +50,11 @@ __all__ = [
     "jsonb_set_value",
     "jsonb_insert_value",
     "jsonb_strip_nulls_value",
+    "jsonb_concat_value",
+    "jsonb_delete_key_value",
+    "jsonb_delete_index_value",
+    "jsonb_delete_path_value",
+    "jsonb_contains_value",
     "parse_pg_text_array",
     "register_jsonb_mutators",
 ]
@@ -223,6 +234,132 @@ def jsonb_strip_nulls_value(target: str | None) -> str | None:
     return _dumps(_strip_nulls(json.loads(target)))
 
 
+def jsonb_concat_value(a: str | None, b: str | None) -> str | None:
+    """PG ``jsonb || jsonb`` (jsonfuncs.c jsonb_concat): two objects
+    MERGE (right wins on duplicate keys); otherwise each non-array
+    operand becomes a one-element array and the arrays concatenate
+    (``'{"a":1}' || '[1]'`` → ``[{"a":1},1]``, scalars included)."""
+    if a is None or b is None:
+        return None
+    da, db = json.loads(a), json.loads(b)
+    if isinstance(da, dict) and isinstance(db, dict):
+        return _dumps({**da, **db})
+    la = da if isinstance(da, list) else [da]
+    lb = db if isinstance(db, list) else [db]
+    return _dumps(la + lb)
+
+
+def jsonb_delete_key_value(j: str | None, key: str | None) -> str | None:
+    """PG ``jsonb - text``: from an object, drop the key (absent key is
+    a no-op); from an array, drop STRING elements equal to the text;
+    scalar targets raise, like PG."""
+    if j is None or key is None:
+        return None
+    d = json.loads(j)
+    if isinstance(d, dict):
+        d.pop(key, None)
+        return _dumps(d)
+    if isinstance(d, list):
+        return _dumps(
+            [x for x in d if not (isinstance(x, str) and x == key)]
+        )
+    raise ValueError("cannot delete from scalar (PG jsonfuncs.c)")
+
+
+def jsonb_delete_index_value(j: str | None, idx: int | None) -> str | None:
+    """PG ``jsonb - integer``: delete the array element at the index
+    (negative counts from the end; out of range is a no-op); objects
+    and scalars raise, like PG."""
+    if j is None or idx is None:
+        return None
+    d = json.loads(j)
+    if isinstance(d, dict):
+        raise ValueError(
+            "cannot delete from object using integer index (PG "
+            "jsonfuncs.c)"
+        )
+    if not isinstance(d, list):
+        raise ValueError("cannot delete from scalar (PG jsonfuncs.c)")
+    pos = idx if idx >= 0 else len(d) + idx
+    if 0 <= pos < len(d):
+        d = d[:pos] + d[pos + 1 :]
+    return _dumps(d)
+
+
+def _delete_path(node: Any, segs: list[str]) -> Any:
+    seg = segs[0]
+    last = len(segs) == 1
+    if isinstance(node, dict):
+        if seg not in node:
+            return node
+        node = dict(node)
+        if last:
+            del node[seg]
+        else:
+            node[seg] = _delete_path(node[seg], segs[1:])
+        return node
+    if isinstance(node, list):
+        idx = _array_index(seg)
+        pos = idx if idx >= 0 else len(node) + idx
+        if not (0 <= pos < len(node)):
+            return node
+        if last:
+            return node[:pos] + node[pos + 1 :]
+        node = list(node)
+        node[pos] = _delete_path(node[pos], segs[1:])
+        return node
+    raise ValueError("cannot delete path in scalar (PG jsonfuncs.c)")
+
+
+def jsonb_delete_path_value(j: str | None, path: str | None) -> str | None:
+    """PG ``jsonb #- text[]``: delete the item at the path (missing
+    steps and out-of-range indexes are no-ops; negative indexes count
+    from the end)."""
+    if j is None or path is None:
+        return None
+    segs = parse_pg_text_array(path)
+    doc = json.loads(j)
+    if not segs:
+        return _dumps(doc)
+    return _dumps(_delete_path(doc, segs))
+
+
+def _jsonb_contains(x: Any, y: Any, top: bool) -> bool:
+    if isinstance(y, dict):
+        return isinstance(x, dict) and all(
+            k in x and _jsonb_contains(x[k], v, False)
+            for k, v in y.items()
+        )
+    if isinstance(y, list):
+        return isinstance(x, list) and all(
+            any(_jsonb_contains(xe, ye, False) for xe in x) for ye in y
+        )
+    # scalar y; PG's documented top-level exception: an array contains
+    # a bare scalar ('[1,2]' @> '1'), but only at the top level
+    if isinstance(x, list):
+        return top and any(
+            not isinstance(xe, (dict, list))
+            and not (isinstance(xe, bool) != isinstance(y, bool))
+            and xe == y
+            for xe in x
+        )
+    if isinstance(x, dict):
+        return False
+    if isinstance(x, bool) != isinstance(y, bool):
+        return False
+    return x == y
+
+
+def jsonb_contains_value(a: str | None, b: str | None) -> bool | None:
+    """PG ``jsonb @> jsonb`` containment (jsonb_containment semantics:
+    objects need every key/value of the right side; arrays are
+    order-insensitive multiset-style element containment; scalars
+    compare json-type-exactly)."""
+    if a is None or b is None:
+        return None
+    return _jsonb_contains(json.loads(a), json.loads(b), True)
+
+
 def register_jsonb_mutators(spark) -> None:
     """Register the three mutators as session-scoped SQL functions.
     Arrow-batched pandas UDFs (never row-at-a-time ``udf()``): the
@@ -263,8 +400,65 @@ def register_jsonb_mutators(spark) -> None:
         fn.__annotations__ = {n: pd.Series for n in names}
         fn.__annotations__["return"] = pd.Series
 
+    def _jsonb_concat(a, b):
+        return pd.Series(
+            [jsonb_concat_value(x, y) for x, y in zip(a, b)],
+            dtype="object",
+        )
+
+    def _jsonb_delete_key(a, b):
+        return pd.Series(
+            [jsonb_delete_key_value(x, y) for x, y in zip(a, b)],
+            dtype="object",
+        )
+
+    def _jsonb_delete_index(a, b):
+        return pd.Series(
+            [
+                jsonb_delete_index_value(x, None if y is None else int(y))
+                for x, y in zip(a, b)
+            ],
+            dtype="object",
+        )
+
+    def _jsonb_delete_path(a, b):
+        return pd.Series(
+            [jsonb_delete_path_value(x, y) for x, y in zip(a, b)],
+            dtype="object",
+        )
+
+    def _jsonb_contains(a, b):
+        return pd.Series(
+            [jsonb_contains_value(x, y) for x, y in zip(a, b)],
+            dtype="object",
+        )
+
+    for fn in (
+        _jsonb_concat,
+        _jsonb_delete_key,
+        _jsonb_delete_index,
+        _jsonb_delete_path,
+        _jsonb_contains,
+    ):
+        fn.__annotations__ = {"a": pd.Series, "b": pd.Series,
+                              "return": pd.Series}
+
     spark.udf.register("jsonb_set", pandas_udf(_jsonb_set, "string"))
     spark.udf.register("jsonb_insert", pandas_udf(_jsonb_insert, "string"))
     spark.udf.register(
         "jsonb_strip_nulls", pandas_udf(_jsonb_strip_nulls, "string")
+    )
+    # the jsonb OPERATOR family (round-12): || delete-key/index/path @>
+    spark.udf.register("jsonb_concat", pandas_udf(_jsonb_concat, "string"))
+    spark.udf.register(
+        "jsonb_delete_key", pandas_udf(_jsonb_delete_key, "string")
+    )
+    spark.udf.register(
+        "jsonb_delete_index", pandas_udf(_jsonb_delete_index, "string")
+    )
+    spark.udf.register(
+        "jsonb_delete_path", pandas_udf(_jsonb_delete_path, "string")
+    )
+    spark.udf.register(
+        "jsonb_contains", pandas_udf(_jsonb_contains, "boolean")
     )

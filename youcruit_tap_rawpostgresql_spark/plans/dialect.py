@@ -404,6 +404,16 @@ anchored regex extract; numeric to_char's ``9.99EEEE`` renders via
 Java's ``%e`` and ``99V999`` via a power-of-ten multiply. The
 format() ``%s`` NULL-as-'null' delta and the dollar-quote backslash
 decode (both measured live) are fixed under their own sections above.
+Second and third probe passes: ``convert_from``/``convert_to`` →
+decode/encode with exact Java charsets; PG hex bytea INPUT literals
+(the hex ``::bytea`` input form) fold to unhex (the bare cast took the literal
+TEXT's bytes — silent wrong bytes); time-only ``to_timestamp``
+templates default to PG's 0001-01-01 (JDK defaulted to the 1970
+epoch); and the jsonb OPERATOR family — ``||`` (was a SILENT text
+concatenation over the string-json model), ``- text``/``- integer``,
+``#-``, ``@>``/``<@``, ``jsonb_typeof`` — lands on the pandas-UDF
+kernels (functions/jsonb.py), fired only on visible json evidence
+read BEFORE the cast pass erases ``::jsonb``.
 
 This is deliberately NOT a full PG parser: queries authored for this engine
 are written in Spark SQL directly; translation only covers the constructs the
@@ -4582,6 +4592,176 @@ def _translate_string_to_array(sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# --- jsonb binary operators (round-12): || - #- @> <@ ----------------------
+# PG's jsonb operator family over the engine's string-json model. `||`
+# was the probe batch's worst find: with string-modeled json Spark's ||
+# silently TEXT-concatenated ('{"a":1}' || '{"b":2}' gave
+# '{"a":1}{"b":2}' instead of PG's merge). Fired only on VISIBLE json
+# evidence (a ::json[b] cast, a json-producing call, or a json/jsonb
+# schema column — read BEFORE the cast pass erases ::jsonb); `#-` is
+# PG-only syntax and always fires. The kernels are the jsonb pandas-UDF
+# family (functions/jsonb.py — jsonfuncs.c semantics, NULL-strict).
+
+_JSON_EVIDENCE_RE = re.compile(
+    r"::\s*jsonb?\b|\bjsonb_\w+\s*\(|\bjson_build_\w+\s*\(|\bto_jsonb?\s*\("
+    r"|\brow_to_json\s*\(|\bjson_object\s*\(|\bjson_array\s*\(",
+    re.IGNORECASE,
+)
+_JSONB_BINOP_TOKEN_RE = re.compile(r"\|\||#-|@>|<@")
+
+
+def _visibly_json(operand: str, column_types) -> bool:
+    if _JSON_EVIDENCE_RE.search(_masked(operand)):
+        return True
+    op = operand.strip()
+    if _BARE_IDENT_FULL_RE.fullmatch(op):
+        return _column_type(op, column_types) in ("json", "jsonb")
+    return False
+
+
+def _extend_left_through_json_chain(sql, mask, spans, start):
+    """Extend an atomic left-operand span left through ``::`` casts and
+    ``->``/``->>``/``#>``/``#>>`` arrow chains so `j::jsonb || x` and
+    `j -> 'a' || x` read the WHOLE left expression."""
+    while True:
+        j = start - 1
+        while j >= 0 and mask[j] in " \t\n\r":
+            j -= 1
+        k = None
+        if j >= 1 and mask[j] == ":" and mask[j - 1] == ":":
+            k = j - 1
+        elif j >= 1 and mask[j] == ">":
+            if mask[j - 1] in "-#":
+                k = j - 1
+            elif mask[j - 1] == ">" and j >= 2 and mask[j - 2] in "-#":
+                k = j - 2
+        if k is None:
+            return start
+        prev = _operand_left_span(sql, mask, spans, k)
+        if prev is None:
+            return start
+        start = prev[0]
+
+
+def _extend_right_through_casts(sql, mask, end):
+    while True:
+        j = end
+        while j < len(mask) and mask[j] in " \t\n\r":
+            j += 1
+        if mask[j : j + 2] == "::":
+            tm = _TYPE_AT_RE.match(sql, j + 2)
+            if tm is None:
+                return end
+            end = tm.end()
+            continue
+        return end
+
+
+def _translate_jsonb_binary_ops(
+    sql: str, column_types: Mapping[str, str] | None = None
+) -> str:
+    while True:
+        mask = _masked(sql)
+        spans = _opaque_spans(sql)
+        done = True
+        for m in _JSONB_BINOP_TOKEN_RE.finditer(mask):
+            op = m.group(0)
+            lspan = _operand_left_span(sql, mask, spans, m.start())
+            rspan = _operand_right_span(sql, mask, spans, m.end())
+            if lspan is None or rspan is None:
+                continue
+            lstart = _extend_left_through_json_chain(
+                sql, mask, spans, lspan[0]
+            )
+            rend = _extend_right_through_casts(sql, mask, rspan[1])
+            ltext = sql[lstart : m.start()].strip()
+            rtext = sql[m.end() : rend].strip()
+            ljson = _visibly_json(ltext, column_types)
+            rjson = _visibly_json(rtext, column_types)
+            if op == "#-":
+                repl = f"jsonb_delete_path({ltext}, {rtext})"
+            elif op == "||" and (ljson or rjson):
+                repl = f"jsonb_concat({ltext}, {rtext})"
+            elif op == "@>" and (ljson or rjson):
+                repl = f"jsonb_contains({ltext}, {rtext})"
+            elif op == "<@" and (ljson or rjson):
+                repl = f"jsonb_contains({rtext}, {ltext})"
+            else:
+                continue
+            sql = (
+                sql[:lstart]
+                + _sep_if_word_before(sql, lstart)
+                + repl
+                + sql[rend:]
+            )
+            done = False
+            break
+        if done:
+            return sql
+
+
+def _translate_jsonb_minus(
+    sql: str, column_types: Mapping[str, str] | None = None
+) -> str:
+    """``jsonb - text`` / ``jsonb - integer`` (delete key / element).
+    Fired only when the LEFT operand is visibly json; the deletion KIND
+    follows the right operand's visible type (string literal or
+    text-typed column → key; integer literal or int-typed column →
+    index; anything else raises — PG routes on the static type, and
+    guessing would delete the wrong thing silently)."""
+    while True:
+        mask = _masked(sql)
+        spans = _opaque_spans(sql)
+        done = True
+        for m in re.finditer(r"-", mask):
+            if mask[m.start() + 1 : m.start() + 2] in (">", "-"):
+                continue  # -> arrow / -- comment
+            if m.start() > 0 and mask[m.start() - 1] in "-#<!+*/^=&|@":
+                continue  # part of another operator
+            lspan = _operand_left_span(sql, mask, spans, m.start())
+            rspan = _operand_right_span(sql, mask, spans, m.end())
+            if lspan is None or rspan is None:
+                continue
+            lstart = _extend_left_through_json_chain(
+                sql, mask, spans, lspan[0]
+            )
+            ltext = sql[lstart : m.start()].strip()
+            if not _visibly_json(ltext, column_types):
+                continue
+            rtext = sql[m.end() : rspan[1]].strip()
+            if re.fullmatch(r"\d+", rtext):
+                fn = "jsonb_delete_index"
+            elif re.fullmatch(_STR_LIT, rtext):
+                fn = "jsonb_delete_key"
+            else:
+                t = (
+                    _column_type(rtext, column_types)
+                    if _BARE_IDENT_FULL_RE.fullmatch(rtext)
+                    else None
+                )
+                if t in _INT_PG_COL_TYPES:
+                    fn = "jsonb_delete_index"
+                elif t in ("text", "varchar", "character varying", "char"):
+                    fn = "jsonb_delete_key"
+                else:
+                    raise ValueError(
+                        "jsonb - operand: the deletion kind follows the "
+                        "right operand's type (text deletes a key, "
+                        "integer an element) which is not visible here "
+                        "— use a literal or declare the column type"
+                    )
+            sql = (
+                sql[:lstart]
+                + _sep_if_word_before(sql, lstart)
+                + f"{fn}({ltext}, {rtext})"
+                + sql[rspan[1] :]
+            )
+            done = False
+            break
+        if done:
+            return sql
+
+
 # PG array operators (@>, <@, &&) and quantified comparisons (ANY/ALL/SOME)
 # ---------------------------------------------------------------------------
 #
@@ -6091,6 +6271,33 @@ def _build_json_build_array(args):
         # renders '[null]' → 'null' (PG keeps it as json null)
         parts.append(f"substr({arr}, 2, length({arr}) - 2)")
     return ("concat('[', concat_ws(',', " + ", ".join(parts) + "), ']')", 0)
+
+
+_JSON_TYPEOF_OPEN_RE = re.compile(
+    r"\bjsonb?_typeof\s*\(", re.IGNORECASE
+)
+
+
+def _build_json_typeof(args):
+    """PG json[b]_typeof → a CASE on the document's first
+    non-whitespace character (the string-json model keeps source text,
+    so the lexical class IS the type; round-12 probe batch — the PG
+    spelling was an unresolved-routine error)."""
+    if len(args) != 1:
+        return None
+    x = args[0].strip()
+    c = f"substr(ltrim({x}), 1, 1)"
+    head = f"(CASE WHEN ({x}"
+    return (
+        head + f") IS NULL THEN NULL "
+        f"WHEN {c} = '{{' THEN 'object' "
+        f"WHEN {c} = '[' THEN 'array' "
+        f"WHEN {c} = '\"' THEN 'string' "
+        f"WHEN {c} IN ('t', 'f') THEN 'boolean' "
+        f"WHEN {c} = 'n' THEN 'null' "
+        f"ELSE 'number' END)",
+        len("(CASE WHEN ("),
+    )
 
 
 _JSON_ARRAY_OPEN_RE = re.compile(r"\bjson_array\s*\(", re.IGNORECASE)
@@ -8335,6 +8542,11 @@ def translate_pg_sql(
     # int/int → div: both BEFORE the cast pass, so `(10/4)::int` sees a
     # div() operand (no '/'-ambiguity skip) and the datediff output can
     # itself be cast
+    # jsonb binary operators BEFORE the cast pass (their json evidence
+    # is the ::jsonb text the cast pass erases) and BEFORE date/int
+    # subtraction (a `jsonb - 'key'` must not be read as arithmetic)
+    out = _translate_jsonb_binary_ops(out, column_types)
+    out = _translate_jsonb_minus(out, column_types)
     out = _translate_date_subtraction(out, column_types)
     out = _translate_int_division(out, column_types)
     out = _translate_casts(out, column_types)
@@ -8415,6 +8627,7 @@ def translate_pg_sql(
     # PG 16 SQL-standard constructors (round-12): json_array /
     # json_object with ':' or VALUE pairs and ON NULL / UNIQUE KEYS /
     # RETURNING tail clauses
+    out = _rewrite_calls(out, _JSON_TYPEOF_OPEN_RE, _build_json_typeof)
     out = _rewrite_calls(out, _JSON_ARRAY_OPEN_RE, _build_json_array_std)
     out = _rewrite_calls(out, _JSON_OBJECT_OPEN_RE, _build_json_object_std)
     # jsonb mutators (round-11, judge directive 5): the session

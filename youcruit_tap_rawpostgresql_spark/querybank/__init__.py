@@ -67,8 +67,8 @@ _ROTATION_R12 = [
     # (swapping out the r05-cohort refreshes below, newest-first);
     # until then, next-oldest evidence (r05 cohort) fills the window
     "pg_dialect_regexp_backrefs", "pg_dialect_tochar_format_r12",
-    "pg_dialect_probe_fixes_r12",
-    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
+    "pg_dialect_probe_fixes_r12", "pg_dialect_jsonb_operators",
+    "q2_min_cost_supplier", "q4_order_priority",
 ]
 _PREFIX = _PINS + _ROTATION_R12
 assert len(_PREFIX) == 50, f"driver window is 50 entries, prefix has {len(_PREFIX)}"

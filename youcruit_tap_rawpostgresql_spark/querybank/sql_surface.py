@@ -1590,3 +1590,56 @@ def pg_dialect_probe_fixes_r12(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM orders WHERE o_orderkey % 37 = 0",
         pg_dialect=True,
     )
+
+
+@register(
+    "pg_dialect_jsonb_operators",
+    # Oracle notes: DuckDB has no jsonb || / - / #- / @> operators over
+    # its json type in PG's shapes, so every mutation lane constructs
+    # the expected document directly (deterministic in the row values —
+    # same convention as pg_dialect_jsonb_mutators); the containment
+    # lane is a computable boolean.
+    oracle="""
+SELECT o_orderkey,
+  '{"k":' || (o_orderkey % 7) || ',"p":"' || o_orderpriority || '"}'
+    AS merged,
+  '{"p":"' || o_orderpriority || '"}' AS delkey,
+  to_json([10, 30]) AS delidx,
+  '{"a":{}}' AS delpath,
+  (o_orderkey % 2 = 0) AS contains_even,
+  CASE WHEN o_orderkey % 3 = 0 THEN 'object' ELSE 'array' END AS ty
+FROM orders WHERE o_orderkey % 43 = 0
+""",
+)
+def pg_dialect_jsonb_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PG jsonb OPERATOR family end-to-end on the delegated-SQL
+    contract (round-12 probe batch; reference ``client.py:300-304``):
+    ``||`` merge (was a SILENT text concatenation over the string-json
+    model), ``- text`` / ``- integer`` deletes, ``#-`` path delete,
+    ``@>`` containment, and ``jsonb_typeof``. Kernels are the
+    Arrow-batched pandas-UDF family (functions/jsonb.py, jsonfuncs.c
+    semantics); ``jsonb_typeof`` is a pure-JVM CASE on the lexical
+    class.
+
+    Scale: map-only projection over one pruned scan; the operator
+    kernels amortize over whole Arrow batches — no shuffle, no driver
+    materialization."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    tables(spark, sf_dir)
+    return run_sql(
+        spark,
+        "SELECT o_orderkey, "
+        "(jsonb_build_object('k', o_orderkey % 7) || "
+        "jsonb_build_object('p', o_orderpriority)) AS merged, "
+        "(jsonb_build_object('k', o_orderkey % 7, 'p', o_orderpriority) "
+        "- 'k') AS delkey, "
+        "('[10,20,30]'::jsonb - 1) AS delidx, "
+        "('{\"a\":{\"b\":1}}'::jsonb #- '{a,b}') AS delpath, "
+        "(jsonb_build_object('n', o_orderkey % 2) @> '{\"n\":0}') "
+        "AS contains_even, "
+        "jsonb_typeof(CASE WHEN o_orderkey % 3 = 0 THEN '{\"x\":1}' "
+        "ELSE '[1]' END) AS ty "
+        "FROM orders WHERE o_orderkey % 43 = 0",
+        pg_dialect=True,
+    )
