@@ -3218,3 +3218,27 @@ def test_jsonb_operator_family_pins(spark):
         translate_pg_sql(
             "SELECT props - unknown_col FROM events", column_types=ct
         )
+
+
+def test_jsonb_minus_text_array_pins(spark):
+    """PG 13 `jsonb - text[]` deletes SEVERAL keys — caught as a
+    silent single-key delete in the round's own new minus pass (the
+    '{a,b}' array literal read as ONE key). Literal key arrays unroll
+    to chained deletes; non-literal arrays raise."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    row = run_sql(
+        spark,
+        """SELECT
+        ('{"a":1,"b":2,"c":3}'::jsonb - '{a,b}'::text[]) AS arr_lit,
+        ('{"a":1,"b":2}'::jsonb - ARRAY['a']) AS arr_ctor
+        """,
+    ).first()
+    assert row["arr_lit"] == '{"c":3}'
+    assert row["arr_ctor"] == '{"b":2}'
+    import pytest
+
+    with pytest.raises(ValueError, match="deletion kind|literal"):
+        translate_pg_sql(
+            "SELECT props - keys_col FROM t", column_types={"props": "jsonb"}
+        )

@@ -4728,6 +4728,53 @@ def _translate_jsonb_minus(
             ltext = sql[lstart : m.start()].strip()
             if not _visibly_json(ltext, column_types):
                 continue
+            rend = _extend_right_through_casts(sql, mask, rspan[1])
+            rtext = sql[m.end() : rend].strip()
+            # PG 13 `jsonb - text[]` deletes SEVERAL keys: a literal
+            # key array unrolls to chained single-key deletes at
+            # translation time; non-literal arrays raise (the kernel
+            # is single-key)
+            am = re.fullmatch(
+                r"('(?:[^']|'')*')\s*::\s*text\s*\[\s*\]"
+                # the ARRAY[...] ctor is already array(...) here (the
+                # ctor pass runs earlier)
+                r"|(?:ARRAY\s*\[([^\[\]]*)\]|array\s*\(([^()]*)\))",
+                rtext,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if am:
+                if am.group(1):
+                    keys = _pg_array_lit_items(
+                        _decode_spark_literal(am.group(1)[1:-1])
+                    )
+                    keys = [quote_literal(k) for k in keys if k is not None]
+                else:
+                    keys = [
+                        a.strip()
+                        for a in _split_top_level_args(
+                            am.group(2) or am.group(3)
+                        )
+                        if a.strip()
+                    ]
+                    if not all(
+                        re.fullmatch(_STR_LIT, k) for k in keys
+                    ):
+                        raise ValueError(
+                            "jsonb - text[]: key arrays must be "
+                            "literal for translation (the delete "
+                            "unrolls per key)"
+                        )
+                expr = ltext
+                for k in keys:
+                    expr = f"jsonb_delete_key({expr}, {k})"
+                sql = (
+                    sql[:lstart]
+                    + _sep_if_word_before(sql, lstart)
+                    + expr
+                    + sql[rend:]
+                )
+                done = False
+                break
             rtext = sql[m.end() : rspan[1]].strip()
             if re.fullmatch(r"\d+", rtext):
                 fn = "jsonb_delete_index"
