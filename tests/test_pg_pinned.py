@@ -1954,8 +1954,11 @@ def test_regexp_family_untranslatable_named_errors():
 
     with pytest.raises(ValueError, match="N-th occurrence"):
         translate_pg_sql("SELECT regexp_instr('x', 'y', 1, 2)")
-    with pytest.raises(ValueError, match="N-th occurrence"):
-        translate_pg_sql("SELECT regexp_substr('x', 'y', 1, 2)")
+    # regexp_substr's N-th occurrence TRANSLATES since round 12
+    # (regexp_extract_all indexed at N) — see the dedicated pin
+    assert "regexp_extract_all" in translate_pg_sql(
+        "SELECT regexp_substr('x', 'y', 1, 2)"
+    )
     with pytest.raises(ValueError, match="flags"):
         translate_pg_sql("SELECT regexp_count('x', 'y', 1, 'g')")
 
@@ -3242,3 +3245,28 @@ def test_jsonb_minus_text_array_pins(spark):
         translate_pg_sql(
             "SELECT props - keys_col FROM t", column_types={"props": "jsonb"}
         )
+
+
+def test_regexp_substr_nth_occurrence_pins(spark):
+    """PG 15 regexp_substr's N-th occurrence and subexpr arguments
+    translate since round 12 (were named errors):
+    try_element_at(regexp_extract_all(...), N) — NULL past the last
+    match like PG. PG docs §9.7.3 examples pinned."""
+    row = one(
+        spark,
+        "regexp_substr('number of your street, town zip, FR', "
+        "'[^,]+', 1, 2) AS docs1, "
+        "regexp_substr('ABCDEFGHI', '(c..)(...)', 1, 1, 'i', 2) AS docs2, "
+        "regexp_substr('a1b2c3', '[0-9]', 1, 3) AS third, "
+        "regexp_substr('a1b2', '[0-9]', 1, 9) AS past_end, "
+        "regexp_substr('xa1', '[0-9]', 2) AS offset2",
+    )
+    assert row["docs1"] == " town zip"
+    assert row["docs2"] == "FGH"
+    assert row["third"] == "3"
+    assert row["past_end"] is None
+    assert row["offset2"] == "1"
+    import pytest
+
+    with pytest.raises(ValueError, match="integer literals"):
+        translate_pg_sql("SELECT regexp_substr(x, 'p', 1, n) FROM t")

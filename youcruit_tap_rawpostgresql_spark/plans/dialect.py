@@ -6120,26 +6120,35 @@ def _build_regexp_instr_pg(args):
 
 
 def _build_regexp_substr_pg(args):
+    """PG 15 regexp_substr(string, pattern [, start [, N [, flags
+    [, subexpr]]]]). N = 1 maps to Spark's first-match regexp_substr;
+    N > 1 (round-12: was a named error) is
+    ``try_element_at(regexp_extract_all(...), N)`` — the all-matches
+    list indexed at N, NULL past the last match like PG. ``subexpr``
+    selects the capture group (regexp_extract_all's third argument);
+    flags follow the usual g/i screen (g is invalid here, like PG)."""
     if len(args) in (0, 1, 2):
         return None
-    if len(args) > 4:
-        raise ValueError(
-            "regexp_substr with N-th occurrence / subexpr arguments is "
-            "not translatable — only (string, pattern, start[, flags]) "
-            "maps to Spark"
-        )
+    if len(args) > 6:
+        return None  # not PG's arity — leave for loud analysis
     x, pat = args[0].strip(), args[1].strip()
-    start = args[2].strip()
-    if len(args) == 4:
-        # PG's 4th arg is the N-th occurrence (flags is 5th); only the
-        # default N = 1 maps to Spark's first-match regexp_substr
-        n = _strip_comments(args[3]).strip()
-        if n != "1":
-            raise ValueError(
-                "regexp_substr N-th occurrence is not translatable "
-                "(Spark's regexp_substr returns the first match only)"
-            )
-    return (f"regexp_substr(substr({x}, {start}), {pat})", 0)
+    start = _strip_comments(args[2]).strip()
+    n = _strip_comments(args[3]).strip() if len(args) >= 4 else "1"
+    grp = _strip_comments(args[5]).strip() if len(args) == 6 else "0"
+    if len(args) >= 5:
+        pat = _pg_iflag_pattern(pat, args[4], "regexp_substr")
+    if not re.fullmatch(r"\d+", n) or not re.fullmatch(r"\d+", grp):
+        raise ValueError(
+            "regexp_substr: the N-th-occurrence and subexpr arguments "
+            "must be integer literals for translation"
+        )
+    s_expr = x if start == "1" else f"substr({x}, {start})"
+    if n == "1" and grp == "0":
+        return (f"regexp_substr({s_expr}, {pat})", 0)
+    return (
+        f"try_element_at(regexp_extract_all({s_expr}, {pat}, {grp}), {n})",
+        0,
+    )
 
 
 def _build_regexp_like_pg(args):
