@@ -354,6 +354,10 @@ extraction, and array NULL semantics. Known remaining deltas on those paths
   decoded the backslash).
 - ``->`` returns text, not json: the engine models json as string, so
   ``->``/``->>`` (and ``#>``/``#>>``) all collapse to text extraction.
+- float8→text renders Java's exponent form (``1.0E20``) where PG prints
+  ``1e+20``, and negative zero renders ``0.0`` where PG prints ``-0`` —
+  the same rendering-delta family as the interval/array spellings
+  (values compare equal; only the text differs).
 - ``similarity()``/``word_similarity()`` (the pg_trgm SQL UDFs,
   ``plans/executor.py``) split words on ``[^a-z0-9]+`` after lower():
   ASCII-only word characters, where pg_trgm under a real locale keeps
