@@ -3270,3 +3270,24 @@ def test_regexp_substr_nth_occurrence_pins(spark):
 
     with pytest.raises(ValueError, match="integer literals"):
         translate_pg_sql("SELECT regexp_substr(x, 'p', 1, n) FROM t")
+
+
+def test_tablesample_translation_pins(spark):
+    """PG TABLESAMPLE BERNOULLI/SYSTEM (p) [REPEATABLE (s)] → Spark's
+    (p PERCENT) [REPEATABLE (s)] (pre-existing translation; round-12
+    probe verified it live on a NAMED relation — Spark cannot sample
+    VALUES/table-valued relations, which is a loud parse error, not a
+    delta). Random by design — the pins assert the deterministic
+    envelopes."""
+    spark.range(100).createOrReplaceTempView("_ts_pin")
+    n100 = spark.sql(translate_pg_sql(
+        "SELECT count(*) AS c FROM _ts_pin TABLESAMPLE BERNOULLI (100)"
+    )).first()["c"]
+    n0 = spark.sql(translate_pg_sql(
+        "SELECT count(*) AS c FROM _ts_pin TABLESAMPLE SYSTEM (0)"
+    )).first()["c"]
+    assert (n100, n0) == (100, 0)
+    out = translate_pg_sql(
+        "SELECT * FROM t TABLESAMPLE BERNOULLI (37.5) REPEATABLE (7)"
+    )
+    assert "TABLESAMPLE (37.5 PERCENT) REPEATABLE (7)" in out
