@@ -460,9 +460,15 @@ def test_to_char_token_mapping():
     )
     # round-8: tokens JDK cannot render faithfully raise at TRANSLATION
     # time instead of silently mistranslating (PG D = day-of-week
-    # Sunday=1; JDK D = day-of-YEAR) or exploding inside a task
-    with pytest.raises(ValueError, match="'Month'"):
-        translate_pg_sql("SELECT to_char(ts, 'Month DD') FROM e")
+    # Sunday=1; JDK D = day-of-YEAR) or exploding inside a task.
+    # Round-13: Month/Day name forms now translate (rpad'd expression
+    # segments — PG pads to 9 chars)
+    assert translate_pg_sql(
+        "SELECT to_char(ts, 'Month DD') FROM e"
+    ) == (
+        "SELECT concat(rpad(date_format(ts, 'MMMM'), 9, ' '), "
+        "date_format(ts, ' dd')) FROM e"
+    )
     with pytest.raises(ValueError, match="'D'"):
         translate_pg_sql("SELECT to_char(ts, 'D') FROM e")
     with pytest.raises(ValueError, match="'THH'"):

@@ -1565,3 +1565,52 @@ N_CASES_V15 = 45
 def test_sqlsmith_differential_v15(sview_g, duck_g, i):
     pg_sql, ct = gen_query_v15(i)
     assert_differential(sview_g, duck_g, pg_sql, column_types=ct)
+
+
+# --- grammar v16: generate_series DIRECTION semantics (round-12 judge
+# probe — Spark's sequence silently DESCENDED on default-step start >
+# stop and raised on explicit wrong-direction steps; PG: empty set).
+# DuckDB arbitration: the FROM-position table function RAISES at bind
+# time on against-direction bounds, but the select-list LIST form
+# returns [] there — unnest of that list is exactly PG's empty set, so
+# every shape spells the SRF as unnest(generate_series(...)). Step 0
+# is excluded (PG raises; DuckDB's list form returns [] — pinned loud
+# in test_generate_series_direction_pins instead).
+
+def gen_query_v16(i: int) -> str:
+    r = random.Random(20260816 * 16000 + i)
+    shape = r.randrange(4)
+    if shape == 0:
+        # literal bounds, default step, ANY direction
+        a = r.randint(-3, 3)
+        b = a + r.randint(-6, 6)
+        return f"SELECT unnest(generate_series({a}, {b})) AS v"
+    if shape == 1:
+        # DYNAMIC stop bound spanning empty and non-empty rows
+        m, k = r.randint(3, 5), r.randint(0, 2)
+        return (
+            f"SELECT c_custkey, "
+            f"unnest(generate_series(1, (c_custkey % {m}) - {k})) AS v "
+            f"FROM customer WHERE c_custkey < {r.randint(30, 80)}"
+        )
+    if shape == 2:
+        # explicit literal step, ANY direction, nonzero
+        a = r.randint(-3, 3)
+        b = a + r.randint(-8, 8)
+        step = r.choice([-3, -2, -1, 1, 2, 3])
+        return f"SELECT unnest(generate_series({a}, {b}, {step})) AS v"
+    # shape 3: DYNAMIC step through the type-agnostic runtime guard
+    s = r.randint(1, 3)
+    return (
+        f"SELECT c_custkey, unnest(generate_series(1, {r.randint(3, 7)}, "
+        f"(c_custkey % 2) * {2 * s} - {s})) AS v "
+        f"FROM customer WHERE c_custkey < {r.randint(20, 60)}"
+    )
+
+
+N_CASES_V16 = 48
+
+
+@pytest.mark.parametrize("i", range(N_CASES_V16))
+def test_sqlsmith_differential_v16(sview_g, duck_g, i):
+    assert_differential(sview_g, duck_g, gen_query_v16(i))

@@ -38,39 +38,42 @@ from youcruit_tap_rawpostgresql_spark.querybank import corpus  # noqa: F401,E402
 # which round's window. Names here must exist; a typo fails loudly at
 # import time rather than silently shrinking the checked window.
 _PINS = [
-    # r12: flagship pin set unchanged (ROTATION.md) — raw-SQL scan,
+    # r13: flagship pin set unchanged (ROTATION.md) — raw-SQL scan,
     # live JDBC, the sink round-trip, and the LLM-pipeline flagships
     "q1_pricing_summary", "q21_sole_late_supplier",
     "tap_batch_export_roundtrip", "tap_jdbc_live_roundtrip",
     "dedup_minhash_lsh", "sim_cosine_topk", "sim_ann_ivf_pq",
     "text_tfidf_topk", "kmeans_embed_lloyd", "stream_stateful_sessionize",
 ]
-_ROTATION_R12 = [
-    # round-11 judge directive 1: the late-registered r11 probe-fix
-    # family FIRST (pins + oracle but no driver row yet)
-    "pg_dialect_probe_fixes_r11",
-    # the 13 r02-cohort join/set-op/sort cases deferred from r11
-    # (stable Spark-native kernels; their only driver row is r02)
-    "join_inner", "join_left_outer", "join_right_outer",
-    "join_full_outer", "join_cross", "join_semi", "join_anti",
-    "set_union_all", "set_union_distinct", "set_intersect",
-    "set_except", "sort_limit", "filter_predicates",
-    # the r03–r04 cohort (20 cases, oldest remaining driver evidence)
-    "cdc_snapshot_diff", "dedup_exact", "graph_pagerank_trade",
-    "join_asof_nearest", "multimodal_decode", "pack_greedy_capacity",
-    "scalar_array_lambda", "scalar_datetime", "scalar_json",
-    "scalar_string", "sessionize", "sim_ann_lsh_multiprobe",
-    "tap_conform_schema", "tap_flatten", "tap_full_table_start",
-    "tap_incremental_bookmark", "tap_stream_map", "text_quality",
-    "text_token_stats", "udf_pandas_tokens",
-    # tail slots: r12-born cases land here as the round produces them
-    # (swapping out the r05-cohort refreshes below, newest-first);
-    # until then, next-oldest evidence (r05 cohort) fills the window
-    "pg_dialect_regexp_backrefs", "pg_dialect_tochar_format_r12",
-    "pg_dialect_probe_fixes_r12", "pg_dialect_jsonb_operators",
-    "q2_min_cost_supplier", "q4_order_priority",
+_ROTATION_R13 = [
+    # round-12 judge directive 2: r13-born cases FIRST (the SRF
+    # direction-guard family — judge directive 1 — and the to_char
+    # day/month name templates — directive 3), then the r05-cohort
+    # refresh (oldest remaining driver evidence after the r12 window
+    # took the r02–r04 cohorts and q2/q4)
+    "pg_dialect_srf_direction_r13", "pg_dialect_tochar_names_r13",
+    # the r05 cohort (38 cases; ROTATION.md r05 section minus the two
+    # already refreshed in r12)
+    "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
+    "q17_small_quantity", "q22_dormant_customers",
+    "subquery_exists_correlated", "cte_top_supplier", "join_lateral",
+    "pivot_sum", "unpivot_stack", "recursive_cte_chain",
+    "distinct_on_latest", "agg_percentiles", "win_sliding_median",
+    "topk_with_ties", "scalar_math", "scalar_null_semantics",
+    "pg_dialect_operators", "pg_dialect_timezone", "tap_catalog",
+    "tap_conform_quarantine", "tap_backfill_chunks",
+    "versioned_time_travel", "dq_expectations", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_components", "text_langid",
+    "text_fingerprint", "text_bm25_keyword", "sim_ann_lsh",
+    "ann_recall_eval", "embed_quantize_int8",
+    "contamination_ngram_overlap", "stream_windowed_agg",
+    "stream_dedup_watermark", "scd2_status_history",
+    "graph_triangle_count",
+    # any further r13-born case swaps out the TAIL r05 refresh above
+    # (newest-first), deferring it to r14 — record the swap in
+    # ROTATION.md
 ]
-_PREFIX = _PINS + _ROTATION_R12
+_PREFIX = _PINS + _ROTATION_R13
 assert len(_PREFIX) == 50, f"driver window is 50 entries, prefix has {len(_PREFIX)}"
 _missing = [n for n in _PREFIX if n not in REGISTRY]
 assert not _missing, f"prefix names not in REGISTRY: {_missing}"
@@ -79,4 +82,4 @@ _reordered = {k: REGISTRY[k] for k in _PREFIX}
 _reordered.update(_rest)
 REGISTRY.clear()
 REGISTRY.update(_reordered)
-del _PREFIX, _missing, _rest, _reordered, _PINS, _ROTATION_R12
+del _PREFIX, _missing, _rest, _reordered, _PINS, _ROTATION_R13
