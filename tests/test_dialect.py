@@ -105,13 +105,16 @@ def test_array_binops():
 
 
 def test_quantified_comparisons():
+    # round-13: = ANY routes through the same exists() lambda as every
+    # other operator (the old array_contains fast path died loudly on a
+    # bare NULL LHS and missed PG's empty-array-false corner)
     assert translate_pg_sql("SELECT 2 = ANY(xs) AS m FROM t") == (
-        "SELECT array_contains(xs, 2) AS m FROM t"
+        "SELECT exists(xs, _qe -> (2) = _qe) AS m FROM t"
     )
     # the FULL arithmetic chain is the comparison's left operand
     # (precedence: comparison binds looser than +)
     assert translate_pg_sql("SELECT n + 1 = ANY(xs) AS m FROM t") == (
-        "SELECT array_contains(xs, n + 1) AS m FROM t"
+        "SELECT exists(xs, _qe -> (n + 1) = _qe) AS m FROM t"
     )
     assert translate_pg_sql("SELECT 2 > ANY(xs) AS m FROM t") == (
         "SELECT exists(xs, _qe -> (2) > _qe) AS m FROM t"
@@ -287,11 +290,11 @@ def test_match_op_keyword_before_paren_lhs_not_swallowed():
         == "SELECT * FROM t WHERE NOT(x) RLIKE 'p'"
     )
     # …and the SAME no-space class in every other word-leading rewrite
-    # (round-7 self-review: quantified → array_contains, JSON ->, cast
+    # (round-7 self-review: quantified rewrites, JSON ->, cast
     # callee, and parenthesized-call LHS all fused or mistranslated)
     assert (
         translate_pg_sql("SELECT * FROM t WHERE a AND(x) = ANY(arr)")
-        == "SELECT * FROM t WHERE a AND array_contains(arr, (x))"
+        == "SELECT * FROM t WHERE a AND exists(arr, _qe -> (x) = _qe)"
     )
     assert (
         translate_pg_sql("SELECT CASE WHEN(j) ->> 'k' = 'v' THEN 1 END FROM t")

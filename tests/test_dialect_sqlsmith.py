@@ -1614,3 +1614,93 @@ N_CASES_V16 = 48
 @pytest.mark.parametrize("i", range(N_CASES_V16))
 def test_sqlsmith_differential_v16(sview_g, duck_g, i):
     assert_differential(sview_g, duck_g, gen_query_v16(i))
+
+
+# --- grammar v17: quantified `= ANY` 3VL corners (round-12 judge
+# directive 4). The old array_contains fast path died loudly on a bare
+# NULL LHS (DATATYPE_MISMATCH.NULL_TYPE) and returned NULL over an
+# EMPTY array with a runtime-NULL LHS where PG returns FALSE; `= ANY`
+# now routes through the exists() lambda. DuckDB agrees with PG on
+# every probed corner (NULL = ANY non-empty → NULL, anything over
+# empty → false, NULL elements give 3VL unknowns), so the whole
+# family arbitrates directly.
+
+def gen_query_v17(i: int) -> str:
+    r = random.Random(20260816 * 17000 + i)
+    shape = r.randrange(4)
+    arr_items = r.choice(
+        [["1", "2"], ["1", "NULL"], ["NULL"], ["3", "NULL", "5"], []]
+    )
+    arr = (
+        "ARRAY[]::int[]"
+        if not arr_items
+        else "ARRAY[" + ", ".join(arr_items) + "]"
+    )
+    if shape == 0:
+        # bare NULL literal LHS (the loud-error shape)
+        op = r.choice(["= ANY", "<> ALL", "< ANY", ">= ALL"])
+        return f"SELECT NULL {op}({arr}) AS v"
+    if shape == 1:
+        # column LHS over NULL-bearing / empty arrays
+        return (
+            f"SELECT c_custkey, c_custkey % {r.randint(2, 7)} = ANY({arr}) "
+            f"AS v FROM customer WHERE c_custkey < {r.randint(20, 60)}"
+        )
+    if shape == 2:
+        # runtime-NULL LHS (CASE arm) over possibly-empty arrays —
+        # the measured array_contains corner (PG: empty → false)
+        return (
+            f"SELECT c_custkey, "
+            f"(CASE WHEN c_custkey % 2 = 0 THEN NULL "
+            f"ELSE c_custkey % 3 END) = ANY({arr}) AS v "
+            f"FROM customer WHERE c_custkey < {r.randint(20, 60)}"
+        )
+    # shape 3: <> ALL with the same corners
+    return (
+        f"SELECT c_custkey, c_custkey % {r.randint(2, 5)} <> ALL({arr}) "
+        f"AS v FROM customer WHERE c_custkey < {r.randint(20, 60)}"
+    )
+
+
+N_CASES_V17 = 40
+
+
+@pytest.mark.parametrize("i", range(N_CASES_V17))
+def test_sqlsmith_differential_v17(sview_g, duck_g, i):
+    assert_differential(sview_g, duck_g, gen_query_v17(i))
+
+
+# --- grammar v18: julian extraction (round-13 probe batch — Spark has
+# no julian field; the rewrite composes datediff against JD 2451545 =
+# 2000-01-01 plus the since-midnight fraction). DuckDB speaks
+# extract(julian ...) and date_part('julian', ...) with PG's exact
+# values, so both spellings arbitrate directly over date and
+# timestamp operands.
+
+def gen_query_v18(i: int) -> str:
+    r = random.Random(20260816 * 18000 + i)
+    src = r.choice([
+        "o_orderdate::date",
+        "o_orderdate::date + 7",
+        "o_orderdate::timestamp + interval '6 hours'",
+        "DATE '1997-03-15'",
+        "TIMESTAMP '2001-08-16 18:00:00'",
+    ])
+    spelling = r.randrange(2)
+    fld = (
+        f"extract(julian from {src})"
+        if spelling == 0
+        else f"date_part('julian', {src})"
+    )
+    return (
+        f"SELECT o_orderkey, {fld}::double AS jd "
+        f"FROM orders WHERE o_orderkey < {r.randint(30, 120)}"
+    )
+
+
+N_CASES_V18 = 24
+
+
+@pytest.mark.parametrize("i", range(N_CASES_V18))
+def test_sqlsmith_differential_v18(sview_g, duck_g, i):
+    assert_differential(sview_g, duck_g, gen_query_v18(i))

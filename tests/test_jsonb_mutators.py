@@ -183,3 +183,35 @@ def test_operator_family_kernels():
         DK("1", "a")
     with pytest.raises(ValueError):
         DI('{"a":1}', 0)
+
+
+def test_jsonb_numeric_exactness_pins():
+    """Round-13 (round-12 advisor, low): jsonb numerics parse to
+    Decimal and re-serialize exactly — PG's jsonb stores numeric, so
+    values past double precision (>17 significant digits) must stay
+    distinct in @>/<@ and unrounded through ||. PG also canonicalizes
+    exponents away while KEEPING fractional scale ('1e5' prints 100000,
+    '1.50' stays 1.50)."""
+    from youcruit_tap_rawpostgresql_spark.functions.jsonb import (
+        jsonb_concat_value,
+        jsonb_contains_value,
+        jsonb_set_value,
+    )
+
+    big = "1.23456789012345678901"
+    other = "1.23456789012345678902"
+    assert jsonb_concat_value(f'{{"a":{big}}}', '{"b":2}') == (
+        f'{{"a":{big},"b":2}}'
+    )
+    assert jsonb_contains_value(f"[{big}]", f"[{other}]") is False
+    assert jsonb_contains_value(f"[{big}]", f"[{big}]") is True
+    assert jsonb_concat_value('{"a":1e5}', "{}") == '{"a":100000}'
+    assert jsonb_concat_value('{"a":1.50}', "{}") == '{"a":1.50}'
+    assert (
+        jsonb_set_value('{"a":[1,2.75]}', "{a,1}", "3.250", True)
+        == '{"a":[1,3.250]}'
+    )
+    # a data string containing the serializer's placeholder tag text
+    # must survive verbatim (the tag grows past any collision)
+    inp = '{"a":"\\u0000jd0\\u0000","b":1.5}'
+    assert jsonb_concat_value(inp, "{}") == inp

@@ -43,6 +43,7 @@ structure are exact.
 
 from __future__ import annotations
 
+import decimal as _decimal
 import json
 from typing import Any
 
@@ -105,8 +106,57 @@ def parse_pg_text_array(lit: str) -> list[str]:
     return segs
 
 
+# PG jsonb stores numerics EXACTLY (numeric type); float-based
+# json.loads would round past 17 significant digits, making distinct
+# numerics compare equal in @>/<@ and re-serialize rounded through ||
+# (round-12 advisor). Fractions parse to Decimal; ints are exact in
+# Python natively. PG's jsonb rendering canonicalizes exponents away
+# but KEEPS the input's fractional scale ('1.50' stays 1.50, '1e5'
+# prints 100000) — format(d, 'f') is exactly that.
+
+
+def _loads(s: str) -> Any:
+    return json.loads(s, parse_float=_decimal.Decimal)
+
+
+def _tag_in(node: Any, tag: str) -> bool:
+    if isinstance(node, str):
+        return tag in node
+    if isinstance(node, dict):
+        return any(
+            _tag_in(k, tag) or _tag_in(v, tag) for k, v in node.items()
+        )
+    if isinstance(node, list):
+        return any(_tag_in(v, tag) for v in node)
+    return False
+
+
 def _dumps(doc: Any) -> str:
-    return json.dumps(doc, ensure_ascii=False, separators=(",", ":"))
+    # Decimals serialize through a string placeholder (json.dumps has
+    # no raw-token hook), then the quoted placeholders are spliced back
+    # as bare numerics. The NUL-based tag is grown until no real string
+    # in the document contains it, so data can never collide with a
+    # placeholder.
+    tag = "\x00jd"
+    while _tag_in(doc, tag):
+        tag += "\x00"
+    toks: list[str] = []
+
+    def enc(o: Any) -> str:
+        if isinstance(o, _decimal.Decimal):
+            toks.append(format(o, "f"))
+            return f"{tag}{len(toks) - 1}{tag}"
+        raise TypeError(type(o).__name__)
+
+    s = json.dumps(
+        doc, ensure_ascii=False, separators=(",", ":"), default=enc
+    )
+    # json.dumps escapes the tag's NUL chars inside the
+    # quoted placeholder — match that rendering when splicing
+    esc = tag.replace("\x00", "\\u0000")
+    for i, t in enumerate(toks):
+        s = s.replace(f'"{esc}{i}{esc}"', t)
+    return s
 
 
 def _array_index(seg: str) -> int:
@@ -206,11 +256,11 @@ def jsonb_set_value(
 ) -> str | None:
     if target is None or path is None or new_value is None or create_missing is None:
         return None
-    doc = json.loads(target)
+    doc = _loads(target)
     segs = parse_pg_text_array(path)
     if not segs:
         return _dumps(doc)
-    return _dumps(_set_path(doc, segs, json.loads(new_value), bool(create_missing)))
+    return _dumps(_set_path(doc, segs, _loads(new_value), bool(create_missing)))
 
 
 def jsonb_insert_value(
@@ -221,17 +271,17 @@ def jsonb_insert_value(
 ) -> str | None:
     if target is None or path is None or new_value is None or insert_after is None:
         return None
-    doc = json.loads(target)
+    doc = _loads(target)
     segs = parse_pg_text_array(path)
     if not segs:
         return _dumps(doc)
-    return _dumps(_insert_path(doc, segs, json.loads(new_value), bool(insert_after)))
+    return _dumps(_insert_path(doc, segs, _loads(new_value), bool(insert_after)))
 
 
 def jsonb_strip_nulls_value(target: str | None) -> str | None:
     if target is None:
         return None
-    return _dumps(_strip_nulls(json.loads(target)))
+    return _dumps(_strip_nulls(_loads(target)))
 
 
 def jsonb_concat_value(a: str | None, b: str | None) -> str | None:
@@ -241,7 +291,7 @@ def jsonb_concat_value(a: str | None, b: str | None) -> str | None:
     (``'{"a":1}' || '[1]'`` → ``[{"a":1},1]``, scalars included)."""
     if a is None or b is None:
         return None
-    da, db = json.loads(a), json.loads(b)
+    da, db = _loads(a), _loads(b)
     if isinstance(da, dict) and isinstance(db, dict):
         return _dumps({**da, **db})
     la = da if isinstance(da, list) else [da]
@@ -255,7 +305,7 @@ def jsonb_delete_key_value(j: str | None, key: str | None) -> str | None:
     scalar targets raise, like PG."""
     if j is None or key is None:
         return None
-    d = json.loads(j)
+    d = _loads(j)
     if isinstance(d, dict):
         d.pop(key, None)
         return _dumps(d)
@@ -272,7 +322,7 @@ def jsonb_delete_index_value(j: str | None, idx: int | None) -> str | None:
     and scalars raise, like PG."""
     if j is None or idx is None:
         return None
-    d = json.loads(j)
+    d = _loads(j)
     if isinstance(d, dict):
         raise ValueError(
             "cannot delete from object using integer index (PG "
@@ -318,7 +368,7 @@ def jsonb_delete_path_value(j: str | None, path: str | None) -> str | None:
     if j is None or path is None:
         return None
     segs = parse_pg_text_array(path)
-    doc = json.loads(j)
+    doc = _loads(j)
     if not segs:
         return _dumps(doc)
     return _dumps(_delete_path(doc, segs))
@@ -357,7 +407,7 @@ def jsonb_contains_value(a: str | None, b: str | None) -> bool | None:
     compare json-type-exactly)."""
     if a is None or b is None:
         return None
-    return _jsonb_contains(json.loads(a), json.loads(b), True)
+    return _jsonb_contains(_loads(a), _loads(b), True)
 
 
 def register_jsonb_mutators(spark) -> None:

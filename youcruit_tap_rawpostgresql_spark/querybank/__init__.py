@@ -52,8 +52,11 @@ _ROTATION_R13 = [
     # refresh (oldest remaining driver evidence after the r12 window
     # took the r02–r04 cohorts and q2/q4)
     "pg_dialect_srf_direction_r13", "pg_dialect_tochar_names_r13",
-    # the r05 cohort (38 cases; ROTATION.md r05 section minus the two
-    # already refreshed in r12)
+    "pg_dialect_probe_fixes_r13",
+    # the r05 cohort (37 cases; ROTATION.md r05 section minus the two
+    # already refreshed in r12 and graph_triangle_count, swapped out —
+    # tail-first per the convention below — for the r13 probe-fix case
+    # and deferred to r14)
     "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
     "q17_small_quantity", "q22_dormant_customers",
     "subquery_exists_correlated", "cte_top_supplier", "join_lateral",
@@ -68,7 +71,6 @@ _ROTATION_R13 = [
     "ann_recall_eval", "embed_quantize_int8",
     "contamination_ngram_overlap", "stream_windowed_agg",
     "stream_dedup_watermark", "scd2_status_history",
-    "graph_triangle_count",
     # any further r13-born case swaps out the TAIL r05 refresh above
     # (newest-first), deferring it to r14 — record the swap in
     # ROTATION.md

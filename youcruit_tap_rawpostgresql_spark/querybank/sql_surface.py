@@ -1764,3 +1764,58 @@ def pg_dialect_tochar_names_r13(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM orders WHERE o_orderkey % 53 = 0 ORDER BY o_orderkey",
         pg_dialect=True,
     )
+
+
+@register(
+    "pg_dialect_probe_fixes_r13",
+    # Oracle notes: DuckDB arbitrates julian natively and speaks the
+    # quantified = ANY corners with PG's exact 3VL; #> index paths
+    # oracle through json_extract's JsonPath; the TH ordinal and the
+    # jsonb-minus-cast lanes construct the expected strings directly
+    # (DuckDB has no PG to_char or jsonb operators).
+    oracle="""
+SELECT o_orderkey,
+  json_extract('{"a":[10,' || (o_orderkey % 7) || ']}', '$.a[1]')::varchar
+    AS path_idx,
+  CAST(o_orderkey % 1000 AS VARCHAR) ||
+    CASE WHEN (o_orderkey % 1000) % 100 IN (11, 12, 13) THEN 'th'
+         WHEN (o_orderkey % 1000) % 10 = 1 THEN 'st'
+         WHEN (o_orderkey % 1000) % 10 = 2 THEN 'nd'
+         WHEN (o_orderkey % 1000) % 10 = 3 THEN 'rd'
+         ELSE 'th' END AS ordinal,
+  julian(CAST(o_orderdate AS DATE)) AS jd,
+  (o_orderkey % 5) = ANY([1, 3, NULL]) AS any_3vl,
+  NULL = ANY([]::int[]) AS any_empty,
+  '[10,30]' AS delidx_cast
+FROM orders WHERE o_orderkey % 47 = 0 ORDER BY o_orderkey
+""",
+)
+def pg_dialect_probe_fixes_r13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-13 probe-batch fix families end-to-end on the
+    delegated-SQL contract (reference ``client.py:300-304``): ``#>``
+    all-digit path segments as ARRAY INDEXES (silent NULL before),
+    numeric to_char ``TH`` ordinal suffixes (FM-stripped to drop the
+    sign column for the oracle's plain rendering), ``julian``
+    extraction, the ``= ANY`` exists() route with PG's 3VL on
+    NULL-bearing and empty arrays (judge directive 4), and
+    cast-classified ``jsonb -`` deletion (round-12 advisor).
+
+    Scale: map-only projection over one pruned scan — JVM expressions
+    except the jsonb delete (Arrow-batched pandas UDF); no shuffle
+    beyond the final sort."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    tables(spark, sf_dir)
+    return run_sql(
+        spark,
+        "SELECT o_orderkey, "
+        "('{\"a\":[10,' || (o_orderkey % 7) || ']}')::jsonb #>> '{a,1}' "
+        "AS path_idx, "
+        "to_char(o_orderkey % 1000, 'FM999th') AS ordinal, "
+        "extract(julian from o_orderdate::date) AS jd, "
+        "(o_orderkey % 5) = ANY(ARRAY[1, 3, NULL]) AS any_3vl, "
+        "NULL = ANY(ARRAY[]::int[]) AS any_empty, "
+        "('[10,20,30]'::jsonb - '1'::int) AS delidx_cast "
+        "FROM orders WHERE o_orderkey % 47 = 0 ORDER BY o_orderkey",
+        pg_dialect=True,
+    )
