@@ -2909,6 +2909,20 @@ def test_chr_null_strict_pin(spark):
     assert row["still_a"] == "A"
 
 
+def test_chr_domain_errors_pin(spark):
+    """Round-13 probe: PG raises on chr(0) ("null character not
+    permitted") and on out-of-Unicode-range code points, where Java's
+    %c silently emits NUL / garbage — the raise_error arm keeps both
+    loud."""
+    import pytest
+
+    for bad in ("chr(0)", "chr(-1)", "chr(2000000)"):
+        with pytest.raises(Exception, match="character number"):
+            one(spark, f"{bad} AS v")
+    # the guard must not disturb valid points
+    assert one(spark, "chr(1114111) AS v")["v"] == "\U0010FFFF"
+
+
 def test_int_division_inside_failed_chain_pins(spark):
     """Round-11 advisor finding: `nullif(a/b, 2)/2` matched the whole
     chain, failed the integral check on the call term, and left the
@@ -3586,3 +3600,89 @@ def test_r13_probe_batch_pins(spark):
     with pytest.raises(ValueError, match="TH"):
         # fractional templates keep PG's own caveat loud
         translate_pg_sql("SELECT to_char(4.5, '9.9th')")
+
+
+def test_interval_text_fold_pins(spark):
+    """Round-13: LITERAL interval ::text folds at translation time to
+    PG's interval_out postgres-style rendering (was Spark's
+    "INTERVAL '1 02' DAY TO HOUR" spelling — a documented rendering
+    delta, now closed for literals; non-literal interval expressions
+    keep the delta). PG 16 hand-derived; DuckDB CANNOT arbitrate this
+    family (it prints 'months' where PG prints 'mons' and '-1 day'
+    where PG pluralizes to '-1 days' — both checked live), so these
+    are pins, not fuzz."""
+    row = one(
+        spark,
+        "(interval '90 minutes')::text AS t_only, "
+        "interval '1 day 2 hours'::text AS day_time, "
+        "(interval '2 years 3 months')::text AS ym, "
+        "(interval '-1 day +2 hours')::text AS mixed_sign, "
+        "(interval '26 hours')::text AS big_hours, "
+        "(interval '1.5 days')::text AS frac_day, "
+        "(interval '1 day 2 hours ago')::text AS ago, "
+        "(interval '00:00:01.5')::text AS frac_sec, "
+        "(interval '-00:30')::text AS neg_time, "
+        "(interval '14 months')::text AS months_split, "
+        "(interval '-14 months')::text AS neg_months",
+    )
+    assert row["t_only"] == "01:30:00"
+    assert row["day_time"] == "1 day 02:00:00"
+    assert row["ym"] == "2 years 3 mons"
+    assert row["mixed_sign"] == "-1 days +02:00:00"  # PG pluralizes -1
+    assert row["big_hours"] == "26:00:00"            # hours not justified
+    assert row["frac_day"] == "1 day 12:00:00"       # frac day → time
+    assert row["ago"] == "-1 days -02:00:00"
+    assert row["frac_sec"] == "00:00:01.5"           # trailing zeros cut
+    assert row["neg_time"] == "-00:30:00"
+    assert row["months_split"] == "1 year 2 mons"
+    assert row["neg_months"] == "-1 years -2 mons"
+
+
+def test_quote_ident_keyword_pins(spark):
+    """Round-13 probe: PG's quote_identifier quotes every keyword
+    category EXCEPT unreserved — quote_ident('select') is '"select"',
+    and the old expression silently returned it bare (the documented
+    delta claimed the list couldn't be carried; it rides inline now).
+    Unreserved keywords stay bare like PG. format %I shares the
+    expression."""
+    row = one(
+        spark,
+        "quote_ident('select') AS kw_reserved, "
+        "quote_ident('between') AS kw_colname, "
+        "quote_ident('ilike') AS kw_typefunc, "
+        "quote_ident('abort') AS kw_unreserved, "
+        "quote_ident('ok_name') AS plain, "
+        "quote_ident('Mixed') AS mixed, "
+        "format('%I', 'from') AS fmt_kw",
+    )
+    assert row["kw_reserved"] == '"select"'
+    assert row["kw_colname"] == '"between"'
+    assert row["kw_typefunc"] == '"ilike"'
+    assert row["kw_unreserved"] == "abort"   # unreserved stays bare
+    assert row["plain"] == "ok_name"
+    assert row["mixed"] == '"Mixed"'
+    assert row["fmt_kw"] == '"from"'
+
+
+def test_cast_after_trailing_clauses_pins(spark):
+    """Round-13 probe: ``::`` after an aggregate's trailing clauses
+    casts the WHOLE expression in PG — the old operand scan cast the
+    clause's own paren group (`agg(x) WITHIN GROUP (ORDER BY y)::double`
+    became `WITHIN GROUP CAST((ORDER BY y) AS double)`, statement
+    corruption; OVER (…) and FILTER (WHERE …) likewise). The scan now
+    walks left over the clauses to the call; Spark's filter()/exists()
+    HOFs still take the plain callee extension."""
+    row = one(
+        spark,
+        "(SELECT percentile_cont(0.5) WITHIN GROUP "
+        "(ORDER BY x)::double FROM (VALUES (1),(2),(4)) v(x)) AS wg, "
+        "(SELECT count(*) FILTER (WHERE x > 1)::int8 "
+        "FROM (VALUES (1),(2),(4)) v(x)) AS filt, "
+        "(SELECT max(s) FROM (SELECT sum(x) OVER (ORDER BY x)::int8 "
+        "AS s FROM (VALUES (1),(2),(4)) v(x)) t) AS win, "
+        "filter(ARRAY[1,2,3], x -> x > 1)::text AS hof",
+    )
+    assert row["wg"] == 2.0
+    assert row["filt"] == 2
+    assert row["win"] == 7
+    assert row["hof"] == "[2, 3]"  # Spark array→string rendering

@@ -50,6 +50,9 @@ from tests.test_dialect_sqlsmith import (  # noqa: E402
     N_CASES_V13,
     N_CASES_V14,
     N_CASES_V15,
+    N_CASES_V16,
+    N_CASES_V17,
+    N_CASES_V18,
     gen_query,
     gen_query_v2,
     gen_query_v3,
@@ -65,6 +68,9 @@ from tests.test_dialect_sqlsmith import (  # noqa: E402
     gen_query_v13,
     gen_query_v14,
     gen_query_v15,
+    gen_query_v16,
+    gen_query_v17,
+    gen_query_v18,
 )
 from youcruit_tap_rawpostgresql_spark.plans.dialect import (  # noqa: E402
     translate_pg_sql,
@@ -92,6 +98,9 @@ def main() -> int:
     ap.add_argument("--v13", type=int, default=400)
     ap.add_argument("--v14", type=int, default=300)
     ap.add_argument("--v15", type=int, default=300)
+    ap.add_argument("--v16", type=int, default=300)
+    ap.add_argument("--v17", type=int, default=300)
+    ap.add_argument("--v18", type=int, default=200)
     args = ap.parse_args()
 
     spark = get_session(app_name="fuzz-campaign")
@@ -113,6 +122,12 @@ def main() -> int:
         ("v9", gen_query_v9, N_CASES_V9, args.v9),
         ("v10", gen_query_v10, N_CASES_V10, args.v10),
         ("v11", gen_query_v11, N_CASES_V11, args.v11),
+        # round-13 grammars: v16 generate_series directions (DuckDB's
+        # list-form spelling), v17 quantified = ANY 3VL corners, v18
+        # julian extraction
+        ("v16", gen_query_v16, N_CASES_V16, args.v16),
+        ("v17", gen_query_v17, N_CASES_V17, args.v17),
+        ("v18", gen_query_v18, N_CASES_V18, args.v18),
     ):
         ran = 0
         for i in range(lo, hi):
@@ -204,7 +219,8 @@ def main() -> int:
             (args.v9, N_CASES_V9), (args.v10, N_CASES_V10),
             (args.v11, N_CASES_V11), (args.v12, N_CASES_V12),
             (args.v13, N_CASES_V13), (args.v14, N_CASES_V14),
-            (args.v15, N_CASES_V15),
+            (args.v15, N_CASES_V15), (args.v16, N_CASES_V16),
+            (args.v17, N_CASES_V17), (args.v18, N_CASES_V18),
         )
     )
     print(f"== fuzz campaign: {total} cases, {failures} failures ==",

@@ -164,13 +164,15 @@ groups); ``make_interval`` (positional/named args routed to
 make_ym_interval/make_dt_interval; mixed parts raise, like ``age()``
 and ``justify_*`` which PG's mixed interval type makes untranslatable).
 Known deltas from this batch: ``^`` computes in doubles (PG numeric ^
-numeric is exact — same class as two-arg log); ``quote_ident`` does not
-carry PG's reserved-keyword list (keyword inputs come back unquoted);
+numeric is exact — same class as two-arg log); round-13 CLOSED the old
+``quote_ident`` keyword delta (the non-unreserved PG 16 keyword list
+now rides inline — quote_ident('select') = '"select"');
 ``regexp_match``/``regexp_matches`` render non-participating groups as
 ``''`` (PG NULL — the substring-FROM delta class); OVERLAPS with NULL
 endpoints returns NULL where the spec formula can occasionally decide;
 ``interval → text`` renders in Spark's INTERVAL '…' spelling, not PG's
-'01:30:00'; ``char(n)`` truncates without blank-padding (invisible in
+'01:30:00', for NON-literal interval expressions (round-13 folds the
+LITERAL ``interval '…'::text`` form to PG's exact rendering); ``char(n)`` truncates without blank-padding (invisible in
 text contexts — PG strips the pad on char→text); PG binds ``::`` inside
 a typed literal (``date 'x'::text`` is still a DATE there) where this
 engine casts the constructed value — renderings agree.
@@ -372,7 +374,13 @@ extraction, and array NULL semantics. Known remaining deltas on those paths
 - float8→text renders Java's exponent form (``1.0E20``) where PG prints
   ``1e+20``, and negative zero renders ``0.0`` where PG prints ``-0`` —
   the same rendering-delta family as the interval/array spellings
-  (values compare equal; only the text differs).
+  (values compare equal; only the text differs). Round-13: LITERAL
+  ``interval '…'::text`` now folds at translation time to PG's
+  interval_out postgres-style rendering ('1 day 02:00:00',
+  '2 years 3 mons', '-1 days +02:00:00' — pinned; DuckDB deviates on
+  'mons' and negative plurals so the family is pin-arbitrated); the
+  spelling delta remains only for NON-literal interval expressions
+  cast to text.
 - (round-13, judge directive 5, both measured live) ``(date -
   interval)::text`` renders the DATE (``'2026-08-15'``) where PG's
   date − interval yields a TIMESTAMP (``'2026-08-15 00:00:00'``) —
@@ -1145,27 +1153,68 @@ def _translate_casts(
                         k -= 1
                     if k >= 0 and depth == 0:
                         start = k
-                        # adjacent callee: f(x)::t — SQL allows space
-                        # between name and paren (`sum (x)::int8`), so
-                        # skip it before scanning the identifier
-                        # (round-7 self-review)
-                        ce = k - 1
-                        while ce >= 0 and sql[ce] in " \t\n\r":
-                            ce -= 1
-                        i2 = ce
-                        while i2 >= 0 and (
-                            sql[i2].isalnum() or sql[i2] in "_."
-                        ):
-                            i2 -= 1
-                        # keyword guard (round-7 self-review, the same
-                        # class as the match-op advisory): WHEN(x)::text
-                        # must cast (x), not swallow WHEN as a callee
-                        if (
-                            i2 < ce
-                            and sql[i2 + 1 : ce + 1].lower()
-                            not in _NOT_OPERAND_KWS
-                        ):
-                            start = i2 + 1
+                        # walk LEFT over trailing clauses of the same
+                        # expression, then the adjacent callee. PG's ::
+                        # casts the WHOLE aggregate/window expression —
+                        # `agg(x) WITHIN GROUP (ORDER BY y)::double`
+                        # previously cast the (ORDER BY y) group itself
+                        # (`WITHIN GROUP CAST((ORDER BY y) AS double)`,
+                        # statement corruption — round-13 probe); same
+                        # for FILTER (WHERE …) and OVER (…). SQL allows
+                        # space between a callee name and its paren
+                        # (`sum (x)::int8`, round-7 self-review), and
+                        # WHEN(x)::text must cast (x), not swallow WHEN
+                        # as a callee (_NOT_OPERAND_KWS guard).
+                        while True:
+                            ce = start - 1
+                            while ce >= 0 and sql[ce] in " \t\n\r":
+                                ce -= 1
+                            i2 = ce
+                            while i2 >= 0 and (
+                                sql[i2].isalnum() or sql[i2] in "_."
+                            ):
+                                i2 -= 1
+                            word = sql[i2 + 1 : ce + 1].lower()
+                            if i2 >= ce:
+                                break
+                            clause_from = None
+                            if word in ("over", "filter"):
+                                clause_from = i2
+                            elif word == "group":
+                                w2e = i2
+                                while w2e >= 0 and sql[w2e] in " \t\n\r":
+                                    w2e -= 1
+                                w2s = w2e
+                                while w2s >= 0 and (
+                                    sql[w2s].isalnum() or sql[w2s] == "_"
+                                ):
+                                    w2s -= 1
+                                if sql[w2s + 1 : w2e + 1].lower() == "within":
+                                    clause_from = w2s + 1
+                            if clause_from is not None:
+                                # the clause must trail a ')' (the call
+                                # or the previous clause) — otherwise
+                                # the word is a real callee (Spark's
+                                # filter() HOF) or a bare keyword
+                                pe = clause_from - 1
+                                while pe >= 0 and sql[pe] in " \t\n\r":
+                                    pe -= 1
+                                if pe >= 0 and mask[pe] == ")":
+                                    d2, k2 = 0, pe
+                                    while k2 >= 0:
+                                        if mask[k2] == ")":
+                                            d2 += 1
+                                        elif mask[k2] == "(":
+                                            d2 -= 1
+                                            if d2 == 0:
+                                                break
+                                        k2 -= 1
+                                    if k2 >= 0 and d2 == 0:
+                                        start = k2
+                                        continue
+                            if word not in _NOT_OPERAND_KWS:
+                                start = i2 + 1
+                            break
                 elif sql[j].isalnum() or sql[j] in "_.":
                     i2 = j
                     while i2 >= 0 and (sql[i2].isalnum() or sql[i2] in "_."):
@@ -2317,6 +2366,64 @@ _EXTRACT_IVAL_FIELD_RE = re.compile(
     r"\s*\)",
     re.IGNORECASE,
 )
+
+
+def _pg_interval_render(months, days, us) -> str:
+    """PG ``interval_out`` (postgres style) text for a (months, days,
+    microseconds) storage split: ``N year(s) N mon(s) N day(s)
+    [sign]HH:MM:SS[.ffffff]`` — zero components omitted, the time part
+    shown when nonzero (or alone for the zero interval), each field
+    signed, and the time part taking a ``+`` prefix when an earlier
+    field was negative (timestamp.c EncodeInterval)."""
+    months, days, us = int(months), int(days), int(us)
+    years = int(months / 12)  # C-style trunc toward zero
+    mons = months - years * 12
+
+    def unit(n: int, w: str) -> str:
+        # timestamp.c: singular ONLY for exactly 1 — PG prints -1 days
+        return f"{n} {w}" + ("" if n == 1 else "s")
+
+    parts: list[str] = []
+    if years:
+        parts.append(unit(years, "year"))
+    if mons:
+        parts.append(unit(mons, "mon"))
+    if days:
+        parts.append(unit(days, "day"))
+    if us or not parts:
+        neg = us < 0
+        a = abs(us)
+        h, rem = divmod(a, 3_600_000_000)
+        m, rem = divmod(rem, 60_000_000)
+        sec, frac = divmod(rem, 1_000_000)
+        t = f"{h:02d}:{m:02d}:{sec:02d}"
+        if frac:
+            t += f".{frac:06d}".rstrip("0")
+        is_before = years < 0 or mons < 0 or days < 0
+        parts.append(("-" if neg else ("+" if is_before else "")) + t)
+    return " ".join(parts)
+
+
+# (INTERVAL 'body')::text / INTERVAL 'body'::text — the open paren must
+# not be a call's (a preceding identifier char blocks the alternative,
+# so foo(interval 'x')::text keeps casting foo's result)
+_IVAL_TEXT_FOLD_RE = re.compile(
+    r"(?:(?<![\w.$])\(\s*INTERVAL\s+('(?:[^']|'')*')\s*\)"
+    r"|\bINTERVAL\s+('(?:[^']|'')*'))"
+    r"\s*::\s*(?:text|varchar)\b(?!\s*\()",
+    re.IGNORECASE,
+)
+
+
+def _fold_interval_text_casts(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        body = (m.group(1) or m.group(2))[1:-1].replace("''", "'")
+        fields = _pg_interval_fields(body)
+        if fields is None:
+            return m.group(0)  # unparseable: keep the documented delta
+        return quote_literal(_pg_interval_render(*fields))
+
+    return _sub_skipping_literal_interiors(_IVAL_TEXT_FOLD_RE, repl, sql)
 
 
 def _pg_interval_fields(body: str):
@@ -3720,13 +3827,49 @@ _NUM_NONNULLS_OPEN_RE = re.compile(r"\bnum_nonnulls\s*\(", re.IGNORECASE)
 _NUM_NULLS_OPEN_RE = re.compile(r"\bnum_nulls\s*\(", re.IGNORECASE)
 
 
+# PG 16 keywords quote_identifier must quote (ruleutils.c: every
+# keyword category EXCEPT unreserved — reserved, reserved-but-can-be-
+# function-or-type, and non-reserved-cannot-be-function-or-type, from
+# the public Appendix C table). quote_ident('select') is '"select"';
+# unreserved keywords (abort, action, …) stay bare.
+_PG_QUOTED_KEYWORDS = (
+    "all,analyse,analyze,and,any,array,as,asc,asymmetric,both,case,cast,"
+    "check,collate,column,constraint,create,current_catalog,current_date,"
+    "current_role,current_time,current_timestamp,current_user,default,"
+    "deferrable,desc,distinct,do,else,end,except,false,fetch,for,foreign,"
+    "from,grant,group,having,in,initially,intersect,into,lateral,leading,"
+    "limit,localtime,localtimestamp,not,null,offset,on,only,or,order,"
+    "placing,primary,references,returning,select,session_user,some,"
+    "symmetric,system_user,table,then,to,trailing,true,union,unique,user,"
+    "using,variadic,when,where,window,with,"
+    "authorization,binary,collation,concurrently,cross,current_schema,"
+    "freeze,full,ilike,inner,is,isnull,join,left,like,natural,notnull,"
+    "outer,overlaps,right,similar,tablesample,verbose,"
+    "between,bigint,bit,boolean,char,character,coalesce,dec,decimal,"
+    "exists,extract,float,greatest,grouping,inout,int,integer,interval,"
+    "json,json_array,json_arrayagg,json_exists,json_object,"
+    "json_objectagg,json_query,json_scalar,json_serialize,json_table,"
+    "json_value,least,merge_action,national,nchar,none,normalize,nullif,"
+    "numeric,out,overlay,position,precision,real,row,setof,smallint,"
+    "substring,time,timestamp,treat,trim,values,varchar,xmlattributes,"
+    "xmlconcat,xmlelement,xmlexists,xmlforest,xmlnamespaces,xmlparse,"
+    "xmlpi,xmlroot,xmlserialize,xmltable"
+).split(",")
+
+
 def _quote_ident_expr(x: str) -> str:
-    """The quote_ident rendering (quote.c): quoted unless already a
-    safe lower-case identifier. Shared by quote_ident() and format %I.
-    Keyword-list delta documented in the module header."""
+    """The quote_ident rendering (quote.c + ruleutils.c
+    quote_identifier): quoted unless already a safe lower-case
+    identifier AND not a to-be-quoted keyword (round-13 probe:
+    quote_ident('select') silently came back unquoted — the keyword
+    arm was a documented delta claiming the list couldn't be carried;
+    an inline IN list carries it fine and Catalyst folds it to a hash
+    set). Shared by quote_ident() and format %I."""
     s = f"CAST({x} AS STRING)"
+    kws = ", ".join(f"'{k}'" for k in _PG_QUOTED_KEYWORDS)
     return (
-        f"(CASE WHEN {s} RLIKE '^[a-z_][a-z0-9_]*$' THEN {s} "
+        f"(CASE WHEN {s} RLIKE '^[a-z_][a-z0-9_]*$' "
+        f"AND {s} NOT IN ({kws}) THEN {s} "
         f"ELSE concat('\"', replace({s}, '\"', '\"\"'), '\"') END)"
     )
 
@@ -5859,11 +6002,21 @@ def _build_chr_codepoint(args):
     # bigint-typed operands legal for %c. PG chr is NULL-strict while
     # format_string renders a NULL argument as the text 'null' — the
     # CASE guard (operand duplicated, like the other guards here)
-    # restores NULL-in/NULL-out.
+    # restores NULL-in/NULL-out. Round-13 probe: PG raises on chr(0)
+    # ("null character not permitted") and on out-of-Unicode-range
+    # points where Java's %c silently emits NUL / garbage — the
+    # raise_error arm keeps both loud.
     if len(args) != 1:
         return None
     a = args[0].strip()
-    head = f"CASE WHEN ({a}) IS NULL THEN NULL ELSE format_string('%c', CAST("
+    head = (
+        f"CASE WHEN ({a}) IS NULL THEN NULL "
+        f"WHEN ({a}) <= 0 OR ({a}) > 1114111 THEN "
+        f"raise_error(concat('chr(', CAST({a} AS STRING), ')"
+        f": character number must be a positive Unicode code point "
+        f"(PG: null character not permitted / out of range)')) "
+        f"ELSE format_string('%c', CAST("
+    )
     return (head + f"{a} AS INT)) END", len("CASE WHEN ("))
 
 
@@ -6196,10 +6349,10 @@ def _build_quote_nullable(args):
 
 def _build_quote_ident(args):
     """PG quote_ident: quoted unless the value is already a safe
-    lower-case identifier. Known delta (documented in the module
-    header): PG also quotes its ~400 reserved keywords
-    (quote_ident('select') = '"select"'); a translation-time rewrite
-    cannot carry that list, so keyword inputs come back unquoted."""
+    lower-case identifier that is not a to-be-quoted keyword
+    (round-13: the keyword arm landed — _PG_QUOTED_KEYWORDS carries
+    PG 16's non-unreserved keyword list inline; unreserved keywords
+    stay bare like PG)."""
     if len(args) != 1:
         return None
     return (_quote_ident_expr(args[0].strip()), 0)
@@ -7771,7 +7924,7 @@ def _translate_operators(sql: str) -> str:
     # (chr(8364) was '¬', not '€' — round-11 probe batch 8, silent for
     # every non-Latin-1 code point). Java's %c formatter takes a code
     # point, supplementary planes included (probed: 128512 → 😀).
-    # Residual: PG raises on chr(0); Java emits NUL silently.
+    # Round-13: chr(0) and out-of-range code points raise, like PG.
     sql = _rewrite_calls(sql, _CHR_OPEN_RE, _build_chr_codepoint)
     # PG 16 array_shuffle → Spark shuffle (both: uniform random
     # permutation, nondeterministic by design — rows-only testable);
@@ -8930,6 +9083,12 @@ def translate_pg_sql(
     # subtraction (a `jsonb - 'key'` must not be read as arithmetic)
     out = _translate_jsonb_binary_ops(out, column_types)
     out = _translate_jsonb_minus(out, column_types)
+    # LITERAL interval ::text folds to PG's interval_out rendering
+    # BEFORE the cast pass erases the ::text evidence (round-13 — the
+    # bare cast rendered Spark's "INTERVAL '1 02' DAY TO HOUR" spelling
+    # where PG prints '1 day 02:00:00'; non-literal intervals keep the
+    # documented rendering delta)
+    out = _fold_interval_text_casts(out)
     out = _translate_date_subtraction(out, column_types)
     out = _translate_int_division(out, column_types)
     out = _translate_casts(out, column_types)

@@ -1786,7 +1786,10 @@ SELECT o_orderkey,
   julian(CAST(o_orderdate AS DATE)) AS jd,
   (o_orderkey % 5) = ANY([1, 3, NULL]) AS any_3vl,
   NULL = ANY([]::int[]) AS any_empty,
-  '[10,30]' AS delidx_cast
+  '[10,30]' AS delidx_cast,
+  CASE WHEN o_orderkey % 2 = 0 THEN '"select"' ELSE 'ok_name' END
+    AS quoted_kw,
+  '1 day 02:00:00' AS ival_text
 FROM orders WHERE o_orderkey % 47 = 0 ORDER BY o_orderkey
 """,
 )
@@ -1797,8 +1800,11 @@ def pg_dialect_probe_fixes_r13(spark: SparkSession, sf_dir: str) -> DataFrame:
     numeric to_char ``TH`` ordinal suffixes (FM-stripped to drop the
     sign column for the oracle's plain rendering), ``julian``
     extraction, the ``= ANY`` exists() route with PG's 3VL on
-    NULL-bearing and empty arrays (judge directive 4), and
-    cast-classified ``jsonb -`` deletion (round-12 advisor).
+    NULL-bearing and empty arrays (judge directive 4), cast-classified
+    ``jsonb -`` deletion (round-12 advisor), quote_ident's PG-16
+    keyword quoting (probe find: 'select' came back bare), and the
+    literal ``interval '…'::text`` fold to PG's interval_out
+    rendering.
 
     Scale: map-only projection over one pruned scan — JVM expressions
     except the jsonb delete (Arrow-batched pandas UDF); no shuffle
@@ -1815,7 +1821,10 @@ def pg_dialect_probe_fixes_r13(spark: SparkSession, sf_dir: str) -> DataFrame:
         "extract(julian from o_orderdate::date) AS jd, "
         "(o_orderkey % 5) = ANY(ARRAY[1, 3, NULL]) AS any_3vl, "
         "NULL = ANY(ARRAY[]::int[]) AS any_empty, "
-        "('[10,20,30]'::jsonb - '1'::int) AS delidx_cast "
+        "('[10,20,30]'::jsonb - '1'::int) AS delidx_cast, "
+        "quote_ident(CASE WHEN o_orderkey % 2 = 0 THEN 'select' "
+        "ELSE 'ok_name' END) AS quoted_kw, "
+        "(interval '1 day 2 hours')::text AS ival_text "
         "FROM orders WHERE o_orderkey % 47 = 0 ORDER BY o_orderkey",
         pg_dialect=True,
     )
