@@ -1704,3 +1704,64 @@ N_CASES_V18 = 24
 @pytest.mark.parametrize("i", range(N_CASES_V18))
 def test_sqlsmith_differential_v18(sview_g, duck_g, i):
     assert_differential(sview_g, duck_g, gen_query_v18(i))
+
+
+# --- grammar v19: multi-SRF select-list ZIP (round-13 probe — PG >= 10
+# expands several SRFs in one select list in lockstep, pad-to-longest;
+# Spark's multiple generators cross-multiplied, a silent wrong answer;
+# now one lateral explode of arrays_zip). DuckDB zips the same shapes
+# with the same NULL padding (probed: uneven members, empty members,
+# scalar siblings, expression-nested sites, dynamic generate_series),
+# so the family arbitrates directly; generate_series members spell
+# through the unnest(list) form both engines share.
+
+def gen_query_v19(i: int) -> str:
+    r = random.Random(20260816 * 19000 + i)
+    shape = r.randrange(4)
+
+    def arr(typ):
+        n = r.randint(0, 3)
+        if typ == "int":
+            items = [str(r.randint(-5, 9)) for _ in range(n)]
+            return f"ARRAY[{', '.join(items)}]" if n else "ARRAY[]::int[]"
+        items = [f"'{r.choice('pqrs')}{k}'" for k in range(n)]
+        return f"ARRAY[{', '.join(items)}]" if n else "ARRAY[]::text[]"
+
+    if shape == 0:
+        # two literal unnest members, uneven / possibly empty
+        return (
+            f"SELECT unnest({arr('int')}) AS a, "
+            f"unnest({arr('text')}) AS b"
+        )
+    if shape == 1:
+        # three members incl. a generate_series through the shared
+        # unnest(list) spelling
+        lo, hi = r.randint(-2, 2), r.randint(-3, 5)
+        return (
+            f"SELECT unnest({arr('int')}) AS a, "
+            f"unnest({arr('text')}) AS b, "
+            f"unnest(generate_series({lo}, {hi})) AS c"
+        )
+    if shape == 2:
+        # table rows: scalar sibling + dynamic gs member + array member
+        m = r.randint(2, 4)
+        return (
+            f"SELECT c_custkey, "
+            f"unnest(ARRAY[c_custkey % 7, c_custkey % 5]) AS a, "
+            f"unnest(generate_series(1, c_custkey % {m})) AS n "
+            f"FROM customer WHERE c_custkey < {r.randint(20, 60)}"
+        )
+    # shape 3: expression-nested SRF site (PG pulls the SRF out)
+    k = r.randint(1, 9)
+    return (
+        f"SELECT unnest({arr('int')}) + {k} AS a, "
+        f"unnest({arr('text')}) AS b"
+    )
+
+
+N_CASES_V19 = 40
+
+
+@pytest.mark.parametrize("i", range(N_CASES_V19))
+def test_sqlsmith_differential_v19(sview_g, duck_g, i):
+    assert_differential(sview_g, duck_g, gen_query_v19(i))

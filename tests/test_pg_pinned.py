@@ -2441,9 +2441,17 @@ def test_groups_frame_and_rows_from_named_errors():
         translate_pg_sql(
             "SELECT *, sum(x) OVER (ORDER BY x GROUPS 1 PRECEDING) FROM t"
         )
+    # ROWS FROM over array-core SRFs TRANSLATES now (round-13 — see
+    # test_srf_zip_select_list_pins); members outside that set keep
+    # the named error
+    out = translate_pg_sql(
+        "SELECT * FROM ROWS FROM (generate_series(1,2), "
+        "generate_series(1,3)) AS t(a, b)"
+    )
+    assert "arrays_zip" in out and "inline(" in out
     with pytest.raises(ValueError, match="ROWS FROM"):
         translate_pg_sql(
-            "SELECT * FROM ROWS FROM (generate_series(1,2), "
+            "SELECT * FROM ROWS FROM (json_to_recordset('[]'), "
             "generate_series(1,3)) AS t(a, b)"
         )
     # ROWS frames and the bare ROWS n PRECEDING shorthand stay native
@@ -3547,6 +3555,10 @@ def test_math_domain_delta_pins(spark):
     assert row["ln0"] is None          # PG: ERROR cannot take logarithm
     assert row["log0"] is None
     assert row["lnneg"] is None
+    # round-13 session 2: zero to a negative power joins the family
+    # (PG: ERROR zero raised to a negative power is undefined)
+    row = one(spark, "power(0, -1) AS p, 0 ^ -1 AS q")
+    assert math.isinf(row["p"]) and math.isinf(row["q"])
     with pytest.raises(Exception, match="(?i)divide|division"):
         one(spark, "1 / 0 AS v")       # ANSI parity: loud on both
 
@@ -3686,3 +3698,349 @@ def test_cast_after_trailing_clauses_pins(spark):
     assert row["filt"] == 2
     assert row["win"] == 7
     assert row["hof"] == "[2, 3]"  # Spark array→string rendering
+
+
+# --- round-13: multi-SRF zipping (select list / FROM unnest(a,b) /
+# ROWS FROM / generate_subscripts reverse) ------------------------------------
+# PG >= 10 expands several set-returning calls in ONE select list in
+# LOCKSTEP to the longest member, shorter ones padded with NULLs
+# (execProjectSet); Spark's multiple generators CROSS-PRODUCT instead —
+# the round-13 probe measured 6 rows where PG returns 3, a silent wrong
+# answer. All values below are PG 16 hand-derived; DuckDB agrees on the
+# select-list zip shapes (grammar v19 arbitrates those).
+
+def test_srf_zip_select_list_pins(spark):
+    def rows(sql):
+        return spark.sql(translate_pg_sql(sql)).collect()
+
+    # uneven unnest zip: pad-to-longest, NOT a cross product
+    got = rows("SELECT unnest(ARRAY[1,2]) a, unnest(ARRAY['a','b','c']) b")
+    assert [(r["a"], r["b"]) for r in got] == [
+        (1, "a"), (2, "b"), (None, "c")
+    ]
+    # the classic subscripts/values idiom
+    got = rows(
+        "SELECT generate_subscripts(ARRAY[10,20,30], 1) i, "
+        "unnest(ARRAY[10,20,30]) v"
+    )
+    assert [(r["i"], r["v"]) for r in got] == [(1, 10), (2, 20), (3, 30)]
+    # generate_series members, uneven
+    got = rows("SELECT generate_series(1,3) g3, generate_series(1,2) g2")
+    assert [(r["g3"], r["g2"]) for r in got] == [(1, 1), (2, 2), (3, None)]
+    # scalar siblings repeat per zip row; SRF sites may sit inside
+    # expressions (PG pulls them out; the zip field read makes the
+    # arithmetic plain); dynamic gs over table rows
+    got = rows(
+        "SELECT x, unnest(ARRAY[x, x*10]) + 1 u, generate_series(1, 3) g "
+        "FROM (VALUES (1),(2)) v(x) ORDER BY x, g"
+    )
+    assert [(r["x"], r["u"], r["g"]) for r in got] == [
+        (1, 2, 1), (1, 11, 2), (1, None, 3),
+        (2, 3, 1), (2, 21, 2), (2, None, 3),
+    ]
+    # every member empty -> the input row vanishes (PG 10+ rule)
+    assert rows("SELECT unnest(ARRAY[]::int[]) a, generate_series(2,1) b") == []
+    # one empty member still pads
+    got = rows("SELECT unnest(ARRAY[]::int[]) a, unnest(ARRAY[7]) b")
+    assert [(r["a"], r["b"]) for r in got] == [(None, 7)]
+    # PG's default output column names are the function names
+    got = spark.sql(translate_pg_sql(
+        "SELECT unnest(ARRAY[1]), generate_series(1,1)"
+    ))
+    assert got.columns == ["unnest", "generate_series"]
+    # qualified star stays the table's columns (bare * is loud below)
+    got = rows(
+        "SELECT v.*, unnest(ARRAY[1,2]) a, unnest(ARRAY['x']) b "
+        "FROM (VALUES (9)) v(x)"
+    )
+    assert [(r["x"], r["a"], r["b"]) for r in got] == [
+        (9, 1, "x"), (9, 2, None)
+    ]
+    # a nested subquery's FROM-position SRF belongs to the subquery —
+    # the outer list here has ONE srf and keeps the plain explode path
+    got = rows(
+        "SELECT (SELECT count(*) FROM unnest(ARRAY[1,2]) t(z)) c, "
+        "unnest(ARRAY[5,6]) u"
+    )
+    assert [(r["c"], r["u"]) for r in got] == [(2, 5), (2, 6)]
+    # unnest(generate_series(...)) composition is ONE member, and its
+    # nested SRF resolves at zip time (no nested explode)
+    got = rows(
+        "SELECT unnest(generate_series(1,3)) g3, unnest(ARRAY[9]) u"
+    )
+    assert [(r["g3"], r["u"]) for r in got] == [(1, 9), (2, None), (3, None)]
+    # FROM-less block with trailing clauses: the synthesized FROM must
+    # land BEFORE them (round-13 self-probe: it landed after LIMIT)
+    got = rows(
+        "SELECT unnest(ARRAY[3,1,2]) a, unnest(ARRAY['x']) b "
+        "ORDER BY a NULLS LAST LIMIT 2"
+    )
+    assert [(r["a"], r["b"]) for r in got] == [(1, None), (2, None)]
+    # DISTINCT applies AFTER expansion, like PG
+    got = rows("SELECT DISTINCT unnest(ARRAY[1,1,2]) a, unnest(ARRAY['x','x','x']) b")
+    assert sorted((r["a"], r["b"]) for r in got) == [(1, "x"), (2, "x")]
+    # set-op: the lateral attaches to the FIRST block only
+    got = rows(
+        "SELECT unnest(ARRAY[1,2]) x, generate_series(1,1) y "
+        "FROM (VALUES (0)) v(q) UNION ALL SELECT 9, 9 "
+        "ORDER BY x NULLS LAST, y"
+    )
+    assert [(r["x"], r["y"]) for r in got] == [(1, 1), (2, None), (9, 9)]
+
+
+def test_srf_zip_scope_guards():
+    import pytest
+
+    # aggregates / GROUP BY: PG expands SRFs AFTER grouping — loud
+    with pytest.raises(ValueError, match="lockstep"):
+        translate_pg_sql(
+            "SELECT unnest(array_agg(x)) a, generate_series(1,2) b "
+            "FROM t"
+        )
+    with pytest.raises(ValueError, match="lockstep"):
+        translate_pg_sql(
+            "SELECT unnest(a) x, unnest(b) y FROM t GROUP BY a, b"
+        )
+    # window calls: PG computes them BEFORE expansion — loud
+    with pytest.raises(ValueError, match="lockstep"):
+        translate_pg_sql(
+            "SELECT unnest(ARRAY[1]) a, unnest(ARRAY[2]) b, "
+            "row_number() OVER () r FROM t"
+        )
+    # bare * would absorb the lateral zip column — loud
+    with pytest.raises(ValueError, match="lockstep"):
+        translate_pg_sql(
+            "SELECT *, unnest(ARRAY[1]) a, unnest(ARRAY[2]) b FROM t"
+        )
+    # regexp_matches member (0-or-1-row semantics) — loud
+    with pytest.raises(ValueError, match="lockstep"):
+        translate_pg_sql(
+            "SELECT regexp_matches(s, 'x') m, unnest(ARRAY[1]) u FROM t"
+        )
+    # multi-argument unnest in a select list raises in PG itself
+    with pytest.raises(ValueError, match="only allowed in FROM"):
+        translate_pg_sql(
+            "SELECT unnest(ARRAY[1], ARRAY[2]) a, generate_series(1,2) b"
+        )
+
+
+def test_srf_multiarg_unnest_from_pins(spark):
+    def rows(sql):
+        return spark.sql(translate_pg_sql(sql)).collect()
+
+    # FROM-position multi-argument unnest zips NULL-padded
+    got = rows(
+        "SELECT * FROM unnest(ARRAY[1,2], ARRAY['x','y','z']) t(a, b)"
+    )
+    assert [(r["a"], r["b"]) for r in got] == [
+        (1, "x"), (2, "y"), (None, "z")
+    ]
+    # WITH ORDINALITY rides the same posexplode, counter 1-based
+    got = rows(
+        "SELECT * FROM unnest(ARRAY[1,2], ARRAY['x','y','z']) "
+        "WITH ORDINALITY AS t(a, b, o)"
+    )
+    assert [(r["a"], r["b"], r["o"]) for r in got] == [
+        (1, "x", 1), (2, "y", 2), (None, "z", 3)
+    ]
+    # implicit-LATERAL comma position sees sibling columns
+    got = rows(
+        "SELECT v.x, t.a, t.b FROM (VALUES (1)) v(x), "
+        "unnest(ARRAY[x, x+1], ARRAY['p']) AS t(a, b)"
+    )
+    assert [(r["x"], r["a"], r["b"]) for r in got] == [
+        (1, 1, "p"), (1, 2, None)
+    ]
+
+
+def test_rows_from_pins(spark):
+    def rows(sql):
+        return spark.sql(translate_pg_sql(sql)).collect()
+
+    got = rows(
+        "SELECT * FROM ROWS FROM (unnest(ARRAY[1,2]), "
+        "generate_series(1,3)) WITH ORDINALITY t(a, b, o)"
+    )
+    assert [(r["a"], r["b"], r["o"]) for r in got] == [
+        (1, 1, 1), (2, 2, 2), (None, 3, 3)
+    ]
+    # default column names are the member function names
+    df = spark.sql(translate_pg_sql(
+        "SELECT * FROM ROWS FROM (generate_series(1,2), "
+        "string_to_table('x,y,z', ','))"
+    ))
+    assert df.columns == ["generate_series", "string_to_table"]
+    assert [(r[0], r[1]) for r in df.collect()] == [
+        (1, "x"), (2, "y"), (None, "z")
+    ]
+
+
+def test_generate_subscripts_reverse_pins(spark):
+    def rows(sql):
+        return spark.sql(translate_pg_sql(sql)).collect()
+
+    got = rows("SELECT generate_subscripts(ARRAY[10,20,30], 1, true) s")
+    assert [r["s"] for r in got] == [3, 2, 1]
+    got = rows("SELECT generate_subscripts(ARRAY[10,20], 1, false) s")
+    assert [r["s"] for r in got] == [1, 2]
+    assert rows("SELECT generate_subscripts(ARRAY[]::int[], 1, true) s") == []
+
+
+# --- round-13: json[b]_each[_text] FROM-position deconstruction --------------
+# PG 16 hand-derived (jsonfuncs.c each_worker). Was a raw Spark
+# UNRESOLVABLE_TABLE_VALUED_FUNCTION error; now inline() of an
+# Arrow-batched entry kernel. jsonb variants emit keys in jsonb storage
+# order (byte length, then bytewise); json variants keep input order
+# (duplicate keys collapse to the LAST — the module-wide string-json
+# delta; PG's json_each would emit both). DuckDB's json_each differs in
+# shape, so the family is pin-arbitrated.
+
+def test_json_each_family_pins(spark):
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    def rows(sql):
+        return run_sql(spark, sql).collect()
+
+    # jsonb key order: lengths b=1, a=1, aa=2 -> a, b, aa
+    got = rows("SELECT * FROM jsonb_each('{\"b\":1,\"aa\":2,\"a\":3}') t(k, v)")
+    assert [(r["k"], r["v"]) for r in got] == [
+        ("a", "3"), ("b", "1"), ("aa", "2")
+    ]
+    # _text: strings unquoted, json null -> SQL NULL, numerics exact
+    got = rows(
+        "SELECT * FROM jsonb_each_text("
+        "'{\"s\":\"x\",\"n\":null,\"d\":1.50}') t(k, v)"
+    )
+    assert [(r["k"], r["v"]) for r in got] == [
+        ("d", "1.50"), ("n", None), ("s", "x")
+    ]
+    # json_ keeps input order; json (non-text) values keep quotes;
+    # default column names are PG's key/value
+    df = run_sql(spark, "SELECT * FROM json_each('{\"b\":1,\"a\":\"x\"}')")
+    assert df.columns == ["key", "value"]
+    assert [(r["key"], r["value"]) for r in df.collect()] == [
+        ("b", "1"), ("a", '"x"')
+    ]
+    # WITH ORDINALITY rides a posexplode, 1-based BIGINT
+    got = rows(
+        "SELECT * FROM jsonb_each('{\"p\":1,\"q\":2}') "
+        "WITH ORDINALITY AS t(k, v, o)"
+    )
+    assert [(r["k"], r["v"], r["o"]) for r in got] == [
+        ("p", "1", 1), ("q", "2", 2)
+    ]
+    # implicit-LATERAL comma position sees sibling columns
+    got = rows(
+        "SELECT e.key, e.value FROM (VALUES ('{\"z\":7}')) o(j), "
+        "jsonb_each(o.j) e"
+    )
+    assert [(r["key"], r["value"]) for r in got] == [("z", "7")]
+    # NULL input -> zero rows (PG strict SRF)
+    assert rows("SELECT * FROM jsonb_each(NULL) t(k, v)") == []
+
+
+def test_json_each_named_errors():
+    import pytest
+
+    # select-list form renders PG ROW text — not modeled
+    with pytest.raises(ValueError, match="composite"):
+        translate_pg_sql("SELECT jsonb_each('{\"a\":1}')")
+    with pytest.raises(ValueError, match="composite"):
+        translate_pg_sql("SELECT json_each_text(j) FROM t")
+
+
+# --- round-13: composite IS [NOT] NULL, multiword timestamp literals,
+# json element SRFs WITH ORDINALITY ------------------------------------------
+
+def test_row_is_null_pins(spark):
+    """SQL-standard composite null tests (PG 16 hand-derived; round-13
+    probe — a SILENT wrong answer): ``ROW(a, b) IS NULL`` is true iff
+    EVERY field is null and ``IS NOT NULL`` iff every field is NOT
+    null — neither negates the other — where Spark tested the struct
+    value itself (``ROW(NULL, NULL) IS NULL`` was false,
+    ``ROW(1, NULL) IS NOT NULL`` true). Rewritten to the standard's
+    field conjunctions; plain parenthesized scalars, scalar
+    subqueries, and function-call parens stay native."""
+    row = one(
+        spark,
+        "ROW(NULL, NULL) IS NULL a, ROW(1, NULL) IS NULL b, "
+        "ROW(1, NULL) IS NOT NULL c, ROW(1, 2) IS NOT NULL d, "
+        "ROW(NULL) IS NULL e, "
+        "coalesce(NULL, 2) IS NULL g, (1+1) IS NULL h, "
+        "(SELECT max(q.x) FROM (VALUES (1)) q(x)) IS NULL s",
+    )
+    assert (row["a"], row["b"], row["c"], row["d"]) == (
+        True, False, False, True
+    )
+    assert row["e"] is True
+    assert (row["g"], row["h"], row["s"]) == (False, False, False)
+    # parenthesized-tuple spelling, in select/WHERE/CASE positions
+    rows = spark.sql(translate_pg_sql(
+        "SELECT (x, y) IS NULL a, (x, y) IS NOT NULL b "
+        "FROM (VALUES (CAST(NULL AS INT), CAST(NULL AS INT)), (1, NULL), "
+        "(1, 2)) v(x, y)"
+    )).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [
+        (True, False), (False, False), (False, True)
+    ]
+    rows = spark.sql(translate_pg_sql(
+        "SELECT x FROM (VALUES (1, 2), (CAST(NULL AS INT), "
+        "CAST(NULL AS INT))) v(x, y) WHERE (x, y) IS NOT NULL"
+    )).collect()
+    assert [r["x"] for r in rows] == [1]
+    import pytest
+
+    with pytest.raises(ValueError, match="nested ROW"):
+        translate_pg_sql("SELECT ROW(ROW(NULL), 1) IS NULL")
+
+
+def test_multiword_timestamp_literal_pins(spark):
+    """PG's multiword type-name literals: ``TIMESTAMP WITH[OUT] TIME
+    ZONE '…'`` has no Spark spelling (the ``::`` cast form already
+    translated). Both map to Spark's session-TZ TIMESTAMP — the
+    with-tz literal keeps its offset through Spark's literal parser,
+    same as the ``timestamptz '…'`` single-word form."""
+    row = one(
+        spark,
+        "timestamp without time zone '2024-03-01 05:00:00' t, "
+        "CAST(timestamp with time zone '2024-01-01 00:00:00+00' AS "
+        "STRING) z",
+    )
+    assert str(row["t"]) == "2024-03-01 05:00:00"
+    assert row["z"].startswith("2024-01-01 00:00:00")  # UTC session
+
+
+def test_json_elements_ordinality_pins(spark):
+    """``json[b]_array_elements[_text](j) WITH ORDINALITY`` (round-13)
+    rides the same LATERAL posexplode as unnest's — 1-based BIGINT
+    counter, PG's default column names value/ordinality. Elements keep
+    the module-header delta: the non-text variant returns string
+    elements UNQUOTED (PG keeps the json quotes); _text is exact."""
+    rows = spark.sql(translate_pg_sql(
+        "SELECT * FROM jsonb_array_elements('[\"x\",\"y\"]') "
+        "WITH ORDINALITY AS t(v, o)"
+    )).collect()
+    assert [(r["v"], r["o"]) for r in rows] == [("x", 1), ("y", 2)]
+    df = spark.sql(translate_pg_sql(
+        "SELECT * FROM json_array_elements_text('[1,2]') WITH ORDINALITY"
+    ))
+    assert df.columns == ["value", "ordinality"]
+    assert [(r[0], r[1]) for r in df.collect()] == [("1", 1), ("2", 2)]
+
+
+def test_datetime_input_specials_pins(spark):
+    """PG's special datetime input strings (round-13 session-2 probe):
+    Spark natively shares epoch/today/now — pinned exact; the
+    'infinity' specials have NO Spark timestamp value and now raise a
+    named error with a sentinel recipe (previously a raw
+    CAST_INVALID_INPUT out of constant folding)."""
+    import pytest
+
+    row = one(spark, "'epoch'::timestamp e")
+    assert str(row["e"]) == "1970-01-01 00:00:00"
+    with pytest.raises(ValueError, match="infinity"):
+        translate_pg_sql("SELECT 'infinity'::date")
+    with pytest.raises(ValueError, match="infinity"):
+        translate_pg_sql("SELECT '-infinity'::timestamp")
+    with pytest.raises(ValueError, match="infinity"):
+        translate_pg_sql("SELECT d < timestamp 'infinity' FROM t")

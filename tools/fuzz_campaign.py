@@ -53,6 +53,7 @@ from tests.test_dialect_sqlsmith import (  # noqa: E402
     N_CASES_V16,
     N_CASES_V17,
     N_CASES_V18,
+    N_CASES_V19,
     gen_query,
     gen_query_v2,
     gen_query_v3,
@@ -71,6 +72,7 @@ from tests.test_dialect_sqlsmith import (  # noqa: E402
     gen_query_v16,
     gen_query_v17,
     gen_query_v18,
+    gen_query_v19,
 )
 from youcruit_tap_rawpostgresql_spark.plans.dialect import (  # noqa: E402
     translate_pg_sql,
@@ -101,6 +103,7 @@ def main() -> int:
     ap.add_argument("--v16", type=int, default=300)
     ap.add_argument("--v17", type=int, default=300)
     ap.add_argument("--v18", type=int, default=200)
+    ap.add_argument("--v19", type=int, default=250)
     args = ap.parse_args()
 
     spark = get_session(app_name="fuzz-campaign")
@@ -128,6 +131,8 @@ def main() -> int:
         ("v16", gen_query_v16, N_CASES_V16, args.v16),
         ("v17", gen_query_v17, N_CASES_V17, args.v17),
         ("v18", gen_query_v18, N_CASES_V18, args.v18),
+        # v19: multi-SRF select-list zip (round-13)
+        ("v19", gen_query_v19, N_CASES_V19, args.v19),
     ):
         ran = 0
         for i in range(lo, hi):
@@ -221,6 +226,7 @@ def main() -> int:
             (args.v13, N_CASES_V13), (args.v14, N_CASES_V14),
             (args.v15, N_CASES_V15), (args.v16, N_CASES_V16),
             (args.v17, N_CASES_V17), (args.v18, N_CASES_V18),
+            (args.v19, N_CASES_V19),
         )
     )
     print(f"== fuzz campaign: {total} cases, {failures} failures ==",

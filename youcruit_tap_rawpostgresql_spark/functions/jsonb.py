@@ -410,6 +410,44 @@ def jsonb_contains_value(a: str | None, b: str | None) -> bool | None:
     return _jsonb_contains(_loads(a), _loads(b), True)
 
 
+def jsonb_each_entries_value(
+    j: str | None, text_mode: bool, jsonb_order: bool
+) -> list | None:
+    """``json[b]_each[_text]`` deconstruction (PG jsonfuncs.c
+    each_worker): one (key, value) entry per top-level object key.
+    ``jsonb_order`` sorts keys the way jsonb storage does — byte length
+    first, then bytewise — while the json variants keep input order
+    (this string-modeled json collapses DUPLICATE keys to the last, the
+    module-wide delta; PG's json_each would emit both). ``text_mode``
+    unquotes string values and maps json null → SQL NULL; otherwise
+    values re-serialize as json text with exact numerics. NULL input →
+    NULL (zero rows after the inline/posexplode the dialect emits);
+    non-object input raises like PG."""
+    if j is None:
+        return None
+    doc = _loads(j)
+    if not isinstance(doc, dict):
+        raise ValueError(
+            "cannot deconstruct a non-object with json_each/jsonb_each "
+            "(PG raises the same error)"
+        )
+    items = list(doc.items())
+    if jsonb_order:
+        items.sort(key=lambda kv: (len(kv[0].encode()), kv[0].encode()))
+    out = []
+    for k, v in items:
+        if text_mode:
+            if v is None:
+                out.append({"key": k, "value": None})
+            elif isinstance(v, str):
+                out.append({"key": k, "value": v})
+            else:
+                out.append({"key": k, "value": _dumps(v)})
+        else:
+            out.append({"key": k, "value": _dumps(v)})
+    return out
+
+
 def register_jsonb_mutators(spark) -> None:
     """Register the three mutators as session-scoped SQL functions.
     Arrow-batched pandas UDFs (never row-at-a-time ``udf()``): the
@@ -511,4 +549,36 @@ def register_jsonb_mutators(spark) -> None:
     )
     spark.udf.register(
         "jsonb_contains", pandas_udf(_jsonb_contains, "boolean")
+    )
+
+    # json[b]_each[_text] entry arrays (round-13): the dialect layer
+    # explodes these with inline()/posexplode — key order is jsonb's
+    # (length, bytes) for the b-variants, input order for json_
+    def _make_each(text_mode: bool, jsonb_order: bool):
+        def _each(a):
+            return pd.Series(
+                [
+                    jsonb_each_entries_value(x, text_mode, jsonb_order)
+                    for x in a
+                ],
+                dtype="object",
+            )
+
+        _each.__annotations__ = {"a": pd.Series, "return": pd.Series}
+        return _each
+
+    each_type = "array<struct<key: string, value: string>>"
+    spark.udf.register(
+        "json_each_entries", pandas_udf(_make_each(False, False), each_type)
+    )
+    spark.udf.register(
+        "json_each_text_entries",
+        pandas_udf(_make_each(True, False), each_type),
+    )
+    spark.udf.register(
+        "jsonb_each_entries", pandas_udf(_make_each(False, True), each_type)
+    )
+    spark.udf.register(
+        "jsonb_each_text_entries",
+        pandas_udf(_make_each(True, True), each_type),
     )

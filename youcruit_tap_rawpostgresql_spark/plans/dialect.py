@@ -127,7 +127,14 @@ straight rename silently returned ONE ARRAY row where PG returns one
 row per key) and ``json/jsonb_array_elements[_text]`` →
 ``explode(from_json(…, 'array<string>'))`` (elements follow the
 module-wide json→text collapse; PG null elements → NULL, nested
-objects → their json text). Integer-index arrows ``x -> n``/``x ->> n``
+objects → their json text). ``json[b]_each[_text]`` in FROM position
+(round 13) → ``inline`` of an Arrow-batched (key, value) entry kernel —
+jsonb variants in jsonb storage key order (byte length, then bytewise),
+json variants in input order (duplicate keys collapse to the LAST under
+the string-json model where PG's json_each emits both — documented
+delta), ``_text`` unquotes strings and maps json null → SQL NULL, WITH
+ORDINALITY rides a posexplode; the select-list form renders PG
+composite row text and raises with the FROM-position recipe. Integer-index arrows ``x -> n``/``x ->> n``
 map to the ``$[n]`` path, arrows CHAIN (``j -> 'a' ->> 0``; up to
 three — the operand scan admits our own get_json_object output two
 paren levels deep), and a NEGATIVE index (PG 13+: from the end) raises
@@ -143,7 +150,13 @@ now maps to Spark's ``^``); prefix ``|/``/``||/``/``@`` → sqrt/cbrt/abs;
 NULL bounds included; ``ASYMMETRIC`` just drops); ``(s1,e1) OVERLAPS
 (s2,e2)`` → the SQL-spec predicate over least/greatest-normalized
 bounds (half-open periods, instant-at-start overlaps; an INTERVAL
-literal second element becomes start + interval). Bit-string literals
+literal second element becomes start + interval). Composite null
+tests (round 13 — Spark's struct reading was a SILENT wrong answer):
+``ROW(a, b) IS NULL`` / ``(a, b) IS NULL`` rewrite to the standard's
+all-fields-null conjunction and ``IS NOT NULL`` to all-fields-NOT-null
+(neither negates the other); nested ROW fields raise. Multiword
+``TIMESTAMP WITH[OUT] TIME ZONE '…'`` literal type names map to
+Spark's TIMESTAMP (the ``::`` cast spellings already did). Bit-string literals
 ``x'1E'``/``b'1001'`` under ``::`` FOLD at translation time (int: two's
 complement at exact width, x'FFFFFFFF'::int = -1; text: the bit
 rendering '00011110'; other targets raise). ``::varchar(n)``/
@@ -184,7 +197,21 @@ in ``unnest()`` (silent shape change). Now: FROM/JOIN position →
 Spark's ``explode(sequence(...))`` table function with PG's
 alias-names-the-column rule and ``generate_series`` default name;
 select-list position → ``explode(sequence(...))``; the
-``unnest(generate_series(...))`` composition keeps one explode. The
+``unnest(generate_series(...))`` composition keeps one explode.
+MULTIPLE SRFs in one select list (round 13): PG >= 10 expands them in
+LOCKSTEP, NULL-padded to the longest (Spark's multiple generators
+CROSS-PRODUCT — a silent wrong answer) — now ONE lateral
+``explode(arrays_zip(...))`` whose fields the call sites read, so
+expression-nested sites (``unnest(a) + 1``) work too; out-of-scope
+blocks (aggregates/GROUP BY — PG expands after grouping; window calls
+— computed before expansion; bare ``*``; regexp_matches members) raise
+named errors. ``unnest(a, b, ...)`` in FROM (any position, WITH
+ORDINALITY included) and FROM/JOIN-position ``ROWS FROM(...)`` zip the
+same way via ``inline(arrays_zip(...))``/posexplode;
+``generate_subscripts(a, 1, true)`` reverses its subscript transform.
+Naming delta: PG allows DUPLICATE default column names for repeated
+members (both ``unnest``); Spark alias lists cannot, so repeats take a
+``_N`` suffix — alias explicitly for PG-exact names. The
 ``date_part('field', x)`` spelling now takes the same DOW/ISODOW/EPOCH
 rewrites as EXTRACT (``date_part('dow')`` was a SILENT Sunday=1-for-0).
 The json construction family renders through ``to_json`` with
@@ -396,8 +423,10 @@ extraction, and array NULL semantics. Known remaining deltas on those paths
   guarding every sqrt/ln/log call site would bloat hot-path numeric
   expressions for a shape almost no analytics query hits, and the
   NaN/NULL results cannot be mistaken for valid finite answers.
-  Division by zero DOES error (ANSI parity, verified). Pinned in
-  test_math_domain_delta_pins.
+  ``power(0, -1)`` / ``0 ^ -1`` → Infinity joins the same family
+  (PG: ``zero raised to a negative power is undefined``; round-13
+  session-2 probe). Division by zero DOES error (ANSI parity,
+  verified). Pinned in test_math_domain_delta_pins.
 - ``similarity()``/``word_similarity()`` (the pg_trgm SQL UDFs,
   ``plans/executor.py``) split words on ``[^a-z0-9]+`` after lower():
   ASCII-only word characters, where pg_trgm under a real locale keeps
@@ -2004,7 +2033,9 @@ def _translate_array_agg(sql: str) -> str:
 # generate_series WITH ORDINALITY corrupted — the alias scan took WITH
 # as the alias); PG's default first-column name is the function's own
 _UNNEST_ORD_OPEN_RE = re.compile(
-    r"\b(unnest|generate_series|string_to_table)\s*\(", re.IGNORECASE
+    r"\b(unnest|generate_series|string_to_table|"
+    r"jsonb?_array_elements(?:_text)?)\s*\(",
+    re.IGNORECASE,
 )
 _ORD_KW_RE = re.compile(r"\s*WITH\s+ORDINALITY", re.IGNORECASE)
 # alias forms, tried in order: [AS] alias(c1, c2) — the common one —
@@ -2034,8 +2065,36 @@ def _translate_unnest_ordinality(sql: str) -> str:
             pos = close_i + 1
             continue
         fn = m.group(1).lower()
+        args = sql[open_i + 1 : close_i]
+        arg_list = _split_top_level_args(args)
+        if fn == "unnest" and len(arg_list) > 1:
+            # PG zips multi-argument unnest NULL-padded; the ordinality
+            # counter rides the same posexplode (round-13; was an
+            # explode arity error)
+            alias, cols, end = _parse_tvf_alias(sql, km.end())
+            k = len(arg_list)
+            defaults = _default_srf_cols(["unnest"] * k) + ["ordinality"]
+            names = [
+                (cols[i] if cols and i < len(cols) else defaults[i])
+                for i in range(k + 1)
+            ]
+            members = ", ".join(
+                f"coalesce(({a.strip()}), array())" for a in arg_list
+            )
+            sel = ", ".join(f"col.`{i}` AS {names[i]}" for i in range(k))
+            repl = (
+                f"LATERAL (SELECT {sel}, CAST(pos + 1 AS BIGINT) AS "
+                f"{names[k]} FROM posexplode(arrays_zip({members}))) "
+                f"AS {alias or 'pg_unnest'}"
+            )
+            sql = sql[: m.start()] + repl + sql[end:]
+            pos = m.start() + len(repl)
+            continue
         alias = "pg_unnest" if fn == "unnest" else f"pg_{fn}"
-        c1, c2 = fn, "ordinality"
+        # PG's default output column name is the function name, except
+        # the json element SRFs, whose column is 'value'
+        c1 = "value" if "_array_elements" in fn else fn
+        c2 = "ordinality"
         end = km.end()
         am = _ORD_ALIAS_COLS_RE.match(mask, end)
         if am:
@@ -2046,7 +2105,7 @@ def _translate_unnest_ordinality(sql: str) -> str:
             if am:
                 alias = am.group(1)
                 end = am.end()
-        arr = sql[open_i + 1 : close_i]
+        arr = args
         if fn != "unnest":
             arr = _srf_inner(fn, arr)
         repl = (
@@ -2127,12 +2186,25 @@ def _translate_json_agg(sql: str) -> str:
 
 
 def _translate_set_functions(sql: str) -> str:
+    # multi-SRF select lists FIRST (PG zips them; Spark cross-products)
+    # — needs the original PG names, before any agg/SRF rename below
+    sql = _translate_srf_zip(sql)
+    # ROWS FROM(...) zips too, and must also see the original names
+    # (the renames below would turn its members into explode(...));
+    # untranslatable members keep the named error in the operator pass
+    sql = _translate_rows_from(sql)
+    # json[b]_each[_text] in FROM position → inline of the entry
+    # kernel (select-list form raises with the FROM recipe)
+    sql = _translate_json_each(sql)
     sql = _translate_string_agg(sql)
     sql = _translate_json_agg(sql)
     sql = _translate_array_agg(sql)
     # ordinality BEFORE the plain-unnest rename (which would otherwise
     # leave a dangling WITH ORDINALITY behind an explode())
     sql = _translate_unnest_ordinality(sql)
+    # multi-argument unnest in FROM/JOIN position zips NULL-padded via
+    # inline(arrays_zip(...)), before the rename makes it explode(a, b)
+    sql = _translate_unnest_multiarg_from(sql)
     # comma/CROSS JOIN SRFs in a FROM list → LATERAL VIEW, before the
     # plain rename turns them into table-valued explode() calls that
     # cannot see sibling columns
@@ -3788,6 +3860,82 @@ def _build_timezone_fn(args):
     if len(args) != 2:
         return None
     return (f"({args[1].strip()} AT TIME ZONE {args[0].strip()})", 0)
+
+
+_IS_NULL_TOKEN_RE = re.compile(r"\bIS\s+(NOT\s+)?NULL\b", re.IGNORECASE)
+
+
+def _translate_row_is_null(sql: str) -> str:
+    """SQL-standard composite null tests (round-13 probe — a SILENT
+    wrong answer): PG's ``ROW(a, b) IS NULL`` is true iff EVERY field
+    is null, and ``IS NOT NULL`` iff every field is NOT null (neither
+    is the other's negation), where Spark tests the struct value
+    itself — ``ROW(NULL, NULL) IS NULL`` came back false and
+    ``ROW(1, NULL) IS NOT NULL`` true. Rewritten to the standard's own
+    conjunction over the fields. Applies to ``ROW(...)`` and to a
+    parenthesized tuple with >= 2 top-level fields; a plain
+    parenthesized scalar, a scalar subquery, and a function call's
+    close paren stay native. A nested ROW field raises (PG's composite
+    nesting rules are not modeled)."""
+    guard = 0
+    while guard < 64:
+        guard += 1
+        mask = _masked(sql)
+        done = True
+        for m in _IS_NULL_TOKEN_RE.finditer(mask):
+            k = m.start() - 1
+            while k >= 0 and mask[k] in " \t\n\r":
+                k -= 1
+            if k < 0 or mask[k] != ")":
+                continue
+            depth = 0
+            open_i = -1
+            for j in range(k, -1, -1):
+                if mask[j] == ")":
+                    depth += 1
+                elif mask[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        open_i = j
+                        break
+            if open_i < 0:
+                continue
+            inner = sql[open_i + 1 : k]
+            if re.match(r"\s*SELECT\b", _masked(inner), re.IGNORECASE):
+                continue
+            p = open_i - 1
+            while p >= 0 and mask[p] in " \t\n\r":
+                p -= 1
+            word_end = p + 1
+            while p >= 0 and (mask[p].isalnum() or mask[p] == "_"):
+                p -= 1
+            word = sql[p + 1 : word_end]
+            is_row_kw = word.upper() == "ROW"
+            if word and not is_row_kw and word.lower() not in _NOT_OPERAND_KWS:
+                continue  # a function call's close paren
+            fields = _split_top_level_args(inner)
+            if not is_row_kw and len(fields) < 2:
+                continue  # plain parenthesized scalar
+            for f in fields:
+                fs = f.strip()
+                nested = re.match(r"ROW\s*\(", fs, re.IGNORECASE)
+                if not nested and fs.startswith("(") and fs.endswith(")"):
+                    nested = len(_split_top_level_args(fs[1:-1])) > 1
+                if nested:
+                    raise ValueError(
+                        "a nested ROW field inside a composite IS "
+                        "[NOT] NULL test is not modeled — test the "
+                        "inner row's fields explicitly"
+                    )
+            test = "IS NOT NULL" if m.group(1) else "IS NULL"
+            body = " AND ".join(f"({f.strip()}) {test}" for f in fields)
+            start = p + 1 if is_row_kw else open_i
+            sql = sql[:start] + "(" + body + ")" + sql[m.end() :]
+            done = False
+            break
+        if done:
+            return sql
+    return sql
 
 
 _POSTFIX_NULL_RE = re.compile(r"\b(ISNULL|NOTNULL)\b(?!\s*\()", re.IGNORECASE)
@@ -6034,15 +6182,28 @@ def _build_generate_subscripts(args):
     # PG generate_subscripts(a, 1) yields 1..cardinality as ROWS (zero
     # rows for an empty array). The indexed-transform lambda gives the
     # subscript array without a size() guard (round-11 probe batch 3:
-    # sequence(1, 0) would DESCEND in Spark); dims other than 1 and the
-    # reverse flag raise — multi-dim arrays are not modeled.
-    if len(args) == 2 and args[1].strip() == "1":
-        head = f"explode(transform({args[0].strip()}"
-        return (head + ", (__x, __i) -> __i + 1))", len("explode(transform("))
+    # sequence(1, 0) would DESCEND in Spark); the reverse flag (round-13)
+    # reverses the subscript array — still zero rows when empty; dims
+    # other than 1 raise — multi-dim arrays are not modeled.
+    if len(args) >= 2 and args[1].strip() == "1":
+        rev = args[2].strip().lower() if len(args) == 3 else "false"
+        if len(args) == 2 or rev == "false":
+            head = f"explode(transform({args[0].strip()}"
+            return (
+                head + ", (__x, __i) -> __i + 1))",
+                len("explode(transform("),
+            )
+        if len(args) == 3 and rev == "true":
+            head = f"explode(reverse(transform({args[0].strip()}"
+            return (
+                head + ", (__x, __i) -> __i + 1)))",
+                len("explode(reverse(transform("),
+            )
     raise ValueError(
         "generate_subscripts: only dim=1 over the 1-D array model is "
-        "translatable (got a different dim or the reverse flag) — "
-        "explode an indexed transform() explicitly for other shapes"
+        "translatable (got a different dim or a non-literal reverse "
+        "flag) — explode an indexed transform() explicitly for other "
+        "shapes"
     )
 
 
@@ -7979,11 +8140,15 @@ def _translate_operators(sql: str) -> str:
     # structurally for the single-SELECT shape; out-of-scope shapes
     # keep the named error with the recipe
     sql = _rewrite_groups_frames(sql)
+    # ROWS FROM was translated inside _translate_set_functions (it must
+    # see the original SRF names); any survivor here is untranslatable
     if _ROWS_FROM_RE.search(_masked(sql)):
         raise ValueError(
-            "ROWS FROM(f1(...), f2(...)) zips set-returning functions "
-            "positionally, which Spark cannot — posexplode each source "
-            "and FULL OUTER JOIN on the ordinal instead"
+            "ROWS FROM(...): only FROM/JOIN-position members from the "
+            "array-core SRF set (unnest/generate_series/string_to_table/"
+            "regexp_split_to_table/generate_subscripts) zip via "
+            "arrays_zip — posexplode each other source and FULL OUTER "
+            "JOIN on the ordinal instead"
         )
     sql = _sub_skipping_literal_interiors(_COLLATE_RE, _collate_repl, sql)
     # PG's EXTRACT(EPOCH) keeps fractional seconds (it returns numeric);
@@ -8334,6 +8499,557 @@ def _in_from_clause(mask: str, pos: int) -> bool:
     return last in ("FROM", "ON", "USING")
 
 
+# ---------------------------------------------------------------------------
+# multi-SRF zipping: PG >= 10 expands several set-returning calls in ONE
+# select list (and ROWS FROM / multi-argument unnest in FROM) in LOCKSTEP
+# to the longest's row count, shorter members padded with NULLs
+# (execProjectSet; the reference's delegated surface via client.py:300-304).
+# Spark's multiple select-list generators CROSS-PRODUCT instead — a silent
+# wrong answer (round-13 probe) — and multi-arg explode is an arity error.
+# arrays_zip() carries PG's exact pad-to-longest semantics; members
+# coalesce to empty arrays so a NULL source still pads instead of
+# NULLing the whole zip.
+# ---------------------------------------------------------------------------
+
+_SRF_ZIP_CALL_RE = re.compile(
+    r"\b(unnest|generate_series|string_to_table|regexp_split_to_table|"
+    r"generate_subscripts|regexp_matches)\s*\(",
+    re.IGNORECASE,
+)
+_SELECT_KW_RE = re.compile(r"\bSELECT\b", re.IGNORECASE)
+_SRF_ZIP_AGG_OVER_RE = re.compile(
+    r"\b(?:count|sum|min|max|avg|array_agg|string_agg|json_agg|jsonb_agg|"
+    r"json_object_agg|jsonb_object_agg|bool_and|bool_or|every|bit_and|"
+    r"bit_or|bit_xor|stddev|stddev_pop|stddev_samp|variance|var_pop|"
+    r"var_samp|percentile_cont|percentile_disc|mode|corr|covar_pop|"
+    r"covar_samp|regr_[a-z2]+|listagg|any_value)\s*\(|\bOVER\s*\(",
+    re.IGNORECASE,
+)
+_SRF_SETOP_RE = re.compile(r"\b(UNION|INTERSECT|EXCEPT)\b", re.IGNORECASE)
+_SRF_GROUPING_RE = re.compile(r"\b(GROUP\s+BY|HAVING)\b", re.IGNORECASE)
+_FROM_LIST_END_RE = re.compile(
+    r"\b(WHERE|GROUP|HAVING|WINDOW|QUALIFY|ORDER|LIMIT|OFFSET|FETCH|FOR|"
+    r"UNION|INTERSECT|EXCEPT)\b",
+    re.IGNORECASE,
+)
+_TVF_ALIAS_NAME_RE = re.compile(r"\s*(?:AS\s+)?([a-zA-Z_]\w*)", re.IGNORECASE)
+_TVF_ALIAS_COLS_RE = re.compile(
+    r"\s*\(\s*([a-zA-Z_]\w*(?:\s*,\s*[a-zA-Z_]\w*)*)\s*\)"
+)
+_TVF_NOT_ALIAS_KWS = frozenset(
+    "where group order on using left right inner cross join limit offset "
+    "union intersect except having qualify lateral natural full as and or "
+    "not when then else select from window fetch tablesample with values "
+    "set rows returning".split()
+)
+
+_SRF_ZIP_SCOPE_ERROR = (
+    "multiple set-returning functions in one SELECT list expand in "
+    "lockstep in PG (pad-to-longest zip), but this block is outside the "
+    "zip rewrite's scope (aggregates/GROUP BY/HAVING — PG expands SRFs "
+    "after grouping; a window call — PG computes it before expansion; a "
+    "bare *; or a regexp_matches member) — compute that part in a "
+    "subquery and zip the SRFs over its result instead"
+)
+
+
+def _parse_tvf_alias(sql: str, pos: int) -> tuple[str | None, list | None, int]:
+    """``[AS] name [(c1, c2, ...)]`` after a table function's close
+    paren. Returns (name|None, column list|None, end offset)."""
+    m = _TVF_ALIAS_NAME_RE.match(sql, pos)
+    if not m or m.group(1).lower() in _TVF_NOT_ALIAS_KWS:
+        return None, None, pos
+    cm = _TVF_ALIAS_COLS_RE.match(sql, m.end())
+    if cm:
+        return m.group(1), [c.strip() for c in cm.group(1).split(",")], cm.end()
+    return m.group(1), None, m.end()
+
+
+def _default_srf_cols(fns: list) -> list:
+    """PG's default output column names are the function names —
+    duplicates allowed there but not in Spark's alias lists, so repeats
+    take a ``_N`` suffix (documented naming delta; alias explicitly for
+    PG-exact names)."""
+    out: list = []
+    seen: dict = {}
+    for f in fns:
+        n = seen.get(f, 0)
+        out.append(f if n == 0 else f"{f}_{n}")
+        seen[f] = n + 1
+    return out
+
+
+def _paren_depths(mask: str) -> list:
+    depths = []
+    d = 0
+    for ch in mask:
+        depths.append(d)
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+    return depths
+
+
+def _select_list_spans(mask: str) -> list:
+    """(list_start, list_end, from_pos|None, sel_start) for every
+    SELECT's select list; nested (parenthesised) subqueries are skipped
+    wholesale when locating this block's FROM, so each span ends at its
+    OWN FROM / closing paren / ``;`` / end."""
+    spans = []
+    for sm in _SELECT_KW_RE.finditer(mask):
+        j = sm.end()
+        list_end, from_pos = len(mask), None
+        while j < len(mask):
+            ch = mask[j]
+            if ch == "(":
+                nj = _matching_paren(mask, j)
+                if nj < 0:
+                    break
+                j = nj + 1
+                continue
+            if ch in ");":
+                list_end = j
+                break
+            if ch.isalpha() and not (
+                mask[j - 1].isalnum() or mask[j - 1] == "_"
+            ):
+                if mask[j : j + 4].upper() == "FROM" and not (
+                    j + 4 < len(mask)
+                    and (mask[j + 4].isalnum() or mask[j + 4] == "_")
+                ):
+                    list_end = from_pos = j
+                    break
+                km = _FROM_LIST_END_RE.match(mask, j)
+                if km:
+                    # FROM-less block with trailing clauses (WHERE /
+                    # ORDER BY / LIMIT / set ops): the list ends HERE —
+                    # a synthesized FROM must insert before them
+                    # (round-13 self-probe: it landed after LIMIT)
+                    list_end = j
+                    break
+                while j + 1 < len(mask) and (
+                    mask[j + 1].isalnum() or mask[j + 1] == "_"
+                ):
+                    j += 1
+            j += 1
+        spans.append((sm.end(), list_end, from_pos, sm.start()))
+    return spans
+
+
+_UNNEST_SRF_ARG_RE = re.compile(
+    r"\A(generate_series|string_to_table)\s*\(", re.IGNORECASE
+)
+
+
+def _unnest_arg_core(a: str) -> str:
+    """Array core of an unnest() argument. A nested set-returning call
+    (the ``unnest(generate_series(...))`` corpus composition) must be
+    resolved HERE — leaving its name in the emitted zip would let the
+    later SRF passes wrap it in a nested explode()."""
+    a = a.strip()
+    m = _UNNEST_SRF_ARG_RE.match(a)
+    if m:
+        open_i = m.end() - 1
+        close_i = _matching_paren(_masked(a), open_i)
+        if close_i == len(a) - 1:
+            return _srf_inner(m.group(1), a[open_i + 1 : close_i])
+    return f"({a})"
+
+
+def _srf_zip_core(fn: str, args: str) -> str:
+    """The array-valued core of one zip member."""
+    if fn == "unnest":
+        if len(_split_top_level_args(args)) != 1:
+            raise ValueError(
+                "unnest() with multiple arguments is only allowed in "
+                "FROM (PG raises the same error in a select list)"
+            )
+        return _unnest_arg_core(args)
+    if fn == "generate_series":
+        return _gs_sequence(args)
+    if fn == "string_to_table":
+        return f"string_to_array({args})"
+    if fn == "regexp_split_to_table":
+        return f"regexp_split_to_array({args})"
+    if fn == "generate_subscripts":
+        parts = [p.strip() for p in _split_top_level_args(args)]
+        if len(parts) >= 2 and parts[1] == "1":
+            body = f"transform({parts[0]}, (__x, __i) -> __i + 1)"
+            if len(parts) == 2 or parts[2].lower() == "false":
+                return body
+            if len(parts) == 3 and parts[2].lower() == "true":
+                return f"reverse({body})"
+        raise ValueError(
+            "generate_subscripts: only dim=1 over the 1-D array model "
+            "is translatable — explode an indexed transform() "
+            "explicitly for other shapes"
+        )
+    raise ValueError(_SRF_ZIP_SCOPE_ERROR)
+
+
+def _translate_srf_zip(sql: str) -> str:
+    """Several set-returning calls in ONE select list → a single
+    ``LATERAL VIEW explode(arrays_zip(...))`` whose struct fields the
+    call sites read — PG >= 10's lockstep expansion, NULL-padded to the
+    longest member, zero output rows when every member is empty, and
+    expression-nested SRF sites (``unnest(a) + 1``) become plain field
+    arithmetic. Blocks where the graft cannot be faithful stay LOUD
+    (see _SRF_ZIP_SCOPE_ERROR). Spark's native answer — one Generate
+    per SRF — cross-multiplies, which PG abandoned in 10."""
+    guard = 0
+    while guard < 32:
+        guard += 1
+        mask = _masked(sql)
+        depths = _paren_depths(mask)
+        spans = _select_list_spans(mask)
+        by_start = {s[0]: s for s in spans}
+        desc = sorted(spans, key=lambda s: s[3], reverse=True)
+
+        def _owner(p):
+            # the NEAREST ENCLOSING SELECT block of p (its paren group
+            # still open at p), and only when p sits in that block's
+            # select LIST — a call in a nested subquery's FROM belongs
+            # to the subquery, not to the outer list it textually sits
+            # inside (round-13 build probe)
+            for s in desc:
+                if s[3] >= p:
+                    continue
+                if min(depths[s[3] : p + 1]) >= depths[s[3]]:
+                    return s[0] if s[0] <= p < s[1] else None
+            return None
+
+        owned: dict = {}
+        for cm in _SRF_ZIP_CALL_RE.finditer(mask):
+            o = _owner(cm.start())
+            if o is not None:
+                owned.setdefault(o, []).append(cm)
+        target = None
+        for o in sorted(owned):
+            kept = []
+            for cm in owned[o]:
+                open_i = cm.end() - 1
+                close_i = _matching_paren(mask, open_i)
+                if close_i < 0:
+                    return sql
+                if any(k[2] < cm.start() < k[3] for k in kept):
+                    continue  # nested inside a prior member's arguments
+                kept.append(
+                    (cm.group(1).lower(), cm.start(), open_i, close_i)
+                )
+            if len(kept) >= 2:
+                target = (o, kept)
+                break
+        if target is None:
+            return sql
+        o, kept = target
+        list_start, list_end, from_pos, sel_start = by_start[o]
+        sd = depths[sel_start]
+
+        # --- scope guards (loud where the graft cannot be faithful) ---
+        if any(f == "regexp_matches" for f, *_ in kept):
+            raise ValueError(_SRF_ZIP_SCOPE_ERROR)
+        for am in _SRF_ZIP_AGG_OVER_RE.finditer(mask, list_start, list_end):
+            if _owner(am.start()) == o:
+                raise ValueError(_SRF_ZIP_SCOPE_ERROR)
+        for i in range(list_start, list_end):
+            if mask[i] == "*" and depths[i] == sd:
+                prev = mask[list_start:i].rstrip()
+                if (
+                    not prev
+                    or prev.endswith(",")
+                    or re.search(r"\b(?:DISTINCT|ALL)$", prev, re.IGNORECASE)
+                ):
+                    raise ValueError(_SRF_ZIP_SCOPE_ERROR)
+        j = list_end
+        block_end = len(mask)
+        while j < len(mask):
+            if depths[j] < sd or (mask[j] == ";" and depths[j] == sd):
+                block_end = j
+                break
+            j += 1
+        for gm in _SRF_SETOP_RE.finditer(mask, list_end, block_end):
+            if depths[gm.start()] == sd:
+                block_end = gm.start()
+                break
+        for gm in _SRF_GROUPING_RE.finditer(mask, list_end, block_end):
+            if depths[gm.start()] == sd:
+                raise ValueError(_SRF_ZIP_SCOPE_ERROR)
+
+        # --- build the zip ---
+        var = f"__pg_srf_zip_{sql.count('__pg_srf_zip_')}"
+        members = ", ".join(
+            f"coalesce({_srf_zip_core(f, sql[oi + 1 : ci])}, array())"
+            for f, _s, oi, ci in kept
+        )
+        lview = (
+            f" LATERAL VIEW explode(arrays_zip({members})) "
+            f"{var}_t AS {var}"
+        )
+        if from_pos is not None:
+            j = from_pos + 4
+            fend = block_end
+            while j < block_end:
+                if mask[j] == "(":
+                    nj = _matching_paren(mask, j)
+                    if nj < 0:
+                        return sql
+                    j = nj + 1
+                    continue
+                if depths[j] == sd and mask[j].isalpha():
+                    km = _FROM_LIST_END_RE.match(mask, j)
+                    if km and not (mask[j - 1].isalnum() or mask[j - 1] == "_"):
+                        fend = j
+                        break
+                    while j + 1 < len(mask) and (
+                        mask[j + 1].isalnum() or mask[j + 1] == "_"
+                    ):
+                        j += 1
+                j += 1
+            insert_at, insert_txt = fend, lview + " "
+        else:
+            insert_at = list_end
+            insert_txt = f" FROM (SELECT 1 AS {var}_dual) {var}_d{lview} "
+
+        # comma positions at list depth, for the implicit-alias check
+        commas = [
+            i
+            for i in range(list_start, list_end)
+            if mask[i] == "," and depths[i] == sd
+        ]
+        out = sql[:insert_at] + insert_txt + sql[insert_at:]
+        for idx in range(len(kept) - 1, -1, -1):
+            fn, s, oi, ci = kept[idx]
+            rep = f"{var}.`{idx}`"
+            bounds = [list_start] + [c + 1 for c in commas] + [list_end]
+            item_a = max(b for b in bounds if b <= s)
+            nb = min(b for b in bounds if b > s)
+            item_b = list_end if nb == list_end else nb - 1
+            item_txt = re.sub(
+                r"^\s*(?:DISTINCT|ALL)\b",
+                "",
+                sql[item_a:item_b],
+                flags=re.IGNORECASE,
+            ).strip()
+            if item_txt == sql[s : ci + 1].strip():
+                rep = f"{rep} AS {fn}"
+            out = out[:s] + rep + out[ci + 1 :]
+        sql = out
+    return sql
+
+
+_ROWS_FROM_POS_RE = re.compile(
+    r"\b(FROM|JOIN)\s+ROWS\s+FROM\s*\(", re.IGNORECASE
+)
+_SRF_MEMBER_RE = re.compile(
+    r"\s*(unnest|generate_series|string_to_table|regexp_split_to_table|"
+    r"generate_subscripts)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rows_from_members(members_txt: list):
+    """Parse ROWS FROM members into (cores, default column names);
+    multi-argument unnest contributes one column per argument like PG.
+    Returns None when any member is not an array-core SRF (the caller
+    keeps the named error)."""
+    cores: list = []
+    fns: list = []
+    for mt in members_txt:
+        m = _SRF_MEMBER_RE.match(mt)
+        if m is None:
+            return None
+        open_i = m.end() - 1
+        close_i = _matching_paren(_masked(mt), open_i)
+        if close_i < 0 or mt[close_i + 1 :].strip():
+            return None  # trailing text (AS coldef list) — out of scope
+        fn = m.group(1).lower()
+        args = mt[open_i + 1 : close_i]
+        if fn == "unnest":
+            for a in _split_top_level_args(args):
+                cores.append(_unnest_arg_core(a))
+                fns.append("unnest")
+        else:
+            cores.append(_srf_zip_core(fn, args))
+            fns.append(fn)
+    return cores, fns
+
+
+def _translate_rows_from(sql: str) -> str:
+    """``FROM ROWS FROM(f1(...), f2(...)) [WITH ORDINALITY] [AS] t(...)``
+    → ``inline(arrays_zip(...))`` (PG's positional zip, NULL-padded) or
+    a LATERAL posexplode subquery when ORDINALITY asks for the 1-based
+    counter. Members outside the array-core SRF set keep the named
+    error raised by the caller."""
+    while True:
+        mask = _masked(sql)
+        m = _ROWS_FROM_POS_RE.search(mask)
+        if m is None:
+            return sql
+        open_i = m.end() - 1
+        close_i = _matching_paren(mask, open_i)
+        if close_i < 0:
+            return sql
+        parsed = _rows_from_members(
+            _split_top_level_args(sql[open_i + 1 : close_i])
+        )
+        if parsed is None:
+            return sql
+        cores, fns = parsed
+        end = close_i + 1
+        om = _ORD_KW_RE.match(mask, end)
+        with_ord = om is not None
+        if with_ord:
+            end = om.end()
+        alias, cols, end = _parse_tvf_alias(sql, end)
+        defaults = _default_srf_cols(fns) + (
+            ["ordinality"] if with_ord else []
+        )
+        names = [
+            (cols[i] if cols and i < len(cols) else defaults[i])
+            for i in range(len(defaults))
+        ]
+        alias = alias or "pg_rows_from"
+        members = ", ".join(f"coalesce({c}, array())" for c in cores)
+        if with_ord:
+            sel = ", ".join(
+                f"col.`{i}` AS {names[i]}" for i in range(len(cores))
+            )
+            repl = (
+                f"LATERAL (SELECT {sel}, CAST(pos + 1 AS BIGINT) AS "
+                f"{names[-1]} FROM posexplode(arrays_zip({members}))) "
+                f"AS {alias}"
+            )
+        else:
+            repl = (
+                f"inline(arrays_zip({members})) AS "
+                f"{alias}({', '.join(names)})"
+            )
+        sql = sql[: m.start(0) + len(m.group(1))] + " " + repl + sql[end:]
+
+
+_JSON_EACH_POS_RE = re.compile(
+    r"(\bFROM\b|\bJOIN\b|,|\bCROSS\s+JOIN\b)\s*(?:LATERAL\s+)?"
+    r"(jsonb?_each(?:_text)?)\s*\(",
+    re.IGNORECASE,
+)
+_JSON_EACH_ANY_RE = re.compile(r"\bjsonb?_each(?:_text)?\s*\(", re.IGNORECASE)
+
+
+def _translate_json_each(sql: str) -> str:
+    """``json[b]_each[_text](j)`` in FROM position (PG jsonfuncs.c
+    each_worker; the reference's delegated surface) → ``inline`` of the
+    Arrow-batched entry kernel, one (key, value) row per object key —
+    jsonb variants in jsonb's (length, bytes) key order, json variants
+    in input order; WITH ORDINALITY rides a posexplode. PG's default
+    column names are key/value. The select-list form renders a
+    COMPOSITE record in PG ('(a,1)') — not modeled, raises with the
+    FROM-position recipe."""
+    while True:
+        mask = _masked(sql)
+        m = None
+        for cand in _JSON_EACH_POS_RE.finditer(mask):
+            if cand.group(1) == "," and not _in_from_clause(
+                mask, cand.start()
+            ):
+                continue
+            m = cand
+            break
+        if m is None:
+            break
+        open_i = m.end() - 1
+        close_i = _matching_paren(mask, open_i)
+        if close_i < 0:
+            break
+        args = sql[open_i + 1 : close_i]
+        if len(_split_top_level_args(args)) != 1:
+            break  # PG raises an arity error; the named error below
+        fn = m.group(2).lower()
+        call = f"{fn}_entries({args})"
+        end = close_i + 1
+        om = _ORD_KW_RE.match(mask, end)
+        with_ord = om is not None
+        if with_ord:
+            end = om.end()
+        alias, cols, end = _parse_tvf_alias(sql, end)
+        defaults = ["key", "value"] + (["ordinality"] if with_ord else [])
+        names = [
+            (cols[i] if cols and i < len(cols) else defaults[i])
+            for i in range(len(defaults))
+        ]
+        alias = alias or f"pg_{fn}"
+        lead = m.group(1).strip()
+        comma_pos = lead == "," or lead.upper().startswith("CROSS")
+        if with_ord:
+            core = (
+                f"LATERAL (SELECT col.key AS {names[0]}, col.value AS "
+                f"{names[1]}, CAST(pos + 1 AS BIGINT) AS {names[2]} "
+                f"FROM posexplode({call})) AS {alias}"
+            )
+            repl = (" , " if comma_pos else f"{m.group(1)} ") + core
+        elif comma_pos:
+            repl = (
+                f" LATERAL VIEW inline({call}) {alias} "
+                f"AS {names[0]}, {names[1]}"
+            )
+        else:
+            repl = (
+                f"{m.group(1)} inline({call}) AS "
+                f"{alias}({names[0]}, {names[1]})"
+            )
+        sql = sql[: m.start()] + repl + sql[end:]
+    if _JSON_EACH_ANY_RE.search(_masked(sql)):
+        raise ValueError(
+            "json_each/jsonb_each return composite (key, value) records "
+            "— the select-list form renders PG row text, which is not "
+            "modeled; move the call to FROM position: FROM jsonb_each(j) "
+            "AS t(k, v)"
+        )
+    return sql
+
+
+_UNNEST_MULTI_FROM_RE = re.compile(
+    r"\b(FROM|JOIN)\s+unnest\s*\(", re.IGNORECASE
+)
+
+
+def _translate_unnest_multiarg_from(sql: str) -> str:
+    """``FROM unnest(a1, ..., ak) [AS] t(c1, ..., ck)`` (k >= 2) — PG
+    zips the arrays NULL-padded to the longest — →
+    ``FROM inline(arrays_zip(...)) AS t(...)``. Single-argument unnest
+    keeps the plain explode rename; WITH ORDINALITY forms were already
+    consumed by _translate_unnest_ordinality (which runs first)."""
+    pos = 0
+    while True:
+        mask = _masked(sql)
+        m = _UNNEST_MULTI_FROM_RE.search(mask, pos)
+        if m is None:
+            return sql
+        open_i = m.end() - 1
+        close_i = _matching_paren(mask, open_i)
+        if close_i < 0:
+            return sql
+        args = _split_top_level_args(sql[open_i + 1 : close_i])
+        if len(args) < 2:
+            pos = m.end()
+            continue
+        alias, cols, end = _parse_tvf_alias(sql, close_i + 1)
+        defaults = _default_srf_cols(["unnest"] * len(args))
+        names = [
+            (cols[i] if cols and i < len(cols) else defaults[i])
+            for i in range(len(args))
+        ]
+        members = ", ".join(
+            f"coalesce(({a.strip()}), array())" for a in args
+        )
+        repl = (
+            f"{m.group(1)} inline(arrays_zip({members})) AS "
+            f"{alias or 'unnest'}({', '.join(names)})"
+        )
+        sql = sql[: m.start()] + repl + sql[end:]
+        pos = m.start() + len(repl)
+
+
 def _translate_lateral_srf(sql: str) -> str:
     """Comma- and CROSS JOIN-positioned set-returning calls in a FROM
     list — PG's implicit-LATERAL idiom ``FROM t, unnest(t.arr) AS u`` —
@@ -8359,11 +9075,25 @@ def _translate_lateral_srf(sql: str) -> str:
         if close_i < 0:
             return sql
         args = sql[open_i + 1 : close_i]
-        if fn == "unnest" and len(_split_top_level_args(args)) != 1:
-            raise ValueError(
-                "multi-argument unnest in FROM (PG zips the arrays) is "
-                "not translatable — use arrays_zip + explode"
+        arg_list = _split_top_level_args(args)
+        if fn == "unnest" and len(arg_list) > 1:
+            # PG zips the arrays NULL-padded — LATERAL VIEW inline of
+            # arrays_zip carries it exactly (round-13; was a raise)
+            alias, cols, end = _parse_tvf_alias(sql, close_i + 1)
+            defaults = _default_srf_cols(["unnest"] * len(arg_list))
+            names = [
+                (cols[i] if cols and i < len(cols) else defaults[i])
+                for i in range(len(arg_list))
+            ]
+            members = ", ".join(
+                f"coalesce(({a.strip()}), array())" for a in arg_list
             )
+            repl = (
+                f" LATERAL VIEW inline(arrays_zip({members})) "
+                f"{alias or 'unnest'} AS {', '.join(names)}"
+            )
+            sql = sql[: m.start()] + repl + sql[end:]
+            continue
         alias, col, tail = fn, fn, 0
         am = _GS_ALIAS_RE.match(sql, close_i + 1)
         if am and am.group(1).lower() not in _GS_NOT_ALIAS_KWS:
@@ -8494,6 +9224,10 @@ def _srf_inner(fn: str, args: str) -> str:
     regex-escaping literal-delimiter pass later in the pipeline."""
     if fn.lower() == "generate_series":
         return _gs_sequence(args)
+    if "_array_elements" in fn.lower():
+        # same array core as _build_json_array_elements (elements
+        # follow the module-wide json→text collapse)
+        return f"from_json({args}, 'array<string>')"
     return f"string_to_array({args})"
 
 
@@ -9146,12 +9880,46 @@ def translate_pg_sql(
             "lacks — use date_format(now(), 'HH:mm:ss') for the wall "
             "clock as text, or localtimestamp for a full timestamp"
         )
+    # PG's infinity datetime specials have no Spark value: the cast
+    # would die later with a raw CAST_INVALID_INPUT at constant folding
+    # — name the recipe instead (the other input specials — epoch,
+    # today, yesterday, tomorrow, now — Spark shares natively; pinned)
+    if re.search(
+        r"'\s*-?infinity\s*'\s*::\s*(?:date|timestamp)"
+        r"|\bCAST\s*\(\s*'-?infinity'\s+AS\s+(?:date|timestamp)"
+        r"|\b(?:date|timestamp(?:tz)?)\s*'-?infinity'",
+        _strip_comments(out),
+        re.IGNORECASE,
+    ):
+        raise ValueError(
+            "PG's 'infinity'/'-infinity' datetime specials have no "
+            "Spark timestamp value — use a sentinel bound (DATE "
+            "'9999-12-31' / '0001-01-01') or NULL with IS NULL "
+            "ordering instead"
+        )
     # PG's postfix null tests: `x ISNULL` / `x NOTNULL` (nonstandard but
     # documented PG spellings). The function form isnull(x) is valid
     # Spark (no-paren lookahead), and ISNULL/NOTNULL are NON-RESERVED in
     # PG — `AS isnull` and `t.notnull` are legal names, so a match whose
     # preceding token is AS or a dot is an identifier, not the operator.
     out = _outside_literals(out, _rewrite_postfix_null_tests)
+    # SQL-standard composite null tests: ROW(a, b) IS [NOT] NULL is a
+    # field-wise conjunction in PG, not a struct test (round-13 probe —
+    # Spark's struct reading was a silent wrong answer)
+    out = _translate_row_is_null(out)
+    # PG's multiword timestamp TYPE-NAME literals: Spark's parser has
+    # no TIMESTAMP WITH[OUT] TIME ZONE spelling (the ::cast form
+    # already translates; the with-tz literal keeps its offset through
+    # Spark's session-TZ timestamp reading, same as timestamptz '…')
+    out = _outside_literals(
+        out,
+        lambda s: re.sub(
+            r"\bTIMESTAMP\s+WITH(?:OUT)?\s+TIME\s+ZONE\b",
+            "TIMESTAMP",
+            s,
+            flags=re.IGNORECASE,
+        ),
+    )
     # json construction family BEFORE the set functions: json_agg's
     # rewrite (inside _translate_set_functions) EMITS to_json(...) text
     # that the to_json pass must never re-wrap; running user-written

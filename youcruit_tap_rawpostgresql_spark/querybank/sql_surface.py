@@ -1716,6 +1716,91 @@ def pg_dialect_srf_direction_r13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pg_dialect_srf_zip_r13",
+    # Oracle notes: DuckDB zips multiple select-list unnests with PG's
+    # exact pad-to-longest NULL padding (probed: uneven, empty and
+    # dynamic members), so the zip lane arbitrates directly; the
+    # FROM-position multi-arg unnest and ROWS FROM + ORDINALITY lanes
+    # (DuckDB lacks both) oracle through their select-list / range()
+    # equivalents; the reverse-subscripts lane uses list_reverse.
+    oracle="""
+SELECT lane, k, v1, v2, v3 FROM (
+SELECT 'a_zip' AS lane, CAST(c_custkey AS BIGINT) AS k,
+       CAST(unnest(ARRAY[c_custkey % 7, c_custkey % 5]) AS VARCHAR) AS v1,
+       CAST(unnest(generate_series(1, c_custkey % 3)) AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM customer WHERE c_custkey % 131 = 0
+UNION ALL
+SELECT 'b_from' AS lane, 0 AS k,
+       unnest(ARRAY['x','y']) AS v1,
+       CAST(unnest(ARRAY[1,2,3]) AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+UNION ALL
+SELECT 'c_rows' AS lane, 0 AS k,
+       list_extract(ARRAY['p','q'], i) AS v1,
+       CAST(i AS BIGINT) AS v2, CAST(i AS BIGINT) AS v3
+FROM range(1, 4) t(i)
+UNION ALL
+SELECT 'd_rev' AS lane, CAST(c_custkey AS BIGINT) AS k,
+       CAST(NULL AS VARCHAR) AS v1,
+       CAST(unnest(list_reverse(generate_series(1,
+         len(string_split(c_mktsegment, 'A'))))) AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM customer WHERE c_custkey % 293 = 0
+) z ORDER BY lane, k, v1, v2, v3
+""",
+)
+def pg_dialect_srf_zip_r13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-13 multi-SRF ZIP family end-to-end on the
+    delegated-SQL contract (reference ``client.py:300-304``; round-13
+    probe): PG >= 10 expands several set-returning calls in ONE select
+    list in LOCKSTEP, NULL-padded to the longest (execProjectSet) —
+    Spark's multiple generators CROSS-PRODUCT, the silent wrong answer
+    this round's headline fix closes with one lateral
+    explode(arrays_zip(...)). Lanes: (a) dynamic select-list zip of an
+    array member with a generate_series member over customer rows
+    (n ∈ {0,1,2} exercises empty-member padding), (b) FROM-position
+    multi-argument ``unnest(a, b)`` (was an explode arity error) via
+    inline(arrays_zip), (c) ``ROWS FROM(unnest, generate_series) WITH
+    ORDINALITY`` (was a named error) via posexplode, (d)
+    ``generate_subscripts(..., reverse := true)`` (was a named error)
+    via reverse(transform(...)).
+
+    Scale: map-only — one lateral explode per input row, no shuffle
+    but the final sort; arrays_zip/inline/posexplode are all
+    whole-stage-codegen generators."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    tables(spark, sf_dir)
+    return run_sql(
+        spark,
+        "SELECT lane, k, v1, v2, v3 FROM ("
+        "SELECT 'a_zip' AS lane, c_custkey::bigint AS k, "
+        "(unnest(ARRAY[c_custkey % 7, c_custkey % 5]))::text AS v1, "
+        "(generate_series(1, c_custkey % 3))::bigint AS v2, "
+        "NULL::bigint AS v3 "
+        "FROM customer WHERE c_custkey % 131 = 0 "
+        "UNION ALL "
+        "SELECT 'b_from' AS lane, 0 AS k, t.a AS v1, t.b::bigint AS v2, "
+        "NULL::bigint AS v3 "
+        "FROM unnest(ARRAY['x','y'], ARRAY[1,2,3]) t(a, b) "
+        "UNION ALL "
+        "SELECT 'c_rows' AS lane, 0 AS k, t.x AS v1, t.y::bigint AS v2, "
+        "t.o::bigint AS v3 "
+        "FROM ROWS FROM (unnest(ARRAY['p','q']), generate_series(1,3)) "
+        "WITH ORDINALITY t(x, y, o) "
+        "UNION ALL "
+        "SELECT 'd_rev' AS lane, d.k AS k, NULL::text AS v1, "
+        "d.s::bigint AS v2, NULL::bigint AS v3 "
+        "FROM (SELECT c_custkey::bigint AS k, "
+        "generate_subscripts(string_to_array(c_mktsegment, 'A'), 1, true) "
+        "AS s FROM customer WHERE c_custkey % 293 = 0) d"
+        ") z ORDER BY lane, k, v1, v2, v3",
+        pg_dialect=True,
+    )
+
+
+@register(
     "pg_dialect_tochar_names_r13",
     # Oracle notes: DuckDB has no PG to_char name templates, but its
     # dayname()/monthname() return the same capitalized English names
