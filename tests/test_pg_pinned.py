@@ -4044,3 +4044,68 @@ def test_datetime_input_specials_pins(spark):
         translate_pg_sql("SELECT '-infinity'::timestamp")
     with pytest.raises(ValueError, match="infinity"):
         translate_pg_sql("SELECT d < timestamp 'infinity' FROM t")
+
+
+def test_hypothetical_set_aggregate_pins(spark):
+    """PG's hypothetical-set aggregates (round-13 session-2; previously
+    raw Spark unsupported-syntax errors) — SQL:2008 count formulas,
+    PG 16 hand-derived over (1,2,2,3) with v=2: rank 2, dense_rank 2,
+    percent_rank 0.25, cume_dist 0.8. DuckDB has no hypothetical-set
+    aggregates (parser error — checked), so the family is
+    pin-arbitrated. Direction + null-placement corners included."""
+    base = "FROM (VALUES (1),(2),(2),(3)) v(x)"
+    row = spark.sql(translate_pg_sql(
+        "SELECT rank(2) WITHIN GROUP (ORDER BY x) r, "
+        "dense_rank(2) WITHIN GROUP (ORDER BY x) d, "
+        "percent_rank(2) WITHIN GROUP (ORDER BY x) p, "
+        "cume_dist(2) WITHIN GROUP (ORDER BY x) c, "
+        "rank(2) WITHIN GROUP (ORDER BY x DESC) rd " + base
+    )).first()
+    assert (row["r"], row["d"], row["p"], row["c"], row["rd"]) == (
+        2, 2, 0.25, 0.8, 2
+    )
+    # NULL hypothetical value sorts with the nulls (ASC -> last)
+    row = spark.sql(translate_pg_sql(
+        "SELECT rank(NULL) WITHIN GROUP (ORDER BY x) r "
+        "FROM (VALUES (1),(NULL),(3)) v(x)"
+    )).first()
+    assert row["r"] == 3
+    # empty group: rank 1, percent_rank 0, cume_dist 1 (PG exact)
+    row = spark.sql(translate_pg_sql(
+        "SELECT rank(5) WITHIN GROUP (ORDER BY x) r, "
+        "percent_rank(5) WITHIN GROUP (ORDER BY x) p, "
+        "cume_dist(5) WITHIN GROUP (ORDER BY x) c "
+        "FROM (VALUES (1)) v(x) WHERE false"
+    )).first()
+    assert (row["r"], row["p"], row["c"]) == (1, 0.0, 1.0)
+    # grouped form; plain window rank() stays native
+    rows = spark.sql(translate_pg_sql(
+        "SELECT g, rank(2) WITHIN GROUP (ORDER BY x) r "
+        "FROM (VALUES (1, 1),(1, 3),(2, 1)) v(g, x) GROUP BY g "
+        "ORDER BY g"
+    )).collect()
+    assert [(r["g"], r["r"]) for r in rows] == [(1, 2), (2, 2)]
+    import pytest
+
+    with pytest.raises(ValueError, match="hypothetical-set"):
+        translate_pg_sql(
+            "SELECT rank(1, 2) WITHIN GROUP (ORDER BY x, y) FROM t"
+        )
+
+
+def test_width_bucket_array_pins(spark):
+    """PG 14's 2-argument width_bucket over a sorted thresholds ARRAY
+    (round-13 session-2 probe; was a raw Spark arity error): bucket =
+    count of thresholds <= operand, 0 below the first, NULL-in ->
+    NULL. The 4-arg form stays on Spark's native builtin."""
+    row = one(
+        spark,
+        "width_bucket(5, ARRAY[1,3,4,10]) w, "
+        "width_bucket(0, ARRAY[1,3]) z, "
+        "width_bucket(25, ARRAY[1,3]) t, "
+        "width_bucket(NULL::int, ARRAY[1,3]) n, "
+        "width_bucket(5.0, 0.0, 10.0, 5) f",
+    )
+    assert (row["w"], row["z"], row["t"], row["n"], row["f"]) == (
+        3, 0, 2, None, 3
+    )

@@ -2196,6 +2196,9 @@ def _translate_set_functions(sql: str) -> str:
     # json[b]_each[_text] in FROM position → inline of the entry
     # kernel (select-list form raises with the FROM recipe)
     sql = _translate_json_each(sql)
+    # hypothetical-set rank/dense_rank/percent_rank/cume_dist WITHIN
+    # GROUP → their SQL:2008 count formulas (plain aggregates)
+    sql = _translate_hypothetical_set(sql)
     sql = _translate_string_agg(sql)
     sql = _translate_json_agg(sql)
     sql = _translate_array_agg(sql)
@@ -6178,6 +6181,27 @@ def _build_array_sample(args):
     return (head + f"), 1, {args[1].strip()})", len("slice(shuffle("))
 
 
+_WIDTH_BUCKET_OPEN_RE = re.compile(r"\bwidth_bucket\s*\(", re.IGNORECASE)
+
+
+def _build_width_bucket_array(args):
+    # PG 14's 2-arg form buckets against a SORTED thresholds ARRAY:
+    # the result is the count of thresholds <= operand (0 below the
+    # first). Spark's builtin is 4-arg only; the filter-count carries
+    # the array form exactly, with PG's NULL-in -> NULL (the bare
+    # size(filter(...)) would read a NULL operand as bucket 0).
+    # 4-arg calls return None and stay on Spark's native builtin.
+    if len(args) != 2:
+        return None
+    x, arr = args[0].strip(), args[1].strip()
+    head = "(CASE WHEN (" + x
+    return (
+        f"{head}) IS NULL OR ({arr}) IS NULL THEN NULL "
+        f"ELSE size(filter(({arr}), __wb -> __wb <= ({x}))) END)",
+        len(head),
+    )
+
+
 def _build_generate_subscripts(args):
     # PG generate_subscripts(a, 1) yields 1..cardinality as ROWS (zero
     # rows for an empty array). The indexed-transform lambda gives the
@@ -7836,6 +7860,10 @@ def _translate_operators(sql: str) -> str:
     sql = _rewrite_calls(
         sql, _GENERATE_SUBSCRIPTS_OPEN_RE, _build_generate_subscripts
     )
+    # PG 14 width_bucket(operand, thresholds[]) — 4-arg stays native
+    sql = _rewrite_calls(
+        sql, _WIDTH_BUCKET_OPEN_RE, _build_width_bucket_array
+    )
     sql = _outside_literals(
         sql,
         lambda s: re.sub(
@@ -8522,7 +8550,9 @@ _SRF_ZIP_AGG_OVER_RE = re.compile(
     r"json_object_agg|jsonb_object_agg|bool_and|bool_or|every|bit_and|"
     r"bit_or|bit_xor|stddev|stddev_pop|stddev_samp|variance|var_pop|"
     r"var_samp|percentile_cont|percentile_disc|mode|corr|covar_pop|"
-    r"covar_samp|regr_[a-z2]+|listagg|any_value)\s*\(|\bOVER\s*\(",
+    r"covar_samp|regr_[a-z2]+|listagg|any_value)\s*\(|\bOVER\s*\(|"
+    r"\b(?:rank|dense_rank|percent_rank|cume_dist)\s*"
+    r"\((?:[^()]|\([^()]*\))*\)\s*WITHIN\b",
     re.IGNORECASE,
 )
 _SRF_SETOP_RE = re.compile(r"\b(UNION|INTERSECT|EXCEPT)\b", re.IGNORECASE)
@@ -8926,6 +8956,105 @@ def _translate_rows_from(sql: str) -> str:
                 f"{alias}({', '.join(names)})"
             )
         sql = sql[: m.start(0) + len(m.group(1))] + " " + repl + sql[end:]
+
+
+_HYPOTHETICAL_SET_RE = re.compile(
+    r"\b(rank|dense_rank|percent_rank|cume_dist)\s*\(", re.IGNORECASE
+)
+_WITHIN_GROUP_RE = re.compile(
+    r"\s*WITHIN\s+GROUP\s*\(\s*ORDER\s+BY\b", re.IGNORECASE
+)
+_HYP_SORT_SUFFIX_RE = re.compile(
+    r"(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?\s*\Z", re.IGNORECASE
+)
+
+
+def _translate_hypothetical_set(sql: str) -> str:
+    """PG's hypothetical-set aggregates (round-13 session-2 probe —
+    previously raw Spark unsupported-syntax errors):
+    ``rank(v) WITHIN GROUP (ORDER BY x)`` and friends compute the
+    would-be rank of a hypothetical row. Each is a closed formula over
+    plain counts (SQL:2008; PG docs table 9.64):
+
+    - rank        = 1 + #rows strictly before the hypothetical row
+    - dense_rank  = 1 + #distinct sort values before it
+    - percent_rank= (rank - 1) / N           (N = group row count)
+    - cume_dist   = (#before-or-peer + 1) / (N + 1)
+
+    "Before" honors the sort direction AND PG's null placement (NULLS
+    LAST asc / FIRST desc by default, explicit spec respected); peers
+    compare null-safely. Scope: one argument + one sort key (PG itself
+    requires matching counts; multi-key forms raise the named error)."""
+    while True:
+        mask = _masked(sql)
+        m = None
+        close_i = wg_close = -1
+        for cand in _HYPOTHETICAL_SET_RE.finditer(mask):
+            ci = _matching_paren(mask, cand.end() - 1)
+            if ci < 0:
+                continue
+            wm = _WITHIN_GROUP_RE.match(mask, ci + 1)
+            if wm is None:
+                continue
+            # the WITHIN GROUP paren is the one the regex just entered
+            wg_open = mask.rindex("(", ci + 1, wm.end())
+            wc = _matching_paren(mask, wg_open)
+            if wc < 0:
+                continue
+            m, close_i, wg_close = cand, ci, wc
+            break
+        if m is None:
+            return sql
+        fn = m.group(1).lower()
+        args = _split_top_level_args(sql[m.end() : close_i])
+        ob = re.search(
+            r"ORDER\s+BY", sql[close_i + 1 : wg_close], re.IGNORECASE
+        )
+        items = _split_top_level_args(
+            sql[close_i + 1 + ob.end() : wg_close]
+        )
+        if len(args) != 1 or len(items) != 1:
+            raise ValueError(
+                f"hypothetical-set {fn}() WITHIN GROUP: only the "
+                "one-argument / one-sort-key form is translatable — "
+                "rewrite multi-key forms over a struct of the keys"
+            )
+        v = args[0].strip()
+        item = items[0].strip()
+        sm = _HYP_SORT_SUFFIX_RE.search(item)
+        direction = (sm.group(1) or "ASC").upper()
+        nulls = (
+            sm.group(2).upper()
+            if sm.group(2)
+            else ("LAST" if direction == "ASC" else "FIRST")
+        )
+        x = item[: sm.start()].strip() or item.strip()
+        cmp_op = "<" if direction == "ASC" else ">"
+        if nulls == "LAST":
+            null_arm = f"(({v}) IS NULL AND ({x}) IS NOT NULL)"
+        else:
+            null_arm = f"(({x}) IS NULL AND ({v}) IS NOT NULL)"
+        before = f"((({x}) {cmp_op} ({v})) OR {null_arm})"
+        if fn == "rank":
+            repl = f"(1 + count(CASE WHEN {before} THEN 1 END))"
+        elif fn == "dense_rank":
+            repl = (
+                f"(1 + count(DISTINCT CASE WHEN {before} THEN ({x}) END)"
+                f" + coalesce(max(CASE WHEN {before} AND ({x}) IS NULL "
+                f"THEN 1 ELSE 0 END), 0))"
+            )
+        elif fn == "percent_rank":
+            repl = (
+                f"(CASE WHEN count(*) = 0 THEN CAST(0 AS DOUBLE) ELSE "
+                f"CAST(count(CASE WHEN {before} THEN 1 END) AS DOUBLE) "
+                f"/ count(*) END)"
+            )
+        else:  # cume_dist
+            repl = (
+                f"(CAST(count(CASE WHEN {before} OR (({x}) <=> ({v})) "
+                f"THEN 1 END) + 1 AS DOUBLE) / (count(*) + 1))"
+            )
+        sql = sql[: m.start()] + repl + sql[wg_close + 1 :]
 
 
 _JSON_EACH_POS_RE = re.compile(

@@ -53,11 +53,13 @@ _ROTATION_R13 = [
     # took the r02–r04 cohorts and q2/q4)
     "pg_dialect_srf_direction_r13", "pg_dialect_tochar_names_r13",
     "pg_dialect_probe_fixes_r13",
-    # late round-13 registration (the multi-SRF zip family — select
-    # list lockstep expansion, FROM unnest(a,b), ROWS FROM, reverse
-    # subscripts); swaps out scd2_status_history tail-first per the
-    # convention below (recorded in ROTATION.md)
-    "pg_dialect_srf_zip_r13",
+    # late round-13 registrations (session 2): the multi-SRF zip
+    # family (select-list lockstep expansion, FROM unnest(a,b), ROWS
+    # FROM, reverse subscripts) and the hypothetical-set /
+    # width_bucket-array / composite-null family; they swap out
+    # scd2_status_history and stream_dedup_watermark tail-first per
+    # the convention below (recorded in ROTATION.md)
+    "pg_dialect_srf_zip_r13", "pg_dialect_hypothetical_r13",
     # the r05 cohort (37 cases; ROTATION.md r05 section minus the two
     # already refreshed in r12 and graph_triangle_count, swapped out —
     # tail-first per the convention below — for the r13 probe-fix case
@@ -75,7 +77,6 @@ _ROTATION_R13 = [
     "text_fingerprint", "text_bm25_keyword", "sim_ann_lsh",
     "ann_recall_eval", "embed_quantize_int8",
     "contamination_ngram_overlap", "stream_windowed_agg",
-    "stream_dedup_watermark",
     # any further r13-born case swaps out the TAIL r05 refresh above
     # (newest-first), deferring it to r14 — record the swap in
     # ROTATION.md

@@ -1852,6 +1852,82 @@ def pg_dialect_tochar_names_r13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pg_dialect_hypothetical_r13",
+    # Oracle notes: DuckDB has NO hypothetical-set aggregates (parser
+    # error) and no 2-arg width_bucket, and its composite IS NULL
+    # follows Spark's struct reading — every lane oracles through the
+    # EQUIVALENT formula instead (the SQL:2008 count forms, a
+    # list_filter count, the explicit field conjunctions). Per-query
+    # float exactness: the percent_rank division is the same IEEE
+    # binary64 count/count on both engines.
+    oracle="""
+SELECT lane, k, v1, v2 FROM (
+SELECT 'hyp' AS lane, c_mktsegment AS k,
+       CAST(1 + count(CASE WHEN c_custkey < 750 THEN 1 END) AS BIGINT)
+         AS v1,
+       CAST(count(CASE WHEN c_custkey < 750 THEN 1 END) AS DOUBLE)
+         / count(*) AS v2
+FROM customer GROUP BY c_mktsegment
+UNION ALL
+SELECT 'wb' AS lane, CAST(c_custkey AS VARCHAR) AS k,
+       CAST(len(list_filter([3, 7, 15], t -> t <= c_custkey % 20))
+         AS BIGINT) AS v1,
+       CAST(NULL AS DOUBLE) AS v2
+FROM customer WHERE c_custkey % 97 = 0
+UNION ALL
+SELECT 'rownull' AS lane, CAST(c_custkey AS VARCHAR) AS k,
+       CAST(CASE WHEN (c_custkey % 3 = 0) AND (c_custkey % 2 = 0)
+                 THEN 1 ELSE 0 END
+          + CASE WHEN (c_custkey % 3 <> 0) THEN 10 ELSE 0 END
+         AS BIGINT) AS v1,
+       CAST(NULL AS DOUBLE) AS v2
+FROM customer WHERE c_custkey % 89 = 0
+) z ORDER BY lane, k, v1, v2
+""",
+)
+def pg_dialect_hypothetical_r13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-13 session-2 fix families end-to-end on the
+    delegated-SQL contract (reference ``client.py:300-304``):
+    hypothetical-set aggregates ``rank(v)/percent_rank(v) WITHIN GROUP
+    (ORDER BY x)`` per customer segment (were raw Spark
+    unsupported-syntax errors; SQL:2008 count formulas), PG 14's 2-arg
+    ``width_bucket(operand, thresholds[])`` (was an arity error), and
+    composite ``(a, b) IS NULL`` / ``ROW(...) IS NOT NULL`` tests (a
+    SILENT wrong answer — Spark tested the struct, PG tests the
+    fields; the nullif shapes exercise both all-null and mixed rows).
+
+    Scale: one hash-aggregate per segment for the hypothetical lane
+    (partial aggregation map-side), map-only filters for the others;
+    the final sort is the only other exchange."""
+    from youcruit_tap_rawpostgresql_spark.plans.executor import run_sql
+
+    tables(spark, sf_dir)
+    return run_sql(
+        spark,
+        "SELECT lane, k, v1, v2 FROM ("
+        "SELECT 'hyp' AS lane, c_mktsegment AS k, "
+        "rank(750) WITHIN GROUP (ORDER BY c_custkey) AS v1, "
+        "percent_rank(750) WITHIN GROUP (ORDER BY c_custkey) AS v2 "
+        "FROM customer GROUP BY c_mktsegment "
+        "UNION ALL "
+        "SELECT 'wb' AS lane, c_custkey::text AS k, "
+        "width_bucket(c_custkey % 20, ARRAY[3, 7, 15])::bigint AS v1, "
+        "NULL::double precision AS v2 "
+        "FROM customer WHERE c_custkey % 97 = 0 "
+        "UNION ALL "
+        "SELECT 'rownull' AS lane, c_custkey::text AS k, "
+        "(CASE WHEN (nullif(c_custkey % 3, 0), nullif(c_custkey % 2, 0)) "
+        "IS NULL THEN 1 ELSE 0 END "
+        "+ CASE WHEN ROW(nullif(c_custkey % 3, 0), c_custkey) "
+        "IS NOT NULL THEN 10 ELSE 0 END)::bigint AS v1, "
+        "NULL::double precision AS v2 "
+        "FROM customer WHERE c_custkey % 89 = 0"
+        ") z ORDER BY lane, k, v1, v2",
+        pg_dialect=True,
+    )
+
+
+@register(
     "pg_dialect_probe_fixes_r13",
     # Oracle notes: DuckDB arbitrates julian natively and speaks the
     # quantified = ANY corners with PG's exact 3VL; #> index paths
