@@ -4109,3 +4109,62 @@ def test_width_bucket_array_pins(spark):
     assert (row["w"], row["z"], row["t"], row["n"], row["f"]) == (
         3, 0, 2, None, 3
     )
+
+
+def test_interval_literal_cmp_pins(spark):
+    """Round-13 session-2: literal-vs-literal interval comparisons fold
+    at translation time with PG interval_cmp's flattening (1 month =
+    30 days, 1 year = 360 days, 1 day = 24 h — intervals.c) — Spark's
+    two-interval model cannot even TYPE a year-month vs day-time
+    comparison (DATATYPE_MISMATCH). Both the keyword and ::interval
+    cast spellings fold; dynamic operands and field-qualified literals
+    (interval '1' day) stay untouched."""
+    row = one(
+        spark,
+        "interval '1 mon' = interval '30 days' a, "
+        "interval '1 year' = interval '360 days' b, "
+        "interval '1 year' > interval '360 days' c, "
+        "'1 mon'::interval <> '31 days'::interval d, "
+        "'1 day'::interval = interval '24 hours' e, "
+        "interval '2 weeks' = interval '14 days' f, "
+        "interval '1 mon 1 day' > interval '30 days 23 hours' g",
+    )
+    assert (row["a"], row["b"], row["c"]) == (True, True, False)
+    assert (row["d"], row["e"], row["f"], row["g"]) == (
+        True, True, True, True
+    )
+    # dynamic operands keep the native comparison (same-family)
+    got = spark.sql(translate_pg_sql(
+        "SELECT (x - y) > interval '1 hour' g FROM (VALUES "
+        "(timestamp '2024-01-01 10:00', timestamp '2024-01-01 08:00')"
+        ") v(x, y)"
+    )).first()
+    assert got["g"] is True
+
+
+def test_from_only_and_jsonpath_pins(spark):
+    """Round-13 session-2: PG's ``FROM ONLY <table>`` (inheritance
+    disabled) drops the keyword — the engine's single declared
+    relation IS the ONLY reading; it was previously read as a table
+    NAMED only with the real table as its alias. jsonpath match
+    operators ``@?`` / ``@@`` raise a NAMED error with the extraction
+    recipe (were raw parse errors); FETCH's ``ROWS ONLY`` is
+    untouched."""
+    from youcruit_tap_rawpostgresql_spark.querybank.registry import tables
+
+    tables(spark, "/root/testdata/sf0.001")
+    n = spark.sql(translate_pg_sql(
+        "SELECT count(*) AS c FROM ONLY customer"
+    )).first()["c"]
+    assert n == 150
+    out = translate_pg_sql(
+        "SELECT x FROM (VALUES (2),(1)) v(x) ORDER BY x "
+        "FETCH FIRST 1 ROWS ONLY"
+    )
+    assert "ROWS ONLY" not in out or "LIMIT" in out  # clause survives
+    import pytest
+
+    with pytest.raises(ValueError, match="jsonpath"):
+        translate_pg_sql("SELECT j @? '$.a' FROM t")
+    with pytest.raises(ValueError, match="jsonpath"):
+        translate_pg_sql("SELECT j @@ '$.a == 1' FROM t")

@@ -199,14 +199,29 @@ def test_to_char_tokens_map_or_raise(fmt):
     # ADJACENCY splits into concatenated calls so the JDK fields cannot
     # merge (PG 'mmmm' is month twice, JDK 'MMMM' is the month NAME —
     # the hypothesis sweep caught the merged form as a silent
-    # mistranslation this round)
-    assert out.startswith("SELECT date_format(ts, '") or out.startswith(
-        "SELECT concat(date_format(ts, '"
-    )
+    # mistranslation this round). Round-13 added EXPRESSION-token
+    # emissions (ID/isodow via extract, Day/Month names via
+    # rpad/upper/lower around date_format) — those compose through
+    # cast/concat/rpad/upper/lower wrappers and are equally closed
+    # over mapped tokens, so any of these heads is a faithful shape.
+    assert out.startswith(
+        (
+            "SELECT date_format(ts, '",
+            "SELECT concat(",
+            "SELECT cast(extract(",
+            "SELECT rpad(",
+            "SELECT upper(",
+            "SELECT lower(",
+        )
+    ), (fmt, out)
     for pat in _re.findall(r"date_format\(ts, '([^']*)'\)", out):
         residue = pat
-        for jdk in ("yyyy", "yy", "MMM", "MM", "mm", "EEE", "HH", "hh",
-                    "DDD", "dd", "ss", "SSSSSS", "SSS", "a", "Q"):
+        # longest-first; the round-13 name templates add EEEE/MMMM and
+        # the FM fill mode emits single-letter JDK fields
+        for jdk in ("SSSSSS", "yyyy", "MMMM", "EEEE", "DDD", "SSS",
+                    "MMM", "EEE", "yy", "MM", "mm", "HH", "hh", "dd",
+                    "ss", "a", "Q", "E", "M", "d", "H", "h", "m", "s",
+                    "y", "D"):
             residue = residue.replace(jdk, "")
         assert not any(c.isalpha() for c in residue), (fmt, out)
 
