@@ -518,8 +518,9 @@ def test_to_char_numeric_and_interval_errors():
     # the token named — not a raw DATATYPE_MISMATCH blaming date_format
     with pytest.raises(ValueError, match="'PR'"):
         translate_pg_sql("SELECT to_char(x, '999PR') FROM t")
-    with pytest.raises(ValueError, match="'RN'"):
-        translate_pg_sql("SELECT to_char(x, 'RN') FROM t")
+    # 'RN' TRANSLATES now (round-13 session 2 — see
+    # test_to_char_roman_pins); the Roman expression head survives
+    assert "repeat('M'" in translate_pg_sql("SELECT to_char(x, 'RN') FROM t")
     with pytest.raises(ValueError, match="leading MI"):
         translate_pg_sql("SELECT to_char(x, 'MI999') FROM t")
     # round-12 (judge directive 5): a LITERAL interval operand FOLDS
@@ -4168,3 +4169,27 @@ def test_from_only_and_jsonpath_pins(spark):
         translate_pg_sql("SELECT j @? '$.a' FROM t")
     with pytest.raises(ValueError, match="jsonpath"):
         translate_pg_sql("SELECT j @@ '$.a == 1' FROM t")
+
+
+def test_to_char_roman_pins(spark):
+    """Round-13 session-2: PG's to_char(n, 'RN') Roman numerals (was a
+    named error) — formatting.c values hand-derived: 15-column right
+    justification, FM strips the pad, lowercase 'rn' lowercases, out
+    of range (outside 1..3999) renders 15 '#' marks, NULL -> NULL."""
+    row = one(
+        spark,
+        "to_char(14, 'RN') a, to_char(485, 'RN') b, "
+        "to_char(3999, 'RN') c, to_char(14, 'rn') d, "
+        "to_char(14, 'FMRN') e, to_char(0, 'RN') f, "
+        "to_char(4000, 'RN') g, to_char(NULL::int, 'RN') h, "
+        "to_char(1990, 'FMRN') i",
+    )
+    assert row["a"] == "            XIV"
+    assert row["b"] == "        CDLXXXV"
+    assert row["c"] == "      MMMCMXCIX"
+    assert row["d"] == "            xiv"
+    assert row["e"] == "XIV"
+    assert row["f"] == "###############"
+    assert row["g"] == "###############"
+    assert row["h"] is None
+    assert row["i"] == "MCMXC"

@@ -3386,11 +3386,45 @@ def _build_to_char(args):
             )
         repl = quote_literal(_interval_to_char_render(fields, fmt))
         return (repl, len(repl))
+    rn = re.fullmatch(r"(FM)?(RN|rn)", fmt)
+    if rn:
+        repl = _roman_to_char_sql(
+            expr, lower=rn.group(2) == "rn", fm=bool(rn.group(1))
+        )
+        return (repl, len(repl))
     if _is_numeric_to_char_fmt(fmt):
         repl = _numeric_to_char_sql(expr, fmt)
     else:
         repl = _date_to_char_sql(expr, fmt)
     return (repl, len(repl))
+
+
+def _roman_to_char_sql(expr: str, lower: bool, fm: bool) -> str:
+    """PG's ``to_char(n, 'RN')`` Roman numerals (round-13 session-2;
+    was a named error): positional digit lookup per decimal place —
+    formatting.c supports 1..3999 and renders 15 ``#`` marks outside
+    that range; the plain form right-justifies in 15 columns and FM
+    strips the pad; lowercase ``rn`` lowercases the letters. Pure-JVM
+    element_at over constant arrays; fractional operands round first
+    like the numeric templates."""
+    n = f"CAST(round({expr}) AS INT)"
+    core = (
+        f"concat(repeat('M', CAST(({n}) div 1000 AS INT)), "
+        "element_at(array('','C','CC','CCC','CD','D','DC','DCC','DCCC',"
+        f"'CM'), CAST((({n}) div 100) % 10 + 1 AS INT)), "
+        "element_at(array('','X','XX','XXX','XL','L','LX','LXX','LXXX',"
+        f"'XC'), CAST((({n}) div 10) % 10 + 1 AS INT)), "
+        "element_at(array('','I','II','III','IV','V','VI','VII','VIII',"
+        f"'IX'), CAST(({n}) % 10 + 1 AS INT)))"
+    )
+    if lower:
+        core = f"lower({core})"
+    body = core if fm else f"lpad({core}, 15, ' ')"
+    return (
+        f"(CASE WHEN ({expr}) IS NULL THEN NULL "
+        f"WHEN ({n}) < 1 OR ({n}) > 3999 THEN '###############' "
+        f"ELSE {body} END)"
+    )
 
 
 def _make_to_ts_builder(name: str, open_re: re.Pattern):
