@@ -4193,3 +4193,25 @@ def test_to_char_roman_pins(spark):
     assert row["g"] == "###############"
     assert row["h"] is None
     assert row["i"] == "MCMXC"
+
+
+def test_extract_subsecond_pins(spark):
+    """Round-13 session-2: PG's subsecond EXTRACT fields include the
+    WHOLE-SECONDS part (timestamptz.c — extract(milliseconds from
+    '…02.5') is 2500, not 500); Spark has neither field (raw
+    INVALID_EXTRACT_FIELD before). Microseconds are integral at µs
+    precision (BIGINT); milliseconds keep the fraction. DuckDB agrees
+    with PG on both (checked live)."""
+    row = one(
+        spark,
+        "extract(microseconds FROM timestamp '2024-01-01 00:00:02.5') a, "
+        "extract(milliseconds FROM timestamp '2024-01-01 00:00:02.5') b, "
+        "extract(millisecond FROM timestamp '2024-01-01 00:00:02.0005') c, "
+        "date_part('microseconds', timestamp '2024-01-01 00:00:02.5') d, "
+        "extract(milliseconds FROM interval '2.5 seconds') e",
+    )
+    assert row["a"] == 2500000
+    assert float(row["b"]) == 2500.0
+    assert float(row["c"]) == 2000.5
+    assert row["d"] == 2500000
+    assert float(row["e"]) == 2500.0

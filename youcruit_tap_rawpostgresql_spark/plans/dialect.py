@@ -2627,6 +2627,27 @@ _YEARFIELD_EXPRS = {
     "MILLENNIUM": "(CAST(floor((extract(YEAR FROM {x}) - 1) / 1000) AS BIGINT) + 1)",
 }
 
+# PG's subsecond EXTRACT fields include the whole-seconds part
+# (timestamptz.c: microseconds = seconds*1e6 + frac, milliseconds =
+# seconds*1e3 + frac — extract(milliseconds from '…02.5') is 2500, NOT
+# 500); Spark has neither field (INVALID_EXTRACT_FIELD — round-13
+# session-2 probe). Microseconds are always integral at µs precision;
+# milliseconds keep the decimal (…02.0005 → 2000.5).
+_EXTRACT_SUBSEC_RE = re.compile(
+    r"\bEXTRACT\s*\(\s*(MICROSECONDS?|MILLISECONDS?)\s+FROM\s+([^()]+)\)"
+    r"|\bdate_part\s*\(\s*'(?i:(MICROSECONDS?|MILLISECONDS?))'\s*,\s*"
+    r"([^()]+)\)",
+    re.IGNORECASE,
+)
+
+
+def _extract_subsec_repl(m: re.Match) -> str:
+    fld = (m.group(1) or m.group(3)).upper()
+    x = (m.group(2) or m.group(4)).strip()
+    if fld.startswith("MICRO"):
+        return f"CAST(extract(SECOND FROM {x}) * 1000000 AS BIGINT)"
+    return f"(extract(SECOND FROM {x}) * 1000)"
+
 # col #>> '{a,b}' / col #> '{a,b}' → get_json_object(col, '$.a.b')
 # (path-array form of -> / ->>; this engine models json as string, so both
 # collapse to text extraction like ->/->> do)
@@ -8331,6 +8352,12 @@ def _translate_operators(sql: str) -> str:
             x=(m.group(2) or m.group(4)).strip()
         ),
         sql,
+    )
+    # PG subsecond fields carry the whole-seconds part (see
+    # _EXTRACT_SUBSEC_RE) — INTERVAL literal operands already folded
+    # their fields in the interval-extract pass above
+    sql = _sub_skipping_literal_interiors(
+        _EXTRACT_SUBSEC_RE, _extract_subsec_repl, sql
     )
     sql = _outside_literals(
         sql,
