@@ -4215,3 +4215,22 @@ def test_extract_subsecond_pins(spark):
     assert float(row["c"]) == 2000.5
     assert row["d"] == 2500000
     assert float(row["e"]) == 2500.0
+
+
+def test_numeric_nan_named_error_pins(spark):
+    """Round-13 session-2: PG's numeric NaN ('NaN'::numeric) has no
+    Spark DECIMAL value — named error with the float8 recipe (was a
+    raw CAST_INVALID_INPUT). The float8 specials themselves are shared
+    exactly: NaN = NaN is TRUE and NaN sorts greatest on both."""
+    import pytest
+
+    with pytest.raises(ValueError, match="numeric NaN"):
+        translate_pg_sql("SELECT 'NaN'::numeric")
+    with pytest.raises(ValueError, match="numeric NaN"):
+        translate_pg_sql("SELECT CAST('NaN' AS decimal(10,2))")
+    row = one(
+        spark,
+        "'NaN'::float8 = 'NaN'::float8 e, 'NaN'::float8 > 1e308 g, "
+        "'Infinity'::float8 > 0 i",
+    )
+    assert (row["e"], row["g"], row["i"]) == (True, True, True)

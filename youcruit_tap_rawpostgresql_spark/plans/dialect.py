@@ -10198,6 +10198,20 @@ def translate_pg_sql(
             "predicates, or jsonb_array_elements + WHERE for array "
             "filters"
         )
+    # PG's numeric NaN (numeric.c accepts 'NaN') has no Spark DECIMAL
+    # value — the cast dies later with a raw CAST_INVALID_INPUT out of
+    # constant folding; name the float8 recipe instead
+    if re.search(
+        r"'\s*NaN\s*'\s*::\s*(?:numeric|decimal)"
+        r"|\bCAST\s*\(\s*'\s*NaN\s*'\s+AS\s+(?:numeric|decimal)",
+        _strip_comments(out),
+        re.IGNORECASE,
+    ):
+        raise ValueError(
+            "PG's numeric NaN has no Spark DECIMAL value — use "
+            "'NaN'::float8 (Spark doubles carry NaN with PG's ordering: "
+            "NaN = NaN and NaN sorts greatest)"
+        )
     # PG's infinity datetime specials have no Spark value: the cast
     # would die later with a raw CAST_INVALID_INPUT at constant folding
     # — name the recipe instead (the other input specials — epoch,
