@@ -4234,3 +4234,20 @@ def test_numeric_nan_named_error_pins(spark):
         "'Infinity'::float8 > 0 i",
     )
     assert (row["e"], row["g"], row["i"]) == (True, True, True)
+
+
+def test_range_types_named_error_pins():
+    """Round-13 session-2: PG range/multirange constructors and casts
+    raise a NAMED error with the two-column recipe (were raw
+    unresolved-routine / unsupported-datatype errors)."""
+    import pytest
+
+    for sql in (
+        "SELECT int4range(1, 5)",
+        "SELECT daterange(d1, d2) && daterange(d3, d4) FROM t",
+        "SELECT '[1,5)'::int4range",
+        "SELECT int4multirange(int4range(1,3))",
+        "SELECT tsrange(a, b) @> c FROM t",
+    ):
+        with pytest.raises(ValueError, match="range/multirange"):
+            translate_pg_sql(sql)

@@ -10198,6 +10198,26 @@ def translate_pg_sql(
             "predicates, or jsonb_array_elements + WHERE for array "
             "filters"
         )
+    # PG range/multirange types (rangetypes.c): no Spark counterpart —
+    # constructors and ::range casts died as raw unresolved-routine /
+    # unsupported-datatype errors; name the two-column recipe the
+    # engine's own range-join kernels use
+    if re.search(
+        r"\b(?:int[48]range|numrange|tsrange|tstzrange|daterange)"
+        r"(?:\s*\()"
+        r"|\bint[48]multirange\b|\bnummultirange\b|\btsmultirange\b"
+        r"|\btstzmultirange\b|\bdatemultirange\b"
+        r"|::\s*(?:int[48]range|numrange|tsrange|tstzrange|daterange)\b"
+        r"|\bAS\s+(?:int[48]range|numrange|tsrange|tstzrange|daterange)\b",
+        _masked(out),
+        re.IGNORECASE,
+    ):
+        raise ValueError(
+            "PG range/multirange types are not modeled — carry the "
+            "bounds as two columns and express @>/&&/<@ as ordinary "
+            "comparisons over half-open [lower, upper) intervals, the "
+            "way the engine's range-join kernels do"
+        )
     # PG's numeric NaN (numeric.c accepts 'NaN') has no Spark DECIMAL
     # value — the cast dies later with a raw CAST_INVALID_INPUT out of
     # constant folding; name the float8 recipe instead
