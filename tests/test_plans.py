@@ -651,8 +651,11 @@ def test_ngram_jaccard_no_shingle_filter_below_exchange(spark):
     filters (Generate size>0, join isnotnull) re-evaluated the whole
     interpreted shingle pipeline BELOW the spread-across-cores exchange,
     i.e. on the single input split. Pin: no Filter node evaluates the
-    shingle pipeline, and the pipeline appears exactly once per consumer
-    subtree (ex_a, ex_b, two size branches)."""
+    shingle pipeline. Round-13 tightened the shape: the sizes now ride the
+    exploded rows as window counts instead of separate joined-back `sizes`
+    branches, so the pipeline appears exactly TWICE (ex_a's filtered subset
+    + ex_b's full corpus) — down from four full-corpus evaluations — and no
+    corpus-linear size broadcast remains."""
     from youcruit_tap_rawpostgresql_spark.querybank import REGISTRY
 
     old = spark.conf.get("spark.sql.adaptive.enabled")
@@ -668,7 +671,7 @@ def test_ngram_jaccard_no_shingle_filter_below_exchange(spark):
         if "Filter" in ln and "array_distinct(transform" in ln
     ]
     assert bad == []
-    assert p.count("array_distinct(transform(sequence") == 4
+    assert p.count("array_distinct(transform(sequence") == 2
 
 
 def test_no_hof_pipeline_inside_filters_text_family(spark):

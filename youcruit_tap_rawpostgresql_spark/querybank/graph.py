@@ -121,7 +121,16 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (src, dst, outdeg) is static across iterations and edge-sized (tiny);
     # without the cache every iteration's lineage re-runs the fact-table
     # star join — 3× the scan cost for identical rows
-    ed = persist_scoped("graph_pagerank_trade.edges", e.join(deg, "src"))
+    # deg is node-sized (≤ |nation| rows) but its post-agg size ESTIMATE
+    # descends from the fact-table star join, so the static planner chose
+    # SortMergeJoin (2 exchanges + 2 sorts) for this tiny join
+    # (plans/r13/graph_pagerank_trade_before.txt node 42); the explicit
+    # broadcast pins the hash join without waiting for AQE's runtime
+    # rewrite (guide §3.1: estimates are often wrong after aggregation —
+    # hint when you know a side is small)
+    ed = persist_scoped(
+        "graph_pagerank_trade.edges", e.join(F.broadcast(deg), "src")
+    )
     ranks = n.select(
         F.col("n_nationkey").alias("node"), F.lit(_ONE).cast("bigint").alias("r")
     )

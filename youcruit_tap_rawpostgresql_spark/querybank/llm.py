@@ -275,38 +275,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     if d.rdd.getNumPartitions() < par:
         d = d.repartition(par)
     shingle_expr = F.array_distinct(word_shingles(tokens("text")))
-    # coalesce is load-bearing: the join over sizes infers an
-    # isnotnull(n) filter, which — like the Generate size-filter above —
-    # pushes BELOW the repartition and re-runs the shingle pipeline on
-    # the single pre-exchange split; isnotnull(coalesce(x, 0)) constant-
-    # folds to true, so no filter survives to push
-    sizes = d.select(
-        "doc_id", F.coalesce(F.size(shingle_expr), F.lit(0)).alias("n")
-    )
+    # r13 rebuild of the SIZES side: |sa| / |sb| now ride the exploded
+    # posting rows as a window count over the doc id instead of separate
+    # `sizes` branches joined back by id. The separate branches each
+    # re-evaluated the whole interpreted shingle pipeline over the full
+    # corpus (the plan carried THREE full-corpus shingle evaluations —
+    # ex_b + both sizes projections above the reused round-robin
+    # exchange; measured 9.8–10.1 s steady at sf0.1), and the nb join
+    # back was planned as a corpus-doc-sized broadcast (corpus-LINEAR
+    # broadcast — the scale anti-pattern this bank bans elsewhere).
+    # n = COUNT(*) per doc over the exploded distinct hashes is the same
+    # number (array_distinct runs before the explode), costs one small
+    # (doc_id, h) exchange instead of a corpus re-scan, and the counts
+    # then travel through the intersection join as 8-byte columns —
+    # FIRST() per (a, b) group recovers them with zero extra joins.
+    # Docs with no shingles drop out of the explode on both paths: they
+    # can never reach the j > 0.3 output (n_inter = 0), so the result
+    # set is unchanged (oracle-verified at sf0.01 and sf0.1).
     ex_a = (
         d.filter((F.col("doc_id") % 20 == 0) & (F.col("doc_id") < 5000))
         .select(F.col("doc_id").alias("a_id"), F.explode(shingle_expr).alias("x"))
         .select("a_id", F.xxhash64("x").alias("h"))
+        .withColumn("na", F.count(F.lit(1)).over(W.partitionBy("a_id")))
     )
-    ex_b = d.select(
-        F.col("doc_id").alias("b_id"), F.explode(shingle_expr).alias("x")
-    ).select("b_id", F.xxhash64("x").alias("h"))
+    ex_b = (
+        d.select(F.col("doc_id").alias("b_id"), F.explode(shingle_expr).alias("x"))
+        .select("b_id", F.xxhash64("x").alias("h"))
+        .withColumn("nb", F.count(F.lit(1)).over(W.partitionBy("b_id")))
+    )
     inter = (
         F.broadcast(ex_a)
         .join(ex_b, "h")
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            # na/nb are constant within an (a, b) group — first() is
+            # deterministic here
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
     )
-    na = F.broadcast(sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na")))
-    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     j = F.col("n_inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_inter")
     )
     return (
-        inter.join(na, "a_id")
-        .join(nb, "b_id")
-        .select("a_id", "b_id", j.alias("jaccard"))
+        inter.select("a_id", "b_id", j.alias("jaccard"))
         .filter(F.col("jaccard") > 0.3)
         .withColumn("jaccard", F.round("jaccard", 6))
     )
@@ -2183,12 +2197,23 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # spread(): the md5 feature hash runs pre-exchange; a single-split
     # parquet input would serialize it (round-5 census class)
+    # the explicit isnotnull(f) is load-bearing for exchange reuse (r13
+    # measurement): the final docfeat⋈w join on f makes Catalyst INFER
+    # isnotnull(f) into the join-side subtrees (docfeat and cnt), but the
+    # tot branch (under the cross join) carries no such constraint, so its
+    # subtree no longer canonicalizes equal and the corpus was exploded +
+    # md5-hashed a SECOND time just to produce the 2-value total row
+    # (plans/r13/dsir_importance_select_before.txt: Generate at (5) AND
+    # (18)). Writing the trivially-true filter (f = md5-derived, never
+    # null) into docfeat itself puts it in every branch; the inference
+    # then adds nothing and all three branches reuse ONE corpus exchange.
     docfeat = (
         spread(d.filter(F.size(t) >= 2))
         .select("doc_id", "lang", F.explode(bigrams).alias("bg"))
         .select(
             "doc_id", "lang", (hash64(F.col("bg")) % _DSIR_BUCKETS).alias("f")
         )
+        .filter(F.col("f").isNotNull())
         .groupBy("doc_id", "lang", "f")
         .agg(F.count(F.lit(1)).alias("n"))
     )

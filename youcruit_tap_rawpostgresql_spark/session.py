@@ -36,6 +36,12 @@ def get_session(app_name: str = "youcruit_tap_rawpostgresql_spark", cpus: int | 
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if os.environ.get("SPARK_GRAFT_EVENTLOG"):
+        # measurement aid (guide §1/§7): stage-level wall attribution for
+        # the profiling harness; off unless explicitly requested
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", "file:///tmp/spark-events"
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

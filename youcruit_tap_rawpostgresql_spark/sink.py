@@ -89,15 +89,26 @@ def write_batch_files(
     if exact_rotation:
         writer = df.coalesce(1)
     else:
-        # a small extract often arrives as ONE split (single parquet file,
-        # single JDBC partition), which would serialize the whole
-        # JSON+gzip encode into one task; spread it first — the encode is
-        # the cost (measured 64% of export wall), the exchange is small.
-        # At production scale the split count exceeds parallelism: no-op.
+        # a LARGE extract that arrives in few splits (single giant parquet
+        # file, single JDBC partition) would serialize the whole JSON+gzip
+        # encode into one task; spread it first — the encode is the cost
+        # (measured 64% of export wall), the exchange is small. The spread
+        # is SIZE-ADAPTIVE (guide §2.2/§6, r13 measurement): the encode
+        # task count derives from the optimizer's size estimate (one task
+        # per ~16 MiB of input, capped at the core count) instead of a
+        # blanket repartition(cores) — for single-digit-MB extracts the
+        # round-robin exchange costs more than the serial encode saves
+        # (r13: 0.92 s single-task vs 1.15 s repartition(32) at sf0.1,
+        # and far worse under ambient load), while a multi-GB extract
+        # still fans out to every core. Skipping the repartition entirely
+        # for small inputs also skips the df.rdd partition probe (a
+        # measurable driver-side plan conversion).
         writer = df
         par = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
-            writer = df.repartition(par)
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        target = min(par, max(1, est >> 24))
+        if target > 1 and df.rdd.getNumPartitions() < target:
+            writer = df.repartition(target)
     (
         writer.write.mode("overwrite")
         .option("compression", codec)
