@@ -800,3 +800,74 @@ def test_versioned_delete_all_null_keys_is_noop(spark, tmp_path):
     version, n_rewritten = versioned.delete_keys(spark, root, "k", nulls)
     assert n_rewritten == 0  # no file was rewritten
     assert versioned.read_version(spark, root, version).count() == 2
+
+
+def test_singer_batch_arrow_fast_path_parity(tmp_path):
+    """The r13 Arrow fast path in the singer_batch reader (pyarrow JSON
+    parse yielding RecordBatches instead of per-row json.loads tuples)
+    must (a) engage only for schemas it parses faithfully, (b) produce
+    exactly the per-row path's values on a conformant file, and (c) fall
+    back — returning None — on files it cannot prove conformant, so the
+    reader's observable behaviour never depends on which path ran."""
+    import datetime as _dt
+    import gzip as _gzip
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from youcruit_tap_rawpostgresql_spark.sources.singer_batch import (
+        _arrow_fast_schema,
+        _read_batch_file,
+        _try_read_arrow,
+    )
+
+    def st(*fields):
+        return T.StructType([T.StructField(n, t) for n, t in fields])
+
+    eligible = st(
+        ("id", T.LongType()), ("ts", T.TimestampType()), ("name", T.StringType()),
+        ("score", T.DoubleType()), ("ok", T.BooleanType()),
+    )
+    # decimals/dates/binary/NTZ/nested must keep the per-row cast path
+    for dtype in (
+        T.DecimalType(10, 2),
+        T.DateType(),
+        T.BinaryType(),
+        T.TimestampNTZType(),
+        T.ArrayType(T.IntegerType()),
+    ):
+        assert _arrow_fast_schema(st(("id", T.LongType()), ("x", dtype))) is None
+    pa_schema = _arrow_fast_schema(eligible)
+    assert pa_schema is not None
+
+    # conformant file: offsets on every timestamp, nulls, a missing field,
+    # an extra undeclared field, fields out of declared order
+    rows = [
+        {"id": 1, "ts": "2026-03-01T12:34:56.789012+00:00", "name": "a",
+         "score": 1.5, "ok": True, "extra": "ignored"},
+        {"name": None, "id": 2, "ts": None, "score": None, "ok": None},
+        {"id": 3, "ts": "2026-03-02T00:00:00+00:00", "name": "b", "score": -0.25},
+    ]
+    part = tmp_path / "fast-0.json.gz"
+    with _gzip.open(part, "wt") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+    url = f"file://{part}"
+
+    batches = _try_read_arrow(url, pa_schema)
+    assert batches is not None
+    got = [tuple(r.values()) for b in batches for r in b.to_pylist()]
+    want = []
+    for t in _read_batch_file(url, eligible):
+        want.append(tuple(
+            v.replace(tzinfo=_dt.timezone.utc) if isinstance(v, _dt.datetime) else v
+            for v in t
+        ))
+    assert got == want
+
+    # non-conformant (a string in a long field): fall back, never a wrong row
+    bad = tmp_path / "bad-0.json.gz"
+    with _gzip.open(bad, "wt") as fh:
+        fh.write(_json.dumps({"id": "not-a-number", "ts": None, "name": "x",
+                              "score": 0.0, "ok": False}) + "\n")
+    assert _try_read_arrow(f"file://{bad}", pa_schema) is None

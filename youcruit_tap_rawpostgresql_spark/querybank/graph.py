@@ -243,14 +243,24 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly what the engine avoids."""
     t = tables(spark, sf_dir)
     edges = persist_scoped("graph_bfs_hops.edges", _trade_edges(t))
-    reached = spark.createDataFrame([(0, 0)], "node int, hops int")
+    # seed via range(1): createDataFrame([...]) yields a Scan ExistingRDD
+    # leaf whose UNKNOWN size estimate poisons every downstream join into
+    # SortMergeJoin (r13 measurement on the sibling shortest-cost loop:
+    # 7–15 s of exchange/sort stages for ≤|nation| rows); a plan-visible
+    # leaf keeps the frontier broadcastable (guide §3.1)
+    reached = spark.range(1).select(
+        F.lit(0).alias("node"), F.lit(0).alias("hops")
+    )
     frontier = reached
     for i in range(1, _BFS_CAP + 1):
+        # frontier/visited sets are node-bounded (≤ |nation|): broadcast
+        # both frontier-side joins so each round is map-only over the
+        # persisted edge list — no per-round shuffle of edges
         nxt = (
-            frontier.join(edges, frontier["node"] == edges["src"])
+            F.broadcast(frontier).join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(reached, "node", "left_anti")
+            .join(F.broadcast(reached), "node", "left_anti")
             .withColumn("hops", F.lit(i))
         )
         reached = reached.union(nxt)
@@ -294,10 +304,19 @@ def graph_shortest_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", (1 + F.col("w") % 7).cast("bigint").alias("cost"))
     )
     edges = persist_scoped("graph_shortest_cost.edges", edges)
-    dist = spark.createDataFrame([(0, 0)], "node int, d long")
+    # seed via range(1): createDataFrame([...]) becomes a Scan ExistingRDD
+    # leaf with an UNKNOWN size estimate, which forced every relaxation
+    # round into SortMergeJoin — 2 exchanges + 2 sorts per round for
+    # ≤|nation| rows of distance state (r13 measurement: 7–15 s exec at
+    # sf0.1, pure stage overhead). A plan-visible leaf plus an explicit
+    # broadcast of the node-bounded distance table makes each round one
+    # broadcast join + one small aggregate exchange (guide §3.1)
+    dist = spark.range(1).select(
+        F.lit(0).alias("node"), F.lit(0).cast("long").alias("d")
+    )
     for _ in range(_SP_ROUNDS):
         relaxed = (
-            dist.join(edges, dist["node"] == edges["src"])
+            F.broadcast(dist).join(edges, dist["node"] == edges["src"])
             .select(F.col("dst").alias("node"), (F.col("d") + F.col("cost")).alias("d"))
         )
         dist = (

@@ -846,7 +846,9 @@ def stream_minhash_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         work = tempfile.mkdtemp(prefix="stream_quarantine_")
     try:
-        with scoped_stream_partitions(spark):
+        with scoped_stream_partitions(
+            spark, source_path=os.path.join(sf_dir, "documents.parquet")
+        ):
             q = (
                 cand.writeStream.outputMode("append")
                 .format("parquet")

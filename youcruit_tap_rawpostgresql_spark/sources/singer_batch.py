@@ -89,6 +89,10 @@ class SingerBatchReader(DataSourceReader):
         if not self.path:
             raise ValueError("singer_batch: .load(path) is required")
         self.files = _resolve_files(self.path)
+        # eligibility is a property of the declared schema alone: decide
+        # once on the driver (the reader is pickled to executors) instead
+        # of re-deriving it in every partition's read()
+        self._fast = _arrow_fast_schema(schema)
 
     def partitions(self):
         # one partition per batch file: the sink rotates at batch_size
@@ -101,6 +105,11 @@ class SingerBatchReader(DataSourceReader):
             # message): partitions() returned [] and pyspark probes with
             # no partition — an empty stream, not a crash
             return
+        if self._fast is not None:
+            batches = _try_read_arrow(partition.url, self._fast)
+            if batches is not None:
+                yield from batches
+                return
         yield from _read_batch_file(partition.url, self.schema)
 
 
@@ -170,6 +179,91 @@ def _read_batch_file(url: str, schema):
                 yield tuple(cast(rec.get(name)) for name, cast in zip(names, casts))
 
 
+def _arrow_fast_schema(schema):
+    """The pyarrow schema for declared Spark fields that pyarrow's native
+    JSON parser handles faithfully, or None when any field needs the
+    Python cast path (guide §4: the per-row ``json.loads`` + cast-closure
+    + tuple yield made pyspark convert every row in Python; an eligible
+    schema instead parses each batch file in Arrow C++ and crosses the
+    boundary as RecordBatches — r13 measured the parse alone 2× faster
+    and the per-row conversion gone entirely).
+
+    Eligible: integer/float/string/boolean scalars, and TIMESTAMP — the
+    sink writes ISO-8601 with an explicit offset (``jsonable_value``
+    pins naive to +00:00), which Arrow parses into timestamp(us, UTC),
+    bit-identical to the ``fromisoformat`` path (oracle-gated).
+    NOT eligible (fall back per-row): decimals (JSON floats must become
+    ``Decimal(str(v))``, not a binary-double cast), binary (base64
+    text), dates, TIMESTAMP_NTZ, and nested types."""
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampType,
+    )
+
+    if schema is None:
+        # offset-only uses construct the stream reader without a schema
+        return None
+    mapping = [
+        (LongType, pa.int64()),
+        (IntegerType, pa.int32()),
+        (ShortType, pa.int16()),
+        (ByteType, pa.int8()),
+        (DoubleType, pa.float64()),
+        (FloatType, pa.float32()),
+        (StringType, pa.string()),
+        (BooleanType, pa.bool_()),
+        (TimestampType, pa.timestamp("us", tz="UTC")),
+    ]
+    fields = []
+    for f in schema.fields:
+        for spark_t, pa_t in mapping:
+            if type(f.dataType) is spark_t:
+                fields.append(pa.field(f.name, pa_t))
+                break
+        else:
+            return None
+    return pa.schema(fields)
+
+
+def _try_read_arrow(url: str, pa_schema):
+    """Parse one gzip-JSONL batch file with pyarrow's JSON reader into
+    RecordBatches matching ``pa_schema``, or None when the file doesn't
+    conform (mixed/naive timestamp spellings, type surprises) — the
+    caller then takes the per-row path, so behaviour is identical to it
+    for every file the fast parse cannot prove conformant."""
+    import pyarrow as pa
+    import pyarrow.json as pajson
+
+    try:
+        with _open_url(url) as raw:
+            with pa.input_stream(raw, compression="gzip") as stream:
+                tbl = pajson.read_json(
+                    stream,
+                    parse_options=pajson.ParseOptions(
+                        explicit_schema=pa_schema,
+                        unexpected_field_behavior="ignore",
+                    ),
+                )
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+        return None
+    if tbl.schema != pa_schema:
+        # a column entirely absent from the file comes back null-typed;
+        # cast pins the declared types (all-null casts are exact)
+        try:
+            tbl = tbl.cast(pa_schema)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            return None
+    return tbl.to_batches()
+
+
 class SingerBatchDataSource(DataSource):
     """``spark.dataSource.register(SingerBatchDataSource)`` then
     ``spark.read.format("singer_batch").schema(s).load(manifest)``."""
@@ -225,6 +319,8 @@ class SingerBatchStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("singer_batch stream: .load(manifest_dir) required")
+        # decided once on the driver, same as the batch reader
+        self._fast = _arrow_fast_schema(schema)
         # highest offset this reader instance has returned — manifests at
         # or below it are NAME-filtered before any open/parse, so per-tick
         # driver work is proportional to NEW manifests, not to the whole
@@ -280,6 +376,11 @@ class SingerBatchStreamReader(DataSourceStreamReader):
     def read(self, partition):
         if partition is None:
             return
+        if self._fast is not None:
+            batches = _try_read_arrow(partition.url, self._fast)
+            if batches is not None:
+                yield from batches
+                return
         yield from _read_batch_file(partition.url, self.schema)
 
     def commit(self, end: dict):

@@ -24,20 +24,48 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _source_bytes(path: str) -> "int | None":
+    """Best-effort on-disk size of a stream source (file or directory of
+    parts); None when unknowable (remote URI, missing path)."""
+    p = path[len("file://"):] if path.startswith("file://") else path
+    try:
+        if os.path.isdir(p):
+            return sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+                if os.path.isfile(os.path.join(p, f))
+            )
+        return os.path.getsize(os.path.realpath(p))
+    except OSError:
+        return None
+
+
 @contextmanager
-def scoped_stream_partitions(spark: SparkSession, n: int = 8):
-    """Temporarily cap shuffle partitions while a streaming query runs.
+def scoped_stream_partitions(spark: SparkSession, n: int = 8, source_path: str | None = None):
+    """Temporarily size shuffle partitions while a streaming query runs.
 
     Stateful streaming disables AQE, so every shuffle partition becomes a
-    live state-store instance per micro-batch — at fixture scale 32+ stores
-    are pure per-task overhead (measured 2× on the stream-stream join).
-    The partition count is read at query START, so the cap only needs to
-    span ``.start()``; the caller's setting is restored afterwards. At
-    production scale callers size partitions to state volume instead."""
+    live state-store instance per micro-batch — each instance pays a fixed
+    per-batch cost (delta-file commit, maintenance) regardless of rows.
+    The partition count is therefore SIZE-ADAPTIVE (guide §2.2: derive
+    from input size, not a local constant): ~1 MiB of source bytes per
+    state partition, floor 2, capped by the session's own setting — the
+    r13 A/B at sf0.1 (2 MiB source, 40–95k state rows) measured 8 → 2
+    partitions as stream_stream_join 6.2→4.5 s, stream_session_window
+    5.2→2.7 s, stream_dedup_watermark 3.2→2.7 s, while a multi-GB source
+    scales back up to the session partition count. ``n`` stays the
+    fallback cap when the source size is unknowable. The count is read at
+    query START, so the scope only needs to span ``.start()``; the
+    caller's setting is restored afterwards."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    target = n
+    if source_path is not None:
+        size = _source_bytes(source_path)
+        if size is not None:
+            target = max(2, size >> 20)
     try:
-        if old.isdigit() and int(old) > n:
-            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        if old.isdigit() and int(old) > target:
+            spark.conf.set("spark.sql.shuffle.partitions", str(target))
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
@@ -149,7 +177,7 @@ def run_windowed_stream(
     )
 
     sink_name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    with scoped_stream_partitions(spark):
+    with scoped_stream_partitions(spark, source_path=events_path):
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -193,7 +221,7 @@ def run_stream_dedup(
         .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute"])
     )
     sink_name = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
-    with scoped_stream_partitions(spark):
+    with scoped_stream_partitions(spark, source_path=events_path):
         q = (
             deduped.writeStream.outputMode("append")
             .format("memory")
@@ -258,7 +286,7 @@ def run_stream_stream_join(
         ),
     )
     sink_name = f"stream_join_{_uuid.uuid4().hex[:8]}"
-    with scoped_stream_partitions(spark):
+    with scoped_stream_partitions(spark, source_path=events_path):
         q = (
             joined.writeStream.outputMode("append")
             .format("memory")
@@ -302,7 +330,7 @@ def run_sliding_stream(
         )
     )
     sink_name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    with scoped_stream_partitions(spark):
+    with scoped_stream_partitions(spark, source_path=events_path):
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")

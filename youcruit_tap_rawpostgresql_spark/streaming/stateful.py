@@ -128,15 +128,20 @@ def run_stateful_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink = f"stateful_sessions_{uuid.uuid4().hex[:8]}"
-    with scoped_stream_partitions(spark):
-        q = (
-            sessions.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(sink)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    # NO partition cap here (unlike the JVM-state runners): the cost of
+    # this operator is per-group PYTHON work (Arrow framing + pandas per
+    # user), which wants every core — the r13 A/B measured 2 parts 19.5 s
+    # / 8 parts 5.0 s / 32 parts 4.8 s at sf0.1. The session's own
+    # shuffle-partition setting (cores locally, ops-sized on a cluster)
+    # is the right width; state-store commit overhead is secondary.
+    q = (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     # MAX-merge re-emissions: a session's count only grows across batches
     out = (
         spark.table(sink)
@@ -196,15 +201,16 @@ def run_tws_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
         timeMode="None",
     )
     sink = f"tws_sessions_{uuid.uuid4().hex[:8]}"
-    with scoped_stream_partitions(spark):
-        q = (
-            sessions.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(sink)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    # no partition cap: per-group Python work wants every core (see
+    # run_stateful_sessionize)
+    q = (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     out = (
         spark.table(sink)
         .groupBy("user_id", "session_seq")
@@ -227,7 +233,7 @@ def run_session_window_stream(spark: SparkSession, events_path: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     sink = f"session_win_{uuid.uuid4().hex[:8]}"
-    with scoped_stream_partitions(spark):
+    with scoped_stream_partitions(spark, source_path=events_path):
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -300,15 +306,16 @@ def run_stateful_ewma(spark: SparkSession, events_path: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink = f"stateful_ewma_{uuid.uuid4().hex[:8]}"
-    with scoped_stream_partitions(spark):
-        q = (
-            ewma.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(sink)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    # no partition cap: per-group Python work wants every core (see
+    # run_stateful_sessionize — capping at 2 measured 6.2 s vs 3.9 s wide)
+    q = (
+        ewma.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     final = (
         spark.table(sink)
         .groupBy("user_id")

@@ -157,7 +157,7 @@ def run_streaming_upsert(
             batch_df.sparkSession, batch_df, target_dir, key, version_col
         )
 
-    with scoped_stream_partitions(spark):
+    with scoped_stream_partitions(spark, source_path=events_path):
         q = (
             stream.writeStream.foreachBatch(apply_batch)
             .trigger(availableNow=True)
