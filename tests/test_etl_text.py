@@ -562,3 +562,47 @@ def test_bloom_tree_reduce_matches_flat(spark):
         for h in r:
             pos = np.int64(h) & mask
             assert (bits[pos >> 3] >> (pos & 7)) & 1 == 1
+
+
+def test_exact_cosine_bires_matches_two_pass(spark):
+    """The fused two-resolution kernel (r13: one corpus pass scoring full
+    and half dimensions with snapshotted partial sums) must reproduce the
+    two-pass exact_cosine_topk composition BIT-EXACTLY — same winners,
+    same raw cosines, inner-join row set."""
+    from pyspark.sql import functions as F
+
+    from youcruit_tap_rawpostgresql_spark.querybank.ann import (
+        _MRL_HALF,
+        exact_cosine_top1_bires,
+        exact_cosine_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    fused = {
+        tuple(r)
+        for r in exact_cosine_top1_bires(spark, e, mod=10, half=_MRL_HALF)
+        .select("query_id", "top1_full", "cos_full", "top1_half", "cos_half")
+        .collect()
+    }
+    top_f = exact_cosine_topk(spark, e, mod=10, k=1, rounded=False).select(
+        "query_id",
+        F.col("neighbor_id").alias("top1_full"),
+        F.col("cos").alias("cos_full"),
+    )
+    top_h = exact_cosine_topk(
+        spark, e, mod=10, k=1, dims=_MRL_HALF, rounded=False
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("top1_half"),
+        F.col("cos").alias("cos_half"),
+    )
+    two_pass = {
+        tuple(r)
+        for r in top_f.join(top_h, "query_id")
+        .select("query_id", "top1_full", "cos_full", "top1_half", "cos_half")
+        .collect()
+    }
+    assert len(fused) > 0
+    assert fused == two_pass

@@ -27,9 +27,10 @@ def main() -> None:
     outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
     os.makedirs(outdir, exist_ok=True)
     for name, case in REGISTRY.items():
-        if not case.headline:
-            continue
-        if only and name not in only:
+        if only:
+            if name not in only:  # explicit names: any registry case
+                continue
+        elif not case.headline:
             continue
         try:
             df = case.fn(spark, SF_DIR)

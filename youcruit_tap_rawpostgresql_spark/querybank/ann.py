@@ -1331,33 +1331,23 @@ def embed_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement is high, the index can serve half-dimension vectors at half
     the memory/bandwidth and re-rank the shortlist with full vectors.
 
-    Scale: each resolution runs the shared ``exact_cosine_topk`` closure
-    kernel (per-batch top-1 reduction — no |Q|·n pair rows; the previous
-    two-window pair-join form measured ~37 s at sf1, this is ~2 s); the
-    half slice is a per-row projection inside its pass."""
+    Scale: both resolutions run in ONE ``exact_cosine_top1_bires`` corpus
+    pass (per-batch top-1 reduction — no |Q|·n pair rows; the previous
+    two-window pair-join form measured ~37 s at sf1, and the two-pass
+    kernel form ~2.8 s; the fused pass snapshots the dim-sequential
+    partial sums at the half resolution, so each resolution's arithmetic
+    is bitwise the two-pass form's)."""
     e = tables(spark, sf_dir)["embeddings"]
-    top_f = exact_cosine_topk(
-        spark, e, mod=50, k=1, rounded=False, max_qid=_RECALL_QID_CAP
-    ).select(
-        "query_id",
-        F.col("neighbor_id").alias("top1_full"),
-        F.round("cos", 6).alias("cos_full_top"),
+    both = exact_cosine_top1_bires(
+        spark, e, mod=50, half=_MRL_HALF, max_qid=_RECALL_QID_CAP
     )
-    top_h = exact_cosine_topk(
-        spark, e, mod=50, k=1, dims=_MRL_HALF, rounded=False,
-        max_qid=_RECALL_QID_CAP,
-    ).select(
-        "query_id",
-        F.col("neighbor_id").alias("top1_half"),
-        F.round("cos", 6).alias("cos_half_top"),
-    )
-    return top_f.join(top_h, "query_id").select(
+    return both.select(
         "query_id",
         "top1_full",
         "top1_half",
         (F.col("top1_full") == F.col("top1_half")).alias("agree"),
-        "cos_full_top",
-        "cos_half_top",
+        F.round("cos_full", 6).alias("cos_full_top"),
+        F.round("cos_half", 6).alias("cos_half_top"),
     )
 
 
@@ -1601,6 +1591,128 @@ def exact_cosine_topk(
     w = W.partitionBy("query_id").orderBy(order, "neighbor_id")
     return survivors.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def exact_cosine_top1_bires(
+    spark: SparkSession,
+    e: DataFrame,
+    mod: int,
+    half: int,
+    max_qid: int | None = None,
+) -> DataFrame:
+    """Fused two-resolution top-1: one corpus pass scoring each query at
+    FULL dimension and at the first-``half`` truncation simultaneously —
+    the matryoshka eval previously ran ``exact_cosine_topk`` twice, i.e.
+    two full mapInPandas corpus scans for arithmetic that shares every
+    partial sum (guide §1.2: remove redundant passes).
+
+    Bit-exactness: the dim-sequential fold snapshots (d, |q|², |b|²) after
+    the first ``half`` dimensions — the identical operation sequence the
+    separate half-resolution pass performed — so both resolutions' cosines
+    are bitwise the ones the two-pass form produced. Masking (self-pairs,
+    zero norms) applies per resolution. Returns one row per query:
+    (query_id, top1_full, cos_full, top1_half, cos_half), inner-semantics
+    (queries lacking a finite winner at either resolution drop, as the
+    two-pass join did)."""
+    import numpy as np
+    import pandas as pd
+
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import spread
+
+    q_pred = F.col("vec_id") % mod == 0
+    if max_qid is not None:
+        q_pred = q_pred & (F.col("vec_id") < max_qid)
+    q_rows = sorted(
+        bounded_collect(e.filter(q_pred).select("vec_id", "embedding")),
+        key=lambda r: r["vec_id"],
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
+
+    def score_both(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nid = pdf["vec_id"].to_numpy()
+            perm = np.argsort(nid, kind="stable")
+            nid = nid[perm]
+            B = np.array(pdf["emb"].tolist(), dtype=np.float64)[perm]
+            d = np.outer(Q[:, 0], B[:, 0])
+            nq = Q[:, 0] * Q[:, 0]
+            nb = B[:, 0] * B[:, 0]
+            d_h = nq_h = nb_h = None
+            for i in range(1, Q.shape[1]):
+                if i == half:  # the half-resolution pass's final sums
+                    d_h, nq_h, nb_h = d, nq, nb
+                d = d + np.outer(Q[:, i], B[:, i])
+                nq = nq + Q[:, i] * Q[:, i]
+                nb = nb + B[:, i] * B[:, i]
+            if d_h is None:  # half >= full dimension: identical folds
+                d_h, nq_h, nb_h = d, nq, nb
+            out: dict[str, np.ndarray] = {}
+            for res, (dd, qq, bb) in (
+                (0, (d, nq, nb)),
+                (1, (d_h, nq_h, nb_h)),
+            ):
+                n = np.sqrt(qq)[:, None] * np.sqrt(bb)[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dd / n
+                key = np.where(
+                    (nid[None, :] == q_ids[:, None]) | (n == 0), -np.inf, cos
+                )
+                top = np.argmax(key, axis=1)  # first max = lowest nid tie
+                kmax = key[np.arange(len(q_ids)), top]
+                mask = np.isfinite(kmax)
+                out[f"m{res}"] = mask
+                out[f"n{res}"] = nid[top]
+                out[f"c{res}"] = cos[np.arange(len(q_ids)), top]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate([q_ids[out["m0"]], q_ids[out["m1"]]]),
+                    "res": np.concatenate(
+                        [
+                            np.zeros(out["m0"].sum(), dtype=np.int32),
+                            np.ones(out["m1"].sum(), dtype=np.int32),
+                        ]
+                    ),
+                    "neighbor_id": np.concatenate(
+                        [out["n0"][out["m0"]], out["n1"][out["m1"]]]
+                    ),
+                    "cos": np.concatenate(
+                        [out["c0"][out["m0"]], out["c1"][out["m1"]]]
+                    ),
+                }
+            )
+
+    survivors = spread(
+        e.select("vec_id", F.col("embedding").alias("emb"))
+    ).mapInPandas(score_both, "query_id long, res int, neighbor_id long, cos double")
+    # winner per (query, resolution) via one conditional aggregation:
+    # max(struct(cos, -neighbor_id)) = max cos then MIN neighbor_id — the
+    # exact comparator the two-pass form's rank-1 window used. A single
+    # partial-agg-friendly exchange; the window+filter+self-join tail re-ran
+    # the kernel per branch (plan-verified: 2 MapInPandas off one
+    # ReusedExchange).
+    pick = lambda res: F.max(
+        F.when(
+            F.col("res") == res,
+            F.struct(
+                F.col("cos").alias("c"), (-F.col("neighbor_id")).alias("negid")
+            ),
+        )
+    )
+    agg = survivors.groupBy("query_id").agg(
+        pick(0).alias("wf"), pick(1).alias("wh")
+    )
+    return agg.filter(
+        F.col("wf").isNotNull() & F.col("wh").isNotNull()
+    ).select(
+        "query_id",
+        (-F.col("wf.negid")).alias("top1_full"),
+        F.col("wf.c").alias("cos_full"),
+        (-F.col("wh.negid")).alias("top1_half"),
+        F.col("wh.c").alias("cos_half"),
     )
 
 

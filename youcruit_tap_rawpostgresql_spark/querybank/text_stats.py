@@ -456,7 +456,12 @@ def text_langid_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from youcruit_tap_rawpostgresql_spark.querybank.helpers import spread
 
     d = spread(tables(spark, sf_dir)["documents"])
-    base = d.select("doc_id", "lang", F.lower(F.trim("text")).alias("text"))
+    # trivially-true isnotnull(doc_id): the final join on doc_id infers it
+    # into the SCORING branch's scan only, which de-canonicalizes the two
+    # exchanges; carrying it in the shared base keeps them equal
+    base = d.filter(F.col("doc_id").isNotNull()).select(
+        "doc_id", "lang", F.lower(F.trim("text")).alias("text")
+    )
     tri = base.filter(F.length("text") >= 3).select(
         # length guard BEFORE sequence(): Spark's sequence(1, 0) infers a
         # DESCENDING step and emits [1, 0] — bogus "trigrams" for <3-char
@@ -467,10 +472,24 @@ def text_langid_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr("transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))")
         ).alias("tg"),
+    ).filter(
+        # trivially true (substr of non-null text is never null) but
+        # written into the SHARED subtree so the scoring branch's inferred
+        # join-key isnotnull(tg) cannot break exchange canonicalization —
+        # the dsir_importance_select trick (guide §2.4)
+        F.col("tg").isNotNull()
+    )
+    # ONE corpus explode: per-(doc, trigram) counts are the shared
+    # aggregate both branches reuse — the profile re-aggregates its output
+    # (sum of per-doc counts = the direct (lang, tg) count) and the
+    # distinct doc-trigram set is exactly its key set (a doc has one
+    # lang). Previously profile and doc_tg each exploded the corpus.
+    doc_counts = tri.groupBy("doc_id", "lang", "tg").agg(
+        F.count(F.lit(1)).alias("c")
     )
     profile = (
-        tri.groupBy("lang", "tg")
-        .agg(F.count(F.lit(1)).alias("c"))
+        doc_counts.groupBy("lang", "tg")
+        .agg(F.sum("c").alias("c"))
         .withColumn(
             "r",
             F.row_number().over(
@@ -480,7 +499,11 @@ def text_langid_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= 20)
         .select(F.col("lang").alias("p_lang"), "tg")
     )
-    doc_tg = tri.select("doc_id", "tg").distinct()
+    # trivially-true c >= 1 keeps the count expression ALIVE in this
+    # branch — without it column pruning drops count(1) from the scoring
+    # branch's partial aggregate and the two exchanges no longer
+    # canonicalize equal (same guard dsir_importance_select documents)
+    doc_tg = doc_counts.filter(F.col("c") >= 1).select("doc_id", "tg")
     scores = (
         doc_tg.join(F.broadcast(profile), "tg")
         .groupBy("doc_id", "p_lang")
