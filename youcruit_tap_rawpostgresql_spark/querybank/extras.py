@@ -1140,9 +1140,16 @@ def recsys_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket size upstream or salt; item marginals broadcast back onto the
     pair aggregate (dim-sized)."""
     li = tables(spark, sf_dir)["lineitem"]
-    bask = li.select(
-        "l_orderkey", (F.col("l_partkey") % 200).alias("item")
-    ).distinct()
+    # trivially-true guards (order key and partkey%200 are never null):
+    # the self-join infers isnotnull(l_orderkey)/isnotnull(item) into the
+    # pair branches only, which stopped the marginals branch from reusing
+    # this distinct's exchange — it re-scanned lineitem (r13 plan audit;
+    # same canonicalization trick as dsir_importance_select, guide §2.4)
+    bask = (
+        li.select("l_orderkey", (F.col("l_partkey") % 200).alias("item"))
+        .filter(F.col("l_orderkey").isNotNull() & F.col("item").isNotNull())
+        .distinct()
+    )
     cnt = bask.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
     a = bask.select(F.col("l_orderkey").alias("k"), F.col("item").alias("item_a"))
     b = bask.select(F.col("l_orderkey").alias("k"), F.col("item").alias("item_b"))

@@ -173,18 +173,42 @@ WHERE p.p_brand = 'Brand#1'
 )
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar subquery (per-part average) —
-    decorrelates to an aggregate + rejoin on partkey."""
-    tables(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
-        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        WHERE p.p_brand = 'Brand#1'
-          AND l.l_quantity < (
-            SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l2.l_quantity))
-            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
-          )
-        """
+    decorrelated BY HAND so the brand filter prunes BOTH lineitem passes.
+    Catalyst's automatic decorrelation of the SQL form aggregated the
+    whole lineitem table per partkey and broadcast the full per-part
+    average table (plan-verified, r13) because the p_brand predicate
+    cannot legally move into the subquery side on its own; restricting
+    both sides to the Brand#1 part set first keeps every lineitem row of
+    each surviving part, so the per-part averages — exact DECIMAL sums /
+    counts — are value-identical (oracle-gated at sf0.01 and sf0.1), while
+    the aggregate, the rejoin, and the broadcast all shrink by the brand's
+    selectivity. At 100 TB the broadcast per-part table is brand-bounded
+    instead of |part|-bounded (guide §3.2 semi-join prefilter)."""
+    t = tables(spark, sf_dir)
+    pk = F.broadcast(
+        t["part"].filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    )
+    l = t["lineitem"].join(pk, F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresh = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+                / F.count("l_quantity")
+            )
+        ).alias("q_thresh")
+    )
+    return (
+        l.join(F.broadcast(thresh), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("q_thresh"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
     )
 
 

@@ -86,8 +86,12 @@ GROUP BY nation, o_year
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit by supplier nation and order year for parts
     matching a name pattern (supply cost proxied as 10% of p_retailprice —
-    no partsupp in the fixture schema). Scale: part filter prunes the fact
-    join early; all dims broadcast; one shuffle for the final group-by."""
+    no partsupp in the fixture schema). Scale: the SELECTIVE part join
+    (~5% '%red%' survivors) comes FIRST in join order — Catalyst keeps the
+    textual inner-join order, and the r13 plan audit showed orders joining
+    first, so ~95% of fact rows paid the orders hash probe only to be
+    dropped at the part join; all dims broadcast; one shuffle for the
+    final group-by."""
     tables(spark, sf_dir)
     return spark.sql(
         """
@@ -98,10 +102,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             - CAST(p.p_retailprice AS DECIMAL(12,2)) * CAST(0.10 AS DECIMAL(12,2))
               * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
         FROM lineitem l
-        JOIN orders o ON o.o_orderkey = l.l_orderkey
         JOIN part p ON p.p_partkey = l.l_partkey
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
         WHERE p.p_name LIKE '%red%'
         GROUP BY nation, o_year
         """
