@@ -606,3 +606,30 @@ def test_exact_cosine_bires_matches_two_pass(spark):
     }
     assert len(fused) > 0
     assert fused == two_pass
+
+
+def test_int8_recall_eval_matches_two_pass(spark):
+    """The fused int8-recall kernel (r13: exact float ranking and int8
+    ranking share one corpus pass) must reproduce the two-pass
+    composition exactly: same (n_queries, n_hits, n_possible)."""
+    from youcruit_tap_rawpostgresql_spark.querybank.ann import (
+        _recall_counts,
+        exact_cosine_topk,
+        int8_cosine_topk_kernel,
+        int8_recall_eval,
+    )
+
+    fused = int8_recall_eval(spark, "/root/testdata/sf0.001").collect()[0]
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    i8 = int8_cosine_topk_kernel(spark, e, mod=50, k=3, max_qid=100_000).select(
+        "query_id", "neighbor_id"
+    )
+    exact = exact_cosine_topk(spark, e, mod=50, k=3, max_qid=100_000).select(
+        "query_id", "neighbor_id"
+    )
+    want = _recall_counts(exact, i8).collect()[0]
+    assert fused["n_queries"] == want["n_queries"] > 0
+    assert fused["n_hits"] == want["n_hits"]
+    assert fused["n_possible"] == want["n_possible"]

@@ -1893,12 +1893,103 @@ def int8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     110×/decade at sf10; capped it is O(corpus) per decade, exactly like
     production recall estimation (a constant sampled query set against
     the whole index)."""
+    import numpy as np
+    import pandas as pd
+
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import spread
+
     t = tables(spark, sf_dir)
     e = t["embeddings"]
-    i8 = int8_cosine_topk_kernel(
-        spark, e, mod=50, k=3, max_qid=_RECALL_QID_CAP
-    ).select("query_id", "neighbor_id")
-    exact = exact_cosine_topk(
-        spark, e, mod=50, k=3, max_qid=_RECALL_QID_CAP
-    ).select("query_id", "neighbor_id")
-    return _recall_counts(exact, i8)
+    # FUSED evaluation (r13, guide §1.2): the exact float ranking and the
+    # int8 ranking previously each streamed the corpus through their own
+    # mapInPandas kernel; both sides share one pass here. Each side's
+    # arithmetic is byte-for-byte its standalone kernel's: the exact side
+    # folds dims sequentially and ranks by the 6dp HALF_UP key
+    # (exact_cosine_topk rounded=True), the int8 side quantizes per batch
+    # and ranks by raw quantized cos (int8_cosine_topk_kernel).
+    k = 3
+    q_pred = (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < _RECALL_QID_CAP)
+    q_rows = sorted(
+        bounded_collect(e.filter(q_pred).select("vec_id", "embedding")),
+        key=lambda r: r["vec_id"],
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Qf = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
+
+    def _quantize(mat):
+        m = np.max(np.abs(mat), axis=1, keepdims=True)
+        m[m == 0.0] = 1.0
+        return np.floor((mat / m) * 127.0).astype(np.int64)
+
+    Qi = _quantize(Qf)
+    nqi = (Qi * Qi).sum(axis=1)
+
+    def score_both(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nid = pdf["vec_id"].to_numpy()
+            perm = np.argsort(nid, kind="stable")
+            nid = nid[perm]
+            Bf = np.array(pdf["embedding"].tolist(), dtype=np.float64)[perm]
+            # exact side: dim-sequential fold, 6dp HALF_UP comparator
+            d = np.outer(Qf[:, 0], Bf[:, 0])
+            nq = Qf[:, 0] * Qf[:, 0]
+            nb = Bf[:, 0] * Bf[:, 0]
+            for i in range(1, Qf.shape[1]):
+                d = d + np.outer(Qf[:, i], Bf[:, i])
+                nq = nq + Qf[:, i] * Qf[:, i]
+                nb = nb + Bf[:, i] * Bf[:, i]
+            n_f = np.sqrt(nq)[:, None] * np.sqrt(nb)[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos_f = d / n_f
+            key_f = np.sign(cos_f) * np.floor(np.abs(cos_f) * 1e6 + 0.5) / 1e6
+            # int8 side: per-batch quantize, exact integer dot
+            Bi = _quantize(Bf)
+            nbi = (Bi * Bi).sum(axis=1)
+            di = Qi @ Bi.T
+            n_i = np.sqrt(nqi.astype(np.float64))[:, None] * np.sqrt(
+                nbi.astype(np.float64)
+            )[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos_i = di.astype(np.float64) / n_i
+            frames = []
+            for res, key, nmat in ((0, key_f, n_f), (1, cos_i, n_i)):
+                kk = np.where(
+                    (nid[None, :] == q_ids[:, None]) | (nmat == 0), -np.inf, key
+                )
+                top = np.argsort(-kk, axis=1, kind="stable")[:, : min(k, len(nid))]
+                sel = np.take_along_axis(kk, top, axis=1).reshape(-1)
+                mask = np.isfinite(sel)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(q_ids, top.shape[1])[mask],
+                            "res": np.full(mask.sum(), res, dtype=np.int32),
+                            "neighbor_id": nid[top.reshape(-1)][mask],
+                            "key": sel[mask],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    survivors = spread(e.select("vec_id", "embedding")).mapInPandas(
+        score_both, "query_id long, res int, neighbor_id long, key double"
+    )
+    # per-(query, side) final top-3 by each side's own comparator (the
+    # kernel emits the comparator AS the key: rounded for exact, raw for
+    # int8), then one aggregation replaces the exact⋈int8 join — a single
+    # subtree, so the kernel runs once (the matryoshka §9 lesson)
+    w = W.partitionBy("query_id", "res").orderBy(F.col("key").desc(), "neighbor_id")
+    top3 = survivors.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    pairs = top3.groupBy("query_id", "neighbor_id").agg(
+        F.max(F.col("res") == 0).alias("in_exact"),
+        F.max(F.col("res") == 1).alias("in_i8"),
+    )
+    return pairs.filter(F.col("in_exact")).agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.when(F.col("in_i8"), 1)).alias("n_hits"),
+        F.count(F.lit(1)).alias("n_possible"),
+    )

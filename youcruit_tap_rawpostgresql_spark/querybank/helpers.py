@@ -126,11 +126,34 @@ def spread(df):
     pre-projected array column lets InferFiltersFromGenerate push a
     size-filter BELOW this exchange, re-running the heavy expression on
     the single pre-exchange split (see dedup_ngram_jaccard's plan
-    test)."""
+    test).
+
+    The split-count probe (``df.rdd.getNumPartitions()``) compiles the
+    physical plan on the driver — measured ~100 ms warm, ~480 ms on
+    first touch (r13). The decision is a pure function of the semantic
+    plan in a given session (the fixtures and any per-run intermediates
+    are immutable while a session lives), so it is memoized on
+    (session, semanticHash) — ~1 ms on repeat invocations (bench
+    attempts, steady-state reps, the oracle sweep's re-runs)."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    try:
+        key = (df.sparkSession.sparkContext.applicationId, df.semanticHash(), par)
+    except Exception:  # noqa: BLE001 — probe path works for any frame
+        key = None
+    if key is not None and key in _SPREAD_MEMO:
+        needs = _SPREAD_MEMO[key]
+    else:
+        needs = df.rdd.getNumPartitions() < par
+        if key is not None:
+            if len(_SPREAD_MEMO) >= 512:  # bounded, FIFO like the dialect memo
+                _SPREAD_MEMO.pop(next(iter(_SPREAD_MEMO)))
+            _SPREAD_MEMO[key] = needs
+    if needs:
         return df.repartition(par)
     return df
+
+
+_SPREAD_MEMO: dict = {}
 
 
 _LIVE_PERSISTS: dict = {}
