@@ -150,9 +150,15 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (left-join + conditional count), not two separate aggregations, and
     the src0 / non-src0 branches each scan only their partition-pruned
     slice."""
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import spread
+
     t = tables(spark, sf_dir)
+    # spread BEFORE the shingle explode: the fixture table arrives as one
+    # split, so the interpreted shingling otherwise serializes on a
+    # single task per branch (r13 census: 3.5-4.0 s steady, the standard
+    # single-split hazard spread() exists for)
     sh = (
-        t["documents"]
+        spread(t["documents"])
         .select("doc_id", "source", tokens("text").alias("t"))
         .select(
             "doc_id",
