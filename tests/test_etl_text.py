@@ -633,3 +633,31 @@ def test_int8_recall_eval_matches_two_pass(spark):
     assert fused["n_queries"] == want["n_queries"] > 0
     assert fused["n_hits"] == want["n_hits"]
     assert fused["n_possible"] == want["n_possible"]
+
+
+def test_pq_recall_eval_matches_two_pass(spark):
+    """The fused PQ-recall kernel (r13 opt round: exact float ranking and
+    PQ-ADC ranking share one corpus pass, codes re-derived per batch with
+    the pq_codes_df argmax fold) must reproduce the two-pass composition
+    exactly: same (n_queries, n_hits, n_possible)."""
+    from youcruit_tap_rawpostgresql_spark.querybank.ann import (
+        _recall_counts,
+        exact_cosine_topk,
+        pq_adc_topk_kernel,
+        pq_recall_eval,
+    )
+
+    fused = pq_recall_eval(spark, "/root/testdata/sf0.001").collect()[0]
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    adc = pq_adc_topk_kernel(
+        spark, "/root/testdata/sf0.001", max_qid=100_000
+    ).select("query_id", "neighbor_id")
+    exact = exact_cosine_topk(spark, e, mod=50, k=3, max_qid=100_000).select(
+        "query_id", "neighbor_id"
+    )
+    want = _recall_counts(exact, adc).collect()[0]
+    assert fused["n_queries"] == want["n_queries"] > 0
+    assert fused["n_hits"] == want["n_hits"]
+    assert fused["n_possible"] == want["n_possible"]

@@ -593,9 +593,16 @@ FROM exact LEFT JOIN {approx}
 
 def _recall_counts(exact: DataFrame, approx: DataFrame) -> DataFrame:
     """(n_queries, n_hits, n_possible) of ``approx`` hits within the
-    exact top-k — the Spark side of every recall gate."""
+    exact top-k — the Spark side of every recall gate.
+
+    Both inputs are rank≤k filters over the FIXED query sample, so each
+    is ≤ |Q|·k rows by construction (node-bounded, not corpus-bounded) —
+    the broadcast hint replaces the SortMergeJoin (2 exchanges + 2 sorts
+    over ~120-row sides) the static planner picked from the opaque
+    post-window size estimates (r13 opt round, guide §3.1; the same
+    static-estimate blindness as the graph-loop joins)."""
     hit = approx.withColumn("hit", F.lit(1))
-    joined = exact.join(hit, ["query_id", "neighbor_id"], "left")
+    joined = exact.join(F.broadcast(hit), ["query_id", "neighbor_id"], "left")
     return joined.agg(
         F.countDistinct("query_id").alias("n_queries"),
         F.count("hit").alias("n_hits"),
@@ -641,8 +648,6 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both sides restrict to the query sample; the exact side is the
     expensive one and exists only for evaluation — production recall is
     estimated on a sampled slice exactly like this."""
-    t = tables(spark, sf_dir)
-    e = t["embeddings"]
     lsh = (
         sim_ann_lsh(spark, sf_dir)
         .filter(
@@ -651,8 +656,15 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("query_id", "neighbor_id")
     )
+    # the exact side streams the PERSISTED signature frame (vec_id,
+    # embedding, sig) the LSH side already built and memoized — the
+    # embedding column passes through lsh_signatures unchanged, so the
+    # exact kernel's input values are identical to a fresh parquet scan,
+    # and the eval's second full parquet read+decode (plus its spread
+    # round-robin exchange) disappears (r13 opt round, guide §2.4)
+    sigs = _lsh_sig_df(spark, sf_dir)
     exact = exact_cosine_topk(
-        spark, e, mod=50, k=3, max_qid=_RECALL_QID_CAP
+        spark, sigs, mod=50, k=3, max_qid=_RECALL_QID_CAP
     ).select("query_id", "neighbor_id")
     return _recall_counts(exact, lsh)
 
@@ -1072,15 +1084,111 @@ def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both sides restrict to the query sample; the exact side exists
     only for evaluation, on a sampled slice exactly like production
     recall estimation."""
+    import numpy as np
+    import pandas as pd
+
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import spread
+
     t = tables(spark, sf_dir)
     e = t["embeddings"]
-    adc = pq_adc_topk_kernel(
-        spark, sf_dir, max_qid=_RECALL_QID_CAP
-    ).select("query_id", "neighbor_id")
-    exact = exact_cosine_topk(
-        spark, e, mod=50, k=3, max_qid=_RECALL_QID_CAP
-    ).select("query_id", "neighbor_id")
-    return _recall_counts(exact, adc)
+    # FUSED evaluation (r13 opt round, guide §1.2 — the int8_recall_eval
+    # template): the exact float ranking and the PQ-ADC ranking previously
+    # each streamed the corpus through their own mapInPandas kernel (the
+    # ADC side additionally depending on the persisted codes frame), then
+    # joined. One pass scores both sides here; each side's arithmetic is
+    # byte-for-byte its standalone kernel's — the exact side folds dims
+    # sequentially and ranks by the 6dp HALF_UP key (exact_cosine_topk
+    # rounded=True), the ADC side PQ-encodes each batch with the
+    # pq_codes_df argmax sequence and ranks by the raw LUT-accumulated
+    # score (pq_adc_topk_kernel). Per-batch top-k is a valid partial
+    # reduction for both comparators, so the result is independent of
+    # which frame (codes vs embeddings) batched the corpus.
+    k = 3
+    q_pred = (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < _RECALL_QID_CAP)
+    q_rows = sorted(
+        bounded_collect(e.filter(q_pred).select("vec_id", "embedding")),
+        key=lambda r: r["vec_id"],
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Qf = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
+    luts = pq_query_luts(q_rows)
+    LUT = np.stack([luts[int(q)] for q in q_ids])  # |Q|×M×K
+    B = np.array(_PQ_BOOKS, dtype=np.float64)  # M×K×SUB
+
+    def score_both(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nid = pdf["vec_id"].to_numpy()
+            perm = np.argsort(nid, kind="stable")
+            nid = nid[perm]
+            Bf = np.array(pdf["embedding"].tolist(), dtype=np.float64)[perm]
+            # exact side: dim-sequential fold, 6dp HALF_UP comparator
+            d = np.outer(Qf[:, 0], Bf[:, 0])
+            nq = Qf[:, 0] * Qf[:, 0]
+            nb = Bf[:, 0] * Bf[:, 0]
+            for i in range(1, Qf.shape[1]):
+                d = d + np.outer(Qf[:, i], Bf[:, i])
+                nq = nq + Qf[:, i] * Qf[:, i]
+                nb = nb + Bf[:, i] * Bf[:, i]
+            n_f = np.sqrt(nq)[:, None] * np.sqrt(nb)[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos_f = d / n_f
+            key_f = np.sign(cos_f) * np.floor(np.abs(cos_f) * 1e6 + 0.5) / 1e6
+            key_f = np.where(
+                (nid[None, :] == q_ids[:, None]) | (n_f == 0), -np.inf, key_f
+            )
+            # ADC side: PQ-encode the batch (the pq_codes_df argmax fold —
+            # 0-based here, matching the kernel's codes-1), then 8 LUT
+            # probes accumulated in subspace order
+            C = np.empty((len(Bf), _PQ_M), dtype=np.int64)
+            for m in range(_PQ_M):
+                sub = Bf[:, m * _PQ_SUB:(m + 1) * _PQ_SUB]
+                S = np.outer(sub[:, 0], B[m, :, 0])
+                for i in range(1, _PQ_SUB):
+                    S = S + np.outer(sub[:, i], B[m, :, i])
+                C[:, m] = S.argmax(axis=1)
+            adc = LUT[:, 0, :][:, C[:, 0]]
+            for m in range(1, _PQ_M):
+                adc = adc + LUT[:, m, :][:, C[:, m]]
+            adc = np.where(nid[None, :] == q_ids[:, None], -np.inf, adc)
+            frames = []
+            for res, key in ((0, key_f), (1, adc)):
+                kk = min(k, len(nid))
+                top = np.argsort(-key, axis=1, kind="stable")[:, :kk]
+                sel = np.take_along_axis(key, top, axis=1).reshape(-1)
+                mask = np.isfinite(sel)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(q_ids, kk)[mask],
+                            "res": np.full(mask.sum(), res, dtype=np.int32),
+                            "neighbor_id": nid[top.reshape(-1)][mask],
+                            "key": sel[mask],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    survivors = spread(e.select("vec_id", "embedding")).mapInPandas(
+        score_both, "query_id long, res int, neighbor_id long, key double"
+    )
+    # per-(query, side) final top-3 by each side's own comparator (the
+    # kernel emits the comparator AS the key: rounded for exact, raw ADC
+    # for PQ), then one aggregation replaces the exact⋈adc join
+    w = W.partitionBy("query_id", "res").orderBy(F.col("key").desc(), "neighbor_id")
+    top3 = survivors.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    pairs = top3.groupBy("query_id", "neighbor_id").agg(
+        F.max(F.col("res") == 0).alias("in_exact"),
+        F.max(F.col("res") == 1).alias("in_adc"),
+    )
+    return pairs.filter(F.col("in_exact")).agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.when(F.col("in_adc"), 1)).alias("n_hits"),
+        F.count(F.lit(1)).alias("n_possible"),
+    )
 
 
 @register(
