@@ -192,7 +192,9 @@ def test_singer_batch_datasource_roundtrip(spark, sf_dir, tmp_path):
     """Custom Python DataSource (Spark 4): export events as gzip-JSONL
     batch files, then read the manifest back via
     spark.read.format('singer_batch') — full record parity including
-    timestamp re-parse, one input partition per batch file."""
+    timestamp re-parse; batch files pack into size-bounded input
+    partitions (r13 opt round: tiny rotated files no longer cost one
+    Python worker task each)."""
     import glob
     import json as _json
 
@@ -229,10 +231,18 @@ def test_singer_batch_datasource_roundtrip(spark, sf_dir, tmp_path):
         .schema("event_id long, ts timestamp, event_type string")
         .load(manifest_path)
     )
-    # partition-per-file parallelism
+    # size-bounded file packing: tiny files share partitions (every file
+    # still read exactly once — the parity fingerprint below is the
+    # proof), and the partition count matches the packer's own plan
+    from youcruit_tap_rawpostgresql_spark.sources.singer_batch import (
+        _pack_files,
+    )
+
     n_files = len(manifests[0].files)
     assert n_files > 1
-    assert back.rdd.getNumPartitions() == n_files
+    packed = _pack_files(manifests[0].files)
+    assert sum(len(p.urls) for p in packed) == n_files
+    assert back.rdd.getNumPartitions() == len(packed) < n_files
     # exact parity: counts and a content fingerprint
     assert back.count() == ev.count()
     fp = lambda df: df.select(
