@@ -635,6 +635,40 @@ def test_int8_recall_eval_matches_two_pass(spark):
     assert fused["n_possible"] == want["n_possible"]
 
 
+def test_ann_recall_eval_matches_two_pass(spark):
+    """The fused LSH-recall kernel (r13 opt round: exact float ranking and
+    LSH bucket ranking share one pass over the signature frame) must
+    reproduce the two-pass composition exactly — exact_cosine_topk plus
+    the real sim_ann_lsh registry case filtered to the eval's query
+    sample, joined by _recall_counts: same (n_queries, n_hits,
+    n_possible)."""
+    from pyspark.sql import functions as F
+
+    from youcruit_tap_rawpostgresql_spark.querybank.ann import (
+        _lsh_sig_df,
+        _recall_counts,
+        ann_recall_eval,
+        exact_cosine_topk,
+        sim_ann_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fused = ann_recall_eval(spark, sf).collect()[0]
+    lsh = (
+        sim_ann_lsh(spark, sf)
+        .filter((F.col("query_id") % 50 == 0) & (F.col("query_id") < 100_000))
+        .select("query_id", "neighbor_id")
+    )
+    sigs = _lsh_sig_df(spark, sf)
+    exact = exact_cosine_topk(spark, sigs, mod=50, k=3, max_qid=100_000).select(
+        "query_id", "neighbor_id"
+    )
+    want = _recall_counts(exact, lsh).collect()[0]
+    assert fused["n_queries"] == want["n_queries"] > 0
+    assert fused["n_hits"] == want["n_hits"]
+    assert fused["n_possible"] == want["n_possible"]
+
+
 def test_pq_recall_eval_matches_two_pass(spark):
     """The fused PQ-recall kernel (r13 opt round: exact float ranking and
     PQ-ADC ranking share one corpus pass, codes re-derived per batch with

@@ -678,28 +678,109 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides band/bit parameters before committing a 100 TB index build
     (companion to dedup_minhash_eval on the dedup side).
 
+    FUSED evaluation (r13 opt round, guide §1.2 — the int8/pq template
+    applied to the last remaining two-pass recall eval): the exact side
+    and the LSH side previously ran as separate subtrees — a mapInPandas
+    corpus pass for exact top-3 PLUS the sig-equality candidate join +
+    cosine_pairs + window tower for the LSH top-3, joined at the recall
+    tail. Both sides now share ONE pass over the persisted signature
+    frame: per batch, the dim-sequential cosine fold is computed once and
+    ranked twice — the exact side by the 6dp HALF_UP comparator over all
+    neighbors (exact_cosine_topk rounded=True byte-for-byte), the LSH
+    side by RAW cos restricted to same-sig candidates (exactly
+    sim_ann_lsh's candidate set and comparator; cosine_pairs and the fold
+    here perform the identical IEEE op sequence per pair, so the cosines
+    are bitwise equal). Per-batch top-3 is a valid partial reduction for
+    both comparators (within-batch ties keep the lowest neighbor_id —
+    the final window's own tie-break); one (query, res) rank window +
+    one aggregation reproduces _recall_counts semantics. The standalone
+    sim_ann_lsh registry case is untouched.
+
     Scale: both sides restrict to the query sample; the exact side is the
     expensive one and exists only for evaluation — production recall is
     estimated on a sampled slice exactly like this."""
-    lsh = (
-        sim_ann_lsh(spark, sf_dir)
-        .filter(
-            (F.col("query_id") % 50 == 0)
-            & (F.col("query_id") < _RECALL_QID_CAP)
-        )
-        .select("query_id", "neighbor_id")
-    )
-    # the exact side streams the PERSISTED signature frame (vec_id,
-    # embedding, sig) the LSH side already built and memoized — the
-    # embedding column passes through lsh_signatures unchanged, so the
-    # exact kernel's input values are identical to a fresh parquet scan,
-    # and the eval's second full parquet read+decode (plus its spread
-    # round-robin exchange) disappears (r13 opt round, guide §2.4)
+    import numpy as np
+    import pandas as pd
+
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import spread
+
+    k = 3
     sigs = _lsh_sig_df(spark, sf_dir)
-    exact = exact_cosine_topk(
-        spark, sigs, mod=50, k=3, max_qid=_RECALL_QID_CAP
-    ).select("query_id", "neighbor_id")
-    return _recall_counts(exact, lsh)
+    q_pred = (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < _RECALL_QID_CAP)
+    q_rows = sorted(
+        bounded_collect(
+            sigs.filter(q_pred).select("vec_id", "embedding", "sig")
+        ),
+        key=lambda r: r["vec_id"],
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Qf = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
+    q_sig = np.array([r["sig"] for r in q_rows], dtype=np.int64)
+
+    def score_both(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nid = pdf["vec_id"].to_numpy()
+            perm = np.argsort(nid, kind="stable")
+            nid = nid[perm]
+            Bf = np.array(pdf["embedding"].tolist(), dtype=np.float64)[perm]
+            b_sig = pdf["sig"].to_numpy()[perm].astype(np.int64)
+            # one dim-sequential fold serves both rankings (bit-exact
+            # with cosine_pairs AND the exact kernel — same op sequence)
+            d = np.outer(Qf[:, 0], Bf[:, 0])
+            nq = Qf[:, 0] * Qf[:, 0]
+            nb = Bf[:, 0] * Bf[:, 0]
+            for i in range(1, Qf.shape[1]):
+                d = d + np.outer(Qf[:, i], Bf[:, i])
+                nq = nq + Qf[:, i] * Qf[:, i]
+                nb = nb + Bf[:, i] * Bf[:, i]
+            n = np.sqrt(nq)[:, None] * np.sqrt(nb)[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = d / n
+            key_ex = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            self_or_zero = (nid[None, :] == q_ids[:, None]) | (n == 0)
+            not_bucket = b_sig[None, :] != q_sig[:, None]
+            frames = []
+            for res, key, extra in ((0, key_ex, None), (1, cos, not_bucket)):
+                kk = np.where(self_or_zero, -np.inf, key)
+                if extra is not None:
+                    kk = np.where(extra, -np.inf, kk)
+                top = np.argsort(-kk, axis=1, kind="stable")[
+                    :, : min(k, len(nid))
+                ]
+                sel = np.take_along_axis(kk, top, axis=1).reshape(-1)
+                mask = np.isfinite(sel)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(q_ids, top.shape[1])[mask],
+                            "res": np.full(mask.sum(), res, dtype=np.int32),
+                            "neighbor_id": nid[top.reshape(-1)][mask],
+                            "key": sel[mask],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    survivors = spread(sigs.select("vec_id", "embedding", "sig")).mapInPandas(
+        score_both, "query_id long, res int, neighbor_id long, key double"
+    )
+    w = W.partitionBy("query_id", "res").orderBy(
+        F.col("key").desc(), "neighbor_id"
+    )
+    top3 = survivors.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    pairs = top3.groupBy("query_id", "neighbor_id").agg(
+        F.max(F.col("res") == 0).alias("in_exact"),
+        F.max(F.col("res") == 1).alias("in_lsh"),
+    )
+    return pairs.filter(F.col("in_exact")).agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.when(F.col("in_lsh"), 1)).alias("n_hits"),
+        F.count(F.lit(1)).alias("n_possible"),
+    )
 
 
 _O_PAIR_COS = (
