@@ -536,6 +536,24 @@ def test_ivf_pruned_store_matches_in_memory_ivf(spark):
     assert a == b and len(a) > 0
 
 
+def test_ivf_pruned_store_keeps_shared_index_persisted(spark):
+    """sim_ann_ivf_pruned_store must NOT unpersist the shared memoized
+    IVF cell-ranking frame (r13 opt round §19/§23): a stray per-invocation
+    unpersist left the frame in the memo unpersisted, so the case's own
+    repeat attempts and every later IVF consumer in the session silently
+    recomputed the ranking kernel on each scan."""
+    from youcruit_tap_rawpostgresql_spark.querybank import REGISTRY
+    from youcruit_tap_rawpostgresql_spark.querybank.ann import _IVF_RANK_MEMO
+
+    sfd = "/root/testdata/sf0.001"
+    REGISTRY["sim_ann_ivf_pruned_store"].fn(spark, sfd).count()
+    hit = _IVF_RANK_MEMO.get("ranked")
+    assert hit is not None
+    assert hit[1].storageLevel.useMemory, (
+        "shared IVF index was unpersisted by sim_ann_ivf_pruned_store"
+    )
+
+
 def test_bloom_tree_reduce_matches_flat(spark):
     """The executor-side tree level (input partitions > fan-in) must
     produce the exact same bitmap as the flat driver OR — and the

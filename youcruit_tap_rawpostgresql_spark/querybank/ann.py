@@ -1717,9 +1717,14 @@ def sim_ann_ivf_pruned_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
     )
     # materialize (bounded: 3 rows per query), then drop the store so
-    # repeated invocations don't accumulate index copies under /tmp
+    # repeated invocations don't accumulate index copies under /tmp.
+    # Do NOT unpersist `ranked` here: it is the SHARED memoized IVF index
+    # (ivf_rank_cells_cached) whose lifecycle the memo owns — the stray
+    # unpersist this replaced (a per-invocation-cache leftover from
+    # before the r13 §19 memo) left the frame in the memo UNPERSISTED,
+    # so this case's own repeat attempts and any later IVF consumer in
+    # the session silently recomputed the ranking kernel on every scan.
     rows = out.collect()
-    ranked.unpersist()
     shutil.rmtree(out_root, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
 
