@@ -720,6 +720,35 @@ def test_persist_scoped_drops_previous(spark):
     del _LIVE_PERSISTS["t.x"]
 
 
+def test_spread_keyed_skips_exchange_on_wide_input(spark):
+    """spread_keyed (r13 opt round): the signature/index builders must
+    hash-repartition a single-split fixture across cores but add NO
+    exchange when the scan already has >= cores splits — the
+    unconditional repartition it replaced shuffled the full corpus
+    payload on multi-file production data for nothing (guide §2.4)."""
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import (
+        spread_keyed,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).selectExpr("id AS k", "id * 2 AS v").coalesce(1)
+    out = spread_keyed(narrow, "k")
+    assert "Exchange hashpartitioning" in out._jdf.queryExecution().executedPlan().toString()
+    assert out.rdd.getNumPartitions() == par
+    # rows unchanged either way
+    assert sorted(tuple(r) for r in out.collect()) == sorted(
+        tuple(r) for r in narrow.collect()
+    )
+
+    wide = spark.range(1000).selectExpr("id AS k", "id * 2 AS v").repartition(
+        par + 4
+    )
+    out2 = spread_keyed(wide, "k")
+    # the probe says the input already covers the cores: same frame back,
+    # no added exchange on top of the input's own plan
+    assert out2 is wide
+
+
 def test_broadcast_scoped_unpersists_previous(spark):
     """broadcast_scoped frees executor copies of the replaced broadcast
     but stays RECOMPUTE-CORRECT (round-8 self-review: destroy() would

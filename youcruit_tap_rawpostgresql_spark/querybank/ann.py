@@ -22,7 +22,10 @@ from pyspark.sql.window import Window as W
 
 from youcruit_tap_rawpostgresql_spark.functions.vectors import cosine_pairs
 from youcruit_tap_rawpostgresql_spark.querybank.helpers import EMB_DIM as _DIM
-from youcruit_tap_rawpostgresql_spark.querybank.helpers import persist_scoped
+from youcruit_tap_rawpostgresql_spark.querybank.helpers import (
+    persist_scoped,
+    spread_keyed,
+)
 from youcruit_tap_rawpostgresql_spark.querybank.registry import register, tables
 
 _N_PLANES = 6
@@ -179,9 +182,12 @@ def _lsh_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _LSH_SIG_MEMO.get("sigs")
     if hit is not None and hit[0] == key and snap:
         return hit[1]
-    n_part = spark.sparkContext.defaultParallelism
+    # spread_keyed: hash-repartition ONLY when the fixture arrives as a
+    # single split — on a multi-file production scan the unconditional
+    # repartition this replaced shuffled the full embedding payload into
+    # the index build for nothing (r13 opt round, guide §2.4)
     sigs = persist_scoped(
-        "ann.lsh_signatures", lsh_signatures(e.repartition(n_part, "vec_id"))
+        "ann.lsh_signatures", lsh_signatures(spread_keyed(e, "vec_id"))
     )
     sigs.count()
     _LSH_SIG_MEMO["sigs"] = (key, sigs)

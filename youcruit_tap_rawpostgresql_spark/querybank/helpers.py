@@ -135,6 +135,36 @@ def spread(df):
     are immutable while a session lives), so it is memoized on
     (session, semanticHash) — ~1 ms on repeat invocations (bench
     attempts, steady-state reps, the oracle sweep's re-runs)."""
+    par, needs = _needs_spread(df)
+    if needs:
+        return df.repartition(par)
+    return df
+
+
+def spread_keyed(df, *cols):
+    """``spread`` variant for the memoized signature/index builders:
+    hash-repartition across cores by ``cols`` ONLY when the input arrives
+    in fewer splits than cores (the bench fixtures' single-parquet-file
+    case). The builders previously repartitioned UNCONDITIONALLY — but
+    ``repartition(n, key)`` always inserts an exchange, so on a real
+    multi-file production scan the index build paid a full shuffle of the
+    corpus PAYLOAD (embeddings/documents) that buys nothing: the kernels
+    are strictly per-row/per-doc and the scan's own splits already
+    provide the parallelism (guide §2.4 — an exchange you did not
+    expect). Hash-by-key (not round-robin) is kept for the small-input
+    case because round-robin pays a local sort of every row
+    (``spark.sql.execution.sortBeforeRepartition``) — pure overhead on
+    the wide embedding/text payloads these builders carry. The split
+    probe shares spread()'s memo."""
+    par, needs = _needs_spread(df)
+    if needs:
+        return df.repartition(par, *cols)
+    return df
+
+
+def _needs_spread(df):
+    """(cores, should-repartition?) — the memoized single-split probe
+    shared by spread()/spread_keyed()."""
     par = df.sparkSession.sparkContext.defaultParallelism
     try:
         key = (df.sparkSession.sparkContext.applicationId, df.semanticHash(), par)
@@ -148,9 +178,7 @@ def spread(df):
             if len(_SPREAD_MEMO) >= 512:  # bounded, FIFO like the dialect memo
                 _SPREAD_MEMO.pop(next(iter(_SPREAD_MEMO)))
             _SPREAD_MEMO[key] = needs
-    if needs:
-        return df.repartition(par)
-    return df
+    return par, needs
 
 
 _SPREAD_MEMO: dict = {}

@@ -401,12 +401,19 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-aggs) is ~4× slower here: higher-order-function lambdas evaluate
     interpreted per element, and the signature agg shuffles one row per
     shingle. Cached because the LSH query self-joins the signatures."""
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import (
+        spread_keyed,
+    )
+
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _SIG_CACHE:
         return _SIG_CACHE[key]
     d = tables(spark, sf_dir)["documents"]
-    n_part = spark.sparkContext.defaultParallelism
-    sig = minhash_map_signatures(d.repartition(n_part, "doc_id")).cache()
+    # spread_keyed: hash-repartition ONLY when the fixture arrives as a
+    # single split — on a multi-file production scan the unconditional
+    # repartition this replaced shuffled the full document payload into
+    # the signature build for nothing (r13 opt round, guide §2.4)
+    sig = minhash_map_signatures(spread_keyed(d, "doc_id")).cache()
     # Snapshot the SOURCE file list BEFORE the cache hides it: a cached
     # InMemoryRelation returns inputFiles() == (), which (correctly) makes
     # the probe refuse to memoize — but here immutability is a property of
