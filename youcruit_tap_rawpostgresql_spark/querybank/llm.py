@@ -270,10 +270,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       re-evaluates the whole interpreted shingle pipeline on the
       single pre-exchange split (measured 18.7 s vs 0.9 s for the
       inline form)."""
-    d = tables(spark, sf_dir)["documents"]
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
+    from youcruit_tap_rawpostgresql_spark.querybank.helpers import spread
+
+    # spread() rather than an inline probe: same decision, but the
+    # ~100 ms driver-side getNumPartitions plan conversion is memoized
+    # across invocations (r13 §14)
+    d = spread(tables(spark, sf_dir)["documents"])
     shingle_expr = F.array_distinct(word_shingles(tokens("text")))
     # r13 rebuild of the SIZES side: |sa| / |sb| now ride the exploded
     # posting rows as a window count over the doc id instead of separate
