@@ -12,6 +12,11 @@ whose attempts spread wildly (e.g. [0.65, 5.2, 0.62]) hit a machine
 stall on the slow attempt and the min is the engine's cost; and a run
 whose loadavg start is far above the CPU count began on a machine that
 was already busy — compare plans, not totals, before calling it a
+regression. Round-14 additions (judge directive 2, annotations only —
+metric/queries/methodology unchanged): "attempt_load_1m" samples the 1m
+loadavg immediately before EVERY attempt, and "contaminated": true marks
+a run whose start loadavg exceeded max(2, cpus/4) so downstream
+comparisons can discount the whole window instead of inventing a
 regression.
 """
 
@@ -54,19 +59,30 @@ def main() -> None:
     # the JSON so a stall-contaminated reading self-identifies.
     timings: dict[str, float] = {}
     attempts: dict[str, list[float]] = {}
+    attempt_load: dict[str, list[float]] = {}
     for name, case in headline.items():
-        runs, n = [], 0
+        runs, loads, n = [], [], 0
         for _ in range(3):
+            loads.append(round(os.getloadavg()[0], 2))
             t0 = time.perf_counter()
             df = case.fn(spark, sf_dir)
             n = df.count()
             runs.append(round(time.perf_counter() - t0, 3))
         attempts[name] = runs
+        attempt_load[name] = loads
         timings[name] = min(runs)
         print(f"  {name}: {timings[name]}s of {runs} ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_end = os.getloadavg()
+    # Self-defense flag (round-13 judge directive 2): a run that STARTS on
+    # a machine already loaded well past this process's own core budget is
+    # not interpretable as an engine measurement — r13's driver bench began
+    # at loadavg 18.89/32 cpus while the driver's own 8-core run minutes
+    # later beat it on 28/33 queries. The flag only ANNOTATES (metric,
+    # queries, best-of-3 methodology are unchanged) so a reader can
+    # discount the totals instead of deriving a phantom geomean.
+    contamination_threshold = max(2.0, (os.cpu_count() or 4) / 4)
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -74,14 +90,20 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "attempts": attempts,
+        "attempt_load_1m": attempt_load,
+        "contaminated": load_start[0] > contamination_threshold,
         "load": {
             "start_1m_5m_15m": [round(x, 2) for x in load_start],
             "end_1m_5m_15m": [round(x, 2) for x in load_end],
             "cpus": os.cpu_count(),
         },
     }
-    print(json.dumps(out))
+    # stop the session BEFORE printing so the one-line JSON is the FINAL
+    # stdout line with nothing after it (the r12 driver capture lost the
+    # line to truncation; nothing this process can do about a 2000-char
+    # tail, but it can guarantee no trailing output displaces the line)
     spark.stop()
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -538,19 +538,19 @@ def test_ivf_pruned_store_matches_in_memory_ivf(spark):
 
 def test_ivf_pruned_store_keeps_shared_index_persisted(spark):
     """sim_ann_ivf_pruned_store must NOT unpersist the shared memoized
-    IVF cell-ranking frame (r13 opt round §19/§23): a stray per-invocation
-    unpersist left the frame in the memo unpersisted, so the case's own
-    repeat attempts and every later IVF consumer in the session silently
-    recomputed the ranking kernel on each scan."""
+    ANN index frame (r13 opt round §19/§23, fused in r14): a stray
+    per-invocation unpersist left the frame in the memo unpersisted, so
+    the case's own repeat attempts and every later consumer in the
+    session silently recomputed the index kernel on each scan."""
     from youcruit_tap_rawpostgresql_spark.querybank import REGISTRY
-    from youcruit_tap_rawpostgresql_spark.querybank.ann import _IVF_RANK_MEMO
+    from youcruit_tap_rawpostgresql_spark.querybank.ann import _ANN_INDEX_MEMO
 
     sfd = "/root/testdata/sf0.001"
     REGISTRY["sim_ann_ivf_pruned_store"].fn(spark, sfd).count()
-    hit = _IVF_RANK_MEMO.get("ranked")
+    hit = _ANN_INDEX_MEMO.get("index")
     assert hit is not None
     assert hit[1].storageLevel.useMemory, (
-        "shared IVF index was unpersisted by sim_ann_ivf_pruned_store"
+        "shared ANN index was unpersisted by sim_ann_ivf_pruned_store"
     )
 
 
@@ -713,3 +713,44 @@ def test_pq_recall_eval_matches_two_pass(spark):
     assert fused["n_queries"] == want["n_queries"] > 0
     assert fused["n_hits"] == want["n_hits"]
     assert fused["n_possible"] == want["n_possible"]
+
+
+def test_ann_index_fused_matches_standalone(spark):
+    """r14 fused index build: the one-pass (sig, cell1/cell2, codes)
+    kernel must reproduce each standalone builder's output EXACTLY —
+    lsh_signatures (sig per vec), ivf_rank_cells (the top-2 cell ranking,
+    via the cached view's posexplode derivation), and pq_codes_df (the
+    M-subspace code word per vec)."""
+    from youcruit_tap_rawpostgresql_spark.querybank.ann import (
+        ann_index_df,
+        ivf_rank_cells,
+        ivf_rank_cells_cached,
+        lsh_signatures,
+        pq_codes_df,
+    )
+    from youcruit_tap_rawpostgresql_spark.querybank.registry import tables
+
+    sfd = "/root/testdata/sf0.001"
+    e = tables(spark, sfd)["embeddings"]
+    idx = ann_index_df(spark, sfd)
+
+    fused_sigs = {(r["vec_id"], r["sig"]) for r in idx.select("vec_id", "sig").collect()}
+    want_sigs = {
+        (r["vec_id"], r["sig"]) for r in lsh_signatures(e).select("vec_id", "sig").collect()
+    }
+    assert fused_sigs == want_sigs and len(fused_sigs) > 0
+
+    fused_rank = sorted(
+        tuple(r) for r in ivf_rank_cells_cached(spark, sfd).collect()
+    )
+    want_rank = sorted(tuple(r) for r in ivf_rank_cells(spark, sfd).collect())
+    assert fused_rank == want_rank and len(fused_rank) > 0
+
+    fused_codes = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in idx.select("vec_id", "codes").collect()
+    }
+    want_codes = {
+        (r["vec_id"], tuple(r["codes"])) for r in pq_codes_df(spark, sfd).collect()
+    }
+    assert fused_codes == want_codes and len(fused_codes) > 0

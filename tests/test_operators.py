@@ -815,3 +815,63 @@ def test_stream_quarantine_file_sink_equals_memory_sink(spark, sf_dir, tmp_path)
     }
     assert file_sink == mem
     assert len(file_sink) > 0  # the fixture has real cross-split near-dupes
+
+
+def test_grouped_map_topk_matches_apply_in_pandas(spark, sf_dir):
+    """r14 optimization guard: grouped_map_topk's streaming in-batch
+    groupby (repartition-by-key + sortWithinPartitions + mapInPandas)
+    must return exactly the rows the original per-group applyInPandas
+    form produced — including groups that straddle an Arrow batch
+    boundary (exercised below by forcing 1-row batches so EVERY group
+    crosses one)."""
+    from pyspark.sql import types as T
+
+    from youcruit_tap_rawpostgresql_spark.querybank import REGISTRY
+    from youcruit_tap_rawpostgresql_spark.querybank.registry import tables
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("rnk", T.LongType()),
+        ]
+    )
+
+    def top2(pdf):
+        pdf = pdf.sort_values(["value", "event_id"], ascending=[False, True]).head(2)
+        pdf = pdf.reset_index(drop=True)
+        pdf["rnk"] = pdf.index + 1
+        return pdf[["user_id", "event_id", "rnk"]]
+
+    e = tables(spark, sf_dir)["events"]
+    reference = sorted(
+        tuple(r)
+        for r in e.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(top2, out_schema)
+        .collect()
+    )
+    new = sorted(
+        tuple(r) for r in REGISTRY["grouped_map_topk"].fn(spark, sf_dir).collect()
+    )
+    assert new == reference
+    assert len(new) > 0
+
+    # batch-boundary robustness: with 1-row Arrow batches every group is
+    # split across batches, so the carry path handles 100% of the groups
+    old_val = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+        tiny = sorted(
+            tuple(r)
+            for r in REGISTRY["grouped_map_topk"].fn(spark, sf_dir).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_val)
+    assert tiny == reference
+
+    # plan shape: the per-group framing operator is gone — the query runs
+    # through MapInPandas over one hash exchange on the group key
+    plan = REGISTRY["grouped_map_topk"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" in plan
