@@ -2876,8 +2876,8 @@ def _to_char_fmt_parts(fmt: str) -> list[tuple[str, str]]:
                 continue
             shown = fm_tok or fmt[i : i + 4]
             raise ValueError(
-                f"FM before token {shown!r} has no faithful Spark/JDK "
-                f"equivalent (in {fmt!r})"
+                f"to_char format token: FM before {shown!r} has no "
+                f"faithful Spark/JDK equivalent (in {fmt!r})"
             )
         m = _TO_CHAR_TOKEN_RE.match(fmt, i)
         if m and m.group(0) in _TO_CHAR_EXPR_TOKENS:

@@ -38,50 +38,41 @@ from youcruit_tap_rawpostgresql_spark.querybank import corpus  # noqa: F401,E402
 # which round's window. Names here must exist; a typo fails loudly at
 # import time rather than silently shrinking the checked window.
 _PINS = [
-    # r13: flagship pin set unchanged (ROTATION.md) — raw-SQL scan,
+    # r14: flagship pin set unchanged (ROTATION.md) — raw-SQL scan,
     # live JDBC, the sink round-trip, and the LLM-pipeline flagships
     "q1_pricing_summary", "q21_sole_late_supplier",
     "tap_batch_export_roundtrip", "tap_jdbc_live_roundtrip",
     "dedup_minhash_lsh", "sim_cosine_topk", "sim_ann_ivf_pq",
     "text_tfidf_topk", "kmeans_embed_lloyd", "stream_stateful_sessionize",
 ]
-_ROTATION_R13 = [
-    # round-12 judge directive 2: r13-born cases FIRST (the SRF
-    # direction-guard family — judge directive 1 — and the to_char
-    # day/month name templates — directive 3), then the r05-cohort
-    # refresh (oldest remaining driver evidence after the r12 window
-    # took the r02–r04 cohorts and q2/q4)
-    "pg_dialect_srf_direction_r13", "pg_dialect_tochar_names_r13",
-    "pg_dialect_probe_fixes_r13",
-    # late round-13 registrations (session 2): the multi-SRF zip
-    # family (select-list lockstep expansion, FROM unnest(a,b), ROWS
-    # FROM, reverse subscripts) and the hypothetical-set /
-    # width_bucket-array / composite-null family; they swap out
-    # scd2_status_history and stream_dedup_watermark tail-first per
-    # the convention below (recorded in ROTATION.md)
-    "pg_dialect_srf_zip_r13", "pg_dialect_hypothetical_r13",
-    # the r05 cohort (37 cases; ROTATION.md r05 section minus the two
-    # already refreshed in r12 and graph_triangle_count, swapped out —
-    # tail-first per the convention below — for the r13 probe-fix case
-    # and deferred to r14)
-    "q6_forecast_revenue", "q8_market_share", "q9_product_profit",
-    "q17_small_quantity", "q22_dormant_customers",
-    "subquery_exists_correlated", "cte_top_supplier", "join_lateral",
-    "pivot_sum", "unpivot_stack", "recursive_cte_chain",
-    "distinct_on_latest", "agg_percentiles", "win_sliding_median",
-    "topk_with_ties", "scalar_math", "scalar_null_semantics",
-    "pg_dialect_operators", "pg_dialect_timezone", "tap_catalog",
-    "tap_conform_quarantine", "tap_backfill_chunks",
-    "versioned_time_travel", "dq_expectations", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_components", "text_langid",
-    "text_fingerprint", "text_bm25_keyword", "sim_ann_lsh",
-    "ann_recall_eval", "embed_quantize_int8",
-    "contamination_ngram_overlap", "stream_windowed_agg",
-    # any further r13-born case swaps out the TAIL r05 refresh above
-    # (newest-first), deferring it to r14 — record the swap in
-    # ROTATION.md
+_ROTATION_R14 = [
+    # r14 pre-plan (ROTATION.md) with the new-code-first precedent:
+    # (a) the 11 cases whose kernels CHURNED in this optimization round
+    # (grouped_map_topk's batch rewrite; the fused ANN index family —
+    # sim_ann_ivf_pq is covered by its pin) go first so the driver
+    # re-grades the new code,
+    "grouped_map_topk", "sim_ann_lsh", "sim_cosine_threshold_lsh",
+    "sim_ann_lsh_multiprobe", "ann_recall_eval", "sim_ann_ivf",
+    "dedup_semantic_cluster", "cluster_quality_profile",
+    "sim_ann_ivf_pruned_store", "embed_pq_codes", "sim_ann_pq_adc",
+    # (b) the three r13 swap-outs (last driver rows are r05-era),
+    "graph_triangle_count", "scd2_status_history",
+    "stream_dedup_watermark",
+    # (c) the r06-cohort refresh in the r06 section's order, trimmed to
+    # fit 40 (the tail — dedup_keep_best onward — rolls to r15; note
+    # sim_ann_ivf_pruned_store already sits in group (a))
+    "q7_nation_volume", "q10_returned_items", "q12_shipmode_buckets",
+    "q14_promo_ratio", "q18_large_orders", "q19_disjunctive_predicates",
+    "q20_qualified_suppliers", "subquery_scalar", "sql_pivot_clause",
+    "sql_unpivot_clause", "agg_mode_per_group", "agg_listagg_ordered",
+    "scalar_conditional", "scalar_array", "pg_dialect_strings",
+    "knn_label_vote", "er_blocked_fuzzy_join", "sim_cosine_threshold",
+    "text_langid_ngram_profile", "text_boilerplate_fraction",
+    "text_ngram_topk", "tap_table_checksum", "tap_integrity_audit",
+    "tap_batch_reingest_source", "tap_schema_evolution_read",
+    "tap_corrupt_record_ingest",
 ]
-_PREFIX = _PINS + _ROTATION_R13
+_PREFIX = _PINS + _ROTATION_R14
 assert len(_PREFIX) == 50, f"driver window is 50 entries, prefix has {len(_PREFIX)}"
 _missing = [n for n in _PREFIX if n not in REGISTRY]
 assert not _missing, f"prefix names not in REGISTRY: {_missing}"
@@ -90,4 +81,4 @@ _reordered = {k: REGISTRY[k] for k in _PREFIX}
 _reordered.update(_rest)
 REGISTRY.clear()
 REGISTRY.update(_reordered)
-del _PREFIX, _missing, _rest, _reordered, _PINS, _ROTATION_R13
+del _PREFIX, _missing, _rest, _reordered, _PINS, _ROTATION_R14
